@@ -1,0 +1,337 @@
+"""Cypher AST.
+
+Shape mirrors the reference front-end's AST (reference:
+``community/cypher/front-end/ast/src/main/scala/org/neo4j/cypher/internal/ast/Clause.scala``
+— Match:593, With:1507, Return:1541, Unwind:1216, SubqueryCall:1677) and its
+expression module (``front-end/expressions``), trimmed to the analytics
+surface this engine executes.  Dataclasses only — no behavior.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+# --------------------------------------------------------------------------
+# Expressions
+# --------------------------------------------------------------------------
+
+
+class Expr:
+    pass
+
+
+@dataclass
+class Lit(Expr):
+    value: Any  # None, bool, int, float, str
+
+
+@dataclass
+class Param(Expr):
+    name: str
+
+
+@dataclass
+class Var(Expr):
+    name: str
+
+
+@dataclass
+class Prop(Expr):
+    subject: Expr
+    key: str
+
+
+@dataclass
+class Func(Expr):
+    """Function invocation; ``name`` is lower-cased, may be dotted
+    (``vector.similarity.cosine``)."""
+
+    name: str
+    args: List[Expr]
+    distinct: bool = False
+
+
+@dataclass
+class CountStar(Expr):
+    pass
+
+
+@dataclass
+class BinOp(Expr):
+    # + - * / % ^  = <> < <= > >=  AND OR XOR  IN  =~
+    # STARTSWITH ENDSWITH CONTAINS
+    op: str
+    left: Expr
+    right: Expr
+
+
+@dataclass
+class UnaryOp(Expr):
+    op: str  # NOT, NEG, POS
+    operand: Expr
+
+
+@dataclass
+class IsNull(Expr):
+    operand: Expr
+    negated: bool = False
+
+
+@dataclass
+class HasLabels(Expr):
+    """``n:Label1:Label2`` / ``r:TYPE`` predicate."""
+
+    subject: Expr
+    labels: List[str]
+
+
+@dataclass
+class ListLit(Expr):
+    items: List[Expr]
+
+
+@dataclass
+class MapLit(Expr):
+    items: List[Tuple[str, Expr]]
+
+
+@dataclass
+class Index(Expr):
+    subject: Expr
+    index: Expr
+
+
+@dataclass
+class Slice(Expr):
+    subject: Expr
+    lo: Optional[Expr]
+    hi: Optional[Expr]
+
+
+@dataclass
+class Case(Expr):
+    operand: Optional[Expr]  # simple CASE if set, searched otherwise
+    whens: List[Tuple[Expr, Expr]]
+    default: Optional[Expr]
+
+
+@dataclass
+class ListComp(Expr):
+    """``[x IN list WHERE pred | proj]``"""
+
+    var: str
+    source: Expr
+    where: Optional[Expr]
+    projection: Optional[Expr]
+
+
+@dataclass
+class Quantifier(Expr):
+    """all/any/none/single(x IN list WHERE pred)"""
+
+    kind: str
+    var: str
+    source: Expr
+    predicate: Expr
+
+
+@dataclass
+class Reduce(Expr):
+    """reduce(acc = init, x IN list | expr)"""
+
+    acc: str
+    init: Expr
+    var: str
+    source: Expr
+    expr: Expr
+
+
+@dataclass
+class PatternPred(Expr):
+    """A bare pattern used as a boolean predicate: ``WHERE (a)-[:T]->()``."""
+
+    pattern: "PatternPart"
+
+
+@dataclass
+class ExistsSub(Expr):
+    """EXISTS { MATCH ... [WHERE ...] }"""
+
+    pattern: List["PatternPart"]
+    where: Optional[Expr]
+
+
+@dataclass
+class CountSub(Expr):
+    """COUNT { MATCH ... [WHERE ...] }"""
+
+    pattern: List["PatternPart"]
+    where: Optional[Expr]
+
+
+@dataclass
+class PatternComp(Expr):
+    """Pattern comprehension ``[(a)-[:T]->(b) WHERE p | proj]`` —
+    plans as RollUpApply (LogicalPlan.scala:3534)."""
+
+    pattern: "PatternPart"
+    where: Optional[Expr]
+    projection: Expr
+
+
+# --------------------------------------------------------------------------
+# Patterns
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class NodePat:
+    var: Optional[str]
+    labels: List[str] = field(default_factory=list)  # conjunction
+    any_labels: bool = False  # True => labels is a disjunction (Label1|Label2)
+    props: Optional[MapLit] = None
+    where: Optional[Expr] = None
+
+
+@dataclass
+class RelPat:
+    var: Optional[str]
+    types: List[str] = field(default_factory=list)
+    direction: str = "out"  # out | in | both
+    props: Optional[MapLit] = None
+    min_len: Optional[int] = None  # None,None => single hop
+    max_len: Optional[int] = None  # var-length if min or max set
+    var_length: bool = False
+    where: Optional[Expr] = None
+
+
+@dataclass
+class PatternPart:
+    elements: List[Any]  # NodePat, RelPat, NodePat, ...
+    path_var: Optional[str] = None
+    selector: Optional[str] = None  # shortest | allShortest
+
+
+# --------------------------------------------------------------------------
+# Clauses
+# --------------------------------------------------------------------------
+
+
+class Clause:
+    pass
+
+
+@dataclass
+class Match(Clause):
+    parts: List[PatternPart]
+    optional: bool = False
+    where: Optional[Expr] = None
+
+
+@dataclass
+class Unwind(Clause):
+    expr: Expr
+    var: str
+
+
+@dataclass
+class ReturnItem:
+    expr: Expr
+    alias: Optional[str]
+    text: str  # verbatim source text, used as output name when no alias
+
+
+@dataclass
+class OrderItem:
+    expr: Expr
+    ascending: bool = True
+
+
+@dataclass
+class Projection(Clause):
+    """WITH or RETURN."""
+
+    items: List[ReturnItem]
+    star: bool = False
+    distinct: bool = False
+    order: List[OrderItem] = field(default_factory=list)
+    skip: Optional[Expr] = None
+    limit: Optional[Expr] = None
+    where: Optional[Expr] = None  # WITH ... WHERE
+    is_return: bool = False
+
+
+@dataclass
+class CallProc(Clause):
+    name: str
+    args: List[Expr]
+    yields: List[Tuple[str, Optional[str]]]  # (column, alias)
+    where: Optional[Expr] = None
+
+
+@dataclass
+class CallSub(Clause):
+    query: "SingleQuery"
+    imports: List[str] = field(default_factory=list)  # WITH a, b import header
+
+
+@dataclass
+class LoadCSV(Clause):
+    url: Expr
+    var: str
+    with_headers: bool = False
+
+
+# ---- updating clauses (batch-write path) ----------------------------------
+
+
+@dataclass
+class Create(Clause):
+    parts: List[PatternPart]
+
+
+@dataclass
+class Merge(Clause):
+    part: PatternPart
+    on_create: List["SetItem"] = field(default_factory=list)
+    on_match: List["SetItem"] = field(default_factory=list)
+
+
+@dataclass
+class SetItem:
+    target: Expr  # Prop(Var, key) or Var (+= map / labels)
+    value: Any
+    op: str = "set"  # set | add_labels | merge_map | replace_map
+
+
+@dataclass
+class SetClause(Clause):
+    items: List[SetItem]
+
+
+@dataclass
+class RemoveClause(Clause):
+    items: List[SetItem]
+
+
+@dataclass
+class Delete(Clause):
+    exprs: List[Expr]
+    detach: bool = False
+
+
+# --------------------------------------------------------------------------
+# Query roots
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class SingleQuery:
+    clauses: List[Clause]
+
+
+@dataclass
+class UnionQuery:
+    queries: List[SingleQuery]
+    all: bool = False

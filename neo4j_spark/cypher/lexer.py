@@ -1,0 +1,159 @@
+"""Cypher tokenizer.
+
+Token classes follow the reference grammar
+(reference: ``community/cypher/front-end/antlr-parser/src/main/antlr4/org/neo4j/cypher/internal/parser/CypherParser.g4``):
+identifiers (plain + backtick-escaped), string literals with escapes, numeric
+literals (int/float/hex/octal/scientific), parameters ``$name``, and the
+multi-char operators.  Keywords are case-insensitive and returned as IDENT —
+the parser decides keyword-ness contextually (Cypher keywords are reserved
+only contextually).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+
+@dataclass
+class Token:
+    kind: str  # IDENT STRING INT FLOAT PARAM OP EOF
+    value: str
+    pos: int
+
+    def upper(self) -> str:
+        return self.value.upper()
+
+
+OPS3 = ("<=>",)
+OPS2 = ("<>", "<=", ">=", "=~", "..", "+=", "->", "<-", "||")
+OPS1 = "()[]{},.:|^+-*/%=<>!$"
+
+
+class LexError(ValueError):
+    pass
+
+
+def tokenize(text: str) -> List[Token]:
+    toks: List[Token] = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c.isspace():
+            i += 1
+            continue
+        # comments
+        if c == "/" and i + 1 < n and text[i + 1] == "/":
+            j = text.find("\n", i)
+            i = n if j < 0 else j + 1
+            continue
+        if c == "/" and i + 1 < n and text[i + 1] == "*":
+            j = text.find("*/", i)
+            if j < 0:
+                raise LexError(f"unterminated comment at {i}")
+            i = j + 2
+            continue
+        # strings
+        if c in ("'", '"'):
+            quote = c
+            j = i + 1
+            buf = []
+            while j < n:
+                ch = text[j]
+                if ch == "\\" and j + 1 < n:
+                    esc = text[j + 1]
+                    mapping = {
+                        "n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
+                        "'": "'", '"': '"', "\\": "\\",
+                    }
+                    if esc == "u" and j + 5 < n:
+                        buf.append(chr(int(text[j + 2 : j + 6], 16)))
+                        j += 6
+                        continue
+                    buf.append(mapping.get(esc, esc))
+                    j += 2
+                    continue
+                if ch == quote:
+                    break
+                buf.append(ch)
+                j += 1
+            if j >= n:
+                raise LexError(f"unterminated string at {i}")
+            toks.append(Token("STRING", "".join(buf), i))
+            i = j + 1
+            continue
+        # backtick identifier
+        if c == "`":
+            j = text.find("`", i + 1)
+            if j < 0:
+                raise LexError(f"unterminated backtick at {i}")
+            toks.append(Token("IDENT", text[i + 1 : j], i))
+            i = j + 1
+            continue
+        # numbers
+        if c.isdigit() or (c == "." and i + 1 < n and text[i + 1].isdigit()):
+            j = i
+            is_float = False
+            if text.startswith("0x", i) or text.startswith("0X", i):
+                j = i + 2
+                while j < n and (text[j].isdigit() or text[j].lower() in "abcdef"):
+                    j += 1
+                toks.append(Token("INT", str(int(text[i:j], 16)), i))
+                i = j
+                continue
+            while j < n and text[j].isdigit():
+                j += 1
+            # ".." range operator must not be eaten as a float
+            if j < n and text[j] == "." and not text.startswith("..", j):
+                if j + 1 < n and (text[j + 1].isdigit()):
+                    is_float = True
+                    j += 1
+                    while j < n and text[j].isdigit():
+                        j += 1
+            if j < n and text[j] in "eE":
+                k = j + 1
+                if k < n and text[k] in "+-":
+                    k += 1
+                if k < n and text[k].isdigit():
+                    is_float = True
+                    j = k
+                    while j < n and text[j].isdigit():
+                        j += 1
+            toks.append(Token("FLOAT" if is_float else "INT", text[i:j], i))
+            i = j
+            continue
+        # identifiers / keywords
+        if c.isalpha() or c == "_":
+            j = i
+            while j < n and (text[j].isalnum() or text[j] == "_"):
+                j += 1
+            toks.append(Token("IDENT", text[i:j], i))
+            i = j
+            continue
+        # parameters
+        if c == "$":
+            j = i + 1
+            while j < n and (text[j].isalnum() or text[j] == "_"):
+                j += 1
+            if j == i + 1:
+                raise LexError(f"bad parameter at {i}")
+            toks.append(Token("PARAM", text[i + 1 : j], i))
+            i = j
+            continue
+        # operators
+        matched = False
+        for op in OPS3 + OPS2:
+            if text.startswith(op, i):
+                toks.append(Token("OP", op, i))
+                i += len(op)
+                matched = True
+                break
+        if matched:
+            continue
+        if c in OPS1:
+            toks.append(Token("OP", c, i))
+            i += 1
+            continue
+        raise LexError(f"unexpected character {c!r} at {i}")
+    toks.append(Token("EOF", "", n))
+    return toks

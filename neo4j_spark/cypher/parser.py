@@ -1,0 +1,829 @@
+"""Recursive-descent Cypher parser.
+
+Grammar follows the reference ANTLR grammar
+(reference: ``community/cypher/front-end/antlr-parser/.../CypherParser.g4``,
+1,864 lines) restricted to the read+write analytics surface in SURVEY §2.
+Precedence ladder (low to high): OR, XOR, AND, NOT, comparison chains,
+predicate ops (IN / STARTS WITH / ENDS WITH / CONTAINS / =~ / IS NULL),
+additive, multiplicative, power, unary minus, postfix (property / index /
+slice / label-check), atom.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from . import ast as A
+from .lexer import Token, tokenize
+
+
+class ParseError(ValueError):
+    pass
+
+
+CLAUSE_STARTS = {
+    "MATCH", "OPTIONAL", "UNWIND", "WITH", "RETURN", "CALL", "CREATE",
+    "MERGE", "SET", "REMOVE", "DELETE", "DETACH", "UNION", "LOAD", "FOREACH",
+}
+
+DOTTED_FN_NS = {
+    "vector", "duration", "point", "db", "dbms", "datetime", "date", "time",
+    "localtime", "localdatetime", "apoc", "text", "graph",
+}
+
+
+class Parser:
+    def __init__(self, text: str) -> None:
+        self.text = text
+        self.toks = tokenize(text)
+        self.i = 0
+
+    # ---- token helpers ---------------------------------------------------
+
+    def peek(self, ahead: int = 0) -> Token:
+        j = min(self.i + ahead, len(self.toks) - 1)
+        return self.toks[j]
+
+    def at_kw(self, *kws: str, ahead: int = 0) -> bool:
+        t = self.peek(ahead)
+        return t.kind == "IDENT" and t.upper() in kws
+
+    def at_op(self, *ops: str, ahead: int = 0) -> bool:
+        t = self.peek(ahead)
+        return t.kind == "OP" and t.value in ops
+
+    def take(self) -> Token:
+        t = self.toks[self.i]
+        if t.kind != "EOF":
+            self.i += 1
+        return t
+
+    def expect_kw(self, kw: str) -> Token:
+        if not self.at_kw(kw):
+            raise ParseError(f"expected {kw}, got {self.peek().value!r} at {self.peek().pos}")
+        return self.take()
+
+    def expect_op(self, op: str) -> Token:
+        if not self.at_op(op):
+            raise ParseError(f"expected {op!r}, got {self.peek().value!r} at {self.peek().pos}")
+        return self.take()
+
+    def expect_ident(self) -> str:
+        t = self.peek()
+        if t.kind != "IDENT":
+            raise ParseError(f"expected identifier, got {t.value!r} at {t.pos}")
+        self.take()
+        return t.value
+
+    def src(self, start_tok: Token, end_pos: int) -> str:
+        return self.text[start_tok.pos : end_pos].strip()
+
+    # ---- query roots -----------------------------------------------------
+
+    def parse_query(self):
+        first = self.parse_single_query()
+        if not self.at_kw("UNION"):
+            if self.peek().kind != "EOF":
+                raise ParseError(f"unexpected trailing input at {self.peek().pos}: {self.peek().value!r}")
+            return first
+        queries = [first]
+        is_all: Optional[bool] = None
+        while self.at_kw("UNION"):
+            self.take()
+            this_all = False
+            if self.at_kw("ALL"):
+                self.take()
+                this_all = True
+            elif self.at_kw("DISTINCT"):
+                self.take()
+            if is_all is None:
+                is_all = this_all
+            elif is_all != this_all:
+                raise ParseError("cannot mix UNION and UNION ALL")
+            queries.append(self.parse_single_query())
+        if self.peek().kind != "EOF":
+            raise ParseError(f"unexpected trailing input at {self.peek().pos}")
+        return A.UnionQuery(queries, all=bool(is_all))
+
+    def parse_single_query(self) -> A.SingleQuery:
+        clauses: List[A.Clause] = []
+        while True:
+            t = self.peek()
+            if t.kind == "EOF" or self.at_kw("UNION") or self.at_op("}"):
+                break
+            clauses.append(self.parse_clause())
+        if not clauses:
+            raise ParseError("empty query")
+        return A.SingleQuery(clauses)
+
+    # ---- clauses ---------------------------------------------------------
+
+    def parse_clause(self) -> A.Clause:
+        if self.at_kw("OPTIONAL"):
+            self.take()
+            self.expect_kw("MATCH")
+            return self.parse_match(optional=True)
+        if self.at_kw("MATCH"):
+            self.take()
+            return self.parse_match(optional=False)
+        if self.at_kw("UNWIND"):
+            self.take()
+            e = self.parse_expr()
+            self.expect_kw("AS")
+            return A.Unwind(e, self.expect_ident())
+        if self.at_kw("WITH"):
+            self.take()
+            return self.parse_projection(is_return=False)
+        if self.at_kw("RETURN"):
+            self.take()
+            return self.parse_projection(is_return=True)
+        if self.at_kw("CALL"):
+            self.take()
+            return self.parse_call()
+        if self.at_kw("LOAD"):
+            self.take()
+            self.expect_kw("CSV")
+            with_headers = False
+            if self.at_kw("WITH"):
+                self.take()
+                self.expect_kw("HEADERS")
+                with_headers = True
+            self.expect_kw("FROM")
+            url = self.parse_expr()
+            self.expect_kw("AS")
+            return A.LoadCSV(url, self.expect_ident(), with_headers)
+        if self.at_kw("CREATE"):
+            self.take()
+            return A.Create(self.parse_pattern())
+        if self.at_kw("MERGE"):
+            self.take()
+            part = self.parse_pattern_part()
+            on_create: List[A.SetItem] = []
+            on_match: List[A.SetItem] = []
+            while self.at_kw("ON"):
+                self.take()
+                which = self.expect_ident().upper()
+                self.expect_kw("SET")
+                items = self.parse_set_items()
+                if which == "CREATE":
+                    on_create.extend(items)
+                else:
+                    on_match.extend(items)
+            return A.Merge(part, on_create, on_match)
+        if self.at_kw("SET"):
+            self.take()
+            return A.SetClause(self.parse_set_items())
+        if self.at_kw("REMOVE"):
+            self.take()
+            items = []
+            while True:
+                e = self.parse_postfix_target()
+                items.append(A.SetItem(e, None, "remove"))
+                if self.at_op(","):
+                    self.take()
+                    continue
+                break
+            return A.RemoveClause(items)
+        if self.at_kw("DETACH"):
+            self.take()
+            self.expect_kw("DELETE")
+            return A.Delete(self.parse_expr_list(), detach=True)
+        if self.at_kw("DELETE"):
+            self.take()
+            return A.Delete(self.parse_expr_list(), detach=False)
+        raise ParseError(f"unexpected token {self.peek().value!r} at {self.peek().pos}")
+
+    def parse_expr_list(self) -> List[A.Expr]:
+        out = [self.parse_expr()]
+        while self.at_op(","):
+            self.take()
+            out.append(self.parse_expr())
+        return out
+
+    def parse_set_items(self) -> List[A.SetItem]:
+        items: List[A.SetItem] = []
+        while True:
+            target = self.parse_postfix_target()
+            if self.at_op("="):
+                self.take()
+                items.append(A.SetItem(target, self.parse_expr(), "replace_map"
+                                       if isinstance(target, A.Var) else "set"))
+            elif self.at_op("+="):
+                self.take()
+                items.append(A.SetItem(target, self.parse_expr(), "merge_map"))
+            elif isinstance(target, A.HasLabels):
+                items.append(A.SetItem(target, None, "add_labels"))
+            else:
+                raise ParseError(f"bad SET item at {self.peek().pos}")
+            if self.at_op(","):
+                self.take()
+                continue
+            break
+        return items
+
+    def parse_postfix_target(self) -> A.Expr:
+        """Target of SET/REMOVE: var, var.prop, var:Label."""
+        name = self.expect_ident()
+        e: A.Expr = A.Var(name)
+        if self.at_op("."):
+            self.take()
+            e = A.Prop(e, self.expect_ident())
+            return e
+        if self.at_op(":"):
+            labels = []
+            while self.at_op(":"):
+                self.take()
+                labels.append(self.expect_ident())
+            return A.HasLabels(e, labels)
+        return e
+
+    def parse_match(self, optional: bool) -> A.Match:
+        parts = self.parse_pattern()
+        where = None
+        if self.at_kw("WHERE"):
+            self.take()
+            where = self.parse_expr()
+        return A.Match(parts, optional=optional, where=where)
+
+    def parse_call(self) -> A.Clause:
+        if self.at_op("{"):
+            self.take()
+            sub = self.parse_single_query()
+            self.expect_op("}")
+            return A.CallSub(sub)
+        name_parts = [self.expect_ident()]
+        while self.at_op("."):
+            self.take()
+            name_parts.append(self.expect_ident())
+        name = ".".join(name_parts)
+        args: List[A.Expr] = []
+        if self.at_op("("):
+            self.take()
+            if not self.at_op(")"):
+                args = self.parse_expr_list()
+            self.expect_op(")")
+        yields: List[Tuple[str, Optional[str]]] = []
+        where = None
+        if self.at_kw("YIELD"):
+            self.take()
+            while True:
+                col = self.expect_ident()
+                alias = None
+                if self.at_kw("AS"):
+                    self.take()
+                    alias = self.expect_ident()
+                yields.append((col, alias))
+                if self.at_op(","):
+                    self.take()
+                    continue
+                break
+            if self.at_kw("WHERE"):
+                self.take()
+                where = self.parse_expr()
+        return A.CallProc(name, args, yields, where)
+
+    def parse_projection(self, is_return: bool) -> A.Projection:
+        distinct = False
+        if self.at_kw("DISTINCT"):
+            self.take()
+            distinct = True
+        star = False
+        items: List[A.ReturnItem] = []
+        if self.at_op("*"):
+            self.take()
+            star = True
+            if self.at_op(","):
+                self.take()
+        if not star or self.at_op(",") or (
+            not self.at_kw("ORDER", "SKIP", "LIMIT", "WHERE")
+            and self.peek().kind != "EOF"
+            and not self.at_kw(*CLAUSE_STARTS)
+            and not self.at_op("}")
+            and not star
+        ):
+            if not star:
+                items = self.parse_return_items()
+        order: List[A.OrderItem] = []
+        skip = limit = where = None
+        if self.at_kw("ORDER"):
+            self.take()
+            self.expect_kw("BY")
+            while True:
+                e = self.parse_expr()
+                asc = True
+                if self.at_kw("ASC", "ASCENDING"):
+                    self.take()
+                elif self.at_kw("DESC", "DESCENDING"):
+                    self.take()
+                    asc = False
+                order.append(A.OrderItem(e, asc))
+                if self.at_op(","):
+                    self.take()
+                    continue
+                break
+        if self.at_kw("SKIP"):
+            self.take()
+            skip = self.parse_expr()
+        if self.at_kw("LIMIT"):
+            self.take()
+            limit = self.parse_expr()
+        if not is_return and self.at_kw("WHERE"):
+            self.take()
+            where = self.parse_expr()
+        return A.Projection(
+            items, star=star, distinct=distinct, order=order, skip=skip,
+            limit=limit, where=where, is_return=is_return,
+        )
+
+    def parse_return_items(self) -> List[A.ReturnItem]:
+        items = []
+        while True:
+            start = self.peek()
+            e = self.parse_expr()
+            end_pos = self.peek().pos
+            alias = None
+            if self.at_kw("AS"):
+                self.take()
+                alias = self.expect_ident()
+            items.append(A.ReturnItem(e, alias, self.src(start, end_pos)))
+            if self.at_op(","):
+                self.take()
+                continue
+            break
+        return items
+
+    # ---- patterns --------------------------------------------------------
+
+    def parse_pattern(self) -> List[A.PatternPart]:
+        parts = [self.parse_pattern_part()]
+        while self.at_op(","):
+            self.take()
+            parts.append(self.parse_pattern_part())
+        return parts
+
+    def parse_pattern_part(self) -> A.PatternPart:
+        path_var = None
+        if self.peek().kind == "IDENT" and self.at_op("=", ahead=1) \
+                and not self.at_kw("SHORTESTPATH", "ALLSHORTESTPATHS"):
+            path_var = self.expect_ident()
+            self.expect_op("=")
+        selector = None
+        if self.at_kw("SHORTESTPATH", "ALLSHORTESTPATHS"):
+            kw = self.take().upper()
+            selector = "shortest" if kw == "SHORTESTPATH" else "allShortest"
+            self.expect_op("(")
+            part = self.parse_element_chain()
+            self.expect_op(")")
+            part.path_var = path_var
+            part.selector = selector
+            return part
+        part = self.parse_element_chain()
+        part.path_var = path_var
+        return part
+
+    def parse_element_chain(self) -> A.PatternPart:
+        elements: List[object] = [self.parse_node_pat()]
+        while self.at_op("-", "<-"):
+            rel = self.parse_rel_pat()
+            node = self.parse_node_pat()
+            elements.extend([rel, node])
+        return A.PatternPart(elements)
+
+    def parse_node_pat(self) -> A.NodePat:
+        self.expect_op("(")
+        var = None
+        if self.peek().kind == "IDENT" and not self.at_kw("WHERE"):
+            var = self.expect_ident()
+        labels: List[str] = []
+        any_labels = False
+        if self.at_op(":"):
+            self.take()
+            labels.append(self.expect_ident())
+            while self.at_op(":", "|", "&"):
+                sep = self.take().value
+                if self.at_op(":"):  # "|:" form
+                    self.take()
+                if sep == "|":
+                    any_labels = True
+                labels.append(self.expect_ident())
+        props = None
+        if self.at_op("{"):
+            props = self.parse_map_literal()
+        where = None
+        if self.at_kw("WHERE"):
+            self.take()
+            where = self.parse_expr()
+        self.expect_op(")")
+        return A.NodePat(var, labels, any_labels, props, where)
+
+    def parse_rel_pat(self) -> A.RelPat:
+        direction = "both"
+        if self.at_op("<-"):
+            self.take()
+            direction = "in"
+        else:
+            self.expect_op("-")
+        var = None
+        types: List[str] = []
+        props = None
+        where = None
+        min_len = max_len = None
+        var_length = False
+        if self.at_op("["):
+            self.take()
+            if self.peek().kind == "IDENT" and not self.at_kw("WHERE"):
+                var = self.expect_ident()
+            if self.at_op(":"):
+                self.take()
+                types.append(self.expect_ident())
+                while self.at_op("|"):
+                    self.take()
+                    if self.at_op(":"):
+                        self.take()
+                    types.append(self.expect_ident())
+            if self.at_op("*"):
+                self.take()
+                var_length = True
+                if self.peek().kind == "INT":
+                    min_len = int(self.take().value)
+                    if self.at_op(".."):
+                        self.take()
+                        if self.peek().kind == "INT":
+                            max_len = int(self.take().value)
+                    else:
+                        max_len = min_len
+                elif self.at_op(".."):
+                    self.take()
+                    if self.peek().kind == "INT":
+                        max_len = int(self.take().value)
+            if self.at_op("{"):
+                props = self.parse_map_literal()
+            if self.at_kw("WHERE"):
+                self.take()
+                where = self.parse_expr()
+            self.expect_op("]")
+        if self.at_op("->"):
+            self.take()
+            if direction == "in":
+                raise ParseError("<-...-> not allowed")
+            direction = "out"
+        else:
+            self.expect_op("-")
+            # direction stays 'in' or 'both'
+        return A.RelPat(var, types, direction, props, min_len, max_len,
+                        var_length, where)
+
+    def parse_map_literal(self) -> A.MapLit:
+        self.expect_op("{")
+        items: List[Tuple[str, A.Expr]] = []
+        if not self.at_op("}"):
+            while True:
+                key = self.expect_ident()
+                self.expect_op(":")
+                items.append((key, self.parse_expr()))
+                if self.at_op(","):
+                    self.take()
+                    continue
+                break
+        self.expect_op("}")
+        return A.MapLit(items)
+
+    # ---- expressions -----------------------------------------------------
+
+    def parse_expr(self) -> A.Expr:
+        return self.parse_or()
+
+    def parse_or(self) -> A.Expr:
+        e = self.parse_xor()
+        while self.at_kw("OR"):
+            self.take()
+            e = A.BinOp("OR", e, self.parse_xor())
+        return e
+
+    def parse_xor(self) -> A.Expr:
+        e = self.parse_and()
+        while self.at_kw("XOR"):
+            self.take()
+            e = A.BinOp("XOR", e, self.parse_and())
+        return e
+
+    def parse_and(self) -> A.Expr:
+        e = self.parse_not()
+        while self.at_kw("AND"):
+            self.take()
+            e = A.BinOp("AND", e, self.parse_not())
+        return e
+
+    def parse_not(self) -> A.Expr:
+        if self.at_kw("NOT"):
+            self.take()
+            return A.UnaryOp("NOT", self.parse_not())
+        return self.parse_comparison()
+
+    def parse_comparison(self) -> A.Expr:
+        left = self.parse_predicate_ops()
+        comps = []
+        while self.at_op("=", "<>", "<", "<=", ">", ">="):
+            op = self.take().value
+            right = self.parse_predicate_ops()
+            comps.append((op, right))
+        if not comps:
+            return left
+        # chained comparison: a < b <= c  =>  a<b AND b<=c
+        exprs = []
+        cur = left
+        for op, right in comps:
+            exprs.append(A.BinOp(op, cur, right))
+            cur = right
+        e = exprs[0]
+        for nxt in exprs[1:]:
+            e = A.BinOp("AND", e, nxt)
+        return e
+
+    def parse_predicate_ops(self) -> A.Expr:
+        e = self.parse_additive()
+        while True:
+            if self.at_kw("IN"):
+                self.take()
+                e = A.BinOp("IN", e, self.parse_additive())
+            elif self.at_kw("STARTS"):
+                self.take()
+                self.expect_kw("WITH")
+                e = A.BinOp("STARTSWITH", e, self.parse_additive())
+            elif self.at_kw("ENDS"):
+                self.take()
+                self.expect_kw("WITH")
+                e = A.BinOp("ENDSWITH", e, self.parse_additive())
+            elif self.at_kw("CONTAINS"):
+                self.take()
+                e = A.BinOp("CONTAINS", e, self.parse_additive())
+            elif self.at_op("=~"):
+                self.take()
+                e = A.BinOp("=~", e, self.parse_additive())
+            elif self.at_kw("IS"):
+                self.take()
+                negated = False
+                if self.at_kw("NOT"):
+                    self.take()
+                    negated = True
+                self.expect_kw("NULL")
+                e = A.IsNull(e, negated)
+            else:
+                return e
+
+    def parse_additive(self) -> A.Expr:
+        e = self.parse_multiplicative()
+        while self.at_op("+", "-", "||"):
+            op = self.take().value
+            if op == "||":
+                op = "+"
+            e = A.BinOp(op, e, self.parse_multiplicative())
+        return e
+
+    def parse_multiplicative(self) -> A.Expr:
+        e = self.parse_power()
+        while self.at_op("*", "/", "%"):
+            op = self.take().value
+            e = A.BinOp(op, e, self.parse_power())
+        return e
+
+    def parse_power(self) -> A.Expr:
+        e = self.parse_unary()
+        if self.at_op("^"):
+            self.take()
+            return A.BinOp("^", e, self.parse_power())  # right-assoc
+        return e
+
+    def parse_unary(self) -> A.Expr:
+        if self.at_op("-"):
+            self.take()
+            return A.UnaryOp("NEG", self.parse_unary())
+        if self.at_op("+"):
+            self.take()
+            return self.parse_unary()
+        return self.parse_postfix()
+
+    def parse_postfix(self) -> A.Expr:
+        e = self.parse_atom()
+        while True:
+            if self.at_op("."):
+                self.take()
+                e = A.Prop(e, self.expect_ident())
+            elif self.at_op("["):
+                self.take()
+                if self.at_op(".."):  # l[..hi]
+                    self.take()
+                    hi = None if self.at_op("]") else self.parse_expr()
+                    self.expect_op("]")
+                    e = A.Slice(e, None, hi)
+                    continue
+                idx = self.parse_expr()
+                if self.at_op(".."):
+                    self.take()
+                    hi = None if self.at_op("]") else self.parse_expr()
+                    self.expect_op("]")
+                    e = A.Slice(e, idx, hi)
+                else:
+                    self.expect_op("]")
+                    e = A.Index(e, idx)
+            elif self.at_op(":") and isinstance(e, A.Var):
+                labels = []
+                while self.at_op(":"):
+                    self.take()
+                    labels.append(self.expect_ident())
+                e = A.HasLabels(e, labels)
+            else:
+                return e
+
+    # ---- atoms -----------------------------------------------------------
+
+    def try_parse_pattern_pred(self) -> Optional[A.PatternPart]:
+        """Attempt to parse a relationship pattern used as a predicate."""
+        save = self.i
+        try:
+            part = self.parse_element_chain()
+            if len(part.elements) > 1:
+                return part
+        except (ParseError, Exception):
+            pass
+        self.i = save
+        return None
+
+    def parse_atom(self) -> A.Expr:
+        t = self.peek()
+        if t.kind == "INT":
+            self.take()
+            return A.Lit(int(t.value))
+        if t.kind == "FLOAT":
+            self.take()
+            return A.Lit(float(t.value))
+        if t.kind == "STRING":
+            self.take()
+            return A.Lit(t.value)
+        if t.kind == "PARAM":
+            self.take()
+            return A.Param(t.value)
+        if self.at_op("("):
+            pat = self.try_parse_pattern_pred()
+            if pat is not None:
+                return A.PatternPred(pat)
+            self.take()
+            e = self.parse_expr()
+            self.expect_op(")")
+            return e
+        if self.at_op("["):
+            return self.parse_list_like()
+        if self.at_op("{"):
+            return self.parse_map_literal()
+        if t.kind == "IDENT":
+            kw = t.upper()
+            if kw == "TRUE":
+                self.take()
+                return A.Lit(True)
+            if kw == "FALSE":
+                self.take()
+                return A.Lit(False)
+            if kw == "NULL":
+                self.take()
+                return A.Lit(None)
+            if kw == "CASE":
+                return self.parse_case()
+            if kw == "COUNT" and self.at_op("(", ahead=1) and self.at_op("*", ahead=2):
+                self.take(); self.take(); self.take()
+                self.expect_op(")")
+                return A.CountStar()
+            if kw in ("EXISTS", "COUNT") and self.at_op("{", ahead=1):
+                self.take()
+                self.expect_op("{")
+                if self.at_kw("MATCH"):
+                    self.take()
+                pattern = self.parse_pattern()
+                where = None
+                if self.at_kw("WHERE"):
+                    self.take()
+                    where = self.parse_expr()
+                if self.at_kw("RETURN"):  # tolerated, ignored result
+                    self.take()
+                    self.parse_return_items()
+                self.expect_op("}")
+                return (A.ExistsSub(pattern, where) if kw == "EXISTS"
+                        else A.CountSub(pattern, where))
+            if kw in ("ALL", "ANY", "NONE", "SINGLE") and self.at_op("(", ahead=1):
+                self.take()
+                self.expect_op("(")
+                var = self.expect_ident()
+                self.expect_kw("IN")
+                source = self.parse_expr()
+                self.expect_kw("WHERE")
+                pred = self.parse_expr()
+                self.expect_op(")")
+                return A.Quantifier(kw.lower(), var, source, pred)
+            if kw == "REDUCE" and self.at_op("(", ahead=1):
+                self.take()
+                self.expect_op("(")
+                acc = self.expect_ident()
+                self.expect_op("=")
+                init = self.parse_expr()
+                self.expect_op(",")
+                var = self.expect_ident()
+                self.expect_kw("IN")
+                source = self.parse_expr()
+                self.expect_op("|")
+                body = self.parse_expr()
+                self.expect_op(")")
+                return A.Reduce(acc, init, var, source, body)
+            # function call (possibly dotted) or variable
+            if self.at_op("(", ahead=1):
+                name = self.expect_ident()
+                return self.parse_func_call(name)
+            if (t.value.lower() in DOTTED_FN_NS and self.at_op(".", ahead=1)):
+                # dotted function: ns.part(...)* — only if a '(' terminates the chain
+                save = self.i
+                parts = [self.expect_ident()]
+                while self.at_op(".") and self.peek(1).kind == "IDENT":
+                    self.take()
+                    parts.append(self.expect_ident())
+                if self.at_op("("):
+                    return self.parse_func_call(".".join(parts))
+                self.i = save
+            name = self.expect_ident()
+            return A.Var(name)
+        raise ParseError(f"unexpected token {t.value!r} at {t.pos}")
+
+    def parse_func_call(self, name: str) -> A.Expr:
+        self.expect_op("(")
+        distinct = False
+        if self.at_kw("DISTINCT"):
+            self.take()
+            distinct = True
+        args: List[A.Expr] = []
+        if not self.at_op(")"):
+            args = self.parse_expr_list()
+        self.expect_op(")")
+        lname = name.lower()
+        if lname == "exists" and len(args) == 1 and isinstance(args[0], A.PatternPred):
+            return A.ExistsSub([args[0].pattern], None)
+        return A.Func(lname, args, distinct)
+
+    def parse_list_like(self) -> A.Expr:
+        self.expect_op("[")
+        if self.at_op("]"):
+            self.take()
+            return A.ListLit([])
+        # pattern comprehension: [ (a)-[...]->(b) WHERE ... | expr ]
+        if self.at_op("("):
+            save = self.i
+            pat = self.try_parse_pattern_pred()
+            if pat is not None and (self.at_kw("WHERE") or self.at_op("|")):
+                where = None
+                if self.at_kw("WHERE"):
+                    self.take()
+                    where = self.parse_expr()
+                self.expect_op("|")
+                proj = self.parse_expr()
+                self.expect_op("]")
+                return A.PatternComp(pat, where, proj)
+            self.i = save
+        # list comprehension: [x IN list ...]
+        if self.peek().kind == "IDENT" and self.at_kw("IN", ahead=1):
+            var = self.expect_ident()
+            self.expect_kw("IN")
+            source = self.parse_expr()
+            where = None
+            proj = None
+            if self.at_kw("WHERE"):
+                self.take()
+                where = self.parse_expr()
+            if self.at_op("|"):
+                self.take()
+                proj = self.parse_expr()
+            self.expect_op("]")
+            return A.ListComp(var, source, where, proj)
+        items = [self.parse_expr()]
+        while self.at_op(","):
+            self.take()
+            items.append(self.parse_expr())
+        self.expect_op("]")
+        return A.ListLit(items)
+
+    def parse_case(self) -> A.Expr:
+        self.expect_kw("CASE")
+        operand = None
+        if not self.at_kw("WHEN"):
+            operand = self.parse_expr()
+        whens: List[Tuple[A.Expr, A.Expr]] = []
+        while self.at_kw("WHEN"):
+            self.take()
+            cond = self.parse_expr()
+            self.expect_kw("THEN")
+            whens.append((cond, self.parse_expr()))
+        default = None
+        if self.at_kw("ELSE"):
+            self.take()
+            default = self.parse_expr()
+        self.expect_kw("END")
+        return A.Case(operand, whens, default)
+
+
+def parse(text: str):
+    return Parser(text).parse_query()

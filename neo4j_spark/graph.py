@@ -1,0 +1,177 @@
+"""Property-graph data model on Spark DataFrames.
+
+The reference (neo4j/neo4j) models a directed multigraph of nodes (labels +
+properties) and relationships (one type + properties); see
+``community/graphdb-api/src/main/java/org/neo4j/graphdb/Node.java`` and
+``.../store/record/RelationshipRecord.java:29-39`` (direction = firstNode ->
+secondNode).  We represent the same model columnar-first (SURVEY §1.3):
+
+- per-label node frames  ``{label: DataFrame(id, labels, <props...>)}``
+- per-type  rel  frames  ``{type:  DataFrame(id, src, dst, type, <props...>)}``
+
+Keeping the frames sharded by label/type is the scale-critical choice: a
+``NodeByLabelScan`` (LogicalPlan.scala:2703) reads exactly one parquet
+dataset and Catalyst pushes filters into that scan, instead of filtering a
+unified union.  The unified views (``nodes`` / ``rels``) are built lazily by
+name-union with null-padding, only for label-less scans.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Dict, Iterable, List, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+NODE_META = ("id", "labels")
+REL_META = ("id", "src", "dst", "type")
+
+
+def _union_by_name(frames: Sequence[DataFrame]) -> DataFrame:
+    if len(frames) == 1:
+        return frames[0]
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), frames)
+
+
+class PropertyGraph:
+    """A property graph = sharded node frames + sharded relationship frames.
+
+    Node frame schema: ``id: long, labels: array<string>, <prop cols...>``
+    Rel  frame schema: ``id: long, src: long, dst: long, type: string, <prop cols...>``
+    """
+
+    def __init__(
+        self,
+        node_frames: Dict[str, DataFrame],
+        rel_frames: Dict[str, DataFrame],
+    ) -> None:
+        self.node_frames = dict(node_frames)
+        self.rel_frames = dict(rel_frames)
+
+    # ---- scans (leaf operators, SURVEY §2.1) ----------------------------
+
+    @property
+    def nodes(self) -> DataFrame:
+        """AllNodesScan (LogicalPlan.scala:767): union of every label shard."""
+        return _union_by_name(list(self.node_frames.values()))
+
+    @property
+    def rels(self) -> DataFrame:
+        """DirectedAllRelationshipsScan (LogicalPlan.scala:1331)."""
+        return _union_by_name(list(self.rel_frames.values()))
+
+    def nodes_for_labels(self, labels: Sequence[str]) -> DataFrame:
+        """NodeByLabelScan / IntersectionNodeByLabelsScan: nodes having ALL
+        of ``labels``.  Prunes to the shards whose label set matches, so the
+        scan touches only the relevant parquet."""
+        if not labels:
+            return self.nodes
+        cands = [
+            df for lbl, df in self.node_frames.items() if lbl in labels
+        ]
+        if not cands:
+            # label unknown to the catalog -> empty frame with unified schema
+            return self.nodes.limit(0)
+        df = _union_by_name(cands)
+        cond = reduce(
+            lambda a, b: a & b, [F.array_contains(F.col("labels"), l) for l in labels]
+        )
+        return df.filter(cond)
+
+    def nodes_for_any_labels(self, labels: Sequence[str]) -> DataFrame:
+        """UnionNodeByLabelsScan (LP:4748): nodes having ANY of ``labels``."""
+        cands = [df for lbl, df in self.node_frames.items() if lbl in labels]
+        if not cands:
+            return self.nodes.limit(0)
+        df = _union_by_name(cands)
+        cond = reduce(
+            lambda a, b: a | b, [F.array_contains(F.col("labels"), l) for l in labels]
+        )
+        return df.filter(cond).dropDuplicates(["id"])
+
+    def rels_for_types(self, types: Sequence[str]) -> DataFrame:
+        """DirectedRelationshipTypeScan (LP:1732) / Union variant (LP:1841)."""
+        if not types:
+            return self.rels
+        cands = [df for t, df in self.rel_frames.items() if t in types]
+        if not cands:
+            return self.rels.limit(0)
+        return _union_by_name(cands)
+
+    # ---- catalog helpers (db.labels / db.relationshipTypes procedures) ---
+
+    def labels(self) -> List[str]:
+        return sorted(self.node_frames.keys())
+
+    def relationship_types(self) -> List[str]:
+        return sorted(self.rel_frames.keys())
+
+    def node_property_keys(self) -> List[str]:
+        keys: set = set()
+        for df in self.node_frames.values():
+            keys.update(c for c in df.columns if c not in NODE_META)
+        return sorted(keys)
+
+    # ---- persistence ----------------------------------------------------
+
+    def write(self, path: str, mode: str = "overwrite") -> None:
+        for lbl, df in self.node_frames.items():
+            df.write.mode(mode).parquet(f"{path}/nodes/{lbl}")
+        for t, df in self.rel_frames.items():
+            df.write.mode(mode).parquet(f"{path}/rels/{t}")
+
+    @staticmethod
+    def read(spark: SparkSession, path: str) -> "PropertyGraph":
+        import os
+
+        node_frames = {}
+        rel_frames = {}
+        for lbl in os.listdir(f"{path}/nodes"):
+            node_frames[lbl] = spark.read.parquet(f"{path}/nodes/{lbl}")
+        for t in os.listdir(f"{path}/rels"):
+            rel_frames[t] = spark.read.parquet(f"{path}/rels/{t}")
+        return PropertyGraph(node_frames, rel_frames)
+
+
+def graph_from_frames(
+    spark: SparkSession,
+    nodes: Iterable[dict],
+    rels: Iterable[dict],
+) -> PropertyGraph:
+    """Build a small literal graph for tests (FIXTURES §4 micro-graphs).
+
+    ``nodes``: dicts with keys id, labels (list[str]) and properties.
+    ``rels``:  dicts with keys id, src, dst, type and properties.
+    """
+    node_rows = list(nodes)
+    rel_rows = list(rels)
+
+    def infer(rows, meta):
+        # group rows by label/type so each shard has a tight schema
+        frames: Dict[str, List[dict]] = {}
+        for r in rows:
+            key = (r["labels"][0] if r.get("labels") else "_none") if meta == NODE_META else r["type"]
+            frames.setdefault(key, []).append(r)
+        return frames
+
+    import pandas as pd
+
+    node_frames = {}
+    for lbl, rows in infer(node_rows, NODE_META).items():
+        keys: List[str] = []
+        for r in rows:
+            for k in r:
+                if k not in keys:
+                    keys.append(k)
+        norm = [{k: r.get(k) for k in keys} for r in rows]
+        node_frames[lbl] = spark.createDataFrame(pd.DataFrame(norm))
+    rel_frames = {}
+    for t, rows in infer(rel_rows, REL_META).items():
+        keys = []
+        for r in rows:
+            for k in r:
+                if k not in keys:
+                    keys.append(k)
+        norm = [{k: r.get(k) for k in keys} for r in rows]
+        rel_frames[t] = spark.createDataFrame(pd.DataFrame(norm))
+    return PropertyGraph(node_frames, rel_frames)
