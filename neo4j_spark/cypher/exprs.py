@@ -1,0 +1,426 @@
+"""Cypher expression -> Spark Column compiler.
+
+Carries the cross-type semantics catalogued in SURVEY §1.2/§2.8 (reference:
+``community/cypher/runtime-util/src/main/java/org/neo4j/cypher/operations/CypherMath.java``,
+``CypherFunctions.java``):
+
+- ternary (Kleene) logic: Spark's AND/OR/NOT already propagate null the same way
+- ``+`` overloading: string concat, list concat/append, numeric add
+- ``/`` between two integers is integer division; ``^`` always returns float
+- list indexing is 0-based with negative wrap (vs Spark's 1-based element_at)
+- ``=~`` is a FULL-string regex match (Java ``matches()``), not a search
+- node/relationship equality compares identity (ids), not payload
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from . import ast as A
+
+AGG_FNS = {
+    "count", "sum", "avg", "mean", "min", "max", "collect", "stdev", "stdevp",
+    "percentilecont", "percentiledisc", "percentiles",
+}
+
+NUMERIC_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType,
+    T.DoubleType, T.DecimalType,
+)
+INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+TEMPORAL_FIELDS = {
+    "year": F.year, "month": F.month, "day": F.dayofmonth, "hour": F.hour,
+    "minute": F.minute, "second": F.second,
+    "week": F.weekofyear, "quarter": F.quarter,
+    "dayofweek": F.dayofweek, "ordinalday": F.dayofyear,
+}
+
+
+class CypherTypeError(ValueError):
+    pass
+
+
+class ExprCompiler:
+    """Compiles expression AST against a DataFrame (for schema resolution).
+
+    ``kinds`` maps variable name -> 'node' | 'rel' | 'path' | 'scalar' | 'rellist'.
+    ``locals`` maps lambda-bound variables to Columns (list comprehensions etc.).
+    """
+
+    def __init__(
+        self,
+        df: Optional[DataFrame],
+        kinds: Dict[str, str],
+        params: Dict[str, Any],
+        translator=None,
+    ) -> None:
+        self.df = df
+        self.kinds = kinds
+        self.params = params
+        self.translator = translator
+        self.locals: Dict[str, Column] = {}
+        self._local_types: Dict[str, T.DataType] = {}
+
+    # ---- type resolution -------------------------------------------------
+
+    def dtype_of(self, col: Column) -> Optional[T.DataType]:
+        try:
+            if self.df is not None:
+                return self.df.select(col.alias("_t")).schema[0].dataType
+            # no rowstream yet (e.g. RETURN 1+1): resolve against empty frame
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+            return spark.range(1).select(col.alias("_t")).schema[0].dataType
+        except Exception:
+            return None
+
+    def static_type(self, e: A.Expr) -> Optional[T.DataType]:
+        """Cheap static type for literals; falls back to schema resolution."""
+        if isinstance(e, A.Lit):
+            v = e.value
+            if isinstance(v, bool):
+                return T.BooleanType()
+            if isinstance(v, int):
+                return T.LongType()
+            if isinstance(v, float):
+                return T.DoubleType()
+            if isinstance(v, str):
+                return T.StringType()
+            if v is None:
+                return T.NullType()
+        return None
+
+    # ---- entry -----------------------------------------------------------
+
+    def compile(self, e: A.Expr) -> Column:
+        m = getattr(self, f"_c_{type(e).__name__}", None)
+        if m is None:
+            raise CypherTypeError(f"unsupported expression {type(e).__name__}")
+        return m(e)
+
+    def compile_typed(self, e: A.Expr):
+        c = self.compile(e)
+        t = self.static_type(e) or self.dtype_of(c)
+        return c, t
+
+    # ---- leaves ----------------------------------------------------------
+
+    def _c_Lit(self, e: A.Lit) -> Column:
+        return F.lit(e.value)
+
+    def _c_Param(self, e: A.Param) -> Column:
+        if e.name not in self.params:
+            raise CypherTypeError(f"missing parameter ${e.name}")
+        return F.lit(self.params[e.name])
+
+    def _c_Var(self, e: A.Var) -> Column:
+        if e.name in self.locals:
+            return self.locals[e.name]
+        if self.df is not None and e.name in self.df.columns:
+            return F.col(e.name)
+        raise CypherTypeError(f"variable `{e.name}` not defined")
+
+    def _c_CountStar(self, e) -> Column:  # handled by aggregation planner
+        return F.count(F.lit(1))
+
+    # ---- property access -------------------------------------------------
+
+    def _c_Prop(self, e: A.Prop) -> Column:
+        subj = self.compile(e.subject)
+        t = None
+        if isinstance(e.subject, A.Var):
+            name = e.subject.name
+            if name in self._local_types:
+                t = self._local_types[name]
+        if t is None:
+            t = self.dtype_of(subj)
+        key = e.key
+        if isinstance(t, T.StructType):
+            if key in t.fieldNames():
+                return subj.getField(key)
+            # duration struct component access
+            return F.lit(None)
+        if isinstance(t, T.MapType):
+            return F.element_at(subj, F.lit(key))
+        if isinstance(t, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+            fn = TEMPORAL_FIELDS.get(key.lower())
+            if fn is not None:
+                col = fn(subj)
+                return col.cast("long")
+            if key.lower() == "epochmillis":
+                return (F.unix_micros(subj.cast("timestamp")) / 1000).cast("long")
+            if key.lower() == "epochseconds":
+                return F.unix_seconds(subj.cast("timestamp"))
+            raise CypherTypeError(f"unknown temporal field {key}")
+        # unresolvable (null literal etc.)
+        return F.lit(None)
+
+    # ---- operators -------------------------------------------------------
+
+    def _c_BinOp(self, e: A.BinOp) -> Column:
+        op = e.op
+        if op in ("AND", "OR", "XOR"):
+            l, r = self.compile(e.left), self.compile(e.right)
+            if op == "AND":
+                return l & r
+            if op == "OR":
+                return l | r
+            return l != r  # Kleene XOR: null-propagating boolean inequality
+        if op in ("=", "<>"):
+            l, r = self._entity_aware(e.left), self._entity_aware(e.right)
+            return (l == r) if op == "=" else (l != r)
+        if op in ("<", "<=", ">", ">="):
+            l, r = self._entity_aware(e.left), self._entity_aware(e.right)
+            return {"<": l < r, "<=": l <= r, ">": l > r, ">=": l >= r}[op]
+        if op == "IN":
+            l = self.compile(e.left)
+            r = self.compile(e.right)
+            return F.array_contains(r, l)
+        if op == "STARTSWITH":
+            return self.compile(e.left).startswith(self.compile(e.right))
+        if op == "ENDSWITH":
+            return self.compile(e.left).endswith(self.compile(e.right))
+        if op == "CONTAINS":
+            return self.compile(e.left).contains(self.compile(e.right))
+        if op == "=~":
+            l = self.compile(e.left)
+            r = self.compile(e.right)
+            # Java matches(): anchored full-string match
+            pat = F.concat(F.lit("^(?:"), r, F.lit(")$"))
+            return F.regexp_like(l, pat)
+        # arithmetic
+        lc, lt = self.compile_typed(e.left)
+        rc, rt = self.compile_typed(e.right)
+        if op == "+":
+            return self._plus(lc, lt, rc, rt)
+        if op == "-":
+            return lc - rc
+        if op == "*":
+            return lc * rc
+        if op == "/":
+            if isinstance(lt, INT_TYPES) and isinstance(rt, INT_TYPES):
+                # Cypher integer / integer = integer division truncating toward
+                # zero (CypherMath.java); double-divide + cast truncates the same
+                return (lc / rc).cast("long")
+            return lc / rc
+        if op == "%":
+            return lc % rc
+        if op == "^":
+            return F.pow(lc, rc)
+        raise CypherTypeError(f"unknown operator {op}")
+
+    def _plus(self, lc: Column, lt, rc: Column, rt) -> Column:
+        if isinstance(lt, T.StringType) or isinstance(rt, T.StringType):
+            ls = lc if isinstance(lt, T.StringType) else self._to_string(lc, lt)
+            rs = rc if isinstance(rt, T.StringType) else self._to_string(rc, rt)
+            return F.concat(ls, rs)
+        if isinstance(lt, T.ArrayType) and isinstance(rt, T.ArrayType):
+            return F.concat(lc, rc)
+        if isinstance(lt, T.ArrayType):
+            return F.array_append(lc, rc)
+        if isinstance(rt, T.ArrayType):
+            return F.array_prepend(rc, lc) if hasattr(F, "array_prepend") else F.concat(F.array(lc), rc)
+        return lc + rc
+
+    def _to_string(self, c: Column, t) -> Column:
+        return c.cast("string")
+
+    def _entity_aware(self, e: A.Expr) -> Column:
+        c = self.compile(e)
+        if isinstance(e, A.Var) and self.kinds.get(e.name) in ("node", "rel"):
+            return c.getField("_id")
+        return c
+
+    def _c_UnaryOp(self, e: A.UnaryOp) -> Column:
+        c = self.compile(e.operand)
+        if e.op == "NOT":
+            return ~c
+        if e.op == "NEG":
+            return -c
+        return c
+
+    def _c_IsNull(self, e: A.IsNull) -> Column:
+        c = self.compile(e.operand)
+        return c.isNotNull() if e.negated else c.isNull()
+
+    def _c_HasLabels(self, e: A.HasLabels) -> Column:
+        subj = self.compile(e.subject)
+        kind = self.kinds.get(e.subject.name) if isinstance(e.subject, A.Var) else None
+        if kind == "rel":
+            conds = [subj.getField("_type") == F.lit(l) for l in e.labels]
+        else:
+            conds = [F.array_contains(subj.getField("_labels"), l) for l in e.labels]
+        out = conds[0]
+        for c in conds[1:]:
+            out = out & c
+        return out
+
+    # ---- containers ------------------------------------------------------
+
+    def _c_ListLit(self, e: A.ListLit) -> Column:
+        if not e.items:
+            return F.array().cast("array<long>")
+        return F.array(*[self.compile(x) for x in e.items])
+
+    def _c_MapLit(self, e: A.MapLit) -> Column:
+        return F.struct(*[self.compile(v).alias(k) for k, v in e.items])
+
+    def _c_Index(self, e: A.Index) -> Column:
+        subj, t = self.compile_typed(e.subject)
+        idx = self.compile(e.index)
+        if isinstance(t, T.MapType):
+            return F.element_at(subj, idx)
+        if isinstance(t, T.StructType) and isinstance(e.index, A.Lit):
+            return subj.getField(str(e.index.value))
+        # 0-based with negative wrap
+        if isinstance(e.index, A.Lit) and isinstance(e.index.value, int):
+            i = e.index.value
+            return F.get(subj, i) if i >= 0 else F.get(subj, F.size(subj) + F.lit(i))
+        return F.when(idx >= 0, F.get(subj, idx)).otherwise(
+            F.get(subj, F.size(subj) + idx)
+        )
+
+    def _c_Slice(self, e: A.Slice) -> Column:
+        subj = self.compile(e.subject)
+        n = F.size(subj)
+        lo = self.compile(e.lo) if e.lo is not None else F.lit(0)
+        hi = self.compile(e.hi) if e.hi is not None else n
+        lo = F.when(lo < 0, F.greatest(n + lo, F.lit(0))).otherwise(F.least(lo, n))
+        hi = F.when(hi < 0, F.greatest(n + hi, F.lit(0))).otherwise(F.least(hi, n))
+        length = F.greatest(hi - lo, F.lit(0))
+        return F.slice(subj, lo + 1, length)
+
+    def _c_Case(self, e: A.Case) -> Column:
+        col = None
+        if e.operand is not None:
+            op = self.compile(e.operand)
+            for cond, val in e.whens:
+                c = op == self.compile(cond)
+                v = self.compile(val)
+                col = F.when(c, v) if col is None else col.when(c, v)
+        else:
+            for cond, val in e.whens:
+                c = self.compile(cond)
+                v = self.compile(val)
+                col = F.when(c, v) if col is None else col.when(c, v)
+        if e.default is not None:
+            col = col.otherwise(self.compile(e.default))
+        return col
+
+    # ---- lambdas (higher-order functions) --------------------------------
+
+    def _with_local(self, name: str, col: Column, dtype, fn: Callable[[], Column]) -> Column:
+        old = self.locals.get(name)
+        oldt = self._local_types.get(name)
+        self.locals[name] = col
+        if dtype is not None:
+            self._local_types[name] = dtype
+        try:
+            return fn()
+        finally:
+            if old is None:
+                self.locals.pop(name, None)
+                self._local_types.pop(name, None)
+            else:
+                self.locals[name] = old
+                if oldt is not None:
+                    self._local_types[name] = oldt
+
+    def _elem_type(self, e: A.Expr):
+        t = self.dtype_of(self.compile(e))
+        return t.elementType if isinstance(t, T.ArrayType) else None
+
+    def _c_ListComp(self, e: A.ListComp) -> Column:
+        src = self.compile(e.source)
+        et = self._elem_type(e.source)
+        out = src
+        if e.where is not None:
+            out = F.filter(out, lambda x: self._with_local(
+                e.var, x, et, lambda: self.compile(e.where)))
+        if e.projection is not None:
+            out = F.transform(out, lambda x: self._with_local(
+                e.var, x, et, lambda: self.compile(e.projection)))
+        return out
+
+    def _c_Quantifier(self, e: A.Quantifier) -> Column:
+        src = self.compile(e.source)
+        et = self._elem_type(e.source)
+
+        def pred(x):
+            return self._with_local(e.var, x, et, lambda: self.compile(e.predicate))
+
+        if e.kind == "all":
+            return F.forall(src, pred)
+        if e.kind == "any":
+            return F.exists(src, pred)
+        if e.kind == "none":
+            return ~F.exists(src, pred)
+        # single
+        return F.size(F.filter(src, pred)) == 1
+
+    def _c_Reduce(self, e: A.Reduce) -> Column:
+        src = self.compile(e.source)
+        init = self.compile(e.init)
+        et = self._elem_type(e.source)
+
+        def merge(acc, x):
+            return self._with_local(
+                e.acc, acc, None,
+                lambda: self._with_local(e.var, x, et, lambda: self.compile(e.expr)),
+            )
+
+        return F.aggregate(src, init, merge)
+
+    # ---- function calls --------------------------------------------------
+
+    def _c_Func(self, e: A.Func) -> Column:
+        from ..functions.registry import compile_function
+
+        if e.name in AGG_FNS:
+            raise CypherTypeError(
+                f"aggregate {e.name}() outside aggregating projection")
+        return compile_function(self, e)
+
+    # subquery expressions are lowered by the translator before compile;
+    # reaching here means they appear in an unsupported position
+    def _c_ExistsSub(self, e):
+        raise CypherTypeError("EXISTS {} must be lowered by translator")
+
+    def _c_CountSub(self, e):
+        raise CypherTypeError("COUNT {} must be lowered by translator")
+
+    def _c_PatternPred(self, e):
+        raise CypherTypeError("pattern predicate must be lowered by translator")
+
+    def _c_PatternComp(self, e):
+        raise CypherTypeError("pattern comprehension must be lowered by translator")
+
+
+def contains_aggregate(e: A.Expr) -> bool:
+    if isinstance(e, (A.CountStar,)):
+        return True
+    if isinstance(e, A.Func) and e.name in AGG_FNS:
+        return True
+    for child in expr_children(e):
+        if contains_aggregate(child):
+            return True
+    return False
+
+
+def expr_children(e: A.Expr) -> List[A.Expr]:
+    out: List[A.Expr] = []
+    for f in getattr(e, "__dataclass_fields__", {}):
+        v = getattr(e, f)
+        if isinstance(v, A.Expr):
+            out.append(v)
+        elif isinstance(v, list):
+            for x in v:
+                if isinstance(x, A.Expr):
+                    out.append(x)
+                elif isinstance(x, tuple):
+                    out.extend(y for y in x if isinstance(y, A.Expr))
+    return out

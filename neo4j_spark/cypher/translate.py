@@ -1,0 +1,746 @@
+"""Cypher AST -> Spark DataFrame translator.
+
+The reference plans a Cypher query into ~150 logical operators
+(``community/cypher/cypher-logical-plans/.../LogicalPlan.scala``) executed by
+pull-based pipes.  Here every operator becomes a declarative DataFrame
+transformation and Catalyst/AQE is the physical planner (SURVEY §3.3, §4):
+
+- scans       -> per-label/type parquet-backed frames (predicate pushdown)
+- Expand      -> joins on node ids (LP:2012 ExpandAll / ExpandInto)
+- OPTIONAL    -> left outer joins on correlated ids (LP:3095 Optional)
+- EXISTS/COUNT{} / pattern predicates -> semi/anti-join flag columns
+  (SemiApply family, LP:3659+, decorrelated at translation time)
+- pattern comprehension -> groupBy+collect_list join (RollUpApply LP:3534)
+- WITH/RETURN -> select / groupBy().agg() / dropDuplicates / orderBy /
+  offset / limit (Aggregation LP:728, Distinct LP:1899, Sort LP:3875,
+  Top LP:3913 via orderBy+limit -> TakeOrderedAndProject)
+- var-length / shortest paths -> driver-side iterative joins
+  (operators/paths.py; VarExpand LP:2057, FindShortestPaths LP:2178)
+
+Row-stream representation: one DataFrame whose columns are the bound
+variables — nodes/rels as structs (``_id``,``_labels``/``_src``,``_dst``,
+``_type`` + property fields), scalars as plain columns, paths as
+``struct{nodes, rels}``, var-length rels as ``array<rel-struct>``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F, types as T
+
+from . import ast as A
+from .exprs import AGG_FNS, ExprCompiler, contains_aggregate, expr_children
+from ..graph import PropertyGraph
+
+NODE_META = ("id", "labels")
+REL_META = ("id", "src", "dst", "type")
+
+
+class TranslateError(ValueError):
+    pass
+
+
+def _rel_core(col: Column) -> Column:
+    return F.struct(
+        col.getField("_id").alias("_id"), col.getField("_src").alias("_src"),
+        col.getField("_dst").alias("_dst"), col.getField("_type").alias("_type"),
+    )
+
+
+class Translator:
+    def __init__(self, spark: SparkSession, graph: PropertyGraph,
+                 params: Dict[str, Any]) -> None:
+        self.spark = spark
+        self.graph = graph
+        self.params = params
+        self.kinds: Dict[str, str] = {}
+        self._anon = 0
+        self.max_var_length = 12
+
+    # ------------------------------------------------------------------ API
+
+    def translate(self, ast) -> DataFrame:
+        if isinstance(ast, A.UnionQuery):
+            frames = []
+            for q in ast.queries:
+                sub = Translator(self.spark, self.graph, self.params)
+                frames.append(sub._single(q))
+            out = frames[0]
+            for f in frames[1:]:
+                out = out.unionByName(f)
+            if not ast.all:
+                out = out.dropDuplicates()
+            return out
+        return self._single(ast)
+
+    def _single(self, q: A.SingleQuery) -> DataFrame:
+        df: Optional[DataFrame] = None
+        for clause in q.clauses:
+            df = self._apply(df, clause)
+        if df is None:
+            raise TranslateError("query produced no rowstream")
+        return df
+
+    # -------------------------------------------------------------- helpers
+
+    def _anon_var(self, prefix: str = "a") -> str:
+        self._anon += 1
+        return f"_{prefix}{self._anon}"
+
+    def _compiler(self, df: Optional[DataFrame]) -> ExprCompiler:
+        return ExprCompiler(df, self.kinds, self.params, self)
+
+    # -------------------------------------------------------------- clauses
+
+    def _apply(self, df: Optional[DataFrame], clause: A.Clause) -> DataFrame:
+        if isinstance(clause, A.Match):
+            return self._match(df, clause)
+        if isinstance(clause, A.Unwind):
+            return self._unwind(df, clause)
+        if isinstance(clause, A.Projection):
+            return self._projection(df, clause)
+        if isinstance(clause, A.CallProc):
+            return self._call_proc(df, clause)
+        if isinstance(clause, A.CallSub):
+            sub_df = df
+            for c in clause.query.clauses:
+                sub_df = self._apply(sub_df, c)
+            return sub_df
+        if isinstance(clause, A.LoadCSV):
+            return self._load_csv(df, clause)
+        raise TranslateError(f"unsupported clause {type(clause).__name__}")
+
+    # ---- MATCH -----------------------------------------------------------
+
+    def _match(self, df: Optional[DataFrame], m: A.Match) -> DataFrame:
+        if m.optional and df is not None:
+            return self._optional_match(df, m)
+        pending: List[A.Expr] = []
+        rel_bindings: List[Tuple[str, str, frozenset]] = []
+        for part in m.parts:
+            df = self._pattern_part(df, part, pending, rel_bindings)
+        df = self._uniqueness_filters(df, rel_bindings)
+        for p in pending:
+            df, expr = self._lower_predicates(df, p)
+            df = df.filter(self._compiler(df).compile(expr))
+        if m.where is not None:
+            df, expr = self._lower_predicates(df, m.where)
+            df = df.filter(self._compiler(df).compile(expr))
+        return df
+
+    def _optional_match(self, df: DataFrame, m: A.Match) -> DataFrame:
+        """Optional (LP:3095) == left outer join on the correlated variables."""
+        pattern_vars = set()
+        for part in m.parts:
+            for el in part.elements:
+                v = getattr(el, "var", None)
+                if v:
+                    pattern_vars.add(v)
+        shared = [v for v in df.columns if v in pattern_vars]
+        inner = A.Match(m.parts, optional=False, where=m.where)
+        if shared:
+            base = df.select(*shared).dropDuplicates()
+            sub = Translator(self.spark, self.graph, self.params)
+            sub.kinds.update({v: self.kinds[v] for v in shared if v in self.kinds})
+            matched = sub._match(base, inner)
+            self.kinds.update(sub.kinds)
+            new_cols = [c for c in matched.columns if c not in shared]
+            right = matched.select(
+                *[F.col(v).alias(f"__r_{v}") for v in shared], *new_cols)
+            cond = None
+            for v in shared:
+                l = F.col(v)
+                r = F.col(f"__r_{v}")
+                if self.kinds.get(v) in ("node", "rel"):
+                    c = l.getField("_id").eqNullSafe(r.getField("_id"))
+                else:
+                    c = l.eqNullSafe(r)
+                cond = c if cond is None else cond & c
+            out = df.join(right, cond, "left")
+            return out.drop(*[f"__r_{v}" for v in shared])
+        sub = Translator(self.spark, self.graph, self.params)
+        matched = sub._match(None, inner)
+        self.kinds.update(sub.kinds)
+        return df.join(matched, F.lit(True), "left")
+
+    def _uniqueness_filters(self, df: DataFrame,
+                            rel_bindings: List[Tuple[str, str, frozenset]]) -> DataFrame:
+        """Relationship-uniqueness within one MATCH (reference:
+        ``front-end/rewriting/.../AddUniquenessPredicates.scala:66``)."""
+        def overlap(t1: frozenset, t2: frozenset) -> bool:
+            return (not t1) or (not t2) or bool(t1 & t2)
+
+        for i in range(len(rel_bindings)):
+            for j in range(i + 1, len(rel_bindings)):
+                v1, k1, t1 = rel_bindings[i]
+                v2, k2, t2 = rel_bindings[j]
+                if not overlap(t1, t2):
+                    continue
+                c1, c2 = F.col(v1), F.col(v2)
+                if k1 == "rel" and k2 == "rel":
+                    df = df.filter(c1.getField("_id") != c2.getField("_id"))
+                elif k1 == "rel" and k2 == "rellist":
+                    df = df.filter(~F.array_contains(
+                        F.transform(c2, lambda x: x.getField("_id")), c1.getField("_id")))
+                elif k1 == "rellist" and k2 == "rel":
+                    df = df.filter(~F.array_contains(
+                        F.transform(c1, lambda x: x.getField("_id")), c2.getField("_id")))
+                else:
+                    df = df.filter(~F.arrays_overlap(
+                        F.transform(c1, lambda x: x.getField("_id")),
+                        F.transform(c2, lambda x: x.getField("_id"))))
+        return df
+
+    # ---- pattern elements ------------------------------------------------
+
+    def _node_scan(self, np: A.NodePat, var: str) -> DataFrame:
+        if np.any_labels:
+            base = self.graph.nodes_for_any_labels(np.labels)
+        else:
+            base = self.graph.nodes_for_labels(np.labels)
+        props = [c for c in base.columns if c not in NODE_META]
+        struct = F.struct(
+            F.col("id").alias("_id"), F.col("labels").alias("_labels"),
+            *[F.col(p).alias(p) for p in props])
+        return base.select(struct.alias(var))
+
+    def _rel_scan(self, rp: A.RelPat, var: str) -> DataFrame:
+        """Returns frame [__from, __to, <var> struct] honoring direction.
+
+        BOTH-direction = union of both orientations (Undirected* scans,
+        LP:4220); self-loops contribute once."""
+        base = self.graph.rels_for_types(rp.types)
+        props = [c for c in base.columns if c not in REL_META]
+        struct = F.struct(
+            F.col("id").alias("_id"), F.col("src").alias("_src"),
+            F.col("dst").alias("_dst"), F.col("type").alias("_type"),
+            *[F.col(p).alias(p) for p in props])
+        if rp.direction == "out":
+            return base.select(F.col("src").alias("__from"),
+                               F.col("dst").alias("__to"), struct.alias(var))
+        if rp.direction == "in":
+            return base.select(F.col("dst").alias("__from"),
+                               F.col("src").alias("__to"), struct.alias(var))
+        fwd = base.select(F.col("src").alias("__from"), F.col("dst").alias("__to"),
+                          struct.alias(var))
+        rev = base.filter(F.col("src") != F.col("dst")).select(
+            F.col("dst").alias("__from"), F.col("src").alias("__to"),
+            struct.alias(var))
+        return fwd.unionByName(rev)
+
+    def _bind_first_node(self, df: Optional[DataFrame], np: A.NodePat,
+                         pending: List[A.Expr]) -> Tuple[DataFrame, str]:
+        var = np.var or self._anon_var("n")
+        if df is not None and var in df.columns:
+            self._queue_node_filters(np, var, pending, bound=True)
+            return df, var
+        scan = self._node_scan(np, var)
+        self.kinds[var] = "node"
+        self._queue_node_filters(np, var, pending, bound=False)
+        if df is None:
+            return scan, var
+        return df.crossJoin(scan), var  # CartesianProduct (LP:1171)
+
+    def _queue_node_filters(self, np: A.NodePat, var: str,
+                            pending: List[A.Expr], bound: bool = False) -> None:
+        if np.labels and bound:  # label check on an already-bound var
+            pending.append(A.HasLabels(A.Var(var), list(np.labels)))
+        if np.props is not None:
+            for k, v in np.props.items:
+                pending.append(A.BinOp("=", A.Prop(A.Var(var), k), v))
+        if np.where is not None:
+            pending.append(np.where)
+
+    def _queue_rel_filters(self, rp: A.RelPat, var: str,
+                           pending: List[A.Expr]) -> None:
+        if rp.props is not None:
+            for k, v in rp.props.items:
+                pending.append(A.BinOp("=", A.Prop(A.Var(var), k), v))
+        if rp.where is not None:
+            pending.append(rp.where)
+
+    def _pattern_part(self, df: Optional[DataFrame], part: A.PatternPart,
+                      pending: List[A.Expr],
+                      rel_bindings: List[Tuple[str, str, frozenset]]) -> DataFrame:
+        if part.selector in ("shortest", "allShortest"):
+            from ..operators.paths import shortest_path
+
+            return shortest_path(self, df, part, pending)
+
+        els = part.elements
+        df, prev = self._bind_first_node(df, els[0], pending)
+        path_nodes: List[str] = [prev]
+        path_rels: List[Tuple[str, str]] = []  # (var, kind)
+        i = 1
+        while i < len(els):
+            rp: A.RelPat = els[i]
+            np: A.NodePat = els[i + 1]
+            if rp.var_length:
+                from ..operators.paths import var_expand
+
+                rvar = rp.var or self._anon_var("r")
+                nvar = np.var or self._anon_var("n")
+                was_bound = nvar in df.columns
+                df = var_expand(self, df, prev, rp, np, rvar, nvar)
+                self.kinds[rvar] = "rellist"
+                self.kinds[nvar] = "node"
+                rel_bindings.append((rvar, "rellist", frozenset(rp.types)))
+                self._queue_node_filters(np, nvar, pending, bound=was_bound)
+                path_rels.append((rvar, "rellist"))
+                path_nodes.append(nvar)
+                prev = nvar
+                i += 2
+                continue
+            rvar = rp.var or self._anon_var("r")
+            nvar = np.var or self._anon_var("n")
+            if rvar in df.columns:
+                # rel var re-used: ProjectEndpoints-ish; join by id
+                scan = self._rel_scan(rp, f"__dup_{rvar}")
+                df = df.join(
+                    scan,
+                    F.col(rvar).getField("_id") == F.col(f"__dup_{rvar}").getField("_id"),
+                ).drop(f"__dup_{rvar}")
+            else:
+                scan = self._rel_scan(rp, rvar)
+                # Expand (LP:2012): join rels on the bound endpoint
+                df = df.join(scan, F.col(prev).getField("_id") == F.col("__from"))
+                self.kinds[rvar] = "rel"
+                rel_bindings.append((rvar, "rel", frozenset(rp.types)))
+                self._queue_rel_filters(rp, rvar, pending)
+            if nvar in df.columns:
+                # ExpandInto: endpoint already bound
+                df = df.filter(F.col("__to") == F.col(nvar).getField("_id"))
+                self._queue_node_filters(np, nvar, pending, bound=True)
+            else:
+                nscan = self._node_scan(np, nvar)
+                df = df.join(nscan, F.col("__to") == F.col(nvar).getField("_id"))
+                self.kinds[nvar] = "node"
+                self._queue_node_filters(np, nvar, pending, bound=False)
+            df = df.drop("__from", "__to")
+            path_rels.append((rvar, "rel"))
+            path_nodes.append(nvar)
+            prev = nvar
+            i += 2
+
+        if part.path_var:
+            df = self._build_path(df, part.path_var, path_nodes, path_rels)
+        return df
+
+    def _build_path(self, df: DataFrame, pvar: str, node_vars: List[str],
+                    rel_vars: List[Tuple[str, str]]) -> DataFrame:
+        nodes_arr = F.array(*[
+            F.struct(F.col(v).getField("_id").alias("_id")) for v in node_vars])
+        rel_cols: List[Column] = []
+        for v, kind in rel_vars:
+            if kind == "rel":
+                rel_cols.append(F.array(_rel_core(F.col(v))))
+            else:
+                rel_cols.append(F.transform(F.col(v), lambda x: _rel_core(x)))
+        rels_arr = F.concat(*rel_cols) if rel_cols else F.array().cast(
+            "array<struct<_id:bigint,_src:bigint,_dst:bigint,_type:string>>")
+        self.kinds[pvar] = "path"
+        return df.withColumn(
+            pvar, F.struct(nodes_arr.alias("nodes"), rels_arr.alias("rels")))
+
+    # ---- subquery-predicate lowering ------------------------------------
+
+    def _lower_predicates(self, df: DataFrame, expr: A.Expr
+                          ) -> Tuple[DataFrame, A.Expr]:
+        """Replace EXISTS{}/COUNT{}/pattern predicates with computed flag
+        columns (SemiApply/AntiSemiApply/LetSemiApply family, LP:3615-3676)."""
+
+        def walk(df: DataFrame, e: A.Expr) -> Tuple[DataFrame, A.Expr]:
+            if isinstance(e, A.PatternPred):
+                return lower_exists(df, A.ExistsSub([e.pattern], None))
+            if isinstance(e, A.ExistsSub):
+                return lower_exists(df, e)
+            if isinstance(e, A.CountSub):
+                return lower_count(df, e)
+            # rebuild children
+            import dataclasses
+
+            if not dataclasses.is_dataclass(e):
+                return df, e
+            changes = {}
+            for f in dataclasses.fields(e):
+                v = getattr(e, f.name)
+                if isinstance(v, A.Expr):
+                    df, nv = walk(df, v)
+                    if nv is not v:
+                        changes[f.name] = nv
+                elif isinstance(v, list) and v and isinstance(v[0], A.Expr):
+                    nl = []
+                    changed = False
+                    for x in v:
+                        df, nx = walk(df, x)
+                        changed = changed or (nx is not x)
+                        nl.append(nx)
+                    if changed:
+                        changes[f.name] = nl
+            if changes:
+                e = dataclasses.replace(e, **changes)
+            return df, e
+
+        def correlate(parts: List[A.PatternPart]) -> List[str]:
+            pv = set()
+            for part in parts:
+                for el in part.elements:
+                    v = getattr(el, "var", None)
+                    if v:
+                        pv.add(v)
+            return [v for v in df.columns if v in pv]
+
+        def build_matched(cur_df: DataFrame, parts, where) -> Tuple[DataFrame, List[str]]:
+            shared = correlate(parts)
+            base = cur_df.select(*shared).dropDuplicates() if shared else None
+            sub = Translator(self.spark, self.graph, self.params)
+            sub.kinds.update(self.kinds)
+            matched = sub._match(base, A.Match(parts, where=where))
+            return matched, shared
+
+        def join_on_shared(cur_df: DataFrame, right: DataFrame,
+                           shared: List[str], how: str) -> DataFrame:
+            cond = None
+            for v in shared:
+                l, r = F.col(v), F.col(f"__r_{v}")
+                if self.kinds.get(v) in ("node", "rel"):
+                    c = l.getField("_id").eqNullSafe(r.getField("_id"))
+                else:
+                    c = l.eqNullSafe(r)
+                cond = c if cond is None else cond & c
+            out = cur_df.join(right, cond if cond is not None else F.lit(True), how)
+            return out.drop(*[f"__r_{v}" for v in shared])
+
+        def lower_exists(cur_df: DataFrame, e: A.ExistsSub
+                         ) -> Tuple[DataFrame, A.Expr]:
+            matched, shared = build_matched(cur_df, e.pattern, e.where)
+            flag = self._anon_var("exists")
+            if not shared:
+                has = matched.limit(1).count() > 0
+                return cur_df, A.Lit(bool(has))
+            right = matched.select(
+                *[F.col(v).alias(f"__r_{v}") for v in shared]
+            ).dropDuplicates().withColumn(flag, F.lit(True))
+            out = join_on_shared(cur_df, right, shared, "left")
+            out = out.withColumn(flag, F.coalesce(F.col(flag), F.lit(False)))
+            self.kinds[flag] = "scalar"
+            return out, A.Var(flag)
+
+        def lower_count(cur_df: DataFrame, e: A.CountSub
+                        ) -> Tuple[DataFrame, A.Expr]:
+            matched, shared = build_matched(cur_df, e.pattern, e.where)
+            cnt = self._anon_var("count")
+            if not shared:
+                k = matched.count()
+                return cur_df, A.Lit(int(k))
+            right = matched.groupBy(
+                *[F.col(v).alias(f"__r_{v}") for v in shared]
+            ).agg(F.count(F.lit(1)).alias(cnt))
+            out = join_on_shared(cur_df, right, shared, "left")
+            out = out.withColumn(cnt, F.coalesce(F.col(cnt), F.lit(0)))
+            self.kinds[cnt] = "scalar"
+            return out, A.Var(cnt)
+
+        return walk(df, expr)
+
+    def _lower_pattern_comp(self, df: DataFrame, e: A.PatternComp
+                            ) -> Tuple[DataFrame, A.Expr]:
+        """Pattern comprehension -> RollUpApply (LP:3534): groupBy+collect_list."""
+        parts = [e.pattern]
+        pv = set()
+        for el in e.pattern.elements:
+            v = getattr(el, "var", None)
+            if v:
+                pv.add(v)
+        shared = [v for v in df.columns if v in pv]
+        base = df.select(*shared).dropDuplicates() if shared else None
+        sub = Translator(self.spark, self.graph, self.params)
+        sub.kinds.update(self.kinds)
+        matched = sub._match(base, A.Match(parts, where=e.where))
+        val = sub._compiler(matched).compile(e.projection)
+        col = self._anon_var("pc")
+        if not shared:
+            vals = [r[0] for r in matched.select(val).collect()]
+            return df, A.Lit(vals)
+        right = matched.select(
+            *[F.col(v).alias(f"__r_{v}") for v in shared], val.alias("__pc_val"))
+        grouped = right.groupBy(*[F.col(f"__r_{v}") for v in shared]).agg(
+            F.collect_list("__pc_val").alias(col))
+        cond = None
+        for v in shared:
+            l, r = F.col(v), F.col(f"__r_{v}")
+            if self.kinds.get(v) in ("node", "rel"):
+                c = l.getField("_id").eqNullSafe(r.getField("_id"))
+            else:
+                c = l.eqNullSafe(r)
+            cond = c if cond is None else cond & c
+        elem_t = grouped.schema[col].dataType.simpleString()
+        out = df.join(grouped, cond, "left").drop(*[f"__r_{v}" for v in shared])
+        out = out.withColumn(col, F.coalesce(F.col(col), F.array().cast(elem_t)))
+        self.kinds[col] = "scalar"
+        return out, A.Var(col)
+
+    def _lower_all(self, df: DataFrame, expr: A.Expr) -> Tuple[DataFrame, A.Expr]:
+        """Lower subquery predicates AND pattern comprehensions."""
+        import dataclasses
+
+        def walk(df, e):
+            if isinstance(e, A.PatternComp):
+                return self._lower_pattern_comp(df, e)
+            if isinstance(e, (A.PatternPred, A.ExistsSub, A.CountSub)):
+                return self._lower_predicates(df, e)
+            if not dataclasses.is_dataclass(e) or not isinstance(e, A.Expr):
+                return df, e
+            changes = {}
+            for f in dataclasses.fields(e):
+                v = getattr(e, f.name)
+                if isinstance(v, A.Expr):
+                    df, nv = walk(df, v)
+                    if nv is not v:
+                        changes[f.name] = nv
+                elif isinstance(v, list) and v and isinstance(v[0], A.Expr):
+                    nl = []
+                    changed = False
+                    for x in v:
+                        df, nx = walk(df, x)
+                        changed = changed or (nx is not x)
+                        nl.append(nx)
+                    if changed:
+                        changes[f.name] = nl
+            if changes:
+                e = dataclasses.replace(e, **changes)
+            return df, e
+
+        return walk(df, expr)
+
+    # ---- UNWIND ----------------------------------------------------------
+
+    def _unwind(self, df: Optional[DataFrame], u: A.Unwind) -> DataFrame:
+        if df is None:
+            df = self.spark.range(1).select(F.lit(1).alias("__one"))
+            cc = self._compiler(None)
+            col = cc.compile(u.expr)
+            out = df.select(F.explode(col).alias(u.var))
+        else:
+            df, expr = self._lower_all(df, u.expr)
+            col = self._compiler(df).compile(expr)
+            out = df.withColumn(u.var, F.explode(col))
+        self.kinds[u.var] = "scalar"
+        return out
+
+    # ---- WITH / RETURN ---------------------------------------------------
+
+    def _projection(self, df: Optional[DataFrame], p: A.Projection) -> DataFrame:
+        if df is None:
+            df = self.spark.range(1).select(F.lit(1).alias("__one"))
+        items = list(p.items)
+        if p.star:
+            named = [v for v in df.columns
+                     if not v.startswith("_") and v in self.kinds]
+            star_items = [A.ReturnItem(A.Var(v), None, v) for v in sorted(named)]
+            items = star_items + items
+
+        # lower subqueries / pattern comprehensions inside items
+        lowered = []
+        for it in items:
+            df, e = self._lower_all(df, it.expr)
+            lowered.append(A.ReturnItem(e, it.alias, it.text))
+        items = lowered
+
+        has_agg = any(contains_aggregate(it.expr) for it in items)
+        new_kinds: Dict[str, str] = {}
+        if has_agg:
+            out, new_kinds = self._aggregate(df, items)
+        else:
+            cols = []
+            for it in items:
+                name = it.alias or it.text
+                cc = self._compiler(df)
+                cols.append(cc.compile(it.expr).alias(name))
+                new_kinds[name] = self._result_kind(it.expr)
+            out = df.select(*cols)
+
+        self.kinds = new_kinds
+        if p.where is not None:
+            out, expr = self._lower_predicates(out, p.where)
+            out = out.filter(self._compiler(out).compile(expr))
+        if p.distinct:
+            out = out.dropDuplicates()
+        if p.order:
+            order_cols = []
+            for o in p.order:
+                cc = self._compiler(out)
+                col = cc.compile(o.expr)
+                order_cols.append(
+                    col.asc_nulls_last() if o.ascending else col.desc_nulls_first())
+            out = out.orderBy(*order_cols)
+        if p.skip is not None:
+            out = out.offset(self._int_value(p.skip))
+        if p.limit is not None:
+            out = out.limit(self._int_value(p.limit))
+        return out
+
+    def _int_value(self, e: A.Expr) -> int:
+        if isinstance(e, A.Lit) and isinstance(e.value, int):
+            return e.value
+        if isinstance(e, A.Param):
+            return int(self.params[e.name])
+        raise TranslateError("SKIP/LIMIT must be integer literal or parameter")
+
+    def _result_kind(self, e: A.Expr) -> str:
+        if isinstance(e, A.Var):
+            return self.kinds.get(e.name, "scalar")
+        return "scalar"
+
+    # ---- aggregation (LP:728) -------------------------------------------
+
+    def _aggregate(self, df: DataFrame, items: List[A.ReturnItem]
+                   ) -> Tuple[DataFrame, Dict[str, str]]:
+        group_items = [it for it in items if not contains_aggregate(it.expr)]
+        new_kinds: Dict[str, str] = {}
+
+        cc = self._compiler(df)
+        group_cols = []
+        group_names = []
+        for it in group_items:
+            name = it.alias or it.text
+            group_cols.append(cc.compile(it.expr).alias(name))
+            group_names.append(name)
+            new_kinds[name] = self._result_kind(it.expr)
+
+        # extract aggregate subtrees
+        agg_exprs: List[Column] = []
+        agg_map: Dict[int, str] = {}
+
+        def extract(e: A.Expr) -> A.Expr:
+            import dataclasses
+
+            if isinstance(e, A.CountStar) or (
+                    isinstance(e, A.Func) and e.name in AGG_FNS):
+                key = len(agg_exprs)
+                ph = f"__agg_{key}"
+                agg_exprs.append(self._compile_aggregate(cc, e).alias(ph))
+                return A.Var(ph)
+            # structural match against a grouping item -> reuse its column
+            for gi in group_items:
+                if e == gi.expr:
+                    return A.Var(gi.alias or gi.text)
+            if not dataclasses.is_dataclass(e):
+                return e
+            changes = {}
+            for f in dataclasses.fields(e):
+                v = getattr(e, f.name)
+                if isinstance(v, A.Expr):
+                    nv = extract(v)
+                    if nv is not v:
+                        changes[f.name] = nv
+                elif isinstance(v, list) and v and isinstance(v[0], A.Expr):
+                    nl = [extract(x) for x in v]
+                    changes[f.name] = nl
+            if changes:
+                return dataclasses.replace(e, **changes)
+            return e
+
+        post_items: List[Tuple[str, A.Expr]] = []
+        for it in items:
+            if it in group_items:
+                continue
+            name = it.alias or it.text
+            post_items.append((name, extract(it.expr)))
+            new_kinds[name] = "scalar"
+
+        grouped = df.groupBy(*group_cols) if group_cols else df.groupBy()
+        agged = grouped.agg(*agg_exprs)
+
+        # final projection: group cols + post expressions over placeholders
+        final_kinds = dict(self.kinds)
+        post_cc = ExprCompiler(agged, {**self.kinds, **new_kinds}, self.params, self)
+        out_cols = [F.col(n) for n in group_names]
+        for name, e in post_items:
+            out_cols.append(post_cc.compile(e).alias(name))
+        return agged.select(*out_cols), new_kinds
+
+    def _compile_aggregate(self, cc: ExprCompiler, e: A.Expr) -> Column:
+        if isinstance(e, A.CountStar):
+            return F.count(F.lit(1))
+        assert isinstance(e, A.Func)
+        name = e.name
+        if name == "count":
+            arg = e.args[0]
+            col = cc.compile(arg)
+            if e.distinct:
+                return F.countDistinct(col)
+            return F.count(col)
+        col = cc.compile(e.args[0])
+        if name == "sum":
+            return F.sum_distinct(col) if e.distinct else F.sum(col)
+        if name in ("avg", "mean"):
+            return F.avg(col)
+        if name == "min":
+            return F.min(col)
+        if name == "max":
+            return F.max(col)
+        if name == "collect":
+            return F.collect_set(col) if e.distinct else F.collect_list(col)
+        if name == "stdev":
+            return F.stddev_samp(col)
+        if name == "stdevp":
+            return F.stddev_pop(col)
+        if name == "percentilecont":
+            return F.percentile(col, cc.compile(e.args[1]))
+        if name == "percentiledisc":
+            # exact discrete percentile: sorted collect + index (the reference
+            # also materializes the group: pipes/aggregation/PercentileFunction)
+            p = cc.compile(e.args[1])
+            arr = F.array_sort(F.collect_list(col))
+            idx = F.greatest(F.ceil(p * F.size(arr)), F.lit(1))
+            return F.element_at(arr, idx.cast("int"))
+        if name == "percentiles":
+            ps = cc.compile(e.args[1])
+            return F.percentile(col, ps)
+        raise TranslateError(f"unknown aggregate {name}")
+
+    # ---- CALL proc / LOAD CSV -------------------------------------------
+
+    def _call_proc(self, df: Optional[DataFrame], c: A.CallProc) -> DataFrame:
+        from ..procedures.registry import run_procedure
+
+        cc = self._compiler(df)
+        arg_vals = []
+        for a in c.args:
+            if isinstance(a, A.Lit):
+                arg_vals.append(a.value)
+            elif isinstance(a, A.Param):
+                arg_vals.append(self.params[a.name])
+            elif isinstance(a, A.ListLit):
+                arg_vals.append([x.value for x in a.items])
+            else:
+                raise TranslateError(
+                    "procedure arguments must be literals or parameters")
+        result = run_procedure(self.spark, self.graph, c.name, arg_vals)
+        if c.yields:
+            cols = []
+            for col_name, alias in c.yields:
+                cols.append(F.col(col_name).alias(alias or col_name))
+                self.kinds[alias or col_name] = "scalar"
+            result = result.select(*cols)
+        else:
+            for col_name in result.columns:
+                self.kinds[col_name] = "scalar"
+        out = result if df is None else df.crossJoin(result)
+        if c.where is not None:
+            out = out.filter(self._compiler(out).compile(c.where))
+        return out
+
+    def _load_csv(self, df: Optional[DataFrame], c: A.LoadCSV) -> DataFrame:
+        cc = self._compiler(df)
+        url = c.url.value if isinstance(c.url, A.Lit) else self.params[c.url.name]
+        raw = self.spark.read.option("header", str(c.with_headers).lower()).csv(url)
+        if c.with_headers:
+            row = F.struct(*[F.col(x) for x in raw.columns])
+        else:
+            row = F.array(*[F.col(x).cast("string") for x in raw.columns])
+        src = raw.select(row.alias(c.var))
+        self.kinds[c.var] = "scalar"
+        return src if df is None else df.crossJoin(src)

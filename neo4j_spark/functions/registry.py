@@ -1,0 +1,326 @@
+"""Cypher builtin scalar function registry -> Spark Column expressions.
+
+Inventory follows the reference's function registry (reference:
+``community/cypher/front-end/expressions/.../functions/Function.scala:47``
+``knownFunctions``; runtime impls in
+``community/cypher/runtime-util/.../operations/CypherFunctions.java``).
+Everything stays JVM-side (pyspark.sql.functions) except unicode
+``normalize``, which needs a Python UDF.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict
+
+from pyspark.sql import Column, functions as F, types as T
+
+from ..cypher import ast as A
+
+
+class FunctionError(ValueError):
+    pass
+
+
+def _norm_udf():
+    import unicodedata
+
+    @F.udf(T.StringType())
+    def _normalize(s, form):
+        if s is None:
+            return None
+        return unicodedata.normalize(form or "NFC", s)
+
+    return _normalize
+
+
+def compile_function(cc, e: A.Func) -> Column:
+    """cc: ExprCompiler; e: Func AST node."""
+    name = e.name
+    args = e.args
+
+    def c(i: int) -> Column:
+        return cc.compile(args[i])
+
+    def ctyped(i: int):
+        return cc.compile_typed(args[i])
+
+    n = len(args)
+
+    # ---- graph-specific scalars -----------------------------------------
+    if name in ("id", "elementid"):
+        col = c(0)
+        out = col.getField("_id")
+        return out.cast("string") if name == "elementid" else out
+    if name == "labels":
+        return c(0).getField("_labels")
+    if name == "type":
+        return c(0).getField("_type")
+    if name == "startnode":
+        return F.struct(c(0).getField("_src").alias("_id"))
+    if name == "endnode":
+        return F.struct(c(0).getField("_dst").alias("_id"))
+    if name == "properties":
+        col, t = ctyped(0)
+        if isinstance(t, T.StructType):
+            fields = [f.name for f in t.fields if not f.name.startswith("_")]
+            return F.struct(*[col.getField(f).alias(f) for f in fields])
+        return col
+    if name == "keys":
+        col, t = ctyped(0)
+        if isinstance(t, T.StructType):
+            fields = [f.name for f in t.fields if not f.name.startswith("_")]
+            arr = F.array(*[
+                F.when(col.getField(f).isNotNull(), F.lit(f)) for f in fields
+            ])
+            return F.array_compact(arr)
+        if isinstance(t, T.MapType):
+            return F.map_keys(col)
+        raise FunctionError("keys() expects node/rel/map")
+    if name == "nodes":
+        return c(0).getField("nodes")
+    if name == "relationships":
+        return c(0).getField("rels")
+    if name == "length":
+        col, t = ctyped(0)
+        if isinstance(t, T.StructType) and "rels" in t.fieldNames():
+            return F.size(col.getField("rels")).cast("long")
+        return F.length(col).cast("long")
+    if name == "size":
+        col, t = ctyped(0)
+        if isinstance(t, T.ArrayType):
+            return F.size(col).cast("long")
+        if isinstance(t, T.MapType):
+            return F.size(col).cast("long")
+        return F.length(col).cast("long")
+
+    # ---- conditionals ----------------------------------------------------
+    if name == "coalesce":
+        return F.coalesce(*[c(i) for i in range(n)])
+    if name == "nullif":
+        return F.nullif(c(0), c(1)) if hasattr(F, "nullif") else \
+            F.when(c(0) == c(1), F.lit(None)).otherwise(c(0))
+
+    # ---- math ------------------------------------------------------------
+    simple = {
+        "abs": F.abs, "ceil": lambda x: F.ceil(x).cast("double"),
+        "floor": lambda x: F.floor(x).cast("double"),
+        "sqrt": F.sqrt, "exp": F.exp, "log": F.log, "log10": F.log10,
+        "sin": F.sin, "cos": F.cos, "tan": F.tan, "asin": F.asin,
+        "acos": F.acos, "atan": F.atan, "degrees": F.degrees,
+        "radians": F.radians, "isnan": F.isnan,
+    }
+    if name in simple:
+        return simple[name](c(0))
+    if name == "round":
+        # Cypher rounds HALF_UP (CypherFunctions.java) — F.round matches
+        if n == 1:
+            return F.round(c(0), 0)
+        return F.round(c(0), args[1].value if isinstance(args[1], A.Lit) else 0)
+    if name == "sign":
+        return F.signum(c(0)).cast("long")
+    if name == "cot":
+        return F.lit(1.0) / F.tan(c(0))
+    if name == "haversin":
+        return (F.lit(1.0) - F.cos(c(0))) / 2
+    if name == "atan2":
+        return F.atan2(c(0), c(1))
+    if name == "pi":
+        return F.lit(math.pi)
+    if name == "e":
+        return F.lit(math.e)
+    if name == "rand":
+        return F.rand()
+    if name == "randomuuid":
+        return F.expr("uuid()")
+
+    # ---- strings ---------------------------------------------------------
+    if name == "tolower":
+        return F.lower(c(0))
+    if name == "toupper":
+        return F.upper(c(0))
+    if name == "trim":
+        return F.trim(c(0)) if n == 1 else F.expr_trim(c(0), c(1))
+    if name == "ltrim":
+        return F.ltrim(c(0))
+    if name == "rtrim":
+        return F.rtrim(c(0))
+    if name == "btrim":
+        return F.btrim(c(0)) if n == 1 else F.btrim(c(0), c(1))
+    if name == "left":
+        return F.substring(c(0), 1, args[1].value) if isinstance(args[1], A.Lit) \
+            else F.expr("left").__call__(c(0), c(1))
+    if name == "right":
+        col = c(0)
+        ln = c(1)
+        return F.substring(col, -args[1].value, args[1].value) if isinstance(args[1], A.Lit) \
+            else col.substr(F.length(col) - ln + 1, ln)
+    if name == "substring":
+        col = c(0)
+        start = c(1) + 1  # Cypher 0-based
+        if n == 3:
+            return col.substr(start, c(2))
+        return col.substr(start, F.length(col))
+    if name == "replace":
+        return F.replace(c(0), c(1), c(2)) if hasattr(F, "replace") else \
+            F.expr("replace(...)")
+    if name == "reverse":
+        return F.reverse(c(0))
+    if name == "split":
+        if isinstance(args[1], A.Lit):
+            import re as _re
+            return F.split(c(0), _re.escape(args[1].value))
+        return F.split(c(0), c(1))
+    if name == "normalize":
+        udf = _norm_udf()
+        form = c(1) if n == 2 else F.lit("NFC")
+        return udf(c(0), form)
+    if name in ("char_length", "character_length"):
+        return F.length(c(0)).cast("long")
+
+    # ---- conversions -----------------------------------------------------
+    if name in ("tostring", "tostringornull"):
+        return c(0).cast("string")
+    if name in ("tointeger", "tointegerornull"):
+        col, t = ctyped(0)
+        if isinstance(t, T.StringType):
+            return F.try_cast(F.try_cast(col, "double"), "long") if hasattr(F, "try_cast") \
+                else col.try_cast("double").try_cast("long")
+        if isinstance(t, T.BooleanType):
+            return F.when(col, 1).otherwise(0).cast("long")
+        return col.cast("long")
+    if name in ("tofloat", "tofloatornull"):
+        col, t = ctyped(0)
+        if isinstance(t, T.StringType):
+            return col.try_cast("double")
+        return col.cast("double")
+    if name in ("toboolean", "tobooleanornull"):
+        col, t = ctyped(0)
+        if isinstance(t, T.StringType):
+            return col.try_cast("boolean")
+        return col.cast("boolean")
+    if name == "tointegerlist":
+        return F.transform(c(0), lambda x: x.cast("long"))
+    if name == "tofloatlist":
+        return F.transform(c(0), lambda x: x.cast("double"))
+    if name == "tostringlist":
+        return F.transform(c(0), lambda x: x.cast("string"))
+    if name == "tobooleanlist":
+        return F.transform(c(0), lambda x: x.cast("boolean"))
+    if name == "valuetype":
+        col, t = ctyped(0)
+        return F.lit(t.simpleString().upper() if t else "ANY")
+
+    # ---- lists -----------------------------------------------------------
+    if name == "head":
+        return F.get(c(0), 0)
+    if name == "last":
+        col = c(0)
+        return F.element_at(col, -1)
+    if name == "tail":
+        col = c(0)
+        return F.slice(col, 2, F.greatest(F.size(col) - 1, F.lit(0)))
+    if name == "range":
+        step = c(2) if n == 3 else F.lit(1)
+        return F.sequence(c(0), c(1), step)
+
+    # ---- temporal --------------------------------------------------------
+    if name == "date":
+        if n == 0:
+            return F.current_date()
+        return F.to_date(c(0))
+    if name in ("datetime", "localdatetime"):
+        if n == 0:
+            return F.current_timestamp()
+        return F.to_timestamp(c(0))
+    if name in ("time", "localtime"):
+        if n == 0:
+            return F.date_format(F.current_timestamp(), "HH:mm:ss")
+        return c(0)
+    if name == "timestamp":
+        return F.unix_millis(F.current_timestamp())
+    if name == "duration.between":
+        a, b = c(0), c(1)
+        months = F.floor(F.months_between(b, a)).cast("long")
+        a2 = F.add_months(a.cast("date"), months)
+        days = F.datediff(b.cast("date"), a2).cast("long")
+        secs = (
+            F.unix_seconds(b.cast("timestamp"))
+            - F.unix_seconds(F.to_timestamp(a2))
+            - days * 86400
+        )
+        return F.struct(
+            months.alias("months"), days.alias("days"),
+            secs.cast("long").alias("seconds"), F.lit(0).cast("long").alias("nanos"),
+        )
+    if name == "duration.indays":
+        days = F.datediff(c(1).cast("date"), c(0).cast("date")).cast("long")
+        return F.struct(
+            F.lit(0).cast("long").alias("months"), days.alias("days"),
+            F.lit(0).cast("long").alias("seconds"), F.lit(0).cast("long").alias("nanos"),
+        )
+    if name == "duration.inmonths":
+        months = F.floor(F.months_between(c(1), c(0))).cast("long")
+        return F.struct(
+            months.alias("months"), F.lit(0).cast("long").alias("days"),
+            F.lit(0).cast("long").alias("seconds"), F.lit(0).cast("long").alias("nanos"),
+        )
+    if name == "duration.inseconds":
+        secs = (F.unix_seconds(c(1).cast("timestamp"))
+                - F.unix_seconds(c(0).cast("timestamp"))).cast("long")
+        return F.struct(
+            F.lit(0).cast("long").alias("months"), F.lit(0).cast("long").alias("days"),
+            secs.alias("seconds"), F.lit(0).cast("long").alias("nanos"),
+        )
+
+    # ---- spatial ---------------------------------------------------------
+    if name == "point":
+        col, t = ctyped(0)
+        if isinstance(t, T.StructType):
+            names = t.fieldNames()
+            crs = col.getField("crs") if "crs" in names else (
+                F.lit("wgs-84") if "longitude" in names or "latitude" in names
+                else F.lit("cartesian"))
+            x = col.getField("x") if "x" in names else col.getField("longitude")
+            y = col.getField("y") if "y" in names else col.getField("latitude")
+            z = col.getField("z") if "z" in names else F.lit(None).cast("double")
+            return F.struct(
+                crs.alias("crs"), x.cast("double").alias("x"),
+                y.cast("double").alias("y"), z.cast("double").alias("z"))
+        raise FunctionError("point() expects a map")
+    if name in ("point.distance", "distance"):
+        a, b = c(0), c(1)
+        dx = a.getField("x") - b.getField("x")
+        dy = a.getField("y") - b.getField("y")
+        eucl = F.sqrt(dx * dx + dy * dy)
+        # haversine for wgs-84 (meters, earth radius 6378140 like the reference)
+        r = F.lit(2 * 6378140.0)
+        lat1, lat2 = F.radians(a.getField("y")), F.radians(b.getField("y"))
+        dlat = lat2 - lat1
+        dlon = F.radians(b.getField("x") - a.getField("x"))
+        h = F.pow(F.sin(dlat / 2), 2) + F.cos(lat1) * F.cos(lat2) * F.pow(F.sin(dlon / 2), 2)
+        hav = r * F.asin(F.sqrt(h))
+        return F.when(a.getField("crs").startswith("wgs"), hav).otherwise(eucl)
+    if name == "point.withinbbox":
+        p, lo, hi = c(0), c(1), c(2)
+        return (
+            (p.getField("x") >= lo.getField("x")) & (p.getField("x") <= hi.getField("x"))
+            & (p.getField("y") >= lo.getField("y")) & (p.getField("y") <= hi.getField("y"))
+        )
+
+    # ---- vector similarity (CypherFunctions / VectorSimilarityFunctions) -
+    if name == "vector.similarity.cosine":
+        a, b = c(0), c(1)
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+        na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+        nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+        return dot / (na * nb)
+    if name == "vector.similarity.euclidean":
+        a, b = c(0), c(1)
+        d2 = F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        return F.lit(1.0) / (F.lit(1.0) + d2)
+
+    raise FunctionError(f"unknown function {name}()")

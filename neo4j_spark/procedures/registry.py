@@ -1,0 +1,112 @@
+"""Procedure registry — CALL name(args) YIELD cols.
+
+Mirrors the reference's builtin procedure library (reference:
+``community/procedure/src/main/java/org/neo4j/procedure/builtin/BuiltInProcedures.java``
+for db.labels/db.relationshipTypes/db.propertyKeys,
+``VectorIndexProcedures.java:144`` for db.index.vector.queryNodes,
+``FulltextProcedures.java:120`` for db.index.fulltext.queryNodes).
+A procedure is a Python callable ``(spark, graph, args) -> DataFrame``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..graph import PropertyGraph
+
+PROCEDURES: Dict[str, Callable[..., DataFrame]] = {}
+
+
+def procedure(name: str):
+    def deco(fn):
+        PROCEDURES[name] = fn
+        return fn
+
+    return deco
+
+
+class ProcedureError(ValueError):
+    pass
+
+
+def run_procedure(spark: SparkSession, graph: PropertyGraph, name: str,
+                  args: List[Any]) -> DataFrame:
+    fn = PROCEDURES.get(name.lower())
+    if fn is None:
+        raise ProcedureError(f"unknown procedure {name}")
+    return fn(spark, graph, args)
+
+
+# ---- catalog procedures ---------------------------------------------------
+
+
+@procedure("db.labels")
+def db_labels(spark, graph, args):
+    return spark.createDataFrame([(l,) for l in graph.labels()], "label string")
+
+
+@procedure("db.relationshiptypes")
+def db_rel_types(spark, graph, args):
+    return spark.createDataFrame(
+        [(t,) for t in graph.relationship_types()], "relationshipType string")
+
+
+@procedure("db.propertykeys")
+def db_property_keys(spark, graph, args):
+    return spark.createDataFrame(
+        [(k,) for k in graph.node_property_keys()], "propertyKey string")
+
+
+# ---- vector index analog (db.index.vector.queryNodes) ---------------------
+
+
+@procedure("db.index.vector.querynodes")
+def vector_query_nodes(spark, graph, args):
+    """(propertyKey, k, queryVector) -> node id + score, brute-force cosine.
+
+    Exact top-k over all nodes carrying the embedding property; the
+    scalable path (LSH-bucketed ANN) lives in neo4j_spark.ml.similarity.
+    """
+    prop, k, qvec = args[0], int(args[1]), list(args[2])
+    nodes = graph.nodes
+    if prop not in nodes.columns:
+        raise ProcedureError(f"no node property {prop}")
+    q = F.lit(qvec)
+    emb = F.col(prop)
+    dot = F.aggregate(F.zip_with(emb, q, lambda x, y: x * y), F.lit(0.0),
+                      lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(q, F.lit(0.0), lambda acc, x: acc + x * x))
+    scored = nodes.filter(emb.isNotNull()).select(
+        F.col("id").alias("node"), (dot / (na * nb)).alias("score"))
+    return scored.orderBy(F.col("score").desc(), F.col("node")).limit(k)
+
+
+# ---- fulltext index analog (db.index.fulltext.queryNodes) -----------------
+
+
+@procedure("db.index.fulltext.querynodes")
+def fulltext_query_nodes(spark, graph, args):
+    """(propertyKey, query) -> node id + tf score over tokenized text.
+
+    Lucene-less scan-based scoring: tokenize on non-word chars, score =
+    number of query terms present (+ term frequency).  At scale this is a
+    candidate for a materialized inverted-index table; the scan form is
+    still a single parquet pass.
+    """
+    prop, query = args[0], str(args[1])
+    terms = [t.lower() for t in query.split() if t]
+    nodes = graph.nodes
+    if prop not in nodes.columns:
+        raise ProcedureError(f"no node property {prop}")
+    toks = F.split(F.lower(F.col(prop)), r"\W+")
+    score = None
+    for t in terms:
+        s = F.size(F.filter(toks, lambda x: x == F.lit(t))).cast("double")
+        score = s if score is None else score + s
+    out = nodes.filter(F.col(prop).isNotNull()).select(
+        F.col("id").alias("node"), score.alias("score"))
+    return out.filter(F.col("score") > 0).orderBy(
+        F.col("score").desc(), F.col("node"))
