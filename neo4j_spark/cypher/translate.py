@@ -269,8 +269,23 @@ class Translator:
             return shortest_path(self, df, part, pending)
 
         els = part.elements
-        df, prev = self._bind_first_node(df, els[0], pending)
-        path_nodes: List[str] = [prev]
+
+        def unconstrained(np: A.NodePat) -> bool:
+            return (np.var is None and not np.labels and np.props is None
+                    and np.where is None)
+
+        # Scan elision: an anonymous, unconstrained endpoint node needs no
+        # node-frame join (relationship endpoints always exist) — the rel
+        # scan alone carries the semantics.  Matters at scale: a Q1-style
+        # ``MATCH ()-[l:CONTAINS]->()`` is then ONE parquet scan, not three.
+        skip_first = (part.path_var is None and len(els) > 1
+                      and unconstrained(els[0])
+                      and not els[1].var_length)
+        if skip_first:
+            prev = None
+        else:
+            df, prev = self._bind_first_node(df, els[0], pending)
+        path_nodes: List[str] = [prev] if prev else []
         path_rels: List[Tuple[str, str]] = []  # (var, kind)
         i = 1
         while i < len(els):
@@ -294,7 +309,7 @@ class Translator:
                 continue
             rvar = rp.var or self._anon_var("r")
             nvar = np.var or self._anon_var("n")
-            if rvar in df.columns:
+            if df is not None and rvar in df.columns:
                 # rel var re-used: ProjectEndpoints-ish; join by id
                 scan = self._rel_scan(rp, f"__dup_{rvar}")
                 df = df.join(
@@ -303,11 +318,23 @@ class Translator:
                 ).drop(f"__dup_{rvar}")
             else:
                 scan = self._rel_scan(rp, rvar)
-                # Expand (LP:2012): join rels on the bound endpoint
-                df = df.join(scan, F.col(prev).getField("_id") == F.col("__from"))
+                if prev is None:
+                    # first endpoint elided: the rel scan IS the rowstream
+                    df = scan if df is None else df.crossJoin(scan)
+                else:
+                    # Expand (LP:2012): join rels on the bound endpoint
+                    df = df.join(scan,
+                                 F.col(prev).getField("_id") == F.col("__from"))
                 self.kinds[rvar] = "rel"
                 rel_bindings.append((rvar, "rel", frozenset(rp.types)))
                 self._queue_rel_filters(rp, rvar, pending)
+            is_last = i + 1 == len(els) - 1
+            if (is_last and part.path_var is None and unconstrained(np)
+                    and nvar not in df.columns):
+                df = df.drop("__from", "__to")
+                prev = None
+                i += 2
+                continue
             if nvar in df.columns:
                 # ExpandInto: endpoint already bound
                 df = df.filter(F.col("__to") == F.col(nvar).getField("_id"))

@@ -1,0 +1,186 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Designed for the 100 TB path: every stage is hash-partitioned DataFrame
+algebra — shingle/minhash signatures are computed scan-side with built-in
+functions (xxhash64), candidate generation is a band-bucket shuffle join
+(LSH), and only candidate pairs pay the exact-verify cost.  No Python UDFs.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import tokens
+
+
+# ---- exact ----------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, cols: List[str]) -> DataFrame:
+    """Keep one row per distinct value of ``cols`` (hash groupBy; map-side
+    combine makes this a single shuffle on the hash key)."""
+    return df.dropDuplicates(cols)
+
+
+def exact_dup_groups(df: DataFrame, key: Column, id_col: str) -> DataFrame:
+    """Groups of exact duplicates: key -> count + member ids."""
+    return (df.groupBy(key.alias("dup_key"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sort_array(F.collect_list(id_col)).alias("ids"))
+              .filter(F.col("n") > 1))
+
+
+# ---- shingles / minhash ---------------------------------------------------
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-shingles as strings."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n >= k, F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def minhash_signature(sh: Column, num_hashes: int = 32) -> Column:
+    """num_hashes min-hash values; permutation i = xxhash64(shingle, seed=i)."""
+    return F.array(*[
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)
+    ])
+
+
+def minhash_lsh_candidates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    num_hashes: int = 32, bands: int = 8, shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH.
+
+    signature -> split into ``bands`` bands of r = num_hashes/bands rows;
+    docs sharing any band hash land in the same bucket; bucket self-join
+    yields candidates (id_a < id_b).  The join key (band_id, band_hash) is
+    high-cardinality => well-distributed shuffle at scale.
+    """
+    r = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(shingles(F.col(text_col), shingle_k), num_hashes)
+        .alias("_sig"))
+    banded = sig.select(
+        "_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(F.concat_ws(
+                         ",", *[F.element_at("_sig", b * r + i + 1).cast("string")
+                                for i in range(r)])).alias("bh"))
+            for b in range(bands)
+        ])).alias("bb"))
+    banded = banded.select("_id", F.col("bb.band").alias("band"),
+                           F.col("bb.bh").alias("bh"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bh") == F.col("b.bh"))
+                    & (F.col("a._id") < F.col("b._id")))
+              .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+              .dropDuplicates())
+    return pairs
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+
+
+def minhash_dedup_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    threshold: float = 0.8, num_hashes: int = 32, bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """LSH candidates + exact shingle-Jaccard verification >= threshold."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands,
+                                   shingle_k)
+    sh = df.select(F.col(id_col).alias("_vid"),
+                   shingles(F.col(text_col), shingle_k).alias("_sh"))
+    out = (cands
+           .join(sh.select(F.col("_vid").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
+           .join(sh.select(F.col("_vid").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
+           .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+           .filter(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", "jaccard"))
+    return out
+
+
+# ---- n-gram jaccard (brute force over a bounded partition key) ------------
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        group_col: str, n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """All-pairs n-gram Jaccard *within* a grouping key (e.g. language) —
+    the bounded-blocking variant of near-dedup; blocks shuffle independently."""
+    grams = df.select(
+        F.col(group_col).alias("_g"), F.col(id_col).alias("_id"),
+        F.array_distinct(shingles(F.col(text_col), n)).alias("_grams"))
+    a, b = grams.alias("a"), grams.alias("b")
+    return (a.join(b, (F.col("a._g") == F.col("b._g"))
+                   & (F.col("a._id") < F.col("b._id")))
+             .withColumn("jaccard", F.round(
+                 jaccard(F.col("a._grams"), F.col("b._grams")), 6))
+             .filter(F.col("jaccard") >= threshold)
+             .select(F.col("a._id").alias("id_a"),
+                     F.col("b._id").alias("id_b"), "jaccard"))
+
+
+# ---- simhash --------------------------------------------------------------
+
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """64-bit SimHash over tokens: per-bit majority vote of token hashes.
+
+    Stays in Catalyst: for each bit j, sum(+1/-1 per token) via aggregate()."""
+    toks = tokens(text)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        vote = F.aggregate(
+            hashes, F.lit(0),
+            lambda acc, h: acc + F.when(
+                h.bitwiseAND(F.lit(1 << j if j < 63 else -(1 << 63))) != 0,
+                F.lit(1)).otherwise(F.lit(-1)))
+        out = out + F.when(vote > 0, F.lit(1 << j if j < 63 else -(1 << 63))
+                           ).otherwise(F.lit(0)).cast("long")
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_dup_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", max_hamming: int = 8,
+                      band_bits: int = 16) -> DataFrame:
+    """SimHash near-dup: band the 64-bit hash into 4 x 16-bit keys; docs
+    sharing any band are candidates (guaranteed recall for hamming <= 3 with
+    4 bands); verify by hamming distance."""
+    sh = df.select(F.col(id_col).alias("_id"),
+                   simhash(F.col(text_col)).alias("_sh"))
+    nbands = 64 // band_bits
+    banded = sh.select("_id", "_sh", F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftright("_sh", b * band_bits)
+                 .bitwiseAND(F.lit((1 << band_bits) - 1)).alias("key"))
+        for b in range(nbands)
+    ])).alias("bb")).select("_id", "_sh", "bb.band", "bb.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a._id") < F.col("b._id")))
+             .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+                     hamming64(F.col("a._sh"), F.col("b._sh")).alias("hamming"))
+             .dropDuplicates(["id_a", "id_b"])
+             .filter(F.col("hamming") <= max_hamming))

@@ -18,6 +18,8 @@ def get_spark(app: str = "neo4j_spark", cpus: int | None = None) -> SparkSession
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # driver testdata stores events.ts as TIMESTAMP(NANOS): read as long
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -1,0 +1,91 @@
+"""Structured Streaming over the `events` table (SURVEY §2.9 extension).
+
+The reference has no streaming operators (it is an OLTP store); this module
+is the capability extension mandated by the north star: watermarked
+tumbling/sliding/session windows and streaming dedup, written so the same
+transformation applies to a batch frame (for oracle checks) and a
+``readStream`` frame (for production).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch events table; the source stores ts as TIMESTAMP(NANOS) which
+    Spark reads as long (nanosAsLong) — normalize to microsecond timestamp."""
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def events_stream(spark: SparkSession, sf_dir: str,
+                  max_files_per_trigger: int = 1) -> DataFrame:
+    """Replay the events parquet as a stream (deterministic source)."""
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = (spark.readStream
+           .schema(batch.schema)
+           .option("maxFilesPerTrigger", max_files_per_trigger)
+           .parquet(f"{sf_dir}/events.parquet"))
+    if isinstance(raw.schema["ts"].dataType, T.LongType):
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return raw
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    ev = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (ev.groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.sum("value"), 2).alias("total_value"))
+              .select(F.unix_seconds(F.col("w.start").cast("timestamp"))
+                      .alias("window_start"),
+                      "event_type", "n", "total_value"))
+
+
+def sliding_avg(events: DataFrame, window: str = "1 hour",
+                slide: str = "30 minutes",
+                watermark: str = "2 hours") -> DataFrame:
+    ev = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (ev.groupBy(F.window("ts", window, slide).alias("w"))
+              .agg(F.round(F.avg("value"), 6).alias("avg_value"),
+                   F.count(F.lit(1)).alias("n"))
+              .select(F.unix_seconds(F.col("w.start").cast("timestamp"))
+                      .alias("window_start"), "avg_value", "n"))
+
+
+def session_windows(events: DataFrame, gap: str = "10 minutes",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Per-user session windows (session_window gap merge)."""
+    ev = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (ev.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.round(F.sum("value"), 2).alias("session_value"))
+              .select("user_id",
+                      F.unix_seconds(F.col("w.start").cast("timestamp"))
+                      .alias("session_start"),
+                      "n_events", "session_value"))
+
+
+def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once by event_id within the watermark (dropDuplicates keeps
+    state bounded by the watermark in streaming mode)."""
+    ev = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return ev.dropDuplicates(["event_id"])
+
+
+def json_props(events: DataFrame) -> DataFrame:
+    """Dynamic JSON props -> typed column (from_json map escape hatch)."""
+    return events.withColumn(
+        "props_map",
+        F.from_json(F.col("props"), "map<string,string>"))
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str) -> None:
+    """Drain a stream into an in-memory table with availableNow (test/dev)."""
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
