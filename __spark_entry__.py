@@ -1,38 +1,533 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2 —
+most run real Cypher through the neo4j_spark engine over the TPC-H property
+graph (FIXTURES.md §2 mapping); the training-data-pipeline extensions
+(dedup / similarity / text / streaming) call their DataFrame operators
+directly.  ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL over the
+raw parquet tables.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_GRAPH_CACHE: dict = {}
+
+
+def _graph(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    if key not in _GRAPH_CACHE:
+        from neo4j_spark.sources.tpch import tpch_graph
+
+        _GRAPH_CACHE[key] = tpch_graph(spark, sf_dir)
+    return _GRAPH_CACHE[key]
+
+
+def _cy(text: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from neo4j_spark.api import cypher
+
+        return cypher(spark, text, _graph(spark, sf_dir))
+
+    return run
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: 3-hop revenue-by-segment over the property graph."""
+    from neo4j_spark.api import cypher
+
+    g = _graph(spark, "/root/testdata/sf0.001")
+    return cypher(spark, """
+        MATCH (c:Customer)-[:PLACED]->(o:Order)-[l:CONTAINS]->(p:Part)
+        WHERE l.shipdate <= datetime('1998-09-02')
+        RETURN c.mktsegment AS segment,
+               round(sum(l.extendedprice * (1 - l.discount)), 2) AS revenue,
+               count(*) AS n_lines
+        ORDER BY revenue DESC
+    """, g)
+
+
+# ---------------------------------------------------------------------------
+# Cypher texts (operator inventory)
+# ---------------------------------------------------------------------------
+
+CYPHER_QUERIES = {
+    # --- scans (SURVEY §2.1) ---
+    "all_nodes_scan": "MATCH (n) RETURN count(*) AS n",
+    "node_by_label_scan": "MATCH (c:Customer) RETURN count(*) AS n",
+    "node_by_id_seek":
+        "MATCH (c:Customer) WHERE id(c) = 3000000000042 RETURN c.name AS name",
+    "node_index_seek_range":
+        "MATCH (c:Customer) WHERE c.acctbal >= 1000 AND c.acctbal < 5000 "
+        "RETURN count(*) AS n",
+    "node_index_contains_scan":
+        "MATCH (p:Part) WHERE p.name CONTAINS 'ge' RETURN count(*) AS n",
+    "node_index_ends_with_scan":
+        "MATCH (p:Part) WHERE p.name ENDS WITH 'bolt' RETURN count(*) AS n",
+    "rel_type_scan": "MATCH ()-[l:CONTAINS]->() RETURN count(*) AS n",
+    "union_label_scan": "MATCH (n:Customer|Supplier) RETURN count(*) AS n",
+    # --- expand / joins (§2.3) ---
+    "expand_all":
+        "MATCH (n:Nation)-[:IN_REGION]->(r:Region) "
+        "RETURN r.name AS region, count(*) AS nations ORDER BY region",
+    "expand_in":
+        "MATCH (o:Order)<-[:PLACED]-(c:Customer) "
+        "WHERE c.mktsegment = 'BUILDING' RETURN count(*) AS n",
+    "expand_undirected":
+        "MATCH (n:Nation)-[:FROM_NATION]-(x) RETURN count(*) AS n",
+    "expand_into_triangle":
+        "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)<-[:FROM_NATION]-(s:Supplier) "
+        "RETURN count(*) AS n",
+    "multi_hop_chain":
+        "MATCH (c:Customer)-[:PLACED]->(o:Order)-[l:CONTAINS]->(p:Part) "
+        "WHERE c.mktsegment = 'AUTOMOBILE' RETURN count(*) AS n",
+    "optional_expand":
+        "MATCH (c:Customer) OPTIONAL MATCH (c)-[:PLACED]->(o:Order) "
+        "RETURN c.custkey AS custkey, count(o) AS n_orders",
+    "value_hash_join":
+        "MATCH (c:Customer), (o:Order) WHERE c.custkey = o.orderkey "
+        "RETURN count(*) AS n",
+    "cartesian_product":
+        "MATCH (r:Region), (n:Nation) RETURN count(*) AS n",
+    # --- aggregation (§2.4) ---
+    "aggregation_q1":
+        "MATCH ()-[l:CONTAINS]->() WHERE l.shipdate <= datetime('1998-09-02') "
+        "RETURN l.returnflag AS returnflag, l.linestatus AS linestatus, "
+        "round(sum(l.quantity), 2) AS sum_qty, "
+        "round(sum(l.extendedprice), 2) AS sum_base, "
+        "round(avg(l.discount), 6) AS avg_disc, count(*) AS cnt",
+    "agg_count_distinct":
+        "MATCH (o:Order)-[:SUPPLIED_BY]->(s:Supplier) "
+        "RETURN s.suppkey AS suppkey, count(DISTINCT o.orderkey) AS n_orders",
+    "agg_stddev":
+        "MATCH (o:Order) RETURN o.orderstatus AS status, "
+        "round(stDev(o.totalprice), 2) AS sd, "
+        "round(stDevP(o.totalprice), 2) AS sdp",
+    "agg_percentile":
+        "MATCH (o:Order) RETURN o.orderpriority AS priority, "
+        "round(percentileCont(o.totalprice, 0.5), 2) AS p50",
+    "agg_min_max_avg":
+        "MATCH (c:Customer) RETURN c.mktsegment AS segment, "
+        "round(min(c.acctbal), 2) AS mn, round(max(c.acctbal), 2) AS mx, "
+        "round(avg(c.acctbal), 2) AS av, count(*) AS n",
+    # --- sort / top / paging (§2.6) ---
+    "top_k":
+        "MATCH (c:Customer) RETURN c.custkey AS custkey, c.acctbal AS acctbal "
+        "ORDER BY acctbal DESC, custkey LIMIT 10",
+    "skip_limit":
+        "MATCH (c:Customer) RETURN c.custkey AS custkey "
+        "ORDER BY custkey SKIP 100 LIMIT 50",
+    "sort_multi_key":
+        "MATCH (o:Order) RETURN o.orderkey AS orderkey, o.orderstatus AS st, "
+        "o.totalprice AS price ORDER BY st ASC, price DESC, orderkey LIMIT 20",
+    # --- set operators (§2.7) ---
+    "union_all":
+        "MATCH (c:Customer) RETURN c.name AS name "
+        "UNION ALL MATCH (s:Supplier) RETURN s.name AS name",
+    "union_distinct":
+        "MATCH (c:Customer) RETURN c.mktsegment AS v "
+        "UNION MATCH (o:Order) RETURN o.orderstatus AS v",
+    "distinct_op":
+        "MATCH (o:Order) RETURN DISTINCT o.orderpriority AS priority",
+    # --- subquery predicates / apply family (§2.5) ---
+    "semi_apply":
+        "MATCH (c:Customer) WHERE EXISTS { (c)-[:PLACED]->(:Order) } "
+        "RETURN count(*) AS n",
+    "anti_semi_apply":
+        "MATCH (c:Customer) WHERE NOT EXISTS { (c)-[:PLACED]->(:Order) } "
+        "RETURN count(*) AS n",
+    "count_subquery":
+        "MATCH (c:Customer) RETURN c.custkey AS custkey, "
+        "COUNT { (c)-[:PLACED]->() } AS n_orders",
+    "rollup_pattern_comprehension":
+        "MATCH (r:Region) RETURN r.name AS region, "
+        "size([(n:Nation)-[:IN_REGION]->(r) | n.name]) AS n_nations "
+        "ORDER BY region",
+    # --- var-length / shortest (§2.3 iterative) ---
+    "var_expand_fixed":
+        "MATCH (c:Customer)-[*2..2]->(r:Region) RETURN count(*) AS n",
+    "var_expand_range":
+        "MATCH (c:Customer {custkey: 1})-[*1..2]->(x) RETURN count(*) AS n",
+    "shortest_path_op":
+        "MATCH (c:Customer) "
+        "MATCH p = shortestPath((c)-[*..3]->(r:Region)) "
+        "RETURN length(p) AS l, count(*) AS n",
+    # --- expressions / functions (§2.8) ---
+    "projection_functions":
+        "MATCH (c:Customer) RETURN c.custkey AS custkey, "
+        "toUpper(c.name) AS uname, substring(c.name, 0, 5) AS prefix, "
+        "round(c.acctbal * 1.1, 4) AS scaled ORDER BY custkey LIMIT 20",
+    "case_expression":
+        "MATCH (o:Order) RETURN o.orderkey AS orderkey, "
+        "CASE o.orderstatus WHEN 'F' THEN 'finished' WHEN 'O' THEN 'open' "
+        "ELSE 'other' END AS status ORDER BY orderkey LIMIT 100",
+    "temporal_year":
+        "MATCH (o:Order) RETURN o.orderdate.year AS y, count(*) AS n",
+    "temporal_filter":
+        "MATCH (o:Order) WHERE o.orderdate >= datetime('1995-01-01') "
+        "AND o.orderdate < datetime('1996-01-01') RETURN count(*) AS n",
+    "unwind_op":
+        "UNWIND [1, 2, 3, 4, 5] AS x RETURN x, x * x AS sq",
+    "list_ops":
+        "RETURN [x IN range(1, 10) WHERE x % 2 = 0 | x * x] AS l",
+    "labels_function":
+        "MATCH (n:Nation) RETURN labels(n)[0] AS label, count(*) AS n",
+    "keys_function":
+        "MATCH (r:Region) RETURN r.name AS name, size(keys(r)) AS n_keys "
+        "ORDER BY name",
+    "string_functions":
+        "MATCH (s:Supplier) RETURN s.suppkey AS suppkey, "
+        "toLower(s.name) AS lname, reverse(s.name) AS rname, "
+        "size(s.name) AS len ORDER BY suppkey",
+    "call_db_labels": "CALL db.labels() YIELD label RETURN label",
+}
+
+
+# ---------------------------------------------------------------------------
+# Extension operators (direct DataFrame API)
+# ---------------------------------------------------------------------------
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from neo4j_spark.ml.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (exact_dedup(docs, ["text"])
+            .groupBy("lang").agg(F.count(F.lit(1)).alias("n_unique"))
+            .select(F.col("lang"), F.col("n_unique")))
+
+
+def _q_dedup_minhash(spark, sf_dir):
+    from neo4j_spark.ml.dedup import minhash_dedup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_dedup_pairs(docs, threshold=0.8).orderBy("id_a", "id_b")
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    from neo4j_spark.ml.dedup import simhash_dup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    return simhash_dup_pairs(docs, max_hamming=8).orderBy("id_a", "id_b")
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from neo4j_spark.ml.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    return ngram_jaccard_pairs(docs, "doc_id", "text", "lang",
+                               threshold=0.5).orderBy("id_a", "id_b")
+
+
+def _q_text_stats(spark, sf_dir):
+    from neo4j_spark.ml.text import token_count, punct_ratio
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"))
+
+
+def _q_text_quality(spark, sf_dir):
+    from neo4j_spark.ml.text import document_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return document_stats(docs).select(
+        "doc_id", "n_tokens", "quality", "lang_pred", "fingerprint")
+
+
+def _q_knn_bruteforce(spark, sf_dir):
+    from neo4j_spark.ml.similarity import knn_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return knn_bruteforce(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+
+
+def _q_knn_join(spark, sf_dir):
+    from neo4j_spark.ml.similarity import knn_join_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return knn_join_bruteforce(queries, emb.filter(F.col("vec_id") >= 5), k=3)
+
+
+def _q_knn_lsh(spark, sf_dir):
+    from neo4j_spark.ml.similarity import knn_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return knn_lsh(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+
+
+def _q_events_tumbling(spark, sf_dir):
+    from neo4j_spark.streaming.windows import load_events, tumbling_counts
+
+    return tumbling_counts(load_events(spark, sf_dir))
+
+
+def _q_events_session(spark, sf_dir):
+    from neo4j_spark.streaming.windows import load_events, session_windows
+
+    return session_windows(load_events(spark, sf_dir))
+
+
+def _q_events_json(spark, sf_dir):
+    from neo4j_spark.streaming.windows import load_events
+
+    ev = load_events(spark, sf_dir)
+    return (ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+              .filter(F.col("k") > 50)
+              .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")))
+
+
+def _q_stream_dedup(spark, sf_dir):
+    from neo4j_spark.streaming.windows import load_events, stream_dedup
+
+    return stream_dedup(load_events(spark, sf_dir)).groupBy().agg(
+        F.count(F.lit(1)).alias("n"))
+
+
+def _q_multimodal_decode(spark, sf_dir):
+    from neo4j_spark.ml.multimodal import attach_fake_binary, decode_images
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    decoded = decode_images(attach_fake_binary(docs))
+    return decoded.select("doc_id", "width", "height", "channels")
+
+
+EXTENSION_QUERIES = {
+    "dedup_exact": _q_dedup_exact,
+    "dedup_minhash_lsh": _q_dedup_minhash,
+    "dedup_simhash": _q_dedup_simhash,
+    "ngram_jaccard": _q_ngram_jaccard,
+    "text_stats": _q_text_stats,
+    "text_quality": _q_text_quality,
+    "knn_bruteforce": _q_knn_bruteforce,
+    "knn_join": _q_knn_join,
+    "knn_lsh": _q_knn_lsh,
+    "events_tumbling_window": _q_events_tumbling,
+    "events_session_window": _q_events_session,
+    "events_json_props": _q_events_json,
+    "stream_dedup": _q_stream_dedup,
+    "multimodal_decode": _q_multimodal_decode,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    out = {name: _cy(text) for name, text in CYPHER_QUERIES.items()}
+    out.update(EXTENSION_QUERIES)
+    return out
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "all_nodes_scan":
+            "SELECT CAST((SELECT count(*) FROM region) + (SELECT count(*) FROM nation)"
+            " + (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)"
+            " + (SELECT count(*) FROM part) + (SELECT count(*) FROM orders) AS BIGINT) AS n",
+        "node_by_label_scan": "SELECT count(*) AS n FROM customer",
+        "node_by_id_seek":
+            "SELECT c_name AS name FROM customer WHERE c_custkey = 42",
+        "node_index_seek_range":
+            "SELECT count(*) AS n FROM customer "
+            "WHERE c_acctbal >= 1000 AND c_acctbal < 5000",
+        "node_index_contains_scan":
+            "SELECT count(*) AS n FROM part WHERE p_name LIKE '%ge%'",
+        "node_index_ends_with_scan":
+            "SELECT count(*) AS n FROM part WHERE p_name LIKE '%bolt'",
+        "rel_type_scan": "SELECT count(*) AS n FROM lineitem",
+        "union_label_scan":
+            "SELECT CAST((SELECT count(*) FROM customer) + "
+            "(SELECT count(*) FROM supplier) AS BIGINT) AS n",
+        "expand_all":
+            "SELECT r_name AS region, count(*) AS nations FROM nation "
+            "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name "
+            "ORDER BY region",
+        "expand_in":
+            "SELECT count(*) AS n FROM orders JOIN customer "
+            "ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING'",
+        "expand_undirected":
+            "SELECT CAST((SELECT count(*) FROM customer) + "
+            "(SELECT count(*) FROM supplier) AS BIGINT) AS n",
+        "expand_into_triangle":
+            "SELECT count(*) AS n FROM customer JOIN supplier "
+            "ON c_nationkey = s_nationkey",
+        "multi_hop_chain":
+            "SELECT count(*) AS n FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'AUTOMOBILE'",
+        "optional_expand":
+            "SELECT c_custkey AS custkey, count(o_orderkey) AS n_orders "
+            "FROM customer LEFT JOIN orders ON o_custkey = c_custkey "
+            "GROUP BY c_custkey",
+        "value_hash_join":
+            "SELECT count(*) AS n FROM customer JOIN orders "
+            "ON c_custkey = o_orderkey",
+        "cartesian_product":
+            "SELECT count(*) AS n FROM region CROSS JOIN nation",
+        "aggregation_q1":
+            "SELECT l_returnflag AS returnflag, l_linestatus AS linestatus, "
+            "round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base, "
+            "round(avg(l_discount), 6) AS avg_disc, count(*) AS cnt "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus",
+        "agg_count_distinct":
+            "SELECT l_suppkey AS suppkey, count(DISTINCT l_orderkey) AS n_orders "
+            "FROM lineitem GROUP BY l_suppkey",
+        "agg_stddev":
+            "SELECT o_orderstatus AS status, "
+            "round(stddev_samp(o_totalprice), 2) AS sd, "
+            "round(stddev_pop(o_totalprice), 2) AS sdp "
+            "FROM orders GROUP BY o_orderstatus",
+        "agg_percentile":
+            "SELECT o_orderpriority AS priority, "
+            "round(quantile_cont(o_totalprice, 0.5), 2) AS p50 "
+            "FROM orders GROUP BY o_orderpriority",
+        "agg_min_max_avg":
+            "SELECT c_mktsegment AS segment, round(min(c_acctbal), 2) AS mn, "
+            "round(max(c_acctbal), 2) AS mx, round(avg(c_acctbal), 2) AS av, "
+            "count(*) AS n FROM customer GROUP BY c_mktsegment",
+        "top_k":
+            "SELECT c_custkey AS custkey, c_acctbal AS acctbal FROM customer "
+            "ORDER BY acctbal DESC, custkey LIMIT 10",
+        "skip_limit":
+            "SELECT c_custkey AS custkey FROM customer ORDER BY custkey "
+            "LIMIT 50 OFFSET 100",
+        "sort_multi_key":
+            "SELECT o_orderkey AS orderkey, o_orderstatus AS st, "
+            "o_totalprice AS price FROM orders "
+            "ORDER BY st ASC, price DESC, orderkey LIMIT 20",
+        "union_all":
+            "SELECT c_name AS name FROM customer "
+            "UNION ALL SELECT s_name AS name FROM supplier",
+        "union_distinct":
+            "SELECT c_mktsegment AS v FROM customer "
+            "UNION SELECT o_orderstatus AS v FROM orders",
+        "distinct_op":
+            "SELECT DISTINCT o_orderpriority AS priority FROM orders",
+        "semi_apply":
+            "SELECT count(*) AS n FROM customer WHERE EXISTS "
+            "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+        "anti_semi_apply":
+            "SELECT count(*) AS n FROM customer WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+        "count_subquery":
+            "SELECT c_custkey AS custkey, "
+            "CAST(coalesce(cnt, 0) AS BIGINT) AS n_orders FROM customer "
+            "LEFT JOIN (SELECT o_custkey, count(*) AS cnt FROM orders "
+            "GROUP BY o_custkey) ON o_custkey = c_custkey",
+        "rollup_pattern_comprehension":
+            "SELECT r_name AS region, CAST(count(n_nationkey) AS BIGINT) "
+            "AS n_nations FROM region LEFT JOIN nation "
+            "ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY region",
+        "var_expand_fixed":
+            "SELECT count(*) AS n FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey",
+        "var_expand_range":
+            "SELECT CAST((SELECT count(*) FROM orders WHERE o_custkey = 1) + 1"
+            " + 2 * (SELECT count(*) FROM lineitem JOIN orders "
+            "ON l_orderkey = o_orderkey WHERE o_custkey = 1) + 1 AS BIGINT) AS n",
+        "shortest_path_op":
+            "SELECT CAST(2 AS BIGINT) AS l, count(*) AS n FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey",
+        "projection_functions":
+            "SELECT c_custkey AS custkey, upper(c_name) AS uname, "
+            "substr(c_name, 1, 5) AS prefix, round(c_acctbal * 1.1, 4) AS scaled "
+            "FROM customer ORDER BY custkey LIMIT 20",
+        "case_expression":
+            "SELECT o_orderkey AS orderkey, CASE o_orderstatus "
+            "WHEN 'F' THEN 'finished' WHEN 'O' THEN 'open' ELSE 'other' END "
+            "AS status FROM orders ORDER BY orderkey LIMIT 100",
+        "temporal_year":
+            "SELECT CAST(year(o_orderdate) AS BIGINT) AS y, count(*) AS n "
+            "FROM orders GROUP BY 1",
+        "temporal_filter":
+            "SELECT count(*) AS n FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '1995-01-01' "
+            "AND o_orderdate < TIMESTAMP '1996-01-01'",
+        "unwind_op":
+            "SELECT CAST(x AS BIGINT) AS x, CAST(x * x AS BIGINT) AS sq "
+            "FROM (SELECT unnest([1, 2, 3, 4, 5]) AS x)",
+        "list_ops":
+            "SELECT list_transform(list_filter(range(1, 11), "
+            "x -> x % 2 = 0), x -> x * x) AS l",
+        "labels_function":
+            "SELECT 'Nation' AS label, count(*) AS n FROM nation",
+        "keys_function":
+            "SELECT r_name AS name, CAST(2 AS BIGINT) AS n_keys FROM region "
+            "ORDER BY name",
+        "string_functions":
+            "SELECT s_suppkey AS suppkey, lower(s_name) AS lname, "
+            "reverse(s_name) AS rname, CAST(length(s_name) AS BIGINT) AS len "
+            "FROM supplier ORDER BY suppkey",
+        "call_db_labels":
+            "SELECT label FROM (VALUES ('Customer'), ('Nation'), ('Order'), "
+            "('Part'), ('Region'), ('Supplier')) t(label)",
+        # --- extensions ---
+        "dedup_exact":
+            "SELECT lang, count(DISTINCT text) AS n_unique FROM documents "
+            "GROUP BY lang",
+        "text_stats":
+            "SELECT doc_id, CAST(len(list_filter(string_split_regex("
+            "lower(text), '[^a-z0-9'']+'), t -> t != '')) AS BIGINT) AS n_tokens, "
+            "CAST(length(text) AS BIGINT) AS n_chars FROM documents",
+        "events_json_props":
+            "SELECT event_type, count(*) AS n FROM events "
+            "WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 "
+            "GROUP BY event_type",
+        "stream_dedup":
+            "SELECT count(*) AS n FROM (SELECT DISTINCT event_id, ts, user_id, "
+            "event_type, value, props FROM events)",
+        "events_tumbling_window":
+            "SELECT CAST(extract(epoch FROM date_trunc('hour', ts)) AS BIGINT) "
+            "AS window_start, event_type, count(*) AS n, "
+            "round(sum(value), 2) AS total_value FROM events "
+            "GROUP BY 1, 2",
+        "events_session_window":
+            "WITH marked AS (SELECT user_id, ts, value, CASE WHEN "
+            "ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+            ">= INTERVAL 10 MINUTE OR lag(ts) OVER (PARTITION BY user_id "
+            "ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS new_s FROM events), "
+            "sessions AS (SELECT user_id, ts, value, sum(new_s) OVER "
+            "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) "
+            "AS sid FROM marked) "
+            "SELECT user_id, CAST(floor(extract(epoch FROM min(ts))) AS BIGINT) "
+            "AS session_start, count(*) AS n_events, "
+            "round(sum(value), 2) AS session_value "
+            "FROM sessions GROUP BY user_id, sid",
+        "knn_bruteforce":
+            "SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], "
+            "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS score "
+            "FROM embeddings WHERE vec_id != 0 "
+            "ORDER BY score DESC, vec_id LIMIT 10",
+        "knn_join":
+            "WITH scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            "round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS score "
+            "FROM embeddings q CROSS JOIN embeddings c "
+            "WHERE q.vec_id < 5 AND c.vec_id >= 5), "
+            "ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+            "ORDER BY score DESC, neighbor_id) AS rn FROM scored) "
+            "SELECT query_id, neighbor_id, score FROM ranked WHERE rn <= 3",
+        "multimodal_decode":
+            "SELECT doc_id, CAST(16 + length(text) % 64 AS INTEGER) AS width, "
+            "CAST(16 + (length(text) // 64) % 64 AS INTEGER) AS height, "
+            "CAST(3 AS INTEGER) AS channels FROM documents",
+        # dedup_minhash_lsh / dedup_simhash / ngram_jaccard / knn_lsh /
+        # text_quality: hash-function-specific — rows-only check (omitted).
+    }

@@ -1,0 +1,73 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from neo4j_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    headline = [
+        # relational/graph core
+        "aggregation_q1",          # scan + group agg (TPC-H Q1 shape)
+        "multi_hop_chain",         # 3-hop expand join chain
+        "expand_into_triangle",    # expand-into (two joins, one filter-join)
+        "agg_count_distinct",      # distinct agg over rel scan
+        "optional_expand",         # left join + agg
+        "count_subquery",          # decorrelated count apply
+        "top_k",                   # TakeOrderedAndProject
+        "var_expand_fixed",        # iterative var-length expand
+        "shortest_path_op",        # BFS shortest path
+        # training-data pipeline
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "text_quality",
+        "knn_join",
+        "events_tumbling_window",
+        "events_session_window",
+    ]
+    # warm the JVM + parquet footers with a trivial action
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings = {}
+    for name in headline:
+        fn = qs[name]
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # pragma: no cover
+            timings[name] = -1.0
+            print(f"bench error {name}: {e}", file=sys.stderr)
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(json.dumps({
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }))
+
+
+if __name__ == "__main__":
+    main()

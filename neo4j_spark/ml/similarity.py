@@ -15,13 +15,19 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F, Window as W
 
 
+def _dbl(a: Column) -> Column:
+    """float32 embeddings -> double BEFORE multiplying, so scores agree with
+    any double-precision reference implementation."""
+    return F.transform(a, lambda x: x.cast("double"))
+
+
 def dot(a: Column, b: Column) -> Column:
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
-                       lambda acc, x: acc + x)
+    return F.aggregate(F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
 
 
 def l2norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.sqrt(F.aggregate(_dbl(a), F.lit(0.0), lambda acc, x: acc + x * x))
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -29,8 +35,9 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def euclidean(a: Column, b: Column) -> Column:
-    return F.sqrt(F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-                              F.lit(0.0), lambda acc, x: acc + x))
+    return F.sqrt(F.aggregate(
+        F.zip_with(_dbl(a), _dbl(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x))
 
 
 def knn_bruteforce(df: DataFrame, query_vec: Sequence[float],

@@ -28,7 +28,8 @@ def events_stream(spark: SparkSession, sf_dir: str,
     raw = (spark.readStream
            .schema(batch.schema)
            .option("maxFilesPerTrigger", max_files_per_trigger)
-           .parquet(f"{sf_dir}/events.parquet"))
+           .option("pathGlobFilter", "events.parquet")
+           .parquet(sf_dir))
     if isinstance(raw.schema["ts"].dataType, T.LongType):
         raw = raw.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))

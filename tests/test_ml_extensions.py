@@ -1,0 +1,175 @@
+"""Tests for dedup / similarity / text / multimodal / streaming extensions."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+class TestDedup:
+    def test_exact_dedup(self, spark, docs):
+        from neo4j_spark.ml.dedup import exact_dedup
+
+        n_all = docs.count()
+        n_unique = exact_dedup(docs, ["text"]).count()
+        assert 0 < n_unique <= n_all
+
+    def test_exact_dup_groups(self, spark, docs):
+        from neo4j_spark.ml.dedup import exact_dup_groups
+
+        groups = exact_dup_groups(docs, F.col("text"), "doc_id")
+        for row in groups.limit(5).collect():
+            assert row["n"] > 1
+            assert len(row["ids"]) == row["n"]
+
+    def test_minhash_finds_exact_dups(self, spark, docs):
+        from neo4j_spark.ml.dedup import exact_dup_groups, minhash_dedup_pairs
+
+        dup_groups = exact_dup_groups(docs, F.col("text"), "doc_id").collect()
+        pairs = minhash_dedup_pairs(docs, threshold=0.99)
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}
+        # every exact-duplicate pair must be found by LSH at threshold ~1
+        for g in dup_groups:
+            ids = sorted(g["ids"])
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    assert (ids[i], ids[j]) in got
+        # and jaccard is 1.0 for them
+        if dup_groups:
+            a, b = sorted(dup_groups[0]["ids"])[:2]
+            jac = pairs.filter((F.col("id_a") == a) & (F.col("id_b") == b)) \
+                       .head()["jaccard"]
+            assert jac == 1.0
+
+    def test_simhash_identical_docs_hamming0(self, spark, docs):
+        from neo4j_spark.ml.dedup import exact_dup_groups, simhash_dup_pairs
+
+        dup_groups = exact_dup_groups(docs, F.col("text"), "doc_id").collect()
+        pairs = {(r.id_a, r.id_b): r.hamming
+                 for r in simhash_dup_pairs(docs, max_hamming=64).collect()}
+        for g in dup_groups[:3]:
+            ids = sorted(g["ids"])
+            assert pairs.get((ids[0], ids[1])) == 0
+
+    def test_ngram_jaccard_symmetric_bounds(self, spark, docs):
+        from neo4j_spark.ml.dedup import ngram_jaccard_pairs
+
+        pairs = ngram_jaccard_pairs(docs.limit(100), "doc_id", "text", "lang",
+                                    threshold=0.0).collect()
+        for r in pairs[:50]:
+            assert 0.0 <= r.jaccard <= 1.0
+            assert r.id_a < r.id_b
+
+
+class TestSimilarity:
+    def test_self_similarity(self, spark, emb):
+        from neo4j_spark.ml.similarity import knn_bruteforce
+
+        q = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+        top = knn_bruteforce(emb, q, k=1).collect()
+        assert top[0]["vec_id"] == 0
+        assert abs(top[0]["score"] - 1.0) < 1e-6
+
+    def test_knn_join_k(self, spark, emb):
+        from neo4j_spark.ml.similarity import knn_join_bruteforce
+
+        out = knn_join_bruteforce(emb.limit(3), emb, k=5).collect()
+        from collections import Counter
+
+        counts = Counter(r["query_id"] for r in out)
+        assert all(v == 5 for v in counts.values())
+
+    def test_lsh_recall_vs_bruteforce(self, spark, emb):
+        from neo4j_spark.ml.similarity import knn_bruteforce, knn_lsh
+
+        q = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+        exact = {r["vec_id"] for r in knn_bruteforce(emb, q, k=10).collect()}
+        approx = {r["vec_id"] for r in
+                  knn_lsh(emb, q, k=10, probe_hamming=1).collect()}
+        # multi-probe LSH should recover a reasonable fraction of true top-10
+        assert len(exact & approx) >= 3
+
+
+class TestText:
+    def test_document_stats_schema(self, spark, docs):
+        from neo4j_spark.ml.text import document_stats
+
+        out = document_stats(docs.limit(20))
+        row = out.head()
+        assert row["n_tokens"] > 0
+        assert 0 <= row["punct_ratio"] <= 1
+        assert 0 <= row["quality"] <= 1
+
+    def test_ncars_matches_source(self, spark, docs):
+        from neo4j_spark.ml.text import char_count
+
+        bad = docs.filter(char_count(F.col("text")) != F.col("n_chars")).count()
+        assert bad == 0
+
+    def test_fingerprint_deterministic(self, spark, docs):
+        from neo4j_spark.ml.text import fingerprint
+
+        a = docs.select(fingerprint(F.col("text")).alias("f")).collect()
+        b = docs.select(fingerprint(F.col("text")).alias("f")).collect()
+        assert a == b
+
+    def test_language_id_english_corpus(self, spark, docs):
+        from neo4j_spark.ml.text import language_id
+
+        # driver corpus is english word-soup; majority should vote 'en'
+        out = docs.select(language_id(F.col("text")).alias("l"))
+        en = out.filter(F.col("l") == "en").count()
+        assert en > docs.count() * 0.5
+
+
+class TestMultimodal:
+    def test_decode_pipeline(self, spark, docs):
+        from neo4j_spark.ml.multimodal import attach_fake_binary, decode_images
+
+        out = decode_images(attach_fake_binary(docs.limit(50)))
+        rows = out.collect()
+        assert len(rows) == 50
+        for r in rows[:5]:
+            assert r["channels"] == 3
+            assert len(r["feature"]) == 8
+            assert 16 <= r["width"] < 80
+
+
+class TestStreaming:
+    def test_tumbling_batch(self, spark):
+        from neo4j_spark.streaming.windows import load_events, tumbling_counts
+
+        ev = load_events(spark, SF)
+        out = tumbling_counts(ev)
+        total = out.agg(F.sum("n")).head()[0]
+        assert total == ev.count()
+
+    def test_session_windows(self, spark):
+        from neo4j_spark.streaming.windows import load_events, session_windows
+
+        out = session_windows(load_events(spark, SF))
+        assert out.count() > 0
+
+    def test_streaming_end_to_end(self, spark):
+        """Real readStream -> windowed agg -> memory sink (availableNow)."""
+        from neo4j_spark.streaming.windows import (
+            events_stream, tumbling_counts, run_stream_to_memory)
+
+        stream = events_stream(spark, SF)
+        assert stream.isStreaming
+        agg = tumbling_counts(stream)
+        run_stream_to_memory(agg, "t_tumbling")
+        got = spark.sql("SELECT sum(n) FROM t_tumbling").head()[0]
+        from neo4j_spark.streaming.windows import load_events
+
+        assert got == load_events(spark, SF).count()
