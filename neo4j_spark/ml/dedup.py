@@ -12,6 +12,7 @@ from typing import List
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..functions.let import let, let2
 from .text import tokens
 
 
@@ -46,11 +47,16 @@ def shingles(text: Column, k: int = 3) -> Column:
 
 
 def minhash_signature(sh: Column, num_hashes: int = 32) -> Column:
-    """num_hashes min-hash values; permutation i = xxhash64(shingle, seed=i)."""
-    return F.array(*[
-        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+    """num_hashes min-hash values; permutation i = xxhash64(shingle, seed=i).
+
+    ``let``-bound so the shingle subtree is evaluated once even though the
+    signature references it num_hashes times (CollapseProject would otherwise
+    inline it per hash — at 32 hashes x 8 band consumers that's a 256x
+    per-row blowup)."""
+    return let(sh, lambda s: F.array(*[
+        F.array_min(F.transform(s, lambda x: F.xxhash64(x, F.lit(i))))
         for i in range(num_hashes)
-    ])
+    ]))
 
 
 def minhash_lsh_candidates(
@@ -65,21 +71,25 @@ def minhash_lsh_candidates(
     high-cardinality => well-distributed shuffle at scale.
     """
     r = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(shingles(F.col(text_col), shingle_k), num_hashes)
-        .alias("_sig"))
-    banded = sig.select(
-        "_id",
-        F.explode(F.array(*[
+    # spread rows before the (expensive) shingle+signature projection — a
+    # single-file corpus otherwise computes it in one task
+    df = df.repartition(64, F.col(id_col))
+    # one let-bound expression: shingles -> signature -> 8 band hashes, each
+    # stage evaluated once per row regardless of downstream projection
+    # collapsing (explain-verified: a single Project + Generate, no
+    # re-inlined shingle subtrees)
+    band_arr = let(
+        minhash_signature(shingles(F.col(text_col), shingle_k), num_hashes),
+        lambda sig: F.array(*[
             F.struct(F.lit(b).alias("band"),
                      F.xxhash64(F.concat_ws(
-                         ",", *[F.element_at("_sig", b * r + i + 1).cast("string")
+                         ",", *[F.element_at(sig, b * r + i + 1).cast("string")
                                 for i in range(r)])).alias("bh"))
             for b in range(bands)
-        ])).alias("bb"))
-    banded = banded.select("_id", F.col("bb.band").alias("band"),
-                           F.col("bb.bh").alias("bh"))
+        ]))
+    banded = (df.select(F.col(id_col).alias("_id"), F.explode(band_arr).alias("bb"))
+                .select("_id", F.col("bb.band").alias("band"),
+                        F.col("bb.bh").alias("bh")))
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -91,9 +101,10 @@ def minhash_lsh_candidates(
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    inter = F.size(F.array_intersect(a, b)).cast("double")
-    union = F.size(F.array_union(a, b)).cast("double")
-    return F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+    return let2(a, b, lambda x, y: let(
+        F.size(F.array_union(x, y)).cast("double"),
+        lambda u: F.when(u > 0, F.size(F.array_intersect(x, y)) / u)
+                   .otherwise(F.lit(1.0))))
 
 
 def minhash_dedup_pairs(
@@ -104,8 +115,9 @@ def minhash_dedup_pairs(
     """LSH candidates + exact shingle-Jaccard verification >= threshold."""
     cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands,
                                    shingle_k)
-    sh = df.select(F.col(id_col).alias("_vid"),
-                   shingles(F.col(text_col), shingle_k).alias("_sh"))
+    sh = df.repartition(64, F.col(id_col)).select(
+        F.col(id_col).alias("_vid"),
+        shingles(F.col(text_col), shingle_k).alias("_sh"))
     out = (cands
            .join(sh.select(F.col("_vid").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
            .join(sh.select(F.col("_vid").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
@@ -142,19 +154,26 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 def simhash(text: Column, bits: int = 64) -> Column:
     """64-bit SimHash over tokens: per-bit majority vote of token hashes.
 
-    Stays in Catalyst: for each bit j, sum(+1/-1 per token) via aggregate()."""
-    toks = tokens(text)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    out = F.lit(0).cast("long")
-    for j in range(bits):
-        vote = F.aggregate(
-            hashes, F.lit(0),
-            lambda acc, h: acc + F.when(
-                h.bitwiseAND(F.lit(1 << j if j < 63 else -(1 << 63))) != 0,
-                F.lit(1)).otherwise(F.lit(-1)))
-        out = out + F.when(vote > 0, F.lit(1 << j if j < 63 else -(1 << 63))
-                           ).otherwise(F.lit(0)).cast("long")
-    return out
+    Single Catalyst pass: one aggregate() over the token hashes keeps a
+    64-slot vote array (zip_with against the bit-mask table), then one
+    zip_with folds the votes back into a long.  (The naive form — one
+    aggregate per bit — re-walks the token array 64x and re-inlines the
+    tokenizer per bit once projections collapse.)"""
+    powers = F.array(*[
+        F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long")
+        for j in range(bits)
+    ])
+    votes = F.aggregate(
+        F.transform(tokens(text), lambda t: F.xxhash64(t)),
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc, powers,
+            lambda a, p: a + F.when(h.bitwiseAND(p) != 0, F.lit(1))
+                              .otherwise(F.lit(-1))))
+    return F.aggregate(
+        F.zip_with(votes, powers,
+                   lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"), lambda a, x: a + x)
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..functions.let import let
+
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
 STOPWORDS = {
     "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
@@ -82,14 +84,41 @@ def fingerprint(text: Column) -> Column:
 
 
 def document_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """All stats in ONE pass: the token array is let-bound (tokenized once
+    per row, not once per stat), every stat is a field of one struct, and
+    ``inline`` expands the struct through a Generate node — so projection
+    collapsing cannot re-inline the tokenizer per output column."""
     t = F.col(text_col)
-    return df.withColumns({
-        "n_tokens": token_count(t),
-        "n_chars_computed": char_count(t),
-        "punct_ratio": F.round(punct_ratio(t), 6),
-        "stopword_ratio": F.round(stopword_ratio(t), 6),
-        "mean_word_len": F.round(mean_word_length(t), 6),
-        "quality": quality_score(t),
-        "lang_pred": language_id(t),
-        "fingerprint": fingerprint(t),
-    })
+
+    def stats(toks: Column) -> Column:
+        n_tok = F.size(toks).cast("long")
+        nz = F.greatest(F.size(toks), F.lit(1))
+        p_ratio = F.length(F.regexp_replace(t, r"[\p{L}\p{N}\s]", "")) \
+            / F.greatest(F.length(t), F.lit(1))
+        sw_hits = {
+            lang: F.size(F.filter(toks, lambda x: x.isin(sw)))
+            for lang, sw in STOPWORDS.items()
+        }
+        sw_ratio = sw_hits["en"] / nz
+        mean_wl = F.aggregate(toks, F.lit(0),
+                              lambda acc, x: acc + F.length(x)) / nz
+        len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        punct_score = F.lit(1.0) - F.least(p_ratio * 5, F.lit(1.0))
+        sw_score = F.least(sw_ratio * 4, F.lit(1.0))
+        best_lang, best_hits = F.lit("und"), F.lit(0)
+        for lang, hits in sw_hits.items():
+            cond = hits > best_hits
+            best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+            best_hits = F.when(cond, hits).otherwise(best_hits)
+        return F.struct(
+            n_tok.alias("n_tokens"),
+            F.length(t).cast("long").alias("n_chars_computed"),
+            F.round(p_ratio, 6).alias("punct_ratio"),
+            F.round(sw_ratio, 6).alias("stopword_ratio"),
+            F.round(mean_wl, 6).alias("mean_word_len"),
+            F.round((len_score + punct_score + sw_score) / 3, 6).alias("quality"),
+            best_lang.alias("lang_pred"),
+            F.xxhash64(F.concat_ws("", toks)).alias("fingerprint"),
+        )
+
+    return df.select("*", F.inline(F.array(let(tokens(t), stats))))

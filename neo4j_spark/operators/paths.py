@@ -5,15 +5,22 @@ shape depends on the data (SURVEY §4.2): the reference implements them as
 pipes (``pipes/VarLengthExpandPipe.scala:83``,
 ``pipes/ShortestPathPipe.scala:39`` wrapping the bidirectional BFS in
 ``community/graph-algo/.../ShortestPath.java:81``).  Here they are
-driver-side loops over DataFrame joins:
+driver-side loops over DataFrame joins.
 
-- VarExpand: k-level unrolled self-joins, one union branch per depth in
-  [min, max]; relationship-uniqueness enforced with an id-array check.
-- shortestPath/allShortestPaths: frontier BFS with a visited-set anti-join
-  per level and early stop once every reachable (start, end) pair is found.
-
-At 100 TB scale each level is a shuffle join on node ids — the frontier
-stays partitioned by the join key, and AQE handles the shrinking frontier.
+Scale design:
+- Every level is a hash join on node ids; the frontier stays partitioned by
+  the join key and AQE handles the shrinking/skewed frontier.
+- **Direction choice** (the Spark analog of the reference's bidirectional
+  BFS seeding from the cheaper side): when the far endpoint is a small
+  labeled set and the near side is large, we run the loop *backward* from
+  the far endpoint over reversed edges and join the (start, end) results
+  back to the rowstream.  A `(c:Customer)-[*..3]->(r:Region)` BFS forward
+  walks every order/lineitem edge (O(|E|) rows per level, each carrying a
+  path array); backward from 5 regions the frontier never exceeds the
+  customer count.  Decided by two cheap capped counts, the local stand-in
+  for catalog statistics (GraphStatistics.scala:27-65).
+- Frontiers are persisted per level and unpersisted as soon as the next
+  level is materialized.
 """
 
 from __future__ import annotations
@@ -24,9 +31,32 @@ from pyspark.sql import Column, DataFrame, functions as F, Window as W
 
 from ..cypher import ast as A
 
+REL_CORE_T = "array<struct<_id:bigint,_src:bigint,_dst:bigint,_type:string>>"
+
 
 def _rel_ids(col: Column) -> Column:
     return F.transform(col, lambda x: x.getField("_id"))
+
+
+def _reverse_scan(scan: DataFrame) -> DataFrame:
+    """Swap the traversal endpoints of a rel scan (edge reversal)."""
+    cols = [c for c in scan.columns if c not in ("__from", "__to")]
+    return scan.select(F.col("__to").alias("__from"),
+                       F.col("__from").alias("__to"), *cols)
+
+
+def _prefer_backward(df: DataFrame, prev_var: str, tscan: Optional[DataFrame],
+                     factor: int = 8, cap: int = 200_000) -> bool:
+    """True when the target node set is >= ``factor``x smaller than the
+    bound start set.  Capped counts so the decision never scans more than
+    ``cap`` rows of either side."""
+    if tscan is None:
+        return False
+    t = tscan.limit(cap).count()
+    if t == 0 or t >= cap:
+        return False
+    s = df.select(F.col(prev_var).getField("_id")).limit(factor * t + 1).count()
+    return s > factor * t
 
 
 def var_expand(tr, df: DataFrame, prev_var: str, rp: A.RelPat, np: A.NodePat,
@@ -45,6 +75,14 @@ def var_expand(tr, df: DataFrame, prev_var: str, rp: A.RelPat, np: A.NodePat,
         for k, v in rp.props.items:
             scan = scan.filter(F.col("__r").getField(k) == cc.compile(v))
     rel_type = scan.schema["__r"].dataType.simpleString()
+
+    nvar_bound = nvar in df.columns
+    tscan = None
+    if not nvar_bound and (np.labels or np.props is not None):
+        tscan = tr._node_scan(np, nvar)
+    if not dynamic_stop and _prefer_backward(df, prev_var, tscan):
+        return _var_expand_backward(tr, df, prev_var, scan, tscan, rvar, nvar,
+                                    min_len, max_len, rel_type)
 
     base = df.withColumn("__end", F.col(prev_var).getField("_id")) \
              .withColumn(rvar, F.array().cast(f"array<{rel_type}>"))
@@ -69,20 +107,116 @@ def var_expand(tr, df: DataFrame, prev_var: str, rp: A.RelPat, np: A.NodePat,
     for l in levels[1:]:
         out = out.unionByName(l)
 
-    if nvar in df.columns:
+    if nvar_bound:
         out = out.filter(F.col("__end") == F.col(nvar).getField("_id"))
     else:
-        nscan = tr._node_scan(np, nvar)
+        nscan = tscan if tscan is not None else tr._node_scan(np, nvar)
         out = out.join(nscan, F.col("__end") == F.col(nvar).getField("_id"))
     return out.drop("__end")
+
+
+def _var_expand_backward(tr, df: DataFrame, prev_var: str, scan: DataFrame,
+                         tscan: DataFrame, rvar: str, nvar: str,
+                         min_len: int, max_len: int, rel_type: str) -> DataFrame:
+    """VarExpand run from the (small) target side over reversed edges.
+
+    BFS carries only ids + the rel array (no bound row payload); the
+    rowstream joins back on the reached start id, and the rel array is
+    reversed at the end so results are oriented start->target."""
+    rev = _reverse_scan(scan)
+    base = tscan.select(
+        F.col(nvar).getField("_id").alias("__tgt"),
+        F.col(nvar).getField("_id").alias("__end"),
+        F.array().cast(f"array<{rel_type}>").alias(rvar))
+    levels: List[DataFrame] = []
+    if min_len == 0:
+        levels.append(base)
+    frontier = base
+    for k in range(1, max_len + 1):
+        step = frontier.join(rev, F.col("__end") == F.col("__from"))
+        step = step.filter(
+            ~F.array_contains(_rel_ids(F.col(rvar)), F.col("__r").getField("_id")))
+        step = (step.withColumn(rvar, F.array_append(F.col(rvar), F.col("__r")))
+                    .withColumn("__end", F.col("__to"))
+                    .drop("__from", "__to", "__r"))
+        if k >= min_len:
+            levels.append(step)
+        frontier = step
+    matched = levels[0]
+    for l in levels[1:]:
+        matched = matched.unionByName(l)
+    matched = matched.withColumn(rvar, F.reverse(F.col(rvar)))
+    out = df.join(matched,
+                  F.col(prev_var).getField("_id") == F.col("__end"))
+    out = out.join(tscan, F.col("__tgt") == F.col(nvar).getField("_id"))
+    return out.drop("__end", "__tgt")
+
+
+def _bfs_levels(roots: DataFrame, scan: DataFrame, depth: int,
+                track_path: bool) -> List[DataFrame]:
+    """Frontier BFS from ``roots`` (column __root) over ``scan``.
+
+    Returns levels[0..depth]; level k has columns (__root, __node, __depth
+    [, __rels, __nodes]) holding ALL shortest (root -> node) walks of
+    length exactly k — (root, node) pairs reached at an earlier level are
+    pruned with a visited anti-join, equal-depth alternatives are kept."""
+    cols = [F.col("__root"), F.col("__root").alias("__node"),
+            F.lit(0).alias("__depth")]
+    if track_path:
+        cols += [F.array().cast(REL_CORE_T).alias("__rels"),
+                 F.array(F.col("__root")).alias("__nodes")]
+    frontier = roots.select(*cols)
+    visited = frontier.select("__root", "__node")
+    levels: List[DataFrame] = [frontier]
+    # shallow searches stay fully lazy (one Spark job at action time);
+    # deep ones persist each level and stop early on an empty frontier —
+    # the per-level job latency only pays off past a few hops
+    eager = depth > 3
+    for k in range(1, depth + 1):
+        step = frontier.join(scan, F.col("__node") == F.col("__from"))
+        out_cols = ["__root", F.col("__to").alias("__node"),
+                    F.lit(k).alias("__depth")]
+        if track_path:
+            core = F.struct(
+                F.col("__r").getField("_id").alias("_id"),
+                F.col("__r").getField("_src").alias("_src"),
+                F.col("__r").getField("_dst").alias("_dst"),
+                F.col("__r").getField("_type").alias("_type"))
+            out_cols += [F.array_append(F.col("__rels"), core).alias("__rels"),
+                         F.array_append(F.col("__nodes"),
+                                        F.col("__to")).alias("__nodes")]
+        step = step.select(*out_cols)
+        # prune: drop (root, node) already reached at a shorter depth
+        step = step.join(visited, ["__root", "__node"], "left_anti")
+        if not track_path:
+            step = step.dropDuplicates(["__root", "__node"])
+        if eager:
+            step = step.persist()
+            if step.isEmpty():
+                step.unpersist()
+                break
+        levels.append(step)
+        visited = visited.unionByName(
+            step.select("__root", "__node").dropDuplicates())
+        frontier = step
+    return levels
 
 
 def shortest_path(tr, df: Optional[DataFrame], part: A.PatternPart,
                   pending: List[A.Expr]) -> DataFrame:
     """FindShortestPaths (LP:2178): shortestPath / allShortestPaths.
 
-    Frontier BFS over (start, node) with a visited anti-join; paths are
-    recorded the first level a (start, end) pair connects."""
+    Meet-in-the-middle bidirectional BFS, the DataFrame rendering of the
+    reference's algorithm (``community/graph-algo/.../ShortestPath.java:81``
+    expands both endpoints and intersects frontiers): forward BFS from the
+    start ids to depth ``fb``, backward BFS from the target ids over
+    reversed edges to depth ``bb`` (fb + bb = max_len, deeper half to the
+    smaller endpoint set), then one hash join on the meeting node.  Each
+    side's frontier is bounded by its own fanout-to-half-depth instead of
+    the full-depth fanout — the asymptotic win that makes depth-k search
+    feasible on a 100 TB edge set.  Subpath optimality (shortest walks
+    decompose into shortest halves at every split node) guarantees the
+    min-depth filter over met pairs yields exactly the shortest paths."""
     els = part.elements
     assert len(els) == 3, "shortestPath expects a single relationship pattern"
     a_pat, rp, b_pat = els
@@ -90,88 +224,88 @@ def shortest_path(tr, df: Optional[DataFrame], part: A.PatternPart,
     all_shortest = part.selector == "allShortest"
     max_len = rp.max_len if rp.max_len is not None else tr.max_var_length
     min_len = rp.min_len if rp.min_len is not None else 1
+    track_path = (part.path_var is not None) or all_shortest
 
     df, avar = tr._bind_first_node(df, a_pat, pending)
     df, bvar = tr._bind_first_node(df, b_pat, pending)
 
     scan = tr._rel_scan(rp, "__r")
-    rel_core_t = "array<struct<_id:bigint,_src:bigint,_dst:bigint,_type:string>>"
 
-    starts = df.select(F.col(avar).getField("_id").alias("__start")).dropDuplicates()
-    targets = df.select(
-        F.col(avar).getField("_id").alias("__start"),
-        F.col(bvar).getField("_id").alias("__tgt")).dropDuplicates()
+    sizes = df.agg(
+        F.approx_count_distinct(F.col(avar).getField("_id")).alias("s"),
+        F.approx_count_distinct(F.col(bvar).getField("_id")).alias("t")).head()
+    n_start, n_tgt = sizes["s"], sizes["t"]
+    # deeper half of the search to the smaller endpoint set
+    fb = max_len // 2
+    bb = max_len - fb
+    if n_start <= n_tgt:
+        fb, bb = bb, fb
 
-    frontier = starts.select(
-        F.col("__start"), F.col("__start").alias("__node"),
-        F.array().cast(rel_core_t).alias("__rels"),
-        F.array(F.col("__start")).alias("__nodes"))
-    visited = frontier.select("__start", "__node")
-    found_parts: List[DataFrame] = []
-    if min_len == 0:
-        found_parts.append(
-            frontier.join(targets, (frontier["__start"] == targets["__start"])
-                          & (frontier["__node"] == targets["__tgt"]))
-            .select(frontier["__start"], F.col("__tgt"), "__rels", "__nodes"))
+    starts = df.select(
+        F.col(avar).getField("_id").alias("__root")).dropDuplicates()
+    tgts = df.select(
+        F.col(bvar).getField("_id").alias("__root")).dropDuplicates()
+    pairs = df.select(
+        F.col(avar).getField("_id").alias("__s"),
+        F.col(bvar).getField("_id").alias("__t")).dropDuplicates()
 
-    for k in range(1, max_len + 1):
-        step = frontier.join(scan, F.col("__node") == F.col("__from"))
-        core = F.struct(
-            F.col("__r").getField("_id").alias("_id"),
-            F.col("__r").getField("_src").alias("_src"),
-            F.col("__r").getField("_dst").alias("_dst"),
-            F.col("__r").getField("_type").alias("_type"))
-        step = step.select(
-            "__start", F.col("__to").alias("__node"),
-            F.array_append(F.col("__rels"), core).alias("__rels"),
-            F.array_append(F.col("__nodes"), F.col("__to")).alias("__nodes"))
-        # prune: drop (start, node) already reached at a shorter depth
-        step = step.join(visited, ["__start", "__node"], "left_anti")
-        step = step.persist()
-        if step.isEmpty():
-            step.unpersist()
-            break
-        if k >= min_len:
-            hit = step.join(
-                targets,
-                (step["__start"] == targets["__start"])
-                & (step["__node"] == targets["__tgt"]))
-            hit = hit.select(step["__start"], F.col("__tgt"), "__rels", "__nodes")
-            found_parts.append(hit)
-        visited = visited.unionByName(
-            step.select("__start", "__node").dropDuplicates())
-        frontier = step
+    f_levels = _bfs_levels(starts, scan, fb, track_path)
+    b_levels = _bfs_levels(tgts, _reverse_scan(scan), bb, track_path)
 
-    if not found_parts:
-        matched = tr.spark.createDataFrame(
-            [], f"__start long, __tgt long, __rels {rel_core_t}, "
-                f"__nodes array<bigint>")
+    def _cat(levels: List[DataFrame], side: str) -> DataFrame:
+        renames = {"__root": f"__{side}root", "__node": f"__{side}node",
+                   "__depth": f"__{side}d", "__rels": f"__{side}rels",
+                   "__nodes": f"__{side}nodes"}
+        out = None
+        for lvl in levels:
+            r = lvl.select(*[F.col(c).alias(renames[c]) for c in lvl.columns])
+            out = r if out is None else out.unionByName(r)
+        return out
+
+    pf = _cat(f_levels, "f")
+    pb = _cat(b_levels, "b")
+    met = pf.join(pb, F.col("__fnode") == F.col("__bnode"))
+    met = met.withColumn("__len", F.col("__fd") + F.col("__bd")) \
+             .filter((F.col("__len") >= min_len) & (F.col("__len") <= max_len))
+    met = met.join(pairs, (F.col("__froot") == F.col("__s"))
+                   & (F.col("__broot") == F.col("__t")), "left_semi")
+    sel = [F.col("__froot").alias("__s"), F.col("__broot").alias("__t"),
+           F.col("__len")]
+    if track_path:
+        sel += [
+            F.concat(F.col("__frels"), F.reverse("__brels")).alias("__rels"),
+            F.concat(F.col("__fnodes"),
+                     F.slice(F.reverse("__bnodes"), 2, max_len + 1)
+                     ).alias("__nodes")]
+    met = met.select(*sel)
+    # the same path splits at every meet node with fdepth <= fb — dedup
+    if track_path:
+        met = met.dropDuplicates(["__s", "__t", "__rels"])
     else:
-        matched = found_parts[0]
-        for f in found_parts[1:]:
-            matched = matched.unionByName(f)
-    # keep only min-depth per (start, tgt); BFS order already guarantees the
-    # first level a pair appears is minimal, but pairs can re-hit at deeper
-    # levels through alternate nodes — filter with a min-join
-    depths = matched.groupBy("__start", "__tgt").agg(
-        F.min(F.size("__rels")).alias("__mind"))
-    matched = matched.join(depths, ["__start", "__tgt"]).filter(
-        F.size("__rels") == F.col("__mind")).drop("__mind")
+        met = met.dropDuplicates(["__s", "__t", "__len"])
+
+    # keep only min-length per pair (subpath optimality => these are exactly
+    # the shortest paths, and shortest walks never repeat a relationship)
+    depths = met.groupBy("__s", "__t").agg(F.min("__len").alias("__mind"))
+    met = met.join(depths, ["__s", "__t"]) \
+             .filter(F.col("__len") == F.col("__mind")).drop("__mind")
     if not all_shortest:
-        matched = matched.withColumn(
+        order = (F.col("__rels").cast("string") if track_path
+                 else F.col("__len"))
+        met = met.withColumn(
             "__rn", F.row_number().over(
-                W.partitionBy("__start", "__tgt")
-                .orderBy(F.col("__rels").cast("string")))
+                W.partitionBy("__s", "__t").orderBy(order))
         ).filter(F.col("__rn") == 1).drop("__rn")
 
     out = df.join(
-        matched,
-        (F.col(avar).getField("_id") == F.col("__start"))
-        & (F.col(bvar).getField("_id") == F.col("__tgt")))
+        met,
+        (F.col(avar).getField("_id") == F.col("__s"))
+        & (F.col(bvar).getField("_id") == F.col("__t")))
     if part.path_var:
         pvar = part.path_var
         nodes_arr = F.transform(F.col("__nodes"), lambda x: F.struct(x.alias("_id")))
         out = out.withColumn(
             pvar, F.struct(nodes_arr.alias("nodes"), F.col("__rels").alias("rels")))
         tr.kinds[pvar] = "path"
-    return out.drop("__start", "__tgt", "__rels", "__nodes")
+    drop = ["__s", "__t", "__len"] + (["__rels", "__nodes"] if track_path else [])
+    return out.drop(*drop)
