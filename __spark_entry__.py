@@ -303,6 +303,73 @@ def _q_multimodal_decode(spark, sf_dir):
     return decoded.select("doc_id", "width", "height", "channels")
 
 
+# ---------------------------------------------------------------------------
+# Updating operators (SURVEY §2.10) — each runs on an isolated graph copy
+# ---------------------------------------------------------------------------
+
+
+def _write(spark, sf_dir, *statements):
+    from neo4j_spark.api import cypher
+
+    g = _graph(spark, sf_dir).copy()
+    for stmt in statements[:-1]:
+        cypher(spark, stmt, g).collect()
+    return cypher(spark, statements[-1], g)
+
+
+def _q_write_create(spark, sf_dir):
+    return _write(
+        spark, sf_dir,
+        "UNWIND range(1, 100) AS x CREATE (:Tmp {v: x})",
+        "MATCH (t:Tmp) RETURN count(*) AS n, sum(t.v) AS s")
+
+
+def _q_write_set(spark, sf_dir):
+    return _write(
+        spark, sf_dir,
+        "MATCH (c:Customer) WHERE c.acctbal < 0 SET c.poor = true",
+        "MATCH (c:Customer) WHERE c.poor = true RETURN count(*) AS n")
+
+
+def _q_write_set_label(spark, sf_dir):
+    return _write(
+        spark, sf_dir,
+        "MATCH (c:Customer) WHERE c.acctbal >= 9000 SET c:Premium",
+        "MATCH (p:Premium) RETURN count(*) AS n")
+
+
+def _q_write_detach_delete(spark, sf_dir):
+    return _write(
+        spark, sf_dir,
+        "MATCH (s:Supplier) DETACH DELETE s",
+        "MATCH (n) RETURN count(*) AS n")
+
+
+def _q_write_merge(spark, sf_dir):
+    return _write(
+        spark, sf_dir,
+        "MATCH (:Customer)-[:FROM_NATION]->(m:Nation) "
+        "MERGE (n:Nation {nationkey: m.nationkey})",
+        "MATCH (n:Nation) RETURN count(*) AS n")
+
+
+def _q_write_remove(spark, sf_dir):
+    return _write(
+        spark, sf_dir,
+        "MATCH (p:Part) REMOVE p.brand",
+        "MATCH (p:Part) WHERE p.brand IS NULL RETURN count(*) AS n")
+
+
+WRITE_QUERIES = {
+    "write_create": _q_write_create,
+    "write_set_property": _q_write_set,
+    "write_set_label": _q_write_set_label,
+    "write_detach_delete": _q_write_detach_delete,
+    "write_merge": _q_write_merge,
+    "write_remove": _q_write_remove,
+}
+
+
 EXTENSION_QUERIES = {
     "dedup_exact": _q_dedup_exact,
     "dedup_minhash_lsh": _q_dedup_minhash,
@@ -323,6 +390,7 @@ EXTENSION_QUERIES = {
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {name: _cy(text) for name, text in CYPHER_QUERIES.items()}
+    out.update(WRITE_QUERIES)
     out.update(EXTENSION_QUERIES)
     return out
 
@@ -479,6 +547,21 @@ def oracle_sql() -> dict[str, str]:
         "call_db_labels":
             "SELECT label FROM (VALUES ('Customer'), ('Nation'), ('Order'), "
             "('Part'), ('Region'), ('Supplier')) t(label)",
+        # --- updating operators (§2.10) ---
+        "write_create":
+            "SELECT CAST(100 AS BIGINT) AS n, CAST(5050 AS BIGINT) AS s",
+        "write_set_property":
+            "SELECT count(*) AS n FROM customer WHERE c_acctbal < 0",
+        "write_set_label":
+            "SELECT count(*) AS n FROM customer WHERE c_acctbal >= 9000",
+        "write_detach_delete":
+            "SELECT CAST((SELECT count(*) FROM region) + (SELECT count(*) FROM nation)"
+            " + (SELECT count(*) FROM customer) + (SELECT count(*) FROM part)"
+            " + (SELECT count(*) FROM orders) AS BIGINT) AS n",
+        "write_merge":
+            "SELECT count(*) AS n FROM nation",
+        "write_remove":
+            "SELECT count(*) AS n FROM part",
         # --- extensions ---
         "dedup_exact":
             "SELECT lang, count(DISTINCT text) AS n_unique FROM documents "

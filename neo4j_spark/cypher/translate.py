@@ -80,6 +80,15 @@ class Translator:
             df = self._apply(df, clause)
         if df is None:
             raise TranslateError("query produced no rowstream")
+        has_return = any(
+            isinstance(c, A.Projection) and c.is_return for c in q.clauses)
+        if not has_return and hasattr(self, "effects"):
+            # update-only statement: EmptyResult (LP:1955) — force the write
+            # side effects, return the effect counters as the result row
+            from ..operators.writes import effects_frame
+
+            df.count()
+            return effects_frame(self)
         return df
 
     # -------------------------------------------------------------- helpers
@@ -109,6 +118,18 @@ class Translator:
             return sub_df
         if isinstance(clause, A.LoadCSV):
             return self._load_csv(df, clause)
+        from ..operators import writes as W
+
+        if isinstance(clause, A.Create):
+            return W.apply_create(self, df, clause)
+        if isinstance(clause, A.Merge):
+            return W.apply_merge(self, df, clause)
+        if isinstance(clause, A.SetClause):
+            return W.apply_set(self, df, clause.items)
+        if isinstance(clause, A.RemoveClause):
+            return W.apply_remove(self, df, clause.items)
+        if isinstance(clause, A.Delete):
+            return W.apply_delete(self, df, clause)
         raise TranslateError(f"unsupported clause {type(clause).__name__}")
 
     # ---- MATCH -----------------------------------------------------------

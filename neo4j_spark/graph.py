@@ -47,6 +47,21 @@ class PropertyGraph:
     ) -> None:
         self.node_frames = dict(node_frames)
         self.rel_frames = dict(rel_frames)
+        # labels added by SET/CREATE that are not shard keys: scans for them
+        # must fall back to a full union filter instead of shard pruning
+        self._extra_labels: set = set()
+        self._write_epoch = 0
+
+    def note_extra_label(self, label: str) -> None:
+        if label not in self.node_frames:
+            self._extra_labels.add(label)
+
+    def copy(self) -> "PropertyGraph":
+        """Cheap snapshot: shares the (immutable) frames, isolates writes."""
+        g = PropertyGraph(self.node_frames, self.rel_frames)
+        g._extra_labels = set(self._extra_labels)
+        g._write_epoch = self._write_epoch
+        return g
 
     # ---- scans (leaf operators, SURVEY §2.1) ----------------------------
 
@@ -66,9 +81,13 @@ class PropertyGraph:
         scan touches only the relevant parquet."""
         if not labels:
             return self.nodes
-        cands = [
-            df for lbl, df in self.node_frames.items() if lbl in labels
-        ]
+        if any(l in self._extra_labels for l in labels):
+            # mutated label: shard keys no longer cover it — full union filter
+            cands = [self.nodes]
+        else:
+            cands = [
+                df for lbl, df in self.node_frames.items() if lbl in labels
+            ]
         if not cands:
             # label unknown to the catalog -> empty frame with unified schema
             return self.nodes.limit(0)
@@ -80,7 +99,10 @@ class PropertyGraph:
 
     def nodes_for_any_labels(self, labels: Sequence[str]) -> DataFrame:
         """UnionNodeByLabelsScan (LP:4748): nodes having ANY of ``labels``."""
-        cands = [df for lbl, df in self.node_frames.items() if lbl in labels]
+        if any(l in self._extra_labels for l in labels):
+            cands = [self.nodes]
+        else:
+            cands = [df for lbl, df in self.node_frames.items() if lbl in labels]
         if not cands:
             return self.nodes.limit(0)
         df = _union_by_name(cands)

@@ -1,0 +1,384 @@
+"""Updating operators: CREATE / MERGE / SET / REMOVE / DELETE (SURVEY §2.10).
+
+The reference executes writes as pipes over a transactional store
+(``pipes/CreatePipe.scala:45``, ``pipes/MergePipe.scala:31``,
+``pipes/SetPipe.scala:26`` + ``SetOperation.scala``,
+``pipes/DeletePipe.scala:34``).  In a batch engine a write is a staged
+DataFrame rewrite of the graph's shard frames (SURVEY §2.10 Spark mapping):
+
+- CREATE  -> append a delta frame to the label/type shard
+- SET     -> join shard with an (id, value) mapping, conditional overwrite
+- REMOVE  -> same, writing NULL / array_except on labels
+- DELETE  -> anti-join removal; DETACH also removes incident rels; plain
+             DELETE of a still-connected node raises (constraint check,
+             like the reference's NodeEntity.delete)
+- MERGE   -> left join against the pattern; per *distinct* missing key one
+             row is created (the batch rendering of MERGE's
+             match-or-create-once semantics), then ON MATCH / ON CREATE
+             SET items are applied to their halves.
+
+Scale notes: deltas are ``localCheckpoint``-ed — they are tiny relative to
+the store and freezing them keeps allocated ids stable across downstream
+actions; shard rewrites stay lazy (one columnar rewrite when persisted).
+New ids are ``monotonically_increasing_id`` under a per-statement epoch
+base — partition-parallel, no global window.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..cypher import ast as A
+
+WRITE_BASE = 900 * 10**12
+EPOCH_SPAN = 10**9
+
+EFFECT_KEYS = ("nodes_created", "rels_created", "props_set", "labels_added",
+               "labels_removed", "nodes_deleted", "rels_deleted")
+
+
+def _epoch_base(tr) -> int:
+    epoch = getattr(tr.graph, "_write_epoch", 0)
+    tr.graph._write_epoch = epoch + 1
+    return WRITE_BASE + epoch * EPOCH_SPAN
+
+
+def _ensure_effects(tr) -> Dict[str, int]:
+    if not hasattr(tr, "effects"):
+        tr.effects = {k: 0 for k in EFFECT_KEYS}
+    return tr.effects
+
+
+def effects_frame(tr) -> DataFrame:
+    eff = _ensure_effects(tr)
+    return tr.spark.createDataFrame(
+        [tuple(eff[k] for k in EFFECT_KEYS)],
+        ", ".join(f"{k} long" for k in EFFECT_KEYS))
+
+
+# ---- CREATE ---------------------------------------------------------------
+
+
+def apply_create(tr, df: Optional[DataFrame], clause: A.Create) -> DataFrame:
+    _ensure_effects(tr)
+    if df is None:
+        df = tr.spark.range(1).select(F.lit(1).alias("__one"))
+    for part in clause.parts:
+        df = _create_part(tr, df, part)
+    return df
+
+
+def _props_struct(tr, df: DataFrame, props: Optional[A.MapLit]) -> List[Tuple[str, Column]]:
+    if props is None:
+        return []
+    cc = tr._compiler(df)
+    return [(k, cc.compile(v)) for k, v in props.items]
+
+
+def _create_part(tr, df: DataFrame, part: A.PatternPart) -> DataFrame:
+    els = part.elements
+    df, prev = _create_or_ref_node(tr, df, els[0])
+    i = 1
+    while i < len(els):
+        rp: A.RelPat = els[i]
+        np: A.NodePat = els[i + 1]
+        df, nvar = _create_or_ref_node(tr, df, np)
+        df = _create_rel(tr, df, rp, prev, nvar)
+        prev = nvar
+        i += 2
+    return df
+
+
+def _create_or_ref_node(tr, df: DataFrame, np: A.NodePat) -> Tuple[DataFrame, str]:
+    var = np.var or tr._anon_var("cn")
+    if var in df.columns:
+        return df, var
+    base = _epoch_base(tr)
+    labels = list(np.labels) or ["_none"]
+    prop_cols = _props_struct(tr, df, np.props)
+    df = df.withColumn("__newid", F.lit(base) + F.monotonically_increasing_id())
+    df = df.localCheckpoint(eager=True)  # freeze allocated ids
+    struct = F.struct(
+        F.col("__newid").alias("_id"),
+        F.array(*[F.lit(l) for l in labels]).alias("_labels"),
+        *[c.alias(k) for k, c in prop_cols])
+    df = df.withColumn(var, struct).drop("__newid")
+    delta = df.select(
+        F.col(var).getField("_id").alias("id"),
+        F.col(var).getField("_labels").alias("labels"),
+        *[F.col(var).getField(k).alias(k) for k, _ in prop_cols])
+    shard = labels[0]
+    old = tr.graph.node_frames.get(shard)
+    tr.graph.node_frames[shard] = (
+        delta if old is None
+        else old.unionByName(delta, allowMissingColumns=True))
+    for extra in labels[1:]:
+        tr.graph.note_extra_label(extra)
+    tr.effects["nodes_created"] += delta.count()
+    tr.kinds[var] = "node"
+    return df, var
+
+
+def _create_rel(tr, df: DataFrame, rp: A.RelPat, prev: str, nvar: str) -> DataFrame:
+    if len(rp.types) != 1:
+        raise ValueError("CREATE relationship requires exactly one type")
+    if rp.direction == "both":
+        raise ValueError("CREATE relationship requires a direction")
+    rtype = rp.types[0]
+    rvar = rp.var or tr._anon_var("cr")
+    base = _epoch_base(tr)
+    prop_cols = _props_struct(tr, df, rp.props)
+    src_var, dst_var = (prev, nvar) if rp.direction == "out" else (nvar, prev)
+    df = df.withColumn("__newrid", F.lit(base) + F.monotonically_increasing_id())
+    df = df.localCheckpoint(eager=True)
+    struct = F.struct(
+        F.col("__newrid").alias("_id"),
+        F.col(src_var).getField("_id").alias("_src"),
+        F.col(dst_var).getField("_id").alias("_dst"),
+        F.lit(rtype).alias("_type"),
+        *[c.alias(k) for k, c in prop_cols])
+    df = df.withColumn(rvar, struct).drop("__newrid")
+    delta = df.select(
+        F.col(rvar).getField("_id").alias("id"),
+        F.col(rvar).getField("_src").alias("src"),
+        F.col(rvar).getField("_dst").alias("dst"),
+        F.col(rvar).getField("_type").alias("type"),
+        *[F.col(rvar).getField(k).alias(k) for k, _ in prop_cols])
+    old = tr.graph.rel_frames.get(rtype)
+    tr.graph.rel_frames[rtype] = (
+        delta if old is None
+        else old.unionByName(delta, allowMissingColumns=True))
+    tr.effects["rels_created"] += delta.count()
+    tr.kinds[rvar] = "rel"
+    return df
+
+
+# ---- SET / REMOVE ---------------------------------------------------------
+
+
+def apply_set(tr, df: DataFrame, items: List[A.SetItem]) -> DataFrame:
+    _ensure_effects(tr)
+    for it in items:
+        df = _set_item(tr, df, it)
+    return df
+
+
+def apply_remove(tr, df: DataFrame, items: List[A.SetItem]) -> DataFrame:
+    _ensure_effects(tr)
+    for it in items:
+        if isinstance(it.target, A.HasLabels):
+            df = _mutate_labels(tr, df, it.target, add=False)
+        else:
+            df = _set_item(tr, df, A.SetItem(it.target, A.Lit(None), "set"))
+    return df
+
+
+def _set_item(tr, df: DataFrame, it: A.SetItem) -> DataFrame:
+    if it.op == "add_labels":
+        return _mutate_labels(tr, df, it.target, add=True)
+    if it.op in ("merge_map", "replace_map"):
+        var = it.target.name
+        if not isinstance(it.value, A.MapLit):
+            raise ValueError("SET var = / += expects a map literal")
+        if it.op == "replace_map":
+            df = _clear_props(tr, df, var)
+        for k, v in it.value.items:
+            df = _set_item(tr, df, A.SetItem(A.Prop(A.Var(var), k), v, "set"))
+        return df
+    # plain `n.key = expr`
+    assert isinstance(it.target, A.Prop) and isinstance(it.target.subject, A.Var)
+    var, key = it.target.subject.name, it.target.key
+    kind = tr.kinds.get(var)
+    val = tr._compiler(df).compile(it.value)
+    df = df.withColumn("__setval", val)
+    mapping = df.select(F.col(var).getField("_id").alias("__tid"),
+                        F.col("__setval")).dropDuplicates(["__tid"]) \
+                .localCheckpoint(eager=True)
+    frames = tr.graph.rel_frames if kind == "rel" else tr.graph.node_frames
+    for name, frame in list(frames.items()):
+        joined = frame.join(mapping, frame["id"] == mapping["__tid"], "left")
+        old = F.col(key) if key in frame.columns else F.lit(None)
+        frames[name] = joined.withColumn(
+            key, F.when(F.col("__tid").isNotNull(), F.col("__setval"))
+                  .otherwise(old)).drop("__tid", "__setval")
+    tr.effects["props_set"] += mapping.count()
+    # the bound struct sees the new value for the rest of the statement
+    df = df.withColumn(var, F.col(var).withField(key, F.col("__setval")))
+    return df.drop("__setval")
+
+
+def _clear_props(tr, df: DataFrame, var: str) -> DataFrame:
+    kind = tr.kinds.get(var)
+    meta = ("id", "src", "dst", "type") if kind == "rel" else ("id", "labels")
+    ids = df.select(F.col(var).getField("_id").alias("__tid")) \
+            .dropDuplicates().localCheckpoint(eager=True)
+    frames = tr.graph.rel_frames if kind == "rel" else tr.graph.node_frames
+    for name, frame in list(frames.items()):
+        props = [c for c in frame.columns if c not in meta]
+        joined = frame.join(ids, frame["id"] == ids["__tid"], "left")
+        for p in props:
+            joined = joined.withColumn(
+                p, F.when(F.col("__tid").isNotNull(), F.lit(None))
+                    .otherwise(F.col(p)))
+        frames[name] = joined.drop("__tid")
+    return df
+
+
+def _mutate_labels(tr, df: DataFrame, target: A.HasLabels, add: bool) -> DataFrame:
+    var = target.subject.name
+    labels = F.array(*[F.lit(l) for l in target.labels])
+    ids = df.select(F.col(var).getField("_id").alias("__tid")) \
+            .dropDuplicates().localCheckpoint(eager=True)
+    op = F.array_union if add else F.array_except
+    for name, frame in list(tr.graph.node_frames.items()):
+        joined = frame.join(ids, frame["id"] == ids["__tid"], "left")
+        tr.graph.node_frames[name] = joined.withColumn(
+            "labels", F.when(F.col("__tid").isNotNull(),
+                             op(F.col("labels"), labels))
+                       .otherwise(F.col("labels"))).drop("__tid")
+    n = ids.count() * len(target.labels)
+    if add:
+        tr.effects["labels_added"] += n
+        for l in target.labels:
+            tr.graph.note_extra_label(l)
+    else:
+        tr.effects["labels_removed"] += n
+    df = df.withColumn(var, F.col(var).withField(
+        "_labels", op(F.col(var).getField("_labels"), labels)))
+    return df
+
+
+# ---- DELETE ---------------------------------------------------------------
+
+
+def apply_delete(tr, df: DataFrame, clause: A.Delete) -> DataFrame:
+    _ensure_effects(tr)
+    for e in clause.exprs:
+        if not isinstance(e, A.Var):
+            raise ValueError("DELETE expects bound variables")
+        kind = tr.kinds.get(e.name)
+        ids = df.select(F.col(e.name).getField("_id").alias("__tid")) \
+                .dropDuplicates().localCheckpoint(eager=True)
+        if kind == "rel":
+            _delete_rels_by_id(tr, ids)
+        else:
+            incident = 0
+            for frame in tr.graph.rel_frames.values():
+                incident += frame.join(
+                    ids, (frame["src"] == ids["__tid"])
+                    | (frame["dst"] == ids["__tid"]), "left_semi").count()
+            if incident and not clause.detach:
+                raise ValueError(
+                    "Cannot delete node(s) with existing relationships — "
+                    "use DETACH DELETE")
+            if incident:
+                for name, frame in list(tr.graph.rel_frames.items()):
+                    kept = frame.join(
+                        ids, (frame["src"] == ids["__tid"])
+                        | (frame["dst"] == ids["__tid"]), "left_anti")
+                    tr.graph.rel_frames[name] = kept
+                tr.effects["rels_deleted"] += incident
+            for name, frame in list(tr.graph.node_frames.items()):
+                tr.graph.node_frames[name] = frame.join(
+                    ids, frame["id"] == ids["__tid"], "left_anti")
+            tr.effects["nodes_deleted"] += ids.count()
+    return df
+
+
+def _delete_rels_by_id(tr, ids: DataFrame) -> None:
+    for name, frame in list(tr.graph.rel_frames.items()):
+        tr.graph.rel_frames[name] = frame.join(
+            ids, frame["id"] == ids["__tid"], "left_anti")
+    tr.effects["rels_deleted"] += ids.count()
+
+
+# ---- MERGE ----------------------------------------------------------------
+
+
+def apply_merge(tr, df: Optional[DataFrame], clause: A.Merge) -> DataFrame:
+    _ensure_effects(tr)
+    if df is None:
+        df = tr.spark.range(1).select(F.lit(1).alias("__one"))
+    els = clause.part.elements
+    if len(els) == 1:
+        return _merge_node(tr, df, clause)
+    if len(els) == 3:
+        return _merge_rel(tr, df, clause)
+    raise ValueError("MERGE supports single-node or single-rel patterns")
+
+
+def _merge_node(tr, df: DataFrame, clause: A.Merge) -> DataFrame:
+    np: A.NodePat = clause.part.elements[0]
+    var = np.var or tr._anon_var("mn")
+    if var in df.columns:
+        return df
+    cc = tr._compiler(df)
+    prop_items = list(np.props.items) if np.props is not None else []
+    scan = tr._node_scan(np, var)
+    fields = scan.schema[var].dataType.fieldNames()
+    cond = F.lit(True)
+    for k, v in prop_items:
+        # a property key absent from the scan schema can never match
+        lhs = F.col(var).getField(k) if k in fields else F.lit(None)
+        cond = cond & (lhs == cc.compile(v))
+    joined = df.join(scan, cond, "left")
+    matched = joined.filter(F.col(var).isNotNull())
+    missing = joined.filter(F.col(var).isNull()).drop(var)
+    tr.kinds[var] = "node"
+
+    # one creation per distinct key combination (match-or-create-once)
+    key_cols = [cc_k for cc_k, _ in prop_items]
+    cc_m = tr._compiler(missing)
+    with_keys = missing
+    for k, v in prop_items:
+        with_keys = with_keys.withColumn(f"__mk_{k}", cc_m.compile(v))
+    distinct_keys = with_keys.select(
+        *[F.col(f"__mk_{k}") for k in key_cols]).dropDuplicates()
+    created_keys = apply_create(
+        tr, distinct_keys,
+        A.Create([A.PatternPart([A.NodePat(
+            var, list(np.labels), False,
+            A.MapLit([(k, A.Var(f"__mk_{k}")) for k in key_cols])
+            if prop_items else None, None)])]))
+    created = with_keys.join(
+        created_keys,
+        [F.lit(True)] if not key_cols else
+        [with_keys[f"__mk_{k}"].eqNullSafe(created_keys[f"__mk_{k}"])
+         for k in key_cols])
+    created = created.drop(*[f"__mk_{k}" for k in key_cols])
+    created = created.drop(*[c for c in created.columns
+                             if c.startswith("__mk_")])
+
+    if clause.on_match:
+        matched = apply_set(tr, matched, clause.on_match)
+    if clause.on_create:
+        created = apply_set(tr, created, clause.on_create)
+    return matched.unionByName(created, allowMissingColumns=True)
+
+
+def _merge_rel(tr, df: DataFrame, clause: A.Merge) -> DataFrame:
+    a_pat, rp, b_pat = clause.part.elements
+    if not (a_pat.var and a_pat.var in df.columns
+            and b_pat.var and b_pat.var in df.columns):
+        raise ValueError("MERGE relationship requires both endpoints bound")
+    rvar = rp.var or tr._anon_var("mr")
+    scan = tr._rel_scan(rp, rvar)
+    cond = ((F.col(a_pat.var).getField("_id") == F.col("__from"))
+            & (F.col(b_pat.var).getField("_id") == F.col("__to")))
+    joined = df.join(scan, cond, "left").drop("__from", "__to")
+    matched = joined.filter(F.col(rvar).isNotNull())
+    missing = joined.filter(F.col(rvar).isNull()).drop(rvar)
+    tr.kinds[rvar] = "rel"
+    missing = missing.dropDuplicates()  # one rel per distinct binding
+    created = apply_create(
+        tr, missing,
+        A.Create([A.PatternPart([
+            A.NodePat(a_pat.var, [], False, None, None), rp,
+            A.NodePat(b_pat.var, [], False, None, None)])]))
+    if clause.on_match:
+        matched = apply_set(tr, matched, clause.on_match)
+    if clause.on_create:
+        created = apply_set(tr, created, clause.on_create)
+    return matched.unionByName(created, allowMissingColumns=True)
