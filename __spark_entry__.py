@@ -187,7 +187,120 @@ CYPHER_QUERIES = {
         "toLower(s.name) AS lname, reverse(s.name) AS rname, "
         "size(s.name) AS len ORDER BY suppkey",
     "call_db_labels": "CALL db.labels() YIELD label RETURN label",
+    # --- scans (§2.1, widened) ---
+    "rel_by_id_seek":
+        "MATCH ()-[l:CONTAINS]->() WHERE id(l) = 15000000000001 "
+        "RETURN l.quantity AS q",
+    "all_rels_scan": "MATCH ()-[r]->() RETURN count(*) AS n",
+    "intersection_label_scan":
+        "MATCH (n:Customer:Customer) RETURN count(*) AS n",
+    # --- joins / apply (§2.3, §2.5, widened) ---
+    "triadic_selection":
+        "MATCH (c1:Customer)-[:FROM_NATION]->(n:Nation)"
+        "<-[:FROM_NATION]-(c2:Customer) "
+        "WHERE c1.custkey < c2.custkey AND c2.acctbal > 9000 "
+        "AND NOT EXISTS { (c1)-[:PLACED]->()<-[:PLACED]-(c2) } "
+        "RETURN count(*) AS n",
+    "optional_match_where":
+        "MATCH (c:Customer) OPTIONAL MATCH (c)-[:PLACED]->(o:Order) "
+        "WHERE o.totalprice > 100000 "
+        "RETURN c.custkey AS ck, count(o) AS n",
+    "call_subquery":
+        "MATCH (r:Region) CALL { MATCH (n:Nation) RETURN count(*) AS nn } "
+        "RETURN r.name AS name, nn ORDER BY name",
+    "call_subquery_correlated":
+        "MATCH (r:Region) CALL { WITH r "
+        "MATCH (n:Nation)-[:IN_REGION]->(r) RETURN count(*) AS nn } "
+        "RETURN r.name AS name, nn ORDER BY name",
+    # --- horizons (§2.4/§2.6, widened) ---
+    "with_pipeline":
+        "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+        "WITH c, count(o) AS n_orders WHERE n_orders > 5 "
+        "RETURN count(*) AS n",
+    "with_orderby_limit":
+        "MATCH (o:Order) WITH o ORDER BY o.totalprice DESC LIMIT 5 "
+        "RETURN round(sum(o.totalprice), 2) AS s",
+    "skip_no_limit":
+        "MATCH (n:Nation) RETURN n.name AS name ORDER BY name SKIP 20",
+    "percentile_disc":
+        "MATCH (o:Order) RETURN percentileDisc(o.totalprice, 0.5) AS p",
+    "collect_agg":
+        "MATCH (n:Nation)-[:IN_REGION]->(r:Region) "
+        "RETURN r.name AS region, size(collect(n.name)) AS n ORDER BY region",
+    # --- QPP / trail (§2.3 Trail LP:3977) ---
+    "qpp_fixed":
+        "MATCH (c:Customer) ((x)-[:FROM_NATION|IN_REGION]->(y)){2,2} "
+        "(r:Region) RETURN count(*) AS n",
+    "qpp_range":
+        "MATCH (c:Customer {custkey: 1}) ((x)-[e]->(y)){1,2} (z) "
+        "RETURN count(*) AS n",
+    "qpp_group_rels":
+        "MATCH ((a:Nation)-[r:IN_REGION]->(b:Region)){1,1} "
+        "RETURN size(r) AS nr, count(*) AS n",
+    # --- expressions / functions (§2.8, widened) ---
+    "quantifiers":
+        "RETURN all(x IN [2, 4, 6] WHERE x % 2 = 0) AS a, "
+        "any(x IN [1, 3] WHERE x > 2) AS b, "
+        "none(x IN [1] WHERE x > 5) AS c, "
+        "single(x IN [1, 2, 3] WHERE x = 2) AS d",
+    "reduce_expr":
+        "RETURN reduce(acc = 0, x IN range(1, 10) | acc + x) AS s",
+    "head_last_tail":
+        "RETURN head([1, 2, 3]) AS h, last([1, 2, 3]) AS l, "
+        "size(tail([1, 2, 3])) AS t",
+    "coalesce_fn":
+        "MATCH (c:Customer) RETURN coalesce(c.missing, c.mktsegment) AS v, "
+        "count(*) AS n",
+    "case_searched":
+        "MATCH (o:Order) RETURN CASE WHEN o.totalprice > 200000 THEN 'big' "
+        "WHEN o.totalprice > 100000 THEN 'mid' ELSE 'small' END AS bucket, "
+        "count(*) AS n",
+    "string_plus_concat":
+        "MATCH (r:Region) RETURN r.name + '_x' AS v ORDER BY v",
+    "list_membership":
+        "MATCH (o:Order) WHERE o.orderpriority IN ['1-URGENT', '2-HIGH'] "
+        "RETURN count(*) AS n",
+    "regex_full_match":
+        "MATCH (p:Part) WHERE p.name =~ '.*widget' RETURN count(*) AS n",
+    "xor_predicate":
+        "MATCH (c:Customer) WHERE c.acctbal > 5000 XOR "
+        "c.mktsegment = 'BUILDING' RETURN count(*) AS n",
+    "vector_similarity_fn":
+        "RETURN round(vector.similarity.cosine([1.0, 2.0, 3.0], "
+        "[3.0, 2.0, 1.0]), 6) AS s",
+    "point_distance_fn":
+        "RETURN point.distance(point({x: 0.0, y: 0.0}), "
+        "point({x: 3.0, y: 4.0})) AS d",
+    # --- set ops / unwind (§2.7, widened) ---
+    "union_three_way":
+        "MATCH (r:Region) RETURN r.name AS name "
+        "UNION MATCH (n:Nation) RETURN n.name AS name "
+        "UNION MATCH (s:Supplier) RETURN s.name AS name",
+    "unwind_cross":
+        "UNWIND [1, 2, 3] AS x UNWIND ['a', 'b'] AS y RETURN x, y",
+    # --- procedures (§2.11, widened) ---
+    "call_db_rel_types":
+        "CALL db.relationshipTypes() YIELD relationshipType "
+        "RETURN relationshipType",
+    "call_db_property_keys":
+        "CALL db.propertyKeys() YIELD propertyKey RETURN propertyKey",
+    "call_fulltext_query":
+        "CALL db.index.fulltext.queryNodes('name', 'widget') "
+        "YIELD node, score RETURN count(*) AS n",
 }
+
+
+def _q_call_vector(spark, sf_dir):
+    from neo4j_spark.api import cypher
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return cypher(
+        spark,
+        "CALL db.index.vector.queryNodes('embedding', 5, $qvec) "
+        "YIELD node, score RETURN node, round(score, 6) AS score",
+        _graph(spark, sf_dir), {"qvec": qvec})
 
 
 # ---------------------------------------------------------------------------
@@ -390,6 +503,7 @@ EXTENSION_QUERIES = {
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {name: _cy(text) for name, text in CYPHER_QUERIES.items()}
+    out["call_vector_query"] = _q_call_vector
     out.update(WRITE_QUERIES)
     out.update(EXTENSION_QUERIES)
     return out
@@ -404,7 +518,9 @@ def oracle_sql() -> dict[str, str]:
         "all_nodes_scan":
             "SELECT CAST((SELECT count(*) FROM region) + (SELECT count(*) FROM nation)"
             " + (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)"
-            " + (SELECT count(*) FROM part) + (SELECT count(*) FROM orders) AS BIGINT) AS n",
+            " + (SELECT count(*) FROM part) + (SELECT count(*) FROM orders)"
+            " + (SELECT count(*) FROM documents) + (SELECT count(*) FROM embeddings)"
+            " AS BIGINT) AS n",
         "node_by_label_scan": "SELECT count(*) AS n FROM customer",
         "node_by_id_seek":
             "SELECT c_name AS name FROM customer WHERE c_custkey = 42",
@@ -545,8 +661,118 @@ def oracle_sql() -> dict[str, str]:
             "reverse(s_name) AS rname, CAST(length(s_name) AS BIGINT) AS len "
             "FROM supplier ORDER BY suppkey",
         "call_db_labels":
-            "SELECT label FROM (VALUES ('Customer'), ('Nation'), ('Order'), "
-            "('Part'), ('Region'), ('Supplier')) t(label)",
+            "SELECT label FROM (VALUES ('Customer'), ('Document'), "
+            "('Embedding'), ('Nation'), ('Order'), ('Part'), ('Region'), "
+            "('Supplier')) t(label)",
+        # --- widened coverage ---
+        "rel_by_id_seek":
+            "SELECT l_quantity AS q FROM lineitem "
+            "WHERE l_orderkey * 8 + l_linenumber = 1",
+        "all_rels_scan":
+            "SELECT CAST((SELECT count(*) FROM nation)"
+            " + (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)"
+            " + (SELECT count(*) FROM orders)"
+            " + 2 * (SELECT count(*) FROM lineitem) AS BIGINT) AS n",
+        "intersection_label_scan":
+            "SELECT count(*) AS n FROM customer",
+        "triadic_selection":
+            "SELECT count(*) AS n FROM customer c1 JOIN customer c2 "
+            "ON c1.c_nationkey = c2.c_nationkey "
+            "AND c1.c_custkey < c2.c_custkey WHERE c2.c_acctbal > 9000",
+        "optional_match_where":
+            "SELECT c_custkey AS ck, count(o_orderkey) AS n FROM customer "
+            "LEFT JOIN orders ON o_custkey = c_custkey "
+            "AND o_totalprice > 100000 GROUP BY c_custkey",
+        "call_subquery":
+            "SELECT r_name AS name, (SELECT count(*) FROM nation) AS nn "
+            "FROM region ORDER BY name",
+        "call_subquery_correlated":
+            "SELECT r_name AS name, (SELECT count(*) FROM nation "
+            "WHERE n_regionkey = r_regionkey) AS nn FROM region ORDER BY name",
+        "with_pipeline":
+            "SELECT count(*) AS n FROM (SELECT o_custkey FROM orders "
+            "GROUP BY o_custkey HAVING count(*) > 5)",
+        "with_orderby_limit":
+            "SELECT round(sum(o_totalprice), 2) AS s FROM "
+            "(SELECT o_totalprice FROM orders ORDER BY o_totalprice DESC "
+            "LIMIT 5)",
+        "skip_no_limit":
+            "SELECT n_name AS name FROM nation ORDER BY name OFFSET 20",
+        "percentile_disc":
+            "SELECT quantile_disc(o_totalprice, 0.5) AS p FROM orders",
+        "collect_agg":
+            "SELECT r_name AS region, count(*) AS n FROM nation "
+            "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name "
+            "ORDER BY region",
+        "qpp_fixed":
+            "SELECT count(*) AS n FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey",
+        "qpp_range":
+            "SELECT CAST((SELECT count(*) FROM orders WHERE o_custkey = 1) + 1"
+            " + 2 * (SELECT count(*) FROM lineitem JOIN orders "
+            "ON l_orderkey = o_orderkey WHERE o_custkey = 1) + 1 AS BIGINT) AS n",
+        "qpp_group_rels":
+            "SELECT CAST(1 AS BIGINT) AS nr, count(*) AS n FROM nation "
+            "GROUP BY 1",
+        "quantifiers":
+            "SELECT true AS a, true AS b, true AS c, true AS d",
+        "reduce_expr": "SELECT CAST(55 AS BIGINT) AS s",
+        "head_last_tail":
+            "SELECT CAST(1 AS BIGINT) AS h, CAST(3 AS BIGINT) AS l, "
+            "CAST(2 AS BIGINT) AS t",
+        "coalesce_fn":
+            "SELECT c_mktsegment AS v, count(*) AS n FROM customer "
+            "GROUP BY c_mktsegment",
+        "case_searched":
+            "SELECT CASE WHEN o_totalprice > 200000 THEN 'big' "
+            "WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS bucket, "
+            "count(*) AS n FROM orders GROUP BY 1",
+        "string_plus_concat":
+            "SELECT r_name || '_x' AS v FROM region ORDER BY v",
+        "list_membership":
+            "SELECT count(*) AS n FROM orders "
+            "WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')",
+        "regex_full_match":
+            "SELECT count(*) AS n FROM part WHERE regexp_full_match(p_name, "
+            "'.*widget')",
+        "xor_predicate":
+            "SELECT count(*) AS n FROM customer WHERE "
+            "(c_acctbal > 5000) <> (c_mktsegment = 'BUILDING')",
+        "vector_similarity_fn":
+            "SELECT round(list_cosine_similarity([1.0, 2.0, 3.0]::DOUBLE[], "
+            "[3.0, 2.0, 1.0]::DOUBLE[]), 6) AS s",
+        "point_distance_fn":
+            "SELECT 5.0 AS d",
+        "union_three_way":
+            "SELECT r_name AS name FROM region "
+            "UNION SELECT n_name AS name FROM nation "
+            "UNION SELECT s_name AS name FROM supplier",
+        "unwind_cross":
+            "SELECT CAST(x AS BIGINT) AS x, y FROM "
+            "(SELECT unnest([1, 2, 3]) AS x) CROSS JOIN "
+            "(SELECT unnest(['a', 'b']) AS y)",
+        "call_db_rel_types":
+            "SELECT relationshipType FROM (VALUES ('CONTAINS'), "
+            "('FROM_NATION'), ('IN_REGION'), ('PLACED'), ('SUPPLIED_BY')) "
+            "t(relationshipType)",
+        "call_db_property_keys":
+            "SELECT propertyKey FROM (VALUES ('acctbal'), ('brand'), ('cls'), "
+            "('custkey'), ('docid'), ('embedding'), ('lang'), ('mktsegment'), "
+            "('name'), ('nationkey'), ('orderdate'), ('orderkey'), "
+            "('orderpriority'), ('orderstatus'), ('partkey'), ('regionkey'), "
+            "('retailprice'), ('size'), ('source'), ('suppkey'), ('text'), "
+            "('totalprice'), ('type'), ('vecid')) t(propertyKey)",
+        "call_fulltext_query":
+            "SELECT count(*) AS n FROM part WHERE p_name LIKE '%widget%'",
+        "call_vector_query":
+            "SELECT CAST(8000000000000 + vec_id AS BIGINT) AS node, "
+            "round(list_cosine_similarity(embedding::DOUBLE[], "
+            "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) "
+            "AS score FROM embeddings "
+            "ORDER BY list_cosine_similarity(embedding::DOUBLE[], "
+            "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) "
+            "DESC, node LIMIT 5",
         # --- updating operators (§2.10) ---
         "write_create":
             "SELECT CAST(100 AS BIGINT) AS n, CAST(5050 AS BIGINT) AS s",
@@ -557,7 +783,9 @@ def oracle_sql() -> dict[str, str]:
         "write_detach_delete":
             "SELECT CAST((SELECT count(*) FROM region) + (SELECT count(*) FROM nation)"
             " + (SELECT count(*) FROM customer) + (SELECT count(*) FROM part)"
-            " + (SELECT count(*) FROM orders) AS BIGINT) AS n",
+            " + (SELECT count(*) FROM orders)"
+            " + (SELECT count(*) FROM documents) + (SELECT count(*) FROM embeddings)"
+            " AS BIGINT) AS n",
         "write_merge":
             "SELECT count(*) AS n FROM nation",
         "write_remove":

@@ -207,8 +207,17 @@ class RelPat:
 
 
 @dataclass
+class QPP:
+    """Quantified path pattern ``((a)-[r:T]->(b)){m,n}`` (Trail, LP:3977)."""
+
+    elements: List[Any]  # the repeated unit: NodePat, RelPat, ..., NodePat
+    min_reps: int = 1
+    max_reps: Optional[int] = None
+
+
+@dataclass
 class PatternPart:
-    elements: List[Any]  # NodePat, RelPat, NodePat, ...
+    elements: List[Any]  # NodePat, RelPat, NodePat (or QPP between nodes)
     path_var: Optional[str] = None
     selector: Optional[str] = None  # shortest | allShortest
 
@@ -319,6 +328,15 @@ class RemoveClause(Clause):
 class Delete(Clause):
     exprs: List[Expr]
     detach: bool = False
+
+
+@dataclass
+class Foreach(Clause):
+    """FOREACH (x IN list | update-clauses) (LP:2336)."""
+
+    var: str
+    source: Expr
+    updates: List[Clause] = field(default_factory=list)
 
 
 # --------------------------------------------------------------------------

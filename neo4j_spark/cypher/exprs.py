@@ -67,6 +67,11 @@ class ExprCompiler:
     # ---- type resolution -------------------------------------------------
 
     def dtype_of(self, col: Column) -> Optional[T.DataType]:
+        if self.locals:
+            # inside a lambda scope: the column may reference a lambda var,
+            # which can never resolve against the frame (and the attempt
+            # logs a JVM-side analysis error) — rely on _local_types instead
+            return None
         try:
             if self.df is not None:
                 return self.df.select(col.alias("_t")).schema[0].dataType

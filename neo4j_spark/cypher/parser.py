@@ -184,6 +184,18 @@ class Parser:
                     continue
                 break
             return A.RemoveClause(items)
+        if self.at_kw("FOREACH"):
+            self.take()
+            self.expect_op("(")
+            var = self.expect_ident()
+            self.expect_kw("IN")
+            source = self.parse_expr()
+            self.expect_op("|")
+            updates: List[A.Clause] = []
+            while not self.at_op(")"):
+                updates.append(self.parse_clause())
+            self.expect_op(")")
+            return A.Foreach(var, source, updates)
         if self.at_kw("DETACH"):
             self.take()
             self.expect_kw("DELETE")
@@ -248,9 +260,28 @@ class Parser:
     def parse_call(self) -> A.Clause:
         if self.at_op("{"):
             self.take()
+            imports: List[str] = []
+            # import header: a leading `WITH a, b` of bare variables
+            if self.at_kw("WITH"):
+                save = self.i
+                self.take()
+                ok = True
+                while True:
+                    if self.peek().kind != "IDENT":
+                        ok = False
+                        break
+                    imports.append(self.expect_ident())
+                    if self.at_op(","):
+                        self.take()
+                        continue
+                    break
+                # a true import header is followed by another clause keyword
+                if not ok or self.at_kw("AS") or self.at_op(".", "+", "-"):
+                    self.i = save
+                    imports = []
             sub = self.parse_single_query()
             self.expect_op("}")
-            return A.CallSub(sub)
+            return A.CallSub(sub, imports)
         name_parts = [self.expect_ident()]
         while self.at_op("."):
             self.take()
@@ -382,12 +413,51 @@ class Parser:
         return part
 
     def parse_element_chain(self) -> A.PatternPart:
-        elements: List[object] = [self.parse_node_pat()]
-        while self.at_op("-", "<-"):
-            rel = self.parse_rel_pat()
-            node = self.parse_node_pat()
-            elements.extend([rel, node])
+        elements: List[object] = [self.parse_chain_element()]
+        while True:
+            if self.at_op("-", "<-"):
+                rel = self.parse_rel_pat()
+                elements.extend([rel, self.parse_chain_element()])
+            elif self.at_op("(") and self.at_op("(", ahead=1):
+                # juxtaposed quantified path pattern: (a) ((x)-[r]->(y)){1,3}
+                elements.append(self.parse_qpp())
+            elif elements and isinstance(elements[-1], A.QPP) and self.at_op("("):
+                # juxtaposed end node after a QPP: ...){1,3} (end:Label)
+                elements.append(self.parse_node_pat())
+            else:
+                break
         return A.PatternPart(elements)
+
+    def parse_chain_element(self):
+        if self.at_op("(") and self.at_op("(", ahead=1):
+            return self.parse_qpp()
+        return self.parse_node_pat()
+
+    def parse_qpp(self) -> A.QPP:
+        """Quantified path pattern ``((a)-[r:T]->(b)){m,n}`` / ``*`` / ``+``."""
+        self.expect_op("(")
+        inner = self.parse_element_chain()
+        self.expect_op(")")
+        min_r, max_r = 1, 1
+        if self.at_op("{"):
+            self.take()
+            min_r = int(self.take().value)
+            if self.at_op(","):
+                self.take()
+                if self.at_op("}"):
+                    max_r = None
+                else:
+                    max_r = int(self.take().value)
+            else:
+                max_r = min_r
+            self.expect_op("}")
+        elif self.at_op("*"):
+            self.take()
+            min_r, max_r = 0, None
+        elif self.at_op("+"):
+            self.take()
+            min_r, max_r = 1, None
+        return A.QPP(inner.elements, min_r, max_r)
 
     def parse_node_pat(self) -> A.NodePat:
         self.expect_op("(")

@@ -112,10 +112,9 @@ class Translator:
         if isinstance(clause, A.CallProc):
             return self._call_proc(df, clause)
         if isinstance(clause, A.CallSub):
-            sub_df = df
-            for c in clause.query.clauses:
-                sub_df = self._apply(sub_df, c)
-            return sub_df
+            return self._call_sub(df, clause)
+        if isinstance(clause, A.Foreach):
+            return self._foreach(df, clause)
         if isinstance(clause, A.LoadCSV):
             return self._load_csv(df, clause)
         from ..operators import writes as W
@@ -290,9 +289,13 @@ class Translator:
             return shortest_path(self, df, part, pending)
 
         els = part.elements
+        if isinstance(els[0], A.QPP):
+            # implicit start endpoint for a leading quantified path pattern
+            els = [A.NodePat(None)] + els
 
-        def unconstrained(np: A.NodePat) -> bool:
-            return (np.var is None and not np.labels and np.props is None
+        def unconstrained(np) -> bool:
+            return (isinstance(np, A.NodePat) and np.var is None
+                    and not np.labels and np.props is None
                     and np.where is None)
 
         # Scan elision: an anonymous, unconstrained endpoint node needs no
@@ -301,6 +304,7 @@ class Translator:
         # ``MATCH ()-[l:CONTAINS]->()`` is then ONE parquet scan, not three.
         skip_first = (part.path_var is None and len(els) > 1
                       and unconstrained(els[0])
+                      and isinstance(els[1], A.RelPat)
                       and not els[1].var_length)
         if skip_first:
             prev = None
@@ -310,6 +314,16 @@ class Translator:
         path_rels: List[Tuple[str, str]] = []  # (var, kind)
         i = 1
         while i < len(els):
+            if isinstance(els[i], A.QPP):
+                nxt = els[i + 1] if i + 1 < len(els) else A.NodePat(None)
+                skip_next = isinstance(nxt, A.NodePat)
+                df, prev, rvars = self._qpp_expand(
+                    df, prev, els[i], nxt if skip_next else A.NodePat(None),
+                    pending, rel_bindings)
+                path_rels.extend((rv, "rellist") for rv in rvars)
+                path_nodes.append(prev)
+                i += 2 if skip_next else 1
+                continue
             rp: A.RelPat = els[i]
             np: A.NodePat = els[i + 1]
             if rp.var_length:
@@ -374,6 +388,136 @@ class Translator:
         if part.path_var:
             df = self._build_path(df, part.path_var, path_nodes, path_rels)
         return df
+
+    def _filter_node_bound(self, sub: DataFrame, np: A.NodePat, var: str
+                           ) -> DataFrame:
+        if np.labels:
+            for l in np.labels:
+                sub = sub.filter(
+                    F.array_contains(F.col(var).getField("_labels"), l))
+        if np.props is not None:
+            cc = self._compiler(sub)
+            for k, v in np.props.items:
+                sub = sub.filter(F.col(var).getField(k) == cc.compile(v))
+        if np.where is not None:
+            raise TranslateError(
+                "WHERE inside a quantified path pattern node is unsupported")
+        return sub
+
+    def _qpp_expand(self, df: DataFrame, prev: str, qpp: A.QPP,
+                    next_np: A.NodePat, pending: List[A.Expr],
+                    rel_bindings: List[Tuple[str, str, frozenset]]
+                    ) -> Tuple[DataFrame, str, List[str]]:
+        """Trail (LP:3977, pipes/TrailPipe.scala:65): quantified path pattern
+        ``((a)-[r:T]->(b)){m,n}`` unrolled as m..n chained copies of the
+        inner pattern, unioned; named inner variables become list columns
+        (Trail's group variables), relationship uniqueness holds *within*
+        the trail (pairwise-distinct ids) and *across* the MATCH via
+        rel_bindings.  Returns (df, end_node_var, group_rel_vars)."""
+        min_r = qpp.min_reps
+        max_r = (qpp.max_reps if qpp.max_reps is not None
+                 else min(self.max_var_length, 8))
+        inner = qpp.elements
+        node_group = [el.var for el in inner
+                      if isinstance(el, A.NodePat) and el.var]
+        rel_group = [el.var for el in inner
+                     if isinstance(el, A.RelPat) and el.var]
+        rel_types: frozenset = frozenset().union(
+            *[frozenset(el.types) for el in inner if isinstance(el, A.RelPat)])
+        end_name = next_np.var or self._anon_var("qe")
+        end_bound = end_name in df.columns
+
+        branches: List[DataFrame] = []
+        keep = (list(df.columns) + node_group + rel_group
+                + ([] if end_bound else [end_name]))
+        for k in range(max(min_r, 1), max_r + 1):
+            sub = df
+            end = prev
+            copies_n: Dict[str, List[Column]] = {v: [] for v in node_group}
+            copies_r: Dict[str, List[Column]] = {v: [] for v in rel_group}
+            all_rel_cols: List[str] = []
+            for _ in range(k):
+                first: A.NodePat = inner[0]
+                sub = self._filter_node_bound(sub, first, end)
+                if first.var:
+                    copies_n[first.var].append(F.col(end))
+                j = 1
+                while j < len(inner):
+                    rp: A.RelPat = inner[j]
+                    np: A.NodePat = inner[j + 1]
+                    if rp.var_length or isinstance(rp, A.QPP):
+                        raise TranslateError(
+                            "nested var-length inside a QPP is unsupported")
+                    rv = self._anon_var("qr")
+                    scan = self._rel_scan(rp, rv)
+                    sub = sub.join(
+                        scan, F.col(end).getField("_id") == F.col("__from"))
+                    if rp.props is not None:
+                        cc = self._compiler(sub)
+                        for pk, pv in rp.props.items:
+                            sub = sub.filter(
+                                F.col(rv).getField(pk) == cc.compile(pv))
+                    nv = self._anon_var("qn")
+                    nscan = self._node_scan(np, nv)
+                    sub = sub.join(
+                        nscan, F.col("__to") == F.col(nv).getField("_id")
+                    ).drop("__from", "__to")
+                    sub = self._filter_node_bound(
+                        sub, A.NodePat(None, [], False, np.props, np.where), nv)
+                    if rp.var:
+                        copies_r[rp.var].append(F.col(rv))
+                    if np.var:
+                        copies_n[np.var].append(F.col(nv))
+                    all_rel_cols.append(rv)
+                    end = nv
+                    j += 2
+            if len(all_rel_cols) > 1:
+                ids = F.array(*[F.col(rv).getField("_id")
+                                for rv in all_rel_cols])
+                sub = sub.filter(
+                    F.size(F.array_distinct(ids)) == F.lit(len(all_rel_cols)))
+            if end_bound:
+                sub = sub.filter(F.col(end).getField("_id")
+                                 == F.col(end_name).getField("_id"))
+            else:
+                sub = sub.withColumn(end_name, F.col(end))
+                sub = self._filter_node_bound(sub, next_np, end_name)
+            for v in node_group:
+                # normalize to the core node struct — copies may come from
+                # scans with different property schemas (group elements keep
+                # identity + labels, like path nodes)
+                sub = sub.withColumn(v, F.array(*[
+                    F.struct(c.getField("_id").alias("_id"),
+                             c.getField("_labels").alias("_labels"))
+                    for c in copies_n[v]]))
+            for v in rel_group:
+                sub = sub.withColumn(v, F.array(*copies_r[v]))
+            branches.append(sub.select(*keep))
+
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.unionByName(b)
+        if min_r == 0:
+            zero = df
+            if end_bound:
+                zero = zero.filter(F.col(prev).getField("_id")
+                                   == F.col(end_name).getField("_id"))
+            else:
+                zero = zero.withColumn(end_name, F.col(prev))
+                zero = self._filter_node_bound(zero, next_np, end_name)
+            ref = branches[0].schema
+            for v in node_group + rel_group:
+                et = ref[v].dataType.simpleString()
+                zero = zero.withColumn(v, F.array().cast(et))
+            out = zero.select(*keep).unionByName(out)
+
+        self.kinds[end_name] = "node"
+        for v in node_group:
+            self.kinds[v] = "nodelist"
+        for v in rel_group:
+            self.kinds[v] = "rellist"
+            rel_bindings.append((v, "rellist", rel_types))
+        return out, end_name, rel_group
 
     def _build_path(self, df: DataFrame, pvar: str, node_vars: List[str],
                     rel_vars: List[Tuple[str, str]]) -> DataFrame:
@@ -562,6 +706,98 @@ class Translator:
 
         return walk(df, expr)
 
+    # ---- CALL {} subquery (LP:3897 SubqueryForeach / CallSubquery) -------
+
+    def _call_sub(self, df: Optional[DataFrame], clause: A.CallSub) -> DataFrame:
+        """Uncorrelated CALL {}: run once, join to every input row.
+        Correlated (WITH import header): run over the distinct import rows,
+        join back on them — Apply decorrelated to a join (SURVEY §2.5)."""
+        sub = Translator(self.spark, self.graph, self.params)
+        if df is None or not clause.imports:
+            inner = sub._single(clause.query)
+            self.kinds.update(sub.kinds)
+            if df is None:
+                return inner
+            return df.crossJoin(inner)
+        import dataclasses
+
+        shared = [v for v in clause.imports if v in df.columns]
+        sub.kinds.update({v: self.kinds[v] for v in shared if v in self.kinds})
+        base = df.select(*shared).dropDuplicates()
+        # correlation columns must survive the subquery's own projections:
+        # thread hidden copies through every WITH/RETURN (they become extra
+        # grouping keys under aggregation — exactly the per-input-row
+        # semantics of Apply, LP:855)
+        hid = {v: f"__corr_{v}" for v in shared}
+        for v in shared:
+            base = base.withColumn(hid[v], F.col(v))
+            sub.kinds[hid[v]] = self.kinds.get(v, "scalar")
+        new_clauses = []
+        for c in clause.query.clauses:
+            if isinstance(c, A.Projection):
+                extra = [A.ReturnItem(A.Var(h), h, h) for h in hid.values()]
+                c = dataclasses.replace(c, items=list(c.items) + extra)
+            new_clauses.append(c)
+        matched = sub._single_over(base, A.SingleQuery(new_clauses))
+        for h in hid.values():
+            sub.kinds.pop(h, None)
+        self.kinds.update(
+            {k: v for k, v in sub.kinds.items() if not k.startswith("__corr_")})
+        # the COUNT bug: a globally-aggregating subquery yields one row per
+        # input row even with zero matches — left join + per-aggregate
+        # defaults (count/sum -> 0, collect -> []); otherwise inner join
+        last = clause.query.clauses[-1] if clause.query.clauses else None
+        defaults: Dict[str, Column] = {}
+        if isinstance(last, A.Projection) and last.is_return and all(
+                contains_aggregate(it.expr) for it in last.items):
+            for it in last.items:
+                name = it.alias or it.text
+                e = it.expr
+                if isinstance(e, A.CountStar) or (
+                        isinstance(e, A.Func) and e.name in ("count", "sum")):
+                    defaults[name] = F.lit(0)
+                elif isinstance(e, A.Func) and e.name == "collect":
+                    defaults[name] = F.array().cast(
+                        matched.schema[name].dataType.simpleString())
+        how = "left" if defaults else "inner"
+        cond = None
+        for v in shared:
+            l, r = F.col(v), matched[hid[v]]
+            if self.kinds.get(v) in ("node", "rel"):
+                c = l.getField("_id").eqNullSafe(r.getField("_id"))
+            else:
+                c = l.eqNullSafe(r)
+            cond = c if cond is None else cond & c
+        out = df.join(matched, cond, how).drop(*hid.values())
+        for name, d in defaults.items():
+            out = out.withColumn(name, F.coalesce(F.col(name), d))
+        return out
+
+    def _single_over(self, base: DataFrame, q: A.SingleQuery) -> DataFrame:
+        df: Optional[DataFrame] = base
+        for clause in q.clauses:
+            df = self._apply(df, clause)
+        return df
+
+    # ---- FOREACH (LP:2336) -----------------------------------------------
+
+    def _foreach(self, df: DataFrame, clause: A.Foreach) -> DataFrame:
+        """Explode the list, run the update clauses on the exploded stream,
+        discard it — FOREACH never changes the outer cardinality."""
+        df, expr = self._lower_all(df, clause.source)
+        col = self._compiler(df).compile(expr)
+        exploded = df.withColumn(clause.var, F.explode(col))
+        old_kind = self.kinds.get(clause.var)
+        self.kinds[clause.var] = "scalar"
+        sub = exploded
+        for c in clause.updates:
+            sub = self._apply(sub, c)  # write ops checkpoint eagerly
+        if old_kind is None:
+            self.kinds.pop(clause.var, None)
+        else:
+            self.kinds[clause.var] = old_kind
+        return df
+
     # ---- UNWIND ----------------------------------------------------------
 
     def _unwind(self, df: Optional[DataFrame], u: A.Unwind) -> DataFrame:
@@ -597,6 +833,7 @@ class Translator:
         items = lowered
 
         has_agg = any(contains_aggregate(it.expr) for it in items)
+        old_kinds = dict(self.kinds)
         new_kinds: Dict[str, str] = {}
         if has_agg:
             out, new_kinds = self._aggregate(df, items)
@@ -613,16 +850,42 @@ class Translator:
         if p.where is not None:
             out, expr = self._lower_predicates(out, p.where)
             out = out.filter(self._compiler(out).compile(expr))
-        if p.distinct:
-            out = out.dropDuplicates()
         if p.order:
-            order_cols = []
-            for o in p.order:
-                cc = self._compiler(out)
-                col = cc.compile(o.expr)
-                order_cols.append(
-                    col.asc_nulls_last() if o.ascending else col.desc_nulls_first())
+            # ORDER BY may reference pre-projection variables (Cypher keeps
+            # the previous scope in scope for sorting); such items become
+            # hidden sort columns computed against the input frame
+            resolved: List[Optional[Column]] = []
+            failing: List[int] = []
+            for i, o in enumerate(p.order):
+                try:
+                    resolved.append(self._compiler(out).compile(o.expr))
+                except Exception:
+                    resolved.append(None)
+                    failing.append(i)
+            hidden: List[str] = []
+            if failing:
+                if has_agg or p.distinct:
+                    raise TranslateError(
+                        "ORDER BY references variables not in the projection")
+                pre_cc = ExprCompiler(df, old_kinds, self.params, self)
+                extra = []
+                for i in failing:
+                    h = f"__ord_{i}"
+                    extra.append(pre_cc.compile(p.order[i].expr).alias(h))
+                    hidden.append(h)
+                out = df.select(*cols, *extra)
+                for i in failing:
+                    resolved[i] = F.col(f"__ord_{i}")
+            order_cols = [
+                col.asc_nulls_last() if o.ascending else col.desc_nulls_first()
+                for col, o in zip(resolved, p.order)]
+            if p.distinct:
+                out = out.dropDuplicates()
             out = out.orderBy(*order_cols)
+            if hidden:
+                out = out.drop(*hidden)
+        elif p.distinct:
+            out = out.dropDuplicates()
         if p.skip is not None:
             out = out.offset(self._int_value(p.skip))
         if p.limit is not None:

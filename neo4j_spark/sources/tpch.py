@@ -107,6 +107,21 @@ def tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
             F.col("o_orderpriority").alias("orderpriority"),
         ),
     }
+    # corpus tables as first-class nodes: the fulltext / vector procedure
+    # surface (FulltextProcedures.java:120, VectorIndexProcedures.java:144)
+    if "documents" in t:
+        node_frames["Document"] = t["documents"].select(
+            _node_id(7, "doc_id"), _labels("Document"),
+            F.col("doc_id").cast("long").alias("docid"),
+            F.col("text"), F.col("lang"), F.col("source"),
+        )
+    if "embeddings" in t:
+        node_frames["Embedding"] = t["embeddings"].select(
+            _node_id(8, "vec_id"), _labels("Embedding"),
+            F.col("vec_id").cast("long").alias("vecid"),
+            F.col("embedding"),
+            F.col("label").cast("long").alias("cls"),
+        )
 
     def rel(df: DataFrame, tag: int, key_col, src_tag: int, src_key, dst_tag: int,
             dst_key, type_name: str, props=None) -> DataFrame:

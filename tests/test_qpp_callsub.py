@@ -1,0 +1,82 @@
+"""QPP/Trail (LP:3977), CALL {} subquery (LP:855 Apply), FOREACH (LP:2336),
+and ORDER BY over pre-projection scope."""
+
+import pytest
+
+from neo4j_spark.api import cypher
+
+
+def rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_qpp_single_rep(spark, chain_graph):
+    out = cypher(spark,
+                 "MATCH ((a:A)-[r:R]->(b)){1,1} RETURN count(*) AS n",
+                 chain_graph)
+    assert rows(out) == [(1,)]
+
+
+def test_qpp_range_union(spark, chain_graph):
+    # A->B (1 rep) and A->B->C (2 reps)
+    out = cypher(spark,
+                 "MATCH (s:A) ((x)-[r:R]->(y)){1,2} (e) "
+                 "RETURN size(r) AS hops, e.x AS ex ORDER BY hops",
+                 chain_graph)
+    assert rows(out) == [(1, 2), (2, 3)]
+
+
+def test_qpp_zero_reps(spark, chain_graph):
+    out = cypher(spark,
+                 "MATCH (s:B) ((x)-[r:R]->(y)){0,1} (e) "
+                 "RETURN size(r) AS hops, e.x AS ex ORDER BY hops",
+                 chain_graph)
+    assert rows(out) == [(0, 2), (1, 3)]
+
+
+def test_qpp_group_variables(spark, chain_graph):
+    out = cypher(spark,
+                 "MATCH (s:A) ((x)-[r:R]->(y)){2,2} (e:C) "
+                 "RETURN [q IN r | q.w] AS ws, size(x) AS nx",
+                 chain_graph)
+    assert rows(out) == [([1.0, 2.0], 2)]
+
+
+def test_qpp_rel_uniqueness(spark, chain_graph):
+    # undirected 2-hop trail cannot reuse the same relationship back
+    out = cypher(spark,
+                 "MATCH (s:A) ((x)-[r:R]-(y)){2,2} (e) "
+                 "RETURN e.x AS ex", chain_graph)
+    assert rows(out) == [(3,)]
+
+
+def test_call_subquery_uncorrelated(spark, chain_graph):
+    out = cypher(spark,
+                 "MATCH (a:A) CALL { MATCH (n) RETURN count(*) AS total } "
+                 "RETURN a.x AS x, total", chain_graph)
+    assert rows(out) == [(1, 3)]
+
+
+def test_call_subquery_correlated(spark, chain_graph):
+    out = cypher(spark,
+                 "MATCH (n) CALL { WITH n MATCH (n)-[:R]->(m) "
+                 "RETURN count(*) AS deg } "
+                 "RETURN n.x AS x, deg ORDER BY x", chain_graph)
+    assert rows(out) == [(1, 1), (2, 1), (3, 0)]
+
+
+def test_foreach_updates(spark, chain_graph):
+    g = chain_graph.copy()
+    cypher(spark,
+           "MATCH (n) FOREACH (i IN [1, 2] | SET n.bumped = true)",
+           g).collect()
+    out = cypher(spark,
+                 "MATCH (n) WHERE n.bumped = true RETURN count(*) AS n", g)
+    assert rows(out) == [(3,)]
+
+
+def test_order_by_preprojection_var(spark, chain_graph):
+    out = cypher(spark,
+                 "MATCH (n) RETURN n.x + 10 AS v ORDER BY n.x DESC",
+                 chain_graph)
+    assert rows(out) == [(13,), (12,), (11,)]
