@@ -71,25 +71,27 @@ def minhash_lsh_candidates(
     high-cardinality => well-distributed shuffle at scale.
     """
     r = num_hashes // bands
-    # spread rows before the (expensive) shingle+signature projection — a
-    # single-file corpus otherwise computes it in one task
-    df = df.repartition(64, F.col(id_col))
-    # one let-bound expression: shingles -> signature -> 8 band hashes, each
-    # stage evaluated once per row regardless of downstream projection
-    # collapsing (explain-verified: a single Project + Generate, no
-    # re-inlined shingle subtrees)
-    band_arr = let(
-        minhash_signature(shingles(F.col(text_col), shingle_k), num_hashes),
-        lambda sig: F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(F.concat_ws(
-                         ",", *[F.element_at(sig, b * r + i + 1).cast("string")
-                                for i in range(r)])).alias("bh"))
-            for b in range(bands)
-        ]))
-    banded = (df.select(F.col(id_col).alias("_id"), F.explode(band_arr).alias("bb"))
-                .select("_id", F.col("bb.band").alias("band"),
-                        F.col("bb.bh").alias("bh")))
+    # Relational formulation: explode shingles to rows, hash with 32 plain
+    # (whole-stage-codegen'd) xxhash64 columns, min-aggregate per doc.
+    # Higher-order functions (transform/aggregate) are CodegenFallback —
+    # interpreted per row — so the per-row array form is ~10x slower; the
+    # explode+agg form stays in Tungsten and partial (map-side) min
+    # aggregation collapses the exploded rows before the doc_id shuffle,
+    # which the repartition below already co-locates.
+    ex = (df.repartition(64, F.col(id_col))
+            .select(F.col(id_col).alias("_id"),
+                    F.explode(shingles(F.col(text_col), shingle_k)).alias("_s")))
+    sig = ex.groupBy("_id").agg(*[
+        F.min(F.xxhash64("_s", F.lit(i))).alias(f"_m{i}")
+        for i in range(num_hashes)])
+    banded = (sig.select("_id", F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(F.concat_ws(
+                     ",", *[F.col(f"_m{b * r + i}").cast("string")
+                            for i in range(r)])).alias("bh"))
+        for b in range(bands)])).alias("bb"))
+        .select("_id", F.col("bb.band").alias("band"),
+                F.col("bb.bh").alias("bh")))
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
