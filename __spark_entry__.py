@@ -287,6 +287,16 @@ CYPHER_QUERIES = {
     "call_fulltext_query":
         "CALL db.index.fulltext.queryNodes('name', 'widget') "
         "YIELD node, score RETURN count(*) AS n",
+    # --- graph algorithms (graph-algo parity) ---
+    "algo_connected_components":
+        "CALL algo.connectedComponents() YIELD node, comp "
+        "RETURN count(DISTINCT comp) AS n_components",
+    "algo_pagerank":
+        "CALL algo.pageRank(5, 0.85) YIELD node, rank "
+        "RETURN count(*) AS n, round(sum(rank), 3) AS s",
+    "algo_sssp":
+        "CALL algo.shortestPathLengths(3000000000001) YIELD node, dist "
+        "RETURN dist, count(*) AS n ORDER BY dist",
 }
 
 
@@ -765,6 +775,36 @@ def oracle_sql() -> dict[str, str]:
             "('totalprice'), ('type'), ('vecid')) t(propertyKey)",
         "call_fulltext_query":
             "SELECT count(*) AS n FROM part WHERE p_name LIKE '%widget%'",
+        "algo_connected_components":
+            "SELECT CAST(1 + (SELECT count(*) FROM documents) + "
+            "(SELECT count(*) FROM embeddings) AS BIGINT) AS n_components",
+        "algo_pagerank":
+            "SELECT CAST((SELECT count(*) FROM region) + (SELECT count(*) FROM nation)"
+            " + (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)"
+            " + (SELECT count(*) FROM part) + (SELECT count(*) FROM orders)"
+            " + (SELECT count(*) FROM documents) + (SELECT count(*) FROM embeddings)"
+            " AS BIGINT) AS n, 1.0 AS s",
+        "algo_sssp":
+            "WITH o AS (SELECT o_orderkey FROM orders WHERE o_custkey = 1), "
+            "li AS (SELECT * FROM lineitem WHERE l_orderkey IN "
+            "(SELECT o_orderkey FROM o)), "
+            "cn AS (SELECT c_nationkey FROM customer WHERE c_custkey = 1), "
+            "sn AS (SELECT DISTINCT s_nationkey FROM supplier "
+            "WHERE s_suppkey IN (SELECT l_suppkey FROM li)), "
+            "n3 AS (SELECT s_nationkey FROM sn WHERE s_nationkey NOT IN "
+            "(SELECT c_nationkey FROM cn)), "
+            "r2 AS (SELECT n_regionkey FROM nation WHERE n_nationkey IN "
+            "(SELECT c_nationkey FROM cn)), "
+            "r4 AS (SELECT DISTINCT n_regionkey FROM nation "
+            "WHERE n_nationkey IN (SELECT s_nationkey FROM n3) "
+            "AND n_regionkey NOT IN (SELECT n_regionkey FROM r2)) "
+            "SELECT * FROM ("
+            "SELECT 0.0 AS dist, CAST(1 AS BIGINT) AS n UNION ALL "
+            "SELECT 1.0, (SELECT count(*) FROM o) + 1 UNION ALL "
+            "SELECT 2.0, 1 + (SELECT count(DISTINCT l_partkey) FROM li) "
+            "+ (SELECT count(DISTINCT l_suppkey) FROM li) UNION ALL "
+            "SELECT 3.0, (SELECT count(*) FROM n3) UNION ALL "
+            "SELECT 4.0, (SELECT count(*) FROM r4)) WHERE n > 0",
         "call_vector_query":
             "SELECT CAST(8000000000000 + vec_id AS BIGINT) AS node, "
             "round(list_cosine_similarity(embedding::DOUBLE[], "

@@ -140,21 +140,21 @@ def compile_function(cc, e: A.Func) -> Column:
     if name == "toupper":
         return F.upper(c(0))
     if name == "trim":
-        return F.trim(c(0)) if n == 1 else F.expr_trim(c(0), c(1))
+        return F.trim(c(0)) if n == 1 else F.btrim(c(0), c(1))
     if name == "ltrim":
-        return F.ltrim(c(0))
+        return F.ltrim(c(0)) if n == 1 else \
+            F.regexp_replace(c(0), F.concat(F.lit("^["), c(1), F.lit("]+")), F.lit(""))
     if name == "rtrim":
-        return F.rtrim(c(0))
+        return F.rtrim(c(0)) if n == 1 else \
+            F.regexp_replace(c(0), F.concat(F.lit("["), c(1), F.lit("]+$")), F.lit(""))
     if name == "btrim":
         return F.btrim(c(0)) if n == 1 else F.btrim(c(0), c(1))
     if name == "left":
-        return F.substring(c(0), 1, args[1].value) if isinstance(args[1], A.Lit) \
-            else F.expr("left").__call__(c(0), c(1))
+        col, ln = c(0), c(1)
+        return col.substr(F.lit(1), ln)
     if name == "right":
-        col = c(0)
-        ln = c(1)
-        return F.substring(col, -args[1].value, args[1].value) if isinstance(args[1], A.Lit) \
-            else col.substr(F.length(col) - ln + 1, ln)
+        col, ln = c(0), c(1)
+        return col.substr(F.greatest(F.length(col) - ln + 1, F.lit(1)), ln)
     if name == "substring":
         col = c(0)
         start = c(1) + 1  # Cypher 0-based

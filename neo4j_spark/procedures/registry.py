@@ -59,6 +59,48 @@ def db_property_keys(spark, graph, args):
         [(k,) for k in graph.node_property_keys()], "propertyKey string")
 
 
+# ---- graph algorithms (graph-algo module parity) ---------------------------
+
+
+@procedure("algo.connectedcomponents")
+def algo_connected_components(spark, graph, args):
+    """() -> (node, comp): undirected connected components (min-id labels)."""
+    from ..operators.algorithms import connected_components
+
+    nodes = graph.nodes.select("id")
+    rels = graph.rels.select("src", "dst")
+    return connected_components(nodes, rels).select(
+        F.col("id").alias("node"), F.col("comp"))
+
+
+@procedure("algo.pagerank")
+def algo_pagerank(spark, graph, args):
+    """(iterations=10, damping=0.85) -> (node, rank)."""
+    from ..operators.algorithms import pagerank
+
+    iters = int(args[0]) if len(args) > 0 else 10
+    damping = float(args[1]) if len(args) > 1 else 0.85
+    nodes = graph.nodes.select("id")
+    rels = graph.rels.select("src", "dst")
+    return pagerank(nodes, rels, iters, damping).select(
+        F.col("id").alias("node"), F.round(F.col("rank"), 8).alias("rank"))
+
+
+@procedure("algo.shortestpathlengths")
+def algo_sssp(spark, graph, args):
+    """(sourceNodeId, weightProp?, directed?) -> (node, dist) — Dijkstra
+    parity (graph-algo/.../Dijkstra.java) as a delta-iteration loop."""
+    from ..operators.algorithms import sssp
+
+    src_id = int(args[0])
+    weight = str(args[1]) if len(args) > 1 and args[1] is not None else None
+    directed = bool(args[2]) if len(args) > 2 else True
+    sources = spark.createDataFrame([(src_id,)], "id long")
+    rels = graph.rels
+    return sssp(rels, sources, weight, directed).select(
+        F.col("id").alias("node"), F.col("dist"))
+
+
 # ---- vector index analog (db.index.vector.queryNodes) ---------------------
 
 

@@ -173,3 +173,27 @@ class TestStreaming:
         from neo4j_spark.streaming.windows import load_events
 
         assert got == load_events(spark, SF).count()
+
+
+class TestStatefulStreaming:
+    def test_running_totals_state_across_batches(self, spark):
+        """applyInPandasWithState keyed state: totals accumulate across
+        micro-batches; the last update per user equals the batch agg."""
+        from neo4j_spark.streaming.windows import events_stream
+        from neo4j_spark.streaming.stateful import (
+            running_totals_stream, running_totals_batch)
+
+        SF = "/root/testdata/sf0.001"
+        stream = events_stream(spark, SF)
+        q = (running_totals_stream(stream)
+             .writeStream.format("memory").queryName("run_totals")
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = {r["user_id"]: (r["n_events"], r["total"])
+               for r in spark.sql(
+                   "SELECT * FROM run_totals").collect()}
+
+        from neo4j_spark.streaming.windows import load_events
+        want = {r["user_id"]: (r["n_events"], r["total"])
+                for r in running_totals_batch(load_events(spark, SF)).collect()}
+        assert got == want
