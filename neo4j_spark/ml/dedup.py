@@ -59,32 +59,52 @@ def minhash_signature(sh: Column, num_hashes: int = 32) -> Column:
     ]))
 
 
-def minhash_lsh_candidates(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    num_hashes: int = 32, bands: int = 8, shingle_k: int = 3,
-) -> DataFrame:
-    """Candidate near-duplicate pairs via banded LSH.
+def exploded_shingles(df: DataFrame, id_col: str, text_col: str,
+                      shingle_k: int = 3) -> DataFrame:
+    """(_id, _s) rows — one per shingle per doc (duplicates possible).
 
-    signature -> split into ``bands`` bands of r = num_hashes/bands rows;
-    docs sharing any band hash land in the same bucket; bucket self-join
-    yields candidates (id_a < id_b).  The join key (band_id, band_hash) is
-    high-cardinality => well-distributed shuffle at scale.
-    """
+    Fully codegen'd relational formulation: posexplode the token stream,
+    then a window ``lead`` chain stitches k consecutive tokens back into a
+    shingle.  The array form (``shingles``: transform + slice HOFs) is a
+    CodegenFallback interpreted per row and measures ~5x slower at sf0.1;
+    here the only non-codegen op is the window sort, whose exchange is the
+    same doc-id hash partitioning every downstream consumer (min-hash agg,
+    collect_set) wants, so it costs one shuffle total.
+
+    Docs with fewer than k tokens yield one shingle = the whole doc
+    (matching ``shingles``); empty docs yield one empty-string shingle."""
+    from pyspark.sql import Window as W
+
+    toks = (df.select(F.col(id_col).alias("_id"),
+                      F.posexplode_outer(F.filter(
+                          F.split(F.lower(F.col(text_col)), r"[^\p{L}\p{N}']+"),
+                          lambda t: t != "")).alias("_p", "_t")))
+    w = W.partitionBy("_id").orderBy("_p")
+    parts = [F.col("_t")] + [F.lead("_t", i).over(w)
+                             for i in range(1, shingle_k)]
+    n = F.count("*").over(W.partitionBy("_id"))
+    keep = (F.lead("_t", shingle_k - 1).over(w).isNotNull()
+            | ((n < shingle_k) & (F.col("_p").isNull() | (F.col("_p") == 0))))
+    return (toks
+            .withColumn("_s", F.concat_ws(" ", *parts))
+            .withColumn("_keep", keep)
+            .filter(F.col("_keep"))
+            .select("_id", "_s"))
+
+
+def _banded_signatures(ex: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(_id, band, bh) from exploded shingles.
+
+    Relational formulation: hash the shingle rows with ``num_hashes`` plain
+    (whole-stage-codegen'd) xxhash64 columns and min-aggregate per doc —
+    partial (map-side) min aggregation collapses the exploded rows before
+    the doc_id shuffle.  The per-row array form (transform/aggregate HOFs)
+    is ~10x slower because HOFs are interpreted per row."""
     r = num_hashes // bands
-    # Relational formulation: explode shingles to rows, hash with 32 plain
-    # (whole-stage-codegen'd) xxhash64 columns, min-aggregate per doc.
-    # Higher-order functions (transform/aggregate) are CodegenFallback —
-    # interpreted per row — so the per-row array form is ~10x slower; the
-    # explode+agg form stays in Tungsten and partial (map-side) min
-    # aggregation collapses the exploded rows before the doc_id shuffle,
-    # which the repartition below already co-locates.
-    ex = (df.repartition(64, F.col(id_col))
-            .select(F.col(id_col).alias("_id"),
-                    F.explode(shingles(F.col(text_col), shingle_k)).alias("_s")))
     sig = ex.groupBy("_id").agg(*[
         F.min(F.xxhash64("_s", F.lit(i))).alias(f"_m{i}")
         for i in range(num_hashes)])
-    banded = (sig.select("_id", F.explode(F.array(*[
+    return (sig.select("_id", F.explode(F.array(*[
         F.struct(F.lit(b).alias("band"),
                  F.xxhash64(F.concat_ws(
                      ",", *[F.col(f"_m{b * r + i}").cast("string")
@@ -92,6 +112,27 @@ def minhash_lsh_candidates(
         for b in range(bands)])).alias("bb"))
         .select("_id", F.col("bb.band").alias("band"),
                 F.col("bb.bh").alias("bh")))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    num_hashes: int = 32, bands: int = 8, shingle_k: int = 3,
+    _ex: DataFrame = None,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH.
+
+    signature -> split into ``bands`` bands of r = num_hashes/bands rows;
+    docs sharing any band hash land in the same bucket; bucket self-join
+    yields candidates (id_a < id_b).  The join key (band_id, band_hash) is
+    high-cardinality => well-distributed shuffle at scale.
+
+    The banded table is persisted before the self-join: both join sides
+    would otherwise re-run the shingle explode + 32-hash aggregation
+    (self-joins cannot share one lineage without materialization).
+    """
+    ex = _ex if _ex is not None else exploded_shingles(
+        df, id_col, text_col, shingle_k)
+    banded = _banded_signatures(ex, num_hashes, bands).persist()
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -114,12 +155,21 @@ def minhash_dedup_pairs(
     threshold: float = 0.8, num_hashes: int = 32, bands: int = 8,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """LSH candidates + exact shingle-Jaccard verification >= threshold."""
+    """LSH candidates + exact shingle-Jaccard verification >= threshold.
+
+    One shingle explode feeds everything: the persisted (_id, _s) table is
+    min-hashed for candidates AND re-aggregated into shingle sets for the
+    exact verify — the interpreted shingle transform runs exactly once per
+    document instead of once per consumer.  Verify cost is proportional to
+    the candidate set, not the corpus (semi-join prune before collect)."""
+    ex = exploded_shingles(df, id_col, text_col, shingle_k).persist()
     cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands,
-                                   shingle_k)
-    sh = df.repartition(64, F.col(id_col)).select(
-        F.col(id_col).alias("_vid"),
-        shingles(F.col(text_col), shingle_k).alias("_sh"))
+                                   shingle_k, _ex=ex)
+    cand_ids = (cands.select(F.col("id_a").alias("_vid"))
+                .union(cands.select("id_b")).dropDuplicates())
+    sh = (ex.join(cand_ids, ex["_id"] == cand_ids["_vid"], "left_semi")
+            .groupBy("_id").agg(F.collect_set("_s").alias("_sh"))
+            .withColumnRenamed("_id", "_vid"))
     out = (cands
            .join(sh.select(F.col("_vid").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
            .join(sh.select(F.col("_vid").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
