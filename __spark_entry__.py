@@ -344,9 +344,17 @@ def _q_dedup_simhash(spark, sf_dir):
 def _q_ngram_jaccard(spark, sf_dir):
     from neo4j_spark.ml.dedup import ngram_jaccard_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return ngram_jaccard_pairs(docs, "doc_id", "text", "lang",
                                threshold=0.5).orderBy("id_a", "id_b")
+
+
+def _q_dedup_embedding_cosine(spark, sf_dir):
+    from neo4j_spark.ml.similarity import embedding_cosine_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (embedding_cosine_pairs(emb, threshold=0.45)
+            .orderBy("id_a", "id_b"))
 
 
 def _q_text_stats(spark, sf_dir):
@@ -388,6 +396,15 @@ def _q_knn_lsh(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return knn_lsh(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+
+
+def _q_knn_ivf(spark, sf_dir):
+    from neo4j_spark.ml.similarity import knn_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return knn_ivf(emb.filter(F.col("vec_id") != 0), qvec, k=10,
+                   n_centroids=8, n_probe=8)
 
 
 def _q_events_tumbling(spark, sf_dir):
@@ -498,11 +515,13 @@ EXTENSION_QUERIES = {
     "dedup_minhash_lsh": _q_dedup_minhash,
     "dedup_simhash": _q_dedup_simhash,
     "ngram_jaccard": _q_ngram_jaccard,
+    "dedup_embedding_cosine": _q_dedup_embedding_cosine,
     "text_stats": _q_text_stats,
     "text_quality": _q_text_quality,
     "knn_bruteforce": _q_knn_bruteforce,
     "knn_join": _q_knn_join,
     "knn_lsh": _q_knn_lsh,
+    "knn_ivf": _q_knn_ivf,
     "events_tumbling_window": _q_events_tumbling,
     "events_session_window": _q_events_session,
     "events_json_props": _q_events_json,
@@ -879,6 +898,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(16 + length(text) % 64 AS INTEGER) AS width, "
             "CAST(16 + (length(text) // 64) % 64 AS INTEGER) AS height, "
             "CAST(3 AS INTEGER) AS channels FROM documents",
-        # dedup_minhash_lsh / dedup_simhash / ngram_jaccard / knn_lsh /
-        # text_quality: hash-function-specific — rows-only check (omitted).
+        "ngram_jaccard":
+            r"WITH g AS (SELECT doc_id, lang, "
+            r"list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}'']+'), "
+            r"x -> x <> '') AS toks FROM documents), "
+            "s AS (SELECT doc_id, lang, CASE WHEN len(toks) >= 3 THEN "
+            "list_distinct(list_transform(range(1, len(toks)-1), "
+            "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) "
+            "ELSE [array_to_string(toks, ' ')] END AS grams FROM g), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "round(len(list_intersect(a.grams, b.grams)) * 1.0 / "
+            "len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard "
+            "FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id) "
+            "SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5",
+        "dedup_embedding_cosine":
+            "WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "round(list_cosine_similarity(a.embedding::DOUBLE[], "
+            "b.embedding::DOUBLE[]), 6) AS cos "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) "
+            "SELECT id_a, id_b, cos FROM p WHERE cos >= 0.45",
+        # knn_ivf probes every centroid list (n_probe = n_centroids) =>
+        # exact — same result set as brute force.
+        "knn_ivf":
+            "SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], "
+            "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS score "
+            "FROM embeddings WHERE vec_id != 0 "
+            "ORDER BY score DESC, vec_id LIMIT 10",
+        # dedup_minhash_lsh / dedup_simhash / knn_lsh / text_quality:
+        # hash-function-specific — rows-only check (omitted).
     }

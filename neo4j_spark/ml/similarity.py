@@ -112,3 +112,104 @@ def knn_lsh(df: DataFrame, query_vec: Sequence[float], k: int = 10,
                         F.round(cosine(F.col(vec_col), q), 6).alias("score"))
                 .orderBy(F.col("score").desc(), F.col(id_col))
                 .limit(k))
+
+
+def embedding_cosine_pairs(df: DataFrame, threshold: float = 0.9,
+                           id_col: str = "vec_id", vec_col: str = "embedding",
+                           block_col: Optional[str] = None) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a, b) with
+    cosine(a, b) >= threshold and id_a < id_b.
+
+    Exact mode (block_col=None) is the quadratic correctness baseline.
+    With ``block_col`` (e.g. a coarse cluster / IVF centroid / LSH bucket
+    id) the self-join is per-block — the 100 TB path: blocks shuffle
+    independently on the block key and the comparison count drops from
+    N^2 to sum(block^2)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
+                  *([F.col(block_col).alias("_ba")] if block_col else []))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
+                  *([F.col(block_col).alias("_bb")] if block_col else []))
+    cond = F.col("id_a") < F.col("id_b")
+    if block_col:
+        cond = cond & (F.col("_ba") == F.col("_bb"))
+        joined = a.join(b, cond)
+    else:
+        joined = a.join(b, cond)
+    return (joined
+            .withColumn("cos", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos"))
+
+
+def ivf_assign(df: DataFrame, centroids: List[Sequence[float]],
+               vec_col: str = "embedding") -> DataFrame:
+    """Assign every vector to its nearest coarse centroid (IVF list id).
+
+    Centroids are a small broadcast list; assignment is one scan with an
+    argmax over per-centroid dot products — no shuffle.  The score array
+    is ``let``-bound so each cosine is evaluated once (a when-chain argmax
+    re-nests the running best twice per centroid — exponential subtree
+    duplication).  At scale, write the output partitioned by
+    ``_ivf_list`` so probes become partition-pruned reads."""
+    from ..functions.let import let
+
+    v = F.col(vec_col)
+    scores = F.array(*[cosine(v, F.lit([float(x) for x in c]))
+                       for c in centroids])
+    best_id = let(scores,
+                  lambda s: F.array_position(s, F.array_max(s)).cast("int") - 1)
+    return df.withColumn("_ivf_list", best_id)
+
+
+def ivf_centroids(df: DataFrame, n_centroids: int = 16,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  iterations: int = 2) -> List[List[float]]:
+    """Deterministic coarse centroids: hash-sample n seeds by id, then a
+    couple of Lloyd (k-means) refinement rounds as DataFrame aggs.
+    Collected to the driver (n_centroids * dim floats — tiny) so they can
+    be broadcast into the assignment scan."""
+    n = df.count()
+    stride = max(n // n_centroids, 1)
+    seeds = (df.withColumn("_h", F.abs(F.xxhash64(F.col(id_col))) % n)
+               .filter(F.col("_h") % stride == 0)
+               .orderBy("_h").limit(n_centroids)
+               .select(vec_col).collect())
+    cents = [[float(x) for x in r[0]] for r in seeds]
+    for _ in range(iterations):
+        assigned = ivf_assign(df, cents, vec_col)
+        means = (assigned.groupBy("_ivf_list")
+                 .agg(*[F.avg(F.col(vec_col).getItem(j)).alias(f"c{j}")
+                        for j in range(len(cents[0]))])
+                 .collect())
+        by_list = {r["_ivf_list"]: [r[f"c{j}"] for j in range(len(cents[0]))]
+                   for r in means}
+        cents = [by_list.get(i, c) for i, c in enumerate(cents)]
+    return cents
+
+
+def knn_ivf(df: DataFrame, query_vec: Sequence[float], k: int = 10,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            n_centroids: int = 16, n_probe: int = 4,
+            centroids: Optional[List[List[float]]] = None) -> DataFrame:
+    """IVF approximate top-k: rank coarse centroids against the query on
+    the driver, scan only the ``n_probe`` nearest inverted lists, exact
+    re-rank inside them.  Recall grows with n_probe; n_probe=n_centroids
+    degenerates to brute force."""
+    if centroids is None:
+        centroids = ivf_centroids(df, n_centroids, id_col, vec_col)
+    qv = np.array([float(x) for x in query_vec])
+
+    def cos_np(c):
+        c = np.array(c)
+        na, nb = np.linalg.norm(qv), np.linalg.norm(c)
+        return float(qv @ c / (na * nb)) if na and nb else 0.0
+
+    ranked = sorted(range(len(centroids)),
+                    key=lambda i: -cos_np(centroids[i]))[:n_probe]
+    cand = ivf_assign(df, centroids, vec_col) \
+        .filter(F.col("_ivf_list").isin(ranked))
+    q = F.lit([float(x) for x in query_vec])
+    return (cand.select(F.col(id_col),
+                        F.round(cosine(F.col(vec_col), q), 6).alias("score"))
+                .orderBy(F.col("score").desc(), F.col(id_col))
+                .limit(k))
