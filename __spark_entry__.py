@@ -159,6 +159,22 @@ CYPHER_QUERIES = {
         "MATCH (c:Customer) "
         "MATCH p = shortestPath((c)-[*..3]->(r:Region)) "
         "RETURN length(p) AS l, count(*) AS n",
+    # --- GQL path selectors (StatefulShortestPath LP:2290) ---
+    "sel_any_shortest":
+        "MATCH p = ANY SHORTEST (c:Customer)-[*1..2]->(r:Region) "
+        "WHERE c.custkey <= 300 "
+        "RETURN c.custkey AS ck, r.name AS rn, size(relationships(p)) AS len",
+    "sel_shortest_one":
+        "MATCH p = SHORTEST 1 (a:Nation)-[*1..2]-(b:Nation) "
+        "WHERE a.nationkey < b.nationkey "
+        "RETURN a.name AS an, b.name AS bn, size(relationships(p)) AS len",
+    "sel_shortest_groups":
+        "MATCH p = SHORTEST 1 GROUPS (a:Nation {name: 'NATION_0'})-[*1..2]-"
+        "(b:Nation) RETURN b.name AS bn, size(relationships(p)) AS len",
+    "sel_any_k":
+        "MATCH p = ANY 2 (o:Order)-[:CONTAINS*1..1]->(pt:Part) "
+        "WHERE o.orderkey <= 100 "
+        "RETURN o.orderkey AS ok, pt.partkey AS pk, count(*) AS n",
     # --- expressions / functions (§2.8) ---
     "projection_functions":
         "MATCH (c:Customer) RETURN c.custkey AS custkey, "
@@ -659,6 +675,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(2 AS BIGINT) AS l, count(*) AS n FROM customer "
             "JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey",
+        "sel_any_shortest":
+            "SELECT c_custkey AS ck, r_name AS rn, CAST(2 AS INTEGER) AS len "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey WHERE c_custkey <= 300",
+        "sel_shortest_one":
+            "SELECT a.n_name AS an, b.n_name AS bn, CAST(2 AS INTEGER) AS len "
+            "FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey "
+            "AND a.n_nationkey < b.n_nationkey",
+        "sel_shortest_groups":
+            "SELECT b.n_name AS bn, CAST(2 AS INTEGER) AS len "
+            "FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey "
+            "AND b.n_nationkey != a.n_nationkey WHERE a.n_name = 'NATION_0'",
+        "sel_any_k":
+            "SELECT l_orderkey AS ok, l_partkey AS pk, "
+            "least(count(*), 2) AS n FROM lineitem "
+            "WHERE l_orderkey <= 100 GROUP BY 1, 2",
         "projection_functions":
             "SELECT c_custkey AS custkey, upper(c_name) AS uname, "
             "substr(c_name, 1, 5) AS prefix, round(c_acctbal * 1.1, 4) AS scaled "

@@ -219,7 +219,11 @@ class QPP:
 class PatternPart:
     elements: List[Any]  # NodePat, RelPat, NodePat (or QPP between nodes)
     path_var: Optional[str] = None
-    selector: Optional[str] = None  # shortest | allShortest
+    # shortest | allShortest | shortestK | shortestGroups | anyK
+    # (GQL path selectors, CypherParser.g4:254-261 / StatefulShortestPath
+    # LP:2290; shortestPath()/allShortestPaths() normalize to the first two)
+    selector: Optional[str] = None
+    selector_k: Optional[int] = None
 
 
 # --------------------------------------------------------------------------

@@ -408,9 +408,56 @@ class Parser:
             part.path_var = path_var
             part.selector = selector
             return part
+        sel, sel_k = self.parse_path_selector()
         part = self.parse_element_chain()
         part.path_var = path_var
+        part.selector = sel
+        part.selector_k = sel_k
         return part
+
+    def parse_path_selector(self):
+        """GQL path selector (CypherParser.g4:254-261): ANY SHORTEST |
+        ALL SHORTEST | ANY [k] | ALL | SHORTEST [k] GROUPS | SHORTEST k,
+        each with optional PATH/PATHS noise word."""
+
+        def _noise():
+            if self.at_kw("PATH", "PATHS"):
+                self.take()
+
+        def _int_opt():
+            if self.peek().kind == "INT":
+                return int(self.take().value)
+            return None
+
+        if self.at_kw("ANY"):
+            self.take()
+            if self.at_kw("SHORTEST"):
+                self.take()
+                _noise()
+                return "shortest", 1
+            k = _int_opt()
+            _noise()
+            return "anyK", (k or 1)
+        if self.at_kw("ALL"):
+            self.take()
+            if self.at_kw("SHORTEST"):
+                self.take()
+                _noise()
+                return "allShortest", None
+            _noise()
+            return None, None  # ALL = default match semantics
+        if self.at_kw("SHORTEST"):
+            self.take()
+            k = _int_opt()
+            _noise()
+            if self.at_kw("GROUP", "GROUPS"):
+                self.take()
+                return "shortestGroups", (k or 1)
+            if k is None:
+                raise ParseError(
+                    f"SHORTEST requires a count or GROUPS at {self.peek().pos}")
+            return ("shortest", 1) if k == 1 else ("shortestK", k)
+        return None, None
 
     def parse_element_chain(self) -> A.PatternPart:
         elements: List[object] = [self.parse_chain_element()]

@@ -283,10 +283,26 @@ class Translator:
     def _pattern_part(self, df: Optional[DataFrame], part: A.PatternPart,
                       pending: List[A.Expr],
                       rel_bindings: List[Tuple[str, str, frozenset]]) -> DataFrame:
-        if part.selector in ("shortest", "allShortest"):
-            from ..operators.paths import shortest_path
+        sel = part.selector
+        if sel in ("shortest", "allShortest"):
+            els0 = part.elements
+            if (len(els0) == 3 and isinstance(els0[1], A.RelPat)
+                    and els0[1].var_length):
+                from ..operators.paths import shortest_path
 
-            return shortest_path(self, df, part, pending)
+                return shortest_path(self, df, part, pending)
+            # complex pattern (QPP / fixed chain): enumerate + rank below
+        needs_enum = sel is not None
+        pend_start = len(pending)
+        rb_start = len(rel_bindings)
+        if needs_enum:
+            # selector ranking needs a path length, so every repeated rel of
+            # a QPP must surface as a group column — name the anonymous ones
+            for el in part.elements:
+                if isinstance(el, A.QPP):
+                    for iel in el.elements:
+                        if isinstance(iel, A.RelPat) and not iel.var:
+                            iel.var = self._anon_var("qg")
 
         els = part.elements
         if isinstance(els[0], A.QPP):
@@ -302,7 +318,8 @@ class Translator:
         # node-frame join (relationship endpoints always exist) — the rel
         # scan alone carries the semantics.  Matters at scale: a Q1-style
         # ``MATCH ()-[l:CONTAINS]->()`` is then ONE parquet scan, not three.
-        skip_first = (part.path_var is None and len(els) > 1
+        skip_first = (part.path_var is None and part.selector is None
+                      and len(els) > 1
                       and unconstrained(els[0])
                       and isinstance(els[1], A.RelPat)
                       and not els[1].var_length)
@@ -364,8 +381,8 @@ class Translator:
                 rel_bindings.append((rvar, "rel", frozenset(rp.types)))
                 self._queue_rel_filters(rp, rvar, pending)
             is_last = i + 1 == len(els) - 1
-            if (is_last and part.path_var is None and unconstrained(np)
-                    and nvar not in df.columns):
+            if (is_last and part.path_var is None and part.selector is None
+                    and unconstrained(np) and nvar not in df.columns):
                 df = df.drop("__from", "__to")
                 prev = None
                 i += 2
@@ -385,9 +402,58 @@ class Translator:
             prev = nvar
             i += 2
 
+        if needs_enum:
+            # pattern-internal predicates + rel-uniqueness constrain the path
+            # SEARCH, so they must hold before the selector picks winners
+            part_pend = pending[pend_start:]
+            del pending[pend_start:]
+            for p in part_pend:
+                df, expr = self._lower_predicates(df, p)
+                df = df.filter(self._compiler(df).compile(expr))
+            df = self._uniqueness_filters(df, rel_bindings[rb_start:])
+            df = self._apply_path_selector(df, part, path_nodes, path_rels)
         if part.path_var:
             df = self._build_path(df, part.path_var, path_nodes, path_rels)
         return df
+
+    def _apply_path_selector(self, df: DataFrame, part: A.PatternPart,
+                             path_nodes: List[str],
+                             path_rels: List[Tuple[str, str]]) -> DataFrame:
+        """GQL path selectors over an enumerated path set
+        (StatefulShortestPath LP:2290 — but as rank-and-filter over the
+        already-joined path rows rather than an NFA product-graph search):
+        per (start, end) node pair, keep the k shortest paths
+        (SHORTEST k), all paths in the k shortest length-groups
+        (SHORTEST k GROUPS / ALL SHORTEST = 1 group), or any k paths
+        (ANY k).  One window over (start,end) — the partition key is the
+        natural shuffle key and skew maps to AQE skew handling."""
+        from pyspark.sql import Window as SW
+
+        sel, k = part.selector, part.selector_k or 1
+        if sel == "shortest":
+            sel, k = "shortestK", 1
+        elif sel == "allShortest":
+            sel, k = "shortestGroups", 1
+        length: Column = F.lit(0)
+        ties: List[Column] = []
+        for v, kind in path_rels:
+            if kind == "rel":
+                length = length + F.lit(1)
+                ties.append(F.array(F.col(v).getField("_id")))
+            else:
+                length = length + F.coalesce(F.size(F.col(v)), F.lit(0))
+                ties.append(F.transform(F.col(v), lambda x: x.getField("_id")))
+        tie = F.concat(*ties).cast("string") if ties else F.lit("")
+        w = SW.partitionBy(F.col(path_nodes[0]).getField("_id"),
+                           F.col(path_nodes[-1]).getField("_id"))
+        if sel == "shortestGroups":
+            rank = F.dense_rank().over(w.orderBy(length.asc()))
+        elif sel == "anyK":
+            rank = F.row_number().over(w.orderBy(tie.asc()))
+        else:  # shortestK
+            rank = F.row_number().over(w.orderBy(length.asc(), tie.asc()))
+        return (df.withColumn("__psel_rank", rank)
+                  .filter(F.col("__psel_rank") <= k).drop("__psel_rank"))
 
     def _filter_node_bound(self, sub: DataFrame, np: A.NodePat, var: str
                            ) -> DataFrame:

@@ -1,0 +1,108 @@
+"""GQL path selectors (CypherParser.g4:254-261, StatefulShortestPath
+LP:2290): ANY SHORTEST / ALL SHORTEST / SHORTEST k / SHORTEST k GROUPS /
+ANY k over the diamond graph:
+
+a(1) ->[100] b(2), a ->[101] b (parallel), a ->[102] c(3),
+b ->[103] d(4), c ->[104] d, a ->[105] a (self-loop).
+
+a->d paths within *1..2: a-b-d twice (parallel first hop) + a-c-d = three
+2-hop paths.  a->b paths within *1..2: two 1-hop + two 2-hop (self-loop
+first).
+"""
+
+from neo4j_spark.api import cypher
+
+
+def rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def _count(spark, g, q):
+    return cypher(spark, q, g).collect()
+
+
+def test_shortest_one_per_pair(spark, diamond_graph):
+    out = _count(spark, diamond_graph, """
+        MATCH p = SHORTEST 1 (a:N {name: 'a'})-[*1..2]->(d:N {name: 'd'})
+        RETURN size(relationships(p)) AS len
+    """)
+    assert [r["len"] for r in out] == [2]
+
+
+def test_shortest_k_two(spark, diamond_graph):
+    out = _count(spark, diamond_graph, """
+        MATCH p = SHORTEST 2 (a:N {name: 'a'})-[*1..2]->(d:N {name: 'd'})
+        RETURN count(*) AS n
+    """)
+    assert out[0]["n"] == 2
+
+
+def test_shortest_groups_all_min_length(spark, diamond_graph):
+    out = _count(spark, diamond_graph, """
+        MATCH p = SHORTEST 1 GROUPS (a:N {name: 'a'})-[*1..2]->(d:N {name: 'd'})
+        RETURN count(*) AS n
+    """)
+    assert out[0]["n"] == 3  # both parallel a-b-d walks + a-c-d
+
+
+def test_shortest_groups_two_length_groups(spark, diamond_graph):
+    out = _count(spark, diamond_graph, """
+        MATCH p = SHORTEST 2 GROUPS (a:N {name: 'a'})-[*1..2]->(b:N {name: 'b'})
+        RETURN size(relationships(p)) AS len, count(*) AS n
+        ORDER BY len
+    """)
+    assert [(r["len"], r["n"]) for r in out] == [(1, 2), (2, 2)]
+
+
+def test_shortest_k_spans_lengths(spark, diamond_graph):
+    # 2 one-hop paths + (self-loop) two-hop paths; SHORTEST 3 takes 3
+    out = _count(spark, diamond_graph, """
+        MATCH p = SHORTEST 3 (a:N {name: 'a'})-[*1..2]->(b:N {name: 'b'})
+        RETURN size(relationships(p)) AS len, count(*) AS n
+        ORDER BY len
+    """)
+    assert [(r["len"], r["n"]) for r in out] == [(1, 2), (2, 1)]
+
+
+def test_any_k(spark, diamond_graph):
+    out = _count(spark, diamond_graph, """
+        MATCH p = ANY 2 (a:N {name: 'a'})-[*1..2]->(d:N {name: 'd'})
+        RETURN count(*) AS n
+    """)
+    assert out[0]["n"] == 2
+
+
+def test_any_shortest_fixed_pattern(spark, diamond_graph):
+    # non-var-length pattern with a selector: one of the parallel edges
+    out = _count(spark, diamond_graph, """
+        MATCH ANY SHORTEST (a:N {name: 'a'})-[r:E]->(b:N {name: 'b'})
+        RETURN count(*) AS n
+    """)
+    assert out[0]["n"] == 1
+
+
+def test_selector_single_node_pattern(spark, diamond_graph):
+    out = _count(spark, diamond_graph, """
+        MATCH p = SHORTEST 1 (n:N) RETURN count(*) AS n
+    """)
+    assert out[0]["n"] == 4
+
+
+def test_all_selector_is_default(spark, diamond_graph):
+    out = _count(spark, diamond_graph, """
+        MATCH ALL (a:N {name: 'a'})-[r:E]->(b:N {name: 'b'})
+        RETURN count(*) AS n
+    """)
+    assert out[0]["n"] == 2
+
+
+def test_selector_respects_internal_where(spark, diamond_graph):
+    # predicate inside the pattern constrains the search BEFORE selection:
+    # forbid the b-route; the shortest surviving a->d path is via c
+    out = _count(spark, diamond_graph, """
+        MATCH p = SHORTEST 1 GROUPS
+            (a:N {name: 'a'})-[*1..2]->(d:N {name: 'd'} WHERE d.name <> 'x')
+        MATCH (mid:N) WHERE mid.name = 'c'
+        RETURN count(*) AS n
+    """)
+    assert out[0]["n"] == 3
