@@ -228,6 +228,16 @@ CYPHER_QUERIES = {
         "MATCH (r:Region) CALL { WITH r "
         "MATCH (n:Nation)-[:IN_REGION]->(r) RETURN count(*) AS nn } "
         "RETURN r.name AS name, nn ORDER BY name",
+    "call_in_transactions":
+        "MATCH (r:Region) CALL { WITH r "
+        "MATCH (n:Nation)-[:IN_REGION]->(r) RETURN count(*) AS cnt } "
+        "IN TRANSACTIONS OF 2 ROWS REPORT STATUS AS s "
+        "RETURN r.name AS rn, cnt, s.committed AS committed",
+    "map_projection":
+        "MATCH (c:Customer) WHERE c.custkey <= 50 "
+        "RETURN c.custkey AS ck, "
+        "c{.name, scaled: round(c.acctbal * 2, 2)}.scaled AS scaled2, "
+        "keys(c{.name, .mktsegment}) AS ks",
     # --- horizons (§2.4/§2.6, widened) ---
     "with_pipeline":
         "MATCH (c:Customer)-[:PLACED]->(o:Order) "
@@ -750,6 +760,13 @@ def oracle_sql() -> dict[str, str]:
         "call_subquery_correlated":
             "SELECT r_name AS name, (SELECT count(*) FROM nation "
             "WHERE n_regionkey = r_regionkey) AS nn FROM region ORDER BY name",
+        "call_in_transactions":
+            "SELECT r_name AS rn, (SELECT count(*) FROM nation "
+            "WHERE n_regionkey = r_regionkey) AS cnt, TRUE AS committed "
+            "FROM region",
+        "map_projection":
+            "SELECT c_custkey AS ck, round(c_acctbal * 2, 2) AS scaled2, "
+            "['name', 'mktsegment'] AS ks FROM customer WHERE c_custkey <= 50",
         "with_pipeline":
             "SELECT count(*) AS n FROM (SELECT o_custkey FROM orders "
             "GROUP BY o_custkey HAVING count(*) > 5)",

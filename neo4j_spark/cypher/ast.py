@@ -43,6 +43,14 @@ class Prop(Expr):
 
 
 @dataclass
+class MapProjection(Expr):
+    """``m{.a, .b, v: x, other, .*}`` (expressions/MapProjection.scala,
+    desugared via DesugaredMapProjection.scala)."""
+    var: str
+    items: List[Tuple]  # ("prop", name) | ("all",) | ("var", name) | ("kv", key, Expr)
+
+
+@dataclass
 class Func(Expr):
     """Function invocation; ``name`` is lower-cased, may be dotted
     (``vector.similarity.cosine``)."""
@@ -287,6 +295,14 @@ class CallProc(Clause):
 class CallSub(Clause):
     query: "SingleQuery"
     imports: List[str] = field(default_factory=list)  # WITH a, b import header
+    # CALL {} IN TRANSACTIONS (TransactionApply LP:4039) modifiers; in a
+    # batch engine one statement = one snapshot commit, so these are
+    # surface-compatibility metadata (batch size is an execution hint)
+    in_transactions: bool = False
+    batch_rows: Optional[int] = None
+    concurrency: Optional[int] = None
+    on_error: Optional[str] = None  # CONTINUE | BREAK | FAIL
+    report_var: Optional[str] = None  # REPORT STATUS AS var
 
 
 @dataclass

@@ -164,6 +164,35 @@ class ExprCompiler:
         # unresolvable (null literal etc.)
         return F.lit(None)
 
+    def _c_MapProjection(self, e: "A.MapProjection") -> Column:
+        """Map projection -> struct column (DesugaredMapProjection.scala);
+        later items override earlier ones on key collision."""
+        subj = self.compile(A.Var(e.var))
+        t = self._local_types.get(e.var) or self.dtype_of(subj)
+        fields: Dict[str, Column] = {}
+        for it in e.items:
+            if it[0] == "all":
+                if isinstance(t, T.StructType):
+                    for f in t.fields:
+                        if not f.name.startswith("_"):
+                            fields[f.name] = subj.getField(f.name)
+            elif it[0] == "prop":
+                k = it[1]
+                if isinstance(t, T.StructType):
+                    fields[k] = (subj.getField(k) if k in t.fieldNames()
+                                 else F.lit(None))
+                elif isinstance(t, T.MapType):
+                    fields[k] = F.element_at(subj, F.lit(k))
+                else:
+                    fields[k] = F.lit(None)
+            elif it[0] == "var":
+                fields[it[1]] = self.compile(A.Var(it[1]))
+            else:  # ("kv", key, expr)
+                fields[it[1]] = self.compile(it[2])
+        if not fields:
+            raise CypherTypeError("empty map projection is unsupported")
+        return F.struct(*[c.alias(k) for k, c in fields.items()])
+
     # ---- operators -------------------------------------------------------
 
     def _c_BinOp(self, e: A.BinOp) -> Column:

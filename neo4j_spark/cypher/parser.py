@@ -281,7 +281,30 @@ class Parser:
                     imports = []
             sub = self.parse_single_query()
             self.expect_op("}")
-            return A.CallSub(sub, imports)
+            call = A.CallSub(sub, imports)
+            if self.at_kw("IN"):
+                self.take()
+                call.in_transactions = True
+                if self.peek().kind == "INT":
+                    call.concurrency = int(self.take().value)
+                if self.at_kw("CONCURRENT"):
+                    self.take()
+                self.expect_kw("TRANSACTIONS")
+                if self.at_kw("OF"):
+                    self.take()
+                    call.batch_rows = int(self.take().value)
+                    if self.at_kw("ROWS", "ROW"):
+                        self.take()
+                if self.at_kw("ON"):
+                    self.take()
+                    self.expect_kw("ERROR")
+                    call.on_error = self.take().upper()  # CONTINUE|BREAK|FAIL
+                if self.at_kw("REPORT"):
+                    self.take()
+                    self.expect_kw("STATUS")
+                    self.expect_kw("AS")
+                    call.report_var = self.expect_ident()
+            return call
         name_parts = [self.expect_ident()]
         while self.at_op("."):
             self.take()
@@ -749,8 +772,35 @@ class Parser:
                     self.take()
                     labels.append(self.expect_ident())
                 e = A.HasLabels(e, labels)
+            elif self.at_op("{") and isinstance(e, A.Var):
+                e = self.parse_map_projection(e.name)
             else:
                 return e
+
+    def parse_map_projection(self, var: str) -> A.MapProjection:
+        self.expect_op("{")
+        items: List[tuple] = []
+        if not self.at_op("}"):
+            while True:
+                if self.at_op("."):
+                    self.take()
+                    if self.at_op("*"):
+                        self.take()
+                        items.append(("all",))
+                    else:
+                        items.append(("prop", self.expect_ident()))
+                elif self.peek().kind == "IDENT" and self.at_op(":", ahead=1):
+                    k = self.expect_ident()
+                    self.take()
+                    items.append(("kv", k, self.parse_expr()))
+                else:
+                    items.append(("var", self.expect_ident()))
+                if self.at_op(","):
+                    self.take()
+                    continue
+                break
+        self.expect_op("}")
+        return A.MapProjection(var, items)
 
     # ---- atoms -----------------------------------------------------------
 

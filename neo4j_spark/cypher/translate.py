@@ -775,6 +775,22 @@ class Translator:
     # ---- CALL {} subquery (LP:3897 SubqueryForeach / CallSubquery) -------
 
     def _call_sub(self, df: Optional[DataFrame], clause: A.CallSub) -> DataFrame:
+        out = self._call_sub_body(df, clause)
+        if clause.in_transactions and clause.report_var:
+            # TransactionApply (LP:4039) REPORT STATUS: in a batch engine
+            # the whole statement is one snapshot commit, so every row's
+            # batch committed (ON ERROR CONTINUE cannot observe a partial
+            # failure — an error fails the Spark job before any write lands)
+            out = out.withColumn(clause.report_var, F.struct(
+                F.lit(True).alias("started"),
+                F.lit(True).alias("committed"),
+                F.lit(None).cast("string").alias("transactionId"),
+                F.lit(None).cast("string").alias("errorMessage")))
+            self.kinds[clause.report_var] = "scalar"
+        return out
+
+    def _call_sub_body(self, df: Optional[DataFrame],
+                       clause: A.CallSub) -> DataFrame:
         """Uncorrelated CALL {}: run once, join to every input row.
         Correlated (WITH import header): run over the distinct import rows,
         join back on them — Apply decorrelated to a join (SURVEY §2.5)."""
