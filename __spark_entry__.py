@@ -228,6 +228,19 @@ CYPHER_QUERIES = {
         "MATCH (r:Region) CALL { WITH r "
         "MATCH (n:Nation)-[:IN_REGION]->(r) RETURN count(*) AS nn } "
         "RETURN r.name AS name, nn ORDER BY name",
+    "duration_functions":
+        "MATCH (o:Order) WHERE o.orderkey <= 20 "
+        "RETURN o.orderkey AS ok, (o.orderdate + duration('P1M')).month AS m2, "
+        "duration('P1Y2M').months AS dm, duration({days: 2, hours: 36}).days "
+        "AS dd",
+    "trim_variants":
+        "RETURN trim('  x  ') AS t1, trim(BOTH 'x' FROM 'xxabxx') AS t2, "
+        "trim(LEADING 'x' FROM 'xxab') AS t3, "
+        "trim(TRAILING 'x' FROM 'abxx') AS t4",
+    "collect_subquery":
+        "MATCH (r:Region) RETURN r.name AS rn, "
+        "COLLECT { MATCH (n:Nation)-[:IN_REGION]->(r) "
+        "RETURN n.name ORDER BY n.name } AS ns ORDER BY rn",
     "call_in_transactions":
         "MATCH (r:Region) CALL { WITH r "
         "MATCH (n:Nation)-[:IN_REGION]->(r) RETURN count(*) AS cnt } "
@@ -760,6 +773,17 @@ def oracle_sql() -> dict[str, str]:
         "call_subquery_correlated":
             "SELECT r_name AS name, (SELECT count(*) FROM nation "
             "WHERE n_regionkey = r_regionkey) AS nn FROM region ORDER BY name",
+        "duration_functions":
+            "SELECT o_orderkey AS ok, "
+            "CAST(month(o_orderdate + INTERVAL 1 MONTH) AS BIGINT) AS m2, "
+            "CAST(14 AS BIGINT) AS dm, CAST(2 AS BIGINT) AS dd "
+            "FROM orders WHERE o_orderkey <= 20",
+        "trim_variants":
+            "SELECT 'x' AS t1, 'ab' AS t2, 'ab' AS t3, 'ab' AS t4",
+        "collect_subquery":
+            "SELECT r_name AS rn, (SELECT list(n_name ORDER BY n_name) "
+            "FROM nation WHERE n_regionkey = r_regionkey) AS ns "
+            "FROM region ORDER BY rn",
         "call_in_transactions":
             "SELECT r_name AS rn, (SELECT count(*) FROM nation "
             "WHERE n_regionkey = r_regionkey) AS cnt, TRUE AS committed "

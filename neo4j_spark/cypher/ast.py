@@ -171,6 +171,12 @@ class ExistsSub(Expr):
 
 
 @dataclass
+class CollectSub(Expr):
+    """COLLECT { <full subquery> } expression (ast/CollectExpression.scala)."""
+    query: "SingleQuery"
+
+
+@dataclass
 class CountSub(Expr):
     """COUNT { MATCH ... [WHERE ...] }"""
 

@@ -31,6 +31,24 @@ NUMERIC_TYPES = (
 )
 INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
+DUR_FIELDS = frozenset({"months", "days", "seconds", "nanos"})
+
+
+def _is_duration(t) -> bool:
+    return isinstance(t, T.StructType) and set(t.fieldNames()) == set(DUR_FIELDS)
+
+
+def _is_temporal(t) -> bool:
+    return isinstance(t, (T.DateType, T.TimestampType, T.TimestampNTZType))
+
+
+def _dur_map2(lc: Column, rc, fn) -> Column:
+    """Fieldwise combine of two duration structs (rc=None -> unary)."""
+    return F.struct(*[
+        fn(lc.getField(f), rc.getField(f) if rc is not None else None)
+        .cast("long").alias(f)
+        for f in ("months", "days", "seconds", "nanos")])
+
 TEMPORAL_FIELDS = {
     "year": F.year, "month": F.month, "day": F.dayofmonth, "hour": F.hour,
     "minute": F.minute, "second": F.second,
@@ -147,7 +165,21 @@ class ExprCompiler:
         if isinstance(t, T.StructType):
             if key in t.fieldNames():
                 return subj.getField(key)
-            # duration struct component access
+            if _is_duration(t):
+                # derived duration components (DurationFields.java)
+                m, d = subj.getField("months"), subj.getField("days")
+                s, ns = subj.getField("seconds"), subj.getField("nanos")
+                derived = {
+                    "years": F.floor(m / 12), "quarters": F.floor(m / 3),
+                    "weeks": F.floor(d / 7), "hours": F.floor(s / 3600),
+                    "minutes": F.floor(s / 60),
+                    "milliseconds": s * 1000 + F.floor(ns / 1_000_000),
+                    "microseconds": s * 1_000_000 + F.floor(ns / 1000),
+                    "nanoseconds": s * 1_000_000_000 + ns,
+                }
+                k = key.lower()
+                if k in derived:
+                    return derived[k].cast("long")
             return F.lit(None)
         if isinstance(t, T.MapType):
             return F.element_at(subj, F.lit(key))
@@ -232,15 +264,27 @@ class ExprCompiler:
         if op == "+":
             return self._plus(lc, lt, rc, rt)
         if op == "-":
+            if _is_duration(lt) and _is_duration(rt):
+                return _dur_map2(lc, rc, lambda a, b: a - b)
+            if _is_temporal(lt) and _is_duration(rt):
+                return self._temporal_shift(lc, lt, rc, -1)
             return lc - rc
         if op == "*":
+            if _is_duration(lt):
+                return _dur_map2(lc, None, lambda a, _: (a * rc).cast("long"))
             return lc * rc
         if op == "/":
             if isinstance(lt, INT_TYPES) and isinstance(rt, INT_TYPES):
                 # Cypher integer / integer = integer division truncating toward
                 # zero (CypherMath.java); double-divide + cast truncates the same
                 return (lc / rc).cast("long")
-            return lc / rc
+            # float division never errors: x/0.0 -> ±Infinity, 0.0/0.0 -> NaN
+            # (IEEE semantics, CypherMath.java) — Spark ANSI raises instead
+            ld, rd = lc.cast("double"), rc.cast("double")
+            return F.when(rd != 0.0, ld / rd).otherwise(
+                F.when(ld > 0, F.lit(float("inf")))
+                 .when(ld < 0, F.lit(float("-inf")))
+                 .otherwise(F.lit(float("nan"))))
         if op == "%":
             return lc % rc
         if op == "^":
@@ -248,6 +292,12 @@ class ExprCompiler:
         raise CypherTypeError(f"unknown operator {op}")
 
     def _plus(self, lc: Column, lt, rc: Column, rt) -> Column:
+        if _is_duration(lt) and _is_duration(rt):
+            return _dur_map2(lc, rc, lambda a, b: a + b)
+        if _is_temporal(lt) and _is_duration(rt):
+            return self._temporal_shift(lc, lt, rc, 1)
+        if _is_duration(lt) and _is_temporal(rt):
+            return self._temporal_shift(rc, rt, lc, 1)
         if isinstance(lt, T.StringType) or isinstance(rt, T.StringType):
             ls = lc if isinstance(lt, T.StringType) else self._to_string(lc, lt)
             rs = rc if isinstance(rt, T.StringType) else self._to_string(rc, rt)
@@ -259,6 +309,22 @@ class ExprCompiler:
         if isinstance(rt, T.ArrayType):
             return F.array_prepend(rc, lc) if hasattr(F, "array_prepend") else F.concat(F.array(lc), rc)
         return lc + rc
+
+    def _temporal_shift(self, tc: Column, tt, dur: Column, sign: int) -> Column:
+        """temporal ± duration (CypherMath.java add/subtract on
+        TemporalValue): calendar-correct month shift then day/second shift
+        via a make_interval addition on timestamps."""
+        iv = F.make_interval(
+            F.lit(0), (dur.getField("months") * sign).cast("int"), F.lit(0),
+            (dur.getField("days") * sign).cast("int"), F.lit(0), F.lit(0),
+            ((dur.getField("seconds")
+              + dur.getField("nanos") / F.lit(1e9)) * sign).cast("decimal(18,6)"))
+        out = tc.cast("timestamp") + iv
+        if isinstance(tt, T.DateType):
+            return out.cast("date")
+        if isinstance(tt, T.TimestampNTZType):
+            return out.cast("timestamp_ntz")
+        return out
 
     def _to_string(self, c: Column, t) -> Column:
         return c.cast("string")

@@ -859,6 +859,12 @@ class Parser:
                 self.take(); self.take(); self.take()
                 self.expect_op(")")
                 return A.CountStar()
+            if kw == "COLLECT" and self.at_op("{", ahead=1):
+                self.take()
+                self.expect_op("{")
+                sub = self.parse_single_query()
+                self.expect_op("}")
+                return A.CollectSub(sub)
             if kw in ("EXISTS", "COUNT") and self.at_op("{", ahead=1):
                 self.take()
                 self.expect_op("{")
@@ -919,6 +925,25 @@ class Parser:
 
     def parse_func_call(self, name: str) -> A.Expr:
         self.expect_op("(")
+        if name.lower() == "trim" and not self.at_op(")"):
+            # SQL-style trim([[BOTH|LEADING|TRAILING] [char] FROM] input)
+            # (CypherFunctions.java:728-758 trim-char variants)
+            mode = None
+            if self.at_kw("BOTH", "LEADING", "TRAILING"):
+                mode = self.take().upper()
+            first = None
+            if not self.at_kw("FROM"):
+                first = self.parse_expr()
+            if self.at_kw("FROM"):
+                self.take()
+                src = self.parse_expr()
+                self.expect_op(")")
+                fname = {"LEADING": "ltrim",
+                         "TRAILING": "rtrim"}.get(mode or "BOTH", "btrim")
+                return A.Func(fname,
+                              [src] + ([first] if first is not None else []))
+            self.expect_op(")")
+            return A.Func("trim", [first])
         distinct = False
         if self.at_kw("DISTINCT"):
             self.take()

@@ -615,6 +615,8 @@ class Translator:
                 return lower_exists(df, e)
             if isinstance(e, A.CountSub):
                 return lower_count(df, e)
+            if isinstance(e, A.CollectSub):
+                return self._lower_collect_sub(df, e)
             # rebuild children
             import dataclasses
 
@@ -702,6 +704,118 @@ class Translator:
 
         return walk(df, expr)
 
+    def _lower_collect_sub(self, df: DataFrame, e: A.CollectSub
+                           ) -> Tuple[DataFrame, A.Expr]:
+        """COLLECT {} subquery expression (ast/CollectExpression.scala) ->
+        RollUpApply (LP:3534): run the inner query correlated on the shared
+        outer variables, then groupBy + collect_list.  An inner ORDER BY is
+        preserved by collecting (key..., value) structs and sort_array-ing
+        them (struct ordering is field-order lexicographic) — no per-group
+        sort pass."""
+        import dataclasses
+
+        q = e.query
+        last = q.clauses[-1] if q.clauses else None
+        if not (isinstance(last, A.Projection) and last.is_return
+                and len(last.items) == 1):
+            raise TranslateError("COLLECT {} must end in RETURN <one column>")
+
+        names: set = set()
+
+        def walk_names(node) -> None:
+            if isinstance(node, A.Var):
+                names.add(node.name)
+            if dataclasses.is_dataclass(node):
+                for f in dataclasses.fields(node):
+                    v = getattr(node, f.name)
+                    if f.name in ("var", "path_var") and isinstance(v, str):
+                        names.add(v)
+                    if dataclasses.is_dataclass(v):
+                        walk_names(v)
+                    elif isinstance(v, (list, tuple)):
+                        for x in v:
+                            if dataclasses.is_dataclass(x):
+                                walk_names(x)
+
+        walk_names(q)
+        shared = [c for c in df.columns if c in names]
+
+        # hoist the final ORDER BY into extra (key) return items
+        item = last.items[0]
+        ritems = [dataclasses.replace(item, alias="__cl_val")]
+        okeys: List[Tuple[str, bool]] = []
+        for idx, oi in enumerate(last.order):
+            oexpr = oi.expr
+            if (isinstance(oexpr, A.Var) and item.alias
+                    and oexpr.name == item.alias):
+                oexpr = item.expr  # ORDER BY <alias of the value>
+            okeys.append((f"__cl_o{idx}", oi.ascending))
+            ritems.append(A.ReturnItem(oexpr, f"__cl_o{idx}", f"__cl_o{idx}"))
+        new_last = dataclasses.replace(last, items=ritems, order=[])
+        inner_q = A.SingleQuery(list(q.clauses[:-1]) + [new_last])
+
+        col = self._anon_var("cl")
+        sub = Translator(self.spark, self.graph, self.params)
+        if not shared:
+            inner = sub._single(inner_q)
+            if okeys:
+                inner = inner.orderBy(*[
+                    F.col(k).asc() if asc else F.col(k).desc()
+                    for k, asc in okeys])
+            vals = [r["__cl_val"] for r in inner.collect()]
+            return df, A.Lit(vals)
+
+        hid = {v: f"__corr_{v}" for v in shared}
+        base = df.select(*shared).dropDuplicates()
+        sub.kinds.update({v: self.kinds[v] for v in shared if v in self.kinds})
+        for v in shared:
+            base = base.withColumn(hid[v], F.col(v))
+            sub.kinds[hid[v]] = self.kinds.get(v, "scalar")
+        threaded = []
+        for c in inner_q.clauses:
+            if isinstance(c, A.Projection):
+                extra = [A.ReturnItem(A.Var(h), h, h) for h in hid.values()]
+                c = dataclasses.replace(c, items=list(c.items) + extra)
+            threaded.append(c)
+        matched = sub._single_over(base, A.SingleQuery(threaded))
+
+        if okeys:
+            skfields = []
+            for k, asc in okeys:
+                kc = F.col(k)
+                if not asc:
+                    t = matched.schema[k].dataType
+                    if isinstance(t, T.NumericType):
+                        kc = -kc
+                    elif isinstance(t, (T.DateType, T.TimestampType,
+                                        T.TimestampNTZType)):
+                        kc = -F.unix_micros(kc.cast("timestamp"))
+                    else:
+                        raise TranslateError(
+                            "ORDER BY ... DESC on a non-numeric key inside "
+                            "COLLECT {} is unsupported")
+                skfields.append(kc.alias(k))
+            skey = F.struct(*skfields, F.col("__cl_val").alias("__cl_val"))
+            agg = F.transform(F.sort_array(F.collect_list(skey)),
+                              lambda x: x.getField("__cl_val"))
+        else:
+            agg = F.collect_list(F.col("__cl_val"))
+        grouped = matched.groupBy(*[F.col(h) for h in hid.values()]).agg(
+            agg.alias(col))
+        cond = None
+        for v in shared:
+            l, r = F.col(v), grouped[hid[v]]
+            if self.kinds.get(v) in ("node", "rel"):
+                c = l.getField("_id").eqNullSafe(r.getField("_id"))
+            else:
+                c = l.eqNullSafe(r)
+            cond = c if cond is None else cond & c
+        et = grouped.schema[col].dataType.simpleString()
+        out = df.join(grouped, cond, "left").drop(*hid.values())
+        out = out.withColumn(col, F.coalesce(F.col(col), F.array().cast(et)))
+        self.kinds[col] = "scalar"
+        return out, A.Var(col)
+
     def _lower_pattern_comp(self, df: DataFrame, e: A.PatternComp
                             ) -> Tuple[DataFrame, A.Expr]:
         """Pattern comprehension -> RollUpApply (LP:3534): groupBy+collect_list."""
@@ -746,7 +860,8 @@ class Translator:
         def walk(df, e):
             if isinstance(e, A.PatternComp):
                 return self._lower_pattern_comp(df, e)
-            if isinstance(e, (A.PatternPred, A.ExistsSub, A.CountSub)):
+            if isinstance(e, (A.PatternPred, A.ExistsSub, A.CountSub,
+                              A.CollectSub)):
                 return self._lower_predicates(df, e)
             if not dataclasses.is_dataclass(e) or not isinstance(e, A.Expr):
                 return df, e

@@ -200,16 +200,28 @@ def compile_function(cc, e: A.Func) -> Column:
             return col.try_cast("boolean")
         return col.cast("boolean")
     if name == "tointegerlist":
-        return F.transform(c(0), lambda x: x.cast("long"))
+        return F.transform(c(0), lambda x: x.try_cast("long"))
     if name == "tofloatlist":
-        return F.transform(c(0), lambda x: x.cast("double"))
+        return F.transform(c(0), lambda x: x.try_cast("double"))
     if name == "tostringlist":
         return F.transform(c(0), lambda x: x.cast("string"))
     if name == "tobooleanlist":
-        return F.transform(c(0), lambda x: x.cast("boolean"))
+        return F.transform(c(0), lambda x: x.try_cast("boolean"))
     if name == "valuetype":
         col, t = ctyped(0)
-        return F.lit(t.simpleString().upper() if t else "ANY")
+        # Cypher type names (functions/ValueType.scala), not Spark's
+        cypher_names = {
+            "bigint": "INTEGER", "int": "INTEGER", "smallint": "INTEGER",
+            "tinyint": "INTEGER", "double": "FLOAT", "float": "FLOAT",
+            "string": "STRING", "boolean": "BOOLEAN", "date": "DATE",
+            "timestamp": "ZONED DATETIME", "timestamp_ntz": "LOCAL DATETIME",
+        }
+        s = t.simpleString() if t else None
+        if s in cypher_names:
+            return F.lit(cypher_names[s])
+        if s and s.startswith("array"):
+            return F.lit("LIST<ANY>")
+        return F.lit(s.upper() if s else "ANY")
 
     # ---- lists -----------------------------------------------------------
     if name == "head":
@@ -239,6 +251,44 @@ def compile_function(cc, e: A.Func) -> Column:
         return c(0)
     if name == "timestamp":
         return F.unix_millis(F.current_timestamp())
+    if name == "duration":
+        # duration('P1Y2M3DT4H5M6.5S') or duration({years, months, days,
+        # hours, minutes, seconds, ...}) -> {months, days, seconds, nanos}
+        # struct (DurationValue.java 4-component interval)
+        col, t = ctyped(0)
+        if isinstance(t, T.StructType):
+            names = t.fieldNames()
+
+            def total(*parts):
+                tot = F.lit(0.0)
+                for k, mult in parts:
+                    if k in names:
+                        tot = tot + F.coalesce(
+                            col.getField(k).cast("double"), F.lit(0.0)) * mult
+                return tot
+
+            months = total(("years", 12), ("quarters", 3), ("months", 1))
+            days = total(("weeks", 7), ("days", 1))
+            secs_f = total(("hours", 3600), ("minutes", 60), ("seconds", 1),
+                           ("milliseconds", 1e-3), ("microseconds", 1e-6),
+                           ("nanoseconds", 1e-9))
+        else:
+            pat = (r"^P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)W)?(?:(\d+)D)?"
+                   r"(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?$")
+
+            def grp(i):
+                return F.coalesce(
+                    F.regexp_extract(col, pat, i).try_cast("double"),
+                    F.lit(0.0))
+
+            months = grp(1) * 12 + grp(2)
+            days = grp(3) * 7 + grp(4)
+            secs_f = grp(5) * 3600 + grp(6) * 60 + grp(7)
+        seconds = F.floor(secs_f).cast("long")
+        nanos = F.round((secs_f - F.floor(secs_f)) * 1e9).cast("long")
+        return F.struct(
+            months.cast("long").alias("months"), days.cast("long").alias("days"),
+            seconds.alias("seconds"), nanos.alias("nanos"))
     if name == "duration.between":
         a, b = c(0), c(1)
         months = F.floor(F.months_between(b, a)).cast("long")
