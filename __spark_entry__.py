@@ -228,6 +228,11 @@ CYPHER_QUERIES = {
         "MATCH (r:Region) CALL { WITH r "
         "MATCH (n:Nation)-[:IN_REGION]->(r) RETURN count(*) AS nn } "
         "RETURN r.name AS name, nn ORDER BY name",
+    "call_schema_viz":
+        "CALL db.schema.visualization() YIELD nodes, relationships "
+        "RETURN nodes, relationships",
+    "call_dbms_components":
+        "CALL dbms.components() YIELD name, edition RETURN name, edition",
     "duration_functions":
         "MATCH (o:Order) WHERE o.orderkey <= 20 "
         "RETURN o.orderkey AS ok, (o.orderdate + duration('P1M')).month AS m2, "
@@ -773,6 +778,17 @@ def oracle_sql() -> dict[str, str]:
         "call_subquery_correlated":
             "SELECT r_name AS name, (SELECT count(*) FROM nation "
             "WHERE n_regionkey = r_regionkey) AS nn FROM region ORDER BY name",
+        "call_schema_viz":
+            "SELECT ['Customer', 'Document', 'Embedding', 'Nation', 'Order', "
+            "'Part', 'Region', 'Supplier'] AS nodes, "
+            "['(:Customer)-[:FROM_NATION]->(:Nation)', "
+            "'(:Customer)-[:PLACED]->(:Order)', "
+            "'(:Nation)-[:IN_REGION]->(:Region)', "
+            "'(:Order)-[:CONTAINS]->(:Part)', "
+            "'(:Order)-[:SUPPLIED_BY]->(:Supplier)', "
+            "'(:Supplier)-[:FROM_NATION]->(:Nation)'] AS relationships",
+        "call_dbms_components":
+            "SELECT 'neo4j-spark-engine' AS name, 'community' AS edition",
         "duration_functions":
             "SELECT o_orderkey AS ok, "
             "CAST(month(o_orderdate + INTERVAL 1 MONTH) AS BIGINT) AS m2, "

@@ -909,7 +909,7 @@ class Parser:
             if self.at_op("(", ahead=1):
                 name = self.expect_ident()
                 return self.parse_func_call(name)
-            if (t.value.lower() in DOTTED_FN_NS and self.at_op(".", ahead=1)):
+            if self.at_op(".", ahead=1) and self._dotted_call_ahead():
                 # dotted function: ns.part(...)* — only if a '(' terminates the chain
                 save = self.i
                 parts = [self.expect_ident()]
@@ -922,6 +922,20 @@ class Parser:
             name = self.expect_ident()
             return A.Var(name)
         raise ParseError(f"unexpected token {t.value!r} at {t.pos}")
+
+    def _dotted_call_ahead(self) -> bool:
+        """True iff the upcoming tokens are IDENT (. IDENT)+ ( — a dotted
+        function call.  Property access never has a '(' after the chain,
+        and Cypher has no method invocation, so this is unambiguous (and
+        lets registered user functions use any namespace)."""
+        if self.peek().kind != "IDENT":
+            return False
+        j = 1
+        seen_dot = False
+        while self.at_op(".", ahead=j) and self.peek(j + 1).kind == "IDENT":
+            seen_dot = True
+            j += 2
+        return seen_dot and self.at_op("(", ahead=j)
 
     def parse_func_call(self, name: str) -> A.Expr:
         self.expect_op("(")

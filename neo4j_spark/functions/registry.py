@@ -22,6 +22,23 @@ class FunctionError(ValueError):
     pass
 
 
+# User scalar functions (@UserFunction analog, procedure-api/UserFunction.java):
+# name -> callable(list[Column]) -> Column.  Registered names are tried
+# before the unknown-function error, so users can also shadow nothing but
+# never builtins.  Aggregating UDFs (@UserAggregationFunction) register a
+# pandas_udf GROUPED_AGG the same way and are used inside RETURN aggregates.
+USER_FUNCTIONS = {}
+
+
+def register_function(name, fn):
+    """Register a scalar user function: fn(args: list[Column]) -> Column."""
+    USER_FUNCTIONS[name.lower()] = fn
+
+
+def unregister_function(name):
+    USER_FUNCTIONS.pop(name.lower(), None)
+
+
 def _norm_udf():
     import unicodedata
 
@@ -372,5 +389,8 @@ def compile_function(cc, e: A.Func) -> Column:
             F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0), lambda acc, x: acc + x)
         return F.lit(1.0) / (F.lit(1.0) + d2)
+
+    if name in USER_FUNCTIONS:
+        return USER_FUNCTIONS[name]([c(i) for i in range(n)])
 
     raise FunctionError(f"unknown function {name}()")

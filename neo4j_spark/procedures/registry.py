@@ -152,3 +152,42 @@ def fulltext_query_nodes(spark, graph, args):
         F.col("id").alias("node"), score.alias("score"))
     return out.filter(F.col("score") > 0).orderBy(
         F.col("score").desc(), F.col("node"))
+
+
+# ---- schema / dbms catalog -------------------------------------------------
+
+
+@procedure("db.schema.visualization")
+def db_schema_visualization(spark, graph, args):
+    """() -> (nodes, relationships): one row summarizing the schema graph
+    (BuiltInProcedures.java db.schema.visualization) — label list + typed
+    (srcLabel, type, dstLabel) triples derived from the shard catalog."""
+    labels = sorted(graph.labels())
+    id2l = None
+    for l in labels:
+        part = graph.node_frames[l].select("id", F.lit(l).alias("lbl"))
+        id2l = part if id2l is None else id2l.unionByName(part)
+    edges = None
+    for t, rel_df in sorted(graph.rel_frames.items()):
+        part = rel_df.select(F.lit(t).alias("t"), "src", "dst")
+        edges = part if edges is None else edges.unionByName(part)
+    triples = []
+    if edges is not None and id2l is not None:
+        s_l = id2l.select(F.col("id").alias("src"), F.col("lbl").alias("sl"))
+        d_l = id2l.select(F.col("id").alias("dst"), F.col("lbl").alias("dl"))
+        rows = (edges.join(s_l, "src").join(d_l, "dst")
+                .select("sl", "t", "dl").dropDuplicates().collect())
+        triples = sorted((r["sl"], r["t"], r["dl"]) for r in rows)
+    return spark.createDataFrame(
+        [(labels, [f"(:{s})-[:{t}]->(:{d})" for s, t, d in triples])],
+        "nodes array<string>, relationships array<string>")
+
+
+@procedure("dbms.components")
+def dbms_components(spark, graph, args):
+    """() -> (name, versions, edition) (BuiltInDbmsProcedures.java)."""
+    import pyspark
+
+    return spark.createDataFrame(
+        [("neo4j-spark-engine", [pyspark.__version__], "community")],
+        "name string, versions array<string>, edition string")
