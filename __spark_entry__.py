@@ -228,6 +228,10 @@ CYPHER_QUERIES = {
         "MATCH (r:Region) CALL { WITH r "
         "MATCH (n:Nation)-[:IN_REGION]->(r) RETURN count(*) AS nn } "
         "RETURN r.name AS name, nn ORDER BY name",
+    "load_csv":
+        "LOAD CSV WITH HEADERS FROM "
+        "'file:///root/repo/tests/fixtures/people.csv' AS row "
+        "RETURN row.name AS name, toInteger(row.age) AS age ORDER BY name",
     "call_schema_viz":
         "CALL db.schema.visualization() YIELD nodes, relationships "
         "RETURN nodes, relationships",
@@ -457,6 +461,12 @@ def _q_events_tumbling(spark, sf_dir):
     return tumbling_counts(load_events(spark, sf_dir))
 
 
+def _q_events_sliding(spark, sf_dir):
+    from neo4j_spark.streaming.windows import load_events, sliding_avg
+
+    return sliding_avg(load_events(spark, sf_dir))
+
+
 def _q_events_session(spark, sf_dir):
     from neo4j_spark.streaming.windows import load_events, session_windows
 
@@ -567,6 +577,7 @@ EXTENSION_QUERIES = {
     "knn_lsh": _q_knn_lsh,
     "knn_ivf": _q_knn_ivf,
     "events_tumbling_window": _q_events_tumbling,
+    "events_sliding_window": _q_events_sliding,
     "events_session_window": _q_events_session,
     "events_json_props": _q_events_json,
     "stream_dedup": _q_stream_dedup,
@@ -778,6 +789,10 @@ def oracle_sql() -> dict[str, str]:
         "call_subquery_correlated":
             "SELECT r_name AS name, (SELECT count(*) FROM nation "
             "WHERE n_regionkey = r_regionkey) AS nn FROM region ORDER BY name",
+        "load_csv":
+            "SELECT name, CAST(age AS BIGINT) AS age FROM "
+            "read_csv('/root/repo/tests/fixtures/people.csv', header=true) "
+            "ORDER BY name",
         "call_schema_viz":
             "SELECT ['Customer', 'Document', 'Embedding', 'Nation', 'Order', "
             "'Part', 'Region', 'Supplier'] AS nodes, "
@@ -958,6 +973,14 @@ def oracle_sql() -> dict[str, str]:
             "AS window_start, event_type, count(*) AS n, "
             "round(sum(value), 2) AS total_value FROM events "
             "GROUP BY 1, 2",
+        "events_sliding_window":
+            "WITH e AS (SELECT to_timestamp(floor(extract(epoch FROM ts) "
+            "/ 1800) * 1800) AS s1, value FROM events), "
+            "w AS (SELECT s1 AS ws, value FROM e "
+            "UNION ALL SELECT s1 - INTERVAL 30 MINUTE AS ws, value FROM e) "
+            "SELECT CAST(extract(epoch FROM ws) AS BIGINT) AS window_start, "
+            "round(avg(value), 6) AS avg_value, count(*) AS n "
+            "FROM w GROUP BY 1",
         "events_session_window":
             "WITH marked AS (SELECT user_id, ts, value, CASE WHEN "
             "ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "

@@ -278,24 +278,29 @@ def shortest_path(tr, df: Optional[DataFrame], part: A.PatternPart,
                      F.slice(F.reverse("__bnodes"), 2, max_len + 1)
                      ).alias("__nodes")]
     met = met.select(*sel)
-    # the same path splits at every meet node with fdepth <= fb — dedup
-    if track_path:
-        met = met.dropDuplicates(["__s", "__t", "__rels"])
-    else:
-        met = met.dropDuplicates(["__s", "__t", "__len"])
-
-    # keep only min-length per pair (subpath optimality => these are exactly
-    # the shortest paths, and shortest walks never repeat a relationship)
-    depths = met.groupBy("__s", "__t").agg(F.min("__len").alias("__mind"))
-    met = met.join(depths, ["__s", "__t"]) \
-             .filter(F.col("__len") == F.col("__mind")).drop("__mind")
     if not all_shortest:
-        order = (F.col("__rels").cast("string") if track_path
-                 else F.col("__len"))
+        # single shortest: ONE window pass picks the min-length path per
+        # (s,t) — duplicate meet-splits of the same path are harmless
+        # because only one row survives (vs. dedup + min-agg join + window:
+        # three shuffles on path-array keys)
+        order = [F.col("__len").asc()]
+        if track_path:
+            order.append(F.col("__rels").cast("string").asc())
         met = met.withColumn(
             "__rn", F.row_number().over(
-                W.partitionBy("__s", "__t").orderBy(order))
+                W.partitionBy("__s", "__t").orderBy(*order))
         ).filter(F.col("__rn") == 1).drop("__rn")
+    else:
+        # the same path splits at every meet node with fdepth <= fb — dedup
+        if track_path:
+            met = met.dropDuplicates(["__s", "__t", "__rels"])
+        else:
+            met = met.dropDuplicates(["__s", "__t", "__len"])
+        # keep only min-length per pair (subpath optimality => these are
+        # exactly the shortest paths, which never repeat a relationship)
+        depths = met.groupBy("__s", "__t").agg(F.min("__len").alias("__mind"))
+        met = met.join(depths, ["__s", "__t"]) \
+                 .filter(F.col("__len") == F.col("__mind")).drop("__mind")
 
     out = df.join(
         met,
