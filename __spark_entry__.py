@@ -210,6 +210,27 @@ CYPHER_QUERIES = {
     "all_rels_scan": "MATCH ()-[r]->() RETURN count(*) AS n",
     "intersection_label_scan":
         "MATCH (n:Customer:Customer) RETURN count(*) AS n",
+    "subtraction_label_scan":
+        "MATCH (n:Customer&!Supplier) RETURN count(*) AS n",
+    "wildcard_label_scan": "MATCH (n:%) RETURN count(*) AS n",
+    "neg_rel_type_scan":
+        "MATCH ()-[r:!IN_REGION&!CONTAINS]->() "
+        "RETURN type(r) AS t, count(*) AS c ORDER BY t",
+    "is_typed_predicate":
+        "MATCH (o:Order) RETURN o.totalprice IS :: FLOAT AS isf, "
+        "o.orderkey IS :: INTEGER AS isi, "
+        "o.orderdate IS NOT :: STRING AS notstr, count(*) AS c",
+    "in_ternary_null":
+        "RETURN null IN [1,2] AS a, 1 IN [1,null] AS b, 3 IN [1,null] AS c, "
+        "null IN [] AS d, 2 IN [1,2] AS e",
+    "case_when_null":
+        "RETURN CASE WHEN null THEN 1 ELSE 2 END AS v, "
+        "CASE 1 WHEN 2 THEN 'a' ELSE 'b' END AS w",
+    "isempty_fn":
+        "MATCH (d:Document) WHERE NOT isEmpty(d.text) "
+        "RETURN count(*) AS c",
+    "normalize_unicode":
+        "RETURN normalize('A\\u030A', NFC) AS v",
     # --- joins / apply (§2.3, §2.5, widened) ---
     "triadic_selection":
         "MATCH (c1:Customer)-[:FROM_NATION]->(n:Nation)"
@@ -775,6 +796,36 @@ def oracle_sql() -> dict[str, str]:
             " + 2 * (SELECT count(*) FROM lineitem) AS BIGINT) AS n",
         "intersection_label_scan":
             "SELECT count(*) AS n FROM customer",
+        "subtraction_label_scan":
+            "SELECT count(*) AS n FROM customer",
+        "wildcard_label_scan":
+            "SELECT CAST((SELECT count(*) FROM region)"
+            " + (SELECT count(*) FROM nation)"
+            " + (SELECT count(*) FROM customer)"
+            " + (SELECT count(*) FROM supplier)"
+            " + (SELECT count(*) FROM part)"
+            " + (SELECT count(*) FROM orders)"
+            " + (SELECT count(*) FROM documents)"
+            " + (SELECT count(*) FROM embeddings) AS BIGINT) AS n",
+        "neg_rel_type_scan":
+            "SELECT * FROM (SELECT 'FROM_NATION' AS t, "
+            "(SELECT count(*) FROM customer)"
+            " + (SELECT count(*) FROM supplier) AS c "
+            "UNION ALL SELECT 'PLACED', (SELECT count(*) FROM orders) "
+            "UNION ALL SELECT 'SUPPLIED_BY', "
+            "(SELECT count(*) FROM lineitem)) ORDER BY t",
+        "is_typed_predicate":
+            "SELECT TRUE AS isf, TRUE AS isi, TRUE AS notstr, "
+            "count(*) AS c FROM orders",
+        "in_ternary_null":
+            "SELECT CAST(NULL AS BOOLEAN) AS a, TRUE AS b, "
+            "CAST(NULL AS BOOLEAN) AS c, FALSE AS d, TRUE AS e",
+        "case_when_null":
+            "SELECT 2 AS v, 'b' AS w",
+        "isempty_fn":
+            "SELECT count(*) AS c FROM documents WHERE length(text) > 0",
+        "normalize_unicode":
+            "SELECT chr(197) AS v",
         "triadic_selection":
             "SELECT count(*) AS n FROM customer c1 JOIN customer c2 "
             "ON c1.c_nationkey = c2.c_nationkey "

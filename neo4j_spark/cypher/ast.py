@@ -87,6 +87,15 @@ class IsNull(Expr):
 
 
 @dataclass
+class IsTyped(Expr):
+    """``x IS :: TYPE`` / ``x IS NOT :: TYPE`` (GQL type predicate,
+    reference: front-end/ast/.../TypePredicateExpressions.scala)."""
+    operand: Expr
+    type_name: str  # normalized upper-case Cypher type name
+    negated: bool = False
+
+
+@dataclass
 class HasLabels(Expr):
     """``n:Label1:Label2`` / ``r:TYPE`` predicate."""
 
@@ -206,6 +215,9 @@ class NodePat:
     any_labels: bool = False  # True => labels is a disjunction (Label1|Label2)
     props: Optional[MapLit] = None
     where: Optional[Expr] = None
+    neg_labels: List[str] = field(default_factory=list)  # :!Label terms
+    req_any_label: bool = False   # :%  — at least one label
+    req_no_label: bool = False    # :!% — no labels at all
 
 
 @dataclass
@@ -218,6 +230,7 @@ class RelPat:
     max_len: Optional[int] = None  # var-length if min or max set
     var_length: bool = False
     where: Optional[Expr] = None
+    neg_types: List[str] = field(default_factory=list)  # [:!TYPE] terms
 
 
 @dataclass

@@ -49,6 +49,47 @@ def _dur_map2(lc: Column, rc, fn) -> Column:
         .cast("long").alias(f)
         for f in ("months", "days", "seconds", "nanos")])
 
+def _type_conforms(t, name: str) -> bool:
+    """Does Spark type ``t`` conform to the Cypher type ``name`` (IS ::)?"""
+    if name in ("ANY", "PROPERTY VALUE"):
+        return True
+    if name == "NOTHING":
+        return False
+    if t is None:
+        return False  # unknown static type: conservative false
+    struct_fields = set(t.fieldNames()) if isinstance(t, T.StructType) else set()
+    checks = {
+        "INTEGER": lambda: isinstance(t, INT_TYPES),
+        "INT": lambda: isinstance(t, INT_TYPES),
+        "FLOAT": lambda: isinstance(t, (T.FloatType, T.DoubleType)),
+        "STRING": lambda: isinstance(t, T.StringType),
+        "VARCHAR": lambda: isinstance(t, T.StringType),
+        "BOOLEAN": lambda: isinstance(t, T.BooleanType),
+        "BOOL": lambda: isinstance(t, T.BooleanType),
+        "DATE": lambda: isinstance(t, T.DateType),
+        "DATETIME": lambda: isinstance(t, T.TimestampType),
+        "ZONED DATETIME": lambda: isinstance(t, T.TimestampType),
+        "LOCAL DATETIME": lambda: isinstance(t, T.TimestampNTZType),
+        "TIMESTAMP WITHOUT TIME ZONE":
+            lambda: isinstance(t, T.TimestampNTZType),
+        "DURATION": lambda: _is_duration(t),
+        "LIST": lambda: isinstance(t, T.ArrayType),
+        "ARRAY": lambda: isinstance(t, T.ArrayType),
+        "MAP": lambda: isinstance(t, (T.MapType, T.StructType)),
+        "POINT": lambda: {"crs", "x", "y"} <= struct_fields,
+        "NODE": lambda: {"_id", "_labels"} <= struct_fields,
+        "VERTEX": lambda: {"_id", "_labels"} <= struct_fields,
+        "RELATIONSHIP": lambda: {"_src", "_dst", "_type"} <= struct_fields,
+        "EDGE": lambda: {"_src", "_dst", "_type"} <= struct_fields,
+        "PATH": lambda: {"_nodes", "_rels"} <= struct_fields,
+        "NULL": lambda: isinstance(t, T.NullType),
+    }
+    fn = checks.get(name)
+    if fn is None:
+        raise CypherTypeError(f"unknown type name in IS :: {name}")
+    return fn()
+
+
 TEMPORAL_FIELDS = {
     "year": F.year, "month": F.month, "day": F.dayofmonth, "hour": F.hour,
     "minute": F.minute, "second": F.second,
@@ -243,9 +284,21 @@ class ExprCompiler:
             l, r = self._entity_aware(e.left), self._entity_aware(e.right)
             return {"<": l < r, "<=": l <= r, ">": l > r, ">=": l >= r}[op]
         if op == "IN":
-            l = self.compile(e.left)
+            # Ternary IN (AnyValue.ternaryEquals, AnyValue.java:62):
+            #   null IN [..non-empty..] -> null;  null IN [] -> false;
+            #   x IN [..] -> true on a definite match, null if the list has
+            #   a null and no match, false otherwise; x IN null -> null.
+            l = self._entity_aware(e.left)
             r = self.compile(e.right)
-            return F.array_contains(r, l)
+            hits = F.size(F.filter(
+                r, lambda el: F.coalesce(el == l, F.lit(False))))
+            has_null = F.exists(r, lambda el: el.isNull())
+            return (F.when(r.isNull(), F.lit(None).cast("boolean"))
+                     .when(hits > 0, F.lit(True))
+                     .when(l.isNull() & (F.size(r) > 0),
+                           F.lit(None).cast("boolean"))
+                     .when(has_null, F.lit(None).cast("boolean"))
+                     .otherwise(F.lit(False)))
         if op == "STARTSWITH":
             return self.compile(e.left).startswith(self.compile(e.right))
         if op == "ENDSWITH":
@@ -347,6 +400,21 @@ class ExprCompiler:
         c = self.compile(e.operand)
         return c.isNotNull() if e.negated else c.isNull()
 
+    def _c_IsTyped(self, e: A.IsTyped) -> Column:
+        """Columns are statically typed, so conformance is decided from the
+        Spark schema; only the null check is per-row.  ``null IS :: T`` is
+        true for every nullable T (types include null by default — GQL
+        semantics, ast/TypePredicateExpressions.scala)."""
+        c, t = self.compile_typed(e.operand)
+        name = e.type_name
+        not_null = name.endswith(" NOT NULL")
+        if not_null:
+            name = name[: -len(" NOT NULL")]
+        ok = _type_conforms(t, name)
+        null_ok = not not_null and name != "NOTHING"
+        res = F.when(c.isNull(), F.lit(null_ok)).otherwise(F.lit(ok))
+        return ~res if e.negated else res
+
     def _c_HasLabels(self, e: A.HasLabels) -> Column:
         subj = self.compile(e.subject)
         kind = self.kinds.get(e.subject.name) if isinstance(e.subject, A.Var) else None
@@ -404,7 +472,9 @@ class ExprCompiler:
                 col = F.when(c, v) if col is None else col.when(c, v)
         else:
             for cond, val in e.whens:
-                c = self.compile(cond)
+                c, t = self.compile_typed(cond)
+                if isinstance(t, T.NullType):
+                    c = F.lit(False)  # CASE WHEN null -> no match
                 v = self.compile(val)
                 col = F.when(c, v) if col is None else col.when(c, v)
         if e.default is not None:

@@ -535,17 +535,35 @@ class Parser:
         if self.peek().kind == "IDENT" and not self.at_kw("WHERE"):
             var = self.expect_ident()
         labels: List[str] = []
+        neg_labels: List[str] = []
         any_labels = False
+        req_any = req_no = False
         if self.at_op(":"):
             self.take()
-            labels.append(self.expect_ident())
-            while self.at_op(":", "|", "&"):
-                sep = self.take().value
-                if self.at_op(":"):  # "|:" form
+            while True:
+                neg = False
+                while self.at_op("!"):
                     self.take()
-                if sep == "|":
-                    any_labels = True
-                labels.append(self.expect_ident())
+                    neg = not neg
+                if self.at_op("%"):  # wildcard label (GQL)
+                    self.take()
+                    if neg:
+                        req_no = True
+                    else:
+                        req_any = True
+                else:
+                    (neg_labels if neg else labels).append(self.expect_ident())
+                if self.at_op(":", "|", "&"):
+                    sep = self.take().value
+                    if self.at_op(":"):  # "|:" form
+                        self.take()
+                    if sep == "|":
+                        any_labels = True
+                    continue
+                break
+            if any_labels and (neg_labels or req_any or req_no):
+                raise ParseError(
+                    "mixed |/! label expressions are not supported")
         props = None
         if self.at_op("{"):
             props = self.parse_map_literal()
@@ -554,7 +572,8 @@ class Parser:
             self.take()
             where = self.parse_expr()
         self.expect_op(")")
-        return A.NodePat(var, labels, any_labels, props, where)
+        return A.NodePat(var, labels, any_labels, props, where,
+                         neg_labels, req_any, req_no)
 
     def parse_rel_pat(self) -> A.RelPat:
         direction = "both"
@@ -565,6 +584,7 @@ class Parser:
             self.expect_op("-")
         var = None
         types: List[str] = []
+        neg_types: List[str] = []
         props = None
         where = None
         min_len = max_len = None
@@ -575,12 +595,21 @@ class Parser:
                 var = self.expect_ident()
             if self.at_op(":"):
                 self.take()
-                types.append(self.expect_ident())
-                while self.at_op("|"):
-                    self.take()
-                    if self.at_op(":"):
+                while True:
+                    neg = False
+                    while self.at_op("!"):
                         self.take()
-                    types.append(self.expect_ident())
+                        neg = not neg
+                    (neg_types if neg else types).append(self.expect_ident())
+                    if self.at_op("|", "&"):
+                        self.take()
+                        if self.at_op(":"):
+                            self.take()
+                        continue
+                    break
+                if types and neg_types:
+                    raise ParseError(
+                        "mixed positive/negated relationship types")
             if self.at_op("*"):
                 self.take()
                 var_length = True
@@ -611,7 +640,7 @@ class Parser:
             self.expect_op("-")
             # direction stays 'in' or 'both'
         return A.RelPat(var, types, direction, props, min_len, max_len,
-                        var_length, where)
+                        var_length, where, neg_types)
 
     def parse_map_literal(self) -> A.MapLit:
         self.expect_op("{")
@@ -706,10 +735,47 @@ class Parser:
                 if self.at_kw("NOT"):
                     self.take()
                     negated = True
-                self.expect_kw("NULL")
-                e = A.IsNull(e, negated)
+                if self.at_op(":") or self.at_kw("TYPED"):
+                    # x IS [NOT] :: TYPE / x IS [NOT] TYPED TYPE
+                    if self.at_op(":"):
+                        self.take()
+                        self.expect_op(":")
+                    else:
+                        self.take()
+                    e = A.IsTyped(e, self._parse_type_name(), negated)
+                else:
+                    self.expect_kw("NULL")
+                    e = A.IsNull(e, negated)
             else:
                 return e
+
+    _TWO_WORD_TYPES = {("LOCAL", "DATETIME"), ("ZONED", "DATETIME"),
+                       ("LOCAL", "TIME"), ("ZONED", "TIME")}
+
+    def _parse_type_name(self) -> str:
+        """Cypher type name for IS :: — one or two words, LIST<inner>
+        element types are accepted and ignored (we check the outer shape)."""
+        first = self.expect_ident().upper()
+        if (self.peek().kind == "IDENT"
+                and (first, self.peek().upper()) in self._TWO_WORD_TYPES):
+            first = f"{first} {self.take().value.upper()}"
+        if first in ("LIST", "ARRAY", "MAP") and self.at_op("<"):
+            depth = 0
+            while True:
+                t = self.take()
+                if t.kind == "EOF":
+                    raise ParseError("unterminated < in type name")
+                if t.kind == "OP" and t.value == "<":
+                    depth += 1
+                elif t.kind == "OP" and t.value == ">":
+                    depth -= 1
+                    if depth == 0:
+                        break
+        if self.at_kw("NOT"):  # `TYPE NOT NULL` suffix
+            self.take()
+            self.expect_kw("NULL")
+            first += " NOT NULL"
+        return first
 
     def parse_additive(self) -> A.Expr:
         e = self.parse_multiplicative()

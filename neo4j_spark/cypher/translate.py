@@ -219,6 +219,13 @@ class Translator:
             base = self.graph.nodes_for_any_labels(np.labels)
         else:
             base = self.graph.nodes_for_labels(np.labels)
+        # SubtractionNodeByLabelsScan (LP:4789) / GQL !Label and % terms
+        for l in np.neg_labels:
+            base = base.filter(~F.array_contains(F.col("labels"), l))
+        if np.req_any_label:
+            base = base.filter(F.size(F.col("labels")) > 0)
+        if np.req_no_label:
+            base = base.filter(F.size(F.col("labels")) == 0)
         props = [c for c in base.columns if c not in NODE_META]
         struct = F.struct(
             F.col("id").alias("_id"), F.col("labels").alias("_labels"),
@@ -231,6 +238,9 @@ class Translator:
         BOTH-direction = union of both orientations (Undirected* scans,
         LP:4220); self-loops contribute once."""
         base = self.graph.rels_for_types(rp.types)
+        if rp.neg_types:  # [:!TYPE] — complement of the listed types
+            base = self.graph.rels.filter(
+                ~F.col("type").isin(list(rp.neg_types)))
         props = [c for c in base.columns if c not in REL_META]
         struct = F.struct(
             F.col("id").alias("_id"), F.col("src").alias("_src"),
@@ -266,6 +276,10 @@ class Translator:
                             pending: List[A.Expr], bound: bool = False) -> None:
         if np.labels and bound:  # label check on an already-bound var
             pending.append(A.HasLabels(A.Var(var), list(np.labels)))
+        if bound:
+            for l in np.neg_labels:
+                pending.append(A.UnaryOp(
+                    "NOT", A.HasLabels(A.Var(var), [l])))
         if np.props is not None:
             for k, v in np.props.items:
                 pending.append(A.BinOp("=", A.Prop(A.Var(var), k), v))
@@ -461,6 +475,9 @@ class Translator:
             for l in np.labels:
                 sub = sub.filter(
                     F.array_contains(F.col(var).getField("_labels"), l))
+        for l in np.neg_labels:
+            sub = sub.filter(
+                ~F.array_contains(F.col(var).getField("_labels"), l))
         if np.props is not None:
             cc = self._compiler(sub)
             for k, v in np.props.items:

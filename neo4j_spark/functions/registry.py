@@ -190,8 +190,21 @@ def compile_function(cc, e: A.Func) -> Column:
         return F.split(c(0), c(1))
     if name == "normalize":
         udf = _norm_udf()
-        form = c(1) if n == 2 else F.lit("NFC")
+        form = F.lit("NFC")
+        if n == 2:
+            a = args[1]
+            # the normal form is a keyword (NFC/NFD/NFKC/NFKD), not a string
+            if isinstance(a, A.Var) and a.name.upper() in (
+                    "NFC", "NFD", "NFKC", "NFKD"):
+                form = F.lit(a.name.upper())
+            else:
+                form = c(1)
         return udf(c(0), form)
+    if name == "isempty":
+        col, t = ctyped(0)
+        if isinstance(t, T.StringType):
+            return F.length(col) == 0
+        return F.size(col) == 0
     if name in ("char_length", "character_length"):
         return F.length(c(0)).cast("long")
 

@@ -64,17 +64,29 @@ def quality_score(text: Column) -> Column:
     return F.round((len_score + punct_score + sw_score) / 3, 6)
 
 
+def _lang_vote(toks: Column) -> Column:
+    """array<struct<h,ni>> of stopword-hit counts per language.  ``ni`` is
+    the negated language index so ``array_max`` (lexicographic struct
+    order) picks the highest hit count and, on ties, the EARLIEST language
+    in ``STOPWORDS`` order — matching a strict-greater argmax loop."""
+    return F.array(*[
+        F.struct(
+            F.size(F.filter(toks, lambda t: t.isin(sw))).alias("h"),
+            F.lit(-i).alias("ni"))
+        for i, (_, sw) in enumerate(STOPWORDS.items())])
+
+
+def _lang_pick(vote: Column) -> Column:
+    langs = F.array(*[F.lit(lang) for lang in STOPWORDS])
+    best = F.array_max(vote)
+    return F.when(best["h"] > 0,
+                  F.element_at(langs, F.lit(1) - best["ni"])) \
+            .otherwise(F.lit("und"))
+
+
 def language_id(text: Column) -> Column:
     """Stopword-vote language id over the built-in lists; 'und' if no vote."""
-    toks = tokens(text)
-    best_lang = F.lit("und")
-    best_hits = F.lit(0)
-    for lang, sw in STOPWORDS.items():
-        hits = F.size(F.filter(toks, lambda t: t.isin(sw)))
-        cond = hits > best_hits
-        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
-        best_hits = F.when(cond, hits).otherwise(best_hits)
-    return best_lang
+    return let(_lang_vote(tokens(text)), _lang_pick)
 
 
 def fingerprint(text: Column) -> Column:
@@ -91,34 +103,30 @@ def document_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
 
     def stats(toks: Column) -> Column:
-        n_tok = F.size(toks).cast("long")
-        nz = F.greatest(F.size(toks), F.lit(1))
-        p_ratio = F.length(F.regexp_replace(t, r"[\p{L}\p{N}\s]", "")) \
-            / F.greatest(F.length(t), F.lit(1))
-        sw_hits = {
-            lang: F.size(F.filter(toks, lambda x: x.isin(sw)))
-            for lang, sw in STOPWORDS.items()
-        }
-        sw_ratio = sw_hits["en"] / nz
-        mean_wl = F.aggregate(toks, F.lit(0),
-                              lambda acc, x: acc + F.length(x)) / nz
-        len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
-        punct_score = F.lit(1.0) - F.least(p_ratio * 5, F.lit(1.0))
-        sw_score = F.least(sw_ratio * 4, F.lit(1.0))
-        best_lang, best_hits = F.lit("und"), F.lit(0)
-        for lang, hits in sw_hits.items():
-            cond = hits > best_hits
-            best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
-            best_hits = F.when(cond, hits).otherwise(best_hits)
-        return F.struct(
-            n_tok.alias("n_tokens"),
-            F.length(t).cast("long").alias("n_chars_computed"),
-            F.round(p_ratio, 6).alias("punct_ratio"),
-            F.round(sw_ratio, 6).alias("stopword_ratio"),
-            F.round(mean_wl, 6).alias("mean_word_len"),
-            F.round((len_score + punct_score + sw_score) / 3, 6).alias("quality"),
-            best_lang.alias("lang_pred"),
-            F.xxhash64(F.concat_ws("", toks)).alias("fingerprint"),
-        )
+        def with_vote(vote: Column) -> Column:
+            n_tok = F.size(toks).cast("long")
+            nz = F.greatest(F.size(toks), F.lit(1))
+            p_ratio = F.length(F.regexp_replace(t, r"[\p{L}\p{N}\s]", "")) \
+                / F.greatest(F.length(t), F.lit(1))
+            # STOPWORDS iterates insertion-ordered, so element 1 is "en"
+            sw_ratio = F.element_at(vote, 1)["h"] / nz
+            mean_wl = F.aggregate(toks, F.lit(0),
+                                  lambda acc, x: acc + F.length(x)) / nz
+            len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+            punct_score = F.lit(1.0) - F.least(p_ratio * 5, F.lit(1.0))
+            sw_score = F.least(sw_ratio * 4, F.lit(1.0))
+            return F.struct(
+                n_tok.alias("n_tokens"),
+                F.length(t).cast("long").alias("n_chars_computed"),
+                F.round(p_ratio, 6).alias("punct_ratio"),
+                F.round(sw_ratio, 6).alias("stopword_ratio"),
+                F.round(mean_wl, 6).alias("mean_word_len"),
+                F.round((len_score + punct_score + sw_score) / 3, 6)
+                 .alias("quality"),
+                _lang_pick(vote).alias("lang_pred"),
+                F.xxhash64(F.concat_ws("", toks)).alias("fingerprint"),
+            )
+
+        return let(_lang_vote(toks), with_vote)
 
     return df.select("*", F.inline(F.array(let(tokens(t), stats))))

@@ -1,0 +1,94 @@
+"""GQL label expressions (:A&B, :!A, :%), negated rel types, IS :: type
+predicates, ternary IN, and null-condition CASE.
+
+Reference semantics: SubtractionNodeByLabelsScan (LogicalPlan.scala:4789),
+TypePredicateExpressions.scala, AnyValue.ternaryEquals (AnyValue.java:62).
+"""
+
+from neo4j_spark.api import cypher
+
+
+def rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+class TestLabelExpressions:
+    def test_conjunction_amp(self, spark, chain_graph):
+        df = cypher(spark, "MATCH (n:A&A) RETURN count(*) AS c", chain_graph)
+        assert rows(df) == [(1,)]
+
+    def test_subtraction(self, spark, chain_graph):
+        df = cypher(spark, "MATCH (n:!A) RETURN n.x AS x ORDER BY x",
+                    chain_graph)
+        assert rows(df) == [(2,), (3,)]
+
+    def test_conj_with_negation(self, spark, tpch_graph):
+        a = cypher(spark, "MATCH (n:Customer&!Supplier) RETURN count(*) AS c",
+                   tpch_graph).collect()[0][0]
+        b = cypher(spark, "MATCH (n:Customer) RETURN count(*) AS c",
+                   tpch_graph).collect()[0][0]
+        assert a == b  # no node carries both labels in the TPC-H mapping
+
+    def test_wildcard(self, spark, chain_graph):
+        df = cypher(spark, "MATCH (n:%) RETURN count(*) AS c", chain_graph)
+        assert rows(df) == [(3,)]
+
+    def test_neg_rel_type(self, spark, tpch_graph):
+        df = cypher(spark,
+                    "MATCH ()-[r:!IN_REGION&!CONTAINS&!SUPPLIED_BY]->() "
+                    "RETURN DISTINCT type(r) AS t ORDER BY t", tpch_graph)
+        assert rows(df) == [("FROM_NATION",), ("PLACED",)]
+
+    def test_disjunction_still_works(self, spark, chain_graph):
+        df = cypher(spark, "MATCH (n:A|B) RETURN count(*) AS c", chain_graph)
+        assert rows(df) == [(2,)]
+
+
+class TestIsTyped:
+    def test_scalars(self, spark, chain_graph):
+        df = cypher(spark,
+                    "RETURN 1 IS :: INTEGER AS a, 1.5 IS :: FLOAT AS b, "
+                    "'x' IS :: STRING AS c, true IS :: BOOLEAN AS d, "
+                    "[1] IS :: LIST<INTEGER> AS e, 1 IS :: FLOAT AS f",
+                    chain_graph)
+        assert rows(df) == [(True, True, True, True, True, False)]
+
+    def test_negated_and_null(self, spark, chain_graph):
+        df = cypher(spark,
+                    "RETURN 1.5 IS NOT :: INTEGER AS a, "
+                    "null IS :: INTEGER AS b, "
+                    "null IS NOT :: INTEGER AS c, "
+                    "null IS :: INTEGER NOT NULL AS d", chain_graph)
+        assert rows(df) == [(True, True, False, False)]
+
+    def test_entities(self, spark, chain_graph):
+        df = cypher(spark,
+                    "MATCH (n:A)-[r]->() "
+                    "RETURN n IS :: NODE AS a, r IS :: RELATIONSHIP AS b, "
+                    "n IS :: RELATIONSHIP AS c", chain_graph)
+        assert rows(df) == [(True, True, False)]
+
+
+class TestTernaryIn:
+    def test_null_semantics(self, spark, chain_graph):
+        df = cypher(spark,
+                    "RETURN null IN [1,2] AS a, 1 IN [1,null] AS b, "
+                    "3 IN [1,null] AS c, null IN [] AS d, 5 IN [1,2] AS e",
+                    chain_graph)
+        assert rows(df) == [(None, True, None, False, False)]
+
+
+class TestCaseNull:
+    def test_null_condition_is_false(self, spark, chain_graph):
+        df = cypher(spark,
+                    "RETURN CASE WHEN null THEN 1 ELSE 2 END AS v",
+                    chain_graph)
+        assert rows(df) == [(2,)]
+
+
+class TestIsEmpty:
+    def test_isempty(self, spark, chain_graph):
+        df = cypher(spark,
+                    "RETURN isEmpty([]) AS a, isEmpty([1]) AS b, "
+                    "isEmpty('') AS c, isEmpty('x') AS d", chain_graph)
+        assert rows(df) == [(True, False, True, False)]
