@@ -356,6 +356,13 @@ CYPHER_QUERIES = {
     "call_fulltext_query":
         "CALL db.index.fulltext.queryNodes('name', 'widget') "
         "YIELD node, score RETURN count(*) AS n",
+    "call_fulltext_rels":
+        "CALL db.index.fulltext.queryRelationships('returnflag', 'R') "
+        "YIELD relationship, score RETURN count(*) AS n",
+    "call_list_config":
+        "CALL dbms.listConfig() YIELD name, value "
+        "WHERE name = 'spark.sql.adaptive.enabled' "
+        "RETURN value AS v",
     # --- graph algorithms (graph-algo parity) ---
     "algo_connected_components":
         "CALL algo.connectedComponents() YIELD node, comp "
@@ -949,6 +956,11 @@ def oracle_sql() -> dict[str, str]:
             "('totalprice'), ('type'), ('vecid')) t(propertyKey)",
         "call_fulltext_query":
             "SELECT count(*) AS n FROM part WHERE p_name LIKE '%widget%'",
+        "call_fulltext_rels":
+            "SELECT count(*) AS n FROM lineitem "
+            "WHERE lower(l_returnflag) = 'r'",
+        "call_list_config":
+            "SELECT 'true' AS v",
         "algo_connected_components":
             "SELECT CAST(1 + (SELECT count(*) FROM documents) + "
             "(SELECT count(*) FROM embeddings) AS BIGINT) AS n_components",

@@ -154,6 +154,87 @@ def fulltext_query_nodes(spark, graph, args):
         F.col("score").desc(), F.col("node"))
 
 
+@procedure("db.index.vector.queryrelationships")
+def vector_query_relationships(spark, graph, args):
+    """(propertyKey, k, queryVector) -> relationship id + score
+    (VectorIndexProcedures.java:164) — brute-force cosine over rels
+    carrying the embedding property."""
+    prop, k, qvec = args[0], int(args[1]), list(args[2])
+    rels = graph.rels
+    if prop not in rels.columns:
+        raise ProcedureError(f"no relationship property {prop}")
+    q = F.lit(qvec)
+    emb = F.col(prop)
+    dot = F.aggregate(F.zip_with(emb, q, lambda x, y: x * y), F.lit(0.0),
+                      lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(q, F.lit(0.0), lambda acc, x: acc + x * x))
+    scored = rels.filter(emb.isNotNull()).select(
+        F.col("id").alias("relationship"), (dot / (na * nb)).alias("score"))
+    return scored.orderBy(F.col("score").desc(),
+                          F.col("relationship")).limit(k)
+
+
+@procedure("db.index.fulltext.queryrelationships")
+def fulltext_query_relationships(spark, graph, args):
+    """(propertyKey, query) -> relationship id + tf score
+    (FulltextProcedures.java:202), same scan-based scoring as the node
+    variant."""
+    prop, query = args[0], str(args[1])
+    terms = [t.lower() for t in query.split() if t]
+    rels = graph.rels
+    if prop not in rels.columns:
+        raise ProcedureError(f"no relationship property {prop}")
+    toks = F.split(F.lower(F.col(prop)), r"\W+")
+    score = None
+    for t in terms:
+        s = F.size(F.filter(toks, lambda x: x == F.lit(t))).cast("double")
+        score = s if score is None else score + s
+    out = rels.filter(F.col(prop).isNotNull()).select(
+        F.col("id").alias("relationship"), score.alias("score"))
+    return out.filter(F.col("score") > 0).orderBy(
+        F.col("score").desc(), F.col("relationship"))
+
+
+@procedure("db.index.vector.setnodevectorproperty")
+def set_node_vector_property(spark, graph, args):
+    """(nodeId, propertyKey, vector) -> () (VectorIndexProcedures.java:197):
+    batch property rewrite of the owning label shard."""
+    node_id, prop, vec = int(args[0]), str(args[1]), list(args[2])
+    lit_vec = F.array(*[F.lit(float(x)) for x in vec])
+    for lbl, frame in list(graph.node_frames.items()):
+        if prop in frame.columns:
+            newcol = F.when(F.col("id") == node_id, lit_vec) \
+                      .otherwise(F.col(prop))
+        else:
+            newcol = F.when(F.col("id") == node_id, lit_vec)
+        graph.node_frames[lbl] = frame.withColumn(prop, newcol)
+    return spark.createDataFrame([], "node bigint")
+
+
+@procedure("db.awaitindex")
+@procedure("db.awaitindexes")
+def db_await_indexes(spark, graph, args):
+    """No-op: there are no async index builds — scans + parquet stats play
+    the index role (BuiltInProcedures.java db.awaitIndex)."""
+    return spark.createDataFrame([], "success boolean")
+
+
+@procedure("dbms.listconfig")
+def dbms_list_config(spark, graph, args):
+    """() -> (name, value) rows from the live Spark conf
+    (BuiltInDbmsProcedures.java listConfig)."""
+    keys = ["spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled",
+            "spark.sql.session.timeZone", "spark.master"]
+    rows = []
+    for k in keys:
+        try:
+            rows.append((k, str(spark.conf.get(k))))
+        except Exception:
+            pass
+    return spark.createDataFrame(rows, "name string, value string")
+
+
 # ---- schema / dbms catalog -------------------------------------------------
 
 
