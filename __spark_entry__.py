@@ -253,6 +253,10 @@ CYPHER_QUERIES = {
         "LOAD CSV WITH HEADERS FROM "
         "'file:///root/repo/tests/fixtures/people.csv' AS row "
         "RETURN row.name AS name, toInteger(row.age) AS age ORDER BY name",
+    "load_csv_linenumber":
+        "LOAD CSV WITH HEADERS FROM "
+        "'file:///root/repo/tests/fixtures/people.csv' AS row "
+        "RETURN linenumber() AS ln, row.name AS name ORDER BY ln",
     "call_schema_viz":
         "CALL db.schema.visualization() YIELD nodes, relationships "
         "RETURN nodes, relationships",
@@ -374,6 +378,17 @@ CYPHER_QUERIES = {
         "CALL algo.shortestPathLengths(3000000000001) YIELD node, dist "
         "RETURN dist, count(*) AS n ORDER BY dist",
 }
+
+
+def _q_input_rows(spark, sf_dir):
+    """Input operator (LP:2389): client-provided rows via $param UNWIND."""
+    from neo4j_spark.api import cypher
+
+    return cypher(
+        spark,
+        "UNWIND $rows AS row RETURN row.a AS a, row.b AS b ORDER BY a",
+        _graph(spark, sf_dir),
+        params={"rows": [{"a": 2, "b": "y"}, {"a": 1, "b": "x"}]})
 
 
 def _q_call_vector(spark, sf_dir):
@@ -616,6 +631,7 @@ EXTENSION_QUERIES = {
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {name: _cy(text) for name, text in CYPHER_QUERIES.items()}
     out["call_vector_query"] = _q_call_vector
+    out["input_rows"] = _q_input_rows
     out.update(WRITE_QUERIES)
     out.update(EXTENSION_QUERIES)
     return out
@@ -851,6 +867,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT name, CAST(age AS BIGINT) AS age FROM "
             "read_csv('/root/repo/tests/fixtures/people.csv', header=true) "
             "ORDER BY name",
+        "load_csv_linenumber":
+            "SELECT CAST(row_number() OVER (ORDER BY name) + 1 AS BIGINT) "
+            "AS ln, name FROM "
+            "read_csv('/root/repo/tests/fixtures/people.csv', header=true) "
+            "ORDER BY ln",
+        "input_rows":
+            "SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'x'), "
+            "(CAST(2 AS BIGINT), 'y')) t(a, b) ORDER BY a",
         "call_schema_viz":
             "SELECT ['Customer', 'Document', 'Embedding', 'Nation', 'Order', "
             "'Part', 'Region', 'Supplier'] AS nodes, "

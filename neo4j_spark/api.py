@@ -16,6 +16,35 @@ from .graph import PropertyGraph
 from .cypher.parser import parse
 
 
+def preparse(query: str):
+    """CachingPreParser analog (ExecutionEngine.scala:75): strip the
+    ``CYPHER key=value ...`` options header and EXPLAIN/PROFILE mode."""
+    mode = None
+    options: Dict[str, str] = {}
+    rest = query.lstrip()
+    while True:
+        head = rest.split(None, 1)
+        if not head:
+            break
+        kw = head[0].upper()
+        if kw == "CYPHER":
+            rest = head[1] if len(head) > 1 else ""
+            while True:
+                nxt = rest.split(None, 1)
+                if nxt and "=" in nxt[0] and not nxt[0].startswith("="):
+                    k, v = nxt[0].split("=", 1)
+                    options[k.lower()] = v
+                    rest = nxt[1] if len(nxt) > 1 else ""
+                else:
+                    break
+        elif kw in ("EXPLAIN", "PROFILE"):
+            mode = kw
+            rest = head[1] if len(head) > 1 else ""
+        else:
+            break
+    return mode, options, rest
+
+
 def cypher(
     spark: SparkSession,
     query: str,
@@ -24,8 +53,24 @@ def cypher(
 ) -> DataFrame:
     from .cypher.translate import Translator
 
-    ast = parse(query)
-    return Translator(spark, graph, params or {}).translate(ast)
+    mode, _options, body = preparse(query)
+    ast = parse(body)
+    df = Translator(spark, graph, params or {}).translate(ast)
+    if mode == "EXPLAIN":
+        # plan description only, no execution (reference: EXPLAIN returns
+        # an empty result annotated with the plan)
+        jqe = df._jdf.queryExecution()
+        jvm = spark._jvm
+        text = jqe.explainString(
+            jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"))
+        return spark.createDataFrame(
+            [(line,) for line in text.splitlines() if line.strip()],
+            "plan string")
+    if mode == "PROFILE":
+        df.count()  # execute eagerly; runtime metrics land in the Spark UI
+        return df
+    return df
 
 
 class CypherSession:

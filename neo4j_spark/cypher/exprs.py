@@ -49,6 +49,18 @@ def _dur_map2(lc: Column, rc, fn) -> Column:
         .cast("long").alias(f)
         for f in ("months", "days", "seconds", "nanos")])
 
+def _py_to_col(v) -> Column:
+    """Client value -> Column (Input operator, LP:2389): maps become
+    structs, lists of containers become typed arrays, scalars F.lit."""
+    if isinstance(v, dict):
+        return F.struct(*[_py_to_col(x).alias(k) for k, x in v.items()])
+    if isinstance(v, (list, tuple)):
+        if any(isinstance(x, (dict, list, tuple)) for x in v):
+            return F.array(*[_py_to_col(x) for x in v])
+        return F.lit(list(v))
+    return F.lit(v)
+
+
 def _type_conforms(t, name: str) -> bool:
     """Does Spark type ``t`` conform to the Cypher type ``name`` (IS ::)?"""
     if name in ("ANY", "PROPERTY VALUE"):
@@ -179,7 +191,7 @@ class ExprCompiler:
     def _c_Param(self, e: A.Param) -> Column:
         if e.name not in self.params:
             raise CypherTypeError(f"missing parameter ${e.name}")
-        return F.lit(self.params[e.name])
+        return _py_to_col(self.params[e.name])
 
     def _c_Var(self, e: A.Var) -> Column:
         if e.name in self.locals:

@@ -1266,6 +1266,17 @@ class Translator:
             row = F.struct(*[F.col(x) for x in raw.columns])
         else:
             row = F.array(*[F.col(x).cast("string") for x in raw.columns])
-        src = raw.select(row.alias(c.var))
+        # linenumber()/file() support (LoadCSVPipe.scala:43): per-file line
+        # numbers via a window — LOAD CSV is an ingest utility, the per-file
+        # sort is bounded by one CSV file's row count
+        from pyspark.sql import Window as W
+
+        fname = F.input_file_name()
+        w = W.partitionBy(fname).orderBy(F.monotonically_increasing_id())
+        offset = 1 if c.with_headers else 0
+        src = raw.select(
+            row.alias(c.var),
+            (F.row_number().over(w) + F.lit(offset)).alias("__csv_line"),
+            fname.alias("__csv_file"))
         self.kinds[c.var] = "scalar"
         return src if df is None else df.crossJoin(src)

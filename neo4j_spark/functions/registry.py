@@ -200,6 +200,10 @@ def compile_function(cc, e: A.Func) -> Column:
             else:
                 form = c(1)
         return udf(c(0), form)
+    if name == "linenumber":  # valid during LOAD CSV (LoadCSVPipe.scala)
+        return F.col("__csv_line").cast("long")
+    if name == "file":
+        return F.col("__csv_file")
     if name == "isempty":
         col, t = ctyped(0)
         if isinstance(t, T.StringType):

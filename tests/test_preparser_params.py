@@ -1,0 +1,65 @@
+"""Pre-parser (EXPLAIN / PROFILE / CYPHER options header,
+ExecutionEngine.scala:75), structured parameters (Input operator LP:2389),
+and LOAD CSV linenumber()/file() (LoadCSVPipe.scala:43)."""
+
+from neo4j_spark.api import cypher, preparse
+
+
+CSV = "file:///root/repo/tests/fixtures/people.csv"
+
+
+class TestPreparse:
+    def test_strip_modes(self):
+        assert preparse("EXPLAIN RETURN 1")[0] == "EXPLAIN"
+        assert preparse("PROFILE RETURN 1")[0] == "PROFILE"
+        mode, opts, body = preparse(
+            "CYPHER planner=cost runtime=slotted MATCH (n) RETURN n")
+        assert mode is None
+        assert opts == {"planner": "cost", "runtime": "slotted"}
+        assert body.startswith("MATCH")
+
+    def test_explain_returns_plan(self, spark, chain_graph):
+        df = cypher(spark, "EXPLAIN MATCH (n:A) RETURN count(*) AS c",
+                    chain_graph)
+        text = "\n".join(r["plan"] for r in df.collect())
+        assert "Physical Plan" in text
+
+    def test_profile_returns_rows(self, spark, chain_graph):
+        df = cypher(spark, "PROFILE MATCH (n:A) RETURN count(*) AS c",
+                    chain_graph)
+        assert df.collect()[0]["c"] == 1
+
+
+class TestStructuredParams:
+    def test_unwind_list_of_maps(self, spark, chain_graph):
+        df = cypher(spark,
+                    "UNWIND $rows AS row RETURN row.a AS a ORDER BY a",
+                    chain_graph, params={"rows": [{"a": 2}, {"a": 1}]})
+        assert [r["a"] for r in df.collect()] == [1, 2]
+
+    def test_map_param_access(self, spark, chain_graph):
+        df = cypher(spark, "RETURN $m.a AS a, $m.b AS b", chain_graph,
+                    params={"m": {"a": 1, "b": "x"}})
+        assert [tuple(r) for r in df.collect()] == [(1, "x")]
+
+    def test_nested_list_param(self, spark, chain_graph):
+        df = cypher(spark, "RETURN size($xs) AS n, $xs[0][1] AS v",
+                    chain_graph, params={"xs": [[1, 2], [3]]})
+        assert [tuple(r) for r in df.collect()] == [(2, 2)]
+
+
+class TestLoadCsvFunctions:
+    def test_linenumber(self, spark, chain_graph):
+        df = cypher(spark,
+                    f"LOAD CSV WITH HEADERS FROM '{CSV}' AS row "
+                    "RETURN linenumber() AS ln, row.name AS name "
+                    "ORDER BY ln", chain_graph)
+        rows = [tuple(r) for r in df.collect()]
+        # header is line 1; first data row is line 2
+        assert rows[0] == (2, "alice") and rows[-1] == (5, "dave")
+
+    def test_file(self, spark, chain_graph):
+        df = cypher(spark,
+                    f"LOAD CSV WITH HEADERS FROM '{CSV}' AS row "
+                    "RETURN count(DISTINCT file()) AS f", chain_graph)
+        assert df.collect()[0]["f"] == 1
