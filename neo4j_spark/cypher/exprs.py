@@ -370,9 +370,16 @@ class ExprCompiler:
         if isinstance(lt, T.ArrayType) and isinstance(rt, T.ArrayType):
             return F.concat(lc, rc)
         if isinstance(lt, T.ArrayType):
-            return F.array_append(lc, rc)
+            if isinstance(rt, T.NullType):
+                return F.lit(None).cast(lt)  # [..] + null -> null
+            return F.when(rc.isNull(), F.lit(None).cast(lt)) \
+                    .otherwise(F.array_append(lc, rc))
         if isinstance(rt, T.ArrayType):
-            return F.array_prepend(rc, lc) if hasattr(F, "array_prepend") else F.concat(F.array(lc), rc)
+            if isinstance(lt, T.NullType):
+                return F.lit(None).cast(rt)
+            prepend = (F.array_prepend(rc, lc) if hasattr(F, "array_prepend")
+                       else F.concat(F.array(lc), rc))
+            return F.when(lc.isNull(), F.lit(None).cast(rt)).otherwise(prepend)
         return lc + rc
 
     def _temporal_shift(self, tc: Column, tt, dur: Column, sign: int) -> Column:

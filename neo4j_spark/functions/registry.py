@@ -184,9 +184,14 @@ def compile_function(cc, e: A.Func) -> Column:
     if name == "reverse":
         return F.reverse(c(0))
     if name == "split":
+        import re as _re
         if isinstance(args[1], A.Lit):
-            import re as _re
             return F.split(c(0), _re.escape(args[1].value))
+        if isinstance(args[1], A.ListLit) and all(
+                isinstance(x, A.Lit) for x in args[1].items):
+            # split(s, [d1, d2, ...]): any delimiter splits
+            pat = "|".join(_re.escape(x.value) for x in args[1].items)
+            return F.split(c(0), pat)
         return F.split(c(0), c(1))
     if name == "normalize":
         udf = _norm_udf()
@@ -262,7 +267,8 @@ def compile_function(cc, e: A.Func) -> Column:
         return F.get(c(0), 0)
     if name == "last":
         col = c(0)
-        return F.element_at(col, -1)
+        # element_at(-1) raises on empty arrays; last([]) is null
+        return F.get(col, F.size(col) - 1)
     if name == "tail":
         col = c(0)
         return F.slice(col, 2, F.greatest(F.size(col) - 1, F.lit(0)))

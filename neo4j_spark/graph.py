@@ -27,7 +27,19 @@ NODE_META = ("id", "labels")
 REL_META = ("id", "src", "dst", "type")
 
 
-def _union_by_name(frames: Sequence[DataFrame]) -> DataFrame:
+EMPTY_NODE_SCHEMA = "id long, labels array<string>"
+EMPTY_REL_SCHEMA = "id long, src long, dst long, type string"
+
+
+def _empty_frame(schema: str) -> DataFrame:
+    spark = SparkSession.getActiveSession()
+    return spark.createDataFrame([], schema)
+
+
+def _union_by_name(frames: Sequence[DataFrame],
+                   empty_schema: str = EMPTY_NODE_SCHEMA) -> DataFrame:
+    if not frames:
+        return _empty_frame(empty_schema)
     if len(frames) == 1:
         return frames[0]
     return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), frames)
@@ -73,7 +85,8 @@ class PropertyGraph:
     @property
     def rels(self) -> DataFrame:
         """DirectedAllRelationshipsScan (LogicalPlan.scala:1331)."""
-        return _union_by_name(list(self.rel_frames.values()))
+        return _union_by_name(list(self.rel_frames.values()),
+                              EMPTY_REL_SCHEMA)
 
     def nodes_for_labels(self, labels: Sequence[str]) -> DataFrame:
         """NodeByLabelScan / IntersectionNodeByLabelsScan: nodes having ALL

@@ -1,0 +1,177 @@
+"""TCK-style acceptance scenarios (SURVEY §5): each test builds a tiny
+literal graph with CREATE (the Gherkin "Given" step), runs one query, and
+asserts the expected rows — mirroring the shape of the reference's
+acceptance corpus (community/cypher/spec-suite-tools/src/test/resources/
+acceptance/features/*.feature) without copying any scenario text.
+"""
+
+import pytest
+
+from neo4j_spark.api import cypher
+from neo4j_spark.graph import PropertyGraph
+
+
+@pytest.fixture()
+def g(spark):
+    """Given an empty graph."""
+    return PropertyGraph({}, {})
+
+
+def run(spark, g, q, **params):
+    return cypher(spark, q, g, params=params or None)
+
+
+def rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def rset(df):
+    return set(rows(df))
+
+
+class TestMatchAcceptance:
+    def test_match_all_after_create(self, spark, g):
+        run(spark, g, "CREATE (:A {name: 'a'}), (:B {name: 'b'})").collect()
+        assert rset(run(spark, g, "MATCH (n) RETURN n.name AS name")) \
+            == {("a",), ("b",)}
+
+    def test_undirected_match_both_ways(self, spark, g):
+        run(spark, g, "CREATE (:X {v: 1})-[:R]->(:X {v: 2})").collect()
+        assert rset(run(spark, g,
+                        "MATCH (a)-[:R]-(b) RETURN a.v AS a, b.v AS b")) \
+            == {(1, 2), (2, 1)}
+
+    def test_self_loop_matches_once_per_direction(self, spark, g):
+        run(spark, g, "CREATE (a:S {v: 1})-[:R]->(a)").collect()
+        assert rows(run(spark, g,
+                        "MATCH (a)-[:R]-(b) RETURN count(*) AS c")) == [(1,)]
+
+    def test_two_hop_no_rel_reuse(self, spark, g):
+        run(spark, g, "CREATE (:N {v: 1})-[:R]->(:N {v: 2})").collect()
+        # a-[r1]->b-[r2]->c with r1<>r2: the single rel cannot be reused
+        assert rows(run(spark, g,
+                        "MATCH (a)-[:R]-(b)-[:R]-(c) "
+                        "RETURN count(*) AS c")) == [(0,)]
+
+    def test_property_predicate_inline_and_where(self, spark, g):
+        run(spark, g,
+            "UNWIND [1, 2, 3] AS x CREATE (:P {v: x})").collect()
+        a = rows(run(spark, g, "MATCH (p:P {v: 2}) RETURN p.v AS v"))
+        b = rows(run(spark, g, "MATCH (p:P) WHERE p.v = 2 RETURN p.v AS v"))
+        assert a == b == [(2,)]
+
+
+class TestOptionalMatchAcceptance:
+    def test_missing_match_binds_null(self, spark, g):
+        run(spark, g, "CREATE (:L {v: 1})").collect()
+        assert rows(run(spark, g,
+                        "MATCH (l:L) OPTIONAL MATCH (l)-[:NOPE]->(m) "
+                        "RETURN l.v AS v, m AS m")) == [(1, None)]
+
+    def test_optional_then_aggregate(self, spark, g):
+        run(spark, g,
+            "CREATE (a:U {v: 1})-[:F]->(:U {v: 2}), (:U {v: 3})").collect()
+        assert rset(run(spark, g,
+                        "MATCH (u:U) OPTIONAL MATCH (u)-[:F]->(f) "
+                        "RETURN u.v AS v, count(f) AS c")) \
+            == {(1, 1), (2, 0), (3, 0)}
+
+
+class TestAggregationAcceptance:
+    def test_grouped_and_global(self, spark, g):
+        run(spark, g,
+            "UNWIND [{k: 'x', v: 1}, {k: 'x', v: 2}, {k: 'y', v: 3}] AS p "
+            "CREATE (:E {k: p.k, v: p.v})").collect()
+        assert rset(run(spark, g,
+                        "MATCH (e:E) RETURN e.k AS k, sum(e.v) AS s")) \
+            == {("x", 3), ("y", 3)}
+        assert rows(run(spark, g,
+                        "MATCH (e:E) RETURN count(*) AS c, avg(e.v) AS a")) \
+            == [(3, 2.0)]
+
+    def test_collect_distinct_sorted(self, spark, g):
+        run(spark, g, "UNWIND [2, 1, 2] AS x CREATE (:C {v: x})").collect()
+        out = rows(run(spark, g,
+                       "MATCH (c:C) WITH DISTINCT c.v AS v ORDER BY v "
+                       "RETURN collect(v) AS l"))
+        assert out == [([1, 2],)]
+
+
+class TestWithAcceptance:
+    def test_with_filters_before_return(self, spark, g):
+        run(spark, g, "UNWIND range(1, 10) AS x CREATE (:W {v: x})").collect()
+        assert rows(run(spark, g,
+                        "MATCH (w:W) WITH w.v AS v WHERE v > 8 "
+                        "RETURN sum(v) AS s")) == [(19,)]
+
+    def test_with_orderby_limit_pipeline(self, spark, g):
+        run(spark, g, "UNWIND range(1, 5) AS x CREATE (:O {v: x})").collect()
+        assert rows(run(spark, g,
+                        "MATCH (o:O) WITH o.v AS v ORDER BY v DESC LIMIT 2 "
+                        "RETURN collect(v) AS l")) == [([5, 4],)]
+
+
+class TestUnwindUnionAcceptance:
+    def test_unwind_of_collected(self, spark, g):
+        assert rows(run(spark, g,
+                        "UNWIND [1, 2, 3] AS x WITH collect(x) AS l "
+                        "UNWIND l AS y RETURN sum(y) AS s")) == [(6,)]
+
+    def test_union_distinct_vs_all(self, spark, g):
+        q = ("RETURN 1 AS v UNION {} RETURN 1 AS v")
+        assert rows(run(spark, g, q.format(""))) == [(1,)]
+        assert rows(run(spark, g, q.format("ALL"))) == [(1,), (1,)]
+
+
+class TestMergeDeleteAcceptance:
+    def test_merge_is_idempotent(self, spark, g):
+        run(spark, g, "MERGE (:M {k: 1})").collect()
+        run(spark, g, "MERGE (:M {k: 1})").collect()
+        assert rows(run(spark, g,
+                        "MATCH (m:M) RETURN count(*) AS c")) == [(1,)]
+
+    def test_merge_on_create_on_match(self, spark, g):
+        run(spark, g,
+            "MERGE (m:M2 {k: 1}) ON CREATE SET m.state = 'new'").collect()
+        run(spark, g,
+            "MERGE (m:M2 {k: 1}) ON MATCH SET m.state = 'seen'").collect()
+        assert rows(run(spark, g,
+                        "MATCH (m:M2) RETURN m.state AS s")) == [("seen",)]
+
+    def test_delete_node_and_detach(self, spark, g):
+        run(spark, g, "CREATE (:D {v: 1})-[:R]->(:D {v: 2})").collect()
+        with pytest.raises(Exception):
+            # plain DELETE on a connected node must raise
+            run(spark, g,
+                "MATCH (d:D {v: 1}) DELETE d").collect()
+        run(spark, g, "MATCH (d:D {v: 1}) DETACH DELETE d").collect()
+        assert rows(run(spark, g,
+                        "MATCH (d:D) RETURN d.v AS v")) == [(2,)]
+
+
+class TestNullSemanticsAcceptance:
+    def test_null_propagation_through_operators(self, spark, g):
+        assert rows(run(spark, g,
+                        "RETURN null = null AS a, null <> null AS b, "
+                        "null + 1 AS c, NOT null AS d")) \
+            == [(None, None, None, None)]
+
+    def test_property_of_null_is_null(self, spark, g):
+        run(spark, g, "CREATE (:Z {v: 1})").collect()
+        assert rows(run(spark, g,
+                        "MATCH (z:Z) OPTIONAL MATCH (z)-[:NO]->(m) "
+                        "RETURN m.anything AS p")) == [(None,)]
+
+
+class TestSkipLimitAcceptance:
+    def test_skip_limit_combined(self, spark, g):
+        run(spark, g, "UNWIND range(1, 9) AS x CREATE (:K {v: x})").collect()
+        assert rows(run(spark, g,
+                        "MATCH (k:K) RETURN k.v AS v ORDER BY v "
+                        "SKIP 3 LIMIT 2")) == [(4,), (5,)]
+
+    def test_skip_param_expr(self, spark, g):
+        run(spark, g, "UNWIND range(1, 5) AS x CREATE (:K2 {v: x})").collect()
+        assert rows(run(spark, g,
+                        "MATCH (k:K2) RETURN k.v AS v ORDER BY v "
+                        "SKIP $s LIMIT $l", s=1, l=2)) == [(2,), (3,)]
