@@ -451,6 +451,25 @@ class ExprCompiler:
     def _c_ListLit(self, e: A.ListLit) -> Column:
         if not e.items:
             return F.array().cast("array<long>")
+        # static check: Spark arrays widen numerics but cannot hold mixed
+        # value classes — fail with a clear message instead of a deep
+        # CAST_INVALID_INPUT from constant folding
+        classes = set()
+        for x in e.items:
+            t = self.static_type(x)
+            if t is None or isinstance(t, T.NullType):
+                continue
+            if isinstance(t, (*INT_TYPES, T.FloatType, T.DoubleType)):
+                classes.add("number")
+            elif isinstance(t, T.StringType):
+                classes.add("string")
+            elif isinstance(t, T.BooleanType):
+                classes.add("boolean")
+        if len(classes) > 1:
+            raise CypherTypeError(
+                "heterogeneous list literals across value classes "
+                f"({', '.join(sorted(classes))}) are not supported — "
+                "Spark array columns are homogeneous")
         return F.array(*[self.compile(x) for x in e.items])
 
     def _c_MapLit(self, e: A.MapLit) -> Column:
