@@ -216,6 +216,10 @@ CYPHER_QUERIES = {
     "neg_rel_type_scan":
         "MATCH ()-[r:!IN_REGION&!CONTAINS]->() "
         "RETURN type(r) AS t, count(*) AS c ORDER BY t",
+    "temporal_truncate":
+        "MATCH (o:Order) "
+        "RETURN date.truncate('month', o.orderdate) AS m, count(*) AS c "
+        "ORDER BY m LIMIT 5",
     "is_typed_predicate":
         "MATCH (o:Order) RETURN o.totalprice IS :: FLOAT AS isf, "
         "o.orderkey IS :: INTEGER AS isi, "
@@ -837,6 +841,9 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'PLACED', (SELECT count(*) FROM orders) "
             "UNION ALL SELECT 'SUPPLIED_BY', "
             "(SELECT count(*) FROM lineitem)) ORDER BY t",
+        "temporal_truncate":
+            "SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m, "
+            "count(*) AS c FROM orders GROUP BY 1 ORDER BY m LIMIT 5",
         "is_typed_predicate":
             "SELECT TRUE AS isf, TRUE AS isi, TRUE AS notstr, "
             "count(*) AS c FROM orders",

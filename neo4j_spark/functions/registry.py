@@ -289,6 +289,23 @@ def compile_function(cc, e: A.Func) -> Column:
         if n == 0:
             return F.date_format(F.current_timestamp(), "HH:mm:ss")
         return c(0)
+    # clock variants (TemporalFunction.java:124-126): in a batch snapshot
+    # transaction/statement/realtime clocks coincide
+    if name in ("date.realtime", "date.transaction", "date.statement"):
+        return F.current_date()
+    if name in ("datetime.realtime", "datetime.transaction",
+                "datetime.statement", "localdatetime.realtime",
+                "localdatetime.transaction", "localdatetime.statement"):
+        return F.current_timestamp()
+    if name in ("date.truncate", "datetime.truncate",
+                "localdatetime.truncate"):
+        # truncate(unit, temporal) (TemporalValue.truncate): unit names map
+        # 1:1 onto Spark's date_trunc formats
+        if not isinstance(args[0], A.Lit):
+            raise FunctionError("truncate unit must be a string literal")
+        unit = str(args[0].value)
+        out = F.date_trunc(unit, c(1))
+        return out.cast("date") if name == "date.truncate" else out
     if name == "timestamp":
         return F.unix_millis(F.current_timestamp())
     if name == "duration":
