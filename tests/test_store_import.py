@@ -1,0 +1,71 @@
+"""Graph persistence (save/load parquet store) and bulk CSV import with the
+reference's header convention (CsvImporter.java: :ID/:LABEL/:START_ID/
+:END_ID/:TYPE + type suffixes)."""
+
+import os
+import tempfile
+
+from neo4j_spark.api import cypher
+from neo4j_spark.sources.store import csv_import, load_graph, save_graph
+
+
+NODES_CSV = """id:ID,name:string,age:int,tags:string[]
+1,alice,34,x;y
+2,bob,28,z
+"""
+
+RELS_CSV = """from:START_ID,to:END_ID,w:double
+1,2,0.5
+"""
+
+
+class TestStoreRoundtrip:
+    def test_save_load_query(self, spark, chain_graph):
+        with tempfile.TemporaryDirectory() as d:
+            save_graph(chain_graph, d)
+            g2 = load_graph(spark, d)
+            out = cypher(spark,
+                         "MATCH (a:A)-[:R]->(b:B) RETURN a.x AS ax, b.x AS bx",
+                         g2)
+            assert [tuple(r) for r in out.collect()] == [(1, 2)]
+            assert sorted(g2.labels()) == ["A", "B", "C"]
+
+
+class TestCsvImport:
+    def _write(self, d):
+        np = os.path.join(d, "people.csv")
+        rp = os.path.join(d, "knows.csv")
+        with open(np, "w") as f:
+            f.write(NODES_CSV)
+        with open(rp, "w") as f:
+            f.write(RELS_CSV)
+        return np, rp
+
+    def test_import_and_query(self, spark):
+        with tempfile.TemporaryDirectory() as d:
+            np, rp = self._write(d)
+            g = csv_import(spark, {"Person": np}, {"KNOWS": rp})
+            out = cypher(spark,
+                         "MATCH (a:Person)-[k:KNOWS]->(b:Person) "
+                         "RETURN a.name AS a, k.w AS w, b.name AS b", g)
+            assert [tuple(r) for r in out.collect()] == [("alice", 0.5, "bob")]
+
+    def test_typed_columns_and_arrays(self, spark):
+        with tempfile.TemporaryDirectory() as d:
+            np, rp = self._write(d)
+            g = csv_import(spark, {"Person": np}, {})
+            out = cypher(spark,
+                         "MATCH (p:Person) RETURN p.age AS age, "
+                         "size(p.tags) AS nt ORDER BY age", g)
+            assert [tuple(r) for r in out.collect()] == [(28, 1), (34, 2)]
+            age_t = dict(g.node_frames["Person"].dtypes)["age"]
+            assert age_t == "bigint"
+
+    def test_import_persists_store(self, spark):
+        with tempfile.TemporaryDirectory() as d:
+            np, rp = self._write(d)
+            out_dir = os.path.join(d, "store")
+            csv_import(spark, {"Person": np}, {"KNOWS": rp}, out_path=out_dir)
+            g = load_graph(spark, out_dir)
+            n = cypher(spark, "MATCH (n) RETURN count(*) AS c", g)
+            assert n.collect()[0]["c"] == 2
