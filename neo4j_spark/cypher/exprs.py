@@ -588,7 +588,7 @@ class ExprCompiler:
     def _c_Func(self, e: A.Func) -> Column:
         from ..functions.registry import compile_function
 
-        if e.name in AGG_FNS:
+        if is_agg_fn(e.name):
             raise CypherTypeError(
                 f"aggregate {e.name}() outside aggregating projection")
         return compile_function(self, e)
@@ -608,10 +608,19 @@ class ExprCompiler:
         raise CypherTypeError("pattern comprehension must be lowered by translator")
 
 
+def is_agg_fn(name: str) -> bool:
+    """Builtin aggregate or a registered @UserAggregationFunction analog."""
+    if name in AGG_FNS:
+        return True
+    from ..functions.registry import USER_AGGREGATES
+
+    return name in USER_AGGREGATES
+
+
 def contains_aggregate(e: A.Expr) -> bool:
     if isinstance(e, (A.CountStar,)):
         return True
-    if isinstance(e, A.Func) and e.name in AGG_FNS:
+    if isinstance(e, A.Func) and is_agg_fn(e.name):
         return True
     for child in expr_children(e):
         if contains_aggregate(child):

@@ -30,7 +30,8 @@ from typing import Any, Dict, List, Optional, Tuple
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F, types as T
 
 from . import ast as A
-from .exprs import AGG_FNS, ExprCompiler, contains_aggregate, expr_children
+from .exprs import (AGG_FNS, ExprCompiler, contains_aggregate, expr_children,
+                    is_agg_fn)
 from ..graph import PropertyGraph
 
 NODE_META = ("id", "labels")
@@ -1142,7 +1143,7 @@ class Translator:
             import dataclasses
 
             if isinstance(e, A.CountStar) or (
-                    isinstance(e, A.Func) and e.name in AGG_FNS):
+                    isinstance(e, A.Func) and is_agg_fn(e.name)):
                 key = len(agg_exprs)
                 ph = f"__agg_{key}"
                 agg_exprs.append(self._compile_aggregate(cc, e).alias(ph))
@@ -1224,6 +1225,11 @@ class Translator:
         if name == "percentiles":
             ps = cc.compile(e.args[1])
             return F.percentile(col, ps)
+        from ..functions.registry import USER_AGGREGATES
+
+        if name in USER_AGGREGATES:  # @UserAggregationFunction analog
+            return USER_AGGREGATES[name](
+                [col] + [cc.compile(a) for a in e.args[1:]])
         raise TranslateError(f"unknown aggregate {name}")
 
     # ---- CALL proc / LOAD CSV -------------------------------------------

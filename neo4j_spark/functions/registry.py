@@ -39,6 +39,22 @@ def unregister_function(name):
     USER_FUNCTIONS.pop(name.lower(), None)
 
 
+# User aggregating functions (@UserAggregationFunction analog,
+# procedure-api/UserAggregationFunction.java): name ->
+# callable(list[Column]) -> aggregate Column.  Build from builtin aggregate
+# combinators or a pandas_udf(functionType=GROUPED_AGG) — both land in
+# df.groupBy().agg() and keep partial aggregation map-side.
+USER_AGGREGATES = {}
+
+
+def register_aggregate(name, fn):
+    USER_AGGREGATES[name.lower()] = fn
+
+
+def unregister_aggregate(name):
+    USER_AGGREGATES.pop(name.lower(), None)
+
+
 def _norm_udf():
     import unicodedata
 
