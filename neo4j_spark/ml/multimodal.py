@@ -72,3 +72,66 @@ def frame_sample(df: DataFrame, every_n: int = 10,
     """Deterministic frame sampling stand-in: keep ids where id % n == 0 —
     the real kernel would emit every Nth decoded video frame."""
     return df.filter((F.col(id_col) % every_n) == 0)
+
+
+RESIZED_SCHEMA = T.StructType(
+    IMAGE_SCHEMA.fields[:1] + [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("orig_width", T.IntegerType()),
+        T.StructField("orig_height", T.IntegerType()),
+    ])
+
+
+def resize_images(decoded: DataFrame, target: int = 224) -> DataFrame:
+    """mapInPandas resize stage over decoded metadata.
+
+    STUB kernel: rescales the metadata (and keeps the feature vector) —
+    in production the batch holds pixel buffers and the kernel calls a
+    vectorized resize; the Spark plumbing (schema, Arrow batching) is what
+    this exercises."""
+
+    def batch_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": target,
+                "height": target,
+                "channels": pdf["channels"],
+                "feature": pdf["feature"],
+                "orig_width": pdf["width"],
+                "orig_height": pdf["height"],
+            })
+            yield out
+
+    return decoded.mapInPandas(batch_fn, RESIZED_SCHEMA)
+
+
+AUDIO_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("mfcc", T.ArrayType(T.FloatType())),
+])
+
+
+def audio_features(df: DataFrame, id_col: str = "doc_id",
+                   payload_col: str = "payload") -> DataFrame:
+    """mapInPandas audio feature extraction (STUB kernel: deterministic
+    pseudo-MFCCs from payload bytes; production swaps in librosa/libav)."""
+
+    def batch_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf[payload_col]
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "duration_s": [round(len(p or b"") / 16000.0, 6)
+                               for p in payloads],
+                "sample_rate": 16000,
+                "mfcc": [[float((p[i % len(p)] if p else 0)) / 128.0 - 1.0
+                          for i in range(13)] for p in payloads],
+            })
+
+    return df.mapInPandas(batch_fn, AUDIO_SCHEMA)

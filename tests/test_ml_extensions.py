@@ -144,6 +144,29 @@ class TestMultimodal:
             assert len(r["feature"]) == 8
             assert 16 <= r["width"] < 80
 
+    def test_resize_stage(self, spark, docs):
+        from neo4j_spark.ml.multimodal import (
+            attach_fake_binary, decode_images, resize_images)
+
+        out = resize_images(
+            decode_images(attach_fake_binary(docs.limit(20))), target=224)
+        rows = out.collect()
+        assert len(rows) == 20
+        for r in rows[:5]:
+            assert (r["width"], r["height"]) == (224, 224)
+            assert r["orig_width"] >= 16 and len(r["feature"]) == 8
+
+    def test_audio_features(self, spark, docs):
+        from neo4j_spark.ml.multimodal import attach_fake_binary, audio_features
+
+        out = audio_features(attach_fake_binary(docs.limit(10)))
+        rows = out.collect()
+        assert len(rows) == 10
+        for r in rows[:3]:
+            assert r["sample_rate"] == 16000
+            assert len(r["mfcc"]) == 13
+            assert r["duration_s"] > 0
+
 
 class TestStreaming:
     def test_tumbling_batch(self, spark):
