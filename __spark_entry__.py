@@ -216,6 +216,10 @@ CYPHER_QUERIES = {
     "neg_rel_type_scan":
         "MATCH ()-[r:!IN_REGION&!CONTAINS]->() "
         "RETURN type(r) AS t, count(*) AS c ORDER BY t",
+    "project_endpoints":
+        "MATCH ()-[r:IN_REGION]->() WITH r "
+        "MATCH (a)-[r]->(b) "
+        "RETURN a.name AS nation, b.name AS region ORDER BY nation",
     "temporal_truncate":
         "MATCH (o:Order) "
         "RETURN date.truncate('month', o.orderdate) AS m, count(*) AS c "
@@ -841,6 +845,10 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'PLACED', (SELECT count(*) FROM orders) "
             "UNION ALL SELECT 'SUPPLIED_BY', "
             "(SELECT count(*) FROM lineitem)) ORDER BY t",
+        "project_endpoints":
+            "SELECT n.n_name AS nation, r.r_name AS region FROM nation n "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "ORDER BY nation",
         "temporal_truncate":
             "SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m, "
             "count(*) AS c FROM orders GROUP BY 1 ORDER BY m LIMIT 5",

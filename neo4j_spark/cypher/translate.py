@@ -377,12 +377,17 @@ class Translator:
             rvar = rp.var or self._anon_var("r")
             nvar = np.var or self._anon_var("n")
             if df is not None and rvar in df.columns:
-                # rel var re-used: ProjectEndpoints-ish; join by id
+                # rel var re-used: ProjectEndpoints (LP:3407) — rebind the
+                # traversal endpoints from the bound rel (scan join by id
+                # restores __from/__to per the pattern's direction/type)
                 scan = self._rel_scan(rp, f"__dup_{rvar}")
                 df = df.join(
                     scan,
                     F.col(rvar).getField("_id") == F.col(f"__dup_{rvar}").getField("_id"),
                 ).drop(f"__dup_{rvar}")
+                if prev is not None:
+                    df = df.filter(
+                        F.col(prev).getField("_id") == F.col("__from"))
             else:
                 scan = self._rel_scan(rp, rvar)
                 if prev is None:

@@ -86,6 +86,29 @@ class TestCaseNull:
         assert rows(df) == [(2,)]
 
 
+class TestProjectEndpoints:
+    """ProjectEndpoints (LP:3407): re-matching a bound rel variable binds
+    its endpoints instead of rescanning."""
+
+    def test_directed_rebind(self, spark, chain_graph):
+        df = cypher(spark,
+                    "MATCH ()-[r:R]->() WITH r MATCH (a)-[r]->(b) "
+                    "RETURN a.x AS ax, b.x AS bx ORDER BY ax", chain_graph)
+        assert rows(df) == [(1, 2), (2, 3)]
+
+    def test_undirected_rebind_both_orientations(self, spark, chain_graph):
+        df = cypher(spark,
+                    "MATCH ()-[r:R]->() WITH r MATCH (a)-[r]-(b) "
+                    "RETURN count(*) AS c", chain_graph)
+        assert rows(df) == [(4,)]
+
+    def test_rebind_respects_prebound_start(self, spark, chain_graph):
+        df = cypher(spark,
+                    "MATCH (x:A)-[r:R]->() WITH x, r MATCH (x)-[r]->(b) "
+                    "RETURN b.x AS bx", chain_graph)
+        assert rows(df) == [(2,)]
+
+
 class TestIsEmpty:
     def test_isempty(self, spark, chain_graph):
         df = cypher(spark,
