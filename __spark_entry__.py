@@ -159,6 +159,13 @@ CYPHER_QUERIES = {
         "MATCH (c:Customer) "
         "MATCH p = shortestPath((c)-[*..3]->(r:Region)) "
         "RETURN length(p) AS l, count(*) AS n",
+    "all_shortest_paths":
+        "MATCH p = allShortestPaths((a:Nation {name: 'NATION_0'})-[*..4]-"
+        "(b:Nation {name: 'NATION_5'})) "
+        "RETURN length(p) AS len, count(*) AS c",
+    "pruning_var_expand":
+        "MATCH (r:Region {name: 'EUROPE'})-[*1..2]-(b) "
+        "RETURN count(DISTINCT id(b)) AS c",
     # --- GQL path selectors (StatefulShortestPath LP:2290) ---
     "sel_any_shortest":
         "MATCH p = ANY SHORTEST (c:Customer)-[*1..2]->(r:Region) "
@@ -352,6 +359,24 @@ CYPHER_QUERIES = {
     "point_distance_fn":
         "RETURN point.distance(point({x: 0.0, y: 0.0}), "
         "point({x: 3.0, y: 4.0})) AS d",
+    "point_withinbbox":
+        "MATCH (c:Customer) "
+        "WITH c, point({x: c.acctbal, y: toFloat(c.custkey % 100)}) AS p "
+        "WHERE point.withinBBox(p, point({x: 0.0, y: 0.0}), "
+        "point({x: 5000.0, y: 50.0})) RETURN count(*) AS n",
+    "conversion_functions":
+        "RETURN toInteger('42') AS i, toFloat('4.5') AS f, "
+        "toBoolean('true') AS b, toString(7) AS s, toIntegerOrNull('x') AS x",
+    "valuetype_fn":
+        "RETURN valueType(1) AS i, valueType('x') AS s, valueType(1.5) AS f, "
+        "valueType(true) AS b, valueType(null) AS n, valueType([1, 2]) AS l",
+    "get_degree":
+        "MATCH (n:Nation) RETURN n.name AS name, COUNT { (n)--() } AS deg "
+        "ORDER BY name",
+    "exists_subquery":
+        "MATCH (s:Supplier) "
+        "WHERE EXISTS { MATCH (s)<-[:SUPPLIED_BY]-(:Order) } "
+        "RETURN count(*) AS n",
     # --- set ops / unwind (§2.7, widened) ---
     "union_three_way":
         "MATCH (r:Region) RETURN r.name AS name "
@@ -605,8 +630,16 @@ def _q_write_remove(spark, sf_dir):
         "MATCH (p:Part) WHERE p.brand IS NULL RETURN count(*) AS n")
 
 
+def _q_write_foreach(spark, sf_dir):
+    return _write(
+        spark, sf_dir,
+        "FOREACH (x IN range(1, 50) | CREATE (:Tmp {v: x}))",
+        "MATCH (t:Tmp) RETURN count(*) AS n, sum(t.v) AS s")
+
+
 WRITE_QUERIES = {
     "write_create": _q_write_create,
+    "write_foreach": _q_write_foreach,
     "write_set_property": _q_write_set,
     "write_set_label": _q_write_set_label,
     "write_detach_delete": _q_write_detach_delete,
@@ -766,6 +799,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(2 AS BIGINT) AS l, count(*) AS n FROM customer "
             "JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey",
+        "all_shortest_paths":
+            "SELECT CAST(2 AS BIGINT) AS len, count(*) AS c "
+            "FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey "
+            "WHERE a.n_name = 'NATION_0' AND b.n_name = 'NATION_5'",
+        "pruning_var_expand":
+            "SELECT CAST("
+            "(SELECT count(*) FROM nation JOIN region "
+            " ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE')"
+            " + (SELECT count(*) FROM customer JOIN nation "
+            " ON c_nationkey = n_nationkey JOIN region "
+            " ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE')"
+            " + (SELECT count(*) FROM supplier JOIN nation "
+            " ON s_nationkey = n_nationkey JOIN region "
+            " ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE')"
+            " AS BIGINT) AS c",
         "sel_any_shortest":
             "SELECT c_custkey AS ck, r_name AS rn, CAST(2 AS INTEGER) AS len "
             "FROM customer JOIN nation ON c_nationkey = n_nationkey "
@@ -974,6 +1022,28 @@ def oracle_sql() -> dict[str, str]:
             "[3.0, 2.0, 1.0]::DOUBLE[]), 6) AS s",
         "point_distance_fn":
             "SELECT 5.0 AS d",
+        "point_withinbbox":
+            "SELECT count(*) AS n FROM customer "
+            "WHERE c_acctbal BETWEEN 0 AND 5000 "
+            "AND (c_custkey % 100) BETWEEN 0 AND 50",
+        "conversion_functions":
+            "SELECT CAST(42 AS BIGINT) AS i, 4.5 AS f, TRUE AS b, "
+            "'7' AS s, CAST(NULL AS BIGINT) AS x",
+        "valuetype_fn":
+            "SELECT 'INTEGER NOT NULL' AS i, 'STRING NOT NULL' AS s, "
+            "'FLOAT NOT NULL' AS f, 'BOOLEAN NOT NULL' AS b, 'NULL' AS n, "
+            "'LIST<INTEGER NOT NULL> NOT NULL' AS l",
+        "get_degree":
+            "SELECT n_name AS name, "
+            "CAST(1 + coalesce(c.cnt, 0) + coalesce(s.cnt, 0) AS BIGINT) "
+            "AS deg FROM nation "
+            "LEFT JOIN (SELECT c_nationkey, count(*) AS cnt FROM customer "
+            "GROUP BY 1) c ON c_nationkey = n_nationkey "
+            "LEFT JOIN (SELECT s_nationkey, count(*) AS cnt FROM supplier "
+            "GROUP BY 1) s ON s_nationkey = n_nationkey ORDER BY name",
+        "exists_subquery":
+            "SELECT count(*) AS n FROM supplier WHERE EXISTS "
+            "(SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)",
         "union_three_way":
             "SELECT r_name AS name FROM region "
             "UNION SELECT n_name AS name FROM nation "
@@ -1041,6 +1111,8 @@ def oracle_sql() -> dict[str, str]:
         # --- updating operators (§2.10) ---
         "write_create":
             "SELECT CAST(100 AS BIGINT) AS n, CAST(5050 AS BIGINT) AS s",
+        "write_foreach":
+            "SELECT CAST(50 AS BIGINT) AS n, CAST(1275 AS BIGINT) AS s",
         "write_set_property":
             "SELECT count(*) AS n FROM customer WHERE c_acctbal < 0",
         "write_set_label":

@@ -1004,6 +1004,8 @@ class Translator:
     def _foreach(self, df: DataFrame, clause: A.Foreach) -> DataFrame:
         """Explode the list, run the update clauses on the exploded stream,
         discard it — FOREACH never changes the outer cardinality."""
+        if df is None:
+            df = self.spark.range(1).select(F.lit(1).alias("__one"))
         df, expr = self._lower_all(df, clause.source)
         col = self._compiler(df).compile(expr)
         exploded = df.withColumn(clause.var, F.explode(col))

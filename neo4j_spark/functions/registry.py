@@ -55,6 +55,47 @@ def unregister_aggregate(name):
     USER_AGGREGATES.pop(name.lower(), None)
 
 
+def _cypher_type_name(t) -> str:
+    """Spark DataType → GQL type name (util/symbols/*Type.scala
+    toCypherTypeString)."""
+    if t is None or isinstance(t, T.NullType):
+        return "NULL"
+    if isinstance(t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "INTEGER"
+    if isinstance(t, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return "FLOAT"
+    if isinstance(t, T.StringType):
+        return "STRING"
+    if isinstance(t, T.BooleanType):
+        return "BOOLEAN"
+    if isinstance(t, T.DateType):
+        return "DATE"
+    if isinstance(t, T.TimestampType):
+        return "ZONED DATETIME"
+    if isinstance(t, T.TimestampNTZType):
+        return "LOCAL DATETIME"
+    if isinstance(t, T.ArrayType):
+        return "LIST<" + _cypher_type_name(t.elementType) + ">"
+    if isinstance(t, T.StructType):
+        names = set(t.fieldNames())
+        if {"months", "days", "seconds", "nanos"} <= names:
+            return "DURATION"
+        if {"crs", "x", "y"} <= names:
+            return "POINT"
+        if {"_src", "_dst"} <= names:
+            return "RELATIONSHIP"
+        if {"_id", "_labels"} <= names:
+            return "NODE"
+        if {"_nodes", "_rels"} <= names or {"__nodes", "__rels"} <= names:
+            return "PATH"
+        return "MAP"
+    if isinstance(t, T.MapType):
+        return "MAP"
+    if isinstance(t, T.BinaryType):
+        return "BYTEARRAY"
+    return "ANY"
+
+
 def _norm_udf():
     import unicodedata
 
@@ -263,20 +304,24 @@ def compile_function(cc, e: A.Func) -> Column:
     if name == "tobooleanlist":
         return F.transform(c(0), lambda x: x.try_cast("boolean"))
     if name == "valuetype":
+        # GQL type descriptions (functions/ValueType.scala →
+        # CypherType.description, util/symbols/*.scala): non-null values
+        # carry a "NOT NULL" suffix, null → "NULL", [] → LIST<NOTHING>.
         col, t = ctyped(0)
-        # Cypher type names (functions/ValueType.scala), not Spark's
-        cypher_names = {
-            "bigint": "INTEGER", "int": "INTEGER", "smallint": "INTEGER",
-            "tinyint": "INTEGER", "double": "FLOAT", "float": "FLOAT",
-            "string": "STRING", "boolean": "BOOLEAN", "date": "DATE",
-            "timestamp": "ZONED DATETIME", "timestamp_ntz": "LOCAL DATETIME",
-        }
-        s = t.simpleString() if t else None
-        if s in cypher_names:
-            return F.lit(cypher_names[s])
-        if s and s.startswith("array"):
-            return F.lit("LIST<ANY>")
-        return F.lit(s.upper() if s else "ANY")
+        base = _cypher_type_name(t)
+        if base == "NULL":
+            return F.lit("NULL")
+        if isinstance(t, T.ArrayType):
+            inner = _cypher_type_name(t.elementType)
+            inner_col = F.when(
+                F.size(col) == 0, F.lit("NOTHING"),
+            ).when(
+                F.exists(col, lambda x: x.isNull()), F.lit(inner),
+            ).otherwise(F.lit(inner + " NOT NULL"))
+            body = F.concat(F.lit("LIST<"), inner_col, F.lit("> NOT NULL"))
+        else:
+            body = F.lit(base + " NOT NULL")
+        return F.when(col.isNull(), F.lit("NULL")).otherwise(body)
 
     # ---- lists -----------------------------------------------------------
     if name == "head":

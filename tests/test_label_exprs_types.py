@@ -109,6 +109,25 @@ class TestProjectEndpoints:
         assert rows(df) == [(2,)]
 
 
+class TestValueType:
+    """valueType() returns GQL type descriptions (functions/ValueType.scala →
+    CypherType.description): NOT NULL suffix for values, NULL for null."""
+
+    def test_scalars(self, spark, chain_graph):
+        df = cypher(spark,
+                    "RETURN valueType(1) AS i, valueType('x') AS s, "
+                    "valueType(1.5) AS f, valueType(null) AS n", chain_graph)
+        assert rows(df) == [("INTEGER NOT NULL", "STRING NOT NULL",
+                             "FLOAT NOT NULL", "NULL")]
+
+    def test_lists(self, spark, chain_graph):
+        df = cypher(spark,
+                    "RETURN valueType([1, 2]) AS l, valueType([]) AS e",
+                    chain_graph)
+        assert rows(df) == [("LIST<INTEGER NOT NULL> NOT NULL",
+                             "LIST<NOTHING> NOT NULL")]
+
+
 class TestIsEmpty:
     def test_isempty(self, spark, chain_graph):
         df = cypher(spark,

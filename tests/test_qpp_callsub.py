@@ -75,6 +75,14 @@ def test_foreach_updates(spark, chain_graph):
     assert rows(out) == [(3,)]
 
 
+def test_foreach_standalone_create(spark, chain_graph):
+    g = chain_graph.copy()
+    cypher(spark, "FOREACH (x IN [10, 20] | CREATE (:Tmp {v: x}))", g)
+    out = cypher(spark,
+                 "MATCH (t:Tmp) RETURN t.v AS v ORDER BY v", g)
+    assert rows(out) == [(10,), (20,)]
+
+
 def test_order_by_preprojection_var(spark, chain_graph):
     out = cypher(spark,
                  "MATCH (n) RETURN n.x + 10 AS v ORDER BY n.x DESC",
