@@ -76,6 +76,7 @@ class Translator:
         return self._single(ast)
 
     def _single(self, q: A.SingleQuery) -> DataFrame:
+        self.query_ast = q  # whole-statement view for usage-based rewrites
         df: Optional[DataFrame] = None
         for clause in q.clauses:
             df = self._apply(df, clause)

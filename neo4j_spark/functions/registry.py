@@ -159,6 +159,8 @@ def compile_function(cc, e: A.Func) -> Column:
         col, t = ctyped(0)
         if isinstance(t, T.StructType) and "rels" in t.fieldNames():
             return F.size(col.getField("rels")).cast("long")
+        if isinstance(t, T.StructType) and "len" in t.fieldNames():
+            return col.getField("len")  # length-only path stub
         return F.length(col).cast("long")
     if name == "size":
         col, t = ctyped(0)

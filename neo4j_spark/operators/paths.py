@@ -202,6 +202,42 @@ def _bfs_levels(roots: DataFrame, scan: DataFrame, depth: int,
     return levels
 
 
+def _length_only_use(root, pvar: str) -> bool:
+    """True when every use of path var ``pvar`` in the statement is
+    ``length(p)`` — the usage test behind the reference's
+    pruningVarExpander/bfsAggregationRemover rewrites
+    (compiler/planner/logical/plans/rewriter/pruningVarExpander.scala):
+    when no one consumes the path's contents, the search need not carry
+    them."""
+    import dataclasses
+
+    ok = True
+
+    def walk(node) -> None:
+        nonlocal ok
+        if not ok or not dataclasses.is_dataclass(node):
+            return
+        if isinstance(node, A.Func):
+            if node.name == "length" and len(node.args) == 1 \
+                    and isinstance(node.args[0], A.Var) \
+                    and node.args[0].name == pvar:
+                return  # allowed use; don't descend
+        if isinstance(node, A.Var) and node.name == pvar:
+            ok = False
+            return
+        for f in dataclasses.fields(node):
+            v = getattr(node, f.name)
+            if dataclasses.is_dataclass(v):
+                walk(v)
+            elif isinstance(v, (list, tuple)):
+                for x in v:
+                    if dataclasses.is_dataclass(x):
+                        walk(x)
+
+    walk(root)
+    return ok
+
+
 def shortest_path(tr, df: Optional[DataFrame], part: A.PatternPart,
                   pending: List[A.Expr]) -> DataFrame:
     """FindShortestPaths (LP:2178): shortestPath / allShortestPaths.
@@ -224,7 +260,14 @@ def shortest_path(tr, df: Optional[DataFrame], part: A.PatternPart,
     all_shortest = part.selector == "allShortest"
     max_len = rp.max_len if rp.max_len is not None else tr.max_var_length
     min_len = rp.min_len if rp.min_len is not None else 1
-    track_path = (part.path_var is not None) or all_shortest
+    # length-only paths don't need their contents carried through the BFS
+    # (allShortestPaths still does: counting paths needs path identity)
+    length_only = (
+        part.path_var is not None and not all_shortest
+        and _length_only_use(getattr(tr, "query_ast", None) or part,
+                             part.path_var))
+    track_path = (part.path_var is not None and not length_only) \
+        or all_shortest
 
     df, avar = tr._bind_first_node(df, a_pat, pending)
     df, bvar = tr._bind_first_node(df, b_pat, pending)
@@ -308,9 +351,16 @@ def shortest_path(tr, df: Optional[DataFrame], part: A.PatternPart,
         & (F.col(bvar).getField("_id") == F.col("__t")))
     if part.path_var:
         pvar = part.path_var
-        nodes_arr = F.transform(F.col("__nodes"), lambda x: F.struct(x.alias("_id")))
-        out = out.withColumn(
-            pvar, F.struct(nodes_arr.alias("nodes"), F.col("__rels").alias("rels")))
+        if track_path:
+            nodes_arr = F.transform(F.col("__nodes"),
+                                    lambda x: F.struct(x.alias("_id")))
+            out = out.withColumn(
+                pvar, F.struct(nodes_arr.alias("nodes"),
+                               F.col("__rels").alias("rels")))
+        else:
+            # length-only path: a {len} stub — length() reads it directly
+            out = out.withColumn(
+                pvar, F.struct(F.col("__len").cast("long").alias("len")))
         tr.kinds[pvar] = "path"
     drop = ["__s", "__t", "__len"] + (["__rels", "__nodes"] if track_path else [])
     return out.drop(*drop)
