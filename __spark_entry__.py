@@ -146,6 +146,16 @@ CYPHER_QUERIES = {
     "count_subquery":
         "MATCH (c:Customer) RETURN c.custkey AS custkey, "
         "COUNT { (c)-[:PLACED]->() } AS n_orders",
+    "select_or_semi_apply":
+        "MATCH (c:Customer) WHERE c.acctbal < 0 OR (c)-[:PLACED]->(:Order) "
+        "RETURN count(*) AS n",
+    "select_or_anti_semi_apply":
+        "MATCH (c:Customer) "
+        "WHERE NOT (c.acctbal < 0 OR (c)-[:PLACED]->(:Order)) "
+        "RETURN count(*) AS n",
+    # --- count store (§2.1, LP:2748/3466) ---
+    "count_store_nodes": "MATCH (s:Supplier) RETURN count(s) AS n",
+    "count_store_rels": "MATCH ()-[r:PLACED]->() RETURN count(r) AS n",
     "rollup_pattern_comprehension":
         "MATCH (r:Region) RETURN r.name AS region, "
         "size([(n:Nation)-[:IN_REGION]->(r) | n.name]) AS n_nations "
@@ -495,7 +505,14 @@ def _q_text_quality(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return document_stats(docs).select(
-        "doc_id", "n_tokens", "quality", "lang_pred", "fingerprint")
+        "doc_id", "n_tokens", "quality", "lang_pred")
+
+
+def _q_text_fingerprint(spark, sf_dir):
+    from neo4j_spark.ml.text import fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
 def _q_knn_bruteforce(spark, sf_dir):
@@ -571,6 +588,42 @@ def _q_multimodal_decode(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     decoded = decode_images(attach_fake_binary(docs))
     return decoded.select("doc_id", "width", "height", "channels")
+
+
+def _q_multimodal_resize(spark, sf_dir):
+    from neo4j_spark.ml.multimodal import (attach_fake_binary, decode_images,
+                                           resize_images)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    resized = resize_images(decode_images(attach_fake_binary(docs)))
+    return resized.select("doc_id", "width", "height", "channels",
+                          "orig_width", "orig_height")
+
+
+def _q_multimodal_frame_sample(spark, sf_dir):
+    from neo4j_spark.ml.multimodal import (attach_fake_binary, decode_images,
+                                           frame_sample)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sampled = frame_sample(decode_images(attach_fake_binary(docs)), every_n=10)
+    return sampled.select("doc_id", "width", "height")
+
+
+def _q_audio_features(spark, sf_dir):
+    from neo4j_spark.ml.multimodal import attach_fake_binary, audio_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = audio_features(attach_fake_binary(docs))
+    return feats.select("doc_id", "duration_s", "sample_rate")
+
+
+def _q_top1_with_ties(spark, sf_dir):
+    from neo4j_spark.operators.topk import top1_with_ties
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return top1_with_ties(orders, ["o_orderdate"], ascending=[False]).select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderdate").alias("odate"))
 
 
 # ---------------------------------------------------------------------------
@@ -656,6 +709,7 @@ EXTENSION_QUERIES = {
     "dedup_embedding_cosine": _q_dedup_embedding_cosine,
     "text_stats": _q_text_stats,
     "text_quality": _q_text_quality,
+    "text_fingerprint": _q_text_fingerprint,
     "knn_bruteforce": _q_knn_bruteforce,
     "knn_join": _q_knn_join,
     "knn_lsh": _q_knn_lsh,
@@ -666,6 +720,10 @@ EXTENSION_QUERIES = {
     "events_json_props": _q_events_json,
     "stream_dedup": _q_stream_dedup,
     "multimodal_decode": _q_multimodal_decode,
+    "multimodal_resize": _q_multimodal_resize,
+    "multimodal_frame_sample": _q_multimodal_frame_sample,
+    "audio_features": _q_audio_features,
+    "top1_with_ties": _q_top1_with_ties,
 }
 
 
@@ -783,6 +841,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(cnt, 0) AS BIGINT) AS n_orders FROM customer "
             "LEFT JOIN (SELECT o_custkey, count(*) AS cnt FROM orders "
             "GROUP BY o_custkey) ON o_custkey = c_custkey",
+        "select_or_semi_apply":
+            "SELECT count(*) AS n FROM customer WHERE c_acctbal < 0 OR EXISTS "
+            "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+        "select_or_anti_semi_apply":
+            "SELECT count(*) AS n FROM customer WHERE NOT (c_acctbal < 0 "
+            "OR EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))",
+        "count_store_nodes":
+            "SELECT count(*) AS n FROM supplier",
+        "count_store_rels":
+            "SELECT count(*) AS n FROM orders",
         "rollup_pattern_comprehension":
             "SELECT r_name AS region, CAST(count(n_nationkey) AS BIGINT) "
             "AS n_nations FROM region LEFT JOIN nation "
@@ -1184,6 +1252,47 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(16 + length(text) % 64 AS INTEGER) AS width, "
             "CAST(16 + (length(text) // 64) % 64 AS INTEGER) AS height, "
             "CAST(3 AS INTEGER) AS channels FROM documents",
+        "multimodal_resize":
+            "SELECT doc_id, CAST(224 AS INTEGER) AS width, "
+            "CAST(224 AS INTEGER) AS height, CAST(3 AS INTEGER) AS channels, "
+            "CAST(16 + length(text) % 64 AS INTEGER) AS orig_width, "
+            "CAST(16 + (length(text) // 64) % 64 AS INTEGER) AS orig_height "
+            "FROM documents",
+        "multimodal_frame_sample":
+            "SELECT doc_id, CAST(16 + length(text) % 64 AS INTEGER) AS width, "
+            "CAST(16 + (length(text) // 64) % 64 AS INTEGER) AS height "
+            "FROM documents WHERE doc_id % 10 = 0",
+        "audio_features":
+            "SELECT doc_id, length(text) / 16000.0 AS duration_s, "
+            "CAST(16000 AS INTEGER) AS sample_rate FROM documents",
+        "top1_with_ties":
+            "SELECT o_orderkey AS orderkey, o_orderdate AS odate FROM orders "
+            "WHERE o_orderdate = (SELECT max(o_orderdate) FROM orders)",
+        "text_quality":
+            r"WITH t AS (SELECT doc_id, text, list_filter(string_split_regex("
+            r"lower(text), '[^\p{L}\p{N}'']+'), x -> x <> '') AS toks "
+            "FROM documents), "
+            "h AS (SELECT doc_id, len(toks) AS n_tok, "
+            "greatest(len(toks), 1) AS nz, "
+            "len(list_filter(toks, x -> x IN ('the','a','and','of','to','in',"
+            "'is','it','that','for'))) AS h_en, "
+            "len(list_filter(toks, x -> x IN ('der','die','das','und','ist',"
+            "'nicht','ein','zu','mit'))) AS h_de, "
+            "len(list_filter(toks, x -> x IN ('le','la','les','et','est','un',"
+            "'une','dans','pour'))) AS h_fr, "
+            "len(list_filter(toks, x -> x IN ('el','la','los','y','es','un',"
+            "'una','en','para','que'))) AS h_es, "
+            r"length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) * 1.0 "
+            "/ greatest(length(text), 1) AS p_ratio FROM t) "
+            "SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens, "
+            "round((least(n_tok / 100.0, 1.0) "
+            "+ (1.0 - least(p_ratio * 5, 1.0)) "
+            "+ least((h_en * 1.0 / nz) * 4, 1.0)) / 3, 6) AS quality, "
+            "CASE WHEN h_en = 0 AND h_de = 0 AND h_fr = 0 AND h_es = 0 "
+            "THEN 'und' "
+            "WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en' "
+            "WHEN h_de >= h_fr AND h_de >= h_es THEN 'de' "
+            "WHEN h_fr >= h_es THEN 'fr' ELSE 'es' END AS lang_pred FROM h",
         "ngram_jaccard":
             r"WITH g AS (SELECT doc_id, lang, "
             r"list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}'']+'), "
@@ -1210,6 +1319,6 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS score "
             "FROM embeddings WHERE vec_id != 0 "
             "ORDER BY score DESC, vec_id LIMIT 10",
-        # dedup_minhash_lsh / dedup_simhash / knn_lsh / text_quality:
-        # hash-function-specific — rows-only check (omitted).
+        # dedup_minhash_lsh / dedup_simhash / knn_lsh / text_fingerprint:
+        # hash-function-specific (xxhash64) — rows-only check (omitted).
     }

@@ -77,6 +77,9 @@ class Translator:
 
     def _single(self, q: A.SingleQuery) -> DataFrame:
         self.query_ast = q  # whole-statement view for usage-based rewrites
+        fast = self._count_store_plan(q)
+        if fast is not None:
+            return fast
         df: Optional[DataFrame] = None
         for clause in q.clauses:
             df = self._apply(df, clause)
@@ -94,6 +97,78 @@ class Translator:
         return df
 
     # -------------------------------------------------------------- helpers
+
+    def _count_store_plan(self, q: A.SingleQuery) -> Optional[DataFrame]:
+        """NodeCountFromCountStore (LP:2748) / RelationshipCountFromCountStore
+        (LP:3466): answer ``MATCH (n[:L]) RETURN count(*)`` and
+        ``MATCH ()-[r[:T]]->() RETURN count(*)`` from the graph's memoized
+        cardinalities instead of planning a scan + aggregation — the Spark
+        analog of ``countStorePlanner.scala``.  Returns None when the shape
+        doesn't qualify."""
+        if len(q.clauses) != 2:
+            return None
+        m, ret = q.clauses
+        if not (isinstance(m, A.Match) and isinstance(ret, A.Projection)
+                and ret.is_return):
+            return None
+        if m.optional or m.where is not None or len(m.parts) != 1:
+            return None
+        part = m.parts[0]
+        if part.path_var or part.selector:
+            return None
+        if (ret.distinct or ret.star or ret.order or ret.where is not None
+                or ret.skip is not None or ret.limit is not None
+                or len(ret.items) != 1):
+            return None
+        item = ret.items[0]
+        e = item.expr
+        counted_var: Optional[str] = None
+        if isinstance(e, A.CountStar):
+            pass
+        elif (isinstance(e, A.Func) and e.name.lower() == "count"
+                and not e.distinct and len(e.args) == 1
+                and isinstance(e.args[0], A.Var)):
+            counted_var = e.args[0].name
+        else:
+            return None
+
+        def plain_node(np, max_labels: int) -> bool:
+            return (isinstance(np, A.NodePat) and np.props is None
+                    and np.where is None and not np.any_labels
+                    and not np.neg_labels and not np.req_any_label
+                    and not np.req_no_label and len(np.labels) <= max_labels)
+
+        els = part.elements
+        if len(els) == 1 and plain_node(els[0], 1):
+            np = els[0]
+            if counted_var is not None and counted_var != np.var:
+                return None
+            n = self.graph.count_nodes(np.labels[0] if np.labels else None)
+        elif (len(els) == 3 and isinstance(els[1], A.RelPat)
+                and plain_node(els[0], 0) and plain_node(els[2], 0)):
+            rp = els[1]
+            if (rp.props is not None or rp.where is not None
+                    or rp.var_length or rp.min_len is not None
+                    or rp.max_len is not None or rp.neg_types
+                    or len(rp.types) > 1):
+                return None
+            if rp.direction == "both":
+                # undirected: each rel matches once per orientation EXCEPT
+                # self-loops (once) — 2n - selfloops needs a scan, so the
+                # count store only serves directed patterns (as Neo4j's
+                # countStorePlanner.scala does)
+                return None
+            if els[0].var is not None and els[0].var == els[2].var:
+                return None  # (a)-->(a) is a self-loop join, not a count
+            bindable = {els[0].var, els[2].var, rp.var}
+            if counted_var is not None and counted_var not in bindable:
+                return None
+            n = self.graph.count_rels(rp.types[0] if rp.types else None)
+        else:
+            return None
+        name = item.alias or item.text
+        schema = T.StructType([T.StructField(name, T.LongType(), False)])
+        return self.spark.createDataFrame([(int(n),)], schema)
 
     def _anon_var(self, prefix: str = "a") -> str:
         self._anon += 1

@@ -63,6 +63,12 @@ class PropertyGraph:
         # must fall back to a full union filter instead of shard pruning
         self._extra_labels: set = set()
         self._write_epoch = 0
+        # count store (NodeCountFromCountStore LP:2748 /
+        # RelationshipCountFromCountStore LP:3466): the reference maintains
+        # label/type cardinalities transactionally; here they are computed
+        # lazily from the (immutable) snapshot frames and memoized per
+        # write epoch — repeated count queries become O(1) driver lookups
+        self._count_memo: Dict = {}
 
     def note_extra_label(self, label: str) -> None:
         if label not in self.node_frames:
@@ -73,6 +79,8 @@ class PropertyGraph:
         g = PropertyGraph(self.node_frames, self.rel_frames)
         g._extra_labels = set(self._extra_labels)
         g._write_epoch = self._write_epoch
+        # entries valid for the shared snapshot; dicts diverge after writes
+        g._count_memo = dict(self._count_memo)
         return g
 
     # ---- scans (leaf operators, SURVEY §2.1) ----------------------------
@@ -132,6 +140,25 @@ class PropertyGraph:
         if not cands:
             return self.rels.limit(0)
         return _union_by_name(cands)
+
+    # ---- count store (LP:2748 / LP:3466) --------------------------------
+
+    def count_nodes(self, label: Optional[str] = None) -> int:
+        """Node cardinality, memoized per write epoch (the count-store
+        analog of ``countStorePlanner.scala``'s node lookup)."""
+        key = ("n", label, self._write_epoch)
+        if key not in self._count_memo:
+            df = self.nodes_for_labels([label]) if label else self.nodes
+            self._count_memo[key] = df.count()
+        return self._count_memo[key]
+
+    def count_rels(self, rtype: Optional[str] = None) -> int:
+        """Relationship cardinality by type, memoized per write epoch."""
+        key = ("r", rtype, self._write_epoch)
+        if key not in self._count_memo:
+            df = self.rels_for_types([rtype]) if rtype else self.rels
+            self._count_memo[key] = df.count()
+        return self._count_memo[key]
 
     # ---- catalog helpers (db.labels / db.relationshipTypes procedures) ---
 

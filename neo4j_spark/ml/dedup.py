@@ -95,14 +95,18 @@ def exploded_shingles(df: DataFrame, id_col: str, text_col: str,
 def _banded_signatures(ex: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """(_id, band, bh) from exploded shingles.
 
-    Relational formulation: hash the shingle rows with ``num_hashes`` plain
-    (whole-stage-codegen'd) xxhash64 columns and min-aggregate per doc —
-    partial (map-side) min aggregation collapses the exploded rows before
-    the doc_id shuffle.  The per-row array form (transform/aggregate HOFs)
-    is ~10x slower because HOFs are interpreted per row."""
+    Relational formulation: hash each shingle string ONCE into a base long
+    (projection below the aggregate — CollapseProject cannot inline it into
+    the agg expressions), then derive permutation i as the fixed-width hash
+    xxhash64(base, i) inside a min-aggregate per doc — partial (map-side)
+    min aggregation collapses the exploded rows before the doc_id shuffle,
+    and each permutation re-hashes 12 bytes instead of the whole shingle
+    string.  The per-row array form (transform/aggregate HOFs) is ~10x
+    slower because HOFs are interpreted per row."""
     r = num_hashes // bands
-    sig = ex.groupBy("_id").agg(*[
-        F.min(F.xxhash64("_s", F.lit(i))).alias(f"_m{i}")
+    hashed = ex.select("_id", F.xxhash64("_s").alias("_h0"))
+    sig = hashed.groupBy("_id").agg(*[
+        F.min(F.xxhash64("_h0", F.lit(i))).alias(f"_m{i}")
         for i in range(num_hashes)])
     return (sig.select("_id", F.explode(F.array(*[
         F.struct(F.lit(b).alias("band"),
@@ -167,12 +171,17 @@ def minhash_dedup_pairs(
                                    shingle_k, _ex=ex)
     cand_ids = (cands.select(F.col("id_a").alias("_vid"))
                 .union(cands.select("id_b")).dropDuplicates())
-    sh = (ex.join(cand_ids, ex["_id"] == cand_ids["_vid"], "left_semi")
+    # candidate ids/sets are bounded by the (small) candidate pair count —
+    # broadcast them so the corpus-sized side never shuffles for the verify
+    sh = (ex.join(F.broadcast(cand_ids), ex["_id"] == cand_ids["_vid"],
+                  "left_semi")
             .groupBy("_id").agg(F.collect_set("_s").alias("_sh"))
             .withColumnRenamed("_id", "_vid"))
     out = (cands
-           .join(sh.select(F.col("_vid").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
-           .join(sh.select(F.col("_vid").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
+           .join(F.broadcast(sh.select(F.col("_vid").alias("id_a"),
+                                       F.col("_sh").alias("sh_a"))), "id_a")
+           .join(F.broadcast(sh.select(F.col("_vid").alias("id_b"),
+                                       F.col("_sh").alias("sh_b"))), "id_b")
            .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
            .filter(F.col("jaccard") >= threshold)
            .select("id_a", "id_b", "jaccard"))

@@ -127,8 +127,7 @@ def audio_features(df: DataFrame, id_col: str = "doc_id",
             payloads = pdf[payload_col]
             yield pd.DataFrame({
                 "doc_id": pdf[id_col].astype("int64"),
-                "duration_s": [round(len(p or b"") / 16000.0, 6)
-                               for p in payloads],
+                "duration_s": [len(p or b"") / 16000.0 for p in payloads],
                 "sample_rate": 16000,
                 "mfcc": [[float((p[i % len(p)] if p else 0)) / 128.0 - 1.0
                           for i in range(13)] for p in payloads],

@@ -160,6 +160,7 @@ def _create_rel(tr, df: DataFrame, rp: A.RelPat, prev: str, nvar: str) -> DataFr
 
 def apply_set(tr, df: DataFrame, items: List[A.SetItem]) -> DataFrame:
     _ensure_effects(tr)
+    tr.graph._write_epoch += 1  # invalidate count-store memo
     for it in items:
         df = _set_item(tr, df, it)
     return df
@@ -167,6 +168,7 @@ def apply_set(tr, df: DataFrame, items: List[A.SetItem]) -> DataFrame:
 
 def apply_remove(tr, df: DataFrame, items: List[A.SetItem]) -> DataFrame:
     _ensure_effects(tr)
+    tr.graph._write_epoch += 1  # invalidate count-store memo
     for it in items:
         if isinstance(it.target, A.HasLabels):
             df = _mutate_labels(tr, df, it.target, add=False)
@@ -255,6 +257,7 @@ def _mutate_labels(tr, df: DataFrame, target: A.HasLabels, add: bool) -> DataFra
 
 def apply_delete(tr, df: DataFrame, clause: A.Delete) -> DataFrame:
     _ensure_effects(tr)
+    tr.graph._write_epoch += 1  # invalidate count-store memo
     for e in clause.exprs:
         if not isinstance(e, A.Var):
             raise ValueError("DELETE expects bound variables")

@@ -65,10 +65,21 @@ def test_topk_plans_take_ordered(spark, tpch_graph):
 
 def test_scan_elision_for_anonymous_endpoints(spark, tpch_graph):
     """MATCH ()-[l:CONTAINS]->() must be ONE scan (the rel table), not
-    three — anonymous unconstrained endpoints are elided (translate.py)."""
+    three — anonymous unconstrained endpoints are elided (translate.py).
+    (count(l.quantity) keeps the query off the count-store fast path,
+    which would plan zero scans.)"""
+    df = cypher(spark,
+                "MATCH ()-[l:CONTAINS]->() RETURN count(l.quantity) AS n",
+                tpch_graph)
+    assert plan_of(df).count("Scan parquet") == 1
+
+
+def test_count_store_serves_rel_count_without_scan(spark, tpch_graph):
+    """MATCH ()-[l:CONTAINS]->() RETURN count(*) is answered from the
+    count store (LP:3466) — zero scans in the final plan."""
     df = cypher(spark,
                 "MATCH ()-[l:CONTAINS]->() RETURN count(*) AS n", tpch_graph)
-    assert plan_of(df).count("Scan parquet") == 1
+    assert plan_of(df).count("Scan parquet") == 0
 
 
 def test_semi_join_for_exists_predicate(spark, tpch_graph):
