@@ -16,8 +16,19 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch events table; the source stores ts as TIMESTAMP(NANOS) which
     Spark reads as long (nanosAsLong) — normalize to microsecond timestamp."""
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return _normalize_ts(df)
+
+
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    """Watermarks require TimestampType; the source parquet stores ts either
+    as TIMESTAMP(NANOS) (read as long) or as timestamp-without-zone (read as
+    TIMESTAMP_NTZ). Session tz is pinned to UTC so the NTZ cast is lossless."""
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -30,10 +41,7 @@ def events_stream(spark: SparkSession, sf_dir: str,
            .option("maxFilesPerTrigger", max_files_per_trigger)
            .option("pathGlobFilter", "events.parquet")
            .parquet(sf_dir))
-    if isinstance(raw.schema["ts"].dataType, T.LongType):
-        raw = raw.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-    return raw
+    return _normalize_ts(raw)
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour",
