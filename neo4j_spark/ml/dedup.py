@@ -167,16 +167,22 @@ def minhash_dedup_pairs(
     document instead of once per consumer.  Verify cost is proportional to
     the candidate set, not the corpus (semi-join prune before collect)."""
     ex = exploded_shingles(df, id_col, text_col, shingle_k).persist()
+    # persist the candidate pairs: they feed three consumers (the two
+    # cand_ids projections and the verify join) and each unpersisted
+    # consumer would re-run the banded self-join from scratch
     cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands,
-                                   shingle_k, _ex=ex)
+                                   shingle_k, _ex=ex).persist()
     cand_ids = (cands.select(F.col("id_a").alias("_vid"))
                 .union(cands.select("id_b")).dropDuplicates())
     # candidate ids/sets are bounded by the (small) candidate pair count —
-    # broadcast them so the corpus-sized side never shuffles for the verify
+    # broadcast them so the corpus-sized side never shuffles for the verify.
+    # persisted: broadcast on id_a and on id_b each build from this table,
+    # and an unpersisted lineage would re-run the semi-join + collect_set
+    # (and the candidate self-join underneath it) once per build.
     sh = (ex.join(F.broadcast(cand_ids), ex["_id"] == cand_ids["_vid"],
                   "left_semi")
             .groupBy("_id").agg(F.collect_set("_s").alias("_sh"))
-            .withColumnRenamed("_id", "_vid"))
+            .withColumnRenamed("_id", "_vid").persist())
     out = (cands
            .join(F.broadcast(sh.select(F.col("_vid").alias("id_a"),
                                        F.col("_sh").alias("sh_a"))), "id_a")
