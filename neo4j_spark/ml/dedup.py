@@ -61,58 +61,61 @@ def minhash_signature(sh: Column, num_hashes: int = 32) -> Column:
 
 def exploded_shingles(df: DataFrame, id_col: str, text_col: str,
                       shingle_k: int = 3) -> DataFrame:
-    """(_id, _s) rows — one per shingle per doc (duplicates possible).
+    """(_id, _s) rows — one 64-bit shingle *hash* per shingle per doc.
 
     Fully codegen'd relational formulation: posexplode the token stream,
-    then a window ``lead`` chain stitches k consecutive tokens back into a
-    shingle.  The array form (``shingles``: transform + slice HOFs) is a
-    CodegenFallback interpreted per row and measures ~5x slower at sf0.1;
-    here the only non-codegen op is the window sort, whose exchange is the
-    same doc-id hash partitioning every downstream consumer (min-hash agg,
+    hash each token once, then a window ``lead`` chain combines k
+    consecutive token hashes into a shingle hash with one fixed-width
+    ``xxhash64`` — the window sort/shuffle moves longs, never shingle
+    strings, and the string concat is skipped entirely.  (The array form —
+    transform + slice HOFs — is a CodegenFallback interpreted per row and
+    measures ~5x slower at sf0.1.)  The window's doc-id hash partitioning
+    is the same exchange every downstream consumer (min-hash agg,
     collect_set) wants, so it costs one shuffle total.
 
-    Docs with fewer than k tokens yield one shingle = the whole doc
-    (matching ``shingles``); empty docs yield one empty-string shingle."""
+    Hash-space Jaccard over these equals shingle-string Jaccard up to
+    64-bit collisions (~n²/2⁶⁴ — negligible).  Docs with fewer than k
+    tokens yield one shingle hash over the available tokens (trailing
+    leads are null; xxhash64 skips null inputs); empty docs yield the
+    null-hash seed constant, so two empty docs still match."""
     from pyspark.sql import Window as W
 
     toks = (df.select(F.col(id_col).alias("_id"),
                       F.posexplode_outer(F.filter(
                           F.split(F.lower(F.col(text_col)), r"[^\p{L}\p{N}']+"),
-                          lambda t: t != "")).alias("_p", "_t")))
+                          lambda t: t != "")).alias("_p", "_t"))
+              .withColumn("_h", F.xxhash64("_t")))
     w = W.partitionBy("_id").orderBy("_p")
-    parts = [F.col("_t")] + [F.lead("_t", i).over(w)
+    parts = [F.col("_h")] + [F.lead("_h", i).over(w)
                              for i in range(1, shingle_k)]
     n = F.count("*").over(W.partitionBy("_id"))
-    keep = (F.lead("_t", shingle_k - 1).over(w).isNotNull()
+    keep = (F.lead("_p", shingle_k - 1).over(w).isNotNull()
             | ((n < shingle_k) & (F.col("_p").isNull() | (F.col("_p") == 0))))
     return (toks
-            .withColumn("_s", F.concat_ws(" ", *parts))
+            .withColumn("_s", F.xxhash64(*parts))
             .withColumn("_keep", keep)
             .filter(F.col("_keep"))
             .select("_id", "_s"))
 
 
 def _banded_signatures(ex: DataFrame, num_hashes: int, bands: int) -> DataFrame:
-    """(_id, band, bh) from exploded shingles.
+    """(_id, band, bh) from exploded shingle hashes.
 
-    Relational formulation: hash each shingle string ONCE into a base long
-    (projection below the aggregate — CollapseProject cannot inline it into
-    the agg expressions), then derive permutation i as the fixed-width hash
-    xxhash64(base, i) inside a min-aggregate per doc — partial (map-side)
-    min aggregation collapses the exploded rows before the doc_id shuffle,
-    and each permutation re-hashes 12 bytes instead of the whole shingle
-    string.  The per-row array form (transform/aggregate HOFs) is ~10x
-    slower because HOFs are interpreted per row."""
+    Permutation i of a shingle is the fixed-width hash xxhash64(_s, i)
+    computed inside a min-aggregate per doc — partial (map-side) min
+    aggregation collapses the exploded rows before the doc_id shuffle, and
+    each permutation re-hashes 12 bytes instead of a whole shingle string.
+    Band keys are one xxhash64 over the band's r signature longs.  The
+    per-row array form (transform/aggregate HOFs) is ~10x slower because
+    HOFs are interpreted per row."""
     r = num_hashes // bands
-    hashed = ex.select("_id", F.xxhash64("_s").alias("_h0"))
-    sig = hashed.groupBy("_id").agg(*[
-        F.min(F.xxhash64("_h0", F.lit(i))).alias(f"_m{i}")
+    sig = ex.groupBy("_id").agg(*[
+        F.min(F.xxhash64("_s", F.lit(i))).alias(f"_m{i}")
         for i in range(num_hashes)])
     return (sig.select("_id", F.explode(F.array(*[
         F.struct(F.lit(b).alias("band"),
-                 F.xxhash64(F.concat_ws(
-                     ",", *[F.col(f"_m{b * r + i}").cast("string")
-                            for i in range(r)])).alias("bh"))
+                 F.xxhash64(*[F.col(f"_m{b * r + i}")
+                              for i in range(r)]).alias("bh"))
         for b in range(bands)])).alias("bb"))
         .select("_id", F.col("bb.band").alias("band"),
                 F.col("bb.bh").alias("bh")))
