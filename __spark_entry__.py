@@ -420,6 +420,63 @@ CYPHER_QUERIES = {
     "algo_sssp":
         "CALL algo.shortestPathLengths(3000000000001) YIELD node, dist "
         "RETURN dist, count(*) AS n ORDER BY dist",
+    # --- coverage long tail (SURVEY §2.1/§2.2/§2.5/§2.6/§2.8) ---
+    "node_index_scan":
+        "MATCH (c:Customer) WHERE c.acctbal IS NOT NULL RETURN count(*) AS n",
+    "rel_index_seek_range":
+        "MATCH ()-[l:CONTAINS]->() WHERE l.quantity >= 10 AND l.quantity < 20 "
+        "RETURN count(*) AS n",
+    "rel_index_contains_scan":
+        "MATCH ()-[l:CONTAINS]->() WHERE l.returnflag CONTAINS 'A' "
+        "RETURN count(*) AS n",
+    "rel_index_ends_with_scan":
+        "MATCH ()-[l:CONTAINS]->() WHERE l.linestatus ENDS WITH 'F' "
+        "RETURN count(*) AS n",
+    "node_by_element_id_seek":
+        "MATCH (c:Customer) WHERE elementId(c) = '3000000000042' "
+        "RETURN c.name AS name",
+    "let_semi_apply":
+        "MATCH (c:Customer) RETURN c.custkey AS custkey, "
+        "EXISTS { (c)-[:PLACED]->() } AS has_order ORDER BY custkey LIMIT 50",
+    "conditional_apply":
+        "MATCH (c:Customer) OPTIONAL MATCH (c)-[:FROM_NATION]->(n:Nation) "
+        "WITH c, n WHERE n IS NOT NULL RETURN count(*) AS n",
+    "anti_op":
+        "MATCH (c:Customer) WHERE NOT EXISTS { (c)-[:PLACED]->() } "
+        "RETURN count(*) AS n",
+    "subquery_foreach":
+        "MATCH (r:Region) CALL { WITH r MATCH (n:Nation)-[:IN_REGION]->(r) "
+        "RETURN count(*) AS cnt } RETURN r.name AS name, cnt ORDER BY name",
+    "left_outer_hash_join":
+        "MATCH (o:Order) OPTIONAL MATCH (c:Customer)-[:PLACED]->(o) "
+        "RETURN count(c) AS n",
+    "partial_sort":
+        "MATCH (o:Order) RETURN o.orderkey AS okey, o.orderpriority AS pri, "
+        "o.totalprice AS price ORDER BY pri, price DESC, okey LIMIT 20",
+    "partial_top":
+        "MATCH (o:Order) WITH o ORDER BY o.orderdate, o.orderkey LIMIT 100 "
+        "RETURN o.orderstatus AS status, count(*) AS n",
+    "ordered_distinct":
+        "MATCH (o:Order) RETURN DISTINCT o.orderpriority AS pri ORDER BY pri",
+    "exhaustive_limit":
+        "MATCH (r:Region) WITH r LIMIT 3 RETURN count(*) AS n",
+    "math_functions":
+        "WITH 2.0 AS x RETURN abs(-x) AS ab, ceil(x/3) AS ce, floor(x) AS fl, "
+        "round(sqrt(x), 3) AS sq, sign(-x) AS sg, round(exp(1.0), 3) AS ex, "
+        "round(log(x), 3) AS lg, round(atan2(x, 1.0), 3) AS at, "
+        "round(pi(), 3) AS p",
+    "percentiles_array":
+        "MATCH (o:Order) WITH percentiles(o.totalprice, [0.25, 0.5, 0.75]) AS ps "
+        "RETURN round(ps[0], 2) AS p25, round(ps[1], 2) AS p50, "
+        "round(ps[2], 2) AS p75",
+    "list_slice_index":
+        "WITH [1, 2, 3, 4, 5] AS l RETURN size(l[1..3]) AS sl_n, l[0] AS first, "
+        "l[-1] AS neg, l[1..3][0] AS sl0",
+    "char_length_fn":
+        "RETURN char_length('abc') AS a, size('abcd') AS b",
+    "string_case_fns":
+        "RETURN toUpper('aBc') AS u, toLower('AbC') AS l, reverse('abc') AS r, "
+        "substring('hello', 1, 3) AS s",
 }
 
 
@@ -1319,6 +1376,62 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS score "
             "FROM embeddings WHERE vec_id != 0 "
             "ORDER BY score DESC, vec_id LIMIT 10",
+        # --- coverage long tail ---
+        "node_index_scan":
+            "SELECT count(*) AS n FROM customer WHERE c_acctbal IS NOT NULL",
+        "rel_index_seek_range":
+            "SELECT count(*) AS n FROM lineitem "
+            "WHERE l_quantity >= 10 AND l_quantity < 20",
+        "rel_index_contains_scan":
+            "SELECT count(*) AS n FROM lineitem WHERE l_returnflag LIKE '%A%'",
+        "rel_index_ends_with_scan":
+            "SELECT count(*) AS n FROM lineitem WHERE l_linestatus LIKE '%F'",
+        "node_by_element_id_seek":
+            "SELECT c_name AS name FROM customer WHERE c_custkey = 42",
+        "let_semi_apply":
+            "SELECT c_custkey AS custkey, EXISTS(SELECT 1 FROM orders "
+            "WHERE o_custkey = c_custkey) AS has_order FROM customer "
+            "ORDER BY custkey LIMIT 50",
+        "conditional_apply":
+            "SELECT count(*) AS n FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey",
+        "anti_op":
+            "SELECT count(*) AS n FROM customer WHERE NOT EXISTS"
+            "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+        "subquery_foreach":
+            "SELECT r_name AS name, (SELECT count(*) FROM nation "
+            "WHERE n_regionkey = r_regionkey) AS cnt FROM region ORDER BY name",
+        "left_outer_hash_join":
+            "SELECT count(c_custkey) AS n FROM orders "
+            "LEFT JOIN customer ON o_custkey = c_custkey",
+        "partial_sort":
+            "SELECT o_orderkey AS okey, o_orderpriority AS pri, "
+            "o_totalprice AS price FROM orders "
+            "ORDER BY pri, price DESC, okey LIMIT 20",
+        "partial_top":
+            "SELECT o_orderstatus AS status, count(*) AS n FROM "
+            "(SELECT * FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 100) "
+            "GROUP BY o_orderstatus",
+        "ordered_distinct":
+            "SELECT DISTINCT o_orderpriority AS pri FROM orders ORDER BY pri",
+        "exhaustive_limit":
+            "SELECT count(*) AS n FROM (SELECT * FROM region LIMIT 3)",
+        "math_functions":
+            "SELECT abs(-2.0) AS ab, ceil(2.0/3) AS ce, floor(2.0) AS fl, "
+            "round(sqrt(2.0), 3) AS sq, CAST(sign(-2.0) AS BIGINT) AS sg, "
+            "round(exp(1.0), 3) AS ex, round(ln(2.0), 3) AS lg, "
+            "round(atan2(2.0, 1.0), 3) AS at, round(pi(), 3) AS p",
+        "percentiles_array":
+            "SELECT round(quantile_cont(o_totalprice, 0.25), 2) AS p25, "
+            "round(quantile_cont(o_totalprice, 0.5), 2) AS p50, "
+            "round(quantile_cont(o_totalprice, 0.75), 2) AS p75 FROM orders",
+        "list_slice_index":
+            "SELECT CAST(2 AS BIGINT) AS sl_n, CAST(1 AS BIGINT) AS first, "
+            "CAST(5 AS BIGINT) AS neg, CAST(2 AS BIGINT) AS sl0",
+        "char_length_fn":
+            "SELECT CAST(3 AS BIGINT) AS a, CAST(4 AS BIGINT) AS b",
+        "string_case_fns":
+            "SELECT 'ABC' AS u, 'abc' AS l, 'cba' AS r, 'ell' AS s",
         # dedup_minhash_lsh / dedup_simhash / knn_lsh / text_fingerprint:
         # hash-function-specific (xxhash64) — rows-only check (omitted).
     }
