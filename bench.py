@@ -60,6 +60,11 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             timings[name] = -1.0
             print(f"bench error {name}: {e}", file=sys.stderr)
+        # free persisted blocks between queries: operators that persist
+        # intermediates (minhash, var-expand) would otherwise pile cached
+        # partitions into the shared local-JVM heap and GC-stall later
+        # queries (measured 2-3x inflation on the tail of the run)
+        spark.catalog.clearCache()
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(json.dumps({
