@@ -747,8 +747,51 @@ def _q_write_foreach(spark, sf_dir):
         "MATCH (t:Tmp) RETURN count(*) AS n, sum(t.v) AS s")
 
 
+def _q_write_merge_on_clauses(spark, sf_dir):
+    return _write(
+        spark, sf_dir,
+        "MERGE (n:Nation {nationkey: 999}) ON CREATE SET n.name = 'NEW'",
+        "MERGE (n:Nation {nationkey: 999}) ON MATCH SET n.name = 'SEEN'",
+        "MATCH (n:Nation {nationkey: 999}) RETURN n.name AS name")
+
+
+def _q_write_remove_label(spark, sf_dir):
+    return _write(
+        spark, sf_dir,
+        "MATCH (n:Nation) SET n:Extra",
+        "MATCH (n:Nation) WHERE n.nationkey < 5 REMOVE n:Extra",
+        "MATCH (n:Extra) RETURN count(*) AS n")
+
+
+def _q_write_delete_rel(spark, sf_dir):
+    return _write(
+        spark, sf_dir,
+        "MATCH ()-[r:IN_REGION]->() DELETE r",
+        "MATCH ()-[r:IN_REGION]->() RETURN count(*) AS n")
+
+
+def _q_write_set_props_map(spark, sf_dir):
+    return _write(
+        spark, sf_dir,
+        "MATCH (r:Region) SET r += {bonus: 7}",
+        "MATCH (r:Region) RETURN sum(r.bonus) AS s")
+
+
+def _q_write_create_rel(spark, sf_dir):
+    return _write(
+        spark, sf_dir,
+        "MATCH (c:Customer), (r:Region) WHERE c.custkey <= 3 "
+        "AND r.regionkey = 0 CREATE (c)-[:LIKES]->(r)",
+        "MATCH (:Customer)-[l:LIKES]->(:Region) RETURN count(*) AS n")
+
+
 WRITE_QUERIES = {
     "write_create": _q_write_create,
+    "write_merge_on_clauses": _q_write_merge_on_clauses,
+    "write_remove_label": _q_write_remove_label,
+    "write_delete_rel": _q_write_delete_rel,
+    "write_set_props_map": _q_write_set_props_map,
+    "write_create_rel": _q_write_create_rel,
     "write_foreach": _q_write_foreach,
     "write_set_property": _q_write_set,
     "write_set_label": _q_write_set_label,
@@ -1252,6 +1295,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*) AS n FROM nation",
         "write_remove":
             "SELECT count(*) AS n FROM part",
+        "write_merge_on_clauses":
+            "SELECT 'SEEN' AS name",
+        "write_remove_label":
+            "SELECT CAST(count(*) - 5 AS BIGINT) AS n FROM nation",
+        "write_delete_rel":
+            "SELECT CAST(0 AS BIGINT) AS n",
+        "write_set_props_map":
+            "SELECT CAST(7 * count(*) AS BIGINT) AS s FROM region",
+        "write_create_rel":
+            "SELECT count(*) AS n FROM customer WHERE c_custkey <= 3",
         # --- extensions ---
         "dedup_exact":
             "SELECT lang, count(DISTINCT text) AS n_unique FROM documents "
