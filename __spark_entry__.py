@@ -477,6 +477,32 @@ CYPHER_QUERIES = {
     "string_case_fns":
         "RETURN toUpper('aBc') AS u, toLower('AbC') AS l, reverse('abc') AS r, "
         "substring('hello', 1, 3) AS s",
+    "path_functions":
+        "MATCH p = (n:Nation)-[:IN_REGION]->(r:Region) "
+        "RETURN size(nodes(p)) AS nn, size(relationships(p)) AS nr, "
+        "length(p) AS l, count(*) AS c",
+    "rel_endpoint_fns":
+        "MATCH (n:Nation)-[e:IN_REGION]->(r:Region) RETURN type(e) AS t, "
+        "count(DISTINCT startNode(e).nationkey) AS sn, "
+        "count(DISTINCT endNode(e).regionkey) AS en",
+    "list_comprehension":
+        "WITH [1, 2, 3, 4, 5, 6] AS l "
+        "WITH [x IN l WHERE x % 2 = 0 | x * 10] AS evens "
+        "RETURN size(evens) AS n_evens, "
+        "reduce(s = 0, x IN evens | s + x) AS total",
+    "nondeterministic_sanity":
+        "RETURN size(split(toString(randomUUID()), '-')) AS parts, "
+        "timestamp() > 0 AS ok, rand() >= 0 AS r01",
+    "trig_edge_fns":
+        "RETURN round(cot(1.0), 3) AS ct, round(haversin(1.0), 3) AS hv, "
+        "round(e(), 3) AS eu, isNaN(0.0/0.0) AS nan",
+    "range_step":
+        "RETURN size(range(0, 10, 2)) AS n, size(range(10, 0, -3)) AS m, "
+        "last(range(10, 0, -3)) AS lst",
+    "pattern_comprehension_expr":
+        "MATCH (r:Region) RETURN r.name AS name, "
+        "size([(n:Nation)-[:IN_REGION]->(r) | n.nationkey]) AS n_nations "
+        "ORDER BY name",
 }
 
 
@@ -1485,6 +1511,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(3 AS BIGINT) AS a, CAST(4 AS BIGINT) AS b",
         "string_case_fns":
             "SELECT 'ABC' AS u, 'abc' AS l, 'cba' AS r, 'ell' AS s",
+        "path_functions":
+            "SELECT CAST(2 AS BIGINT) AS nn, CAST(1 AS BIGINT) AS nr, "
+            "CAST(1 AS BIGINT) AS l, count(*) AS c FROM nation",
+        "rel_endpoint_fns":
+            "SELECT 'IN_REGION' AS t, count(DISTINCT n_nationkey) AS sn, "
+            "count(DISTINCT n_regionkey) AS en FROM nation",
+        "list_comprehension":
+            "SELECT CAST(3 AS BIGINT) AS n_evens, CAST(120 AS BIGINT) AS total",
+        "nondeterministic_sanity":
+            "SELECT CAST(5 AS BIGINT) AS parts, true AS ok, true AS r01",
+        "trig_edge_fns":
+            "SELECT round(1/tan(1.0), 3) AS ct, "
+            "round(pow(sin(0.5), 2), 3) AS hv, round(exp(1.0), 3) AS eu, "
+            "isnan(CAST('nan' AS DOUBLE)) AS nan",
+        "range_step":
+            "SELECT CAST(6 AS BIGINT) AS n, CAST(4 AS BIGINT) AS m, "
+            "CAST(1 AS BIGINT) AS lst",
+        "pattern_comprehension_expr":
+            "SELECT r_name AS name, CAST((SELECT count(*) FROM nation "
+            "WHERE n_regionkey = r_regionkey) AS BIGINT) AS n_nations "
+            "FROM region ORDER BY name",
         # dedup_minhash_lsh / dedup_simhash / knn_lsh / text_fingerprint:
         # hash-function-specific (xxhash64) — rows-only check (omitted).
     }

@@ -56,6 +56,11 @@ class Translator:
         self.graph = graph
         self.params = params
         self.kinds: Dict[str, str] = {}
+        # rel var -> (src node var, dst node var) in *edge* direction, when
+        # both endpoints are bound in the rowstream — lets startNode()/
+        # endNode() resolve to the full node struct instead of an id-only
+        # reference (NodeValue vs NodeIdReference, SURVEY §1.2)
+        self.rel_endpoints: Dict[str, tuple] = {}
         self._anon = 0
         self.max_var_length = 12
 
@@ -493,6 +498,10 @@ class Translator:
                 self.kinds[nvar] = "node"
                 self._queue_node_filters(np, nvar, pending, bound=False)
             df = df.drop("__from", "__to")
+            if rp.direction == "out":
+                self.rel_endpoints[rvar] = (prev, nvar)
+            elif rp.direction == "in":
+                self.rel_endpoints[rvar] = (nvar, prev)
             path_rels.append((rvar, "rel"))
             path_nodes.append(nvar)
             prev = nvar

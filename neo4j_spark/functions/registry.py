@@ -130,10 +130,20 @@ def compile_function(cc, e: A.Func) -> Column:
         return c(0).getField("_labels")
     if name == "type":
         return c(0).getField("_type")
-    if name == "startnode":
-        return F.struct(c(0).getField("_src").alias("_id"))
-    if name == "endnode":
-        return F.struct(c(0).getField("_dst").alias("_id"))
+    if name in ("startnode", "endnode"):
+        # resolve to the full bound node struct when the pattern bound the
+        # endpoint (startNode(e) ≡ the src-side variable); id-only
+        # reference otherwise (NodeIdReference analog)
+        if isinstance(args[0], A.Var) and cc.translator is not None:
+            ends = getattr(cc.translator, "rel_endpoints", {}) \
+                .get(args[0].name)
+            if ends is not None:
+                want = ends[0] if name == "startnode" else ends[1]
+                if want is not None and cc.df is not None \
+                        and want in cc.df.columns:
+                    return F.col(want)
+        fld = "_src" if name == "startnode" else "_dst"
+        return F.struct(c(0).getField(fld).alias("_id"))
     if name == "properties":
         col, t = ctyped(0)
         if isinstance(t, T.StructType):
