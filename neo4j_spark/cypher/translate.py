@@ -179,6 +179,76 @@ class Translator:
         self._anon += 1
         return f"_{prefix}{self._anon}"
 
+    def _var_single_use(self, name: str) -> bool:
+        """True when ``name`` occurs exactly once in the whole statement
+        and no projection uses ``*`` — i.e. dropping its binding cannot
+        change any result or predicate (usage test behind scan elision,
+        mirroring the reference's pruningVarExpander usage analysis)."""
+        import dataclasses
+
+        root = getattr(self, "query_ast", None)
+        if root is None:
+            return False
+        count = 0
+        star = False
+
+        def walk(node) -> None:
+            nonlocal count, star
+            if isinstance(node, (list, tuple)):
+                for x in node:
+                    walk(x)
+                return
+            if isinstance(node, A.Var):
+                if node.name == name:
+                    count += 1
+                return
+            if not dataclasses.is_dataclass(node):
+                return
+            if getattr(node, "star", False):
+                star = True
+            for f in dataclasses.fields(node):
+                v = getattr(node, f.name)
+                if f.name in ("var", "path_var") and v == name:
+                    count += 1
+                elif dataclasses.is_dataclass(v) or isinstance(v, (list, tuple)):
+                    walk(v)
+
+        walk(root)
+        return count == 1 and not star
+
+    def _rel_endpoints_needed(self, rvar: Optional[str]) -> bool:
+        """True when startNode()/endNode() is called on ``rvar`` anywhere
+        in the statement — its endpoint node bindings must then stay."""
+        import dataclasses
+
+        if rvar is None:
+            return False
+        root = getattr(self, "query_ast", None)
+        if root is None:
+            return True
+        found = False
+
+        def walk(node) -> None:
+            nonlocal found
+            if found:
+                return
+            if isinstance(node, (list, tuple)):
+                for x in node:
+                    walk(x)
+                return
+            if not dataclasses.is_dataclass(node):
+                return
+            if isinstance(node, A.Func) and node.name in ("startnode", "endnode") \
+                    and node.args and isinstance(node.args[0], A.Var) \
+                    and node.args[0].name == rvar:
+                found = True
+                return
+            for f in dataclasses.fields(node):
+                walk(getattr(node, f.name))
+
+        walk(root)
+        return found
+
     def _compiler(self, df: Optional[DataFrame]) -> ExprCompiler:
         return ExprCompiler(df, self.kinds, self.params, self)
 
@@ -410,15 +480,56 @@ class Translator:
                     and not np.labels and np.props is None
                     and np.where is None)
 
-        # Scan elision: an anonymous, unconstrained endpoint node needs no
-        # node-frame join (relationship endpoints always exist) — the rel
-        # scan alone carries the semantics.  Matters at scale: a Q1-style
-        # ``MATCH ()-[l:CONTAINS]->()`` is then ONE parquet scan, not three.
+        def elidable(np, rp, end_idx) -> bool:
+            """True when the node-frame join for ``np`` can be skipped:
+            no props/where, its var (if any) is referenced nowhere else,
+            and its labels (if any) are guaranteed by the rel type's
+            declared endpoint labels (PropertyGraph.rel_endpoint_labels).
+            ``end_idx``: 0 = edge src, 1 = edge dst, None = unknown
+            (both-direction)."""
+            if part.path_var is not None or part.selector is not None:
+                return False
+            if not isinstance(np, A.NodePat) or np.props is not None \
+                    or np.where is not None:
+                return False
+            if np.var is not None and not self._var_single_use(np.var):
+                return False
+            if self._rel_endpoints_needed(rp.var):
+                return False
+            if not np.labels:
+                return True
+            if end_idx is None or not rp.types or rp.neg_types:
+                return False
+            meta = getattr(self.graph, "rel_endpoint_labels", {})
+            for t in rp.types:
+                g = meta.get(t)
+                if g is None or g[end_idx] is None \
+                        or set(np.labels) != {g[end_idx]}:
+                    return False
+            return True
+
+        def end_of(rp, first: bool):
+            """Which edge end a pattern node is, given the rel direction."""
+            if rp.direction == "out":
+                return 0 if first else 1
+            if rp.direction == "in":
+                return 1 if first else 0
+            return None
+
+        # Scan elision: an endpoint node needs no node-frame join when the
+        # rel scan alone carries the semantics (anonymous/unreferenced var,
+        # labels implied by declared endpoint labels).  Matters at scale: a
+        # Q1-style ``MATCH ()-[l:CONTAINS]->()`` is then ONE parquet scan,
+        # not three, and ``(c:Customer)-[:PLACED]->(o:Order)`` skips the
+        # orders table when ``o`` is never read.
         skip_first = (part.path_var is None and part.selector is None
                       and len(els) > 1
-                      and unconstrained(els[0])
                       and isinstance(els[1], A.RelPat)
-                      and not els[1].var_length)
+                      and not els[1].var_length
+                      and (els[0].var is None
+                           or df is None or els[0].var not in df.columns)
+                      and (unconstrained(els[0])
+                           or elidable(els[0], els[1], end_of(els[1], True))))
         if skip_first:
             prev = None
         else:
@@ -457,6 +568,7 @@ class Translator:
                 continue
             rvar = rp.var or self._anon_var("r")
             nvar = np.var or self._anon_var("n")
+            thru = df is not None and "__thru" in df.columns
             if df is not None and rvar in df.columns:
                 # rel var re-used: ProjectEndpoints (LP:3407) — rebind the
                 # traversal endpoints from the bound rel (scan join by id
@@ -466,12 +578,20 @@ class Translator:
                     scan,
                     F.col(rvar).getField("_id") == F.col(f"__dup_{rvar}").getField("_id"),
                 ).drop(f"__dup_{rvar}")
-                if prev is not None:
+                if thru:
+                    df = df.filter(F.col("__thru") == F.col("__from")) \
+                           .drop("__thru")
+                elif prev is not None:
                     df = df.filter(
                         F.col(prev).getField("_id") == F.col("__from"))
             else:
                 scan = self._rel_scan(rp, rvar)
-                if prev is None:
+                if thru:
+                    # previous endpoint elided: chain rel-to-rel on the
+                    # retained traversal id (no node frame in between)
+                    df = df.join(scan, F.col("__thru") == F.col("__from")) \
+                           .drop("__thru")
+                elif prev is None:
                     # first endpoint elided: the rel scan IS the rowstream
                     df = scan if df is None else df.crossJoin(scan)
                 else:
@@ -482,9 +602,22 @@ class Translator:
                 rel_bindings.append((rvar, "rel", frozenset(rp.types)))
                 self._queue_rel_filters(rp, rvar, pending)
             is_last = i + 1 == len(els) - 1
-            if (is_last and part.path_var is None and part.selector is None
-                    and unconstrained(np) and nvar not in df.columns):
+            can_elide = (nvar not in df.columns
+                         and (unconstrained(np)
+                              or elidable(np, rp, end_of(rp, False))))
+            if is_last and can_elide:
                 df = df.drop("__from", "__to")
+                prev = None
+                i += 2
+                continue
+            if (can_elide and i + 2 < len(els)
+                    and isinstance(els[i + 2], A.RelPat)
+                    and not els[i + 2].var_length
+                    and (els[i + 2].var is None
+                         or els[i + 2].var not in df.columns)):
+                # middle endpoint elided: keep the traversal id so the next
+                # rel joins directly on it
+                df = df.drop("__from").withColumnRenamed("__to", "__thru")
                 prev = None
                 i += 2
                 continue

@@ -56,9 +56,18 @@ class PropertyGraph:
         self,
         node_frames: Dict[str, DataFrame],
         rel_frames: Dict[str, DataFrame],
+        rel_endpoint_labels: Optional[Dict[str, tuple]] = None,
     ) -> None:
         self.node_frames = dict(node_frames)
         self.rel_frames = dict(rel_frames)
+        # optional schema declaration: rel type -> (src_label, dst_label)
+        # guarantees (None = unconstrained end).  The translator uses it to
+        # elide node-frame scans for label-implied endpoints — the Spark
+        # analog of the reference's relationship-type constraints
+        # (ConstraintType.RELATIONSHIP_PROPERTY_TYPE family) feeding the
+        # planner.  At 100 TB this turns a 3-table hop into a single rel
+        # scan when the node frames aren't otherwise referenced.
+        self.rel_endpoint_labels = dict(rel_endpoint_labels or {})
         # labels added by SET/CREATE that are not shard keys: scans for them
         # must fall back to a full union filter instead of shard pruning
         self._extra_labels: set = set()
@@ -76,7 +85,8 @@ class PropertyGraph:
 
     def copy(self) -> "PropertyGraph":
         """Cheap snapshot: shares the (immutable) frames, isolates writes."""
-        g = PropertyGraph(self.node_frames, self.rel_frames)
+        g = PropertyGraph(self.node_frames, self.rel_frames,
+                          self.rel_endpoint_labels)
         g._extra_labels = set(self._extra_labels)
         g._write_epoch = self._write_epoch
         # entries valid for the shared snapshot; dicts diverge after writes

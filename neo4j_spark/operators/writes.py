@@ -150,6 +150,9 @@ def _create_rel(tr, df: DataFrame, rp: A.RelPat, prev: str, nvar: str) -> DataFr
     tr.graph.rel_frames[rtype] = (
         delta if old is None
         else old.unionByName(delta, allowMissingColumns=True))
+    # created rels may point anywhere — the declared endpoint-label
+    # guarantee for this type no longer holds
+    tr.graph.rel_endpoint_labels.pop(rtype, None)
     tr.effects["rels_created"] += delta.count()
     tr.kinds[rvar] = "rel"
     return df
@@ -247,6 +250,8 @@ def _mutate_labels(tr, df: DataFrame, target: A.HasLabels, add: bool) -> DataFra
             tr.graph.note_extra_label(l)
     else:
         tr.effects["labels_removed"] += n
+        # removing labels can break declared rel-endpoint-label guarantees
+        tr.graph.rel_endpoint_labels = {}
     df = df.withColumn(var, F.col(var).withField(
         "_labels", op(F.col(var).getField("_labels"), labels)))
     return df

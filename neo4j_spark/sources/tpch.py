@@ -166,4 +166,15 @@ def tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
             "SUPPLIED_BY", props={"linenumber": F.col("l_linenumber").cast("long")},
         ),
     }
-    return PropertyGraph(node_frames, rel_frames)
+    # endpoint-label guarantees of the FIXTURES mapping (FK integrity of
+    # the generator): lets the translator elide node-frame scans for
+    # label-implied endpoints.  FROM_NATION's src is Customer OR Supplier
+    # => unconstrained (None).
+    endpoint_labels = {
+        "IN_REGION": ("Nation", "Region"),
+        "FROM_NATION": (None, "Nation"),
+        "PLACED": ("Customer", "Order"),
+        "CONTAINS": ("Order", "Part"),
+        "SUPPLIED_BY": ("Order", "Supplier"),
+    }
+    return PropertyGraph(node_frames, rel_frames, endpoint_labels)
