@@ -384,20 +384,28 @@ class Translator:
             *[F.col(p).alias(p) for p in props])
         return base.select(struct.alias(var))
 
-    def _rel_scan(self, rp: A.RelPat, var: str) -> DataFrame:
+    def _rel_scan(self, rp: A.RelPat, var: str,
+                  slim: bool = False) -> DataFrame:
         """Returns frame [__from, __to, <var> struct] honoring direction.
 
         BOTH-direction = union of both orientations (Undirected* scans,
-        LP:4220); self-loops contribute once."""
+        LP:4220); self-loops contribute once.  ``slim``: carry only _id in
+        the struct — for var-length expands whose rel list is consumed
+        only by uniqueness bookkeeping, this lets parquet prune every
+        property column (an untyped ``-[*2..2]->`` otherwise drags all
+        lineitem props through every BFS level)."""
         base = self.graph.rels_for_types(rp.types)
         if rp.neg_types:  # [:!TYPE] — complement of the listed types
             base = self.graph.rels.filter(
                 ~F.col("type").isin(list(rp.neg_types)))
         props = [c for c in base.columns if c not in REL_META]
-        struct = F.struct(
-            F.col("id").alias("_id"), F.col("src").alias("_src"),
-            F.col("dst").alias("_dst"), F.col("type").alias("_type"),
-            *[F.col(p).alias(p) for p in props])
+        if slim:
+            struct = F.struct(F.col("id").alias("_id"))
+        else:
+            struct = F.struct(
+                F.col("id").alias("_id"), F.col("src").alias("_src"),
+                F.col("dst").alias("_dst"), F.col("type").alias("_type"),
+                *[F.col(p).alias(p) for p in props])
         if rp.direction == "out":
             return base.select(F.col("src").alias("__from"),
                                F.col("dst").alias("__to"), struct.alias(var))
@@ -556,7 +564,10 @@ class Translator:
                 rvar = rp.var or self._anon_var("r")
                 nvar = np.var or self._anon_var("n")
                 was_bound = nvar in df.columns
-                df = var_expand(self, df, prev, rp, np, rvar, nvar)
+                slim = (part.path_var is None and part.selector is None
+                        and rp.props is None and rp.where is None
+                        and (rp.var is None or self._var_single_use(rp.var)))
+                df = var_expand(self, df, prev, rp, np, rvar, nvar, slim=slim)
                 self.kinds[rvar] = "rellist"
                 self.kinds[nvar] = "node"
                 rel_bindings.append((rvar, "rellist", frozenset(rp.types)))

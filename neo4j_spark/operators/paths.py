@@ -60,15 +60,17 @@ def _prefer_backward(df: DataFrame, prev_var: str, tscan: Optional[DataFrame],
 
 
 def var_expand(tr, df: DataFrame, prev_var: str, rp: A.RelPat, np: A.NodePat,
-               rvar: str, nvar: str) -> DataFrame:
+               rvar: str, nvar: str, slim: bool = False) -> DataFrame:
     """VarLengthExpand (LP:2057): ``-[r:T*min..max]->``.
 
-    Returns df with ``rvar`` = array<rel-struct> and ``nvar`` bound."""
+    Returns df with ``rvar`` = array<rel-struct> and ``nvar`` bound.
+    ``slim``: the rel list is only uniqueness bookkeeping — carry id-only
+    structs so property columns prune at the scan."""
     min_len = rp.min_len if rp.min_len is not None else 1
     max_len = rp.max_len if rp.max_len is not None else tr.max_var_length
     dynamic_stop = rp.max_len is None
 
-    scan = tr._rel_scan(rp, "__r")
+    scan = tr._rel_scan(rp, "__r", slim=slim)
     # per-step predicate from the rel pattern's inline props
     if rp.props is not None:
         cc = tr._compiler(scan)
