@@ -280,7 +280,12 @@ def shortest_path(tr, df: Optional[DataFrame], part: A.PatternPart,
         F.approx_count_distinct(F.col(avar).getField("_id")).alias("s"),
         F.approx_count_distinct(F.col(bvar).getField("_id")).alias("t")).head()
     n_start, n_tgt = sizes["s"], sizes["t"]
-    # deeper half of the search to the smaller endpoint set
+    # deeper half of the search to the smaller endpoint set.  (Giving ALL
+    # depth to the much-smaller side was tried and backfires: depth
+    # allocation must bound by FANOUT, not endpoint count — e.g. a
+    # backward frontier that reaches a high-in-degree label explodes on
+    # its extra level, while the balanced split caps both sides at their
+    # half-depth fanout.)
     fb = max_len // 2
     bb = max_len - fb
     if n_start <= n_tgt:
