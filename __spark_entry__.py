@@ -503,7 +503,36 @@ CYPHER_QUERIES = {
         "MATCH (r:Region) RETURN r.name AS name, "
         "size([(n:Nation)-[:IN_REGION]->(r) | n.nationkey]) AS n_nations "
         "ORDER BY name",
+    "union_rel_type_scan":
+        "MATCH ()-[l:CONTAINS|SUPPLIED_BY]->() RETURN count(*) AS n",
+    "rel_by_element_id_seek":
+        "MATCH ()-[l:IN_REGION]->() WHERE elementId(l) = '11000000000003' "
+        "RETURN count(*) AS n",
 }
+
+
+def _q_user_function(spark, sf_dir):
+    """@UserFunction analog (procedure-api/UserFunction.java): register a
+    scalar fn, call it from Cypher."""
+    from neo4j_spark.api import cypher
+    from neo4j_spark.functions.registry import register_function
+
+    register_function("double_it", lambda args: args[0] * 2)
+    return cypher(spark, "MATCH (r:Region) "
+                  "RETURN sum(double_it(r.regionkey)) AS s",
+                  _graph(spark, sf_dir))
+
+
+def _q_user_aggregate(spark, sf_dir):
+    """@UserAggregationFunction analog: geometric mean as a registered
+    aggregate built from builtin combinators (stays map-side partial)."""
+    from neo4j_spark.api import cypher
+    from neo4j_spark.functions.registry import register_aggregate
+
+    register_aggregate("geo_mean", lambda args: F.exp(F.avg(F.log(args[0]))))
+    return cypher(spark, "MATCH (n:Nation) "
+                  "RETURN round(geo_mean(n.nationkey + 1), 4) AS g",
+                  _graph(spark, sf_dir))
 
 
 def _q_input_rows(spark, sf_dir):
@@ -857,6 +886,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {name: _cy(text) for name, text in CYPHER_QUERIES.items()}
     out["call_vector_query"] = _q_call_vector
     out["input_rows"] = _q_input_rows
+    out["user_function_call"] = _q_user_function
+    out["user_aggregate_call"] = _q_user_aggregate
     out.update(WRITE_QUERIES)
     out.update(EXTENSION_QUERIES)
     return out
@@ -1532,6 +1563,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT r_name AS name, CAST((SELECT count(*) FROM nation "
             "WHERE n_regionkey = r_regionkey) AS BIGINT) AS n_nations "
             "FROM region ORDER BY name",
+        "union_rel_type_scan":
+            "SELECT CAST(2 * count(*) AS BIGINT) AS n FROM lineitem",
+        "rel_by_element_id_seek":
+            "SELECT CAST(1 AS BIGINT) AS n",
+        "user_function_call":
+            "SELECT CAST(2 * sum(r_regionkey) AS BIGINT) AS s FROM region",
+        "user_aggregate_call":
+            "SELECT round(exp(avg(ln(n_nationkey + 1))), 4) AS g FROM nation",
         # dedup_minhash_lsh / dedup_simhash / knn_lsh / text_fingerprint:
         # hash-function-specific (xxhash64) — rows-only check (omitted).
     }
