@@ -88,9 +88,11 @@ def exploded_shingles(df: DataFrame, id_col: str, text_col: str,
     w = W.partitionBy("_id").orderBy("_p")
     parts = [F.col("_h")] + [F.lead("_h", i).over(w)
                              for i in range(1, shingle_k)]
-    n = F.count("*").over(W.partitionBy("_id"))
+    # keep: full k-windows, plus the first row of docs with < k tokens
+    # (its lead(k-1) is null ONLY when the whole doc is short — so no
+    # second count(*) window pass is needed)
     keep = (F.lead("_p", shingle_k - 1).over(w).isNotNull()
-            | ((n < shingle_k) & (F.col("_p").isNull() | (F.col("_p") == 0))))
+            | F.col("_p").isNull() | (F.col("_p") == 0))
     return (toks
             .withColumn("_s", F.xxhash64(*parts))
             .withColumn("_keep", keep)
