@@ -660,6 +660,23 @@ def _q_knn_ivf(spark, sf_dir):
                    n_centroids=8, n_probe=8)
 
 
+def _q_knn_ivf_indexed(spark, sf_dir):
+    """Partition-pruned probe over a persisted IVF index (the 100 TB
+    layout: only the probed list directories are read)."""
+    import tempfile
+
+    from neo4j_spark.ml.similarity import (
+        ivf_centroids, knn_ivf_probe, save_ivf_index)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") != 0)
+    path = f"{tempfile.gettempdir()}/neo4j_spark_ivf_{abs(hash(sf_dir))}"
+    cents = ivf_centroids(corpus, n_centroids=8)
+    save_ivf_index(corpus, path, centroids=cents)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return knn_ivf_probe(spark, path, qvec, k=10, n_probe=8)
+
+
 def _q_events_tumbling(spark, sf_dir):
     from neo4j_spark.streaming.windows import load_events, tumbling_counts
 
@@ -869,6 +886,7 @@ EXTENSION_QUERIES = {
     "knn_join": _q_knn_join,
     "knn_lsh": _q_knn_lsh,
     "knn_ivf": _q_knn_ivf,
+    "knn_ivf_indexed": _q_knn_ivf_indexed,
     "events_tumbling_window": _q_events_tumbling,
     "events_sliding_window": _q_events_sliding,
     "events_session_window": _q_events_session,
@@ -1565,6 +1583,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM region ORDER BY name",
         "union_rel_type_scan":
             "SELECT CAST(2 * count(*) AS BIGINT) AS n FROM lineitem",
+        "knn_ivf_indexed":
+            "SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], "
+            "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6)"
+            " AS score FROM embeddings WHERE vec_id != 0 "
+            "ORDER BY score DESC, vec_id LIMIT 10",
         "rel_by_element_id_seek":
             "SELECT CAST(1 AS BIGINT) AS n",
         "user_function_call":

@@ -187,6 +187,61 @@ def ivf_centroids(df: DataFrame, n_centroids: int = 16,
     return cents
 
 
+def save_ivf_index(df: DataFrame, path: str, n_centroids: int = 16,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   iterations: int = 2,
+                   centroids: Optional[List[List[float]]] = None) -> None:
+    """Persist an IVF index: vectors written **partitioned by their
+    nearest-centroid list id** plus a tiny centroids dataset.  This is the
+    disk layout the reference's vector index
+    (``community/procedure/.../builtin/VectorIndexProcedures.java:105``)
+    maps to at 100 TB: a probe reads only ``n_probe`` partition
+    directories (true partition pruning — the scan never lists, let alone
+    reads, the other lists' files)."""
+    import os
+
+    if centroids is None:
+        centroids = ivf_centroids(df, n_centroids, id_col, vec_col,
+                                  iterations)
+    assigned = ivf_assign(df, centroids, vec_col)
+    assigned.write.mode("overwrite").partitionBy("_ivf_list") \
+        .parquet(os.path.join(path, "lists"))
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "list_id int, centroid array<double>")
+    cdf.coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(path, "centroids"))
+
+
+def knn_ivf_probe(spark, path: str, query_vec: Sequence[float], k: int = 10,
+                  n_probe: int = 4, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Top-k over a ``save_ivf_index`` store: rank centroids driver-side,
+    read ONLY the ``n_probe`` nearest list partitions (the filter on the
+    partition column prunes directories at planning time), exact re-rank
+    inside them."""
+    import os
+
+    cents = {r["list_id"]: r["centroid"] for r in
+             spark.read.parquet(os.path.join(path, "centroids")).collect()}
+    qv = np.array([float(x) for x in query_vec])
+
+    def cos_np(c):
+        c = np.array(c)
+        na, nb = np.linalg.norm(qv), np.linalg.norm(c)
+        return float(qv @ c / (na * nb)) if na and nb else 0.0
+
+    ranked = sorted(cents, key=lambda i: -cos_np(cents[i]))[:n_probe]
+    cand = spark.read.parquet(os.path.join(path, "lists")) \
+        .filter(F.col("_ivf_list").isin(ranked))
+    q = F.lit([float(x) for x in query_vec])
+    return (cand.select(F.col(id_col),
+                        F.round(cosine(F.col(vec_col), q), 6).alias("score"))
+                .orderBy(F.col("score").desc(), F.col(id_col))
+                .limit(k))
+
+
 def knn_ivf(df: DataFrame, query_vec: Sequence[float], k: int = 10,
             id_col: str = "vec_id", vec_col: str = "embedding",
             n_centroids: int = 16, n_probe: int = 4,

@@ -89,6 +89,27 @@ class TestSimilarity:
         counts = Counter(r["query_id"] for r in out)
         assert all(v == 5 for v in counts.values())
 
+    def test_ivf_index_partition_pruned_probe(self, spark, emb, tmp_path):
+        """save_ivf_index + knn_ivf_probe: the probe's scan must prune to
+        the probed list partitions (PartitionFilters in the plan), and
+        with n_probe = n_centroids it must equal brute force."""
+        from neo4j_spark.ml.similarity import (
+            ivf_centroids, knn_bruteforce, knn_ivf_probe, save_ivf_index)
+
+        path = str(tmp_path / "ivf")
+        cents = ivf_centroids(emb, n_centroids=4)
+        save_ivf_index(emb, path, centroids=cents)
+        q = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+        probe = knn_ivf_probe(spark, path, q, k=5, n_probe=4)
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan
+        assert "_ivf_list" in plan.split("PartitionFilters")[1][:120]
+        exact = [r["vec_id"] for r in knn_bruteforce(emb, q, k=5).collect()]
+        assert [r["vec_id"] for r in probe.collect()] == exact
+        # narrow probe: still returns k rows, reads fewer partitions
+        narrow = knn_ivf_probe(spark, path, q, k=5, n_probe=1)
+        assert narrow.count() == 5
+
     def test_lsh_recall_vs_bruteforce(self, spark, emb):
         from neo4j_spark.ml.similarity import knn_bruteforce, knn_lsh
 
