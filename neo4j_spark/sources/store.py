@@ -32,10 +32,24 @@ _TYPE_MAP = {
 }
 
 
-def save_graph(graph: PropertyGraph, path: str) -> None:
+def save_graph(graph: PropertyGraph, path: str,
+               cluster_rows: bool = True) -> None:
+    """Persist the graph as parquet datasets.
+
+    ``cluster_rows`` (default): nodes are range-clustered by ``id`` and
+    rels by ``src`` before writing — parquet row-group min/max stats then
+    prune id seeks and keep a node's adjacency physically together, so an
+    expand over a selective frontier reads a fraction of the row groups.
+    At 100 TB this is the difference between an id seek touching one row
+    group and touching every file.  (AQE coalesces the range partitions,
+    so small graphs still produce few files.)"""
     for label, df in graph.node_frames.items():
+        if cluster_rows:
+            df = df.repartitionByRange("id").sortWithinPartitions("id")
         df.write.mode("overwrite").parquet(os.path.join(path, "nodes", label))
     for rtype, df in graph.rel_frames.items():
+        if cluster_rows:
+            df = df.repartitionByRange("src").sortWithinPartitions("src")
         df.write.mode("overwrite").parquet(os.path.join(path, "rels", rtype))
 
 
