@@ -505,6 +505,14 @@ CYPHER_QUERIES = {
         "ORDER BY name",
     "union_rel_type_scan":
         "MATCH ()-[l:CONTAINS|SUPPLIED_BY]->() RETURN count(*) AS n",
+    "let_select_or_semi_apply":
+        "MATCH (c:Customer) RETURN c.custkey AS ck, (c.acctbal < 0 "
+        "OR EXISTS { (c)-[:PLACED]->() }) AS flag ORDER BY ck LIMIT 40",
+    "temporal_constructors":
+        "RETURN date({year: 2024, month: 3, day: 5}) AS d, "
+        "datetime({year: 2024, month: 3, day: 5, hour: 10, minute: 30}).hour "
+        "AS h, localtime('10:30:05').second AS s, time('10:30:05Z').hour AS t, "
+        "duration.between(date('2024-01-01'), date('2024-03-15')).months AS m",
     "rel_by_element_id_seek":
         "MATCH ()-[l:IN_REGION]->() WHERE elementId(l) = '11000000000003' "
         "RETURN count(*) AS n",
@@ -1590,6 +1598,14 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY score DESC, vec_id LIMIT 10",
         "rel_by_element_id_seek":
             "SELECT CAST(1 AS BIGINT) AS n",
+        "let_select_or_semi_apply":
+            "SELECT c_custkey AS ck, (c_acctbal < 0 OR EXISTS"
+            "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS flag "
+            "FROM customer ORDER BY ck LIMIT 40",
+        "temporal_constructors":
+            "SELECT DATE '2024-03-05' AS d, CAST(10 AS BIGINT) AS h, "
+            "CAST(5 AS BIGINT) AS s, CAST(10 AS BIGINT) AS t, "
+            "CAST(2 AS BIGINT) AS m",
         "user_function_call":
             "SELECT CAST(2 * sum(r_regionkey) AS BIGINT) AS s FROM region",
         "user_aggregate_call":

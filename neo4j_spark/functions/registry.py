@@ -350,18 +350,68 @@ def compile_function(cc, e: A.Func) -> Column:
         return F.sequence(c(0), c(1), step)
 
     # ---- temporal --------------------------------------------------------
+    def _map_field(col, t, key, default):
+        if key in t.fieldNames():
+            return F.coalesce(col.getField(key).cast("int"), F.lit(default))
+        return F.lit(default)
+
     if name == "date":
         if n == 0:
             return F.current_date()
-        return F.to_date(c(0))
+        col, t = ctyped(0)
+        if isinstance(t, T.StructType):  # date({year, month, day})
+            return F.make_date(_map_field(col, t, "year", 1),
+                               _map_field(col, t, "month", 1),
+                               _map_field(col, t, "day", 1))
+        return F.to_date(col)
     if name in ("datetime", "localdatetime"):
         if n == 0:
             return F.current_timestamp()
-        return F.to_timestamp(c(0))
+        col, t = ctyped(0)
+        if isinstance(t, T.StructType):
+            # datetime({year, month, day, hour, minute, second, ...})
+            # (TemporalValue map constructors, TemporalFunction.java:59)
+            sec = _map_field(col, t, "second", 0).cast("double")
+            for k, mult in (("millisecond", 1e-3), ("microsecond", 1e-6),
+                            ("nanosecond", 1e-9)):
+                sec = sec + _map_field(col, t, k, 0).cast("double") * mult
+            return F.make_timestamp(
+                _map_field(col, t, "year", 1), _map_field(col, t, "month", 1),
+                _map_field(col, t, "day", 1), _map_field(col, t, "hour", 0),
+                _map_field(col, t, "minute", 0), sec)
+        return F.to_timestamp(col)
     if name in ("time", "localtime"):
+        # TimeValue/LocalTimeValue: no Spark TIME type — a components
+        # struct {hour, minute, second, nanosecond, offset} so property
+        # access (t.hour) works like every other temporal accessor
+        def _time_struct(h, m, s, ns, off):
+            return F.struct(h.cast("long").alias("hour"),
+                            m.cast("long").alias("minute"),
+                            s.cast("long").alias("second"),
+                            ns.cast("long").alias("nanosecond"),
+                            off.alias("offset"))
+
         if n == 0:
-            return F.date_format(F.current_timestamp(), "HH:mm:ss")
-        return c(0)
+            now = F.current_timestamp()
+            return _time_struct(F.hour(now), F.minute(now), F.second(now),
+                                F.lit(0), F.lit("Z" if name == "time" else ""))
+        col, t = ctyped(0)
+        if isinstance(t, T.StructType):  # time({hour, minute, second})
+            return _time_struct(
+                _map_field(col, t, "hour", 0), _map_field(col, t, "minute", 0),
+                _map_field(col, t, "second", 0),
+                _map_field(col, t, "nanosecond", 0), F.lit(""))
+        pat = r"^(\d{1,2}):(\d{2})(?::(\d{2}))?(?:\.(\d{1,9}))?(.*)$"
+
+        def grp(i):
+            return F.coalesce(
+                F.regexp_extract(col, pat, i).try_cast("long"), F.lit(0))
+
+        frac = F.regexp_extract(col, pat, 4)
+        nanos = F.coalesce(
+            F.rpad(frac, 9, "0").try_cast("long"), F.lit(0))
+        return _time_struct(grp(1), grp(2), grp(3), nanos,
+                            F.regexp_extract(col, pat, 5))
     # clock variants (TemporalFunction.java:124-126): in a batch snapshot
     # transaction/statement/realtime clocks coincide
     if name in ("date.realtime", "date.transaction", "date.statement"):
