@@ -1,0 +1,144 @@
+"""Property-based randomized cross-checks against DuckDB.
+
+The reference tests its runtimes against randomly generated logical plans
+(``community/cypher/logical-plan-generator``, used by the runtime spec's
+``LogicalQueryGenerator.scala``).  Here the random axis is the *predicate
+language*: hypothesis generates boolean-expression trees over a nullable
+table, each tree is rendered to BOTH a Cypher WHERE clause and an
+equivalent DuckDB SQL WHERE clause, and the row sets must agree — a
+randomized conformance check of the ternary-logic expression compiler
+(AnyValue.ternaryEquals semantics, SURVEY §1.2) against a trusted SQL
+engine.
+"""
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+# deterministic nullable rows: (id, val, flag)
+ROWS = []
+for i in range(40):
+    val = None if i % 7 == 3 else (i * 3) % 17 - 4
+    flag = None if i % 11 == 5 else (i % 3 == 0)
+    ROWS.append((i, val, flag))
+
+
+@pytest.fixture(scope="module")
+def rnd_graph(spark):
+    from neo4j_spark.graph import PropertyGraph
+
+    nodes = {
+        "T": spark.createDataFrame(
+            [(i, ["T"], v, f) for i, v, f in ROWS],
+            "id long, labels array<string>, val long, flag boolean"),
+    }
+    return PropertyGraph(nodes, {})
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, val BIGINT, flag BOOLEAN)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", ROWS)
+    yield con
+    con.close()
+
+
+# ---- predicate spec trees --------------------------------------------------
+
+_leaf = st.one_of(
+    st.tuples(st.just("cmp"), st.sampled_from(["<", "<=", "=", ">=", ">", "<>"]),
+              st.integers(-6, 14)),
+    st.tuples(st.just("in"),
+              st.lists(st.one_of(st.integers(-6, 14), st.none()),
+                       min_size=0, max_size=4)),
+    st.tuples(st.just("isnull")),
+    st.tuples(st.just("isnotnull")),
+    st.tuples(st.just("flag")),
+)
+
+_pred = st.recursive(
+    _leaf,
+    lambda ch: st.one_of(
+        st.tuples(st.just("and"), ch, ch),
+        st.tuples(st.just("or"), ch, ch),
+        st.tuples(st.just("not"), ch),
+    ),
+    max_leaves=7,
+)
+
+
+def _lit(v):
+    return "NULL" if v is None else str(v)
+
+
+def _cypher(p) -> str:
+    op = p[0]
+    if op == "cmp":
+        o = "<>" if p[1] == "<>" else p[1]
+        return f"(n.val {o} {p[2]})"
+    if op == "in":
+        items = ", ".join("null" if v is None else str(v) for v in p[1])
+        return f"(n.val IN [{items}])"
+    if op == "isnull":
+        return "(n.val IS NULL)"
+    if op == "isnotnull":
+        return "(n.val IS NOT NULL)"
+    if op == "flag":
+        return "(n.flag)"
+    if op == "and":
+        return f"({_cypher(p[1])} AND {_cypher(p[2])})"
+    if op == "or":
+        return f"({_cypher(p[1])} OR {_cypher(p[2])})"
+    return f"(NOT {_cypher(p[1])})"
+
+
+def _sql(p) -> str:
+    op = p[0]
+    if op == "cmp":
+        return f"(val {p[1]} {p[2]})"
+    if op == "in":
+        if not p[1]:
+            return "FALSE"
+        return f"(val IN ({', '.join(_lit(v) for v in p[1])}))"
+    if op == "isnull":
+        return "(val IS NULL)"
+    if op == "isnotnull":
+        return "(val IS NOT NULL)"
+    if op == "flag":
+        return "(flag)"
+    if op == "and":
+        return f"({_sql(p[1])} AND {_sql(p[2])})"
+    if op == "or":
+        return f"({_sql(p[1])} OR {_sql(p[2])})"
+    return f"(NOT {_sql(p[1])})"
+
+
+@given(p=_pred)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_random_predicates_match_duckdb(spark, rnd_graph, duck, p):
+    from neo4j_spark.api import cypher
+
+    q = f"MATCH (n:T) WHERE {_cypher(p)} RETURN id(n) AS id ORDER BY id"
+    got = [r["id"] for r in cypher(spark, q, rnd_graph).collect()]
+    want = [r[0] for r in duck.execute(
+        f"SELECT id FROM t WHERE {_sql(p)} ORDER BY id").fetchall()]
+    assert got == want, f"pred={p}\ncypher={_cypher(p)}\nsql={_sql(p)}"
+
+
+@given(lo=st.integers(-6, 14), hi=st.integers(-6, 14),
+       k=st.integers(1, 10), skip=st.integers(0, 5))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_random_range_sort_paging_matches_duckdb(spark, rnd_graph, duck,
+                                                 lo, hi, k, skip):
+    from neo4j_spark.api import cypher
+
+    q = (f"MATCH (n:T) WHERE n.val >= {lo} AND n.val < {hi} "
+         f"RETURN id(n) AS id ORDER BY n.val, id SKIP {skip} LIMIT {k}")
+    got = [r["id"] for r in cypher(spark, q, rnd_graph).collect()]
+    want = [r[0] for r in duck.execute(
+        f"SELECT id FROM t WHERE val >= {lo} AND val < {hi} "
+        f"ORDER BY val, id OFFSET {skip} LIMIT {k}").fetchall()]
+    assert got == want
