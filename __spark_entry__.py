@@ -420,6 +420,9 @@ CYPHER_QUERIES = {
     "algo_sssp":
         "CALL algo.shortestPathLengths(3000000000001) YIELD node, dist "
         "RETURN dist, count(*) AS n ORDER BY dist",
+    "algo_sssp_weighted":
+        "CALL algo.shortestPathLengths(6000000000001, 'quantity') "
+        "YIELD node, dist RETURN count(*) AS n, round(sum(dist), 2) AS s",
     # --- coverage long tail (SURVEY §2.1/§2.2/§2.5/§2.6/§2.8) ---
     "node_index_scan":
         "MATCH (c:Customer) WHERE c.acctbal IS NOT NULL RETURN count(*) AS n",
@@ -1351,6 +1354,10 @@ def oracle_sql() -> dict[str, str]:
             "+ (SELECT count(DISTINCT l_suppkey) FROM li) UNION ALL "
             "SELECT 3.0, (SELECT count(*) FROM n3) UNION ALL "
             "SELECT 4.0, (SELECT count(*) FROM r4)) WHERE n > 0",
+        "algo_sssp_weighted":
+            "SELECT CAST(count(*) + 1 AS BIGINT) AS n, round(sum(md), 2) AS s "
+            "FROM (SELECT l_partkey, min(l_quantity) AS md FROM lineitem "
+            "WHERE l_orderkey = 1 GROUP BY l_partkey)",
         "call_vector_query":
             "SELECT CAST(8000000000000 + vec_id AS BIGINT) AS node, "
             "round(list_cosine_similarity(embedding::DOUBLE[], "

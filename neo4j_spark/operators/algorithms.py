@@ -99,6 +99,10 @@ def sssp(rels: DataFrame, sources: DataFrame,
             rels.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
                         (F.col(weight_col).cast("double") if weight_col
                          else F.lit(1.0)).alias("w")))
+    if weight_col:
+        # an edge without the weight property is not traversable (it would
+        # otherwise propagate null distances through the relaxation)
+        edges = edges.filter(F.col("w").isNotNull())
     dist = sources.select("id", F.lit(0.0).alias("dist")) \
                   .localCheckpoint(eager=True)
     frontier = dist
