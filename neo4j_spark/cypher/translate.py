@@ -1436,7 +1436,10 @@ class Translator:
             return F.count(col)
         col = cc.compile(e.args[0])
         if name == "sum":
-            return F.sum_distinct(col) if e.distinct else F.sum(col)
+            s = F.sum_distinct(col) if e.distinct else F.sum(col)
+            # Cypher: the sum of no (or only-null) values is 0, not null
+            # (pipes/aggregation/SumFunction.scala starts from 0)
+            return F.coalesce(s, F.lit(0))
         if name in ("avg", "mean"):
             return F.avg(col)
         if name == "min":

@@ -127,6 +127,33 @@ def test_random_predicates_match_duckdb(spark, rnd_graph, duck, p):
     assert got == want, f"pred={p}\ncypher={_cypher(p)}\nsql={_sql(p)}"
 
 
+@given(lo=st.integers(-6, 14), hi=st.integers(-6, 14))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_random_aggregates_match_duckdb(spark, rnd_graph, duck, lo, hi):
+    """Grouped aggregates over a randomly-bounded slice, encoding CYPHER
+    null semantics on the SQL side: sum of an all-null group is 0 (not
+    NULL), count(x)/collect(x) skip nulls, avg/min of all-null is null."""
+    from neo4j_spark.api import cypher
+
+    q = (f"MATCH (n:T) WHERE n.val >= {lo} AND n.val < {hi} "
+         "OR n.val IS NULL "
+         "RETURN n.flag AS flag, sum(n.val) AS s, count(n.val) AS c, "
+         "avg(n.val) AS a, min(n.val) AS mn, size(collect(n.val)) AS cl "
+         "ORDER BY flag")
+    got = [(r["flag"], r["s"], r["c"], round(r["a"], 6) if r["a"] is not None
+            else None, r["mn"], r["cl"])
+           for r in cypher(spark, q, rnd_graph).collect()]
+    want = [(r[0], r[1], r[2], round(r[3], 6) if r[3] is not None else None,
+             r[4], r[5])
+            for r in duck.execute(
+        f"SELECT flag, coalesce(sum(val), 0) AS s, count(val) AS c, "
+        f"avg(val) AS a, min(val) AS mn, count(val) AS cl FROM t "
+        f"WHERE val >= {lo} AND val < {hi} OR val IS NULL "
+        f"GROUP BY flag ORDER BY flag NULLS LAST").fetchall()]
+    assert got == want
+
+
 @given(lo=st.integers(-6, 14), hi=st.integers(-6, 14),
        k=st.integers(1, 10), skip=st.integers(0, 5))
 @settings(max_examples=10, deadline=None,
