@@ -179,20 +179,21 @@ def minhash_dedup_pairs(
                                    shingle_k, _ex=ex).persist()
     cand_ids = (cands.select(F.col("id_a").alias("_vid"))
                 .union(cands.select("id_b")).dropDuplicates())
-    # candidate ids/sets are bounded by the (small) candidate pair count —
-    # broadcast them so the corpus-sized side never shuffles for the verify.
-    # persisted: broadcast on id_a and on id_b each build from this table,
-    # and an unpersisted lineage would re-run the semi-join + collect_set
-    # (and the candidate self-join underneath it) once per build.
-    sh = (ex.join(F.broadcast(cand_ids), ex["_id"] == cand_ids["_vid"],
-                  "left_semi")
+    # candidate ids/sets are usually tiny relative to the corpus, but can
+    # be corpus-sized in a heavily-duplicated crawl — no forced broadcast;
+    # both inputs are persisted, so AQE picks broadcast vs shuffle from
+    # their REAL sizes at runtime.  persisted: the id_a and id_b joins
+    # each build from this table, and an unpersisted lineage would re-run
+    # the semi-join + collect_set (and the candidate self-join underneath)
+    # once per consumer.
+    sh = (ex.join(cand_ids, ex["_id"] == cand_ids["_vid"], "left_semi")
             .groupBy("_id").agg(F.collect_set("_s").alias("_sh"))
             .withColumnRenamed("_id", "_vid").persist())
     out = (cands
-           .join(F.broadcast(sh.select(F.col("_vid").alias("id_a"),
-                                       F.col("_sh").alias("sh_a"))), "id_a")
-           .join(F.broadcast(sh.select(F.col("_vid").alias("id_b"),
-                                       F.col("_sh").alias("sh_b"))), "id_b")
+           .join(sh.select(F.col("_vid").alias("id_a"),
+                           F.col("_sh").alias("sh_a")), "id_a")
+           .join(sh.select(F.col("_vid").alias("id_b"),
+                           F.col("_sh").alias("sh_b")), "id_b")
            .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
            .filter(F.col("jaccard") >= threshold)
            .select("id_a", "id_b", "jaccard"))
