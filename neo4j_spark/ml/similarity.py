@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import List, Optional, Sequence
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F, Window as W
 
 
@@ -54,17 +55,40 @@ def knn_bruteforce(df: DataFrame, query_vec: Sequence[float],
               .limit(k))
 
 
+def _cosine_pandas(a: Column, b: Column) -> Column:
+    """Arrow-vectorized cosine: one numpy matmul per batch instead of an
+    interpreted HOF fold per row — the per-row cost that dominates a
+    quadratic k-NN join at scale (~10-100x over CodegenFallback HOFs)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pcos(x: pd.Series, y: pd.Series) -> pd.Series:
+        A = np.stack(x.values).astype(np.float64)
+        B = np.stack(y.values).astype(np.float64)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(np.where(den > 0, num / den, 0.0))
+
+    return pcos(a, b)
+
+
 def knn_join_bruteforce(queries: DataFrame, corpus: DataFrame, k: int = 10,
                         q_id: str = "vec_id", q_vec: str = "embedding",
                         c_id: str = "vec_id", c_vec: str = "embedding",
-                        metric: str = "cosine") -> DataFrame:
+                        metric: str = "cosine",
+                        vectorized: bool = True) -> DataFrame:
     """Exact k-NN join (every query x corpus): crossJoin + per-query window
     top-k.  Quadratic — the correctness baseline the LSH path is graded
-    against."""
+    against.  ``vectorized``: cosine via an Arrow-batched pandas UDF
+    (numpy matmul) instead of per-row HOFs."""
     qd = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv"))
     cd = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("_cv"))
-    score = (cosine(F.col("_qv"), F.col("_cv")) if metric == "cosine"
-             else -euclidean(F.col("_qv"), F.col("_cv")))
+    if metric == "cosine" and vectorized:
+        score = _cosine_pandas(F.col("_qv"), F.col("_cv"))
+    elif metric == "cosine":
+        score = cosine(F.col("_qv"), F.col("_cv"))
+    else:
+        score = -euclidean(F.col("_qv"), F.col("_cv"))
     scored = qd.crossJoin(cd).select(
         "query_id", "neighbor_id", F.round(score, 6).alias("score"))
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(),
