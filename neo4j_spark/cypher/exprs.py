@@ -291,6 +291,22 @@ class ExprCompiler:
             return l != r  # Kleene XOR: null-propagating boolean inequality
         if op in ("=", "<>"):
             l, r = self._entity_aware(e.left), self._entity_aware(e.right)
+            lt = self.dtype_of(l)
+            if isinstance(lt, T.ArrayType) \
+                    and isinstance(self.dtype_of(r), T.ArrayType):
+                # ternary structural list equality (AnyValue.ternaryEquals,
+                # AnyValue.java:62): different lengths -> false; else a
+                # three-valued AND over elementwise comparisons, so a null
+                # element yields null unless some element differs.  (Plain
+                # Spark array == treats null elements as equal.)  One level
+                # deep: nested-list elements fall back to Spark equality.
+                eq = (F.when(l.isNull() | r.isNull(),
+                             F.lit(None).cast("boolean"))
+                       .when(F.size(l) != F.size(r), F.lit(False))
+                       .otherwise(F.forall(F.zip_with(l, r,
+                                                      lambda x, y: x == y),
+                                           lambda b: b)))
+                return eq if op == "=" else ~eq
             return (l == r) if op == "=" else (l != r)
         if op in ("<", "<=", ">", ">="):
             l, r = self._entity_aware(e.left), self._entity_aware(e.right)
@@ -574,6 +590,12 @@ class ExprCompiler:
         src = self.compile(e.source)
         init = self.compile(e.init)
         et = self._elem_type(e.source)
+        # Cypher ints are 64-bit; a 32-bit init literal must widen to the
+        # element type or Spark rejects the merge lambda's result type
+        it = self.static_type(e.init)
+        if isinstance(it, T.LongType) and et is not None \
+                and isinstance(et, (T.LongType, T.DoubleType)):
+            init = init.cast(et)
 
         def merge(acc, x):
             return self._with_local(

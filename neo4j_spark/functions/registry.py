@@ -346,8 +346,13 @@ def compile_function(cc, e: A.Func) -> Column:
         col = c(0)
         return F.slice(col, 2, F.greatest(F.size(col) - 1, F.lit(0)))
     if name == "range":
+        start, stop = c(0), c(1)
         step = c(2) if n == 3 else F.lit(1)
-        return F.sequence(c(0), c(1), step)
+        # Neo4j: an empty range (start past stop for the step's direction)
+        # is [], where Spark's sequence() raises
+        ok = ((step > 0) & (start <= stop)) | ((step < 0) & (start >= stop))
+        return F.when(ok, F.sequence(start, stop, step)) \
+                .otherwise(F.array().cast("array<bigint>"))
 
     # ---- temporal --------------------------------------------------------
     def _map_field(col, t, key, default):
