@@ -1252,14 +1252,23 @@ class Translator:
     # ---- UNWIND ----------------------------------------------------------
 
     def _unwind(self, df: Optional[DataFrame], u: A.Unwind) -> DataFrame:
+        def fix(col: Column, cc) -> Column:
+            # UNWIND null yields zero rows (explode drops null rows, but a
+            # typeless NULL literal must be cast before explode resolves)
+            t = cc.dtype_of(col)
+            if isinstance(t, T.NullType):
+                return col.cast("array<string>")
+            return col
+
         if df is None:
             df = self.spark.range(1).select(F.lit(1).alias("__one"))
             cc = self._compiler(None)
-            col = cc.compile(u.expr)
+            col = fix(cc.compile(u.expr), cc)
             out = df.select(F.explode(col).alias(u.var))
         else:
             df, expr = self._lower_all(df, u.expr)
-            col = self._compiler(df).compile(expr)
+            cc = self._compiler(df)
+            col = fix(cc.compile(expr), cc)
             out = df.withColumn(u.var, F.explode(col))
         self.kinds[u.var] = "scalar"
         return out
