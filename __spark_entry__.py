@@ -508,6 +508,10 @@ CYPHER_QUERIES = {
         "ORDER BY name",
     "union_rel_type_scan":
         "MATCH ()-[l:CONTAINS|SUPPLIED_BY]->() RETURN count(*) AS n",
+    "call_subquery_union":
+        "MATCH (n:Nation) CALL { WITH n MATCH (n)-[:IN_REGION]->(r) "
+        "RETURN r.name AS rn UNION WITH n RETURN 'X' AS rn } "
+        "RETURN count(*) AS total",
     "let_select_or_semi_apply":
         "MATCH (c:Customer) RETURN c.custkey AS ck, (c.acctbal < 0 "
         "OR EXISTS { (c)-[:PLACED]->() }) AS flag ORDER BY ck LIMIT 40",
@@ -1605,6 +1609,8 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY score DESC, vec_id LIMIT 10",
         "rel_by_element_id_seek":
             "SELECT CAST(1 AS BIGINT) AS n",
+        "call_subquery_union":
+            "SELECT CAST(2 * count(*) AS BIGINT) AS total FROM nation",
         "let_select_or_semi_apply":
             "SELECT c_custkey AS ck, (c_acctbal < 0 OR EXISTS"
             "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS flag "

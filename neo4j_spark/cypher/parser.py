@@ -260,9 +260,13 @@ class Parser:
     def parse_call(self) -> A.Clause:
         if self.at_op("{"):
             self.take()
-            imports: List[str] = []
-            # import header: a leading `WITH a, b` of bare variables
-            if self.at_kw("WITH"):
+
+            def branch_imports() -> List[str]:
+                """A leading `WITH a, b` of bare variables (import header);
+                each UNION branch carries its own."""
+                imps: List[str] = []
+                if not self.at_kw("WITH"):
+                    return imps
                 save = self.i
                 self.take()
                 ok = True
@@ -270,7 +274,7 @@ class Parser:
                     if self.peek().kind != "IDENT":
                         ok = False
                         break
-                    imports.append(self.expect_ident())
+                    imps.append(self.expect_ident())
                     if self.at_op(","):
                         self.take()
                         continue
@@ -278,8 +282,31 @@ class Parser:
                 # a true import header is followed by another clause keyword
                 if not ok or self.at_kw("AS") or self.at_op(".", "+", "-"):
                     self.i = save
-                    imports = []
+                    return []
+                return imps
+
+            imports = branch_imports()
             sub = self.parse_single_query()
+            if self.at_kw("UNION"):
+                branches = [sub]
+                is_all: Optional[bool] = None
+                while self.at_kw("UNION"):
+                    self.take()
+                    this_all = False
+                    if self.at_kw("ALL"):
+                        self.take()
+                        this_all = True
+                    elif self.at_kw("DISTINCT"):
+                        self.take()
+                    if is_all is None:
+                        is_all = this_all
+                    elif is_all != this_all:
+                        raise ParseError("cannot mix UNION and UNION ALL")
+                    for v in branch_imports():
+                        if v not in imports:
+                            imports.append(v)
+                    branches.append(self.parse_single_query())
+                sub = A.UnionQuery(branches, all=bool(is_all))
             self.expect_op("}")
             call = A.CallSub(sub, imports)
             if self.at_kw("IN"):

@@ -1160,18 +1160,29 @@ class Translator:
                        clause: A.CallSub) -> DataFrame:
         """Uncorrelated CALL {}: run once, join to every input row.
         Correlated (WITH import header): run over the distinct import rows,
-        join back on them — Apply decorrelated to a join (SURVEY §2.5)."""
-        sub = Translator(self.spark, self.graph, self.params)
+        join back on them — Apply decorrelated to a join (SURVEY §2.5).
+        A UNION body runs each branch over the same import rows and unions
+        the results (distinct unless UNION ALL) before the join-back."""
+        branches = (clause.query.queries
+                    if isinstance(clause.query, A.UnionQuery)
+                    else [clause.query])
+        union_all = (clause.query.all
+                     if isinstance(clause.query, A.UnionQuery) else True)
         if df is None or not clause.imports:
-            inner = sub._single(clause.query)
-            self.kinds.update(sub.kinds)
+            inner = None
+            for b in branches:
+                sub = Translator(self.spark, self.graph, self.params)
+                frame = sub._single(b)
+                self.kinds.update(sub.kinds)
+                inner = frame if inner is None else inner.unionByName(frame)
+            if not union_all:
+                inner = inner.dropDuplicates()
             if df is None:
                 return inner
             return df.crossJoin(inner)
         import dataclasses
 
         shared = [v for v in clause.imports if v in df.columns]
-        sub.kinds.update({v: self.kinds[v] for v in shared if v in self.kinds})
         base = df.select(*shared).dropDuplicates()
         # correlation columns must survive the subquery's own projections:
         # thread hidden copies through every WITH/RETURN (they become extra
@@ -1180,22 +1191,33 @@ class Translator:
         hid = {v: f"__corr_{v}" for v in shared}
         for v in shared:
             base = base.withColumn(hid[v], F.col(v))
-            sub.kinds[hid[v]] = self.kinds.get(v, "scalar")
-        new_clauses = []
-        for c in clause.query.clauses:
-            if isinstance(c, A.Projection):
-                extra = [A.ReturnItem(A.Var(h), h, h) for h in hid.values()]
-                c = dataclasses.replace(c, items=list(c.items) + extra)
-            new_clauses.append(c)
-        matched = sub._single_over(base, A.SingleQuery(new_clauses))
-        for h in hid.values():
-            sub.kinds.pop(h, None)
-        self.kinds.update(
-            {k: v for k, v in sub.kinds.items() if not k.startswith("__corr_")})
+        matched = None
+        for b in branches:
+            sub = Translator(self.spark, self.graph, self.params)
+            sub.kinds.update(
+                {v: self.kinds[v] for v in shared if v in self.kinds})
+            for v in shared:
+                sub.kinds[hid[v]] = self.kinds.get(v, "scalar")
+            new_clauses = []
+            for c in b.clauses:
+                if isinstance(c, A.Projection):
+                    extra = [A.ReturnItem(A.Var(h), h, h)
+                             for h in hid.values()]
+                    c = dataclasses.replace(c, items=list(c.items) + extra)
+                new_clauses.append(c)
+            frame = sub._single_over(base, A.SingleQuery(new_clauses))
+            for h in hid.values():
+                sub.kinds.pop(h, None)
+            self.kinds.update({k: v for k, v in sub.kinds.items()
+                               if not k.startswith("__corr_")})
+            matched = frame if matched is None else matched.unionByName(frame)
+        if not union_all:
+            matched = matched.dropDuplicates()
         # the COUNT bug: a globally-aggregating subquery yields one row per
         # input row even with zero matches — left join + per-aggregate
         # defaults (count/sum -> 0, collect -> []); otherwise inner join
-        last = clause.query.clauses[-1] if clause.query.clauses else None
+        last = (branches[0].clauses[-1]
+                if len(branches) == 1 and branches[0].clauses else None)
         defaults: Dict[str, Column] = {}
         if isinstance(last, A.Projection) and last.is_return and all(
                 contains_aggregate(it.expr) for it in last.items):
