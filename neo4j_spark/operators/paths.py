@@ -276,10 +276,20 @@ def shortest_path(tr, df: Optional[DataFrame], part: A.PatternPart,
 
     scan = tr._rel_scan(rp, "__r")
 
-    sizes = df.agg(
-        F.approx_count_distinct(F.col(avar).getField("_id")).alias("s"),
-        F.approx_count_distinct(F.col(bvar).getField("_id")).alias("t")).head()
-    n_start, n_tgt = sizes["s"], sizes["t"]
+    # endpoint-set sizes drive only the depth split, so magnitude suffices:
+    # label-bound endpoints read the O(1) count store
+    # (countStorePlanner.scala analog) instead of running a counting job
+    # over the rowstream
+    if len(a_pat.labels) == 1 and len(b_pat.labels) == 1 \
+            and a_pat.props is None and b_pat.props is None:
+        n_start = tr.graph.count_nodes(a_pat.labels[0])
+        n_tgt = tr.graph.count_nodes(b_pat.labels[0])
+    else:
+        sizes = df.agg(
+            F.approx_count_distinct(F.col(avar).getField("_id")).alias("s"),
+            F.approx_count_distinct(F.col(bvar).getField("_id")).alias("t")
+        ).head()
+        n_start, n_tgt = sizes["s"], sizes["t"]
     # deeper half of the search to the smaller endpoint set.  (Giving ALL
     # depth to the much-smaller side was tried and backfires: depth
     # allocation must bound by FANOUT, not endpoint count — e.g. a
