@@ -10,6 +10,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -46,8 +48,17 @@ def main() -> None:
     ]
     # warm the JVM, parquet footers, and the graph-mapping catalog (schema
     # listing + translator imports are one-time session setup, not query
-    # work) with a trivial query
+    # work) with a trivial query; also spin up the Arrow python-worker
+    # pool so pandas-UDF queries don't pay process startup
     qs["node_by_label_scan"](spark, sf_dir).count()
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(x: pd.Series) -> pd.Series:
+        return x
+
+    spark.range(32).select(_warm(F.col("id"))).count()
 
     timings = {}
     for name in headline:
