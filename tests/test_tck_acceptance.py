@@ -175,3 +175,56 @@ class TestSkipLimitAcceptance:
         assert rows(run(spark, g,
                         "MATCH (k:K2) RETURN k.v AS v ORDER BY v "
                         "SKIP $s LIMIT $l", s=1, l=2)) == [(2,), (3,)]
+
+
+class TestTernaryAndEdgeAcceptance:
+    """Scenarios for the round-1 semantics fixes: ternary list equality,
+    UNWIND null, empty range(), sum of no values, time components, and
+    UNION bodies in CALL {} (regression pins for exprs/translate fixes)."""
+
+    def test_ternary_list_equality(self, spark, g):
+        assert rows(run(spark, g,
+                        "RETURN [1, null] = [1, null] AS a, "
+                        "[1, 2] = [1, 3] AS b, [1, 2] = [1, 2] AS c, "
+                        "[1] = [1, 2] AS d, [1, null] <> [1, null] AS e")) \
+            == [(None, False, True, False, None)]
+
+    def test_unwind_null_and_empty(self, spark, g):
+        assert rows(run(spark, g,
+                        "UNWIND null AS x RETURN count(*) AS n")) == [(0,)]
+        assert rows(run(spark, g,
+                        "UNWIND [] AS x RETURN count(*) AS n")) == [(0,)]
+
+    def test_empty_range_directions(self, spark, g):
+        assert rows(run(spark, g,
+                        "RETURN range(1, 0) AS a, range(5, 1, -2) AS b")) \
+            == [([], [5, 3, 1])]
+
+    def test_sum_of_no_values_is_zero(self, spark, g):
+        run(spark, g, "CREATE (:S0 {v: 1})").collect()
+        assert rows(run(spark, g,
+                        "MATCH (s:S0) WHERE s.v > 99 "
+                        "RETURN sum(s.v) AS t")) == [(0,)]
+
+    def test_time_components(self, spark, g):
+        assert rows(run(spark, g,
+                        "RETURN localtime('10:30:05').second AS s, "
+                        "time('10:30:05Z').hour AS h, "
+                        "time({hour: 9, minute: 15}).minute AS m")) \
+            == [(5, 10, 15)]
+
+    def test_call_subquery_union(self, spark, g):
+        run(spark, g,
+            "UNWIND range(1, 3) AS x CREATE (:U9 {v: x})").collect()
+        assert rows(run(spark, g,
+                        "MATCH (u:U9) CALL { WITH u RETURN u.v AS o "
+                        "UNION WITH u RETURN u.v * 10 AS o } "
+                        "RETURN count(*) AS n, sum(o) AS s")) == [(6, 66)]
+
+    def test_startnode_endnode_properties(self, spark, g):
+        run(spark, g,
+            "CREATE (:SN {k: 1})-[:SE]->(:EN {k: 2})").collect()
+        assert rows(run(spark, g,
+                        "MATCH (:SN)-[e:SE]->(:EN) "
+                        "RETURN startNode(e).k AS s, endNode(e).k AS t")) \
+            == [(1, 2)]
