@@ -512,6 +512,12 @@ CYPHER_QUERIES = {
         "MATCH (n:Nation) CALL { WITH n MATCH (n)-[:IN_REGION]->(r) "
         "RETURN r.name AS rn UNION WITH n RETURN 'X' AS rn } "
         "RETURN count(*) AS total",
+    "qpp_where":
+        "MATCH ((a:Nation)-[:IN_REGION]->(b:Region) WHERE b.regionkey < 3)"
+        "{1,1} RETURN count(*) AS n",
+    "pattern_comp_in_where":
+        "MATCH (n:Nation) WHERE size([(n)-[:IN_REGION]->(r) | r.name]) = 1 "
+        "RETURN count(*) AS n",
     "let_select_or_semi_apply":
         "MATCH (c:Customer) RETURN c.custkey AS ck, (c.acctbal < 0 "
         "OR EXISTS { (c)-[:PLACED]->() }) AS flag ORDER BY ck LIMIT 40",
@@ -1611,6 +1617,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(1 AS BIGINT) AS n",
         "call_subquery_union":
             "SELECT CAST(2 * count(*) AS BIGINT) AS total FROM nation",
+        "qpp_where":
+            "SELECT count(*) AS n FROM nation "
+            "JOIN region ON n_regionkey = r_regionkey WHERE r_regionkey < 3",
+        "pattern_comp_in_where":
+            "SELECT count(*) AS n FROM nation WHERE (SELECT count(*) "
+            "FROM region WHERE r_regionkey = n_regionkey) = 1",
         "let_select_or_semi_apply":
             "SELECT c_custkey AS ck, (c_acctbal < 0 OR EXISTS"
             "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS flag "

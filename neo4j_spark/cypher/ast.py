@@ -235,11 +235,13 @@ class RelPat:
 
 @dataclass
 class QPP:
-    """Quantified path pattern ``((a)-[r:T]->(b)){m,n}`` (Trail, LP:3977)."""
+    """Quantified path pattern ``((a)-[r:T]->(b) WHERE pred){m,n}``
+    (Trail, LP:3977)."""
 
     elements: List[Any]  # the repeated unit: NodePat, RelPat, ..., NodePat
     min_reps: int = 1
     max_reps: Optional[int] = None
+    where: Optional["Expr"] = None  # per-repetition predicate
 
 
 @dataclass

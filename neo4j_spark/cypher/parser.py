@@ -534,6 +534,10 @@ class Parser:
         """Quantified path pattern ``((a)-[r:T]->(b)){m,n}`` / ``*`` / ``+``."""
         self.expect_op("(")
         inner = self.parse_element_chain()
+        where = None
+        if self.at_kw("WHERE"):
+            self.take()
+            where = self.parse_expr()
         self.expect_op(")")
         min_r, max_r = 1, 1
         if self.at_op("{"):
@@ -554,7 +558,7 @@ class Parser:
         elif self.at_op("+"):
             self.take()
             min_r, max_r = 1, None
-        return A.QPP(inner.elements, min_r, max_r)
+        return A.QPP(inner.elements, min_r, max_r, where)
 
     def parse_node_pat(self) -> A.NodePat:
         self.expect_op("(")

@@ -789,6 +789,30 @@ class Translator:
                     all_rel_cols.append(rv)
                     end = nv
                     j += 2
+                if qpp.where is not None:
+                    # per-repetition WHERE: bind this copy's inner vars
+                    # under their user names, filter, unbind
+                    bound = []
+                    old_kinds = {}
+                    for v in node_group:
+                        if copies_n[v]:
+                            sub = sub.withColumn(v, copies_n[v][-1])
+                            bound.append(v)
+                            old_kinds[v] = self.kinds.get(v)
+                            self.kinds[v] = "node"
+                    for v in rel_group:
+                        if copies_r[v]:
+                            sub = sub.withColumn(v, copies_r[v][-1])
+                            bound.append(v)
+                            old_kinds[v] = self.kinds.get(v)
+                            self.kinds[v] = "rel"
+                    sub = sub.filter(
+                        self._compiler(sub).compile(qpp.where)).drop(*bound)
+                    for v, k_old in old_kinds.items():
+                        if k_old is None:
+                            self.kinds.pop(v, None)
+                        else:
+                            self.kinds[v] = k_old
             if len(all_rel_cols) > 1:
                 ids = F.array(*[F.col(rv).getField("_id")
                                 for rv in all_rel_cols])
@@ -869,6 +893,10 @@ class Translator:
                 return lower_count(df, e)
             if isinstance(e, A.CollectSub):
                 return self._lower_collect_sub(df, e)
+            if isinstance(e, A.PatternComp):
+                # pattern comprehension in predicate position, e.g.
+                # WHERE size([(n)-->(m) | m]) > 2 — RollUpApply (LP:3534)
+                return self._lower_pattern_comp(df, e)
             # rebuild children
             import dataclasses
 
