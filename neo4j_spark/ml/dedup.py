@@ -177,8 +177,10 @@ def minhash_dedup_pairs(
     # consumer would re-run the banded self-join from scratch
     cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands,
                                    shingle_k, _ex=ex).persist()
+    # no dropDuplicates: the left_semi probe below is insensitive to
+    # duplicate build-side keys, and the dedup would cost an extra shuffle
     cand_ids = (cands.select(F.col("id_a").alias("_vid"))
-                .union(cands.select("id_b")).dropDuplicates())
+                .union(cands.select("id_b")))
     # candidate ids/sets are usually tiny relative to the corpus, but can
     # be corpus-sized in a heavily-duplicated crawl — no forced broadcast;
     # both inputs are persisted, so AQE picks broadcast vs shuffle from
