@@ -529,6 +529,37 @@ CYPHER_QUERIES = {
     "rel_by_element_id_seek":
         "MATCH ()-[l:IN_REGION]->() WHERE elementId(l) = '11000000000003' "
         "RETURN count(*) AS n",
+    # --- coverage long tail 2 (§2.5/§2.6/§2.7/§2.8) ---
+    "string_left_right":
+        "RETURN left('hello', 3) AS l, right('hello', 3) AS r, "
+        "btrim('xxaxx', 'x') AS b, replace('abcabc', 'b', 'Z') AS rep, "
+        "split('a,b,c', ',')[1] AS sp, nullIf(1, 1) AS ni",
+    "properties_fn":
+        "MATCH (r:Region) RETURN properties(r).name AS name ORDER BY name",
+    "list_conversions":
+        "RETURN toIntegerList(['1', '2', 'x'])[0] AS a, "
+        "toFloatList(['1.5'])[0] AS f, toStringList([1, 2])[1] AS s, "
+        "toBooleanList(['true'])[0] AS b",
+    "rollup_apply_reduce":
+        "MATCH (r:Region) RETURN r.name AS rn, reduce(s = 0, x IN "
+        "[(n:Nation)-[:IN_REGION]->(r) | n.nationkey] | s + x) AS sumkeys "
+        "ORDER BY rn",
+    "let_anti_semi_apply":
+        "MATCH (c:Customer) RETURN c.custkey AS ck, "
+        "NOT EXISTS { (c)-[:PLACED]->() } AS no_order ORDER BY ck LIMIT 40",
+    "load_csv_no_header":
+        "LOAD CSV FROM 'file:///root/repo/tests/fixtures/people.csv' AS row "
+        "RETURN row[0] AS c0 ORDER BY c0",
+    "ordered_union":
+        "CALL { MATCH (r:Region) RETURN r.name AS name "
+        "UNION ALL MATCH (n:Nation) RETURN n.name AS name } "
+        "RETURN name ORDER BY name LIMIT 8",
+    "point_3d_distance":
+        "RETURN round(point.distance(point({x: 0.0, y: 0.0, z: 0.0}), "
+        "point({x: 1.0, y: 2.0, z: 2.0})), 6) AS d",
+    "temporal_epoch_millis":
+        "MATCH (o:Order) WHERE o.orderkey <= 10 "
+        "RETURN o.orderkey AS ok, o.orderdate.epochMillis AS em ORDER BY ok",
 }
 
 
@@ -878,8 +909,30 @@ def _q_write_create_rel(spark, sf_dir):
         "MATCH (:Customer)-[l:LIKES]->(:Region) RETURN count(*) AS n")
 
 
+def _q_write_merge_rel(spark, sf_dir):
+    """Relationship MERGE is idempotent: running it twice leaves one
+    LIKES edge per (customer, region) pair (MergePipe ON MATCH no-op)."""
+    return _write(
+        spark, sf_dir,
+        "MATCH (c:Customer), (r:Region) WHERE c.custkey <= 2 "
+        "AND r.regionkey = 0 MERGE (c)-[:LIKES]->(r)",
+        "MATCH (c:Customer), (r:Region) WHERE c.custkey <= 2 "
+        "AND r.regionkey = 0 MERGE (c)-[:LIKES]->(r)",
+        "MATCH (:Customer)-[l:LIKES]->(:Region) RETURN count(*) AS n")
+
+
+def _q_write_match_foreach(spark, sf_dir):
+    """ForeachApply (LP:2366): FOREACH nested under a MATCH row stream."""
+    return _write(
+        spark, sf_dir,
+        "MATCH (r:Region) FOREACH (x IN [1, 2] | CREATE (:Cnt {v: x}))",
+        "MATCH (t:Cnt) RETURN count(*) AS n, sum(t.v) AS s")
+
+
 WRITE_QUERIES = {
     "write_create": _q_write_create,
+    "write_merge_rel": _q_write_merge_rel,
+    "write_match_foreach": _q_write_match_foreach,
     "write_merge_on_clauses": _q_write_merge_on_clauses,
     "write_remove_label": _q_write_remove_label,
     "write_delete_rel": _q_write_delete_rel,
@@ -1376,9 +1429,44 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY list_cosine_similarity(embedding::DOUBLE[], "
             "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) "
             "DESC, node LIMIT 5",
+        # --- coverage long tail 2 ---
+        "string_left_right":
+            "SELECT left('hello', 3) AS l, right('hello', 3) AS r, "
+            "trim('xxaxx', 'x') AS b, replace('abcabc', 'b', 'Z') AS rep, "
+            "str_split('a,b,c', ',')[2] AS sp, "
+            "CAST(nullif(1, 1) AS BIGINT) AS ni",
+        "properties_fn": "SELECT r_name AS name FROM region ORDER BY name",
+        "list_conversions":
+            "SELECT CAST(1 AS BIGINT) AS a, CAST(1.5 AS DOUBLE) AS f, "
+            "'2' AS s, true AS b",
+        "rollup_apply_reduce":
+            "SELECT r_name AS rn, CAST(coalesce(s, 0) AS BIGINT) AS sumkeys "
+            "FROM region LEFT JOIN (SELECT n_regionkey, sum(n_nationkey) AS s "
+            "FROM nation GROUP BY n_regionkey) ON n_regionkey = r_regionkey "
+            "ORDER BY rn",
+        "let_anti_semi_apply":
+            "SELECT c_custkey AS ck, NOT EXISTS (SELECT 1 FROM orders "
+            "WHERE o_custkey = c_custkey) AS no_order FROM customer "
+            "ORDER BY ck LIMIT 40",
+        "load_csv_no_header":
+            "SELECT column0 AS c0 FROM read_csv("
+            "'/root/repo/tests/fixtures/people.csv', header=false, "
+            "all_varchar=true) ORDER BY c0",
+        "ordered_union":
+            "SELECT name FROM (SELECT r_name AS name FROM region "
+            "UNION ALL SELECT n_name AS name FROM nation) "
+            "ORDER BY name LIMIT 8",
+        "point_3d_distance": "SELECT CAST(3.0 AS DOUBLE) AS d",
+        "temporal_epoch_millis":
+            "SELECT o_orderkey AS ok, "
+            "epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS em "
+            "FROM orders WHERE o_orderkey <= 10 ORDER BY ok",
         # --- updating operators (§2.10) ---
         "write_create":
             "SELECT CAST(100 AS BIGINT) AS n, CAST(5050 AS BIGINT) AS s",
+        "write_merge_rel": "SELECT CAST(3 AS BIGINT) AS n",
+        "write_match_foreach":
+            "SELECT CAST(10 AS BIGINT) AS n, CAST(15 AS BIGINT) AS s",
         "write_foreach":
             "SELECT CAST(50 AS BIGINT) AS n, CAST(1275 AS BIGINT) AS s",
         "write_set_property":

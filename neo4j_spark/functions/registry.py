@@ -527,14 +527,21 @@ def compile_function(cc, e: A.Func) -> Column:
         a, b = c(0), c(1)
         dx = a.getField("x") - b.getField("x")
         dy = a.getField("y") - b.getField("y")
-        eucl = F.sqrt(dx * dx + dy * dy)
+        # 3D: include the z delta when both points carry one (cartesian-3d /
+        # wgs-84-3d, CoordinateReferenceSystem.java); 2D points have z null
+        dz = F.when(
+            a.getField("z").isNotNull() & b.getField("z").isNotNull(),
+            a.getField("z") - b.getField("z")).otherwise(F.lit(0.0))
+        eucl = F.sqrt(dx * dx + dy * dy + dz * dz)
         # haversine for wgs-84 (meters, earth radius 6378140 like the reference)
         r = F.lit(2 * 6378140.0)
         lat1, lat2 = F.radians(a.getField("y")), F.radians(b.getField("y"))
         dlat = lat2 - lat1
         dlon = F.radians(b.getField("x") - a.getField("x"))
         h = F.pow(F.sin(dlat / 2), 2) + F.cos(lat1) * F.cos(lat2) * F.pow(F.sin(dlon / 2), 2)
-        hav = r * F.asin(F.sqrt(h))
+        # wgs-84-3d: pythagoras over the great-circle distance and the
+        # height difference (reference CRSCalculator.GeographicCalculator)
+        hav = F.sqrt(F.pow(r * F.asin(F.sqrt(h)), 2) + dz * dz)
         return F.when(a.getField("crs").startswith("wgs"), hav).otherwise(eucl)
     if name == "point.withinbbox":
         p, lo, hi = c(0), c(1), c(2)
