@@ -19,8 +19,10 @@ Scale design:
   path array); backward from 5 regions the frontier never exceeds the
   customer count.  Decided by two cheap capped counts, the local stand-in
   for catalog statistics (GraphStatistics.scala:27-65).
-- Frontiers are persisted per level and unpersisted as soon as the next
-  level is materialized.
+- Var-length frontiers are pinned per level (each level is consumed by both
+  the next frontier join and the final level union); shallow BFS stays one
+  lazy codegen'd plan, deep BFS pins levels and early-stops on an empty
+  frontier (both A/B-measured at sf0.1 — see _pin).
 """
 
 from __future__ import annotations
