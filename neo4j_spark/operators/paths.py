@@ -362,17 +362,21 @@ def shortest_path(tr, df: Optional[DataFrame], part: A.PatternPart,
                      ).alias("__nodes")]
     met = met.select(*sel)
     if not all_shortest:
-        # single shortest: ONE window pass picks the min-length path per
-        # (s,t) — duplicate meet-splits of the same path are harmless
-        # because only one row survives (vs. dedup + min-agg join + window:
-        # three shuffles on path-array keys)
-        order = [F.col("__len").asc()]
-        if track_path:
-            order.append(F.col("__rels").cast("string").asc())
-        met = met.withColumn(
-            "__rn", F.row_number().over(
-                W.partitionBy("__s", "__t").orderBy(*order))
-        ).filter(F.col("__rn") == 1).drop("__rn")
+        if not track_path:
+            # length-only: min() is a plain aggregate — partial (map-side)
+            # combine shrinks each partition to one row per (s,t) before
+            # the shuffle, where a window must shuffle every met row
+            met = met.groupBy("__s", "__t").agg(F.min("__len").alias("__len"))
+        else:
+            # single shortest with path contents: ONE window pass picks the
+            # min-length path per (s,t) — duplicate meet-splits of the same
+            # path are harmless because only one row survives (vs. dedup +
+            # min-agg join + window: three shuffles on path-array keys)
+            order = [F.col("__len").asc(), F.col("__rels").cast("string").asc()]
+            met = met.withColumn(
+                "__rn", F.row_number().over(
+                    W.partitionBy("__s", "__t").orderBy(*order))
+            ).filter(F.col("__rn") == 1).drop("__rn")
     else:
         # the same path splits at every meet node with fdepth <= fb — dedup
         if track_path:
