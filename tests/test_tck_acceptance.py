@@ -228,3 +228,97 @@ class TestTernaryAndEdgeAcceptance:
                         "MATCH (:SN)-[e:SE]->(:EN) "
                         "RETURN startNode(e).k AS s, endNode(e).k AS t")) \
             == [(1, 2)]
+
+
+class TestOrderabilityAcceptance:
+    """Cypher global orderability: null sorts last ASC / first DESC
+    (AnyValues.java:69-72 — NO_VALUE is the greatest value)."""
+
+    def test_orderby_null_last_asc(self, spark, g):
+        assert rows(run(spark, g,
+                        "UNWIND [2, null, 1] AS v RETURN v ORDER BY v ASC")) \
+            == [(1,), (2,), (None,)]
+
+    def test_orderby_null_first_desc(self, spark, g):
+        assert rows(run(spark, g,
+                        "UNWIND [2, null, 1] AS v RETURN v ORDER BY v DESC")) \
+            == [(None,), (2,), (1,)]
+
+    def test_orderby_aggregate_alias(self, spark, g):
+        run(spark, g, "CREATE (:Q1 {g: 'a', v: 1}), (:Q1 {g: 'a', v: 2}), "
+            "(:Q1 {g: 'b', v: 9})").collect()
+        assert rows(run(spark, g,
+                        "MATCH (q:Q1) RETURN q.g AS g, sum(q.v) AS s "
+                        "ORDER BY s DESC")) == [("b", 9), ("a", 3)]
+
+
+class TestValueSemanticsAcceptance:
+    def test_list_index_out_of_bounds_is_null(self, spark, g):
+        assert rows(run(spark, g,
+                        "RETURN [1, 2, 3][5] AS a, [1, 2, 3][-1] AS b")) \
+            == [(None, 3)]
+
+    def test_distinct_groups_nulls_once(self, spark, g):
+        assert rows(run(spark, g,
+                        "UNWIND [null, null, 1] AS x "
+                        "RETURN DISTINCT x ORDER BY x")) == [(1,), (None,)]
+
+    def test_count_property_skips_nulls(self, spark, g):
+        run(spark, g, "CREATE (:C1 {v: 1}), (:C1)").collect()
+        assert rows(run(spark, g,
+                        "MATCH (c:C1) RETURN count(c.v) AS a, "
+                        "count(*) AS b")) == [(1, 2)]
+
+    def test_plus_overloading(self, spark, g):
+        # CypherMath.java: + adds numbers, concatenates strings and lists,
+        # appends/prepends scalars to lists; / on integers is integer div
+        assert rows(run(spark, g,
+                        "RETURN 1 + 1.5 AS a, 'a' + 1 AS b, [1, 2] + 3 AS c, "
+                        "1 + [2] AS d, 3 / 2 AS e, 3.0 / 2 AS f, 5 % 3 AS g")) \
+            == [(2.5, "a1", [1, 2, 3], [1, 2], 1, 1.5, 2)]
+
+    def test_in_over_list_of_lists(self, spark, g):
+        assert rows(run(spark, g,
+                        "RETURN [1, 2] IN [[1, 2], [3]] AS a")) == [(True,)]
+
+    def test_functions_propagate_null(self, spark, g):
+        assert rows(run(spark, g,
+                        "RETURN size(null) AS a, toUpper(null) AS b")) \
+            == [(None, None)]
+
+
+class TestPatternSemanticsAcceptance:
+    def test_conjoined_labels_require_all(self, spark, g):
+        run(spark, g, "CREATE (:A1:B1 {v: 1}), (:A1 {v: 2})").collect()
+        assert rows(run(spark, g, "MATCH (n:A1:B1) RETURN n.v AS v")) \
+            == [(1,)]
+
+    def test_zero_length_var_expand_includes_start(self, spark, g):
+        run(spark, g, "CREATE (:V1 {v: 1})-[:R]->(:V1 {v: 2})").collect()
+        assert rows(run(spark, g,
+                        "MATCH (a:V1 {v: 1})-[*0..1]->(b) "
+                        "RETURN b.v AS v ORDER BY v")) == [(1,), (2,)]
+
+    def test_rel_uniqueness_not_across_clauses(self, spark, g):
+        # AddUniquenessPredicates applies within one MATCH pattern only
+        run(spark, g, "CREATE (:M1 {v: 1})-[:R]->(:M1 {v: 2})").collect()
+        assert rows(run(spark, g,
+                        "MATCH (a)-[r1:R]->(b) MATCH (c)-[r2:R]->(d) "
+                        "RETURN count(*) AS n")) == [(1,)]
+
+    def test_merge_requires_full_property_map(self, spark, g):
+        run(spark, g, "CREATE (:P1 {a: 1, b: 2}), (:P1 {a: 1})").collect()
+        assert rows(run(spark, g,
+                        "MERGE (n:P1 {a: 1, b: 2}) RETURN count(*) AS n")) \
+            == [(1,)]
+
+    def test_later_clause_sees_earlier_create(self, spark, g):
+        # read-after-write inside one statement (the Eager guarantee)
+        assert rows(run(spark, g,
+                        "CREATE (a:Z1 {v: 1}) WITH a MATCH (z:Z1) "
+                        "RETURN count(*) AS n")) == [(1,)]
+
+    def test_with_distinct(self, spark, g):
+        assert rows(run(spark, g,
+                        "UNWIND [1, 1, 2] AS x WITH DISTINCT x "
+                        "RETURN count(*) AS n")) == [(2,)]
