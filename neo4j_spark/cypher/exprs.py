@@ -106,7 +106,9 @@ TEMPORAL_FIELDS = {
     "year": F.year, "month": F.month, "day": F.dayofmonth, "hour": F.hour,
     "minute": F.minute, "second": F.second,
     "week": F.weekofyear, "quarter": F.quarter,
-    "dayofweek": F.dayofweek, "ordinalday": F.dayofyear,
+    # ISO-8601 day numbering (TemporalValue: Monday=1..Sunday=7); Spark's
+    # dayofweek() is Sunday=1-based, weekday() is Monday=0-based
+    "dayofweek": lambda c: F.weekday(c) + 1, "ordinalday": F.dayofyear,
 }
 
 
@@ -155,7 +157,13 @@ class ExprCompiler:
             return None
 
     def static_type(self, e: A.Expr) -> Optional[T.DataType]:
-        """Cheap static type for literals; falls back to schema resolution."""
+        """Cheap static type for literals and lambda locals; falls back to
+        schema resolution."""
+        if isinstance(e, A.Var) and e.name in self._local_types:
+            # lambda-scoped vars (reduce acc, comprehension element) can't
+            # resolve against the frame — their declared type drives
+            # operator overloading (e.g. + concatenates string accumulators)
+            return self._local_types[e.name]
         if isinstance(e, A.Lit):
             v = e.value
             if isinstance(v, bool):
@@ -572,6 +580,9 @@ class ExprCompiler:
 
     def _c_Quantifier(self, e: A.Quantifier) -> Column:
         src = self.compile(e.source)
+        if isinstance(self.dtype_of(src), T.NullType):
+            # any/all/none/single over null is null (ternary logic)
+            return F.lit(None).cast("boolean")
         et = self._elem_type(e.source)
 
         def pred(x):
@@ -588,18 +599,26 @@ class ExprCompiler:
 
     def _c_Reduce(self, e: A.Reduce) -> Column:
         src = self.compile(e.source)
+        if isinstance(self.dtype_of(src), T.NullType):
+            return F.lit(None)  # reduce over null is null
         init = self.compile(e.init)
         et = self._elem_type(e.source)
         # Cypher ints are 64-bit; a 32-bit init literal must widen to the
         # element type or Spark rejects the merge lambda's result type
-        it = self.static_type(e.init)
+        it = self.static_type(e.init) or self.dtype_of(init)
+        acc_t = it
         if isinstance(it, T.LongType) and et is not None \
                 and isinstance(et, (T.LongType, T.DoubleType)):
             init = init.cast(et)
+            acc_t = et
+        if isinstance(acc_t, T.NullType):
+            acc_t = None
 
         def merge(acc, x):
+            # the accumulator's type drives operator overloading inside the
+            # lambda (e.g. + concatenates when acc is a string)
             return self._with_local(
-                e.acc, acc, None,
+                e.acc, acc, acc_t,
                 lambda: self._with_local(e.var, x, et, lambda: self.compile(e.expr)),
             )
 

@@ -373,17 +373,11 @@ class Parser:
         if self.at_op("*"):
             self.take()
             star = True
-            if self.at_op(","):
+            if self.at_op(","):  # WITH *, extra AS x (Clause.scala With)
                 self.take()
-        if not star or self.at_op(",") or (
-            not self.at_kw("ORDER", "SKIP", "LIMIT", "WHERE")
-            and self.peek().kind != "EOF"
-            and not self.at_kw(*CLAUSE_STARTS)
-            and not self.at_op("}")
-            and not star
-        ):
-            if not star:
                 items = self.parse_return_items()
+        else:
+            items = self.parse_return_items()
         order: List[A.OrderItem] = []
         skip = limit = where = None
         if self.at_kw("ORDER"):

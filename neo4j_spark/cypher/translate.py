@@ -286,7 +286,11 @@ class Translator:
     # ---- MATCH -----------------------------------------------------------
 
     def _match(self, df: Optional[DataFrame], m: A.Match) -> DataFrame:
-        if m.optional and df is not None:
+        if m.optional:
+            if df is None:
+                # leading OPTIONAL MATCH: the argument is one unit row, so
+                # an empty match still emits one null-padded row (LP:3095)
+                df = self.spark.range(1).select(F.lit(1).alias("__one"))
             return self._optional_match(df, m)
         pending: List[A.Expr] = []
         rel_bindings: List[Tuple[str, str, frozenset]] = []
@@ -863,8 +867,25 @@ class Translator:
 
     def _build_path(self, df: DataFrame, pvar: str, node_vars: List[str],
                     rel_vars: List[Tuple[str, str]]) -> DataFrame:
-        nodes_arr = F.array(*[
-            F.struct(F.col(v).getField("_id").alias("_id")) for v in node_vars])
+        """PathValue construction (values/virtual/PathValue.java).
+
+        The node sequence is reconstructed by walking the rel arrays from
+        the first bound node (next node = whichever rel endpoint is not the
+        current one, so undirected steps orient correctly) — this includes
+        the interior nodes of var-length segments that no variable binds.
+        When the statement consumes more of the path than its shape
+        (anything beyond length()/size()), ids are further resolved to full
+        node structs by _resolve_path_nodes."""
+        ids = F.array(F.col(node_vars[0]).getField("_id"))
+        for v, kind in rel_vars:
+            arr = F.array(F.col(v)) if kind == "rel" else F.col(v)
+            ids = F.aggregate(
+                arr, ids,
+                lambda acc, r: F.array_append(
+                    acc,
+                    F.when(r.getField("_src") == F.element_at(acc, -1),
+                           r.getField("_dst")).otherwise(r.getField("_src"))))
+        nodes_arr = F.transform(ids, lambda x: F.struct(x.alias("_id")))
         rel_cols: List[Column] = []
         for v, kind in rel_vars:
             if kind == "rel":
@@ -874,8 +895,88 @@ class Translator:
         rels_arr = F.concat(*rel_cols) if rel_cols else F.array().cast(
             "array<struct<_id:bigint,_src:bigint,_dst:bigint,_type:string>>")
         self.kinds[pvar] = "path"
-        return df.withColumn(
+        df = df.withColumn(
             pvar, F.struct(nodes_arr.alias("nodes"), rels_arr.alias("rels")))
+        if self._path_rich_use(pvar):
+            df = self._resolve_path_nodes(df, pvar)
+        return df
+
+    def _path_rich_use(self, pvar: str) -> bool:
+        """True when the statement consumes path contents beyond its shape.
+
+        Shape-only forms — length(p), relationships(p) (rel structs already
+        carry properties), size(nodes(p)) / size(relationships(p)) — read
+        nothing from the node structs, so id-only nodes suffice (the
+        pruningVarExpander/bfsAggregationRemover usage test, SURVEY §4.1).
+        Everything else (RETURN p, [n IN nodes(p) | n.prop], …) needs full
+        node structs."""
+        import dataclasses
+
+        root = getattr(self, "query_ast", None)
+        if root is None:
+            return True
+        rich = False
+
+        def is_path_var(e) -> bool:
+            return isinstance(e, A.Var) and e.name == pvar
+
+        def walk(node) -> None:
+            nonlocal rich
+            if rich or not dataclasses.is_dataclass(node):
+                return
+            if isinstance(node, A.Func):
+                n, a = node.name, node.args
+                if n in ("length", "relationships") and len(a) == 1 \
+                        and is_path_var(a[0]):
+                    return
+                if n == "size" and len(a) == 1 and isinstance(a[0], A.Func) \
+                        and a[0].name in ("nodes", "relationships") \
+                        and len(a[0].args) == 1 and is_path_var(a[0].args[0]):
+                    return
+            if is_path_var(node):
+                rich = True
+                return
+            for f in dataclasses.fields(node):
+                v = getattr(node, f.name)
+                if dataclasses.is_dataclass(v):
+                    walk(v)
+                elif isinstance(v, (list, tuple)):
+                    for x in v:
+                        if dataclasses.is_dataclass(x):
+                            walk(x)
+
+        walk(root)
+        return rich
+
+    def _resolve_path_nodes(self, df: DataFrame, pvar: str) -> DataFrame:
+        """Replace a path's id-only node structs with full node structs:
+        one posexplode + join against the (unified-schema) node frames +
+        positional regroup.  The row id is pinned so both sides of the
+        self-join see the same nondeterministic assignment."""
+        from ..operators.paths import _pin
+
+        rid = self._anon_var("prow")
+        df = _pin(df.withColumn(rid, F.monotonically_increasing_id()))
+        ex = df.select(
+            F.col(rid),
+            F.posexplode(F.col(pvar).getField("nodes")).alias("__pos", "__pid"))
+        nscan = self._node_scan(A.NodePat(None), "__pnode")
+        joined = ex.join(
+            nscan,
+            F.col("__pid").getField("_id") == F.col("__pnode").getField("_id"),
+            "left")
+        agg = joined.groupBy(rid).agg(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("__pos").alias("o"),
+                             F.col("__pnode").alias("n")))),
+                lambda x: x.getField("n")).alias("__pnodes"))
+        out = df.join(agg, rid)
+        out = out.withColumn(
+            pvar,
+            F.struct(F.col("__pnodes").alias("nodes"),
+                     F.col(pvar).getField("rels").alias("rels")))
+        return out.drop(rid, "__pnodes")
 
     # ---- subquery-predicate lowering ------------------------------------
 
@@ -1494,12 +1595,40 @@ class Translator:
                 return F.countDistinct(col)
             return F.count(col)
         col = cc.compile(e.args[0])
+        t = cc.dtype_of(col)
+        is_dur = isinstance(t, T.StructType) and \
+            {"months", "days", "seconds", "nanos"} <= set(t.fieldNames())
         if name == "sum":
+            if is_dur:  # component-wise (pipes/aggregation/SumFunction)
+                def s(fld):
+                    return F.coalesce(F.sum(col.getField(fld)),
+                                      F.lit(0)).cast("long").alias(fld)
+                return F.struct(s("months"), s("days"), s("seconds"),
+                                s("nanos"))
             s = F.sum_distinct(col) if e.distinct else F.sum(col)
             # Cypher: the sum of no (or only-null) values is 0, not null
             # (pipes/aggregation/SumFunction.scala starts from 0)
             return F.coalesce(s, F.lit(0))
         if name in ("avg", "mean"):
+            if is_dur:
+                # component averages with fractional carry-down at Neo4j's
+                # conversion constants (DurationValue.approximate:
+                # 30.4375 days/month, 86400 s/day)
+                mf = F.avg(col.getField("months"))
+                daysf = F.avg(col.getField("days"))
+                secsf = F.avg(col.getField("seconds")
+                              + col.getField("nanos") / F.lit(1e9))
+                wm = F.floor(mf)
+                d2 = daysf + (mf - wm) * F.lit(30.4375)
+                wd = F.floor(d2)
+                s2 = secsf + (d2 - wd) * F.lit(86400.0)
+                ws = F.floor(s2)
+                ns = F.round((s2 - ws) * F.lit(1e9))
+                return F.struct(
+                    wm.cast("long").alias("months"),
+                    wd.cast("long").alias("days"),
+                    ws.cast("long").alias("seconds"),
+                    ns.cast("long").alias("nanos"))
             return F.avg(col)
         if name == "min":
             return F.min(col)

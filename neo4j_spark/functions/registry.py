@@ -146,12 +146,16 @@ def compile_function(cc, e: A.Func) -> Column:
         return F.struct(c(0).getField(fld).alias("_id"))
     if name == "properties":
         col, t = ctyped(0)
+        if isinstance(t, T.NullType):
+            return F.lit(None)
         if isinstance(t, T.StructType):
             fields = [f.name for f in t.fields if not f.name.startswith("_")]
             return F.struct(*[col.getField(f).alias(f) for f in fields])
         return col
     if name == "keys":
         col, t = ctyped(0)
+        if isinstance(t, T.NullType):
+            return F.lit(None).cast("array<string>")
         if isinstance(t, T.StructType):
             fields = [f.name for f in t.fields if not f.name.startswith("_")]
             arr = F.array(*[
@@ -475,7 +479,26 @@ def compile_function(cc, e: A.Func) -> Column:
             months.cast("long").alias("months"), days.cast("long").alias("days"),
             seconds.alias("seconds"), nanos.alias("nanos"))
     if name == "duration.between":
-        a, b = c(0), c(1)
+        (a, ta), (b, tb) = ctyped(0), ctyped(1)
+
+        def _is_time_struct(t):
+            return (isinstance(t, T.StructType)
+                    and {"hour", "minute"} <= set(t.fieldNames())
+                    and "months" not in t.fieldNames())
+
+        if _is_time_struct(ta) and _is_time_struct(tb):
+            # time-of-day operands: pure seconds/nanos difference
+            def _secs(col):
+                return (col.getField("hour") * 3600
+                        + col.getField("minute") * 60
+                        + col.getField("second"))
+
+            return F.struct(
+                F.lit(0).cast("long").alias("months"),
+                F.lit(0).cast("long").alias("days"),
+                (_secs(b) - _secs(a)).cast("long").alias("seconds"),
+                (b.getField("nanosecond")
+                 - a.getField("nanosecond")).cast("long").alias("nanos"))
         months = F.floor(F.months_between(b, a)).cast("long")
         a2 = F.add_months(a.cast("date"), months)
         days = F.datediff(b.cast("date"), a2).cast("long")

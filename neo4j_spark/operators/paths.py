@@ -407,4 +407,7 @@ def shortest_path(tr, df: Optional[DataFrame], part: A.PatternPart,
                 pvar, F.struct(F.col("__len").cast("long").alias("len")))
         tr.kinds[pvar] = "path"
     drop = ["__s", "__t", "__len"] + (["__rels", "__nodes"] if track_path else [])
-    return out.drop(*drop)
+    out = out.drop(*drop)
+    if part.path_var and track_path and tr._path_rich_use(part.path_var):
+        out = tr._resolve_path_nodes(out, part.path_var)
+    return out

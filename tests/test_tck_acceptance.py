@@ -322,3 +322,96 @@ class TestPatternSemanticsAcceptance:
         assert rows(run(spark, g,
                         "UNWIND [1, 1, 2] AS x WITH DISTINCT x "
                         "RETURN count(*) AS n")) == [(2,)]
+
+
+class TestPathValueAcceptance:
+    """PathValue contents (values/virtual/PathValue.java): nodes(p) includes
+    the interior nodes of var-length segments, with properties resolved."""
+
+    def test_path_nodes_carry_properties(self, spark, g):
+        run(spark, g,
+            "CREATE (:PA {v: 1})-[:R]->(:PA {v: 2})-[:R]->(:PA {v: 3})"
+            ).collect()
+        assert rows(run(spark, g,
+                        "MATCH p = (a:PA {v: 1})-[:R*2..2]->(b) "
+                        "RETURN [n IN nodes(p) | n.v] AS vs")) == [([1, 2, 3],)]
+
+    def test_undirected_path_orients_interior(self, spark, g):
+        run(spark, g, "CREATE (:PB {v: 1})-[:R]->(m:PB {v: 2}), "
+            "(:PB {v: 3})-[:R]->(m)").collect()
+        assert rows(run(spark, g,
+                        "MATCH p = (a:PB {v: 1})-[:R*2..2]-(b) "
+                        "RETURN [n IN nodes(p) | n.v] AS vs")) == [([1, 2, 3],)]
+
+    def test_shortest_path_nodes_resolve(self, spark, g):
+        run(spark, g,
+            "CREATE (:PC {v: 1})-[:R]->(:PC {v: 2})-[:R]->(:PC {v: 3})"
+            ).collect()
+        assert rows(run(spark, g,
+                        "MATCH p = shortestPath((a:PC {v: 1})-[:R*..4]->"
+                        "(b:PC {v: 3})) "
+                        "RETURN [n IN nodes(p) | n.v] AS vs")) == [([1, 2, 3],)]
+
+    def test_create_anonymous_nodes_are_distinct(self, spark, g):
+        # CREATE makes a NEW node per anonymous pattern — no coincidental
+        # merging on equal properties (CreatePipe semantics)
+        run(spark, g, "CREATE (:PD {v: 1})-[:R]->(:PD {v: 2}), "
+            "(:PD {v: 3})-[:R]->(:PD {v: 2})").collect()
+        assert rows(run(spark, g,
+                        "MATCH (n:PD) RETURN count(*) AS c")) == [(4,)]
+        assert rows(run(spark, g,
+                        "MATCH (a:PD {v: 1})-[:R*2..2]-(b) "
+                        "RETURN count(*) AS c")) == [(0,)]
+
+
+class TestLambdaScopeAcceptance:
+    def test_reduce_accumulator_types(self, spark, g):
+        assert rows(run(spark, g,
+                        "RETURN reduce(s = '', x IN ['a', 'b'] | s + x) AS r, "
+                        "reduce(s = 0, x IN [1, 2, 3] | s + x) AS n, "
+                        "reduce(acc = [], x IN [1, 2] | acc + x) AS l, "
+                        "reduce(s = 0.0, x IN [1, 2] | s + x) AS f")) \
+            == [("ab", 6, [1, 2], 3.0)]
+
+    def test_quantifiers_and_functions_over_null(self, spark, g):
+        assert rows(run(spark, g,
+                        "RETURN any(x IN null WHERE x > 1) AS a, "
+                        "properties(null) AS p, keys(null) AS k, "
+                        "reduce(s = 0, x IN null | s + x) AS r")) \
+            == [(None, None, None, None)]
+
+
+class TestProjectionFormsAcceptance:
+    def test_with_star_plus_items(self, spark, g):
+        run(spark, g, "CREATE (:SP {v: 4})").collect()
+        assert rows(run(spark, g,
+                        "MATCH (s:SP) WITH *, s.v * 2 AS d "
+                        "RETURN s.v AS v, d")) == [(4, 8)]
+
+    def test_leading_optional_match_yields_null_row(self, spark, g):
+        assert rows(run(spark, g,
+                        "OPTIONAL MATCH (n:Nope) RETURN n AS x")) == [(None,)]
+
+
+class TestTemporalSemanticsAcceptance:
+    def test_day_of_week_is_iso(self, spark, g):
+        # TemporalValue: Monday=1..Sunday=7 (ISO-8601)
+        assert rows(run(spark, g,
+                        "RETURN date('2024-03-15').dayOfWeek AS fri, "
+                        "date('2024-03-17').dayOfWeek AS sun")) == [(5, 7)]
+
+    def test_duration_between_times(self, spark, g):
+        assert rows(run(spark, g,
+                        "RETURN duration.between(localtime('10:00:00'), "
+                        "localtime('12:30:00')).minutes AS m")) == [(150,)]
+
+    def test_duration_aggregates(self, spark, g):
+        # sum/avg over durations aggregate component-wise; avg carries
+        # fractional months into days (DurationValue.approximate)
+        assert rows(run(spark, g,
+                        "UNWIND [duration('PT1H'), duration('PT3H')] AS d "
+                        "RETURN avg(d).hours AS h")) == [(2,)]
+        assert rows(run(spark, g,
+                        "UNWIND [duration('P1M'), duration('P2M')] AS d "
+                        "RETURN sum(d).months AS s, avg(d).months AS am, "
+                        "avg(d).days AS ad")) == [(3, 1, 15)]
