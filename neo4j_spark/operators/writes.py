@@ -185,11 +185,26 @@ def _set_item(tr, df: DataFrame, it: A.SetItem) -> DataFrame:
         return _mutate_labels(tr, df, it.target, add=True)
     if it.op in ("merge_map", "replace_map"):
         var = it.target.name
-        if not isinstance(it.value, A.MapLit):
-            raise ValueError("SET var = / += expects a map literal")
+        src = it.value
+        if isinstance(src, A.MapLit):
+            items = list(src.items)
+        elif isinstance(src, A.Var) and tr.kinds.get(src.name) in ("node", "rel"):
+            # SET t = s / t += s: copy the bound entity's properties
+            # (SetPropertiesFromMap over NodeValue/RelationshipValue)
+            st = df.schema[src.name].dataType
+            items = [(f.name, A.Prop(A.Var(src.name), f.name))
+                     for f in st.fields if not f.name.startswith("_")]
+        elif isinstance(src, A.Param) and isinstance(
+                tr.params.get(src.name), dict):
+            # SET n += $props with a map parameter
+            items = [(k, A.Lit(v)) for k, v in tr.params[src.name].items()]
+        else:
+            raise ValueError(
+                "SET var = / += expects a map literal, a bound entity, "
+                "or a map parameter")
         if it.op == "replace_map":
             df = _clear_props(tr, df, var)
-        for k, v in it.value.items:
+        for k, v in items:
             df = _set_item(tr, df, A.SetItem(A.Prop(A.Var(var), k), v, "set"))
         return df
     # plain `n.key = expr`
@@ -380,10 +395,16 @@ def _merge_rel(tr, df: DataFrame, clause: A.Merge) -> DataFrame:
     missing = joined.filter(F.col(rvar).isNull()).drop(rvar)
     tr.kinds[rvar] = "rel"
     missing = missing.dropDuplicates()  # one rel per distinct binding
+    create_rp = rp
+    if rp.direction == "both":
+        # undirected MERGE matches either orientation but creates
+        # left-to-right (MergePipe / MergeRelationshipSetting semantics)
+        import dataclasses
+        create_rp = dataclasses.replace(rp, direction="out")
     created = apply_create(
         tr, missing,
         A.Create([A.PatternPart([
-            A.NodePat(a_pat.var, [], False, None, None), rp,
+            A.NodePat(a_pat.var, [], False, None, None), create_rp,
             A.NodePat(b_pat.var, [], False, None, None)])]))
     if clause.on_match:
         matched = apply_set(tr, matched, clause.on_match)

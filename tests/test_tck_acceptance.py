@@ -415,3 +415,43 @@ class TestTemporalSemanticsAcceptance:
                         "UNWIND [duration('P1M'), duration('P2M')] AS d "
                         "RETURN sum(d).months AS s, avg(d).months AS am, "
                         "avg(d).days AS ad")) == [(3, 1, 15)]
+
+
+class TestSetFromEntityAcceptance:
+    def test_set_replace_from_entity(self, spark, g):
+        run(spark, g, "CREATE (:SC {a: 1, b: 2}), (:TC {c: 9})").collect()
+        run(spark, g, "MATCH (s:SC), (t:TC) SET t = s").collect()
+        assert rows(run(spark, g,
+                        "MATCH (t:TC) RETURN t.a AS a, t.b AS b, t.c AS c")) \
+            == [(1, 2, None)]
+
+    def test_set_merge_from_entity_keeps_existing(self, spark, g):
+        run(spark, g, "CREATE (:SD {a: 1}), (:TD {c: 9})").collect()
+        run(spark, g, "MATCH (s:SD), (t:TD) SET t += s").collect()
+        assert rows(run(spark, g,
+                        "MATCH (t:TD) RETURN t.a AS a, t.c AS c")) == [(1, 9)]
+
+    def test_set_merge_from_param_map(self, spark, g):
+        run(spark, g, "CREATE (:PE {v: 1})").collect()
+        run(spark, g, "MATCH (p:PE) SET p += $m",
+            m={"x": 7, "y": "z"}).collect()
+        assert rows(run(spark, g,
+                        "MATCH (p:PE) RETURN p.v AS v, p.x AS x, p.y AS y")) \
+            == [(1, 7, "z")]
+
+
+class TestMergeUndirectedAcceptance:
+    def test_merge_undirected_matches_existing(self, spark, g):
+        run(spark, g, "CREATE (:ME {v: 1})-[:R]->(:ME {v: 2})").collect()
+        run(spark, g, "MATCH (a:ME {v: 1}), (b:ME {v: 2}) "
+            "MERGE (a)-[:R]-(b)").collect()
+        assert rows(run(spark, g,
+                        "MATCH ()-[r:R]->() RETURN count(*) AS n")) == [(1,)]
+
+    def test_merge_undirected_creates_left_to_right(self, spark, g):
+        run(spark, g, "CREATE (:MF {v: 1}), (:MF {v: 2})").collect()
+        run(spark, g, "MATCH (a:MF {v: 1}), (b:MF {v: 2}) "
+            "MERGE (a)-[:R]-(b)").collect()
+        assert rows(run(spark, g,
+                        "MATCH (a)-[:R]->(b) "
+                        "RETURN a.v AS av, b.v AS bv")) == [(1, 2)]
