@@ -101,6 +101,13 @@ def tokenize(text: str) -> List[Token]:
                 toks.append(Token("INT", str(int(text[i:j], 16)), i))
                 i = j
                 continue
+            if text.startswith("0o", i) or text.startswith("0O", i):
+                j = i + 2
+                while j < n and text[j] in "01234567":
+                    j += 1
+                toks.append(Token("INT", str(int(text[i + 2:j], 8)), i))
+                i = j
+                continue
             while j < n and text[j].isdigit():
                 j += 1
             # ".." range operator must not be eaten as a float

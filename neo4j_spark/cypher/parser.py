@@ -347,6 +347,12 @@ class Parser:
         where = None
         if self.at_kw("YIELD"):
             self.take()
+            if self.at_op("*"):  # YIELD * — all declared output columns
+                self.take()
+                if self.at_kw("WHERE"):
+                    self.take()
+                    where = self.parse_expr()
+                return A.CallProc(name, args, [("*", None)], where)
             while True:
                 col = self.expect_ident()
                 alias = None

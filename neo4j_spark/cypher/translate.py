@@ -1677,7 +1677,10 @@ class Translator:
                 raise TranslateError(
                     "procedure arguments must be literals or parameters")
         result = run_procedure(self.spark, self.graph, c.name, arg_vals)
-        if c.yields:
+        if c.yields == [("*", None)]:  # YIELD *
+            for col_name in result.columns:
+                self.kinds[col_name] = "scalar"
+        elif c.yields:
             cols = []
             for col_name, alias in c.yields:
                 cols.append(F.col(col_name).alias(alias or col_name))

@@ -455,3 +455,26 @@ class TestMergeUndirectedAcceptance:
         assert rows(run(spark, g,
                         "MATCH (a)-[:R]->(b) "
                         "RETURN a.v AS av, b.v AS bv")) == [(1, 2)]
+
+
+class TestParserSurfaceAcceptance:
+    def test_comments_and_literals(self, spark, g):
+        assert rows(run(spark, g,
+                        "RETURN /* block */ 0x10 AS h, 0o10 AS o, "
+                        "1.5e-2 AS s // line comment")) == [(16, 8, 0.015)]
+
+    def test_backticks_and_keyword_props(self, spark, g):
+        run(spark, g,
+            "CREATE (:`Weird Label` {`odd prop`: 5, count: 3})").collect()
+        assert rows(run(spark, g,
+                        "MATCH (n:`Weird Label`) "
+                        "RETURN n.`odd prop` AS v, n.count AS c")) == [(5, 3)]
+
+    def test_yield_star_and_where(self, spark, g):
+        assert rows(run(spark, g,
+                        "CALL dbms.components() YIELD * "
+                        "RETURN count(*) AS n")) == [(1,)]
+        assert rows(run(spark, g,
+                        "CALL db.labels() YIELD label "
+                        "WHERE label STARTS WITH 'Zz' "
+                        "RETURN count(*) AS n")) == [(0,)]
