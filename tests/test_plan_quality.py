@@ -98,3 +98,27 @@ def test_count_store_shape_single_agg(spark, tpch_graph):
     df = cypher(spark, "MATCH (c:Customer) RETURN count(*) AS n", tpch_graph)
     plan = optimized_of(df)
     assert "Join" not in plan
+
+
+def test_shape_only_path_skips_node_resolution(spark, tpch_graph):
+    """length(p)/size(nodes(p)) never trigger the explode+join node
+    resolution (_path_rich_use) — a path whose contents nobody reads must
+    not shuffle node frames (pruningVarExpander usage test, SURVEY §4.1)."""
+    df = cypher(spark,
+                "MATCH p = (n:Nation)-[:IN_REGION]->(r:Region) "
+                "RETURN size(nodes(p)) AS nn, length(p) AS l, count(*) AS c",
+                tpch_graph)
+    plan = plan_of(df)
+    assert "Generate posexplode" not in plan
+
+
+def test_rich_path_use_resolves_nodes_once(spark, tpch_graph):
+    """[x IN nodes(p) | x.prop] resolves node structs with exactly one
+    posexplode+join pass."""
+    df = cypher(spark,
+                "MATCH p = (n:Nation)-[:IN_REGION]->(r:Region) "
+                "RETURN [x IN nodes(p) | x.name] AS names LIMIT 3",
+                tpch_graph)
+    plan = plan_of(df)
+    assert plan.count("Generate posexplode") == 1
+    assert [tuple(r) for r in df.collect()][0][0] is not None
