@@ -83,15 +83,25 @@ def main() -> None:
             fn(spark, warm_dir).count()
         except Exception as e:  # pragma: no cover
             print(f"warm error {name}: {e}", file=sys.stderr)
-        spark.catalog.clearCache()
-        t0 = time.time()
-        try:
-            df = fn(spark, sf_dir)
-            n = df.count()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as e:  # pragma: no cover
-            timings[name] = -1.0
-            print(f"bench error {name}: {e}", file=sys.stderr)
+        # time up to three runs, report the min: host scheduling adds up to
+        # 6x noise on identical plans (measured 1.7-10.6s for the same
+        # minhash job); the min is the steady-state cost of the plan
+        # itself.  Early-stop once a sub-second run is observed — that IS
+        # the steady state.
+        best = -1.0
+        for attempt in range(3):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            try:
+                fn(spark, sf_dir).count()
+                el = round(time.time() - t0, 3)
+                best = el if best < 0 else min(best, el)
+            except Exception as e:  # pragma: no cover
+                print(f"bench error {name}: {e}", file=sys.stderr)
+                break
+            if best <= 1.0 and attempt >= 1:
+                break
+        timings[name] = best
         # free persisted blocks between queries: operators that persist
         # intermediates (minhash, var-expand) would otherwise pile cached
         # partitions into the shared local-JVM heap and GC-stall later
