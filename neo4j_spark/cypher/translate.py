@@ -49,6 +49,33 @@ def _rel_core(col: Column) -> Column:
     )
 
 
+def _walk_expr_list(walk, df, v):
+    """Apply a (df, expr) -> (df, expr) walker to every Expr inside a list,
+    including tuple elements (Case.whens pairs, MapLit items), threading
+    the DataFrame through."""
+    nl = []
+    changed = False
+    for x in v:
+        if isinstance(x, A.Expr):
+            df, nx = walk(df, x)
+        elif isinstance(x, tuple) and any(isinstance(y, A.Expr) for y in x):
+            parts = []
+            tchanged = False
+            for y in x:
+                if isinstance(y, A.Expr):
+                    df, ny = walk(df, y)
+                    tchanged = tchanged or (ny is not y)
+                    parts.append(ny)
+                else:
+                    parts.append(y)
+            nx = tuple(parts) if tchanged else x
+        else:
+            nx = x
+        changed = changed or (nx is not x)
+        nl.append(nx)
+    return df, nl, changed
+
+
 class Translator:
     def __init__(self, spark: SparkSession, graph: PropertyGraph,
                  params: Dict[str, Any]) -> None:
@@ -1010,13 +1037,8 @@ class Translator:
                     df, nv = walk(df, v)
                     if nv is not v:
                         changes[f.name] = nv
-                elif isinstance(v, list) and v and isinstance(v[0], A.Expr):
-                    nl = []
-                    changed = False
-                    for x in v:
-                        df, nx = walk(df, x)
-                        changed = changed or (nx is not x)
-                        nl.append(nx)
+                elif isinstance(v, list) and v:
+                    df, nl, changed = _walk_expr_list(walk, df, v)
                     if changed:
                         changes[f.name] = nl
             if changes:
@@ -1253,13 +1275,8 @@ class Translator:
                     df, nv = walk(df, v)
                     if nv is not v:
                         changes[f.name] = nv
-                elif isinstance(v, list) and v and isinstance(v[0], A.Expr):
-                    nl = []
-                    changed = False
-                    for x in v:
-                        df, nx = walk(df, x)
-                        changed = changed or (nx is not x)
-                        nl.append(nx)
+                elif isinstance(v, list) and v:
+                    df, nl, changed = _walk_expr_list(walk, df, v)
                     if changed:
                         changes[f.name] = nl
             if changes:
@@ -1443,6 +1460,18 @@ class Translator:
             lowered.append(A.ReturnItem(e, it.alias, it.text))
         items = lowered
 
+        # aggregates in ORDER BY (RETURN r.name ORDER BY count(n)): compute
+        # them as hidden aggregate columns and sort on those
+        order_items = list(p.order)
+        ord_hidden: List[str] = []
+        for i, o in enumerate(order_items):
+            if contains_aggregate(o.expr):
+                df, e2 = self._lower_all(df, o.expr)
+                h = f"__ordagg_{i}"
+                items.append(A.ReturnItem(e2, h, h))
+                order_items[i] = A.OrderItem(A.Var(h), o.ascending)
+                ord_hidden.append(h)
+
         has_agg = any(contains_aggregate(it.expr) for it in items)
         old_kinds = dict(self.kinds)
         new_kinds: Dict[str, str] = {}
@@ -1461,19 +1490,19 @@ class Translator:
         if p.where is not None:
             out, expr = self._lower_predicates(out, p.where)
             out = out.filter(self._compiler(out).compile(expr))
-        if p.order:
+        if order_items:
             # ORDER BY may reference pre-projection variables (Cypher keeps
             # the previous scope in scope for sorting); such items become
             # hidden sort columns computed against the input frame
             resolved: List[Optional[Column]] = []
             failing: List[int] = []
-            for i, o in enumerate(p.order):
+            for i, o in enumerate(order_items):
                 try:
                     resolved.append(self._compiler(out).compile(o.expr))
                 except Exception:
                     resolved.append(None)
                     failing.append(i)
-            hidden: List[str] = []
+            hidden: List[str] = list(ord_hidden)
             if failing:
                 if has_agg or p.distinct:
                     raise TranslateError(
@@ -1482,14 +1511,14 @@ class Translator:
                 extra = []
                 for i in failing:
                     h = f"__ord_{i}"
-                    extra.append(pre_cc.compile(p.order[i].expr).alias(h))
+                    extra.append(pre_cc.compile(order_items[i].expr).alias(h))
                     hidden.append(h)
                 out = df.select(*cols, *extra)
                 for i in failing:
                     resolved[i] = F.col(f"__ord_{i}")
             order_cols = [
                 col.asc_nulls_last() if o.ascending else col.desc_nulls_first()
-                for col, o in zip(resolved, p.order)]
+                for col, o in zip(resolved, order_items)]
             if p.distinct:
                 out = out.dropDuplicates()
             out = out.orderBy(*order_cols)

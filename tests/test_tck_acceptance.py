@@ -478,3 +478,27 @@ class TestParserSurfaceAcceptance:
                         "CALL db.labels() YIELD label "
                         "WHERE label STARTS WITH 'Zz' "
                         "RETURN count(*) AS n")) == [(0,)]
+
+
+class TestSubqueryPositionsAcceptance:
+    def test_exists_inside_case(self, spark, g):
+        run(spark, g, "CREATE (:CE {v: 1})-[:R]->(:CE {v: 2}), "
+            "(:CE {v: 3})").collect()
+        assert rset(run(spark, g,
+                        "MATCH (n:CE) RETURN n.v AS v, "
+                        "CASE WHEN EXISTS { (n)-[:R]->() } THEN 'y' "
+                        "ELSE 'n' END AS f")) == {(1, "y"), (2, "n"), (3, "n")}
+
+    def test_exists_inside_map_literal(self, spark, g):
+        run(spark, g, "CREATE (:CM {v: 1})-[:R]->(:CM {v: 2})").collect()
+        assert rset(run(spark, g,
+                        "MATCH (n:CM) RETURN "
+                        "{v: n.v, has: EXISTS { (n)-[:R]->() }}.has AS h")) \
+            == {(True,), (False,)}
+
+    def test_aggregate_in_order_by(self, spark, g):
+        run(spark, g,
+            "CREATE (:GA {g: 'a'}), (:GA {g: 'a'}), (:GA {g: 'b'})").collect()
+        assert rows(run(spark, g,
+                        "MATCH (n:GA) RETURN n.g AS g "
+                        "ORDER BY count(n) DESC, g")) == [("a",), ("b",)]
