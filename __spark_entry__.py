@@ -335,6 +335,13 @@ CYPHER_QUERIES = {
     "qpp_group_rels":
         "MATCH ((a:Nation)-[r:IN_REGION]->(b:Region)){1,1} "
         "RETURN size(r) AS nr, count(*) AS n",
+    "qpp_star":
+        "MATCH (n:Nation) (()-[:IN_REGION]->())* (x) RETURN count(*) AS n",
+    "qpp_question":
+        "MATCH (r:Region) (()<-[:IN_REGION]-())? (x) RETURN count(*) AS n",
+    "qpp_node_where":
+        "MATCH ((a:Nation WHERE a.nationkey < 5)-[:IN_REGION]->(b)){1,1} "
+        "RETURN count(*) AS n",
     # --- expressions / functions (§2.8, widened) ---
     "quantifiers":
         "RETURN all(x IN [2, 4, 6] WHERE x % 2 = 0) AS a, "
@@ -1310,6 +1317,13 @@ def oracle_sql() -> dict[str, str]:
         "qpp_group_rels":
             "SELECT CAST(1 AS BIGINT) AS nr, count(*) AS n FROM nation "
             "GROUP BY 1",
+        "qpp_star":
+            "SELECT CAST(2 * (SELECT count(*) FROM nation) AS BIGINT) AS n",
+        "qpp_question":
+            "SELECT CAST((SELECT count(*) FROM region) + "
+            "(SELECT count(*) FROM nation) AS BIGINT) AS n",
+        "qpp_node_where":
+            "SELECT count(*) AS n FROM nation WHERE n_nationkey < 5",
         "quantifiers":
             "SELECT true AS a, true AS b, true AS c, true AS d",
         "reduce_expr": "SELECT CAST(55 AS BIGINT) AS s",

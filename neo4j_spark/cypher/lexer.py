@@ -27,7 +27,7 @@ class Token:
 
 OPS3 = ("<=>",)
 OPS2 = ("<>", "<=", ">=", "=~", "..", "+=", "->", "<-", "||")
-OPS1 = "()[]{},.:|^+-*/%=<>!$&"
+OPS1 = "()[]{},.:|^+-*/%=<>!$&?"
 
 
 class LexError(ValueError):

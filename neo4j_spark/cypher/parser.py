@@ -558,6 +558,9 @@ class Parser:
         elif self.at_op("+"):
             self.take()
             min_r, max_r = 1, None
+        elif self.at_op("?"):
+            self.take()
+            min_r, max_r = 0, 1
         return A.QPP(inner.elements, min_r, max_r, where)
 
     def parse_node_pat(self) -> A.NodePat:

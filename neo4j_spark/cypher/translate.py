@@ -749,8 +749,23 @@ class Translator:
             for k, v in np.props.items:
                 sub = sub.filter(F.col(var).getField(k) == cc.compile(v))
         if np.where is not None:
-            raise TranslateError(
-                "WHERE inside a quantified path pattern node is unsupported")
+            # inline node WHERE: bind this copy's struct under the user's
+            # variable name, filter, unbind (per-repetition semantics)
+            uname = np.var
+            tmp_added = False
+            old_kind = None
+            if uname and uname != var and uname not in sub.columns:
+                sub = sub.withColumn(uname, F.col(var))
+                tmp_added = True
+                old_kind = self.kinds.get(uname)
+                self.kinds[uname] = "node"
+            sub = sub.filter(self._compiler(sub).compile(np.where))
+            if tmp_added:
+                sub = sub.drop(uname)
+                if old_kind is None:
+                    self.kinds.pop(uname, None)
+                else:
+                    self.kinds[uname] = old_kind
         return sub
 
     def _qpp_expand(self, df: DataFrame, prev: str, qpp: A.QPP,
@@ -812,7 +827,8 @@ class Translator:
                         nscan, F.col("__to") == F.col(nv).getField("_id")
                     ).drop("__from", "__to")
                     sub = self._filter_node_bound(
-                        sub, A.NodePat(None, [], False, np.props, np.where), nv)
+                        sub, A.NodePat(np.var, [], False, np.props, np.where),
+                        nv)
                     if rp.var:
                         copies_r[rp.var].append(F.col(rv))
                     if np.var:
@@ -876,7 +892,16 @@ class Translator:
                 zero = zero.filter(F.col(prev).getField("_id")
                                    == F.col(end_name).getField("_id"))
             else:
-                zero = zero.withColumn(end_name, F.col(prev))
+                # zero repetitions: end = start.  Rebuild the struct on the
+                # k>=1 branches' end schema (field-by-field, null-padding
+                # fields the start scan lacks) so the union lines up
+                ref_end = branches[0].schema[end_name].dataType
+                prev_fields = set(
+                    df.schema[prev].dataType.fieldNames())
+                zero = zero.withColumn(end_name, F.struct(*[
+                    (F.col(prev).getField(f.name) if f.name in prev_fields
+                     else F.lit(None).cast(f.dataType)).alias(f.name)
+                    for f in ref_end.fields]))
                 zero = self._filter_node_bound(zero, next_np, end_name)
             ref = branches[0].schema
             for v in node_group + rel_group:

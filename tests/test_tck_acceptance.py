@@ -502,3 +502,27 @@ class TestSubqueryPositionsAcceptance:
         assert rows(run(spark, g,
                         "MATCH (n:GA) RETURN n.g AS g "
                         "ORDER BY count(n) DESC, g")) == [("a",), ("b",)]
+
+
+class TestQppQuantifierAcceptance:
+    def test_star_includes_zero_repetitions(self, spark, g):
+        run(spark, g, "CREATE (:QA {v: 1})-[:R]->(:QA {v: 2})").collect()
+        assert rows(run(spark, g,
+                        "MATCH (a:QA {v: 1}) (()-[:R]->())* (x) "
+                        "RETURN x.v AS v ORDER BY v")) == [(1,), (2,)]
+
+    def test_question_is_zero_or_one(self, spark, g):
+        run(spark, g,
+            "CREATE (:QB {v: 1})-[:R]->(:QB {v: 2})-[:R]->(:QB {v: 3})"
+            ).collect()
+        assert rows(run(spark, g,
+                        "MATCH (a:QB {v: 1}) (()-[:R]->())? (x) "
+                        "RETURN x.v AS v ORDER BY v")) == [(1,), (2,)]
+
+    def test_inline_where_in_qpp_nodes(self, spark, g):
+        run(spark, g, "UNWIND range(1, 4) AS i "
+            "CREATE (:QC {v: i})-[:R]->(:QD {v: i * 10})").collect()
+        assert rows(run(spark, g,
+                        "MATCH ((a:QC WHERE a.v < 3)-[:R]->"
+                        "(b WHERE b.v > 10)){1,1} "
+                        "RETURN count(*) AS n")) == [(1,)]
