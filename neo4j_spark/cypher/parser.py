@@ -574,6 +574,10 @@ class Parser:
         req_any = req_no = False
         if self.at_op(":"):
             self.take()
+            wrapped = False  # :(A|B) — parenthesized label expression
+            if self.at_op("("):
+                self.take()
+                wrapped = True
             while True:
                 neg = False
                 while self.at_op("!"):
@@ -595,6 +599,8 @@ class Parser:
                         any_labels = True
                     continue
                 break
+            if wrapped:
+                self.expect_op(")")
             if any_labels and (neg_labels or req_any or req_no):
                 raise ParseError(
                     "mixed |/! label expressions are not supported")
@@ -629,18 +635,30 @@ class Parser:
                 var = self.expect_ident()
             if self.at_op(":"):
                 self.take()
+                rwrapped = False  # [:(A|B)] parenthesized type expression
+                if self.at_op("("):
+                    self.take()
+                    rwrapped = True
                 while True:
                     neg = False
                     while self.at_op("!"):
                         self.take()
                         neg = not neg
-                    (neg_types if neg else types).append(self.expect_ident())
+                    if self.at_op("%"):  # any-type wildcard: no filter
+                        self.take()
+                        if neg:
+                            raise ParseError(":!% matches no relationship")
+                    else:
+                        (neg_types if neg else types).append(
+                            self.expect_ident())
                     if self.at_op("|", "&"):
                         self.take()
                         if self.at_op(":"):
                             self.take()
                         continue
                     break
+                if rwrapped:
+                    self.expect_op(")")
                 if types and neg_types:
                     raise ParseError(
                         "mixed positive/negated relationship types")
