@@ -342,6 +342,11 @@ CYPHER_QUERIES = {
     "qpp_node_where":
         "MATCH ((a:Nation WHERE a.nationkey < 5)-[:IN_REGION]->(b)){1,1} "
         "RETURN count(*) AS n",
+    "exists_union_subquery":
+        "MATCH (r:Region) WHERE EXISTS { "
+        "MATCH (n:Nation)-[:IN_REGION]->(r) RETURN n "
+        "UNION MATCH (x:Region {name: 'NOPE'}) RETURN x AS n } "
+        "RETURN count(*) AS n",
     # --- expressions / functions (§2.8, widened) ---
     "quantifiers":
         "RETURN all(x IN [2, 4, 6] WHERE x % 2 = 0) AS a, "
@@ -1324,6 +1329,9 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT count(*) FROM nation) AS BIGINT) AS n",
         "qpp_node_where":
             "SELECT count(*) AS n FROM nation WHERE n_nationkey < 5",
+        "exists_union_subquery":
+            "SELECT count(*) AS n FROM region WHERE EXISTS "
+            "(SELECT 1 FROM nation WHERE n_regionkey = r_regionkey)",
         "quantifiers":
             "SELECT true AS a, true AS b, true AS c, true AS d",
         "reduce_expr": "SELECT CAST(55 AS BIGINT) AS s",

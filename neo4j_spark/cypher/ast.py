@@ -173,10 +173,11 @@ class PatternPred(Expr):
 
 @dataclass
 class ExistsSub(Expr):
-    """EXISTS { MATCH ... [WHERE ...] }"""
+    """EXISTS { MATCH ... [WHERE ...] } or EXISTS { <full query> }"""
 
     pattern: List["PatternPart"]
     where: Optional[Expr]
+    query: Optional[object] = None  # SingleQuery/UnionQuery body
 
 
 @dataclass
@@ -187,10 +188,11 @@ class CollectSub(Expr):
 
 @dataclass
 class CountSub(Expr):
-    """COUNT { MATCH ... [WHERE ...] }"""
+    """COUNT { MATCH ... [WHERE ...] } or COUNT { <full query> }"""
 
     pattern: List["PatternPart"]
     where: Optional[Expr]
+    query: Optional[object] = None  # SingleQuery/UnionQuery body
 
 
 @dataclass

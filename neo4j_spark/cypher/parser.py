@@ -986,19 +986,47 @@ class Parser:
             if kw in ("EXISTS", "COUNT") and self.at_op("{", ahead=1):
                 self.take()
                 self.expect_op("{")
-                if self.at_kw("MATCH"):
-                    self.take()
-                pattern = self.parse_pattern()
-                where = None
-                if self.at_kw("WHERE"):
-                    self.take()
-                    where = self.parse_expr()
-                if self.at_kw("RETURN"):  # tolerated, ignored result
-                    self.take()
-                    self.parse_return_items()
+                save = self.i
+                try:  # fast path: single pattern [WHERE] [RETURN items]
+                    if self.at_kw("MATCH"):
+                        self.take()
+                    pattern = self.parse_pattern()
+                    where = None
+                    if self.at_kw("WHERE"):
+                        self.take()
+                        where = self.parse_expr()
+                    if self.at_kw("RETURN"):  # tolerated, ignored result
+                        self.take()
+                        self.parse_return_items()
+                    self.expect_op("}")
+                    return (A.ExistsSub(pattern, where) if kw == "EXISTS"
+                            else A.CountSub(pattern, where))
+                except ParseError:
+                    self.i = save
+                # full-query body (multiple clauses, UNION, WITH, ...)
+                first = self.parse_single_query()
+                if self.at_kw("UNION"):
+                    queries = [first]
+                    is_all: Optional[bool] = None
+                    while self.at_kw("UNION"):
+                        self.take()
+                        this_all = False
+                        if self.at_kw("ALL"):
+                            self.take()
+                            this_all = True
+                        elif self.at_kw("DISTINCT"):
+                            self.take()
+                        if is_all is None:
+                            is_all = this_all
+                        elif is_all != this_all:
+                            raise ParseError("cannot mix UNION and UNION ALL")
+                        queries.append(self.parse_single_query())
+                    body = A.UnionQuery(queries, all=bool(is_all))
+                else:
+                    body = first
                 self.expect_op("}")
-                return (A.ExistsSub(pattern, where) if kw == "EXISTS"
-                        else A.CountSub(pattern, where))
+                return (A.ExistsSub([], None, body) if kw == "EXISTS"
+                        else A.CountSub([], None, body))
             if kw in ("ALL", "ANY", "NONE", "SINGLE") and self.at_op("(", ahead=1):
                 self.take()
                 self.expect_op("(")

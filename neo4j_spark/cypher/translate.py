@@ -49,6 +49,36 @@ def _rel_core(col: Column) -> Column:
     )
 
 
+def _collect_var_names(node) -> set:
+    """All variable names referenced or bound anywhere in an AST subtree —
+    the implicit-correlation candidates of a subquery expression."""
+    import dataclasses
+
+    names: set = set()
+
+    def walk(n) -> None:
+        if isinstance(n, A.Var):
+            names.add(n.name)
+        if dataclasses.is_dataclass(n):
+            for f in dataclasses.fields(n):
+                v = getattr(n, f.name)
+                if f.name in ("var", "path_var") and isinstance(v, str):
+                    names.add(v)
+                if dataclasses.is_dataclass(v):
+                    walk(v)
+                elif isinstance(v, (list, tuple)):
+                    for x in v:
+                        if dataclasses.is_dataclass(x):
+                            walk(x)
+
+    if isinstance(node, A.UnionQuery):
+        for q in node.queries:
+            walk(q)
+    else:
+        walk(node)
+    return names
+
+
 def _walk_expr_list(walk, df, v):
     """Apply a (df, expr) -> (df, expr) walker to every Expr inside a list,
     including tuple elements (Case.whens pairs, MapLit items), threading
@@ -1102,6 +1132,8 @@ class Translator:
 
         def lower_exists(cur_df: DataFrame, e: A.ExistsSub
                          ) -> Tuple[DataFrame, A.Expr]:
+            if e.query is not None:  # EXISTS { <full query> }
+                return self._lower_query_sub(cur_df, e.query, "exists")
             matched, shared = build_matched(cur_df, e.pattern, e.where)
             flag = self._anon_var("exists")
             if not shared:
@@ -1117,6 +1149,8 @@ class Translator:
 
         def lower_count(cur_df: DataFrame, e: A.CountSub
                         ) -> Tuple[DataFrame, A.Expr]:
+            if e.query is not None:  # COUNT { <full query> }
+                return self._lower_query_sub(cur_df, e.query, "count")
             matched, shared = build_matched(cur_df, e.pattern, e.where)
             cnt = self._anon_var("count")
             if not shared:
@@ -1131,6 +1165,100 @@ class Translator:
             return out, A.Var(cnt)
 
         return walk(df, expr)
+
+    def _lower_query_sub(self, df: DataFrame, body,
+                         mode: str) -> Tuple[DataFrame, A.Expr]:
+        """EXISTS/COUNT whose body is a full query (possibly a UNION):
+        run each branch correlated on the shared outer variables (threaded
+        through every projection as hidden columns, like COLLECT {}), union
+        the branches, then per-outer-row flag/count via groupBy + left
+        join (SemiApply / decorrelated count, LP:3659)."""
+        import dataclasses
+
+        names = _collect_var_names(body)
+        shared = [c for c in df.columns if c in names]
+        queries = body.queries if isinstance(body, A.UnionQuery) else [body]
+        distinct_union = isinstance(body, A.UnionQuery) and not body.all
+        col = self._anon_var("qs")
+        if not shared:
+            total = 0
+            frames = []
+            for q in queries:
+                sub = Translator(self.spark, self.graph, self.params)
+                frames.append(sub._single(q))
+            if mode == "exists":
+                has = any(f.limit(1).count() > 0 for f in frames)
+                return df, A.Lit(bool(has))
+            allf = frames[0]
+            for f in frames[1:]:
+                allf = allf.unionByName(f)
+            if distinct_union:
+                allf = allf.dropDuplicates()
+            return df, A.Lit(int(allf.count()))
+
+        hid = {v: f"__corr_{v}" for v in shared}
+        base = df.select(*shared).dropDuplicates()
+        for v in shared:
+            base = base.withColumn(hid[v], F.col(v))
+        frames = []
+        for q in queries:
+            sub = Translator(self.spark, self.graph, self.params)
+            sub.kinds.update(
+                {v: self.kinds[v] for v in shared if v in self.kinds})
+            for v in shared:
+                sub.kinds[hid[v]] = self.kinds.get(v, "scalar")
+            threaded = []
+            for c in q.clauses:
+                if isinstance(c, A.Projection):
+                    extra = [A.ReturnItem(A.Var(h), h, h)
+                             for h in hid.values()]
+                    c = dataclasses.replace(c, items=list(c.items) + extra)
+                threaded.append(c)
+            frames.append(sub._single_over(base, A.SingleQuery(threaded)))
+
+        # normalize branch outputs before the union: existence/count only
+        # needs the correlation keys — except UNION DISTINCT counting, which
+        # also needs row identity (entities by id, scalars stringified, so
+        # differently-labeled node structs union cleanly)
+        def norm_branch(f: DataFrame) -> DataFrame:
+            cols = [F.col(h) for h in hid.values()]
+            if distinct_union and mode == "count":
+                for cname in f.columns:
+                    if cname in hid.values():
+                        continue
+                    t = f.schema[cname].dataType
+                    if isinstance(t, T.StructType) \
+                            and "_id" in t.fieldNames():
+                        cols.append(F.col(cname).getField("_id")
+                                    .cast("string").alias(cname))
+                    else:
+                        cols.append(F.col(cname).cast("string").alias(cname))
+            return f.select(*cols)
+
+        frames = [norm_branch(f) for f in frames]
+        matched = frames[0]
+        for f in frames[1:]:
+            matched = matched.unionByName(f)
+        if distinct_union and mode == "count":
+            matched = matched.dropDuplicates()
+        grouped = matched.groupBy(*[F.col(h) for h in hid.values()]).agg(
+            F.count(F.lit(1)).alias(col))
+        cond = None
+        for v in shared:
+            l, r = F.col(v), grouped[hid[v]]
+            if self.kinds.get(v) in ("node", "rel"):
+                c = l.getField("_id").eqNullSafe(r.getField("_id"))
+            else:
+                c = l.eqNullSafe(r)
+            cond = c if cond is None else cond & c
+        out = df.join(grouped, cond, "left").drop(*hid.values())
+        if mode == "exists":
+            out = out.withColumn(col, F.col(col).isNotNull())
+        else:
+            out = out.withColumn(
+                col, F.coalesce(F.col(col), F.lit(0)).cast("long"))
+        self.kinds[col] = "scalar"
+        return out, A.Var(col)
 
     def _lower_collect_sub(self, df: DataFrame, e: A.CollectSub
                            ) -> Tuple[DataFrame, A.Expr]:

@@ -526,3 +526,28 @@ class TestQppQuantifierAcceptance:
                         "MATCH ((a:QC WHERE a.v < 3)-[:R]->"
                         "(b WHERE b.v > 10)){1,1} "
                         "RETURN count(*) AS n")) == [(1,)]
+
+
+class TestFullQuerySubqueryAcceptance:
+    def test_exists_with_union_body(self, spark, g):
+        run(spark, g, "CREATE (:EU {v: 1})-[:R]->(:EU {v: 2})").collect()
+        assert rows(run(spark, g,
+                        "MATCH (a:EU) WHERE EXISTS { "
+                        "MATCH (a)-[:R]->(x) RETURN x "
+                        "UNION MATCH (a)<-[:R]-(y) RETURN y AS x } "
+                        "RETURN count(*) AS n")) == [(2,)]
+
+    def test_count_with_union_distinct_vs_all(self, spark, g):
+        run(spark, g, "UNWIND [1, 2] AS i CREATE (:CU {v: i})").collect()
+        assert rows(run(spark, g,
+                        "RETURN COUNT { MATCH (c:CU) RETURN c.v AS v "
+                        "UNION MATCH (c:CU) RETURN c.v AS v } AS d, "
+                        "COUNT { MATCH (c:CU) RETURN c.v AS v "
+                        "UNION ALL MATCH (c:CU) RETURN c.v AS v } AS a")) \
+            == [(2, 4)]
+
+    def test_exists_with_inner_with_pipeline(self, spark, g):
+        run(spark, g, "UNWIND [5, 15] AS i CREATE (:EW {v: i})").collect()
+        assert rows(run(spark, g,
+                        "RETURN EXISTS { MATCH (e:EW) WITH e "
+                        "WHERE e.v > 10 RETURN e } AS has")) == [(True,)]
