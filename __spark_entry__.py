@@ -941,10 +941,22 @@ def _q_write_match_foreach(spark, sf_dir):
         "MATCH (t:Cnt) RETURN count(*) AS n, sum(t.v) AS s")
 
 
+def _q_write_set_from_entity(spark, sf_dir):
+    """SetPropertiesFromMap from a bound entity: SET t = s replaces t's
+    properties with s's (SetOperation.scala)."""
+    return _write(
+        spark, sf_dir,
+        "MATCH (r:Region {regionkey: 0}), (n:Nation {nationkey: 7}) "
+        "SET n = r",
+        "MATCH (n:Nation) WHERE n.nationkey IS NULL "
+        "RETURN count(*) AS n, count(n.name) AS withname")
+
+
 WRITE_QUERIES = {
     "write_create": _q_write_create,
     "write_merge_rel": _q_write_merge_rel,
     "write_match_foreach": _q_write_match_foreach,
+    "write_set_from_entity": _q_write_set_from_entity,
     "write_merge_on_clauses": _q_write_merge_on_clauses,
     "write_remove_label": _q_write_remove_label,
     "write_delete_rel": _q_write_delete_rel,
@@ -1489,6 +1501,8 @@ def oracle_sql() -> dict[str, str]:
         "write_merge_rel": "SELECT CAST(3 AS BIGINT) AS n",
         "write_match_foreach":
             "SELECT CAST(10 AS BIGINT) AS n, CAST(15 AS BIGINT) AS s",
+        "write_set_from_entity":
+            "SELECT CAST(1 AS BIGINT) AS n, CAST(1 AS BIGINT) AS withname",
         "write_foreach":
             "SELECT CAST(50 AS BIGINT) AS n, CAST(1275 AS BIGINT) AS s",
         "write_set_property":

@@ -177,18 +177,25 @@ def _var_expand_backward(tr, df: DataFrame, prev_var: str, scan: DataFrame,
 
 
 def _bfs_levels(roots: DataFrame, scan: DataFrame, depth: int,
-                track_path: bool) -> List[DataFrame]:
+                track_path) -> List[DataFrame]:
     """Frontier BFS from ``roots`` (column __root) over ``scan``.
 
     Returns levels[0..depth]; level k has columns (__root, __node, __depth
     [, __rels, __nodes]) holding ALL shortest (root -> node) walks of
     length exactly k — (root, node) pairs reached at an earlier level are
-    pruned with a visited anti-join, equal-depth alternatives are kept."""
+    pruned with a visited anti-join, equal-depth alternatives are kept.
+
+    ``track_path``: False = no path state; "ids" = __rels is an array of
+    rel ids (path identity only — 4x lighter frontier rows, no __nodes);
+    True/"full" = rel-core structs + node id array."""
+    full = track_path is True or track_path == "full"
     cols = [F.col("__root"), F.col("__root").alias("__node"),
             F.lit(0).alias("__depth")]
-    if track_path:
+    if full:
         cols += [F.array().cast(REL_CORE_T).alias("__rels"),
                  F.array(F.col("__root")).alias("__nodes")]
+    elif track_path == "ids":
+        cols += [F.array().cast("array<bigint>").alias("__rels")]
     # shallow searches stay fully lazy: measured A/B (sf0.1, depth<=3)
     # puts the lazy plan ~2x ahead of per-level persistence — the replayed
     # prefix is cheaper than the InMemoryRelation materialization barriers.
@@ -201,7 +208,7 @@ def _bfs_levels(roots: DataFrame, scan: DataFrame, depth: int,
         step = frontier.join(scan, F.col("__node") == F.col("__from"))
         out_cols = ["__root", F.col("__to").alias("__node"),
                     F.lit(k).alias("__depth")]
-        if track_path:
+        if full:
             core = F.struct(
                 F.col("__r").getField("_id").alias("_id"),
                 F.col("__r").getField("_src").alias("_src"),
@@ -210,6 +217,10 @@ def _bfs_levels(roots: DataFrame, scan: DataFrame, depth: int,
             out_cols += [F.array_append(F.col("__rels"), core).alias("__rels"),
                          F.array_append(F.col("__nodes"),
                                         F.col("__to")).alias("__nodes")]
+        elif track_path == "ids":
+            out_cols += [F.array_append(
+                F.col("__rels"),
+                F.col("__r").getField("_id")).alias("__rels")]
         step = step.select(*out_cols)
         # prune: drop (root, node) already reached at a shorter depth
         step = step.join(visited, ["__root", "__node"], "left_anti")
@@ -285,19 +296,23 @@ def shortest_path(tr, df: Optional[DataFrame], part: A.PatternPart,
     all_shortest = part.selector == "allShortest"
     max_len = rp.max_len if rp.max_len is not None else tr.max_var_length
     min_len = rp.min_len if rp.min_len is not None else 1
-    # length-only paths don't need their contents carried through the BFS
-    # (allShortestPaths still does: counting paths needs path identity)
-    length_only = (
-        part.path_var is not None and not all_shortest
-        and _length_only_use(getattr(tr, "query_ast", None) or part,
-                             part.path_var))
-    track_path = (part.path_var is not None and not length_only) \
-        or all_shortest
+    # length-only paths don't need their contents carried through the BFS;
+    # allShortestPaths still needs path IDENTITY (counting paths), but when
+    # only lengths are consumed, identity = the rel-id array — 4x lighter
+    # frontier rows than rel-core structs + node arrays ("ids" mode)
+    shape_only = (
+        part.path_var is None
+        or _length_only_use(getattr(tr, "query_ast", None) or part,
+                            part.path_var))
+    if all_shortest:
+        track_path = "ids" if shape_only else "full"
+    else:
+        track_path = False if shape_only else "full"
 
     df, avar = tr._bind_first_node(df, a_pat, pending)
     df, bvar = tr._bind_first_node(df, b_pat, pending)
 
-    scan = tr._rel_scan(rp, "__r")
+    scan = tr._rel_scan(rp, "__r", slim=(track_path != "full"))
 
     # endpoint-set sizes drive only the depth split, so magnitude suffices:
     # label-bound endpoints read the O(1) count store
@@ -356,10 +371,12 @@ def shortest_path(tr, df: Optional[DataFrame], part: A.PatternPart,
            F.col("__len")]
     if track_path:
         sel += [
-            F.concat(F.col("__frels"), F.reverse("__brels")).alias("__rels"),
-            F.concat(F.col("__fnodes"),
-                     F.slice(F.reverse("__bnodes"), 2, max_len + 1)
-                     ).alias("__nodes")]
+            F.concat(F.col("__frels"), F.reverse("__brels")).alias("__rels")]
+        if track_path == "full":
+            sel += [F.concat(
+                F.col("__fnodes"),
+                F.slice(F.reverse("__bnodes"), 2, max_len + 1)
+            ).alias("__nodes")]
     met = met.select(*sel)
     if not all_shortest:
         if not track_path:
@@ -395,7 +412,7 @@ def shortest_path(tr, df: Optional[DataFrame], part: A.PatternPart,
         & (F.col(bvar).getField("_id") == F.col("__t")))
     if part.path_var:
         pvar = part.path_var
-        if track_path:
+        if track_path == "full":
             nodes_arr = F.transform(F.col("__nodes"),
                                     lambda x: F.struct(x.alias("_id")))
             out = out.withColumn(
@@ -406,8 +423,13 @@ def shortest_path(tr, df: Optional[DataFrame], part: A.PatternPart,
             out = out.withColumn(
                 pvar, F.struct(F.col("__len").cast("long").alias("len")))
         tr.kinds[pvar] = "path"
-    drop = ["__s", "__t", "__len"] + (["__rels", "__nodes"] if track_path else [])
+    drop = ["__s", "__t", "__len"]
+    if track_path:
+        drop.append("__rels")
+        if track_path == "full":
+            drop.append("__nodes")
     out = out.drop(*drop)
-    if part.path_var and track_path and tr._path_rich_use(part.path_var):
+    if part.path_var and track_path == "full" \
+            and tr._path_rich_use(part.path_var):
         out = tr._resolve_path_nodes(out, part.path_var)
     return out
