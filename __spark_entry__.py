@@ -432,6 +432,12 @@ CYPHER_QUERIES = {
     "algo_sssp":
         "CALL algo.shortestPathLengths(3000000000001) YIELD node, dist "
         "RETURN dist, count(*) AS n ORDER BY dist",
+    "algo_degree_centrality":
+        "CALL algo.degreeCentrality() YIELD node, degree "
+        "RETURN count(*) AS n, sum(degree) AS s",
+    "algo_triangle_count":
+        "CALL algo.triangleCount() YIELD node, triangles "
+        "RETURN count(*) AS n",
     "algo_sssp_weighted":
         "CALL algo.shortestPathLengths(6000000000001, 'quantity') "
         "YIELD node, dist RETURN count(*) AS n, round(sum(dist), 2) AS s",
@@ -1451,6 +1457,19 @@ def oracle_sql() -> dict[str, str]:
             "+ (SELECT count(DISTINCT l_suppkey) FROM li) UNION ALL "
             "SELECT 3.0, (SELECT count(*) FROM n3) UNION ALL "
             "SELECT 4.0, (SELECT count(*) FROM r4)) WHERE n > 0",
+        "algo_degree_centrality":
+            "SELECT CAST((SELECT count(*) FROM region) + "
+            "(SELECT count(*) FROM nation) + (SELECT count(*) FROM customer)"
+            " + (SELECT count(*) FROM supplier) + "
+            "(SELECT count(*) FROM part) + (SELECT count(*) FROM orders) + "
+            "(SELECT count(*) FROM documents) + "
+            "(SELECT count(*) FROM embeddings) AS BIGINT) AS n, "
+            "CAST(2 * ((SELECT count(*) FROM nation)"
+            " + (SELECT count(*) FROM customer)"
+            " + (SELECT count(*) FROM supplier)"
+            " + (SELECT count(*) FROM orders)"
+            " + 2 * (SELECT count(*) FROM lineitem)) AS BIGINT) AS s",
+        "algo_triangle_count": "SELECT CAST(0 AS BIGINT) AS n",
         "algo_sssp_weighted":
             "SELECT CAST(count(*) + 1 AS BIGINT) AS n, round(sum(md), 2) AS s "
             "FROM (SELECT l_partkey, min(l_quantity) AS md FROM lineitem "

@@ -124,3 +124,46 @@ def sssp(rels: DataFrame, sources: DataFrame,
                 .localCheckpoint(eager=True))
         frontier = improved
     return dist
+
+
+def degree_centrality(nodes: DataFrame, rels: DataFrame) -> DataFrame:
+    """(id, out_degree, in_degree, degree) for every node.
+
+    One shuffle per direction (map-side-combined counts on src / dst),
+    left-joined onto the node set — nodes with no incident edges report 0
+    (Node.getDegree semantics, graphdb-api/Node.java:236-263)."""
+    outd = rels.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_degree"))
+    ind = rels.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).alias("in_degree"))
+    return (nodes.select("id")
+            .join(outd, "id", "left").join(ind, "id", "left")
+            .select(
+                "id",
+                F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+                F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+                (F.coalesce("out_degree", F.lit(0))
+                 + F.coalesce("in_degree", F.lit(0))).alias("degree")))
+
+
+def triangle_count(rels: DataFrame) -> DataFrame:
+    """Per-node triangle participation count over the undirected simple
+    graph (self-loops and parallel edges collapsed).
+
+    Standard two-join formulation with the lexicographic-ordering trick:
+    each triangle {a<b<c} is materialized exactly once as wedge a-b, b-c
+    closed by edge a-c, then credited to all three corners.  Both joins
+    shuffle on a node id — the natural partitioning — and the ordered edge
+    list halves the join input."""
+    und = undirected_edges(rels).filter(F.col("src") != F.col("dst"))
+    e = und.filter(F.col("src") < F.col("dst"))  # each edge once, ordered
+    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    wedges = ab.join(bc, "b")
+    closing = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = wedges.join(closing, ["a", "c"])  # a<b<c triangles, once each
+    per_node = (tri.select(F.col("a").alias("id"))
+                .unionAll(tri.select(F.col("b").alias("id")))
+                .unionAll(tri.select(F.col("c").alias("id"))))
+    return per_node.groupBy("id").agg(
+        F.count(F.lit(1)).alias("triangles"))

@@ -101,6 +101,26 @@ def algo_sssp(spark, graph, args):
         F.col("id").alias("node"), F.col("dist"))
 
 
+@procedure("algo.degreecentrality")
+def algo_degree_centrality(spark, graph, args):
+    """() -> (node, out_degree, in_degree, degree) — getDegree parity
+    (graphdb-api/Node.java:236-263) as two map-side-combined counts."""
+    from ..operators.algorithms import degree_centrality
+
+    return degree_centrality(graph.nodes, graph.rels).select(
+        F.col("id").alias("node"), "out_degree", "in_degree", "degree")
+
+
+@procedure("algo.trianglecount")
+def algo_triangle_count(spark, graph, args):
+    """() -> (node, triangles) — per-node triangle participation over the
+    undirected simple graph (ordered-wedge two-join formulation)."""
+    from ..operators.algorithms import triangle_count
+
+    return triangle_count(graph.rels).select(
+        F.col("id").alias("node"), "triangles")
+
+
 # ---- vector index analog (db.index.vector.queryNodes) ---------------------
 
 

@@ -69,3 +69,33 @@ def test_algo_procedures_via_cypher(spark, tpch_graph):
                 "RETURN count(*) AS n, round(sum(rank), 3) AS s", tpch_graph)
     r = pr.collect()[0]
     assert r["s"] == pytest.approx(1.0, abs=0.01)
+
+
+def test_triangle_count_literal_graph(spark):
+    from neo4j_spark.operators.algorithms import triangle_count
+
+    # K3 triangle {1,2,3} + a pendant edge 3-4 + a second triangle {3,4,5}
+    rels = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5)], "src long, dst long")
+    got = {r["id"]: r["triangles"] for r in triangle_count(rels).collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1, 5: 1}
+
+
+def test_triangle_count_ignores_direction_and_duplicates(spark):
+    from neo4j_spark.operators.algorithms import triangle_count
+
+    # same triangle with mixed directions + a parallel edge + self-loop
+    rels = spark.createDataFrame(
+        [(1, 2), (3, 2), (1, 3), (2, 1), (1, 1)], "src long, dst long")
+    got = {r["id"]: r["triangles"] for r in triangle_count(rels).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_degree_centrality(spark):
+    from neo4j_spark.operators.algorithms import degree_centrality
+
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    rels = spark.createDataFrame([(1, 2), (1, 3)], "src long, dst long")
+    got = {r["id"]: (r["out_degree"], r["in_degree"], r["degree"])
+           for r in degree_centrality(nodes, rels).collect()}
+    assert got == {1: (2, 0, 2), 2: (0, 1, 1), 3: (0, 1, 1)}
