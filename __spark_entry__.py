@@ -270,6 +270,11 @@ CYPHER_QUERIES = {
     "call_subquery":
         "MATCH (r:Region) CALL { MATCH (n:Nation) RETURN count(*) AS nn } "
         "RETURN r.name AS name, nn ORDER BY name",
+    "call_sub_order_limit":
+        "MATCH (r:Region) CALL { WITH r "
+        "MATCH (n:Nation)-[:IN_REGION]->(r) "
+        "RETURN n.name AS top_n ORDER BY n.nationkey DESC LIMIT 1 } "
+        "RETURN r.name AS rn, top_n ORDER BY rn",
     "call_subquery_correlated":
         "MATCH (r:Region) CALL { WITH r "
         "MATCH (n:Nation)-[:IN_REGION]->(r) RETURN count(*) AS nn } "
@@ -1270,6 +1275,11 @@ def oracle_sql() -> dict[str, str]:
         "call_subquery":
             "SELECT r_name AS name, (SELECT count(*) FROM nation) AS nn "
             "FROM region ORDER BY name",
+        "call_sub_order_limit":
+            "SELECT r_name AS rn, (SELECT n_name FROM nation "
+            "WHERE n_regionkey = r_regionkey "
+            "ORDER BY n_nationkey DESC LIMIT 1) AS top_n "
+            "FROM region ORDER BY rn",
         "call_subquery_correlated":
             "SELECT r_name AS name, (SELECT count(*) FROM nation "
             "WHERE n_regionkey = r_regionkey) AS nn FROM region ORDER BY name",

@@ -1203,6 +1203,7 @@ class Translator:
         frames = []
         for q in queries:
             sub = Translator(self.spark, self.graph, self.params)
+            sub.partition_cols = list(hid.values())
             sub.kinds.update(
                 {v: self.kinds[v] for v in shared if v in self.kinds})
             for v in shared:
@@ -1307,7 +1308,19 @@ class Translator:
                 oexpr = item.expr  # ORDER BY <alias of the value>
             okeys.append((f"__cl_o{idx}", oi.ascending))
             ritems.append(A.ReturnItem(oexpr, f"__cl_o{idx}", f"__cl_o{idx}"))
-        new_last = dataclasses.replace(last, items=ritems, order=[])
+        # ordering is normally hoisted into sort keys (okeys) and the
+        # projection's ORDER BY dropped — but a paging body (LIMIT/SKIP)
+        # must still order BEFORE ranking, so keep it (value-alias
+        # references rewritten to the renamed item)
+        new_order: List[A.OrderItem] = []
+        if last.skip is not None or last.limit is not None:
+            for oi in last.order:
+                oexpr = oi.expr
+                if (isinstance(oexpr, A.Var) and item.alias
+                        and oexpr.name == item.alias):
+                    oexpr = A.Var("__cl_val")
+                new_order.append(dataclasses.replace(oi, expr=oexpr))
+        new_last = dataclasses.replace(last, items=ritems, order=new_order)
         inner_q = A.SingleQuery(list(q.clauses[:-1]) + [new_last])
 
         col = self._anon_var("cl")
@@ -1323,6 +1336,7 @@ class Translator:
 
         hid = {v: f"__corr_{v}" for v in shared}
         base = df.select(*shared).dropDuplicates()
+        sub.partition_cols = list(hid.values())  # per-input-row paging
         sub.kinds.update({v: self.kinds[v] for v in shared if v in self.kinds})
         for v in shared:
             base = base.withColumn(hid[v], F.col(v))
@@ -1336,10 +1350,19 @@ class Translator:
         matched = sub._single_over(base, A.SingleQuery(threaded))
 
         if okeys:
+            def negatable(k):
+                t = matched.schema[k].dataType
+                return isinstance(t, (T.NumericType, T.DateType,
+                                      T.TimestampType, T.TimestampNTZType))
+
+            # uniform-DESC with un-negatable keys (strings): sort ascending
+            # and reverse the collected array instead
+            flip = (all(not asc for _, asc in okeys)
+                    and any(not negatable(k) for k, asc in okeys if not asc))
             skfields = []
             for k, asc in okeys:
                 kc = F.col(k)
-                if not asc:
+                if not asc and not flip:
                     t = matched.schema[k].dataType
                     if isinstance(t, T.NumericType):
                         kc = -kc
@@ -1348,12 +1371,14 @@ class Translator:
                         kc = -F.unix_micros(kc.cast("timestamp"))
                     else:
                         raise TranslateError(
-                            "ORDER BY ... DESC on a non-numeric key inside "
-                            "COLLECT {} is unsupported")
+                            "mixed-direction ORDER BY with a non-numeric "
+                            "DESC key inside COLLECT {} is unsupported")
                 skfields.append(kc.alias(k))
             skey = F.struct(*skfields, F.col("__cl_val").alias("__cl_val"))
             agg = F.transform(F.sort_array(F.collect_list(skey)),
                               lambda x: x.getField("__cl_val"))
+            if flip:
+                agg = F.reverse(agg)
         else:
             agg = F.collect_list(F.col("__cl_val"))
         grouped = matched.groupBy(*[F.col(h) for h in hid.values()]).agg(
@@ -1493,6 +1518,7 @@ class Translator:
         matched = None
         for b in branches:
             sub = Translator(self.spark, self.graph, self.params)
+            sub.partition_cols = list(hid.values())  # per-input-row paging
             sub.kinds.update(
                 {v: self.kinds[v] for v in shared if v in self.kinds})
             for v in shared:
@@ -1674,16 +1700,44 @@ class Translator:
                 for col, o in zip(resolved, order_items)]
             if p.distinct:
                 out = out.dropDuplicates()
+            pcols = self._apply_partition_cols(out)
+            if pcols and (p.skip is not None or p.limit is not None):
+                # inside a correlated subquery (Apply, LP:855): ORDER BY /
+                # SKIP / LIMIT are PER INPUT ROW — rank within the
+                # correlation keys instead of paging globally
+                from pyspark.sql import Window as SW
+                out = out.withColumn("__rn_apply", F.row_number().over(
+                    SW.partitionBy(*pcols).orderBy(*order_cols)))
             out = out.orderBy(*order_cols)
             if hidden:
                 out = out.drop(*hidden)
         elif p.distinct:
             out = out.dropDuplicates()
-        if p.skip is not None:
-            out = out.offset(self._int_value(p.skip))
-        if p.limit is not None:
-            out = out.limit(self._int_value(p.limit))
+        pcols = self._apply_partition_cols(out)
+        if pcols and (p.skip is not None or p.limit is not None):
+            if "__rn_apply" not in out.columns:  # unordered per-row paging
+                from pyspark.sql import Window as SW
+                out = out.withColumn("__rn_apply", F.row_number().over(
+                    SW.partitionBy(*pcols)
+                      .orderBy(F.monotonically_increasing_id())))
+            lo = self._int_value(p.skip) if p.skip is not None else 0
+            cond = F.col("__rn_apply") > lo
+            if p.limit is not None:
+                cond = cond & (
+                    F.col("__rn_apply") <= lo + self._int_value(p.limit))
+            out = out.filter(cond).drop("__rn_apply")
+        else:
+            if p.skip is not None:
+                out = out.offset(self._int_value(p.skip))
+            if p.limit is not None:
+                out = out.limit(self._int_value(p.limit))
         return out
+
+    def _apply_partition_cols(self, out: DataFrame) -> List[str]:
+        """Correlation-key columns threaded through a CALL{}/subquery body
+        (set by the Apply runners); empty when compiling a top-level query."""
+        return [c for c in (getattr(self, "partition_cols", None) or [])
+                if c in out.columns]
 
     def _int_value(self, e: A.Expr) -> int:
         if isinstance(e, A.Lit) and isinstance(e.value, int):

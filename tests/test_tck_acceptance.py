@@ -551,3 +551,30 @@ class TestFullQuerySubqueryAcceptance:
         assert rows(run(spark, g,
                         "RETURN EXISTS { MATCH (e:EW) WITH e "
                         "WHERE e.v > 10 RETURN e } AS has")) == [(True,)]
+
+
+class TestApplyPagingAcceptance:
+    """ORDER BY/SKIP/LIMIT inside a correlated subquery page PER INPUT ROW
+    (Apply semantics, LP:855), not globally."""
+
+    def test_call_subquery_limit_per_row(self, spark, g):
+        run(spark, g, "UNWIND range(1, 2) AS gp UNWIND range(1, 3) AS i "
+            "CREATE (:AP {g: gp, v: gp * 10 + i})").collect()
+        assert rset(run(spark, g,
+                        "MATCH (o:AP) WITH DISTINCT o.g AS gp "
+                        "CALL { WITH gp MATCH (x:AP {g: gp}) "
+                        "RETURN x.v AS mx ORDER BY x.v DESC LIMIT 1 } "
+                        "RETURN gp, mx")) == {(1, 13), (2, 23)}
+
+    def test_collect_subquery_inner_limit(self, spark, g):
+        run(spark, g, "UNWIND range(1, 4) AS i CREATE (:AC {v: i})").collect()
+        assert rows(run(spark, g,
+                        "RETURN COLLECT { MATCH (x:AC) RETURN x.v "
+                        "ORDER BY x.v LIMIT 2 } AS l")) == [([1, 2],)]
+
+    def test_collect_subquery_desc_string_order(self, spark, g):
+        run(spark, g, "UNWIND ['a', 'c', 'b'] AS s "
+            "CREATE (:AD {s: s})").collect()
+        assert rows(run(spark, g,
+                        "RETURN COLLECT { MATCH (x:AD) RETURN x.s "
+                        "ORDER BY x.s DESC } AS l")) == [(["c", "b", "a"],)]
