@@ -251,6 +251,15 @@ class Parser:
 
     def parse_match(self, optional: bool) -> A.Match:
         parts = self.parse_pattern()
+        # planner hints (USING INDEX/SCAN/JOIN …, Hint.scala): parsed and
+        # dropped — Catalyst/AQE own physical planning (SURVEY §4.2), so a
+        # hinted query must still run, hint-free
+        while self.at_kw("USING"):
+            self.take()
+            while (self.peek().kind != "EOF"
+                   and not self.at_kw("WHERE", "USING", *CLAUSE_STARTS)
+                   and not self.at_op("}")):
+                self.take()
         where = None
         if self.at_kw("WHERE"):
             self.take()

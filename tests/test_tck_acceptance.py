@@ -578,3 +578,16 @@ class TestApplyPagingAcceptance:
         assert rows(run(spark, g,
                         "RETURN COLLECT { MATCH (x:AD) RETURN x.s "
                         "ORDER BY x.s DESC } AS l")) == [(["c", "b", "a"],)]
+
+
+class TestPlannerHintsAcceptance:
+    def test_using_hints_are_tolerated(self, spark, g):
+        # Hint.scala surface: hints affect the reference's planner; here
+        # Catalyst owns physical planning, so hints parse and drop
+        run(spark, g, "UNWIND range(1, 5) AS i CREATE (:UH {v: i})").collect()
+        assert rows(run(spark, g,
+                        "MATCH (n:UH) USING INDEX n:UH(v) "
+                        "WHERE n.v > 3 RETURN count(*) AS c")) == [(2,)]
+        assert rows(run(spark, g,
+                        "MATCH (n:UH) USING SCAN n:UH "
+                        "RETURN count(*) AS c")) == [(5,)]
