@@ -38,6 +38,7 @@ def main() -> None:
         "top_k",                   # TakeOrderedAndProject
         "var_expand_fixed",        # iterative var-length expand
         "shortest_path_op",        # BFS shortest path
+        "qpp_fixed",               # quantified path pattern (Trail)
         # training-data pipeline
         "dedup_exact",
         "dedup_minhash_lsh",
