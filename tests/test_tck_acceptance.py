@@ -591,3 +591,39 @@ class TestPlannerHintsAcceptance:
         assert rows(run(spark, g,
                         "MATCH (n:UH) USING SCAN n:UH "
                         "RETURN count(*) AS c")) == [(5,)]
+
+
+class TestWriteReadInteractionAcceptance:
+    """Intra-statement write->read visibility (the Eager guarantee) and
+    relationship property mutation."""
+
+    def test_set_and_remove_rel_property(self, spark, g):
+        run(spark, g, "CREATE (:W1)-[:R {w: 1}]->(:W1)").collect()
+        run(spark, g, "MATCH ()-[r:R]->() SET r.w = 9").collect()
+        assert rows(run(spark, g,
+                        "MATCH ()-[r:R]->() RETURN r.w AS w")) == [(9,)]
+        run(spark, g, "MATCH ()-[r:R]->() REMOVE r.w").collect()
+        assert rows(run(spark, g,
+                        "MATCH ()-[r:R]->() RETURN r.w AS w")) == [(None,)]
+
+    def test_merge_nodes_then_create_rel_one_statement(self, spark, g):
+        run(spark, g, "MERGE (a:W2 {v: 1}) MERGE (b:W2 {v: 2}) "
+            "CREATE (a)-[:L]->(b)").collect()
+        assert rows(run(spark, g,
+                        "MATCH (a)-[:L]->(b) "
+                        "RETURN a.v AS av, b.v AS bv")) == [(1, 2)]
+
+    def test_delete_visible_to_later_match(self, spark, g):
+        run(spark, g, "CREATE (:W3 {v: 1}), (:W3 {v: 2})").collect()
+        assert rows(run(spark, g,
+                        "MATCH (a:W3 {v: 1}) DELETE a WITH 1 AS one "
+                        "MATCH (x:W3) RETURN count(*) AS n")) == [(1,)]
+
+    def test_detach_delete_over_varlength_match(self, spark, g):
+        run(spark, g,
+            "CREATE (:W4 {v: 1})-[:R]->(:W4 {v: 2})-[:R]->(:W4 {v: 3})"
+            ).collect()
+        run(spark, g,
+            "MATCH (a:W4 {v: 1})-[*1..2]->(b) DETACH DELETE b").collect()
+        assert rows(run(spark, g,
+                        "MATCH (n:W4) RETURN count(*) AS n")) == [(1,)]
