@@ -639,6 +639,20 @@ def _q_call_vector(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _q_call_fulltext_indexed(spark, sf_dir):
+    """CREATE FULLTEXT INDEX analog: materialized inverted-index parquet,
+    then an index-backed query (identical scoring to the scan path)."""
+    from neo4j_spark.api import cypher
+
+    g = _graph(spark, sf_dir).copy()
+    cypher(spark, "CALL db.index.fulltext.createNodeIndex("
+           "'ft_name', ['Part'], ['name']) YIELD name RETURN name",
+           g).collect()
+    return cypher(spark, "CALL db.index.fulltext.queryNodes("
+                  "'ft_name', 'widget') YIELD node, score "
+                  "RETURN count(*) AS n, round(sum(score), 1) AS s", g)
+
+
 def _q_dedup_exact(spark, sf_dir):
     from neo4j_spark.ml.dedup import exact_dedup
 
@@ -1012,6 +1026,7 @@ EXTENSION_QUERIES = {
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {name: _cy(text) for name, text in CYPHER_QUERIES.items()}
     out["call_vector_query"] = _q_call_vector
+    out["call_fulltext_indexed"] = _q_call_fulltext_indexed
     out["input_rows"] = _q_input_rows
     out["user_function_call"] = _q_user_function
     out["user_aggregate_call"] = _q_user_aggregate
@@ -1430,6 +1445,10 @@ def oracle_sql() -> dict[str, str]:
             "('orderpriority'), ('orderstatus'), ('partkey'), ('regionkey'), "
             "('retailprice'), ('size'), ('source'), ('suppkey'), ('text'), "
             "('totalprice'), ('type'), ('vecid')) t(propertyKey)",
+        "call_fulltext_indexed":
+            "SELECT count(*) AS n, round(sum(tf), 1) AS s FROM ("
+            "SELECT len(list_filter(string_split(lower(p_name), ' '), "
+            "x -> x = 'widget')) AS tf FROM part) WHERE tf > 0",
         "call_fulltext_query":
             "SELECT count(*) AS n FROM part WHERE p_name LIKE '%widget%'",
         "call_fulltext_rels":

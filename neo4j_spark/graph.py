@@ -78,6 +78,12 @@ class PropertyGraph:
         # lazily from the (immutable) snapshot frames and memoized per
         # write epoch — repeated count queries become O(1) driver lookups
         self._count_memo: Dict = {}
+        # fulltext inverted-index registry (FulltextProcedures.java):
+        # index name -> {"path": parquet dir, "prop": property key}.
+        # Built by db.index.fulltext.createNodeIndex, consulted by
+        # queryNodes — term-sorted parquet so the term filter prunes row
+        # groups (the 100 TB path; un-indexed queries fall back to a scan)
+        self.fulltext_indexes: Dict[str, Dict] = {}
 
     def note_extra_label(self, label: str) -> None:
         if label not in self.node_frames:
@@ -91,6 +97,7 @@ class PropertyGraph:
         g._write_epoch = self._write_epoch
         # entries valid for the shared snapshot; dicts diverge after writes
         g._count_memo = dict(self._count_memo)
+        g.fulltext_indexes = dict(self.fulltext_indexes)
         return g
 
     # ---- scans (leaf operators, SURVEY §2.1) ----------------------------

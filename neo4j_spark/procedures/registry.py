@@ -149,17 +149,64 @@ def vector_query_nodes(spark, graph, args):
 # ---- fulltext index analog (db.index.fulltext.queryNodes) -----------------
 
 
+@procedure("db.index.fulltext.createnodeindex")
+def fulltext_create_node_index(spark, graph, args):
+    """(indexName, [labels], [properties]) — materialize an inverted-index
+    parquet table (FulltextProcedures analog of CREATE FULLTEXT INDEX).
+
+    Layout: (term, node, tf) repartitioned + sorted by term, so a term
+    filter prunes parquet row groups — at 100 TB a query touches only the
+    row groups whose [min,max] term range covers its terms, never the
+    corpus.  Scoring matches the scan fallback (sum of term frequencies),
+    so indexed and un-indexed results are identical."""
+    import tempfile
+
+    name = str(args[0])
+    labels = list(args[1]) if len(args) > 1 and args[1] else []
+    props = list(args[2]) if len(args) > 2 and args[2] else []
+    prop = props[0] if props else name
+    nodes = graph.nodes
+    if labels:
+        src = None
+        for l in labels:
+            f = graph.node_frames.get(l)
+            if f is not None:
+                src = f if src is None else src.unionByName(
+                    f, allowMissingColumns=True)
+        nodes = src if src is not None else nodes
+    if prop not in nodes.columns:
+        raise ProcedureError(f"no node property {prop}")
+    inv = (nodes.filter(F.col(prop).isNotNull())
+           .select(F.col("id").alias("node"),
+                   F.explode(F.split(F.lower(F.col(prop)), r"\W+"))
+                   .alias("term"))
+           .filter(F.col("term") != "")
+           .groupBy("term", "node").agg(F.count(F.lit(1)).alias("tf")))
+    path = f"{tempfile.gettempdir()}/neo4j_spark_ft_{name}_{id(graph)}"
+    inv.repartition("term").sortWithinPartitions("term") \
+       .write.mode("overwrite").parquet(path)
+    graph.fulltext_indexes[name] = {"path": path, "prop": prop}
+    graph.fulltext_indexes[prop] = {"path": path, "prop": prop}
+    return spark.createDataFrame([(name, prop)], "name string, property string")
+
+
 @procedure("db.index.fulltext.querynodes")
 def fulltext_query_nodes(spark, graph, args):
-    """(propertyKey, query) -> node id + tf score over tokenized text.
+    """(indexNameOrProperty, query) -> node id + tf score.
 
-    Lucene-less scan-based scoring: tokenize on non-word chars, score =
-    number of query terms present (+ term frequency).  At scale this is a
-    candidate for a materialized inverted-index table; the scan form is
-    still a single parquet pass.
+    Uses the materialized inverted index when one was created (term filter
+    pushed into its parquet scan); otherwise a Lucene-less single-pass
+    scan: tokenize on non-word chars, score = sum of query-term
+    frequencies.  Both paths score identically.
     """
     prop, query = args[0], str(args[1])
     terms = [t.lower() for t in query.split() if t]
+    idx = graph.fulltext_indexes.get(prop)
+    if idx is not None:
+        inv = spark.read.parquet(idx["path"])
+        return (inv.filter(F.col("term").isin(terms))
+                .groupBy("node").agg(F.sum("tf").cast("double").alias("score"))
+                .orderBy(F.col("score").desc(), F.col("node")))
     nodes = graph.nodes
     if prop not in nodes.columns:
         raise ProcedureError(f"no node property {prop}")

@@ -241,3 +241,21 @@ class TestStatefulStreaming:
         want = {r["user_id"]: (r["n_events"], r["total"])
                 for r in running_totals_batch(load_events(spark, SF)).collect()}
         assert got == want
+
+
+def test_fulltext_index_parity_and_plan(spark, tpch_graph):
+    """Indexed fulltext query must score identically to the scan fallback
+    and read ONLY the inverted-index parquet (term filter pruned)."""
+    from neo4j_spark.api import cypher
+
+    g = tpch_graph.copy()
+    q = ("CALL db.index.fulltext.queryNodes('{key}', 'widget') "
+         "YIELD node, score RETURN node, score ORDER BY score DESC, node")
+    scan = cypher(spark, q.format(key="name"), g).collect()
+    cypher(spark, "CALL db.index.fulltext.createNodeIndex('ftx', ['Part'], "
+           "['name']) YIELD name RETURN name", g).collect()
+    indexed_df = cypher(spark, q.format(key="ftx"), g)
+    assert indexed_df.collect() == scan
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    assert "neo4j_spark_ft_" in plan
+    assert "part.parquet" not in plan
