@@ -639,6 +639,22 @@ def _q_call_vector(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _q_ddl_index_catalog(spark, sf_dir):
+    """SchemaLogicalPlan / ShowCommandLogicalPlan: CREATE INDEX + CREATE
+    CONSTRAINT (validated against the snapshot) + SHOW."""
+    from neo4j_spark.api import cypher
+
+    g = _graph(spark, sf_dir).copy()
+    cypher(spark, "CREATE INDEX cov_idx FOR (n:Customer) ON (n.acctbal)",
+           g).collect()
+    cypher(spark, "CREATE CONSTRAINT cov_uq FOR (n:Customer) "
+           "REQUIRE n.custkey IS UNIQUE", g).collect()
+    idx = cypher(spark, "SHOW INDEXES", g)
+    con = cypher(spark, "SHOW CONSTRAINTS", g)
+    return idx.select("name", "type").unionByName(
+        con.select("name", "type")).orderBy("name")
+
+
 def _q_call_fulltext_indexed(spark, sf_dir):
     """CREATE FULLTEXT INDEX analog: materialized inverted-index parquet,
     then an index-backed query (identical scoring to the scan path)."""
@@ -1027,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {name: _cy(text) for name, text in CYPHER_QUERIES.items()}
     out["call_vector_query"] = _q_call_vector
     out["call_fulltext_indexed"] = _q_call_fulltext_indexed
+    out["ddl_index_catalog"] = _q_ddl_index_catalog
     out["input_rows"] = _q_input_rows
     out["user_function_call"] = _q_user_function
     out["user_aggregate_call"] = _q_user_aggregate
@@ -1445,6 +1462,9 @@ def oracle_sql() -> dict[str, str]:
             "('orderpriority'), ('orderstatus'), ('partkey'), ('regionkey'), "
             "('retailprice'), ('size'), ('source'), ('suppkey'), ('text'), "
             "('totalprice'), ('type'), ('vecid')) t(propertyKey)",
+        "ddl_index_catalog":
+            "SELECT 'cov_idx' AS name, 'RANGE' AS type "
+            "UNION ALL SELECT 'cov_uq', 'UNIQUE' ORDER BY name",
         "call_fulltext_indexed":
             "SELECT count(*) AS n, round(sum(tf), 1) AS s FROM ("
             "SELECT len(list_filter(string_split(lower(p_name), ' '), "

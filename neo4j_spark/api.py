@@ -54,6 +54,11 @@ def cypher(
     from .cypher.translate import Translator
 
     mode, _options, body = preparse(query)
+    from .schema import is_schema_command, run_schema_command
+
+    if is_schema_command(body):
+        # SchemaLogicalPlan / ShowCommandLogicalPlan path (SURVEY §2.10)
+        return run_schema_command(spark, graph, body)
     ast = parse(body)
     df = Translator(spark, graph, params or {}).translate(ast)
     if mode == "EXPLAIN":

@@ -29,6 +29,25 @@ class FunctionError(ValueError):
 # pandas_udf GROUPED_AGG the same way and are used inside RETURN aggregates.
 USER_FUNCTIONS = {}
 
+# SHOW FUNCTIONS catalog (knownFunctions, Function.scala:47)
+BUILTIN_FUNCTIONS = (
+    "abs", "acos", "asin", "atan", "atan2", "avg", "btrim", "ceil",
+    "char_length", "character_length", "coalesce", "collect", "cos", "cot",
+    "count", "date", "datetime", "degrees", "duration", "e", "elementId",
+    "endNode", "exp", "floor", "haversin", "head", "id", "isEmpty", "isNaN",
+    "keys", "labels", "last", "left", "length", "localdatetime", "localtime",
+    "log", "log10", "ltrim", "max", "min", "normalize", "nodes", "nullIf",
+    "percentileCont", "percentileDisc", "percentiles", "pi", "point",
+    "properties", "radians", "rand", "randomUUID", "range", "reduce",
+    "relationships", "replace", "reverse", "right", "round", "rtrim", "sign",
+    "sin", "size", "split", "sqrt", "startNode", "stDev", "stDevP",
+    "substring", "sum", "tail", "tan", "time", "timestamp", "toBoolean",
+    "toBooleanList", "toBooleanOrNull", "toFloat", "toFloatList",
+    "toFloatOrNull", "toInteger", "toIntegerList", "toIntegerOrNull",
+    "toLower", "toString", "toStringList", "toStringOrNull", "toUpper",
+    "trim", "type", "valueType",
+)
+
 
 def register_function(name, fn):
     """Register a scalar user function: fn(args: list[Column]) -> Column."""
