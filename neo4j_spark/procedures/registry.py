@@ -124,6 +124,30 @@ def algo_triangle_count(spark, graph, args):
 # ---- vector index analog (db.index.vector.queryNodes) ---------------------
 
 
+@procedure("db.index.vector.createnodeindex")
+def vector_create_node_index(spark, graph, args):
+    """(name, label, propertyKey, dimensions?, similarityFunction?) —
+    VectorIndexProcedures.createNodeIndex:105.  Records catalog metadata;
+    queries stay exact brute-force (correct at any recall), with the
+    partition-pruned IVF layout available via ml.similarity.save_ivf_index
+    for the approximate 100 TB path."""
+    name = str(args[0])
+    label = str(args[1]) if len(args) > 1 else None
+    prop = str(args[2]) if len(args) > 2 else "embedding"
+    dims = int(args[3]) if len(args) > 3 and args[3] is not None else None
+    sim = str(args[4]) if len(args) > 4 and args[4] is not None else "cosine"
+    if not hasattr(graph, "schema_indexes"):
+        graph.schema_indexes = {}
+    graph.schema_indexes[name] = {
+        "name": name, "type": "VECTOR", "entityType": "NODE",
+        "labelsOrTypes": [label] if label else [], "properties": [prop],
+        "options": {"dimensions": dims, "similarity": sim}}
+    return spark.createDataFrame(
+        [(name, label, prop, dims, sim)],
+        "name string, label string, property string, dimensions int, "
+        "similarityFunction string")
+
+
 @procedure("db.index.vector.querynodes")
 def vector_query_nodes(spark, graph, args):
     """(propertyKey, k, queryVector) -> node id + score, brute-force cosine.
