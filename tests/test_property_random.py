@@ -169,3 +169,91 @@ def test_random_range_sort_paging_matches_duckdb(spark, rnd_graph, duck,
         f"SELECT id FROM t WHERE val >= {lo} AND val < {hi} "
         f"ORDER BY val, id OFFSET {skip} LIMIT {k}").fetchall()]
     assert got == want
+
+
+# ---- randomized string-function pipelines ---------------------------------
+
+SROWS = [
+    (0, None), (1, ""), (2, "a"), (3, "abc"), (4, " a b "), (5, "Hello"),
+    (6, "xxabxx"), (7, "  pad  "), (8, "aAbB"), (9, "x" * 8), (10, "b a"),
+]
+
+
+@pytest.fixture(scope="module")
+def str_graph(spark):
+    from neo4j_spark.graph import PropertyGraph
+
+    nodes = {
+        "S": spark.createDataFrame(
+            [(i, ["S"], s) for i, s in SROWS],
+            "id long, labels array<string>, s string"),
+    }
+    return PropertyGraph(nodes, {})
+
+
+@pytest.fixture(scope="module")
+def str_duck():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE s (id BIGINT, s VARCHAR)")
+    con.executemany("INSERT INTO s VALUES (?, ?)", SROWS)
+    yield con
+    con.close()
+
+
+_str_op = st.one_of(
+    st.sampled_from([("upper",), ("lower",), ("reverse",), ("trim",),
+                     ("ltrim",), ("rtrim",)]),
+    st.tuples(st.just("left"), st.integers(0, 3)),
+    st.tuples(st.just("right"), st.integers(0, 3)),
+    st.tuples(st.just("substring"), st.integers(0, 3), st.integers(0, 4)),
+    st.tuples(st.just("replace"), st.sampled_from("abx"),
+              st.sampled_from("zq")),
+)
+
+
+def _cy_str(ops) -> str:
+    e = "n.s"
+    for op in ops:
+        if op[0] == "upper":
+            e = f"toUpper({e})"
+        elif op[0] == "lower":
+            e = f"toLower({e})"
+        elif op[0] in ("reverse", "trim", "ltrim", "rtrim"):
+            e = f"{op[0]}({e})"
+        elif op[0] in ("left", "right"):
+            e = f"{op[0]}({e}, {op[1]})"
+        elif op[0] == "substring":
+            e = f"substring({e}, {op[1]}, {op[2]})"
+        elif op[0] == "replace":
+            e = f"replace({e}, '{op[1]}', '{op[2]}')"
+    return e
+
+
+def _sql_str(ops) -> str:
+    e = "s"
+    for op in ops:
+        if op[0] in ("upper", "lower", "reverse", "trim", "ltrim", "rtrim"):
+            e = f"{op[0]}({e})"
+        elif op[0] in ("left", "right"):
+            e = f"{op[0]}({e}, {op[1]})"
+        elif op[0] == "substring":
+            e = f"substr({e}, {op[1] + 1}, {op[2]})"  # Cypher is 0-based
+        elif op[0] == "replace":
+            e = f"replace({e}, '{op[1]}', '{op[2]}')"
+    return e
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ops=st.lists(_str_op, min_size=1, max_size=3))
+def test_random_string_pipelines_match_duckdb(spark, str_graph, str_duck,
+                                              ops):
+    from neo4j_spark.api import cypher
+
+    cy = (f"MATCH (n:S) RETURN id(n) AS id, {_cy_str(ops)} AS v "
+          "ORDER BY id")
+    got = [(r["id"], r["v"]) for r in cypher(spark, cy, str_graph).collect()]
+    want = str_duck.execute(
+        f"SELECT id, {_sql_str(ops)} AS v FROM s ORDER BY id").fetchall()
+    # normalize duckdb's empty-string vs engine behavior only via equality
+    assert got == [tuple(w) for w in want], f"ops={ops}"
