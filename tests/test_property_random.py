@@ -257,3 +257,114 @@ def test_random_string_pipelines_match_duckdb(spark, str_graph, str_duck,
         f"SELECT id, {_sql_str(ops)} AS v FROM s ORDER BY id").fetchall()
     # normalize duckdb's empty-string vs engine behavior only via equality
     assert got == [tuple(w) for w in want], f"ops={ops}"
+
+
+# ---- randomized arithmetic trees ------------------------------------------
+
+_arith = st.recursive(
+    st.one_of(st.just(("col",)), st.integers(-9, 9).map(lambda v: ("lit", v))),
+    lambda ch: st.one_of(
+        st.tuples(st.sampled_from(["+", "-", "*"]), ch, ch),
+        st.tuples(st.just("/"), ch, st.integers(1, 6)),
+        st.tuples(st.just("%"), ch, st.integers(1, 6)),
+        st.tuples(st.just("abs"), ch),
+        st.tuples(st.just("neg"), ch),
+    ),
+    max_leaves=5,
+)
+
+
+def _cy_arith(e) -> str:
+    if e[0] == "col":
+        return "n.val"
+    if e[0] == "lit":
+        return str(e[1])
+    if e[0] in ("+", "-", "*"):
+        return f"({_cy_arith(e[1])} {e[0]} {_cy_arith(e[2])})"
+    if e[0] in ("/", "%"):
+        return f"({_cy_arith(e[1])} {e[0]} {e[2]})"
+    if e[0] == "abs":
+        return f"abs({_cy_arith(e[1])})"
+    return f"(-{_cy_arith(e[1])})"
+
+
+def _sql_arith(e) -> str:
+    if e[0] == "col":
+        return "val"
+    if e[0] == "lit":
+        return str(e[1])
+    if e[0] in ("+", "-", "*"):
+        return f"({_sql_arith(e[1])} {e[0]} {_sql_arith(e[2])})"
+    if e[0] == "/":
+        # Cypher integer division truncates toward zero (CypherMath.java);
+        # duckdb // floors — render the Java semantics explicitly
+        return (f"CAST(trunc(CAST({_sql_arith(e[1])} AS DOUBLE) / {e[2]}) "
+                "AS BIGINT)")
+    if e[0] == "%":
+        return f"({_sql_arith(e[1])} % {e[2]})"
+    if e[0] == "abs":
+        return f"abs({_sql_arith(e[1])})"
+    return f"(0 - {_sql_arith(e[1])})"  # "-(-1)" would lex as a SQL comment
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(e=_arith)
+def test_random_arithmetic_matches_duckdb(spark, rnd_graph, duck, e):
+    from neo4j_spark.api import cypher
+
+    cy = (f"MATCH (n:T) RETURN id(n) AS id, {_cy_arith(e)} AS v "
+          "ORDER BY id")
+    got = [(r["id"], r["v"]) for r in cypher(spark, cy, rnd_graph).collect()]
+    want = duck.execute(
+        f"SELECT id, CAST({_sql_arith(e)} AS BIGINT) AS v FROM t "
+        "ORDER BY id").fetchall()
+    assert got == [tuple(w) for w in want], f"expr={e}"
+
+
+# ---- randomized temporal components ---------------------------------------
+
+_COMPONENTS = {
+    # cypher accessor -> duckdb expression over column d
+    "year": "CAST(year(d) AS BIGINT)",
+    "month": "CAST(month(d) AS BIGINT)",
+    "day": "CAST(day(d) AS BIGINT)",
+    "week": "CAST(week(d) AS BIGINT)",
+    "quarter": "CAST(quarter(d) AS BIGINT)",
+    "dayOfWeek": "CAST(isodow(d) AS BIGINT)",
+    "ordinalDay": "CAST(dayofyear(d) AS BIGINT)",
+}
+
+
+@pytest.fixture(scope="module")
+def date_fixture(spark):
+    import datetime
+
+    from neo4j_spark.graph import PropertyGraph
+
+    rows = [(i, datetime.date(1996 + (i * 7) % 30, (i * 5) % 12 + 1,
+                              (i * 11) % 28 + 1)) for i in range(25)]
+    g = PropertyGraph({
+        "D": spark.createDataFrame(
+            [(i, ["D"], d) for i, d in rows],
+            "id long, labels array<string>, d date")}, {})
+    con = duckdb.connect()
+    con.execute("CREATE TABLE dt (id BIGINT, d DATE)")
+    con.executemany("INSERT INTO dt VALUES (?, ?)", rows)
+    return g, con
+
+
+@settings(max_examples=14, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(comp=st.sampled_from(sorted(_COMPONENTS)))
+def test_random_temporal_components_match_duckdb(spark, date_fixture, comp):
+    from neo4j_spark.api import cypher
+
+    g, con = date_fixture
+    got = [(r["id"], r["v"]) for r in cypher(
+        spark, f"MATCH (n:D) RETURN id(n) AS id, n.d.{comp} AS v "
+        "ORDER BY id", g).collect()]
+    want = con.execute(
+        f"SELECT id, {_COMPONENTS[comp].replace('(d)', '(d)')} AS v "
+        "FROM dt ORDER BY id").fetchall()
+    assert got == [tuple(w) for w in want], f"component={comp}"
