@@ -383,6 +383,10 @@ CYPHER_QUERIES = {
     "vector_similarity_fn":
         "RETURN round(vector.similarity.cosine([1.0, 2.0, 3.0], "
         "[3.0, 2.0, 1.0]), 6) AS s",
+    "vector_euclidean_fn":
+        "RETURN round(vector.similarity.euclidean([1.0, 2.0], [1.0, 2.0]), 6)"
+        " AS a, round(vector.similarity.euclidean([0.0, 0.0], [3.0, 4.0]), 6)"
+        " AS b",
     "point_distance_fn":
         "RETURN point.distance(point({x: 0.0, y: 0.0}), "
         "point({x: 3.0, y: 4.0})) AS d",
@@ -1419,6 +1423,8 @@ def oracle_sql() -> dict[str, str]:
         "vector_similarity_fn":
             "SELECT round(list_cosine_similarity([1.0, 2.0, 3.0]::DOUBLE[], "
             "[3.0, 2.0, 1.0]::DOUBLE[]), 6) AS s",
+        "vector_euclidean_fn":
+            "SELECT CAST(1.0 AS DOUBLE) AS a, CAST(0.038462 AS DOUBLE) AS b",
         "point_distance_fn":
             "SELECT 5.0 AS d",
         "point_withinbbox":

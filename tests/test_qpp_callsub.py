@@ -88,3 +88,19 @@ def test_order_by_preprojection_var(spark, chain_graph):
                  "MATCH (n) RETURN n.x + 10 AS v ORDER BY n.x DESC",
                  chain_graph)
     assert rows(out) == [(13,), (12,), (11,)]
+
+
+def test_nested_call_subqueries(spark, tpch_graph):
+    from neo4j_spark.api import cypher
+
+    out = cypher(spark,
+                 "MATCH (r:Region) CALL { WITH r "
+                 "MATCH (n:Nation)-[:IN_REGION]->(r) CALL { WITH n "
+                 "MATCH (c:Customer)-[:FROM_NATION]->(n) "
+                 "RETURN count(*) AS cc } "
+                 "RETURN sum(cc) AS s } "
+                 "RETURN r.name AS rn, s ORDER BY rn", tpch_graph)
+    got = {r["rn"]: r["s"] for r in out.collect()}
+    # cross-checked against DuckDB on the same parquet
+    assert got == {"AFRICA": 33, "AMERICA": 33, "ASIA": 26,
+                   "EUROPE": 24, "MIDDLE EAST": 34}
