@@ -275,6 +275,11 @@ CYPHER_QUERIES = {
         "MATCH (n:Nation)-[:IN_REGION]->(r) "
         "RETURN n.name AS top_n ORDER BY n.nationkey DESC LIMIT 1 } "
         "RETURN r.name AS rn, top_n ORDER BY rn",
+    "optional_call_subquery":
+        "MATCH (r:Region) OPTIONAL CALL { WITH r "
+        "MATCH (n:Nation {name: 'NOPE'})-[:IN_REGION]->(r) "
+        "RETURN n.name AS nn } "
+        "RETURN count(*) AS n, count(nn) AS hits",
     "call_subquery_correlated":
         "MATCH (r:Region) CALL { WITH r "
         "MATCH (n:Nation)-[:IN_REGION]->(r) RETURN count(*) AS nn } "
@@ -1316,6 +1321,8 @@ def oracle_sql() -> dict[str, str]:
             "WHERE n_regionkey = r_regionkey "
             "ORDER BY n_nationkey DESC LIMIT 1) AS top_n "
             "FROM region ORDER BY rn",
+        "optional_call_subquery":
+            "SELECT count(*) AS n, CAST(0 AS BIGINT) AS hits FROM region",
         "call_subquery_correlated":
             "SELECT r_name AS name, (SELECT count(*) FROM nation "
             "WHERE n_regionkey = r_regionkey) AS nn FROM region ORDER BY name",

@@ -326,6 +326,7 @@ class CallSub(Clause):
     concurrency: Optional[int] = None
     on_error: Optional[str] = None  # CONTINUE | BREAK | FAIL
     report_var: Optional[str] = None  # REPORT STATUS AS var
+    optional: bool = False  # OPTIONAL CALL {} — null-padded on empty
 
 
 @dataclass

@@ -121,6 +121,13 @@ class Parser:
     def parse_clause(self) -> A.Clause:
         if self.at_kw("OPTIONAL"):
             self.take()
+            if self.at_kw("CALL"):  # OPTIONAL CALL {} (Clause.scala)
+                self.take()
+                c = self.parse_call()
+                import dataclasses
+                if isinstance(c, A.CallSub):
+                    c = dataclasses.replace(c, optional=True)
+                return c
             self.expect_kw("MATCH")
             return self.parse_match(optional=True)
         if self.at_kw("MATCH"):

@@ -1503,6 +1503,10 @@ class Translator:
                 inner = inner.dropDuplicates()
             if df is None:
                 return inner
+            if clause.optional:
+                # OPTIONAL CALL {}: an empty subquery null-pads instead of
+                # dropping the input rows
+                return df.join(inner, F.lit(True), "left")
             return df.crossJoin(inner)
         import dataclasses
 
@@ -1555,7 +1559,7 @@ class Translator:
                 elif isinstance(e, A.Func) and e.name == "collect":
                     defaults[name] = F.array().cast(
                         matched.schema[name].dataType.simpleString())
-        how = "left" if defaults else "inner"
+        how = "left" if (defaults or clause.optional) else "inner"
         cond = None
         for v in shared:
             l, r = F.col(v), matched[hid[v]]

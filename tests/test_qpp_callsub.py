@@ -104,3 +104,22 @@ def test_nested_call_subqueries(spark, tpch_graph):
     # cross-checked against DuckDB on the same parquet
     assert got == {"AFRICA": 33, "AMERICA": 33, "ASIA": 26,
                    "EUROPE": 24, "MIDDLE EAST": 34}
+
+
+def test_optional_call_null_pads(spark, tpch_graph):
+    from neo4j_spark.api import cypher
+
+    # correlated, empty per-row: null-padded instead of dropped
+    out = cypher(spark,
+                 "MATCH (r:Region) OPTIONAL CALL { WITH r "
+                 "MATCH (n:Nation {name: 'NOPE'})-[:IN_REGION]->(r) "
+                 "RETURN n.name AS nn } "
+                 "RETURN count(*) AS rows, count(nn) AS hits", tpch_graph)
+    assert [tuple(r) for r in out.collect()] == [(5, 0)]
+    # plain CALL on the same empty body drops every row
+    out2 = cypher(spark,
+                  "MATCH (r:Region) CALL { WITH r "
+                  "MATCH (n:Nation {name: 'NOPE'})-[:IN_REGION]->(r) "
+                  "RETURN n.name AS nn } "
+                  "RETURN count(*) AS rows", tpch_graph)
+    assert [tuple(r) for r in out2.collect()] == [(0,)]
