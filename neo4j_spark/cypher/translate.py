@@ -979,44 +979,58 @@ class Translator:
         self.kinds[pvar] = "path"
         df = df.withColumn(
             pvar, F.struct(nodes_arr.alias("nodes"), rels_arr.alias("rels")))
-        if self._path_rich_use(pvar):
+        node_rich, rel_rich = self._path_use_kinds(pvar)
+        if rel_rich:
+            df = self._resolve_path_rels(df, pvar)
+        if node_rich:
             df = self._resolve_path_nodes(df, pvar)
         return df
 
     def _path_rich_use(self, pvar: str) -> bool:
-        """True when the statement consumes path contents beyond its shape.
+        node_rich, rel_rich = self._path_use_kinds(pvar)
+        return node_rich or rel_rich
 
-        Shape-only forms — length(p), relationships(p) (rel structs already
-        carry properties), size(nodes(p)) / size(relationships(p)) — read
-        nothing from the node structs, so id-only nodes suffice (the
+    def _path_use_kinds(self, pvar: str):
+        """(node_rich, rel_rich): which path contents the statement reads
+        beyond the path's shape.
+
+        Shape-only forms — length(p), size(nodes(p)), size(relationships(p))
+        — read nothing from the structs, so id-only elements suffice (the
         pruningVarExpander/bfsAggregationRemover usage test, SURVEY §4.1).
-        Everything else (RETURN p, [n IN nodes(p) | n.prop], …) needs full
-        node structs."""
+        relationships(p) used any other way marks rel_rich (rel properties
+        must be resolved); every remaining use of p (RETURN p,
+        [n IN nodes(p) | n.prop], …) marks both."""
         import dataclasses
 
         root = getattr(self, "query_ast", None)
         if root is None:
-            return True
-        rich = False
+            return True, True
+        node_rich = rel_rich = False
 
         def is_path_var(e) -> bool:
             return isinstance(e, A.Var) and e.name == pvar
 
         def walk(node) -> None:
-            nonlocal rich
-            if rich or not dataclasses.is_dataclass(node):
+            nonlocal node_rich, rel_rich
+            if (node_rich and rel_rich) or not dataclasses.is_dataclass(node):
                 return
             if isinstance(node, A.Func):
                 n, a = node.name, node.args
-                if n in ("length", "relationships") and len(a) == 1 \
+                if n == "length" and len(a) == 1 and is_path_var(a[0]):
+                    return
+                if n == "relationships" and len(a) == 1 \
                         and is_path_var(a[0]):
+                    rel_rich = True
+                    return
+                if n == "nodes" and len(a) == 1 and is_path_var(a[0]):
+                    node_rich = True
                     return
                 if n == "size" and len(a) == 1 and isinstance(a[0], A.Func) \
                         and a[0].name in ("nodes", "relationships") \
                         and len(a[0].args) == 1 and is_path_var(a[0].args[0]):
                     return
             if is_path_var(node):
-                rich = True
+                node_rich = rel_rich = True
                 return
             for f in dataclasses.fields(node):
                 v = getattr(node, f.name)
@@ -1028,7 +1042,42 @@ class Translator:
                             walk(x)
 
         walk(root)
-        return rich
+        return node_rich, rel_rich
+
+    def _resolve_path_rels(self, df: DataFrame, pvar: str) -> DataFrame:
+        """Replace a path's core rel structs (id/src/dst/type) with full
+        property-carrying structs: one posexplode + join against the
+        (unified-schema) rel scan + positional regroup — only when the
+        statement reads rel properties off the path."""
+        from ..operators.paths import _pin
+
+        rid = self._anon_var("rrow")
+        df = _pin(df.withColumn(rid, F.monotonically_increasing_id()))
+        # outer explode: zero-length paths (empty rel array) must survive
+        ex = df.select(
+            F.col(rid),
+            F.posexplode_outer(
+                F.col(pvar).getField("rels")).alias("__pos", "__pr"))
+        rscan = self._rel_scan(A.RelPat(None), "__prel") \
+                    .drop("__from", "__to")
+        joined = ex.join(
+            rscan,
+            F.col("__pr").getField("_id") == F.col("__prel").getField("_id"),
+            "left")
+        agg = joined.groupBy(rid).agg(
+            F.filter(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct(F.col("__pos").alias("o"),
+                                 F.col("__prel").alias("r")))),
+                    lambda x: x.getField("r")),
+                lambda r: r.isNotNull()).alias("__prels"))
+        out = df.join(agg, rid)
+        out = out.withColumn(
+            pvar,
+            F.struct(F.col(pvar).getField("nodes").alias("nodes"),
+                     F.col("__prels").alias("rels")))
+        return out.drop(rid, "__prels")
 
     def _resolve_path_nodes(self, df: DataFrame, pvar: str) -> DataFrame:
         """Replace a path's id-only node structs with full node structs:

@@ -429,7 +429,10 @@ def shortest_path(tr, df: Optional[DataFrame], part: A.PatternPart,
         if track_path == "full":
             drop.append("__nodes")
     out = out.drop(*drop)
-    if part.path_var and track_path == "full" \
-            and tr._path_rich_use(part.path_var):
-        out = tr._resolve_path_nodes(out, part.path_var)
+    if part.path_var and track_path == "full":
+        node_rich, rel_rich = tr._path_use_kinds(part.path_var)
+        if rel_rich:
+            out = tr._resolve_path_rels(out, part.path_var)
+        if node_rich:
+            out = tr._resolve_path_nodes(out, part.path_var)
     return out

@@ -627,3 +627,23 @@ class TestWriteReadInteractionAcceptance:
             "MATCH (a:W4 {v: 1})-[*1..2]->(b) DETACH DELETE b").collect()
         assert rows(run(spark, g,
                         "MATCH (n:W4) RETURN count(*) AS n")) == [(1,)]
+
+
+class TestPathRelPropertiesAcceptance:
+    def test_relationships_of_path_carry_properties(self, spark, g):
+        run(spark, g, "CREATE (:PR {v: 1})-[:R {w: 7}]->(:PR {v: 2})"
+            ).collect()
+        assert rows(run(spark, g,
+                        "MATCH p = (a:PR {v: 1})-[:R]->(b) "
+                        "RETURN relationships(p)[0].w AS w")) == [(7,)]
+        assert rows(run(spark, g,
+                        "MATCH p = (a:PR {v: 1})-[:R*1..1]->(b) "
+                        "RETURN [x IN relationships(p) | x.w] AS ws")) \
+            == [([7],)]
+
+    def test_single_node_path_has_empty_rels(self, spark, g):
+        run(spark, g, "CREATE (:PS {v: 1})").collect()
+        assert rows(run(spark, g,
+                        "MATCH p = (n:PS) RETURN size(nodes(p)) AS nn, "
+                        "[x IN relationships(p) | type(x)] AS ts")) \
+            == [(1, [])]
