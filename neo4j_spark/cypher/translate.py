@@ -1483,6 +1483,39 @@ class Translator:
         self.kinds[col] = "scalar"
         return out, A.Var(col)
 
+    def _maybe_lower_endpoint(self, df: DataFrame, e: A.Expr):
+        """startNode/endNode on a rel the pattern did not bind (e.g. a path
+        element): resolve to a full node struct by joining the node scan on
+        the endpoint id — the expression compiler alone cannot join, so
+        property access on the result would otherwise be null.  Returns
+        None when the fast path (bound endpoint variable) applies."""
+        if not (isinstance(e, A.Func) and e.name in ("startnode", "endnode")
+                and len(e.args) == 1):
+            return None
+        a0 = e.args[0]
+        if isinstance(a0, A.Var):
+            ends = self.rel_endpoints.get(a0.name)
+            if ends is not None:
+                want = ends[0] if e.name == "startnode" else ends[1]
+                if want is not None and want in df.columns:
+                    return None  # registry fast path resolves this
+        h = self._anon_var("epn")
+        try:
+            idc = self._compiler(df).compile(a0).getField(
+                "_src" if e.name == "startnode" else "_dst")
+            df.select(idc)  # force analysis
+        except Exception:
+            # lambda-scoped arg (inside a comprehension) — leave to the
+            # registry's id-only fallback
+            return None
+        df = df.withColumn(f"__{h}_id", idc)
+        nscan = self._node_scan(A.NodePat(None), h)
+        df = df.join(nscan,
+                     F.col(f"__{h}_id") == F.col(h).getField("_id"),
+                     "left").drop(f"__{h}_id")
+        self.kinds[h] = "node"
+        return df, A.Var(h)
+
     def _lower_all(self, df: DataFrame, expr: A.Expr) -> Tuple[DataFrame, A.Expr]:
         """Lower subquery predicates AND pattern comprehensions."""
         import dataclasses
@@ -1493,6 +1526,9 @@ class Translator:
             if isinstance(e, (A.PatternPred, A.ExistsSub, A.CountSub,
                               A.CollectSub)):
                 return self._lower_predicates(df, e)
+            lowered = self._maybe_lower_endpoint(df, e)
+            if lowered is not None:
+                return lowered
             if not dataclasses.is_dataclass(e) or not isinstance(e, A.Expr):
                 return df, e
             changes = {}

@@ -647,3 +647,19 @@ class TestPathRelPropertiesAcceptance:
                         "MATCH p = (n:PS) RETURN size(nodes(p)) AS nn, "
                         "[x IN relationships(p) | type(x)] AS ts")) \
             == [(1, [])]
+
+
+class TestEndpointResolutionAcceptance:
+    def test_startnode_of_path_relationship_has_properties(self, spark, g):
+        run(spark, g, "CREATE (:EN {v: 1})-[:R]->(:EN {v: 2})").collect()
+        assert rows(run(spark, g,
+                        "MATCH p = (a:EN {v: 1})-[:R]->(b) "
+                        "RETURN startNode(relationships(p)[0]).v AS s, "
+                        "endNode(relationships(p)[0]).v AS e")) == [(1, 2)]
+
+    def test_endpoint_of_unbound_rel_scan(self, spark, g):
+        run(spark, g, "CREATE (:EO {v: 5})-[:R]->(:EO {v: 6})").collect()
+        assert rows(run(spark, g,
+                        "MATCH ()-[r:R]->() "
+                        "RETURN startNode(r).v AS s, endNode(r).v AS e")) \
+            == [(5, 6)]
