@@ -97,10 +97,16 @@ class IsTyped(Expr):
 
 @dataclass
 class HasLabels(Expr):
-    """``n:Label1:Label2`` / ``r:TYPE`` predicate."""
+    """``n:Label1:Label2`` / ``r:TYPE`` predicate; full label expressions
+    (``n:A|B``, ``n:!A``, ``n:%``) mirror NodePat's fields
+    (reference: front-end/ast label expression grammar)."""
 
     subject: Expr
     labels: List[str]
+    any_labels: bool = False          # labels is a disjunction
+    neg_labels: List[str] = field(default_factory=list)
+    req_any_label: bool = False       # :%
+    req_no_label: bool = False        # :!%
 
 
 @dataclass

@@ -465,10 +465,21 @@ class ExprCompiler:
             conds = [subj.getField("_type") == F.lit(l) for l in e.labels]
         else:
             conds = [F.array_contains(subj.getField("_labels"), l) for l in e.labels]
-        out = conds[0]
-        for c in conds[1:]:
-            out = out & c
-        return out
+        out = None
+        for c in conds:
+            out = c if out is None else (
+                (out | c) if getattr(e, "any_labels", False) else (out & c))
+        for l in getattr(e, "neg_labels", ()) or ():
+            c = (~(subj.getField("_type") == F.lit(l)) if kind == "rel"
+                 else ~F.array_contains(subj.getField("_labels"), l))
+            out = c if out is None else out & c
+        if getattr(e, "req_any_label", False):
+            c = F.size(subj.getField("_labels")) > 0
+            out = c if out is None else out & c
+        if getattr(e, "req_no_label", False):
+            c = F.size(subj.getField("_labels")) == 0
+            out = c if out is None else out & c
+        return out if out is not None else F.lit(True)
 
     # ---- containers ------------------------------------------------------
 
@@ -506,6 +517,31 @@ class ExprCompiler:
             return F.element_at(subj, idx)
         if isinstance(t, T.StructType) and isinstance(e.index, A.Lit):
             return subj.getField(str(e.index.value))
+        if isinstance(t, T.StructType):
+            # dynamic key on a node/rel/map struct: fields are static, so
+            # compile to a CASE over the field names.  A Column has ONE
+            # static type, so mixed field types coerce: numerics widen,
+            # anything else falls back to string (documented divergence —
+            # Cypher's n[k] is dynamically typed).
+            fields = [f for f in t.fields if not f.name.startswith("_")]
+            ftypes = {f.dataType.simpleString() for f in fields}
+            if len(ftypes) == 1:
+                cast = None
+            elif ftypes <= {"tinyint", "smallint", "int", "bigint",
+                            "float", "double", "decimal"}:
+                cast = ("double" if ftypes & {"float", "double", "decimal"}
+                        else "bigint")
+            else:
+                cast = "string"
+            out = F.lit(None)
+            if cast:
+                out = out.cast(cast)
+            for f in fields:
+                v = subj.getField(f.name)
+                if cast:
+                    v = v.cast(cast)
+                out = F.when(idx == F.lit(f.name), v).otherwise(out)
+            return out
         # 0-based with negative wrap
         if isinstance(e.index, A.Lit) and isinstance(e.index.value, int):
             i = e.index.value

@@ -530,7 +530,17 @@ class Parser:
         while True:
             if self.at_op("-", "<-"):
                 rel = self.parse_rel_pat()
-                elements.extend([rel, self.parse_chain_element()])
+                q = self.parse_quantifier_opt()
+                if q is not None:
+                    # GQL quantified-relationship shorthand -[:R]->+ —
+                    # desugars to a QPP over an anonymous node pair
+                    # (reference: TrailToVarExpandRewriter acts on the
+                    # same desugaring)
+                    elements.append(A.QPP(
+                        [A.NodePat(None), rel, A.NodePat(None)], q[0], q[1]))
+                    elements.append(self.parse_chain_element())
+                else:
+                    elements.extend([rel, self.parse_chain_element()])
             elif self.at_op("(") and self.at_op("(", ahead=1):
                 # juxtaposed quantified path pattern: (a) ((x)-[r]->(y)){1,3}
                 elements.append(self.parse_qpp())
@@ -555,29 +565,72 @@ class Parser:
             self.take()
             where = self.parse_expr()
         self.expect_op(")")
-        min_r, max_r = 1, 1
-        if self.at_op("{"):
+        q = self.parse_quantifier_opt()
+        min_r, max_r = q if q is not None else (1, 1)
+        return A.QPP(inner.elements, min_r, max_r, where)
+
+    def parse_quantifier_opt(self):
+        """``{m,n}`` / ``{n}`` / ``*`` / ``+`` / ``?`` quantifier, or None."""
+        if self.at_op("{") and (self.peek(1).kind == "INT"
+                                or self.at_op(",", ahead=1)):
             self.take()
-            min_r = int(self.take().value)
+            min_r = int(self.take().value) if self.peek().kind == "INT" else 0
             if self.at_op(","):
                 self.take()
-                if self.at_op("}"):
-                    max_r = None
-                else:
-                    max_r = int(self.take().value)
+                max_r = None if self.at_op("}") else int(self.take().value)
             else:
                 max_r = min_r
             self.expect_op("}")
-        elif self.at_op("*"):
+            return min_r, max_r
+        if self.at_op("*"):
             self.take()
-            min_r, max_r = 0, None
-        elif self.at_op("+"):
+            return 0, None
+        if self.at_op("+"):
             self.take()
-            min_r, max_r = 1, None
-        elif self.at_op("?"):
+            return 1, None
+        if self.at_op("?"):
             self.take()
-            min_r, max_r = 0, 1
-        return A.QPP(inner.elements, min_r, max_r, where)
+            return 0, 1
+        return None
+
+    def parse_label_expr(self):
+        """Label expression body after the leading ``:``; shared between
+        node patterns and WHERE-position predicates (``n:A|B``)."""
+        labels: List[str] = []
+        neg_labels: List[str] = []
+        any_labels = False
+        req_any = req_no = False
+        wrapped = False  # :(A|B) — parenthesized label expression
+        if self.at_op("("):
+            self.take()
+            wrapped = True
+        while True:
+            neg = False
+            while self.at_op("!"):
+                self.take()
+                neg = not neg
+            if self.at_op("%"):  # wildcard label (GQL)
+                self.take()
+                if neg:
+                    req_no = True
+                else:
+                    req_any = True
+            else:
+                (neg_labels if neg else labels).append(self.expect_ident())
+            if self.at_op(":", "|", "&"):
+                sep = self.take().value
+                if self.at_op(":"):  # "|:" form
+                    self.take()
+                if sep == "|":
+                    any_labels = True
+                continue
+            break
+        if wrapped:
+            self.expect_op(")")
+        if any_labels and (neg_labels or req_any or req_no):
+            raise ParseError(
+                "mixed |/! label expressions are not supported")
+        return labels, any_labels, neg_labels, req_any, req_no
 
     def parse_node_pat(self) -> A.NodePat:
         self.expect_op("(")
@@ -590,36 +643,8 @@ class Parser:
         req_any = req_no = False
         if self.at_op(":"):
             self.take()
-            wrapped = False  # :(A|B) — parenthesized label expression
-            if self.at_op("("):
-                self.take()
-                wrapped = True
-            while True:
-                neg = False
-                while self.at_op("!"):
-                    self.take()
-                    neg = not neg
-                if self.at_op("%"):  # wildcard label (GQL)
-                    self.take()
-                    if neg:
-                        req_no = True
-                    else:
-                        req_any = True
-                else:
-                    (neg_labels if neg else labels).append(self.expect_ident())
-                if self.at_op(":", "|", "&"):
-                    sep = self.take().value
-                    if self.at_op(":"):  # "|:" form
-                        self.take()
-                    if sep == "|":
-                        any_labels = True
-                    continue
-                break
-            if wrapped:
-                self.expect_op(")")
-            if any_labels and (neg_labels or req_any or req_no):
-                raise ParseError(
-                    "mixed |/! label expressions are not supported")
+            labels, any_labels, neg_labels, req_any, req_no = \
+                self.parse_label_expr()
         props = None
         if self.at_op("{"):
             props = self.parse_map_literal()
@@ -901,11 +926,10 @@ class Parser:
                     self.expect_op("]")
                     e = A.Index(e, idx)
             elif self.at_op(":") and isinstance(e, A.Var):
-                labels = []
-                while self.at_op(":"):
-                    self.take()
-                    labels.append(self.expect_ident())
-                e = A.HasLabels(e, labels)
+                self.take()
+                labels, any_l, neg_l, req_any, req_no = \
+                    self.parse_label_expr()
+                e = A.HasLabels(e, labels, any_l, neg_l, req_any, req_no)
             elif self.at_op("{") and isinstance(e, A.Var):
                 e = self.parse_map_projection(e.name)
             else:

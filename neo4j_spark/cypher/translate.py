@@ -496,7 +496,8 @@ class Translator:
     def _queue_node_filters(self, np: A.NodePat, var: str,
                             pending: List[A.Expr], bound: bool = False) -> None:
         if np.labels and bound:  # label check on an already-bound var
-            pending.append(A.HasLabels(A.Var(var), list(np.labels)))
+            pending.append(A.HasLabels(A.Var(var), list(np.labels),
+                                       any_labels=np.any_labels))
         if bound:
             for l in np.neg_labels:
                 pending.append(A.UnaryOp(
@@ -530,9 +531,10 @@ class Translator:
         needs_enum = sel is not None
         pend_start = len(pending)
         rb_start = len(rel_bindings)
-        if needs_enum:
-            # selector ranking needs a path length, so every repeated rel of
-            # a QPP must surface as a group column — name the anonymous ones
+        if needs_enum or part.path_var:
+            # selector ranking and path construction both need every
+            # repeated rel of a QPP as a group column — name the anonymous
+            # ones
             for el in part.elements:
                 if isinstance(el, A.QPP):
                     for iel in el.elements:
@@ -1829,11 +1831,38 @@ class Translator:
                 if c in out.columns]
 
     def _int_value(self, e: A.Expr) -> int:
-        if isinstance(e, A.Lit) and isinstance(e.value, int):
+        """SKIP/LIMIT accept any statically-evaluable integer expression
+        (reference: ast/Clause.scala skip/limit take full expressions)."""
+        v = self._const_eval(e)
+        if isinstance(v, bool) or not isinstance(v, int):
+            raise TranslateError(
+                "SKIP/LIMIT must be integer literal or parameter")
+        return v
+
+    def _const_eval(self, e: A.Expr):
+        if isinstance(e, A.Lit):
             return e.value
         if isinstance(e, A.Param):
-            return int(self.params[e.name])
-        raise TranslateError("SKIP/LIMIT must be integer literal or parameter")
+            return self.params[e.name]
+        if isinstance(e, A.UnaryOp) and e.op == "NEG":
+            v = self._const_eval(e.operand)
+            return -v if isinstance(v, (int, float)) else None
+        if isinstance(e, A.BinOp):
+            l, r = self._const_eval(e.left), self._const_eval(e.right)
+            if isinstance(l, (int, float)) and isinstance(r, (int, float)):
+                if e.op == "+":
+                    return l + r
+                if e.op == "-":
+                    return l - r
+                if e.op == "*":
+                    return l * r
+                if e.op == "/":
+                    return l // r if isinstance(l, int) and isinstance(r, int) else l / r
+                if e.op == "%":
+                    return l % r
+                if e.op == "^":
+                    return float(l) ** r
+        return None
 
     def _result_kind(self, e: A.Expr) -> str:
         if isinstance(e, A.Var):

@@ -305,6 +305,10 @@ def compile_function(cc, e: A.Func) -> Column:
         col, t = ctyped(0)
         if isinstance(t, T.StringType):
             return F.length(col) == 0
+        if isinstance(t, T.StructType):
+            # map literals compile to structs; field count is static
+            return F.when(col.isNull(), F.lit(None).cast("boolean")) \
+                .otherwise(F.lit(len(t.fields) == 0))
         return F.size(col) == 0
     if name in ("char_length", "character_length"):
         return F.length(c(0)).cast("long")

@@ -134,3 +134,84 @@ class TestIsEmpty:
                     "RETURN isEmpty([]) AS a, isEmpty([1]) AS b, "
                     "isEmpty('') AS c, isEmpty('x') AS d", chain_graph)
         assert rows(df) == [(True, False, True, False)]
+
+
+class TestLabelExprInWhere:
+    """Label expressions in predicate position (``WHERE n:A|B``) share the
+    node-pattern grammar (front-end label expression semantics)."""
+
+    def test_disjunction_where(self, spark, chain_graph):
+        df = cypher(spark, "MATCH (n) WHERE n:A|C RETURN n.x AS x ORDER BY x",
+                    chain_graph)
+        assert rows(df) == [(1,), (3,)]
+
+    def test_negation_where(self, spark, chain_graph):
+        df = cypher(spark, "MATCH (n) WHERE n:!B RETURN n.x AS x ORDER BY x",
+                    chain_graph)
+        assert rows(df) == [(1,), (3,)]
+
+    def test_wildcard_where(self, spark, chain_graph):
+        df = cypher(spark, "MATCH (n) WHERE n:% RETURN count(*) AS c",
+                    chain_graph)
+        assert rows(df) == [(3,)]
+
+
+class TestDynamicAccess:
+    def test_dynamic_prop_key(self, spark, chain_graph):
+        df = cypher(spark,
+                    "WITH 'x' AS k MATCH (n:A) RETURN n[k] AS v", chain_graph)
+        assert rows(df) == [(1,)]
+
+    def test_isempty_map(self, spark, chain_graph):
+        df = cypher(spark, "RETURN isEmpty({}) AS a, isEmpty({x: 1}) AS b",
+                    chain_graph)
+        assert rows(df) == [(True, False)]
+
+
+class TestSkipLimitExprs:
+    def test_limit_const_expr(self, spark, chain_graph):
+        df = cypher(spark,
+                    "MATCH (n) RETURN n.x AS x ORDER BY x LIMIT 1 + 1",
+                    chain_graph)
+        assert rows(df) == [(1,), (2,)]
+
+    def test_skip_const_expr(self, spark, chain_graph):
+        df = cypher(spark,
+                    "MATCH (n) RETURN n.x AS x ORDER BY x SKIP 4 - 3 LIMIT 1",
+                    chain_graph)
+        assert rows(df) == [(2,)]
+
+
+class TestQuantifiedRelShorthand:
+    """GQL quantified-relationship sugar ``-[:R]->+`` desugars to a QPP
+    (TrailToVarExpandRewriter's source shape)."""
+
+    def test_plus(self, spark, chain_graph):
+        df = cypher(spark,
+                    "MATCH (a:A)-[:R]->+(b) RETURN b.x AS x ORDER BY x",
+                    chain_graph)
+        assert rows(df) == [(2,), (3,)]
+
+    def test_star_includes_zero(self, spark, chain_graph):
+        df = cypher(spark,
+                    "MATCH (a:A)-[:R]->*(b) RETURN b.x AS x ORDER BY x",
+                    chain_graph)
+        assert rows(df) == [(1,), (2,), (3,)]
+
+    def test_brace_range(self, spark, chain_graph):
+        df = cypher(spark,
+                    "MATCH (a:A)-[:R]->{2,2}(b) RETURN b.x AS x",
+                    chain_graph)
+        assert rows(df) == [(3,)]
+
+    def test_path_length_through_qpp(self, spark, chain_graph):
+        df = cypher(spark,
+                    "MATCH p = (a:A)-[:R]->+(c:C) RETURN length(p) AS l",
+                    chain_graph)
+        assert rows(df) == [(2,)]
+
+    def test_path_nodes_through_qpp(self, spark, chain_graph):
+        df = cypher(spark,
+                    "MATCH p = (a:A)-[:R]->+(c:C) "
+                    "RETURN [n IN nodes(p) | n.x] AS xs", chain_graph)
+        assert rows(df) == [([1, 2, 3],)]
