@@ -352,6 +352,24 @@ CYPHER_QUERIES = {
     "qpp_node_where":
         "MATCH ((a:Nation WHERE a.nationkey < 5)-[:IN_REGION]->(b)){1,1} "
         "RETURN count(*) AS n",
+    "qpp_rel_shorthand":
+        # GQL quantified-relationship sugar -[:T]->+ (desugars to Trail)
+        "MATCH (n:Nation)-[:IN_REGION]->+(x) RETURN count(*) AS n",
+    "qpp_path_length":
+        # named path whose only var-length content is a QPP segment
+        "MATCH p = (s:Supplier)-[:FROM_NATION]->+(x) "
+        "RETURN length(p) AS l, count(*) AS n",
+    "label_expr_where":
+        # label disjunction in predicate position (WHERE n:A|B)
+        "MATCH (n) WHERE n:Region|Nation RETURN count(*) AS n",
+    "dynamic_prop_key":
+        # dynamic property access n[k] with a non-literal key
+        "WITH 'name' AS k MATCH (r:Region) RETURN r[k] AS name "
+        "ORDER BY name",
+    "skip_limit_exprs":
+        # SKIP/LIMIT as constant arithmetic expressions
+        "MATCH (n:Nation) RETURN n.name AS name ORDER BY name "
+        "SKIP 2 * 2 LIMIT 10 / 2",
     "exists_union_subquery":
         "MATCH (r:Region) WHERE EXISTS { "
         "MATCH (n:Nation)-[:IN_REGION]->(r) RETURN n "
@@ -1400,6 +1418,18 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT count(*) FROM nation) AS BIGINT) AS n",
         "qpp_node_where":
             "SELECT count(*) AS n FROM nation WHERE n_nationkey < 5",
+        "qpp_rel_shorthand":
+            "SELECT count(*) AS n FROM nation",
+        "qpp_path_length":
+            "SELECT CAST(1 AS BIGINT) AS l, count(*) AS n FROM supplier",
+        "label_expr_where":
+            "SELECT CAST((SELECT count(*) FROM region) + "
+            "(SELECT count(*) FROM nation) AS BIGINT) AS n",
+        "dynamic_prop_key":
+            "SELECT r_name AS name FROM region ORDER BY name",
+        "skip_limit_exprs":
+            "SELECT n_name AS name FROM nation ORDER BY name "
+            "LIMIT 5 OFFSET 4",
         "exists_union_subquery":
             "SELECT count(*) AS n FROM region WHERE EXISTS "
             "(SELECT 1 FROM nation WHERE n_regionkey = r_regionkey)",
