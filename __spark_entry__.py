@@ -1805,7 +1805,8 @@ def oracle_sql() -> dict[str, str]:
         "exhaustive_limit":
             "SELECT count(*) AS n FROM (SELECT * FROM region LIMIT 3)",
         "math_functions":
-            "SELECT abs(-2.0) AS ab, ceil(2.0/3) AS ce, floor(2.0) AS fl, "
+            "SELECT CAST(abs(-2.0) AS DOUBLE) AS ab, ceil(2.0/3) AS ce, "
+            "CAST(floor(2.0) AS DOUBLE) AS fl, "
             "round(sqrt(2.0), 3) AS sq, CAST(sign(-2.0) AS BIGINT) AS sg, "
             "round(exp(1.0), 3) AS ex, round(ln(2.0), 3) AS lg, "
             "round(atan2(2.0, 1.0), 3) AS at, round(pi(), 3) AS p",

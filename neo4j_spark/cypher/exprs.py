@@ -109,6 +109,18 @@ TEMPORAL_FIELDS = {
     # ISO-8601 day numbering (TemporalValue: Monday=1..Sunday=7); Spark's
     # dayofweek() is Sunday=1-based, weekday() is Monday=0-based
     "dayofweek": lambda c: F.weekday(c) + 1, "ordinalday": F.dayofyear,
+    # remaining TemporalFields (TemporalValue.java:515-531)
+    "dayofquarter": lambda c: F.datediff(
+        c.cast("date"), F.trunc(c.cast("date"), "quarter")) + 1,
+    "millisecond": lambda c: F.floor(
+        F.pmod(F.unix_micros(c.cast("timestamp")), 1_000_000) / 1000),
+    "microsecond": lambda c: F.pmod(
+        F.unix_micros(c.cast("timestamp")), 1_000_000),
+    "nanosecond": lambda c: F.pmod(
+        F.unix_micros(c.cast("timestamp")), 1_000_000) * 1000,
+    # ISO week-based year = calendar year of that week's Thursday
+    "weekyear": lambda c: F.year(
+        F.date_add(c.cast("date"), 3 - F.weekday(c.cast("date")))),
 }
 
 
@@ -237,6 +249,18 @@ class ExprCompiler:
                     "milliseconds": s * 1000 + F.floor(ns / 1_000_000),
                     "microseconds": s * 1_000_000 + F.floor(ns / 1000),
                     "nanoseconds": s * 1_000_000_000 + ns,
+                    # *Of* accessors (DurationFields.java MONTHS_OF_YEAR..)
+                    # — Java's sign-preserving % (negative durations keep
+                    # negative components)
+                    "monthsofyear": m % 12,
+                    "monthsofquarter": m % 3,
+                    "quartersofyear": F.floor(m / 3) % 4,
+                    "daysofweek": d % 7,
+                    "minutesofhour": F.floor(s / 60) % 60,
+                    "secondsofminute": s % 60,
+                    "millisecondsofsecond": F.floor(ns / 1_000_000),
+                    "microsecondsofsecond": F.floor(ns / 1000),
+                    "nanosecondsofsecond": ns,
                 }
                 k = key.lower()
                 if k in derived:
@@ -288,6 +312,37 @@ class ExprCompiler:
 
     # ---- operators -------------------------------------------------------
 
+    @staticmethod
+    def _cmp_group(t) -> Optional[str]:
+        """Value class for comparability (ValueGroup.java:32): numbers
+        compare across widths, everything else only within its own class.
+        None = statically unknown (null literal / unresolved) — defer to
+        Spark's null propagation."""
+        if t is None or isinstance(t, T.NullType):
+            return None
+        if isinstance(t, T.NumericType):
+            return "number"
+        if isinstance(t, T.StringType):
+            return "text"
+        if isinstance(t, T.BooleanType):
+            return "boolean"
+        if isinstance(t, (T.DateType, T.TimestampNTZType, T.TimestampType)):
+            # documented divergence: the reference keeps DATE /
+            # LOCAL_DATE_TIME / ZONED_DATE_TIME in separate (incomparable)
+            # ValueGroups; we coerce instants like SQL so date columns
+            # compare against datetime() literals (the fixture's parquet
+            # dates surface as either Date or TimestampNTZ)
+            return "temporal-instant"
+        if isinstance(t, T.ArrayType):
+            return "list"
+        if isinstance(t, T.StructType):
+            if _is_duration(t):
+                return "duration"
+            if {f.name for f in t.fields} >= {"crs", "x", "y"}:
+                return "point"
+            return "struct"
+        return None
+
     def _c_BinOp(self, e: A.BinOp) -> Column:
         op = e.op
         if op in ("AND", "OR", "XOR"):
@@ -300,6 +355,14 @@ class ExprCompiler:
         if op in ("=", "<>"):
             l, r = self._entity_aware(e.left), self._entity_aware(e.right)
             lt = self.dtype_of(l)
+            lg, rg = self._cmp_group(lt), self._cmp_group(self.dtype_of(r))
+            if lg is not None and rg is not None and lg != rg:
+                # cross-value-class equality is FALSE, never an error
+                # (AnyValue.ternaryEquals, AnyValue.java:62) — with ternary
+                # null propagation
+                eq = F.when(l.isNull() | r.isNull(),
+                            F.lit(None).cast("boolean")).otherwise(F.lit(False))
+                return eq if op == "=" else ~eq
             if isinstance(lt, T.ArrayType) \
                     and isinstance(self.dtype_of(r), T.ArrayType):
                 # ternary structural list equality (AnyValue.ternaryEquals,
@@ -318,6 +381,12 @@ class ExprCompiler:
             return (l == r) if op == "=" else (l != r)
         if op in ("<", "<=", ">", ">="):
             l, r = self._entity_aware(e.left), self._entity_aware(e.right)
+            lg = self._cmp_group(self.dtype_of(l))
+            rg = self._cmp_group(self.dtype_of(r))
+            if lg is not None and rg is not None and lg != rg:
+                # comparison across incomparable value classes yields NULL
+                # (AnyValues TERNARY_COMPARATOR, AnyValues.java:69)
+                return F.lit(None).cast("boolean")
             return {"<": l < r, "<=": l <= r, ">": l > r, ">=": l >= r}[op]
         if op == "IN":
             # Ternary IN (AnyValue.ternaryEquals, AnyValue.java:62):
@@ -553,12 +622,15 @@ class ExprCompiler:
     def _c_Slice(self, e: A.Slice) -> Column:
         subj = self.compile(e.subject)
         n = F.size(subj)
-        lo = self.compile(e.lo) if e.lo is not None else F.lit(0)
-        hi = self.compile(e.hi) if e.hi is not None else n
-        lo = F.when(lo < 0, F.greatest(n + lo, F.lit(0))).otherwise(F.least(lo, n))
-        hi = F.when(hi < 0, F.greatest(n + hi, F.lit(0))).otherwise(F.least(hi, n))
+        lo0 = self.compile(e.lo) if e.lo is not None else F.lit(0)
+        hi0 = self.compile(e.hi) if e.hi is not None else n
+        lo = F.when(lo0 < 0, F.greatest(n + lo0, F.lit(0))).otherwise(F.least(lo0, n))
+        hi = F.when(hi0 < 0, F.greatest(n + hi0, F.lit(0))).otherwise(F.least(hi0, n))
         length = F.greatest(hi - lo, F.lit(0))
-        return F.slice(subj, lo + 1, length)
+        # a null bound nulls the whole slice (ListSlice.scala)
+        return F.when(lo0.isNull() | hi0.isNull(),
+                      F.lit(None).cast(self.dtype_of(subj).simpleString())) \
+            .otherwise(F.slice(subj, lo + 1, length))
 
     def _c_Case(self, e: A.Case) -> Column:
         col = None

@@ -880,27 +880,29 @@ class Parser:
         return e
 
     def parse_multiplicative(self) -> A.Expr:
-        e = self.parse_power()
+        e = self.parse_unary()
         while self.at_op("*", "/", "%"):
             op = self.take().value
-            e = A.BinOp(op, e, self.parse_power())
-        return e
-
-    def parse_power(self) -> A.Expr:
-        e = self.parse_unary()
-        if self.at_op("^"):
-            self.take()
-            return A.BinOp("^", e, self.parse_power())  # right-assoc
+            e = A.BinOp(op, e, self.parse_unary())
         return e
 
     def parse_unary(self) -> A.Expr:
+        # unary minus binds LOOSER than ^ (Cypher: -2^2 = -(2^2) = -4)
         if self.at_op("-"):
             self.take()
             return A.UnaryOp("NEG", self.parse_unary())
         if self.at_op("+"):
             self.take()
             return self.parse_unary()
-        return self.parse_postfix()
+        return self.parse_power()
+
+    def parse_power(self) -> A.Expr:
+        e = self.parse_postfix()
+        if self.at_op("^"):
+            self.take()
+            # right-assoc; RHS may itself be signed (2 ^ -3)
+            return A.BinOp("^", e, self.parse_unary())
+        return e
 
     def parse_postfix(self) -> A.Expr:
         e = self.parse_atom()
@@ -1204,9 +1206,25 @@ class Parser:
         if not self.at_kw("WHEN"):
             operand = self.parse_expr()
         whens: List[Tuple[A.Expr, A.Expr]] = []
+        extended = False
         while self.at_kw("WHEN"):
             self.take()
-            cond = self.parse_expr()
+            if operand is None:
+                cond = self.parse_expr()
+            else:
+                # extended simple CASE (Cypher 5): WHEN may carry a
+                # predicate fragment applied to the operand — comma-
+                # separated alternatives OR together
+                cond = None
+                while True:
+                    c, ext = self.parse_case_when_alt(operand)
+                    extended = extended or ext
+                    cond = c if cond is None else A.BinOp("OR", cond, c)
+                    if self.at_op(","):
+                        self.take()
+                        extended = True
+                        continue
+                    break
             self.expect_kw("THEN")
             whens.append((cond, self.parse_expr()))
         default = None
@@ -1214,7 +1232,52 @@ class Parser:
             self.take()
             default = self.parse_expr()
         self.expect_kw("END")
+        if operand is not None and extended:
+            # desugared to a searched CASE over full predicates
+            return A.Case(None, whens, default)
+        if operand is not None:
+            # classic simple CASE: unwrap the = conds back to bare values
+            whens = [(c.right, v) for c, v in whens]
         return A.Case(operand, whens, default)
+
+    def parse_case_when_alt(self, operand: A.Expr):
+        """One WHEN alternative of an extended simple CASE; returns
+        (predicate, is_extended_form)."""
+        if self.at_op("<", "<=", ">", ">=", "=", "<>"):
+            op = self.take().value
+            return A.BinOp(op, operand, self.parse_expr()), True
+        if self.at_op("=~"):
+            self.take()
+            return A.BinOp("=~", operand, self.parse_expr()), True
+        if self.at_kw("IS"):
+            self.take()
+            neg = False
+            if self.at_kw("NOT"):
+                self.take()
+                neg = True
+            if self.at_op("::"):
+                self.take()
+                return A.IsTyped(operand, self._parse_type_name(), neg), True
+            if self.at_kw("TYPED"):
+                self.take()
+                return A.IsTyped(operand, self._parse_type_name(), neg), True
+            self.expect_kw("NULL")
+            return A.IsNull(operand, negated=neg), True
+        if self.at_kw("IN"):
+            self.take()
+            return A.BinOp("IN", operand, self.parse_expr()), True
+        if self.at_kw("STARTS"):
+            self.take()
+            self.expect_kw("WITH")
+            return A.BinOp("STARTSWITH", operand, self.parse_expr()), True
+        if self.at_kw("ENDS"):
+            self.take()
+            self.expect_kw("WITH")
+            return A.BinOp("ENDSWITH", operand, self.parse_expr()), True
+        if self.at_kw("CONTAINS"):
+            self.take()
+            return A.BinOp("CONTAINS", operand, self.parse_expr()), True
+        return A.BinOp("=", operand, self.parse_expr()), False
 
 
 def parse(text: str):

@@ -125,8 +125,25 @@ class Translator:
 
     def translate(self, ast) -> DataFrame:
         if isinstance(ast, A.UnionQuery):
+            import dataclasses
+
+            # a trailing ORDER BY / SKIP / LIMIT on the final branch orders
+            # the WHOLE union result (ast/Clause.scala: the outer query's
+            # tail projection) — strip it from the branch and apply last
+            queries = list(ast.queries)
+            post: Optional[A.Projection] = None
+            lastc = queries[-1].clauses[-1] if queries[-1].clauses else None
+            if isinstance(lastc, A.Projection) and lastc.is_return \
+                    and (lastc.order or lastc.skip is not None
+                         or lastc.limit is not None):
+                post = lastc
+                stripped = dataclasses.replace(
+                    lastc, order=[], skip=None, limit=None)
+                queries[-1] = A.SingleQuery(
+                    queries[-1].clauses[:-1] + [stripped])
             frames = []
-            for q in ast.queries:
+            sub = self
+            for q in queries:
                 sub = Translator(self.spark, self.graph, self.params)
                 frames.append(sub._single(q))
             out = frames[0]
@@ -134,6 +151,17 @@ class Translator:
                 out = out.unionByName(f)
             if not ast.all:
                 out = out.dropDuplicates()
+            if post is not None:
+                if post.order:
+                    cc = ExprCompiler(out, dict(sub.kinds), self.params, sub)
+                    out = out.orderBy(*[
+                        (cc.compile(o.expr).asc_nulls_last() if o.ascending
+                         else cc.compile(o.expr).desc_nulls_first())
+                        for o in post.order])
+                if post.skip is not None:
+                    out = out.offset(self._int_value(post.skip))
+                if post.limit is not None:
+                    out = out.limit(self._int_value(post.limit))
             return out
         return self._single(ast)
 
@@ -1579,6 +1607,22 @@ class Translator:
                     else [clause.query])
         union_all = (clause.query.all
                      if isinstance(clause.query, A.UnionQuery) else True)
+        if len(branches) == 1 and not any(
+                isinstance(c, A.Projection) and c.is_return
+                for c in branches[0].clauses):
+            # unit subquery (SubqueryForeach LP:3897 / TransactionForeach
+            # LP:4100): run the body for its side effects only; the outer
+            # rowstream passes through unchanged
+            sub = Translator(self.spark, self.graph, self.params)
+            if df is not None and clause.imports:
+                shared = [v for v in clause.imports if v in df.columns]
+                sub.kinds.update(
+                    {v: self.kinds[v] for v in shared if v in self.kinds})
+                sub._single_over(df.select(*shared), branches[0])
+            else:
+                sub._single(branches[0])
+            return df if df is not None else self.spark.range(1).select(
+                F.lit(1).alias("__unit"))
         if df is None or not clause.imports:
             inner = None
             for b in branches:
@@ -1913,6 +1957,11 @@ class Translator:
                         changes[f.name] = nv
                 elif isinstance(v, list) and v and isinstance(v[0], A.Expr):
                     nl = [extract(x) for x in v]
+                    changes[f.name] = nl
+                elif isinstance(v, list) and v and isinstance(v[0], tuple):
+                    # CASE whens / map-literal items: lists of expr tuples
+                    nl = [tuple(extract(y) if isinstance(y, A.Expr) else y
+                                for y in x) for x in v]
                     changes[f.name] = nl
             if changes:
                 return dataclasses.replace(e, **changes)

@@ -127,6 +127,51 @@ def _norm_udf():
     return _normalize
 
 
+def _duration_to_string(col: Column) -> Column:
+    """ISO-8601 duration text (DurationValue.toString): P<Y><M><D>T<H><M><S>,
+    zero components omitted, all-zero -> 'PT0S', fractional seconds from
+    nanos with trailing zeros trimmed."""
+    m, d = col.getField("months"), col.getField("days")
+    s, ns = col.getField("seconds"), col.getField("nanos")
+    years, months = F.floor(m / 12), m % 12
+    hours = F.floor(s / 3600)
+    minutes = F.floor(s / 60) % 60
+    secs = s % 60
+    frac = F.when(ns == 0, F.lit("")).otherwise(
+        F.regexp_replace(F.format_string("%09d", ns), "0+$", ""))
+    piece = lambda v, u: F.when(  # noqa: E731
+        v != 0, F.concat(v.cast("string"), F.lit(u))).otherwise(F.lit(""))
+    date_part = F.concat(piece(years, "Y"), piece(months, "M"), piece(d, "D"))
+    sec_txt = F.when((secs != 0) | (ns != 0),
+                     F.concat(secs.cast("string"),
+                              F.when(ns == 0, F.lit("")).otherwise(
+                                  F.concat(F.lit("."), frac)),
+                              F.lit("S"))).otherwise(F.lit(""))
+    time_part = F.concat(piece(hours, "H"), piece(minutes, "M"), sec_txt)
+    body = F.concat(
+        date_part,
+        F.when(time_part != "", F.concat(F.lit("T"), time_part))
+         .otherwise(F.lit("")))
+    out = F.when(body == "", F.lit("PT0S")).otherwise(F.concat(F.lit("P"), body))
+    return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(out)
+
+
+def _datetime_to_string(col: Column, with_offset: bool = False) -> Column:
+    """ISO-8601 datetime text (java.time LocalDateTime/ZonedDateTime
+    toString): 'T' separator, seconds omitted when zero, fractional part
+    trimmed to millis/micros groups."""
+    micros = F.pmod(F.unix_micros(col.cast("timestamp")), 1_000_000)
+    base = F.date_format(col, "yyyy-MM-dd'T'HH:mm")
+    secs = F.date_format(col, "ss")
+    frac = F.when(
+        micros == 0, F.lit("")).otherwise(F.concat(F.lit("."), F.regexp_replace(
+            F.format_string("%06d", micros), "(000)+$", "")))
+    tail = F.when((secs == "00") & (micros == 0), F.lit("")) \
+        .otherwise(F.concat(F.lit(":"), secs, frac))
+    off = F.date_format(col, "XXX") if with_offset else F.lit("")
+    return F.concat(base, tail, off)
+
+
 def compile_function(cc, e: A.Func) -> Column:
     """cc: ExprCompiler; e: Func AST node."""
     name = e.name
@@ -169,7 +214,13 @@ def compile_function(cc, e: A.Func) -> Column:
             return F.lit(None)
         if isinstance(t, T.StructType):
             fields = [f.name for f in t.fields if not f.name.startswith("_")]
-            return F.struct(*[col.getField(f).alias(f) for f in fields])
+            out = F.struct(*[col.getField(f).alias(f) for f in fields])
+            if "_id" in t.fieldNames():
+                # null entity (failed OPTIONAL MATCH) -> null, not a
+                # struct of nulls
+                out = F.when(col.getField("_id").isNull(),
+                             F.lit(None)).otherwise(out)
+            return out
         return col
     if name == "keys":
         col, t = ctyped(0)
@@ -180,7 +231,11 @@ def compile_function(cc, e: A.Func) -> Column:
             arr = F.array(*[
                 F.when(col.getField(f).isNotNull(), F.lit(f)) for f in fields
             ])
-            return F.array_compact(arr)
+            out = F.array_compact(arr)
+            if "_id" in t.fieldNames():
+                out = F.when(col.getField("_id").isNull(),
+                             F.lit(None).cast("array<string>")).otherwise(out)
+            return out
         if isinstance(t, T.MapType):
             return F.map_keys(col)
         raise FunctionError("keys() expects node/rel/map")
@@ -315,7 +370,14 @@ def compile_function(cc, e: A.Func) -> Column:
 
     # ---- conversions -----------------------------------------------------
     if name in ("tostring", "tostringornull"):
-        return c(0).cast("string")
+        col, t = ctyped(0)
+        from ..cypher.exprs import _is_duration
+        if isinstance(t, T.StructType) and _is_duration(t):
+            return _duration_to_string(col)
+        if isinstance(t, (T.TimestampNTZType, T.TimestampType)):
+            return _datetime_to_string(col, with_offset=isinstance(
+                t, T.TimestampType))
+        return col.cast("string")
     if name in ("tointeger", "tointegerornull"):
         col, t = ctyped(0)
         if isinstance(t, T.StringType):
@@ -332,7 +394,13 @@ def compile_function(cc, e: A.Func) -> Column:
     if name in ("toboolean", "tobooleanornull"):
         col, t = ctyped(0)
         if isinstance(t, T.StringType):
-            return col.try_cast("boolean")
+            # Cypher accepts only 'true'/'false' (trimmed, case-insensitive);
+            # Spark's boolean cast also takes y/n/yes/no/0/1
+            # (CypherFunctions.java toBoolean)
+            lowered = F.lower(F.trim(col))
+            return (F.when(lowered == "true", F.lit(True))
+                     .when(lowered == "false", F.lit(False))
+                     .otherwise(F.lit(None).cast("boolean")))
         return col.cast("boolean")
     if name == "tointegerlist":
         return F.transform(c(0), lambda x: x.try_cast("long"))
@@ -341,7 +409,16 @@ def compile_function(cc, e: A.Func) -> Column:
     if name == "tostringlist":
         return F.transform(c(0), lambda x: x.cast("string"))
     if name == "tobooleanlist":
-        return F.transform(c(0), lambda x: x.try_cast("boolean"))
+        col, t = ctyped(0)
+        if isinstance(t, T.ArrayType) \
+                and isinstance(t.elementType, T.StringType):
+            def _to_bool(x):
+                lowered = F.lower(F.trim(x))
+                return (F.when(lowered == "true", F.lit(True))
+                         .when(lowered == "false", F.lit(False))
+                         .otherwise(F.lit(None).cast("boolean")))
+            return F.transform(col, _to_bool)
+        return F.transform(col, lambda x: x.try_cast("boolean"))
     if name == "valuetype":
         # GQL type descriptions (functions/ValueType.scala →
         # CypherType.description, util/symbols/*.scala): non-null values

@@ -243,6 +243,13 @@ def _clear_props(tr, df: DataFrame, var: str) -> DataFrame:
                 p, F.when(F.col("__tid").isNotNull(), F.lit(None))
                     .otherwise(F.col(p)))
         frames[name] = joined.drop("__tid")
+    # the bound struct must also forget its properties for the rest of
+    # the statement (intra-statement write-read visibility)
+    st = df.schema[var].dataType
+    for f in st.fields:
+        if not f.name.startswith("_"):
+            df = df.withColumn(var, F.col(var).withField(
+                f.name, F.lit(None).cast(f.dataType)))
     return df
 
 

@@ -10,6 +10,13 @@ from pyspark.sql import SparkSession
 def get_spark(app: str = "neo4j_spark", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Python workers deserialize our UDF closures by importing neo4j_spark —
+    # make the repo importable regardless of the launch cwd
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + pp if pp else ""))
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)

@@ -310,3 +310,22 @@ class TestTpchGraph:
         out = rows(df)
         assert len(out) == 5
         assert sum(r[1] for r in out) == 25
+
+
+def test_union_trailing_order_by_applies_to_union(spark, chain_graph):
+    df = cypher(spark,
+                "RETURN 2 AS x UNION RETURN 1 AS x ORDER BY x", chain_graph)
+    assert [r.x for r in df.collect()] == [1, 2]
+
+
+def test_union_trailing_limit(spark, chain_graph):
+    df = cypher(spark,
+                "RETURN 2 AS x UNION ALL RETURN 1 AS x ORDER BY x LIMIT 1",
+                chain_graph)
+    assert [r.x for r in df.collect()] == [1]
+
+
+def test_unary_minus_binds_looser_than_power(spark, chain_graph):
+    df = cypher(spark, "RETURN -2 ^ 2 AS a, 2 ^ -1 AS b, -2 ^ -2 AS c",
+                chain_graph)
+    assert [tuple(r) for r in df.collect()] == [(-4.0, 0.5, -0.25)]

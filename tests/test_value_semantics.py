@@ -1,0 +1,148 @@
+"""Cross-type comparison, null-bound slices, null-entity accessors,
+strict toBoolean, and the temporal/duration field long tail.
+
+Reference semantics: AnyValues.TERNARY_COMPARATOR (AnyValues.java:69),
+ListSlice.scala, CypherFunctions.java toBoolean, TemporalValue.java
+TemporalFields (:515-531), DurationFields.java.
+"""
+
+from neo4j_spark.api import cypher
+
+
+def rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+class TestCrossTypeComparison:
+    def test_incomparable_lt_is_null(self, spark, chain_graph):
+        df = cypher(spark,
+                    "RETURN 1 < 'a' AS a, 'a' > 2 AS b, true < 1 AS c",
+                    chain_graph)
+        assert rows(df) == [(None, None, None)]
+
+    def test_cross_class_equality_is_false(self, spark, chain_graph):
+        df = cypher(spark,
+                    "RETURN 1 = 'a' AS a, 1 <> 'a' AS b, true = 1 AS c",
+                    chain_graph)
+        assert rows(df) == [(False, True, False)]
+
+    def test_cross_class_eq_null_propagates(self, spark, chain_graph):
+        df = cypher(spark,
+                    "OPTIONAL MATCH (n:Nope) RETURN n.x = 'a' AS a",
+                    chain_graph)
+        # unknown (null) side stays ternary-null even across classes
+        assert rows(df) == [(None,)]
+
+    def test_numeric_widths_compare(self, spark, chain_graph):
+        df = cypher(spark, "RETURN 1 < 1.5 AS a, 2 >= 2.0 AS b", chain_graph)
+        assert rows(df) == [(True, True)]
+
+
+class TestSliceAndConversionNulls:
+    def test_null_slice_bound(self, spark, chain_graph):
+        df = cypher(spark,
+                    "RETURN [1,2,3][null..2] AS a, [1,2,3][0..null] AS b",
+                    chain_graph)
+        assert rows(df) == [(None, None)]
+
+    def test_toboolean_strict(self, spark, chain_graph):
+        df = cypher(spark,
+                    "RETURN toBoolean('no') AS a, toBoolean(' True ') AS b, "
+                    "toBoolean('1') AS c, toBoolean('false') AS d",
+                    chain_graph)
+        assert rows(df) == [(None, True, None, False)]
+
+
+class TestNullEntityAccessors:
+    def test_keys_properties_of_null_entity(self, spark, chain_graph):
+        df = cypher(spark,
+                    "OPTIONAL MATCH (n:Nope) "
+                    "RETURN keys(n) AS k, properties(n) AS p", chain_graph)
+        assert rows(df) == [(None, None)]
+
+
+class TestTemporalFieldLongTail:
+    def test_week_year(self, spark, chain_graph):
+        df = cypher(spark,
+                    "RETURN date('2021-01-01').weekYear AS a, "
+                    "date('2020-12-31').weekYear AS b, "
+                    "date('2019-12-30').weekYear AS c", chain_graph)
+        assert rows(df) == [(2020, 2020, 2020)]
+
+    def test_day_of_quarter(self, spark, chain_graph):
+        df = cypher(spark,
+                    "RETURN date('2020-04-01').dayOfQuarter AS a, "
+                    "date('2020-03-31').dayOfQuarter AS b", chain_graph)
+        assert rows(df) == [(1, 91)]
+
+    def test_subsecond_fields(self, spark, chain_graph):
+        df = cypher(spark,
+                    "RETURN localdatetime('2020-01-01T00:00:00.123456')"
+                    ".millisecond AS ms, "
+                    "localdatetime('2020-01-01T00:00:00.123456')"
+                    ".microsecond AS us", chain_graph)
+        assert rows(df) == [(123, 123456)]
+
+    def test_duration_of_fields(self, spark, chain_graph):
+        df = cypher(spark,
+                    "RETURN duration({minutes: 90}).minutesOfHour AS a, "
+                    "duration({months: 14}).monthsOfYear AS b, "
+                    "duration({seconds: 125}).secondsOfMinute AS c, "
+                    "duration({days: 10}).daysOfWeek AS d", chain_graph)
+        assert rows(df) == [(30, 2, 5, 3)]
+
+
+class TestExtendedCase:
+    """Cypher 5 extended simple CASE: WHEN carries a predicate fragment
+    applied to the operand (comparators, IS NULL, IN, STARTS WITH, and
+    comma-separated alternatives)."""
+
+    def test_comparator_when(self, spark, chain_graph):
+        df = cypher(spark,
+                    "RETURN CASE 5 WHEN > 3 THEN 'big' ELSE 'small' END AS r",
+                    chain_graph)
+        assert rows(df) == [("big",)]
+
+    def test_is_null_when(self, spark, chain_graph):
+        df = cypher(spark,
+                    "RETURN CASE null WHEN IS NULL THEN 'n' ELSE 'o' END AS r",
+                    chain_graph)
+        assert rows(df) == [("n",)]
+
+    def test_in_when_and_alternatives(self, spark, chain_graph):
+        df = cypher(spark,
+                    "RETURN CASE 2 WHEN IN [1, 2] THEN 'in' ELSE 'out' END "
+                    "AS a, CASE 7 WHEN 1, 7 THEN 'hit' ELSE 'miss' END AS b",
+                    chain_graph)
+        assert rows(df) == [("in", "hit")]
+
+    def test_classic_simple_case_null_operand(self, spark, chain_graph):
+        df = cypher(spark,
+                    "RETURN CASE null WHEN null THEN 'y' ELSE 'n' END AS r",
+                    chain_graph)
+        assert rows(df) == [("n",)]  # ternary =: null never matches
+
+    def test_aggregate_inside_case(self, spark, chain_graph):
+        df = cypher(spark,
+                    "UNWIND [1, 2, 3] AS x RETURN "
+                    "CASE WHEN count(*) > 2 THEN 'many' ELSE 'few' END AS r",
+                    chain_graph)
+        assert rows(df) == [("many",)]
+
+
+class TestToStringTemporal:
+    def test_duration_iso(self, spark, chain_graph):
+        df = cypher(spark,
+                    "RETURN toString(duration({days: 1, hours: 2})) AS a, "
+                    "toString(duration({months: 14})) AS b, "
+                    "toString(duration({seconds: 0})) AS c, "
+                    "toString(duration({seconds: 1, nanoseconds: 500000000}))"
+                    " AS d", chain_graph)
+        assert rows(df) == [("P1DT2H", "P1Y2M", "PT0S", "PT1.5S")]
+
+    def test_datetime_iso_t_separator(self, spark, chain_graph):
+        df = cypher(spark,
+                    "RETURN toString(datetime('2020-01-02T03:04:05Z')) AS a, "
+                    "toString(datetime('2020-01-02T03:04:00Z')) AS b",
+                    chain_graph)
+        assert rows(df) == [("2020-01-02T03:04:05Z", "2020-01-02T03:04Z")]

@@ -129,3 +129,33 @@ def test_write_isolated_by_copy(spark, chain_graph):
     cypher(spark, "CREATE (:Iso {v: 1})", g1).collect()
     g2 = chain_graph.copy()
     assert rows(cypher(spark, "MATCH (i:Iso) RETURN count(*) AS n", g2)) == [(0,)]
+
+
+def test_set_replace_map_clears_other_props(spark, g):
+    # SET n = {map} REPLACES all properties (SetPropertiesFromMap with
+    # removeOtherProps=true) — and the bound struct sees it immediately
+    out = cypher(spark,
+                 "MATCH (n:A) SET n = {name: 'z'} "
+                 "RETURN n.name AS nm, n.x AS x", g)
+    assert rows(out) == [("z", None)]
+    out = cypher(spark, "MATCH (n:A) RETURN n.name AS nm, n.x AS x", g)
+    assert rows(out) == [("z", None)]
+
+
+def test_effect_only_call_in_transactions(spark, g):
+    # TransactionForeach (LP:4100): unit subquery runs per input row for
+    # effects; outer rowstream passes through
+    cypher(spark,
+           "UNWIND [1, 2] AS x "
+           "CALL { WITH x CREATE (:TX {v: x}) } IN TRANSACTIONS OF 1 ROWS",
+           g).collect()
+    out = cypher(spark, "MATCH (t:TX) RETURN count(*) AS n, sum(t.v) AS s", g)
+    assert rows(out) == [(2, 3)]
+
+
+def test_effect_only_call_subquery(spark, g):
+    cypher(spark,
+           "UNWIND [10, 20] AS v CALL { WITH v CREATE (:SQ {v: v}) } "
+           "RETURN v", g).collect()
+    out = cypher(spark, "MATCH (t:SQ) RETURN sum(t.v) AS s", g)
+    assert rows(out) == [(30,)]
