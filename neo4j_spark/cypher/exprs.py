@@ -49,6 +49,30 @@ def _dur_map2(lc: Column, rc, fn) -> Column:
         .cast("long").alias(f)
         for f in ("months", "days", "seconds", "nanos")])
 
+
+def _dur_approximate(months: Column, days: Column, seconds: Column,
+                     nanos: Column) -> Column:
+    """DurationValue.approximate (DurationValue.java:853): truncate each
+    double component toward zero, carrying the fraction into the next
+    smaller unit with AVG_NANOS_PER_MONTH = 2_629_746e9."""
+    m_l = months.cast("long")
+    days = days + (months - m_l) * (2_629_746.0 / 86_400.0)
+    d_l = days.cast("long")
+    seconds = seconds + (days - d_l) * 86_400.0
+    s_l = seconds.cast("long")
+    nanos = nanos + (seconds - s_l) * 1e9
+    return F.struct(m_l.alias("months"), d_l.alias("days"),
+                    s_l.alias("seconds"), nanos.cast("long").alias("nanos"))
+
+
+def _dur_scale(col: Column, factor: Column) -> Column:
+    """duration * number / duration ÷ number (DurationValue.mul/div)."""
+    f = factor.cast("double")
+    return _dur_approximate(col.getField("months") * f,
+                            col.getField("days") * f,
+                            col.getField("seconds") * f,
+                            col.getField("nanos") * f)
+
 def _py_to_col(v) -> Column:
     """Client value -> Column (Input operator, LP:2389): maps become
     structs, lists of containers become typed arrays, scalars F.lit."""
@@ -429,9 +453,13 @@ class ExprCompiler:
             return lc - rc
         if op == "*":
             if _is_duration(lt):
-                return _dur_map2(lc, None, lambda a, _: (a * rc).cast("long"))
+                return _dur_scale(lc, rc)
+            if _is_duration(rt):
+                return _dur_scale(rc, lc)
             return lc * rc
         if op == "/":
+            if _is_duration(lt):
+                return _dur_scale(lc, F.lit(1.0) / rc.cast("double"))
             if isinstance(lt, INT_TYPES) and isinstance(rt, INT_TYPES):
                 # Cypher integer / integer = integer division truncating toward
                 # zero (CypherMath.java); double-divide + cast truncates the same
@@ -501,10 +529,12 @@ class ExprCompiler:
         return c
 
     def _c_UnaryOp(self, e: A.UnaryOp) -> Column:
-        c = self.compile(e.operand)
+        c, t = self.compile_typed(e.operand)
         if e.op == "NOT":
             return ~c
         if e.op == "NEG":
+            if _is_duration(t):
+                return _dur_map2(c, None, lambda a, _: -a)
             return -c
         return c
 

@@ -374,6 +374,20 @@ def compile_function(cc, e: A.Func) -> Column:
         from ..cypher.exprs import _is_duration
         if isinstance(t, T.StructType) and _is_duration(t):
             return _duration_to_string(col)
+        if isinstance(t, T.StructType) \
+                and {"hour", "minute", "second"} <= set(t.fieldNames()):
+            # time/localtime components struct -> HH:MM:SS[.fff][offset]
+            ns = col.getField("nanosecond")
+            frac = F.when(ns == 0, F.lit("")).otherwise(F.concat(
+                F.lit("."), F.regexp_replace(
+                    F.format_string("%09d", ns), "(000)+$", "")))
+            off = (col.getField("offset")
+                   if "offset" in t.fieldNames() else F.lit(""))
+            return F.concat(
+                F.format_string("%02d:%02d:%02d",
+                                col.getField("hour"), col.getField("minute"),
+                                col.getField("second")),
+                frac, F.coalesce(off, F.lit("")))
         if isinstance(t, (T.TimestampNTZType, T.TimestampType)):
             return _datetime_to_string(col, with_offset=isinstance(
                 t, T.TimestampType))
@@ -468,16 +482,54 @@ def compile_function(cc, e: A.Func) -> Column:
         if n == 0:
             return F.current_date()
         col, t = ctyped(0)
-        if isinstance(t, T.StructType):  # date({year, month, day})
-            return F.make_date(_map_field(col, t, "year", 1),
-                               _map_field(col, t, "month", 1),
-                               _map_field(col, t, "day", 1))
+        if isinstance(t, T.StructType):
+            lower = {f.lower(): f for f in t.fieldNames()}
+
+            def fld(key, default):
+                if key in lower:
+                    return F.coalesce(
+                        col.getField(lower[key]).cast("int"), F.lit(default))
+                return F.lit(default)
+
+            if "date" in lower:  # selector: date({date: <temporal>})
+                return col.getField(lower["date"]).cast("date")
+            y = fld("year", 1)
+            if "week" in lower:
+                # ISO week date (TemporalFields week/dayOfWeek): week 1 is
+                # the week of Jan 4; Monday-based
+                jan4 = F.make_date(y, F.lit(1), F.lit(4))
+                monday1 = F.date_sub(jan4, F.weekday(jan4))
+                return F.date_add(monday1, (fld("week", 1) - 1) * 7
+                                  + fld("dayofweek", 1) - 1)
+            if "quarter" in lower:
+                q1 = F.make_date(y, (fld("quarter", 1) - 1) * 3 + 1, F.lit(1))
+                return F.date_add(q1, fld("dayofquarter", 1) - 1)
+            if "ordinalday" in lower:
+                return F.date_add(F.make_date(y, F.lit(1), F.lit(1)),
+                                  fld("ordinalday", 1) - 1)
+            return F.make_date(y, fld("month", 1), fld("day", 1))
         return F.to_date(col)
+    if name in ("datetime.fromepoch", "localdatetime.fromepoch"):
+        # datetime.fromepoch(seconds, nanoseconds)
+        # (TemporalFunction.java FromEpoch)
+        sec = c(0).cast("double")
+        ns = (c(1).cast("double") if n > 1 else F.lit(0.0))
+        return F.timestamp_micros(
+            (sec * 1e6 + ns / 1e3).cast("long"))
+    if name in ("datetime.fromepochmillis", "localdatetime.fromepochmillis"):
+        return F.timestamp_millis(c(0).cast("long"))
     if name in ("datetime", "localdatetime"):
         if n == 0:
             return F.current_timestamp()
         col, t = ctyped(0)
         if isinstance(t, T.StructType):
+            lower = {f.lower(): f for f in t.fieldNames()}
+            if "epochseconds" in lower:
+                return F.timestamp_seconds(
+                    col.getField(lower["epochseconds"]).cast("long"))
+            if "epochmillis" in lower:
+                return F.timestamp_millis(
+                    col.getField(lower["epochmillis"]).cast("long"))
             # datetime({year, month, day, hour, minute, second, ...})
             # (TemporalValue map constructors, TemporalFunction.java:59)
             sec = _map_field(col, t, "second", 0).cast("double")
@@ -647,7 +699,9 @@ def compile_function(cc, e: A.Func) -> Column:
                 y.cast("double").alias("y"), z.cast("double").alias("z"))
         raise FunctionError("point() expects a map")
     if name in ("point.distance", "distance"):
-        a, b = c(0), c(1)
+        (a, ta), (b, tb) = ctyped(0), ctyped(1)
+        if isinstance(ta, T.NullType) or isinstance(tb, T.NullType):
+            return F.lit(None).cast("double")
         dx = a.getField("x") - b.getField("x")
         dy = a.getField("y") - b.getField("y")
         # 3D: include the z delta when both points carry one (cartesian-3d /

@@ -146,3 +146,56 @@ class TestToStringTemporal:
                     "toString(datetime('2020-01-02T03:04:00Z')) AS b",
                     chain_graph)
         assert rows(df) == [("2020-01-02T03:04:05Z", "2020-01-02T03:04Z")]
+
+
+class TestTemporalConstructors:
+    def test_fromepoch(self, spark, chain_graph):
+        df = cypher(spark,
+                    "RETURN datetime.fromepoch(1, 500000000).epochMillis "
+                    "AS m, datetime.fromepochmillis(1500).epochSeconds AS s",
+                    chain_graph)
+        assert rows(df) == [(1500, 1)]
+
+    def test_week_quarter_ordinal_ctors(self, spark, chain_graph):
+        df = cypher(spark,
+                    "RETURN toString(date({year: 2020, week: 2, "
+                    "dayOfWeek: 3})) AS w, "
+                    "toString(date({year: 2020, quarter: 2, "
+                    "dayOfQuarter: 1})) AS q, "
+                    "toString(date({year: 2020, ordinalDay: 60})) AS o",
+                    chain_graph)
+        assert rows(df) == [("2020-01-08", "2020-04-01", "2020-02-29")]
+
+    def test_date_selector_and_epoch_map(self, spark, chain_graph):
+        df = cypher(spark,
+                    "RETURN toString(date({date: "
+                    "datetime('2020-03-04T05:06:07Z')})) AS d, "
+                    "datetime({epochSeconds: 60}).minute AS m", chain_graph)
+        assert rows(df) == [("2020-03-04", 1)]
+
+    def test_time_tostring(self, spark, chain_graph):
+        df = cypher(spark,
+                    "RETURN toString(localtime('12:31:14')) AS a, "
+                    "toString(localtime('12:31:14.5')) AS b", chain_graph)
+        assert rows(df) == [("12:31:14", "12:31:14.500")]
+
+
+class TestDurationArithmetic:
+    def test_scale_with_carry(self, spark, chain_graph):
+        df = cypher(spark,
+                    "RETURN (duration('PT1H') * 2).hours AS a, "
+                    "(duration('PT2H') / 2).minutes AS b, "
+                    "(duration('P1D') * 0.5).hours AS c, "
+                    "(-duration('PT1H')).hours AS d", chain_graph)
+        assert rows(df) == [(2, 60, 12, -1)]
+
+    def test_number_times_duration(self, spark, chain_graph):
+        df = cypher(spark, "RETURN (3 * duration('PT10M')).minutes AS m",
+                    chain_graph)
+        assert rows(df) == [(30,)]
+
+    def test_point_distance_null(self, spark, chain_graph):
+        df = cypher(spark,
+                    "RETURN point.distance(null, point({x: 0, y: 0})) AS d",
+                    chain_graph)
+        assert rows(df) == [(None,)]
