@@ -363,3 +363,92 @@ def dbms_components(spark, graph, args):
     return spark.createDataFrame(
         [("neo4j-spark-engine", [pyspark.__version__], "community")],
         "name string, versions array<string>, edition string")
+
+
+@procedure("db.ping")
+def db_ping(spark, graph, args):
+    """() -> success (BuiltInProcedures.java db.ping)."""
+    return spark.createDataFrame([(True,)], "success boolean")
+
+
+@procedure("db.info")
+def db_info(spark, graph, args):
+    """() -> (id, name, creationDate) (BuiltInProcedures.java db.info)."""
+    return spark.createDataFrame(
+        [("0", "neo4j", None)],
+        "id string, name string, creationDate string")
+
+
+@procedure("dbms.info")
+def dbms_info(spark, graph, args):
+    """() -> (id, name, creationDate) (BuiltInDbmsProcedures.java)."""
+    return spark.createDataFrame(
+        [("0", "DBMS", None)],
+        "id string, name string, creationDate string")
+
+
+@procedure("db.resampleindex")
+@procedure("db.resampleoutdatedindexes")
+def db_resample_index(spark, graph, args):
+    """No-op: statistics come from parquet footers / AQE runtime stats
+    (IndexProcedures.resampleIndex)."""
+    return spark.createDataFrame([], "success boolean")
+
+
+@procedure("db.schema.nodetypeproperties")
+def db_schema_node_type_properties(spark, graph, args):
+    """() -> (nodeType, nodeLabels, propertyName, propertyTypes, mandatory)
+    derived from the shard catalog schemas
+    (BuiltInProcedures.java db.schema.nodeTypeProperties)."""
+    rows = []
+    for label in sorted(graph.labels()):
+        frame = graph.node_frames.get(label)
+        if frame is None:
+            continue
+        for f in frame.schema.fields:
+            if f.name in ("id", "labels"):
+                continue
+            rows.append((f":`{label}`", [label], f.name,
+                         [_spark_to_cypher_type(f.dataType)], False))
+    return spark.createDataFrame(
+        rows, "nodeType string, nodeLabels array<string>, "
+              "propertyName string, propertyTypes array<string>, "
+              "mandatory boolean")
+
+
+@procedure("db.schema.reltypeproperties")
+def db_schema_rel_type_properties(spark, graph, args):
+    """() -> (relType, propertyName, propertyTypes, mandatory)."""
+    rows = []
+    for t in sorted(graph.rel_frames):
+        frame = graph.rel_frames[t]
+        props = [f for f in frame.schema.fields
+                 if f.name not in ("id", "src", "dst", "type")]
+        if not props:
+            rows.append((f":`{t}`", None, None, False))
+        for f in props:
+            rows.append((f":`{t}`", f.name,
+                         [_spark_to_cypher_type(f.dataType)], False))
+    return spark.createDataFrame(
+        rows, "relType string, propertyName string, "
+              "propertyTypes array<string>, mandatory boolean")
+
+
+def _spark_to_cypher_type(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return "Long"
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return "Double"
+    if isinstance(dt, T.BooleanType):
+        return "Boolean"
+    if isinstance(dt, T.StringType):
+        return "String"
+    if isinstance(dt, T.DateType):
+        return "Date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "DateTime"
+    if isinstance(dt, T.ArrayType):
+        return _spark_to_cypher_type(dt.elementType) + "Array"
+    return dt.simpleString()

@@ -28,8 +28,15 @@ _HEAD_RE = re.compile(
     r"^\s*(CREATE|DROP|SHOW)\s+"
     r"(?:(RANGE|TEXT|POINT|FULLTEXT|VECTOR|LOOKUP)\s+)?"
     r"(INDEX|INDEXES|CONSTRAINT|CONSTRAINTS|PROCEDURES?|FUNCTIONS?|"
-    r"DATABASES?)\b",
+    r"DATABASES?|TRANSACTIONS?|SETTINGS?)\b",
     re.I)
+
+_LOOKUP_IDX_RE = re.compile(
+    r"^\s*CREATE\s+LOOKUP\s+INDEX\s+(?:(`[^`]+`|\w+)\s+)?"
+    r"(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"FOR\s*(\(\s*\w*\s*\)|\(\s*\)\s*-\s*\[\s*\w*\s*\]\s*-\s*\(\s*\))\s*"
+    r"ON\s+(?:EACH\s+)?(labels|type)\s*\(\s*\w*\s*\)\s*$",
+    re.I | re.S)
 
 _NODE_IDX_RE = re.compile(
     r"^\s*CREATE\s+(?:(\w+)\s+)?INDEX\s+(?:(`[^`]+`|\w+)\s+)?"
@@ -88,6 +95,32 @@ def _registries(graph):
 def run_schema_command(spark: SparkSession, graph,
                        body: str) -> Optional[DataFrame]:
     indexes, constraints = _registries(graph)
+
+    m = _LOOKUP_IDX_RE.match(body)
+    if m:
+        # token lookup index (BuiltInProcedures token indexes): scans over
+        # per-label/per-type parquet shards ARE the lookup index — catalog
+        # entry only
+        name, target, fn = m.groups()
+        entity = "NODE" if fn.lower() == "labels" else "RELATIONSHIP"
+        name = (name or f"index_{len(indexes)}").strip("`")
+        indexes[name] = {"name": name, "type": "LOOKUP",
+                         "entityType": entity, "labelsOrTypes": [],
+                         "properties": []}
+        return spark.createDataFrame(
+            [(name, "LOOKUP", entity, [], [])],
+            "name string, type string, entityType string, "
+            "labelsOrTypes array<string>, properties array<string>")
+
+    if re.match(r"^\s*SHOW\s+TRANSACTIONS?\b", body, re.I):
+        # ShowTransactionsCommand: a batch snapshot has exactly the
+        # current statement in flight
+        return spark.createDataFrame(
+            [("neo4j-transaction-0", "SHOW TRANSACTIONS", "running")],
+            "transactionId string, currentQuery string, status string")
+    if re.match(r"^\s*SHOW\s+SETTINGS?\b", body, re.I):
+        from .procedures.registry import run_procedure
+        return run_procedure(spark, graph, "dbms.listconfig", [])
 
     m = _NODE_IDX_RE.match(body) or _REL_IDX_RE.match(body)
     if m:

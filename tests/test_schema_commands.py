@@ -54,3 +54,52 @@ def test_show_catalogs(spark, tpch_graph):
     assert {"abs", "collect", "toInteger", "valueType"} <= fns
     dbs = cypher(spark, "SHOW DATABASES", tpch_graph).collect()
     assert dbs[0]["currentStatus"] == "online"
+
+
+class TestSchemaIntrospectionProcs:
+    """db.schema.nodeTypeProperties / relTypeProperties, db.info, db.ping
+    (BuiltInProcedures.java)."""
+
+    def test_node_type_properties(self, spark, tpch_graph):
+        df = cypher(spark,
+                    "CALL db.schema.nodeTypeProperties() "
+                    "YIELD nodeType, propertyName "
+                    "WHERE nodeType = ':`Region`' "
+                    "RETURN propertyName ORDER BY propertyName", tpch_graph)
+        assert [r.propertyName for r in df.collect()] == ["name", "regionkey"]
+
+    def test_rel_type_properties(self, spark, tpch_graph):
+        df = cypher(spark,
+                    "CALL db.schema.relTypeProperties() "
+                    "YIELD relType, propertyName "
+                    "WHERE relType = ':`CONTAINS`' "
+                    "RETURN count(*) > 3 AS ok", tpch_graph)
+        assert df.collect()[0].ok
+
+    def test_ping_info(self, spark, tpch_graph):
+        assert cypher(spark, "CALL db.ping() YIELD success RETURN success",
+                      tpch_graph).collect()[0].success
+        assert cypher(spark, "CALL db.info() YIELD name RETURN name",
+                      tpch_graph).collect()[0].name == "neo4j"
+        assert cypher(spark, "CALL dbms.info() YIELD name RETURN name",
+                      tpch_graph).collect()[0].name == "DBMS"
+
+
+class TestLookupIndexAndShowTx:
+    def test_create_lookup_index(self, spark, tpch_graph):
+        g = tpch_graph.copy()
+        df = cypher(spark,
+                    "CREATE LOOKUP INDEX node_lookup IF NOT EXISTS "
+                    "FOR (n) ON EACH labels(n)", g)
+        row = df.collect()[0]
+        assert row.type == "LOOKUP" and row.entityType == "NODE"
+        shown = cypher(spark, "SHOW INDEXES", g).collect()
+        assert any(r.name == "node_lookup" for r in shown)
+
+    def test_show_transactions(self, spark, tpch_graph):
+        rows_ = cypher(spark, "SHOW TRANSACTIONS", tpch_graph).collect()
+        assert len(rows_) == 1 and rows_[0].status == "running"
+
+    def test_show_settings(self, spark, tpch_graph):
+        rows_ = cypher(spark, "SHOW SETTINGS", tpch_graph).collect()
+        assert len(rows_) > 0
