@@ -548,13 +548,20 @@ class Translator:
                       pending: List[A.Expr],
                       rel_bindings: List[Tuple[str, str, frozenset]]) -> DataFrame:
         sel = part.selector
+        pre = list(part.elements)
+        if pre and isinstance(pre[0], A.QPP):
+            # implicit start endpoint for a leading quantified path pattern
+            pre = [A.NodePat(None)] + pre
+        pre = self._qpp_collapse(pre)
         if sel in ("shortest", "allShortest"):
-            els0 = part.elements
-            if (len(els0) == 3 and isinstance(els0[1], A.RelPat)
-                    and els0[1].var_length):
+            if (len(pre) == 3 and isinstance(pre[1], A.RelPat)
+                    and pre[1].var_length):
+                import dataclasses
+
+                part2 = dataclasses.replace(part, elements=pre)
                 from ..operators.paths import shortest_path
 
-                return shortest_path(self, df, part, pending)
+                return shortest_path(self, df, part2, pending)
             # complex pattern (QPP / fixed chain): enumerate + rank below
         needs_enum = sel is not None
         pend_start = len(pending)
@@ -563,16 +570,13 @@ class Translator:
             # selector ranking and path construction both need every
             # repeated rel of a QPP as a group column — name the anonymous
             # ones
-            for el in part.elements:
+            for el in pre:
                 if isinstance(el, A.QPP):
                     for iel in el.elements:
                         if isinstance(iel, A.RelPat) and not iel.var:
                             iel.var = self._anon_var("qg")
 
-        els = part.elements
-        if isinstance(els[0], A.QPP):
-            # implicit start endpoint for a leading quantified path pattern
-            els = [A.NodePat(None)] + els
+        els = pre
 
         def unconstrained(np) -> bool:
             return (isinstance(np, A.NodePat) and np.var is None
@@ -827,6 +831,36 @@ class Translator:
                 else:
                     self.kinds[uname] = old_kind
         return sub
+
+    def _qpp_collapse(self, els: list) -> list:
+        """TrailToVarExpandRewriter.scala: a QPP whose repeated unit is one
+        relationship between unconstrained anonymous nodes IS a var-length
+        relationship — VarExpand's iterative frontier loop (and, under a
+        SHORTEST selector, the bidirectional-BFS fast path) replaces
+        Trail's unrolled join copies.  At scale this turns an O(max_reps)
+        unioned join pyramid into one loop whose frontier shrinks with
+        each level."""
+        import dataclasses
+
+        def plain(np) -> bool:
+            return (isinstance(np, A.NodePat) and np.var is None
+                    and not np.labels and not np.neg_labels
+                    and np.props is None and np.where is None
+                    and not np.req_any_label and not np.req_no_label)
+
+        out = []
+        for el in els:
+            if (isinstance(el, A.QPP) and el.where is None
+                    and len(el.elements) == 3):
+                n1, rp, n2 = el.elements
+                if (plain(n1) and plain(n2) and isinstance(rp, A.RelPat)
+                        and not rp.var_length and rp.where is None):
+                    out.append(dataclasses.replace(
+                        rp, var_length=True, min_len=el.min_reps,
+                        max_len=el.max_reps))
+                    continue
+            out.append(el)
+        return out
 
     def _qpp_expand(self, df: DataFrame, prev: str, qpp: A.QPP,
                     next_np: A.NodePat, pending: List[A.Expr],

@@ -123,3 +123,34 @@ def test_optional_call_null_pads(spark, tpch_graph):
                   "RETURN n.name AS nn } "
                   "RETURN count(*) AS rows", tpch_graph)
     assert [tuple(r) for r in out2.collect()] == [(0,)]
+
+
+class TestQppVarExpandCollapse:
+    """TrailToVarExpandRewriter parity: a QPP over one unconstrained
+    relationship runs as VarExpand's iterative loop, so unbounded
+    quantifiers reach the full var-length depth cap instead of the
+    Trail unroll bound."""
+
+    def test_unbounded_plus_reaches_deep(self, spark):
+        from neo4j_spark.graph import PropertyGraph
+        from neo4j_spark.api import cypher
+
+        n = 11
+        nodes = {"C": spark.createDataFrame(
+            [(i, ["C"], i) for i in range(n)],
+            "id long, labels array<string>, v long")}
+        rels = {"L": spark.createDataFrame(
+            [(100 + i, i, i + 1, "L") for i in range(n - 1)],
+            "id long, src long, dst long, type string")}
+        g = PropertyGraph(nodes, rels)
+        df = cypher(spark,
+                    "MATCH (a:C {v: 0})-[:L]->+(b) RETURN max(b.v) AS m", g)
+        assert [tuple(r) for r in df.collect()] == [(10,)]
+
+    def test_named_rel_group_survives_collapse(self, spark, chain_graph):
+        from neo4j_spark.api import cypher
+
+        df = cypher(spark,
+                    "MATCH (a:A) ((x)-[r:R]->(y)){1,2} (b:C) "
+                    "RETURN size(r) AS nr", chain_graph)
+        assert [tuple(x) for x in df.collect()] == [(2,)]
