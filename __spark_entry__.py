@@ -352,6 +352,12 @@ CYPHER_QUERIES = {
     "qpp_node_where":
         "MATCH ((a:Nation WHERE a.nationkey < 5)-[:IN_REGION]->(b)){1,1} "
         "RETURN count(*) AS n",
+    "shortest_path_expr":
+        # shortestPath() as a VALUE (NestedPlanExpression): null-padded
+        # per input row, unlike the row-filtering MATCH form
+        "MATCH (s:Supplier {suppkey: 1}), (r:Region) "
+        "RETURN r.name AS name, "
+        "length(shortestPath((s)-[*]->(r))) AS l ORDER BY name",
     "qpp_rel_shorthand":
         # GQL quantified-relationship sugar -[:T]->+ (desugars to Trail)
         "MATCH (n:Nation)-[:IN_REGION]->+(x) RETURN count(*) AS n",
@@ -1418,6 +1424,12 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT count(*) FROM nation) AS BIGINT) AS n",
         "qpp_node_where":
             "SELECT count(*) AS n FROM nation WHERE n_nationkey < 5",
+        "shortest_path_expr":
+            "SELECT r_name AS name, CASE WHEN r_regionkey = "
+            "(SELECT n_regionkey FROM nation JOIN supplier "
+            "ON s_nationkey = n_nationkey WHERE s_suppkey = 1) "
+            "THEN CAST(2 AS BIGINT) ELSE NULL END AS l "
+            "FROM region ORDER BY name",
         "qpp_rel_shorthand":
             "SELECT count(*) AS n FROM nation",
         "qpp_path_length":

@@ -202,6 +202,15 @@ class CountSub(Expr):
 
 
 @dataclass
+class ShortestPathExpr(Expr):
+    """``shortestPath((a)-[*]->(b))`` in expression position — a path
+    value, null when no path exists (NestedPlanExpression in the
+    reference planner)."""
+
+    pattern: "PatternPart"  # selector set to shortest/allShortest
+
+
+@dataclass
 class PatternComp(Expr):
     """Pattern comprehension ``[(a)-[:T]->(b) WHERE p | proj]`` —
     plans as RollUpApply (LogicalPlan.scala:3534)."""
@@ -340,6 +349,7 @@ class LoadCSV(Clause):
     url: Expr
     var: str
     with_headers: bool = False
+    field_terminator: Optional[str] = None
 
 
 # ---- updating clauses (batch-write path) ----------------------------------

@@ -158,7 +158,13 @@ class Parser:
             self.expect_kw("FROM")
             url = self.parse_expr()
             self.expect_kw("AS")
-            return A.LoadCSV(url, self.expect_ident(), with_headers)
+            var = self.expect_ident()
+            term = None
+            if self.at_kw("FIELDTERMINATOR"):
+                self.take()
+                t = self.take()
+                term = str(t.value)
+            return A.LoadCSV(url, var, with_headers, term)
         if self.at_kw("CREATE"):
             self.take()
             return A.Create(self.parse_pattern())
@@ -1015,6 +1021,17 @@ class Parser:
                 return A.Lit(None)
             if kw == "CASE":
                 return self.parse_case()
+            if kw in ("SHORTESTPATH", "ALLSHORTESTPATHS") \
+                    and self.at_op("(", ahead=1):
+                # shortestPath(...) in EXPRESSION position — a path value
+                # (NestedPlanExpression in the reference planner)
+                self.take()
+                self.expect_op("(")
+                part = self.parse_element_chain()
+                self.expect_op(")")
+                part.selector = ("shortest" if kw == "SHORTESTPATH"
+                                 else "allShortest")
+                return A.ShortestPathExpr(part)
             if kw == "COUNT" and self.at_op("(", ahead=1) and self.at_op("*", ahead=2):
                 self.take(); self.take(); self.take()
                 self.expect_op(")")

@@ -1580,11 +1580,55 @@ class Translator:
         self.kinds[h] = "node"
         return df, A.Var(h)
 
+    def _lower_shortest_expr(self, df: DataFrame, e: "A.ShortestPathExpr"
+                             ) -> Tuple[DataFrame, A.Expr]:
+        """shortestPath() as a VALUE: run the bidirectional BFS over the
+        distinct bound endpoint pairs, left-join the path back (null when
+        disconnected — expression position must not drop rows, unlike a
+        MATCH clause)."""
+        import dataclasses
+
+        from ..operators.paths import shortest_path
+
+        els = e.pattern.elements
+        if not (len(els) == 3 and isinstance(els[0], A.NodePat)
+                and isinstance(els[2], A.NodePat)
+                and els[0].var and els[2].var
+                and els[0].var in df.columns and els[2].var in df.columns):
+            raise TranslateError(
+                "shortestPath() in expression position requires both "
+                "endpoints bound by an enclosing MATCH")
+        avar, bvar = els[0].var, els[2].var
+        pvar = self._anon_var("spx")
+        part = dataclasses.replace(e.pattern, path_var=pvar)
+        pairs = df.select(avar, bvar).dropDuplicates()
+        pend: List[A.Expr] = []
+        res = shortest_path(self, pairs, part, pend, force_full_paths=True)
+        for p in pend:
+            res = res.filter(self._compiler(res).compile(p))
+        # the anon path var is invisible to usage-based laziness — resolve
+        # node/rel contents eagerly, the expression may read anything
+        res = self._resolve_path_rels(res, pvar)
+        res = self._resolve_path_nodes(res, pvar)
+        res = res.select(
+            F.col(avar).getField("_id").alias("__spx_a"),
+            F.col(bvar).getField("_id").alias("__spx_b"),
+            F.col(pvar))
+        out = df.join(
+            res,
+            (F.col(avar).getField("_id") == F.col("__spx_a"))
+            & (F.col(bvar).getField("_id") == F.col("__spx_b")),
+            "left").drop("__spx_a", "__spx_b")
+        self.kinds[pvar] = "path"
+        return out, A.Var(pvar)
+
     def _lower_all(self, df: DataFrame, expr: A.Expr) -> Tuple[DataFrame, A.Expr]:
         """Lower subquery predicates AND pattern comprehensions."""
         import dataclasses
 
         def walk(df, e):
+            if isinstance(e, A.ShortestPathExpr):
+                return self._lower_shortest_expr(df, e)
             if isinstance(e, A.PatternComp):
                 return self._lower_pattern_comp(df, e)
             if isinstance(e, (A.PatternPred, A.ExistsSub, A.CountSub,
@@ -2134,7 +2178,10 @@ class Translator:
     def _load_csv(self, df: Optional[DataFrame], c: A.LoadCSV) -> DataFrame:
         cc = self._compiler(df)
         url = c.url.value if isinstance(c.url, A.Lit) else self.params[c.url.name]
-        raw = self.spark.read.option("header", str(c.with_headers).lower()).csv(url)
+        reader = self.spark.read.option("header", str(c.with_headers).lower())
+        if getattr(c, "field_terminator", None):
+            reader = reader.option("sep", c.field_terminator)
+        raw = reader.csv(url)
         if c.with_headers:
             row = F.struct(*[F.col(x) for x in raw.columns])
         else:

@@ -275,7 +275,8 @@ def _length_only_use(root, pvar: str) -> bool:
 
 
 def shortest_path(tr, df: Optional[DataFrame], part: A.PatternPart,
-                  pending: List[A.Expr]) -> DataFrame:
+                  pending: List[A.Expr],
+                  force_full_paths: bool = False) -> DataFrame:
     """FindShortestPaths (LP:2178): shortestPath / allShortestPaths.
 
     Meet-in-the-middle bidirectional BFS, the DataFrame rendering of the
@@ -300,7 +301,7 @@ def shortest_path(tr, df: Optional[DataFrame], part: A.PatternPart,
     # allShortestPaths still needs path IDENTITY (counting paths), but when
     # only lengths are consumed, identity = the rel-id array — 4x lighter
     # frontier rows than rel-core structs + node arrays ("ids" mode)
-    shape_only = (
+    shape_only = not force_full_paths and (
         part.path_var is None
         or _length_only_use(getattr(tr, "query_ast", None) or part,
                             part.path_var))

@@ -63,3 +63,36 @@ class TestLoadCsvFunctions:
                     f"LOAD CSV WITH HEADERS FROM '{CSV}' AS row "
                     "RETURN count(DISTINCT file()) AS f", chain_graph)
         assert df.collect()[0]["f"] == 1
+
+
+class TestLoadCsvFieldTerminator:
+    def test_fieldterminator(self, spark, chain_graph):
+        df = cypher(spark,
+                    "LOAD CSV WITH HEADERS FROM "
+                    "'file:///root/repo/tests/fixtures/pipe.csv' AS row "
+                    "FIELDTERMINATOR '|' "
+                    "RETURN row.name AS n ORDER BY n", chain_graph)
+        assert [r.n for r in df.collect()] == ["piper", "quinn"]
+
+
+class TestShortestPathExpression:
+    def test_length_of_shortestpath_value(self, spark, chain_graph):
+        df = cypher(spark,
+                    "MATCH (a:A), (c:C) "
+                    "RETURN length(shortestPath((a)-[:R*]->(c))) AS l",
+                    chain_graph)
+        assert [r.l for r in df.collect()] == [2]
+
+    def test_disconnected_pair_is_null(self, spark, chain_graph):
+        df = cypher(spark,
+                    "MATCH (c:C), (a:A) "
+                    "RETURN length(shortestPath((c)-[:R*]->(a))) AS l",
+                    chain_graph)
+        assert [r.l for r in df.collect()] == [None]
+
+    def test_nodes_of_shortestpath_value(self, spark, chain_graph):
+        df = cypher(spark,
+                    "MATCH (a:A), (c:C) "
+                    "RETURN [n IN nodes(shortestPath((a)-[:R*]->(c))) | n.x]"
+                    " AS xs", chain_graph)
+        assert [r.xs for r in df.collect()] == [[1, 2, 3]]
