@@ -1026,8 +1026,22 @@ def _q_write_set_from_entity(spark, sf_dir):
         "RETURN count(*) AS n, count(n.name) AS withname")
 
 
+def _q_write_merge_chain(spark, sf_dir):
+    """General path MERGE (MergePipe LP:2602): match-or-create the whole
+    chain; running it twice leaves one instance."""
+    return _write(
+        spark, sf_dir,
+        "MERGE (a:Hub {k: 1})-[:WIRE]->(b:Hub {k: 2})-[:WIRE]->"
+        "(c:Hub {k: 3})",
+        "MERGE (a:Hub {k: 1})-[:WIRE]->(b:Hub {k: 2})-[:WIRE]->"
+        "(c:Hub {k: 3})",
+        "MATCH (h:Hub) OPTIONAL MATCH (h)-[w:WIRE]->() "
+        "RETURN count(DISTINCT h.k) AS hubs, count(DISTINCT w) AS wires")
+
+
 WRITE_QUERIES = {
     "write_create": _q_write_create,
+    "write_merge_chain": _q_write_merge_chain,
     "write_merge_rel": _q_write_merge_rel,
     "write_match_foreach": _q_write_match_foreach,
     "write_set_from_entity": _q_write_set_from_entity,
@@ -1640,6 +1654,8 @@ def oracle_sql() -> dict[str, str]:
             " AS BIGINT) AS n",
         "write_merge":
             "SELECT count(*) AS n FROM nation",
+        "write_merge_chain":
+            "SELECT CAST(3 AS BIGINT) AS hubs, CAST(2 AS BIGINT) AS wires",
         "write_remove":
             "SELECT count(*) AS n FROM part",
         "write_merge_on_clauses":

@@ -334,9 +334,103 @@ def apply_merge(tr, df: Optional[DataFrame], clause: A.Merge) -> DataFrame:
     els = clause.part.elements
     if len(els) == 1:
         return _merge_node(tr, df, clause)
-    if len(els) == 3:
+    if len(els) == 3 and els[0].var and els[0].var in df.columns \
+            and els[2].var and els[2].var in df.columns:
         return _merge_rel(tr, df, clause)
-    raise ValueError("MERGE supports single-node or single-rel patterns")
+    return _merge_chain(tr, df, clause)
+
+
+def _merge_chain(tr, df: DataFrame, clause: A.Merge) -> DataFrame:
+    """General MERGE (MergePipe LP:2602): per input row, match the WHOLE
+    pattern; rows with no match create the entire pattern — one instance
+    per distinct key (bound endpoint ids + property expression values),
+    so equal-keyed rows share the created entities like sequential
+    per-row merges would."""
+    import dataclasses
+
+    part = clause.part
+    els = part.elements
+    rid = "__merge_rid"
+    df2 = df.withColumn(rid, F.monotonically_increasing_id()) \
+            .localCheckpoint(eager=True)
+
+    sub_kinds = dict(tr.kinds)
+    matched = tr._match(df2, A.Match([part], optional=False, where=None))
+    matched_rids = matched.select(rid).dropDuplicates()
+    missing = df2.join(matched_rids, rid, "left_anti")
+
+    # key columns: bound pattern vars (by id) + every property expression
+    cc = tr._compiler(missing)
+    key_cols: list = []
+    mk = missing
+    ki = 0
+    for el in els:
+        props = getattr(el, "props", None)
+        if props is not None:
+            for _k, v in props.items:
+                col = f"__mg_{ki}"
+                mk = mk.withColumn(col, cc.compile(v))
+                key_cols.append(col)
+                ki += 1
+    bound_vars = [el.var for el in els
+                  if isinstance(el, A.NodePat) and el.var
+                  and el.var in df.columns]
+
+    # rebuild the pattern with prop expressions swapped for the key vars
+    ki = 0
+    new_els = []
+    for el in els:
+        props = getattr(el, "props", None)
+        if props is not None:
+            new_items = []
+            for k, _v in props.items:
+                new_items.append((k, A.Var(f"__mg_{ki}")))
+                ki += 1
+            el = dataclasses.replace(el, props=A.MapLit(new_items))
+        new_els.append(el)
+
+    if key_cols or bound_vars:
+        distinct_keys = mk.select(*(key_cols + bound_vars)) \
+            .dropDuplicates(key_cols + bound_vars)
+    else:
+        distinct_keys = mk.select(rid).limit(1)
+    created_keys = apply_create(tr, distinct_keys,
+                                A.Create([A.PatternPart(new_els)]))
+
+    if key_cols or bound_vars:
+        right = created_keys
+        for c in key_cols:
+            right = right.withColumnRenamed(c, f"__ck_{c}")
+        for v in bound_vars:
+            right = right.withColumnRenamed(v, f"__ckv_{v}")
+        cond = None
+        for c in key_cols:
+            eq = mk[c].eqNullSafe(right[f"__ck_{c}"])
+            cond = eq if cond is None else cond & eq
+        for v in bound_vars:
+            eq = (mk[v].getField("_id")
+                  == right[f"__ckv_{v}"].getField("_id"))
+            cond = eq if cond is None else cond & eq
+        created = mk.join(right, cond).drop(
+            *[f"__ck_{c}" for c in key_cols],
+            *[f"__ckv_{v}" for v in bound_vars], *key_cols)
+    else:
+        created = mk.crossJoin(created_keys.drop(rid))
+    created = created.drop(*[c for c in created.columns
+                             if c.startswith("__mg_")])
+
+    if clause.on_match:
+        matched = apply_set(tr, matched, clause.on_match)
+    if clause.on_create:
+        created = apply_set(tr, created, clause.on_create)
+    for el in els:
+        if getattr(el, "var", None):
+            tr.kinds[el.var] = ("rel" if isinstance(el, A.RelPat)
+                                else "node")
+    out = matched.unionByName(created, allowMissingColumns=True)
+    tr.kinds.update({k: v for k, v in sub_kinds.items()
+                     if k not in tr.kinds})
+    return out.drop(rid)
 
 
 def _merge_node(tr, df: DataFrame, clause: A.Merge) -> DataFrame:

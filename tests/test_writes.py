@@ -159,3 +159,56 @@ def test_effect_only_call_subquery(spark, g):
            "RETURN v", g).collect()
     out = cypher(spark, "MATCH (t:SQ) RETURN sum(t.v) AS s", g)
     assert rows(out) == [(30,)]
+
+
+def test_merge_full_chain_creates_all(spark, g):
+    out = cypher(spark,
+                 "MERGE (x:MA {v: 1})-[:L1]->(y:MB {v: 2})-[:L2]->(z:MC "
+                 "{v: 3}) RETURN x.v + y.v + z.v AS s", g)
+    assert rows(out) == [(6,)]
+    chk = cypher(spark,
+                 "MATCH (:MA)-[:L1]->(:MB)-[:L2]->(:MC) RETURN count(*) AS c",
+                 g)
+    assert rows(chk) == [(1,)]
+
+
+def test_merge_chain_idempotent(spark, g):
+    cypher(spark, "MERGE (x:MD {v: 1})-[:L3]->(y:ME {v: 2})", g).collect()
+    cypher(spark, "MERGE (x:MD {v: 1})-[:L3]->(y:ME {v: 2})", g).collect()
+    chk = cypher(spark,
+                 "MATCH (d:MD), (e:ME) OPTIONAL MATCH ()-[l:L3]->() "
+                 "RETURN count(DISTINCT d) AS d, count(DISTINCT e) AS e, "
+                 "count(DISTINCT l) AS l", g)
+    assert rows(chk) == [(1, 1, 1)]
+
+
+def test_merge_chain_matches_existing(spark, g):
+    # chain already present (chain_graph A-R->B): MERGE must match, not
+    # duplicate
+    eff = cypher(spark,
+                 "MERGE (a:A {x: 1})-[:R]->(b:B {x: 2}) "
+                 "ON MATCH SET a.seen = true", g)
+    eff.collect()
+    chk = cypher(spark, "MATCH (a:A) RETURN count(*) AS c, a.seen AS s "
+                 "ORDER BY s", g)
+    assert rows(chk) == [(1, True)]
+
+
+def test_merge_chain_one_bound_endpoint(spark, g):
+    out = cypher(spark,
+                 "MATCH (a:A) MERGE (a)-[:NEWR]->(n:NewN {v: 9}) "
+                 "RETURN n.v AS v", g)
+    assert rows(out) == [(9,)]
+    chk = cypher(spark, "MATCH (:A)-[:NEWR]->(n:NewN) RETURN count(*) AS c",
+                 g)
+    assert rows(chk) == [(1,)]
+
+
+def test_merge_chain_shares_created_per_key(spark, g):
+    out = cypher(spark,
+                 "UNWIND [1, 1, 2] AS k "
+                 "MERGE (a:KA {k: k})-[:KL]->(b:KB {k: k}) "
+                 "RETURN count(*) AS c", g)
+    assert rows(out) == [(3,)]
+    chk = cypher(spark, "MATCH (a:KA) RETURN count(*) AS c", g)
+    assert rows(chk) == [(2,)]
