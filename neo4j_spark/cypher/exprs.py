@@ -411,6 +411,10 @@ class ExprCompiler:
                 # comparison across incomparable value classes yields NULL
                 # (AnyValues TERNARY_COMPARATOR, AnyValues.java:69)
                 return F.lit(None).cast("boolean")
+            if lg == "duration" and rg == "duration":
+                # durations are orderable but NOT comparable — months vs
+                # days have no fixed ratio (TemporalValue comparability)
+                return F.lit(None).cast("boolean")
             return {"<": l < r, "<=": l <= r, ">": l > r, ">=": l >= r}[op]
         if op == "IN":
             # Ternary IN (AnyValue.ternaryEquals, AnyValue.java:62):

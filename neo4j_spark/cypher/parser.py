@@ -654,6 +654,8 @@ class Parser:
         props = None
         if self.at_op("{"):
             props = self.parse_map_literal()
+        elif self.peek().kind == "PARAM":
+            props = A.Param(self.take().value)  # (n:L $props)
         where = None
         if self.at_kw("WHERE"):
             self.take()
@@ -726,6 +728,8 @@ class Parser:
                         max_len = int(self.take().value)
             if self.at_op("{"):
                 props = self.parse_map_literal()
+            elif self.peek().kind == "PARAM":
+                props = A.Param(self.take().value)  # [r:T $props]
             if self.at_kw("WHERE"):
                 self.take()
                 where = self.parse_expr()

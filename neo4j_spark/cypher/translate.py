@@ -165,7 +165,46 @@ class Translator:
             return out
         return self._single(ast)
 
+    def _inline_param_props(self, obj):
+        """``(n:L $props)`` / ``[r:T $props]``: swap a whole-map property
+        parameter for its literal items before translation (the reference
+        front-end inlines pattern parameters the same way)."""
+        import dataclasses
+
+        if isinstance(obj, (A.NodePat, A.RelPat)) \
+                and isinstance(obj.props, A.Param):
+            v = self.params.get(obj.props.name)
+            if not isinstance(v, dict):
+                raise TranslateError(
+                    f"pattern property parameter ${obj.props.name} "
+                    "must be a map")
+            obj = dataclasses.replace(obj, props=A.MapLit(
+                [(k, A.Lit(x)) for k, x in v.items()]))
+        if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+            changes = {}
+            for f in dataclasses.fields(obj):
+                val = getattr(obj, f.name)
+                nv = val
+                if dataclasses.is_dataclass(val):
+                    nv = self._inline_param_props(val)
+                elif isinstance(val, list):
+                    nv = [
+                        self._inline_param_props(x)
+                        if dataclasses.is_dataclass(x) else
+                        (tuple(self._inline_param_props(y)
+                               if dataclasses.is_dataclass(y) else y
+                               for y in x) if isinstance(x, tuple) else x)
+                        for x in val]
+                    if all(a is b for a, b in zip(nv, val)):
+                        nv = val
+                if nv is not val:
+                    changes[f.name] = nv
+            if changes:
+                obj = dataclasses.replace(obj, **changes)
+        return obj
+
     def _single(self, q: A.SingleQuery) -> DataFrame:
+        q = self._inline_param_props(q)
         self.query_ast = q  # whole-statement view for usage-based rewrites
         fast = self._count_store_plan(q)
         if fast is not None:
@@ -2118,9 +2157,11 @@ class Translator:
         if name == "collect":
             return F.collect_set(col) if e.distinct else F.collect_list(col)
         if name == "stdev":
-            return F.stddev_samp(col)
+            # fewer than two samples -> 0.0, not null (StdevFunction.scala
+            # result(): count < 2 => ZERO_FLOAT)
+            return F.coalesce(F.stddev_samp(col), F.lit(0.0))
         if name == "stdevp":
-            return F.stddev_pop(col)
+            return F.coalesce(F.stddev_pop(col), F.lit(0.0))
         if name == "percentilecont":
             return F.percentile(col, cc.compile(e.args[1]))
         if name == "percentiledisc":

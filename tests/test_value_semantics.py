@@ -199,3 +199,36 @@ class TestDurationArithmetic:
                     "RETURN point.distance(null, point({x: 0, y: 0})) AS d",
                     chain_graph)
         assert rows(df) == [(None,)]
+
+
+class TestAggAndParamProps:
+    def test_stdev_small_samples_zero(self, spark, chain_graph):
+        df = cypher(spark,
+                    "UNWIND [5] AS x RETURN stDev(x) AS s, stDevP(x) AS p",
+                    chain_graph)
+        assert rows(df) == [(0.0, 0.0)]
+
+    def test_duration_not_comparable(self, spark, chain_graph):
+        df = cypher(spark,
+                    "RETURN duration('PT1H') < duration('PT2H') AS c",
+                    chain_graph)
+        assert rows(df) == [(None,)]
+
+    def test_duration_aggregates(self, spark, chain_graph):
+        df = cypher(spark,
+                    "UNWIND [duration('PT1H'), duration('PT30M')] AS d "
+                    "RETURN sum(d).minutes AS m, avg(d).minutes AS a",
+                    chain_graph)
+        assert rows(df) == [(90, 45)]
+
+    def test_param_props_in_patterns(self, spark, chain_graph):
+        g = chain_graph.copy()
+        df = cypher(spark, "CREATE (n:PP $props) RETURN n.a AS a, n.b AS b",
+                    g, params={"props": {"a": 1, "b": "x"}})
+        assert rows(df) == [(1, "x")]
+        df = cypher(spark, "MATCH (n:PP $m) RETURN count(*) AS c", g,
+                    params={"m": {"a": 1}})
+        assert rows(df) == [(1,)]
+        df = cypher(spark, "MERGE (n:PP $props) RETURN n.a AS a", g,
+                    params={"props": {"a": 1, "b": "x"}})
+        assert rows(df) == [(1,)]
