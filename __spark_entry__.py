@@ -741,6 +741,32 @@ def _q_dedup_embedding_cosine(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def _q_text_scrub_pii(spark, sf_dir):
+    """PII scrubbing (emails/phones/IPv4 -> typed tags): codegen'd
+    regexp_replace chain, zero Python.  A deterministic synthetic email is
+    appended per doc so the redaction is observable on the synthetic
+    corpus."""
+    from neo4j_spark.ml.text import pii_counts, scrub_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.concat(F.col("text"), F.lit(" contact: user"),
+                 F.col("doc_id").cast("string"), F.lit("@example.com"))
+    return docs.select(F.col("doc_id"), scrub_pii(t).alias("scrubbed"),
+                       *pii_counts(t)).orderBy("doc_id").limit(50)
+
+
+def _q_text_dup_lines(spark, sf_dir):
+    """Repetition/boilerplate signal: fraction of repeated lines
+    (words recast as lines to exercise it on the one-line corpus)."""
+    from neo4j_spark.ml.text import dup_line_ratio
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lines = F.regexp_replace(F.col("text"), " ", "\n")
+    return docs.select("doc_id",
+                       dup_line_ratio(lines).alias("dup_ratio")) \
+        .orderBy("doc_id").limit(100)
+
+
 def _q_text_stats(spark, sf_dir):
     from neo4j_spark.ml.text import token_count, punct_ratio
 
@@ -1066,6 +1092,8 @@ EXTENSION_QUERIES = {
     "ngram_jaccard": _q_ngram_jaccard,
     "dedup_embedding_cosine": _q_dedup_embedding_cosine,
     "text_stats": _q_text_stats,
+    "text_scrub_pii": _q_text_scrub_pii,
+    "text_dup_lines": _q_text_dup_lines,
     "text_quality": _q_text_quality,
     "text_fingerprint": _q_text_fingerprint,
     "knn_bruteforce": _q_knn_bruteforce,
@@ -1672,6 +1700,33 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact":
             "SELECT lang, count(DISTINCT text) AS n_unique FROM documents "
             "GROUP BY lang",
+        "text_scrub_pii":
+            "WITH t AS (SELECT doc_id, concat(text, ' contact: user', "
+            "CAST(doc_id AS VARCHAR), '@example.com') AS s FROM documents) "
+            "SELECT doc_id, "
+            "regexp_replace(regexp_replace(regexp_replace(s, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<email>', "
+            "'g'), '(?:\\+\\d{1,3}[-. ]?)?\\(?\\d{3}\\)?[-. ]?\\d{3}"
+            "[-. ]?\\d{4}', '<phone>', 'g'), "
+            "'\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<ipv4>', 'g') "
+            "AS scrubbed, "
+            "CAST(len(regexp_extract_all(s, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) "
+            "AS n_email, "
+            "CAST(len(regexp_extract_all(s, "
+            "'(?:\\+\\d{1,3}[-. ]?)?\\(?\\d{3}\\)?[-. ]?\\d{3}[-. ]?"
+            "\\d{4}')) AS BIGINT) AS n_phone, "
+            "CAST(len(regexp_extract_all(s, "
+            "'\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ipv4 "
+            "FROM t ORDER BY doc_id LIMIT 50",
+        "text_dup_lines":
+            "WITH l AS (SELECT doc_id, list_filter(string_split("
+            "replace(text, ' ', chr(10)), chr(10)), x -> trim(x) != '') "
+            "AS ls FROM documents) "
+            "SELECT doc_id, CASE WHEN len(ls) <= 0 THEN 0.0 ELSE "
+            "round((len(ls) - len(list_distinct(list_transform(ls, "
+            "x -> trim(x))))) / CAST(len(ls) AS DOUBLE), 6) END "
+            "AS dup_ratio FROM l ORDER BY doc_id LIMIT 100",
         "text_stats":
             "SELECT doc_id, CAST(len(list_filter(string_split_regex("
             "lower(text), '[^a-z0-9'']+'), t -> t != '')) AS BIGINT) AS n_tokens, "

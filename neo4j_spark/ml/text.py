@@ -8,6 +8,8 @@ fingerprinting.
 
 from __future__ import annotations
 
+from typing import List
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions.let import let
@@ -161,3 +163,46 @@ def document_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
                     F.xxhash64(F.concat_ws("", F.split(F.lower(t), split_pat)))
                      .alias("fingerprint"))
             .drop(*internal))
+
+
+# ---- PII scrubbing + repetition quality signal ----------------------------
+# Codegen'd regexp_replace only — no Python in the hot path.  Pattern
+# choices mirror common training-data pipeline scrubbers; all patterns are
+# also valid RE2/PCRE so a SQL oracle can reproduce them exactly.
+
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"(?:\+\d{1,3}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+]
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails, phone numbers and IPv4 addresses to typed tags."""
+    out = text
+    for tag, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{tag}>")
+    return out
+
+
+def pii_counts(text: Column) -> List[Column]:
+    return [F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+            .cast("long").alias(f"n_{tag}") for tag, pat in PII_PATTERNS]
+
+
+def dup_line_ratio(text: Column) -> Column:
+    """Fraction of lines that are repeats of an earlier line — the
+    boilerplate/repetition quality signal (Gopher-rule style): 1 -
+    distinct_lines / lines, 0.0 for single-line docs."""
+    lines = F.filter(F.split(text, r"\n"), lambda l: F.trim(l) != "")
+    n = F.size(lines)
+    nd = F.size(F.array_distinct(F.transform(lines, F.trim)))
+    return F.when(n <= 0, F.lit(0.0)) \
+        .otherwise(F.round((n - nd) / n.cast("double"), 6))
+
+
+def scrub_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return df.select(
+        "*", scrub_pii(t).alias("text_scrubbed"), *pii_counts(t),
+        dup_line_ratio(t).alias("dup_line_ratio"))

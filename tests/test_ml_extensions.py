@@ -259,3 +259,31 @@ def test_fulltext_index_parity_and_plan(spark, tpch_graph):
     plan = indexed_df._jdf.queryExecution().executedPlan().toString()
     assert "neo4j_spark_ft_" in plan
     assert "part.parquet" not in plan
+
+
+class TestPiiScrubAndRepetition:
+    def test_scrub_and_counts(self, spark):
+        from neo4j_spark.ml.text import scrub_documents
+
+        df = spark.createDataFrame(
+            [(1, "mail bob@x.com or +1 555-123-4567 from 10.0.0.1"),
+             (2, "clean text only")],
+            "doc_id long, text string")
+        rows = {r.doc_id: r for r in scrub_documents(df).collect()}
+        assert "<email>" in rows[1].text_scrubbed
+        assert "<phone>" in rows[1].text_scrubbed
+        assert "<ipv4>" in rows[1].text_scrubbed
+        assert (rows[1].n_email, rows[1].n_phone, rows[1].n_ipv4) == (1, 1, 1)
+        assert rows[2].text_scrubbed == "clean text only"
+
+    def test_dup_line_ratio(self, spark):
+        from neo4j_spark.ml.text import dup_line_ratio
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(1, "a\nb\na\n\na"), (2, "x"), (3, "")],
+            "doc_id long, text string")
+        got = {r.doc_id: r.r for r in df.select(
+            "doc_id", dup_line_ratio(F.col("text")).alias("r")).collect()}
+        assert got[1] == 0.5  # 4 non-empty lines, 2 distinct
+        assert got[2] == 0.0 and got[3] == 0.0
