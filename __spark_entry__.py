@@ -470,6 +470,9 @@ CYPHER_QUERIES = {
     "algo_sssp":
         "CALL algo.shortestPathLengths(3000000000001) YIELD node, dist "
         "RETURN dist, count(*) AS n ORDER BY dist",
+    "algo_apsp":
+        "CALL algo.allPairsShortest(['FROM_NATION', 'IN_REGION']) "
+        "YIELD src, dst, dist RETURN dist, count(*) AS n ORDER BY dist",
     "algo_degree_centrality":
         "CALL algo.degreeCentrality() YIELD node, degree "
         "RETURN count(*) AS n, sum(degree) AS s",
@@ -1603,6 +1606,17 @@ def oracle_sql() -> dict[str, str]:
             "+ (SELECT count(DISTINCT l_suppkey) FROM li) UNION ALL "
             "SELECT 3.0, (SELECT count(*) FROM n3) UNION ALL "
             "SELECT 4.0, (SELECT count(*) FROM r4)) WHERE n > 0",
+        "algo_apsp":
+            # {customer,supplier}-[:FROM_NATION]->nation-[:IN_REGION]->
+            # region DAG: dist 1 = direct edges, dist 2 = closures to the
+            # region
+            "SELECT CAST(1 AS DOUBLE) AS dist, "
+            "CAST((SELECT count(*) FROM customer) + "
+            "(SELECT count(*) FROM supplier) + "
+            "(SELECT count(*) FROM nation) AS BIGINT) AS n "
+            "UNION ALL SELECT CAST(2 AS DOUBLE), "
+            "CAST((SELECT count(*) FROM customer) + "
+            "(SELECT count(*) FROM supplier) AS BIGINT) ORDER BY dist",
         "algo_degree_centrality":
             "SELECT CAST((SELECT count(*) FROM region) + "
             "(SELECT count(*) FROM nation) + (SELECT count(*) FROM customer)"

@@ -167,3 +167,48 @@ def triangle_count(rels: DataFrame) -> DataFrame:
                 .unionAll(tri.select(F.col("c").alias("id"))))
     return per_node.groupBy("id").agg(
         F.count(F.lit(1)).alias("triangles"))
+
+
+def all_pairs_shortest(rels: DataFrame, weight_col: Optional[str] = None,
+                       max_hops: int = 16,
+                       directed: bool = True) -> DataFrame:
+    """All-pairs shortest path distances by min-plus repeated squaring —
+    the Spark-first rendering of FloydWarshall.java (reference:
+    ``community/graph-algo/.../impl/shortestpath/FloydWarshall.java``).
+
+    FW's in-place O(V^3) triple loop assumes a mutable adjacency matrix
+    in one memory space; on a cluster the same closure is computed as
+    log2(max_hops) rounds of ``dist ⊗ dist`` (join on the middle node +
+    min-combine), each round a plain shuffle join that doubles the path
+    length covered.  Returns (src, dst, dist).  Intended for bounded
+    subgraphs (APSP output is O(V^2) rows at any engine)."""
+    w = (F.col(weight_col).cast("double") if weight_col
+         else F.lit(1.0))
+    base = rels.select("src", "dst", w.alias("dist"))
+    if not directed:
+        base = base.unionByName(
+            rels.select(F.col("dst").alias("src"),
+                        F.col("src").alias("dst"), w.alias("dist")))
+    dist = base.groupBy("src", "dst").agg(F.min("dist").alias("dist")) \
+               .localCheckpoint(eager=True)
+    hops = 1
+    while hops < max_hops:
+        left = dist.select(F.col("src"), F.col("dst").alias("mid"),
+                           F.col("dist").alias("d1"))
+        right = dist.select(F.col("src").alias("mid"), F.col("dst"),
+                            F.col("dist").alias("d2"))
+        two = left.join(right, "mid").select(
+            "src", "dst", (F.col("d1") + F.col("d2")).alias("dist"))
+        new = (dist.unionByName(two)
+               .groupBy("src", "dst").agg(F.min("dist").alias("dist"))
+               .localCheckpoint(eager=True))
+        changed = (new.alias("n")
+                   .join(dist.alias("o"), ["src", "dst"], "left")
+                   .filter(F.col("o.dist").isNull()
+                           | (F.col("n.dist") < F.col("o.dist")))
+                   .limit(1).count())
+        dist = new
+        hops *= 2
+        if changed == 0:
+            break  # fixpoint: min-plus closure reached
+    return dist.filter(F.col("src") != F.col("dst"))

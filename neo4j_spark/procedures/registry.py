@@ -452,3 +452,17 @@ def _spark_to_cypher_type(dt) -> str:
     if isinstance(dt, T.ArrayType):
         return _spark_to_cypher_type(dt.elementType) + "Array"
     return dt.simpleString()
+
+
+@procedure("algo.allpairsshortest")
+def algo_all_pairs_shortest(spark, graph, args):
+    """(relTypes?, weightProp?, directed?) -> (src, dst, dist) — APSP via
+    min-plus repeated squaring (FloydWarshall.java parity; FW's O(V^3)
+    in-place loop becomes log2(diameter) shuffle-join rounds)."""
+    from ..operators.algorithms import all_pairs_shortest
+
+    types = list(args[0]) if args and args[0] is not None else None
+    weight = str(args[1]) if len(args) > 1 and args[1] is not None else None
+    directed = bool(args[2]) if len(args) > 2 else True
+    rels = graph.rels_for_types(types) if types else graph.rels
+    return all_pairs_shortest(rels, weight, directed=directed)

@@ -99,3 +99,35 @@ def test_degree_centrality(spark):
     got = {r["id"]: (r["out_degree"], r["in_degree"], r["degree"])
            for r in degree_centrality(nodes, rels).collect()}
     assert got == {1: (2, 0, 2), 2: (0, 1, 1), 3: (0, 1, 1)}
+
+
+class TestAllPairsShortest:
+    """FloydWarshall.java parity as min-plus repeated squaring."""
+
+    def test_unweighted_chain(self, spark):
+        rels = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4)], "src long, dst long")
+        from neo4j_spark.operators.algorithms import all_pairs_shortest
+
+        got = {(r.src, r.dst): r.dist
+               for r in all_pairs_shortest(rels).collect()}
+        assert got[(1, 4)] == 3.0 and got[(1, 2)] == 1.0 \
+            and got[(2, 4)] == 2.0 and (4, 1) not in got
+
+    def test_weighted_picks_cheaper_long_route(self, spark):
+        rels = spark.createDataFrame(
+            [(1, 2, 1.0), (2, 3, 1.0), (1, 3, 5.0)],
+            "src long, dst long, w double")
+        from neo4j_spark.operators.algorithms import all_pairs_shortest
+
+        got = {(r.src, r.dst): r.dist
+               for r in all_pairs_shortest(rels, "w").collect()}
+        assert got[(1, 3)] == 2.0
+
+    def test_undirected(self, spark):
+        rels = spark.createDataFrame([(1, 2)], "src long, dst long")
+        from neo4j_spark.operators.algorithms import all_pairs_shortest
+
+        got = {(r.src, r.dst): r.dist
+               for r in all_pairs_shortest(rels, directed=False).collect()}
+        assert got[(2, 1)] == 1.0
