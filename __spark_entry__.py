@@ -473,6 +473,10 @@ CYPHER_QUERIES = {
     "algo_apsp":
         "CALL algo.allPairsShortest(['FROM_NATION', 'IN_REGION']) "
         "YIELD src, dst, dist RETURN dist, count(*) AS n ORDER BY dist",
+    "algo_astar":
+        "MATCH (c:Customer {custkey: 1})-[:FROM_NATION]->()"
+        "-[:IN_REGION]->(r:Region) WITH id(c) AS cid, id(r) AS rid "
+        "CALL algo.astar(cid, rid) YIELD dist RETURN dist",
     "algo_degree_centrality":
         "CALL algo.degreeCentrality() YIELD node, degree "
         "RETURN count(*) AS n, sum(degree) AS s",
@@ -1606,6 +1610,8 @@ def oracle_sql() -> dict[str, str]:
             "+ (SELECT count(DISTINCT l_suppkey) FROM li) UNION ALL "
             "SELECT 3.0, (SELECT count(*) FROM n3) UNION ALL "
             "SELECT 4.0, (SELECT count(*) FROM r4)) WHERE n > 0",
+        "algo_astar":
+            "SELECT CAST(2 AS DOUBLE) AS dist",
         "algo_apsp":
             # {customer,supplier}-[:FROM_NATION]->nation-[:IN_REGION]->
             # region DAG: dist 1 = direct edges, dist 2 = closures to the

@@ -2187,18 +2187,68 @@ class Translator:
         from ..procedures.registry import run_procedure
 
         cc = self._compiler(df)
-        arg_vals = []
-        for a in c.args:
+
+        def _static(a):
             if isinstance(a, A.Lit):
-                arg_vals.append(a.value)
-            elif isinstance(a, A.Param):
-                arg_vals.append(self.params[a.name])
-            elif isinstance(a, A.ListLit):
-                arg_vals.append([x.value for x in a.items])
-            else:
+                return True, a.value
+            if isinstance(a, A.Param):
+                return True, self.params[a.name]
+            if isinstance(a, A.ListLit) and all(
+                    isinstance(x, A.Lit) for x in a.items):
+                return True, [x.value for x in a.items]
+            return False, None
+
+        statics = [_static(a) for a in c.args]
+        if all(ok for ok, _ in statics):
+            result = run_procedure(self.spark, self.graph, c.name,
+                                   [v for _, v in statics])
+        else:
+            # correlated CALL proc(expr): per-row invocation
+            # (ProcedureCallPipe LP:3309) — run once per DISTINCT argument
+            # tuple, tag results with the tuple, join back.  The distinct
+            # set is collected to the driver: procedures here ARE
+            # driver-side Python, so the bound is the number of distinct
+            # argument combinations, not the row count.
+            if df is None:
                 raise TranslateError(
-                    "procedure arguments must be literals or parameters")
-        result = run_procedure(self.spark, self.graph, c.name, arg_vals)
+                    "procedure arguments reference variables but no rows "
+                    "are in scope")
+            keys = [f"__pa_{i}" for i in range(len(c.args))]
+            dfx = df
+            for i, a in enumerate(c.args):
+                dfx = dfx.withColumn(keys[i], cc.compile(a))
+            tuples = dfx.select(*keys).dropDuplicates().collect()
+            frames = []
+            for t in tuples:
+                vals = [t[k] for k in keys]
+                r = run_procedure(self.spark, self.graph, c.name, vals)
+                for k, v in zip(keys, vals):
+                    r = r.withColumn(k, F.lit(v))
+                frames.append(r)
+            result = frames[0]
+            for fr in frames[1:]:
+                result = result.unionByName(fr)
+            yielded = result
+            if c.yields and c.yields != [("*", None)]:
+                cols = [F.col(n).alias(al or n) for n, al in c.yields]
+                for n, al in c.yields:
+                    self.kinds[al or n] = "scalar"
+                yielded = result.select(*cols, *keys)
+            else:
+                for col_name in result.columns:
+                    if not col_name.startswith("__pa_"):
+                        self.kinds[col_name] = "scalar"
+            renamed = yielded.withColumnsRenamed(
+                {k: f"__pb_{k}" for k in keys})
+            cond = None
+            for k in keys:
+                eq = dfx[k].eqNullSafe(renamed[f"__pb_{k}"])
+                cond = eq if cond is None else cond & eq
+            out = dfx.join(renamed, cond if cond is not None else F.lit(True)) \
+                .drop(*keys, *[f"__pb_{k}" for k in keys])
+            if c.where is not None:
+                out = out.filter(self._compiler(out).compile(c.where))
+            return out
         if c.yields == [("*", None)]:  # YIELD *
             for col_name in result.columns:
                 self.kinds[col_name] = "scalar"

@@ -212,3 +212,75 @@ def all_pairs_shortest(rels: DataFrame, weight_col: Optional[str] = None,
         if changed == 0:
             break  # fixpoint: min-plus closure reached
     return dist.filter(F.col("src") != F.col("dst"))
+
+
+def astar(rels: DataFrame, nodes: DataFrame, source_id: int, target_id: int,
+          weight_col: Optional[str] = None,
+          x_col: Optional[str] = None, y_col: Optional[str] = None,
+          directed: bool = True, max_iter: int = 30):
+    """Point-to-point shortest path length with admissible-heuristic
+    pruning (AStar.java parity, ``community/graph-algo/.../path/AStar.java``).
+
+    A*'s priority queue has no BSP equivalent; its effect — never expand a
+    node whose f = g + h exceeds the best known route — is reproduced per
+    round: the frontier drops entries with g + h(n) >= best_target_g.
+    h(n) = straight-line distance to the target from (x_col, y_col), the
+    admissible heuristic the reference uses (EstimateEvaluator); without
+    coordinates h = 0 and this is target-pruned Dijkstra.  Returns the
+    scalar distance (None when unreachable)."""
+    if weight_col:
+        edges = rels.select("src", "dst",
+                            F.col(weight_col).cast("double").alias("w"))
+    else:
+        edges = rels.select("src", "dst", F.lit(1.0).alias("w"))
+    if not directed:
+        edges = edges.unionByName(
+            edges.select(F.col("dst").alias("src"),
+                         F.col("src").alias("dst"), "w"))
+    edges = edges.filter(F.col("w").isNotNull())
+
+    if x_col and y_col:
+        trow = nodes.filter(F.col("id") == target_id) \
+                    .select(x_col, y_col).head()
+        tx, ty = (trow[0], trow[1]) if trow else (None, None)
+        h = nodes.select(
+            "id",
+            (F.sqrt(F.pow(F.col(x_col) - F.lit(tx), 2)
+                    + F.pow(F.col(y_col) - F.lit(ty), 2))).alias("h"))
+    else:
+        h = nodes.select("id", F.lit(0.0).alias("h"))
+
+    spark = rels.sparkSession
+    dist = spark.createDataFrame([(source_id, 0.0)], "id long, dist double") \
+                .localCheckpoint(eager=True)
+    frontier = dist
+    best = None  # best known g(target): the A* upper bound
+    for _ in range(max_iter):
+        if best is not None:
+            # prune: g + h >= best cannot improve the route (h admissible)
+            frontier = (frontier.join(h, "id", "left")
+                        .filter(F.col("dist")
+                                + F.coalesce(F.col("h"), F.lit(0.0))
+                                < F.lit(best))
+                        .select("id", "dist"))
+        cand = (frontier.join(edges, frontier["id"] == edges["src"])
+                .select(F.col("dst").alias("id"),
+                        (F.col("dist") + F.col("w")).alias("dist"))
+                .groupBy("id").agg(F.min("dist").alias("dist")))
+        improved = (cand.alias("c")
+                    .join(dist.alias("d"), "id", "left")
+                    .filter(F.col("d.dist").isNull()
+                            | (F.col("c.dist") < F.col("d.dist")))
+                    .select("id", F.col("c.dist").alias("dist"))
+                    .localCheckpoint(eager=True))
+        if improved.isEmpty():
+            break
+        dist = (dist.unionByName(improved)
+                .groupBy("id").agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True))
+        trow = improved.filter(F.col("id") == target_id).head()
+        if trow is not None:
+            best = trow["dist"] if best is None else min(best, trow["dist"])
+        frontier = improved
+    row = dist.filter(F.col("id") == target_id).head()
+    return None if row is None else row["dist"]

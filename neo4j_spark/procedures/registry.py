@@ -466,3 +466,20 @@ def algo_all_pairs_shortest(spark, graph, args):
     directed = bool(args[2]) if len(args) > 2 else True
     rels = graph.rels_for_types(types) if types else graph.rels
     return all_pairs_shortest(rels, weight, directed=directed)
+
+
+@procedure("algo.astar")
+def algo_astar(spark, graph, args):
+    """(sourceId, targetId, weightProp?, xProp?, yProp?, directed?) ->
+    (dist) — point-to-point search with admissible-heuristic pruning
+    (graph-algo/.../path/AStar.java)."""
+    from ..operators.algorithms import astar
+
+    src_id, dst_id = int(args[0]), int(args[1])
+    weight = str(args[2]) if len(args) > 2 and args[2] is not None else None
+    x_col = str(args[3]) if len(args) > 3 and args[3] is not None else None
+    y_col = str(args[4]) if len(args) > 4 and args[4] is not None else None
+    directed = bool(args[5]) if len(args) > 5 else True
+    d = astar(graph.rels, graph.nodes, src_id, dst_id, weight,
+              x_col, y_col, directed)
+    return spark.createDataFrame([(d,)], "dist double")

@@ -131,3 +131,46 @@ class TestAllPairsShortest:
         got = {(r.src, r.dst): r.dist
                for r in all_pairs_shortest(rels, directed=False).collect()}
         assert got[(2, 1)] == 1.0
+
+
+class TestAStar:
+    """AStar.java parity: heuristic pruning must not change the result."""
+
+    def test_weighted_route(self, spark):
+        from neo4j_spark.operators.algorithms import astar
+
+        nodes = spark.createDataFrame(
+            [(1, 0.0, 0.0), (2, 1.0, 0.0), (3, 2.0, 0.0), (4, 1.0, 5.0)],
+            "id long, x double, y double")
+        rels = spark.createDataFrame(
+            [(1, 2, 1.0), (2, 3, 1.0), (1, 4, 1.0), (4, 3, 10.0)],
+            "src long, dst long, w double")
+        d = astar(rels, nodes, 1, 3, "w", "x", "y")
+        assert d == 2.0
+
+    def test_no_heuristic_is_dijkstra(self, spark):
+        from neo4j_spark.operators.algorithms import astar
+
+        nodes = spark.createDataFrame([(i,) for i in range(1, 4)], "id long")
+        rels = spark.createDataFrame(
+            [(1, 2, 2.5), (2, 3, 2.5), (1, 3, 9.0)],
+            "src long, dst long, w double")
+        assert astar(rels, nodes, 1, 3, "w") == 5.0
+
+    def test_unreachable_is_none(self, spark):
+        from neo4j_spark.operators.algorithms import astar
+
+        nodes = spark.createDataFrame([(1,), (2,)], "id long")
+        rels = spark.createDataFrame([(2, 1)], "src long, dst long")
+        assert astar(rels, nodes, 1, 2) is None
+
+    def test_procedure_call(self, spark, tpch_graph):
+        from neo4j_spark.api import cypher
+
+        df = cypher(spark,
+                    "MATCH (c:Customer {custkey: 1})-[:FROM_NATION]->()"
+                    "-[:IN_REGION]->(r:Region) "
+                    "WITH id(c) AS cid, id(r) AS rid "
+                    "CALL algo.astar(cid, rid) YIELD dist RETURN dist",
+                    tpch_graph)
+        assert [r.dist for r in df.collect()] == [2.0]
