@@ -798,6 +798,28 @@ def _q_text_fingerprint(spark, sf_dir):
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
+def _q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 quantization (4x corpus shrink for ANN at scale)."""
+    from neo4j_spark.ml.similarity import quantize_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = quantize_embeddings(emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))))
+    return out.select("vec_id", F.round("qscale", 6).alias("qscale"),
+                      F.col("qvec")).orderBy("vec_id").limit(100)
+
+
+def _q_embedding_normalize(spark, sf_dir):
+    from neo4j_spark.ml.similarity import l2_normalize, l2norm
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.round(l2norm(l2_normalize(v)), 4).alias("unit_norm")) \
+        .orderBy("vec_id").limit(100)
+
+
 def _q_knn_bruteforce(spark, sf_dir):
     from neo4j_spark.ml.similarity import knn_bruteforce
 
@@ -1104,6 +1126,8 @@ EXTENSION_QUERIES = {
     "text_quality": _q_text_quality,
     "text_fingerprint": _q_text_fingerprint,
     "knn_bruteforce": _q_knn_bruteforce,
+    "embedding_quantize": _q_embedding_quantize,
+    "embedding_normalize": _q_embedding_normalize,
     "knn_join": _q_knn_join,
     "knn_lsh": _q_knn_lsh,
     "knn_ivf": _q_knn_ivf,
@@ -1783,6 +1807,21 @@ def oracle_sql() -> dict[str, str]:
             "AS session_start, count(*) AS n_events, "
             "round(sum(value), 2) AS session_value "
             "FROM sessions GROUP BY user_id, sid",
+        "embedding_quantize":
+            "WITH e AS (SELECT vec_id, list_transform(embedding, "
+            "x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+            "s AS (SELECT vec_id, v, CASE WHEN list_max(list_transform(v, "
+            "x -> abs(x))) = 0 THEN 1.0 ELSE list_max(list_transform(v, "
+            "x -> abs(x))) END AS scale FROM e) "
+            "SELECT vec_id, round(scale, 6) AS qscale, "
+            "list_transform(v, x -> CAST(round(greatest(least("
+            "x / scale * 127.0, 127.0), -127.0)) AS INT)) AS qvec "
+            "FROM s ORDER BY vec_id LIMIT 100",
+        "embedding_normalize":
+            "SELECT vec_id, CASE WHEN sqrt(list_sum(list_transform("
+            "embedding, x -> CAST(x AS DOUBLE) * x))) = 0 THEN 0.0 "
+            "ELSE 1.0 END AS unit_norm FROM embeddings "
+            "ORDER BY vec_id LIMIT 100",
         "knn_bruteforce":
             "SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], "
             "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS score "

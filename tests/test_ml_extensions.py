@@ -287,3 +287,30 @@ class TestPiiScrubAndRepetition:
             "doc_id", dup_line_ratio(F.col("text")).alias("r")).collect()}
         assert got[1] == 0.5  # 4 non-empty lines, 2 distinct
         assert got[2] == 0.0 and got[3] == 0.0
+
+
+class TestEmbeddingQuantization:
+    def test_quantize_roundtrip_error_bounded(self, spark):
+        from neo4j_spark.ml.similarity import quantize_embeddings
+
+        df = spark.createDataFrame(
+            [(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0, 0.0])],
+            "vec_id long, embedding array<double>")
+        rows = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+        assert rows[1].qscale == 2.0
+        assert rows[1].qvec == [64, -127, 32]
+        assert rows[1].max_quant_err <= 2.0 / 254 + 1e-9
+        assert rows[2].qvec == [0, 0, 0]
+
+    def test_l2_normalize(self, spark):
+        from neo4j_spark.ml.similarity import l2_normalize, l2norm
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(1, [3.0, 4.0]), (2, [0.0, 0.0])],
+            "vec_id long, embedding array<double>")
+        out = {r.vec_id: r.n for r in df.select(
+            "vec_id",
+            F.round(l2norm(l2_normalize(F.col("embedding"))), 6).alias("n")
+        ).collect()}
+        assert out[1] == 1.0 and out[2] == 0.0
