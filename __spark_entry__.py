@@ -888,6 +888,16 @@ def _q_events_session(spark, sf_dir):
     return session_windows(load_events(spark, sf_dir))
 
 
+def _q_events_stream_join(spark, sf_dir):
+    """Stream-stream interval join (click <- preceding views per user)."""
+    from neo4j_spark.streaming.windows import interval_self_join, load_events
+
+    pairs = interval_self_join(load_events(spark, sf_dir))
+    return (pairs.groupBy(F.col("l_user").alias("user_id"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .orderBy("user_id").limit(100))
+
+
 def _q_events_json(spark, sf_dir):
     from neo4j_spark.streaming.windows import load_events
 
@@ -1133,6 +1143,7 @@ EXTENSION_QUERIES = {
     "knn_ivf": _q_knn_ivf,
     "knn_ivf_indexed": _q_knn_ivf_indexed,
     "events_tumbling_window": _q_events_tumbling,
+    "events_stream_join": _q_events_stream_join,
     "events_sliding_window": _q_events_sliding,
     "events_session_window": _q_events_session,
     "events_json_props": _q_events_json,
@@ -1782,6 +1793,12 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup":
             "SELECT count(*) AS n FROM (SELECT DISTINCT event_id, ts, user_id, "
             "event_type, value, props FROM events)",
+        "events_stream_join":
+            "SELECT l.user_id AS user_id, count(*) AS n_pairs "
+            "FROM events l JOIN events r ON l.event_type = 'click' "
+            "AND r.event_type = 'view' AND l.user_id = r.user_id "
+            "AND r.ts >= l.ts - INTERVAL 600 SECONDS AND r.ts < l.ts "
+            "GROUP BY l.user_id ORDER BY user_id LIMIT 100",
         "events_tumbling_window":
             "SELECT CAST(extract(epoch FROM date_trunc('hour', ts)) AS BIGINT) "
             "AS window_start, event_type, count(*) AS n, "

@@ -98,3 +98,29 @@ def run_stream_to_memory(stream_df: DataFrame, name: str) -> None:
     q = (stream_df.writeStream.format("memory").queryName(name)
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination()
+
+
+def interval_self_join(events: DataFrame, horizon_seconds: int = 600,
+                       watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: for each 'click'-side event, the
+    'view'-side events by the same user within the preceding horizon.
+    In streaming mode both sides carry watermarks and the time-range
+    predicate bounds the join state (Structured Streaming's
+    stream-stream inner join contract); in batch mode the identical plan
+    is a range-condition join."""
+    left = events.filter(F.col("event_type") == "click") \
+        .select(F.col("user_id").alias("l_user"),
+                F.col("ts").alias("l_ts"),
+                F.col("event_id").alias("l_id"))
+    right = events.filter(F.col("event_type") == "view") \
+        .select(F.col("user_id").alias("r_user"),
+                F.col("ts").alias("r_ts"),
+                F.col("event_id").alias("r_id"))
+    if events.isStreaming:
+        left = left.withWatermark("l_ts", watermark)
+        right = right.withWatermark("r_ts", watermark)
+    cond = ((F.col("l_user") == F.col("r_user"))
+            & (F.col("r_ts") >= F.col("l_ts")
+               - F.expr(f"INTERVAL {horizon_seconds} SECONDS"))
+            & (F.col("r_ts") < F.col("l_ts")))
+    return left.join(right, cond)

@@ -103,3 +103,29 @@ class TestNewProcedures:
         cfg = {r["name"]: r["value"] for r in run_procedure(
             spark, tpch_graph, "dbms.listConfig", []).collect()}
         assert cfg.get("spark.sql.adaptive.enabled") == "true"
+
+
+class TestStreamStreamJoin:
+    def test_interval_join_streaming_equals_batch(self, spark):
+        """Stream-stream interval join (two watermarked sides, time-range
+        state bound) drains to the same pairs the batch plan produces."""
+        import tempfile
+
+        from neo4j_spark.streaming.windows import (
+            events_stream, interval_self_join, load_events)
+
+        sf_dir = "/root/testdata/sf0.001"
+        batch_pairs = interval_self_join(load_events(spark, sf_dir))
+        want = sorted((r.l_id, r.r_id) for r in batch_pairs.collect())
+
+        stream_pairs = interval_self_join(events_stream(spark, sf_dir))
+        assert stream_pairs.isStreaming
+        with tempfile.TemporaryDirectory() as d:
+            q = (stream_pairs.writeStream.format("memory")
+                 .queryName("ssjoin").outputMode("append")
+                 .option("checkpointLocation", d + "/ck")
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+        got = sorted((r.l_id, r.r_id)
+                     for r in spark.sql("SELECT * FROM ssjoin").collect())
+        assert got == want and len(got) > 0
