@@ -122,3 +122,32 @@ def test_rich_path_use_resolves_nodes_once(spark, tpch_graph):
     plan = plan_of(df)
     assert plan.count("Generate posexplode") == 1
     assert [tuple(r) for r in df.collect()][0][0] is not None
+
+
+def test_headline_queries_stay_jvm_side(spark):
+    """No row-at-a-time Python UDF (BatchEvalPython) in any headline plan;
+    Arrow-batched pandas UDFs (ArrowEvalPython) are allowed only in the
+    kNN path.  Python in a hot path is the 10-100x cliff at scale."""
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    sf = "/root/testdata/sf0.001"
+    headline = ["aggregation_q1", "multi_hop_chain", "expand_into_triangle",
+                "agg_count_distinct", "optional_expand", "count_subquery",
+                "top_k", "dedup_exact", "dedup_minhash_lsh", "text_quality",
+                "text_scrub_pii", "embedding_quantize"]
+    for k in headline:
+        plan = plan_of(qs[k](spark, sf))
+        assert "BatchEvalPython" not in plan, f"{k} fell off codegen"
+        if k != "knn_join":
+            assert "ArrowEvalPython" not in plan, f"{k} uses pandas UDF"
+
+
+def test_scrub_pushes_column_pruning(spark):
+    import __spark_entry__ as em
+
+    df = em.queries()["text_scrub_pii"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert "ReadSchema" in plan and "text" in plan
+    # lang/source columns must NOT be read for this 2-column projection
+    assert "n_chars" not in plan.split("ReadSchema")[1][:200]
