@@ -282,6 +282,11 @@ class Clause:
 
 
 @dataclass
+class Finish(Clause):
+    """FINISH — complete with no result rows (Clause.scala Finish)."""
+
+
+@dataclass
 class Match(Clause):
     parts: List[PatternPart]
     optional: bool = False

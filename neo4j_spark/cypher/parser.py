@@ -24,6 +24,7 @@ class ParseError(ValueError):
 CLAUSE_STARTS = {
     "MATCH", "OPTIONAL", "UNWIND", "WITH", "RETURN", "CALL", "CREATE",
     "MERGE", "SET", "REMOVE", "DELETE", "DETACH", "UNION", "LOAD", "FOREACH",
+    "INSERT", "FINISH",
 }
 
 DOTTED_FN_NS = {
@@ -168,6 +169,14 @@ class Parser:
         if self.at_kw("CREATE"):
             self.take()
             return A.Create(self.parse_pattern())
+        if self.at_kw("INSERT"):
+            # GQL INSERT — CREATE synonym (Clause.scala Insert); the node
+            # grammar (&-conjoined labels) is already shared
+            self.take()
+            return A.Create(self.parse_pattern())
+        if self.at_kw("FINISH"):
+            self.take()
+            return A.Finish()
         if self.at_kw("MERGE"):
             self.take()
             part = self.parse_pattern_part()

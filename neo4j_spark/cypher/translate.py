@@ -216,6 +216,9 @@ class Translator:
             raise TranslateError("query produced no rowstream")
         has_return = any(
             isinstance(c, A.Projection) and c.is_return for c in q.clauses)
+        if getattr(self, "_finished", False):
+            df.count()  # FINISH still forces any staged effects
+            return df.limit(0)
         if not has_return and hasattr(self, "effects"):
             # update-only statement: EmptyResult (LP:1955) — force the write
             # side effects, return the effect counters as the result row
@@ -379,6 +382,11 @@ class Translator:
     # -------------------------------------------------------------- clauses
 
     def _apply(self, df: Optional[DataFrame], clause: A.Clause) -> DataFrame:
+        if isinstance(clause, A.Finish):
+            # FINISH (Clause.scala): effects (if any) happen, no rows out
+            base = df if df is not None else self.spark.range(1)
+            self._finished = True
+            return base.limit(0)
         if isinstance(clause, A.Match):
             return self._match(df, clause)
         if isinstance(clause, A.Unwind):

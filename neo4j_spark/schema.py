@@ -25,7 +25,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 _HEAD_RE = re.compile(
-    r"^\s*(CREATE|DROP|SHOW)\s+"
+    r"^\s*(CREATE|DROP|SHOW|TERMINATE)\s+"
     r"(?:(RANGE|TEXT|POINT|FULLTEXT|VECTOR|LOOKUP)\s+)?"
     r"(INDEX|INDEXES|CONSTRAINT|CONSTRAINTS|PROCEDURES?|FUNCTIONS?|"
     r"DATABASES?|TRANSACTIONS?|SETTINGS?)\b",
@@ -112,6 +112,14 @@ def run_schema_command(spark: SparkSession, graph,
             "name string, type string, entityType string, "
             "labelsOrTypes array<string>, properties array<string>")
 
+    if re.match(r"^\s*TERMINATE\s+TRANSACTIONS?\b", body, re.I):
+        # TerminateTransactionsClause: a batch snapshot has no other
+        # transactions to kill — report not-found per requested id
+        ids = re.findall(r"'([^']*)'|\"([^\"]*)\"", body)
+        rows = [(a or b, "Transaction not found.")
+                for a, b in ids] or [("", "Transaction not found.")]
+        return spark.createDataFrame(
+            rows, "transactionId string, message string")
     if re.match(r"^\s*SHOW\s+TRANSACTIONS?\b", body, re.I):
         # ShowTransactionsCommand: a batch snapshot has exactly the
         # current statement in flight

@@ -103,3 +103,28 @@ class TestLookupIndexAndShowTx:
     def test_show_settings(self, spark, tpch_graph):
         rows_ = cypher(spark, "SHOW SETTINGS", tpch_graph).collect()
         assert len(rows_) > 0
+
+
+class TestFinishInsertTerminate:
+    def test_finish_returns_no_rows(self, spark, tpch_graph):
+        assert cypher(spark, "MATCH (r:Region) FINISH",
+                      tpch_graph).collect() == []
+
+    def test_create_finish_applies_effects(self, spark, tpch_graph):
+        g = tpch_graph.copy()
+        assert cypher(spark, "CREATE (:FIN {v: 1}) FINISH", g).collect() == []
+        assert cypher(spark, "MATCH (f:FIN) RETURN count(*) AS c",
+                      g).collect()[0].c == 1
+
+    def test_insert_is_create(self, spark, tpch_graph):
+        g = tpch_graph.copy()
+        eff = cypher(spark, "INSERT (:INS {v: 1})-[:IL]->(:INS {v: 2})", g)
+        assert eff.collect()[0]["nodes_created"] == 2
+        assert cypher(spark, "MATCH (:INS)-[:IL]->(:INS) "
+                      "RETURN count(*) AS c", g).collect()[0].c == 1
+
+    def test_terminate_transactions(self, spark, tpch_graph):
+        rows_ = cypher(spark, "TERMINATE TRANSACTIONS 'tx-9'",
+                       tpch_graph).collect()
+        assert rows_[0].transactionId == "tx-9"
+        assert "not found" in rows_[0].message.lower()
