@@ -118,6 +118,12 @@ class Translator:
         # endNode() resolve to the full node struct instead of an id-only
         # reference (NodeValue vs NodeIdReference, SURVEY §1.2)
         self.rel_endpoints: Dict[str, tuple] = {}
+        # node var -> possible-label set, recorded when the var is bound
+        # from a labeled scan; consumed by schema-reachability pruning
+        # (operators/schema_prune.py).  Maintained conservatively: any
+        # rebinding with unknown labels pops the entry, and _projection
+        # keeps entries only for identity pass-throughs.
+        self.var_labels: Dict[str, frozenset] = {}
         self._anon = 0
         self.max_var_length = 12
 
@@ -451,8 +457,11 @@ class Translator:
             base = df.select(*shared).dropDuplicates()
             sub = Translator(self.spark, self.graph, self.params)
             sub.kinds.update({v: self.kinds[v] for v in shared if v in self.kinds})
+            sub.var_labels.update(
+                {v: self.var_labels[v] for v in shared
+                 if v in self.var_labels})
             matched = sub._match(base, inner)
-            self.kinds.update(sub.kinds)
+            self._merge_sub_scope(sub)
             new_cols = [c for c in matched.columns if c not in shared]
             right = matched.select(
                 *[F.col(v).alias(f"__r_{v}") for v in shared], *new_cols)
@@ -469,7 +478,7 @@ class Translator:
             return out.drop(*[f"__r_{v}" for v in shared])
         sub = Translator(self.spark, self.graph, self.params)
         matched = sub._match(None, inner)
-        self.kinds.update(sub.kinds)
+        self._merge_sub_scope(sub)
         return df.join(matched, F.lit(True), "left")
 
     def _uniqueness_filters(self, df: DataFrame,
@@ -563,10 +572,36 @@ class Translator:
             return df, var
         scan = self._node_scan(np, var)
         self.kinds[var] = "node"
+        self._note_labels(var, np.labels)
         self._queue_node_filters(np, var, pending, bound=False)
         if df is None:
             return scan, var
         return df.crossJoin(scan), var  # CartesianProduct (LP:1171)
+
+    def _merge_sub_scope(self, sub: "Translator") -> None:
+        """Adopt a subquery translator's bindings; label knowledge follows
+        kinds — a var the sub (re)bound without labels loses any stale
+        parent entry (pruning must never act on outdated labels)."""
+        self.kinds.update(sub.kinds)
+        for v in sub.kinds:
+            if v in sub.var_labels:
+                self.var_labels[v] = sub.var_labels[v]
+            else:
+                self.var_labels.pop(v, None)
+
+    def _note_labels(self, var: str, labels) -> None:
+        if labels:
+            self.var_labels[var] = frozenset(labels)
+        else:
+            self.var_labels.pop(var, None)
+
+    def labels_of(self, var: Optional[str]):
+        """Static label knowledge for a bound node var (None = unknown)."""
+        if var and self.kinds.get(var) == "node":
+            ls = self.var_labels.get(var)
+            if ls:
+                return list(ls)
+        return None
 
     def _queue_node_filters(self, np: A.NodePat, var: str,
                             pending: List[A.Expr], bound: bool = False) -> None:
@@ -709,9 +744,20 @@ class Translator:
                 slim = (part.path_var is None and part.selector is None
                         and rp.props is None and rp.where is None
                         and (rp.var is None or self._var_single_use(rp.var)))
-                df = var_expand(self, df, prev, rp, np, rvar, nvar, slim=slim)
+                # the preceding node pattern's labels bound the expansion's
+                # start — sound for schema pruning because that label
+                # predicate is enforced on the rowstream regardless
+                pre_np = els[i - 1]
+                start_labels = (list(pre_np.labels)
+                                if isinstance(pre_np, A.NodePat)
+                                and pre_np.labels
+                                else self.labels_of(prev))
+                df = var_expand(self, df, prev, rp, np, rvar, nvar, slim=slim,
+                                start_labels=start_labels)
                 self.kinds[rvar] = "rellist"
                 self.kinds[nvar] = "node"
+                if not was_bound:
+                    self._note_labels(nvar, np.labels)
                 rel_bindings.append((rvar, "rellist", frozenset(rp.types)))
                 self._queue_node_filters(np, nvar, pending, bound=was_bound)
                 path_rels.append((rvar, "rellist"))
@@ -782,6 +828,7 @@ class Translator:
                 nscan = self._node_scan(np, nvar)
                 df = df.join(nscan, F.col("__to") == F.col(nvar).getField("_id"))
                 self.kinds[nvar] = "node"
+                self._note_labels(nvar, np.labels)
                 self._queue_node_filters(np, nvar, pending, bound=False)
             df = df.drop("__from", "__to")
             if rp.direction == "out":
@@ -870,6 +917,7 @@ class Translator:
                 tmp_added = True
                 old_kind = self.kinds.get(uname)
                 self.kinds[uname] = "node"
+                self.var_labels.pop(uname, None)
             sub = sub.filter(self._compiler(sub).compile(np.where))
             if tmp_added:
                 sub = sub.drop(uname)
@@ -988,6 +1036,7 @@ class Translator:
                             bound.append(v)
                             old_kinds[v] = self.kinds.get(v)
                             self.kinds[v] = "node"
+                            self.var_labels.pop(v, None)
                     for v in rel_group:
                         if copies_r[v]:
                             sub = sub.withColumn(v, copies_r[v][-1])
@@ -1051,6 +1100,7 @@ class Translator:
             out = zero.select(*keep).unionByName(out)
 
         self.kinds[end_name] = "node"
+        self.var_labels.pop(end_name, None)
         for v in node_group:
             self.kinds[v] = "nodelist"
         for v in rel_group:
@@ -1366,6 +1416,9 @@ class Translator:
             sub.partition_cols = list(hid.values())
             sub.kinds.update(
                 {v: self.kinds[v] for v in shared if v in self.kinds})
+            sub.var_labels.update(
+                {v: self.var_labels[v] for v in shared
+                 if v in self.var_labels})
             for v in shared:
                 sub.kinds[hid[v]] = self.kinds.get(v, "scalar")
             threaded = []
@@ -1498,6 +1551,9 @@ class Translator:
         base = df.select(*shared).dropDuplicates()
         sub.partition_cols = list(hid.values())  # per-input-row paging
         sub.kinds.update({v: self.kinds[v] for v in shared if v in self.kinds})
+        sub.var_labels.update(
+            {v: self.var_labels[v] for v in shared
+             if v in self.var_labels})
         for v in shared:
             base = base.withColumn(hid[v], F.col(v))
             sub.kinds[hid[v]] = self.kinds.get(v, "scalar")
@@ -1625,6 +1681,7 @@ class Translator:
                      F.col(f"__{h}_id") == F.col(h).getField("_id"),
                      "left").drop(f"__{h}_id")
         self.kinds[h] = "node"
+        self.var_labels.pop(h, None)
         return df, A.Var(h)
 
     def _lower_shortest_expr(self, df: DataFrame, e: "A.ShortestPathExpr"
@@ -1753,7 +1810,7 @@ class Translator:
             for b in branches:
                 sub = Translator(self.spark, self.graph, self.params)
                 frame = sub._single(b)
-                self.kinds.update(sub.kinds)
+                self._merge_sub_scope(sub)
                 inner = frame if inner is None else inner.unionByName(frame)
             if not union_all:
                 inner = inner.dropDuplicates()
@@ -1781,6 +1838,9 @@ class Translator:
             sub.partition_cols = list(hid.values())  # per-input-row paging
             sub.kinds.update(
                 {v: self.kinds[v] for v in shared if v in self.kinds})
+            sub.var_labels.update(
+                {v: self.var_labels[v] for v in shared
+                 if v in self.var_labels})
             for v in shared:
                 sub.kinds[hid[v]] = self.kinds.get(v, "scalar")
             new_clauses = []
@@ -1926,6 +1986,11 @@ class Translator:
             out = df.select(*cols)
 
         self.kinds = new_kinds
+        old_labels = self.var_labels
+        self.var_labels = {
+            (it.alias or it.text): old_labels[it.expr.name]
+            for it in items
+            if isinstance(it.expr, A.Var) and it.expr.name in old_labels}
         if p.where is not None:
             out, expr = self._lower_predicates(out, p.where)
             out = out.filter(self._compiler(out).compile(expr))

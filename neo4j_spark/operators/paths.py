@@ -78,32 +78,59 @@ def _prefer_backward(df: DataFrame, prev_var: str, tscan: Optional[DataFrame],
 
 
 def var_expand(tr, df: DataFrame, prev_var: str, rp: A.RelPat, np: A.NodePat,
-               rvar: str, nvar: str, slim: bool = False) -> DataFrame:
+               rvar: str, nvar: str, slim: bool = False,
+               start_labels: Optional[List[str]] = None) -> DataFrame:
     """VarLengthExpand (LP:2057): ``-[r:T*min..max]->``.
 
     Returns df with ``rvar`` = array<rel-struct> and ``nvar`` bound.
     ``slim``: the rel list is only uniqueness bookkeeping — carry id-only
-    structs so property columns prune at the scan."""
+    structs so property columns prune at the scan.  ``start_labels``: the
+    label constraint on the expansion's start node (from the pattern; its
+    predicate is enforced on the rowstream independently, so using it to
+    prune edge types can only drop rows the label filter would drop
+    anyway) — feeds schema-reachability pruning (schema_prune.py)."""
+    from .schema_prune import (flipped, level_type_sets, maybe_shared,
+                               restricted_scans)
+
     min_len = rp.min_len if rp.min_len is not None else 1
     max_len = rp.max_len if rp.max_len is not None else tr.max_var_length
     dynamic_stop = rp.max_len is None
 
     scan = tr._rel_scan(rp, "__r", slim=slim)
-    # per-step predicate from the rel pattern's inline props
-    if rp.props is not None:
-        cc = tr._compiler(scan)
-        for k, v in rp.props.items:
-            scan = scan.filter(F.col("__r").getField(k) == cc.compile(v))
     rel_type = scan.schema["__r"].dataType.simpleString()
 
+    def _filtered(s: DataFrame) -> DataFrame:
+        # per-step predicate from the rel pattern's inline props
+        if rp.props is not None:
+            cc = tr._compiler(s)
+            for k, v in rp.props.items:
+                s = s.filter(F.col("__r").getField(k) == cc.compile(v))
+        return s
+
+    scan = _filtered(scan)
     nvar_bound = nvar in df.columns
+    tgt_labels = (list(np.labels) if np.labels
+                  else tr.labels_of(nvar) if nvar_bound else None)
     tscan = None
     if not nvar_bound and (np.labels or np.props is not None):
         tscan = tr._node_scan(np, nvar)
     if not dynamic_stop and _prefer_backward(df, prev_var, tscan):
+        # backward traversal: roots are the target labels, the distance
+        # budget runs toward the start labels
+        bsets = maybe_shared(level_type_sets(
+            tr.graph, flipped(rp), tgt_labels, start_labels, max_len))
+        bscans = restricted_scans(tr, rp, bsets, "__r", slim, max_len,
+                                  reverse=True)
+        if bscans is not None:
+            bscans = [_filtered(s) for s in bscans]
         return _var_expand_backward(tr, df, prev_var, scan, tscan, rvar, nvar,
-                                    min_len, max_len, rel_type)
+                                    min_len, max_len, rel_type, bscans)
 
+    fsets = maybe_shared(
+        level_type_sets(tr.graph, rp, start_labels, tgt_labels, max_len))
+    fscans = restricted_scans(tr, rp, fsets, "__r", slim, max_len)
+    if fscans is not None:
+        fscans = [_filtered(s) for s in fscans]
     base = df.withColumn("__end", F.col(prev_var).getField("_id")) \
              .withColumn(rvar, F.array().cast(f"array<{rel_type}>"))
     levels: List[DataFrame] = []
@@ -111,7 +138,8 @@ def var_expand(tr, df: DataFrame, prev_var: str, rp: A.RelPat, np: A.NodePat,
         levels.append(base)
     frontier = base
     for k in range(1, max_len + 1):
-        step = frontier.join(scan, F.col("__end") == F.col("__from"))
+        sc = fscans[k - 1] if fscans is not None else scan
+        step = frontier.join(sc, F.col("__end") == F.col("__from"))
         step = step.filter(
             ~F.array_contains(_rel_ids(F.col(rvar)), F.col("__r").getField("_id")))
         step = (step.withColumn(rvar, F.array_append(F.col(rvar), F.col("__r")))
@@ -139,12 +167,14 @@ def var_expand(tr, df: DataFrame, prev_var: str, rp: A.RelPat, np: A.NodePat,
 
 def _var_expand_backward(tr, df: DataFrame, prev_var: str, scan: DataFrame,
                          tscan: DataFrame, rvar: str, nvar: str,
-                         min_len: int, max_len: int, rel_type: str) -> DataFrame:
+                         min_len: int, max_len: int, rel_type: str,
+                         scans: Optional[List[DataFrame]] = None) -> DataFrame:
     """VarExpand run from the (small) target side over reversed edges.
 
     BFS carries only ids + the rel array (no bound row payload); the
     rowstream joins back on the reached start id, and the rel array is
-    reversed at the end so results are oriented start->target."""
+    reversed at the end so results are oriented start->target.  ``scans``:
+    optional per-level schema-pruned scans (already edge-reversed)."""
     rev = _reverse_scan(scan)
     base = tscan.select(
         F.col(nvar).getField("_id").alias("__tgt"),
@@ -155,7 +185,8 @@ def _var_expand_backward(tr, df: DataFrame, prev_var: str, scan: DataFrame,
         levels.append(base)
     frontier = base
     for k in range(1, max_len + 1):
-        step = frontier.join(rev, F.col("__end") == F.col("__from"))
+        sc = scans[k - 1] if scans is not None else rev
+        step = frontier.join(sc, F.col("__end") == F.col("__from"))
         step = step.filter(
             ~F.array_contains(_rel_ids(F.col(rvar)), F.col("__r").getField("_id")))
         step = (step.withColumn(rvar, F.array_append(F.col(rvar), F.col("__r")))
@@ -177,8 +208,11 @@ def _var_expand_backward(tr, df: DataFrame, prev_var: str, scan: DataFrame,
 
 
 def _bfs_levels(roots: DataFrame, scan: DataFrame, depth: int,
-                track_path) -> List[DataFrame]:
+                track_path, scans: Optional[List[DataFrame]] = None
+                ) -> List[DataFrame]:
     """Frontier BFS from ``roots`` (column __root) over ``scan``.
+    ``scans``: optional per-level schema-pruned scans (schema_prune.py),
+    orientation-matched to ``scan``; level k uses ``scans[k-1]``.
 
     Returns levels[0..depth]; level k has columns (__root, __node, __depth
     [, __rels, __nodes]) holding ALL shortest (root -> node) walks of
@@ -205,7 +239,8 @@ def _bfs_levels(roots: DataFrame, scan: DataFrame, depth: int,
     levels: List[DataFrame] = [frontier]
     eager = depth > 3
     for k in range(1, depth + 1):
-        step = frontier.join(scan, F.col("__node") == F.col("__from"))
+        sc = scans[k - 1] if scans is not None else scan
+        step = frontier.join(sc, F.col("__node") == F.col("__from"))
         out_cols = ["__root", F.col("__to").alias("__node"),
                     F.lit(k).alias("__depth")]
         if full:
@@ -348,8 +383,30 @@ def shortest_path(tr, df: Optional[DataFrame], part: A.PatternPart,
         F.col(avar).getField("_id").alias("__s"),
         F.col(bvar).getField("_id").alias("__t")).dropDuplicates()
 
-    f_levels = _bfs_levels(starts, scan, fb, track_path)
-    b_levels = _bfs_levels(tgts, _reverse_scan(scan), bb, track_path)
+    # schema-reachability pruning (schema_prune.py): each side's level-k
+    # scan is restricted to the types the label topology allows, with the
+    # distance budget running toward the OTHER endpoint's labels (the meet
+    # can happen anywhere, so the budget at level k is max_len - k for
+    # both sides)
+    from .schema_prune import (flipped, level_type_sets, maybe_shared,
+                               restricted_scans)
+
+    a_labels = (list(a_pat.labels) if a_pat.labels
+                else tr.labels_of(avar))
+    b_labels = (list(b_pat.labels) if b_pat.labels
+                else tr.labels_of(bvar))
+    slim_scan = track_path != "full"
+    f_sets = maybe_shared(
+        level_type_sets(tr.graph, rp, a_labels, b_labels, max_len))
+    b_sets = maybe_shared(level_type_sets(
+        tr.graph, flipped(rp), b_labels, a_labels, max_len))
+    f_scans = restricted_scans(tr, rp, f_sets, "__r", slim_scan, fb)
+    b_scans = restricted_scans(tr, rp, b_sets, "__r", slim_scan, bb,
+                               reverse=True)
+
+    f_levels = _bfs_levels(starts, scan, fb, track_path, scans=f_scans)
+    b_levels = _bfs_levels(tgts, _reverse_scan(scan), bb, track_path,
+                           scans=b_scans)
 
     def _cat(levels: List[DataFrame], side: str) -> DataFrame:
         renames = {"__root": f"__{side}root", "__node": f"__{side}node",

@@ -170,9 +170,12 @@ def tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
     # the generator): lets the translator elide node-frame scans for
     # label-implied endpoints.  FROM_NATION's src is Customer OR Supplier
     # => unconstrained (None).
+    # an endpoint spec may be a tuple of alternative labels: FROM_NATION's
+    # src is Customer OR Supplier — not elidable (no single implied label)
+    # but still a complete declaration for schema-reachability pruning
     endpoint_labels = {
         "IN_REGION": ("Nation", "Region"),
-        "FROM_NATION": (None, "Nation"),
+        "FROM_NATION": (("Customer", "Supplier"), "Nation"),
         "PLACED": ("Customer", "Order"),
         "CONTAINS": ("Order", "Part"),
         "SUPPLIED_BY": ("Order", "Supplier"),
