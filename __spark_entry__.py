@@ -483,6 +483,11 @@ CYPHER_QUERIES = {
     "algo_triangle_count":
         "CALL algo.triangleCount() YIELD node, triangles "
         "RETURN count(*) AS n",
+    "algo_node_similarity":
+        "CALL algo.nodeSimilarity('CONTAINS') "
+        "YIELD a, b, intersection, similarity "
+        "RETURN count(*) AS n, sum(intersection) AS s, "
+        "sum(CASE WHEN similarity >= 0.3 THEN 1 ELSE 0 END) AS n_sim",
     "algo_sssp_weighted":
         "CALL algo.shortestPathLengths(6000000000001, 'quantity') "
         "YIELD node, dist RETURN count(*) AS n, round(sum(dist), 2) AS s",
@@ -1104,6 +1109,30 @@ def _q_write_merge_chain(spark, sf_dir):
         "RETURN count(DISTINCT h.k) AS hubs, count(DISTINCT w) AS wires")
 
 
+def _q_text_chunking(spark, sf_dir):
+    from neo4j_spark.ml.text import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs, max_tokens=24, overlap=4) \
+        .orderBy("doc_id", "chunk_id")
+
+
+def _q_text_tfidf(spark, sf_dir):
+    from neo4j_spark.ml.text import tf_idf_top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tf_idf_top_terms(docs, k=3).orderBy("doc_id", "rank")
+
+
+def _q_text_contamination(spark, sf_dir):
+    from neo4j_spark.ml.text import contamination_check
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    return contamination_check(train, bench, n=3).orderBy("doc_id")
+
+
 WRITE_QUERIES = {
     "write_create": _q_write_create,
     "write_merge_chain": _q_write_merge_chain,
@@ -1135,6 +1164,9 @@ EXTENSION_QUERIES = {
     "text_dup_lines": _q_text_dup_lines,
     "text_quality": _q_text_quality,
     "text_fingerprint": _q_text_fingerprint,
+    "text_chunking": _q_text_chunking,
+    "text_tfidf": _q_text_tfidf,
+    "text_contamination": _q_text_contamination,
     "knn_bruteforce": _q_knn_bruteforce,
     "embedding_quantize": _q_embedding_quantize,
     "embedding_normalize": _q_embedding_normalize,

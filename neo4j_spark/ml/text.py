@@ -206,3 +206,105 @@ def scrub_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(
         "*", scrub_pii(t).alias("text_scrubbed"), *pii_counts(t),
         dup_line_ratio(t).alias("dup_line_ratio"))
+
+
+# ---- chunking (training-example preparation) ------------------------------
+
+
+def chunk_documents(df: DataFrame, max_tokens: int, overlap: int = 0,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Split documents into overlapping fixed-token-window chunks — the
+    standard training-example preparation step (context-window packing).
+
+    One ``posexplode`` over a generated start-offset sequence; the chunk
+    text is a slice+join over the token array — all codegen'd expressions,
+    no shuffle at all (chunks stay co-partitioned with their document).
+    At 100 TB this is a pure map stage.
+
+    Chunk k covers tokens ``[k*stride, k*stride + max_tokens)`` with
+    ``stride = max_tokens - overlap``; the final chunk may be short.
+    Returns (id, chunk_id, chunk_text, n_tokens)."""
+    assert 0 <= overlap < max_tokens
+    stride = max_tokens - overlap
+    words = F.split(F.col(text_col), " ")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(words) - 1, F.lit(0)), F.lit(stride))
+    out = df.select(
+        id_col, words.alias("__words"),
+        F.posexplode(starts).alias("__pos", "__start"))
+    chunk = F.slice(F.col("__words"), F.col("__start") + 1, max_tokens)
+    return out.select(
+        id_col,
+        F.col("__pos").cast("long").alias("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_tokens"))
+
+
+# ---- TF-IDF ---------------------------------------------------------------
+
+
+def tf_idf_top_terms(df: DataFrame, k: int = 3, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Top-k terms per document by tf-idf (ln(N/df) idf, ties by term).
+
+    Shuffle profile: one explode feeding a map-side-combined (doc, term)
+    count, a term-keyed doc-frequency aggregate joined back (term keys are
+    high-cardinality — no skew), and one window for the per-doc top-k.
+    The corpus size N is a 1-row aggregate cross-joined in (broadcast),
+    never a driver-side count."""
+    terms = df.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    total = df.select(F.count_distinct(F.col(id_col)).alias("__n_docs"))
+    scored = (tf.join(dfreq, "term").crossJoin(F.broadcast(total))
+                .withColumn("tfidf",
+                            F.round(F.col("tf")
+                                    * F.log(F.col("__n_docs") / F.col("df")),
+                                    6)))
+    from pyspark.sql import Window as W
+    w = W.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select(id_col, "term", "tfidf",
+                          F.col("rank").cast("long").alias("rank")))
+
+
+# ---- benchmark contamination ---------------------------------------------
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams as an array of space-joined strings."""
+    words = F.split(text, " ")
+    m = F.size(words) - (n - 1)
+    grams = F.when(m >= 1, F.transform(
+        F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+        lambda i: F.array_join(F.slice(words, i, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def contamination_check(df: DataFrame, bench: DataFrame, n: int = 3,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Per-document fraction of distinct word n-grams that also occur in a
+    benchmark/eval corpus — the train/test contamination signal used to
+    hold eval sets out of training data.
+
+    The benchmark side collapses to a distinct n-gram set (small — eval
+    corpora are tiny next to training corpora) so the probe join
+    broadcasts; the training side's grams are exploded once and the
+    match flag averages map-side.  Returns (id, n_grams, contamination)."""
+    bench_grams = (bench.select(
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+        .dropDuplicates())
+    doc_grams = df.select(
+        id_col, F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+    joined = doc_grams.join(
+        F.broadcast(bench_grams.withColumn("__hit", F.lit(1))),
+        "gram", "left")
+    return (joined.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.round(F.avg(F.coalesce(F.col("__hit"), F.lit(0))), 6)
+                 .alias("contamination")))

@@ -284,3 +284,39 @@ def astar(rels: DataFrame, nodes: DataFrame, source_id: int, target_id: int,
         frontier = improved
     row = dist.filter(F.col("id") == target_id).head()
     return None if row is None else row["dist"]
+
+
+def node_similarity(rels: DataFrame, min_similarity: float = 0.0
+                    ) -> DataFrame:
+    """Jaccard similarity of out-neighbor sets for node pairs sharing at
+    least one neighbor (the neighborhood-similarity algorithm of graph
+    analytics suites; candidate pairs come from co-occurrence, never the
+    full n^2).
+
+    Shuffle profile: the wedge self-join shuffles on the shared neighbor
+    id; intersection counts combine map-side on (a, b); degree joins key
+    on the node id.  Hub neighbors (high in-degree) are the skew risk at
+    scale — AQE skew-join splits them, and a degree-cap pre-filter is the
+    documented mitigation.  Returns (a, b, intersection, similarity) with
+    a < b, one row per qualifying pair."""
+    e = rels.select("src", "dst").dropDuplicates()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    wedges = (e.select(F.col("src").alias("a"), "dst")
+              .join(e.select(F.col("src").alias("b"), "dst"), "dst")
+              .filter(F.col("a") < F.col("b")))
+    inter = wedges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("intersection"))
+    out = (inter
+           .join(deg.select(F.col("src").alias("a"),
+                            F.col("deg").alias("__da")), "a")
+           .join(deg.select(F.col("src").alias("b"),
+                            F.col("deg").alias("__db")), "b")
+           .withColumn(
+               "similarity",
+               F.round(F.col("intersection")
+                       / (F.col("__da") + F.col("__db")
+                          - F.col("intersection")), 6))
+           .drop("__da", "__db"))
+    if min_similarity > 0.0:
+        out = out.filter(F.col("similarity") >= min_similarity)
+    return out

@@ -121,6 +121,18 @@ def algo_triangle_count(spark, graph, args):
         F.col("id").alias("node"), "triangles")
 
 
+@procedure("algo.nodesimilarity")
+def algo_node_similarity(spark, graph, args):
+    """(relType?, minSimilarity?) -> (a, b, intersection, similarity) —
+    Jaccard over out-neighbor sets; candidate pairs via the shared-
+    neighbor wedge join (co-occurrence, never n^2)."""
+    from ..operators.algorithms import node_similarity
+
+    rels = graph.rels_for_types([args[0]]) if args else graph.rels
+    min_sim = float(args[1]) if len(args) > 1 else 0.0
+    return node_similarity(rels, min_sim)
+
+
 # ---- vector index analog (db.index.vector.queryNodes) ---------------------
 
 
