@@ -1205,7 +1205,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles
 # ---------------------------------------------------------------------------
 
+def _cast_rounds_double(sql: str) -> str:
+    """Wrap every round(...) in CAST(... AS DOUBLE).
+
+    DuckDB types bare numeric literals as DECIMAL, and round() over a
+    DECIMAL stays DECIMAL — value-identical to Spark's DOUBLE but a
+    different cell type, which fails the driver's value hash.  Applied
+    mechanically to every oracle so engine and oracle agree on DOUBLE."""
+    out = []
+    i = 0
+    low = sql.lower()
+    while True:
+        j = low.find("round(", i)
+        # skip identifiers like x_round( — require a non-word char before
+        while j > 0 and (sql[j - 1].isalnum() or sql[j - 1] == "_"):
+            j = low.find("round(", j + 1)
+        if j < 0:
+            out.append(sql[i:])
+            break
+        depth = 0
+        k = j + 5  # at the '('
+        while k < len(sql):
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        inner = _cast_rounds_double(sql[j + 6:k])  # recurse into the args
+        out.append(sql[i:j])
+        out.append(f"CAST({sql[j:j + 6]}{inner}) AS DOUBLE)")
+        i = k + 1
+    return "".join(out)
+
+
 def oracle_sql() -> dict[str, str]:
+    sqls = _oracle_sql_raw()
+    return {k: _cast_rounds_double(v) for k, v in sqls.items()}
+
+
+def _oracle_sql_raw() -> dict[str, str]:
     return {
         "all_nodes_scan":
             "SELECT CAST((SELECT count(*) FROM region) + (SELECT count(*) FROM nation)"
@@ -1591,13 +1631,13 @@ def oracle_sql() -> dict[str, str]:
         "vector_euclidean_fn":
             "SELECT CAST(1.0 AS DOUBLE) AS a, CAST(0.038462 AS DOUBLE) AS b",
         "point_distance_fn":
-            "SELECT 5.0 AS d",
+            "SELECT CAST(5.0 AS DOUBLE) AS d",
         "point_withinbbox":
             "SELECT count(*) AS n FROM customer "
             "WHERE c_acctbal BETWEEN 0 AND 5000 "
             "AND (c_custkey % 100) BETWEEN 0 AND 50",
         "conversion_functions":
-            "SELECT CAST(42 AS BIGINT) AS i, 4.5 AS f, TRUE AS b, "
+            "SELECT CAST(42 AS BIGINT) AS i, CAST(4.5 AS DOUBLE) AS f, TRUE AS b, "
             "'7' AS s, CAST(NULL AS BIGINT) AS x",
         "valuetype_fn":
             "SELECT 'INTEGER NOT NULL' AS i, 'STRING NOT NULL' AS s, "
@@ -1655,7 +1695,7 @@ def oracle_sql() -> dict[str, str]:
             " + (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)"
             " + (SELECT count(*) FROM part) + (SELECT count(*) FROM orders)"
             " + (SELECT count(*) FROM documents) + (SELECT count(*) FROM embeddings)"
-            " AS BIGINT) AS n, 1.0 AS s",
+            " AS BIGINT) AS n, CAST(1.0 AS DOUBLE) AS s",
         "algo_sssp":
             "WITH o AS (SELECT o_orderkey FROM orders WHERE o_custkey = 1), "
             "li AS (SELECT * FROM lineitem WHERE l_orderkey IN "
@@ -1671,7 +1711,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE n_nationkey IN (SELECT s_nationkey FROM n3) "
             "AND n_regionkey NOT IN (SELECT n_regionkey FROM r2)) "
             "SELECT * FROM ("
-            "SELECT 0.0 AS dist, CAST(1 AS BIGINT) AS n UNION ALL "
+            "SELECT CAST(0.0 AS DOUBLE) AS dist, CAST(1 AS BIGINT) AS n UNION ALL "
             "SELECT 1.0, (SELECT count(*) FROM o) + 1 UNION ALL "
             "SELECT 2.0, 1 + (SELECT count(DISTINCT l_partkey) FROM li) "
             "+ (SELECT count(DISTINCT l_suppkey) FROM li) UNION ALL "
@@ -1868,8 +1908,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM s ORDER BY vec_id LIMIT 100",
         "embedding_normalize":
             "SELECT vec_id, CASE WHEN sqrt(list_sum(list_transform("
-            "embedding, x -> CAST(x AS DOUBLE) * x))) = 0 THEN 0.0 "
-            "ELSE 1.0 END AS unit_norm FROM embeddings "
+            "embedding, x -> CAST(x AS DOUBLE) * x))) = 0 THEN CAST(0.0 AS DOUBLE) "
+            "ELSE CAST(1.0 AS DOUBLE) END AS unit_norm FROM embeddings "
             "ORDER BY vec_id LIMIT 100",
         "knn_bruteforce":
             "SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], "
@@ -1884,6 +1924,54 @@ def oracle_sql() -> dict[str, str]:
             "ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id "
             "ORDER BY score DESC, neighbor_id) AS rn FROM scored) "
             "SELECT query_id, neighbor_id, score FROM ranked WHERE rn <= 3",
+        "text_chunking":
+            # stride=20 (max_tokens=24, overlap=4); last start capped at
+            # len-overlap-1 so no chunk is contained in its predecessor
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS words "
+            "FROM documents), "
+            "e AS (SELECT doc_id, words, unnest(range(0, "
+            "greatest(len(words) - 5, 0) + 1, 20)) AS start FROM w) "
+            "SELECT doc_id, CAST(start // 20 AS BIGINT) AS chunk_id, "
+            "array_to_string(list_slice(words, start + 1, start + 24), ' ') "
+            "AS chunk_text, "
+            "CAST(len(list_slice(words, start + 1, start + 24)) AS BIGINT) "
+            "AS n_tokens FROM e ORDER BY doc_id, chunk_id",
+        "text_tfidf":
+            "WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+            "AS term FROM documents), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM terms "
+            "GROUP BY 1, 2), "
+            "dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+            "n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents), "
+            "sc AS (SELECT doc_id, term, round(tf * ln(nd / df), 6) AS tfidf "
+            "FROM tf JOIN dfq USING (term) CROSS JOIN n), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY tfidf DESC, term) AS rank FROM sc) "
+            "SELECT doc_id, term, tfidf, CAST(rank AS BIGINT) AS rank "
+            "FROM r WHERE rank <= 3 ORDER BY doc_id, rank",
+        "text_contamination":
+            "WITH tw AS (SELECT doc_id, string_split(text, ' ') AS w "
+            "FROM documents WHERE source != 'src0'), "
+            "tg AS (SELECT doc_id, list_distinct(CASE WHEN len(w) - 2 >= 1 "
+            "THEN list_transform(range(1, len(w) - 1), "
+            "i -> array_to_string(list_slice(w, i, i + 2), ' ')) "
+            "ELSE [] END) AS grams FROM tw), "
+            "bw AS (SELECT string_split(text, ' ') AS w FROM documents "
+            "WHERE source = 'src0'), "
+            "bg AS (SELECT DISTINCT unnest(CASE WHEN len(w) - 2 >= 1 "
+            "THEN list_transform(range(1, len(w) - 1), "
+            "i -> array_to_string(list_slice(w, i, i + 2), ' ')) "
+            "ELSE [] END) AS gram FROM bw), "
+            "dg AS (SELECT doc_id, unnest(grams) AS gram FROM tg), "
+            "j AS (SELECT dg.doc_id, CASE WHEN b.gram IS NULL THEN 0 ELSE 1 "
+            "END AS hit FROM dg LEFT JOIN bg b USING (gram)), "
+            "a AS (SELECT doc_id, count(*) AS n_grams, "
+            "round(avg(hit), 6) AS contamination FROM j GROUP BY doc_id) "
+            "SELECT t.doc_id, coalesce(a.n_grams, 0) AS n_grams, "
+            "coalesce(a.contamination, 0.0) AS contamination "
+            "FROM (SELECT DISTINCT doc_id FROM documents "
+            "WHERE source != 'src0') t LEFT JOIN a USING (doc_id) "
+            "ORDER BY doc_id",
         "multimodal_decode":
             "SELECT doc_id, CAST(16 + length(text) % 64 AS INTEGER) AS width, "
             "CAST(16 + (length(text) // 64) % 64 AS INTEGER) AS height, "

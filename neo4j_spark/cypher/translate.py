@@ -589,6 +589,22 @@ class Translator:
             else:
                 self.var_labels.pop(v, None)
 
+    def _merge_branch_scopes(self, subs: List["Translator"]) -> None:
+        """Adopt bindings from UNION branch translators.  Label knowledge
+        for a var survives only when EVERY branch that binds it recorded
+        labels, and becomes the UNION of the branches' label sets
+        (labels_of treats the set as alternatives) — last-branch-wins
+        would let schema pruning drop valid paths from earlier branches."""
+        for sub in subs:
+            self.kinds.update(sub.kinds)
+        for v in set().union(*(set(s.kinds) for s in subs)) if subs else ():
+            binding = [s for s in subs if v in s.kinds]
+            if binding and all(v in s.var_labels for s in binding):
+                self.var_labels[v] = frozenset().union(
+                    *(s.var_labels[v] for s in binding))
+            else:
+                self.var_labels.pop(v, None)
+
     def _note_labels(self, var: str, labels) -> None:
         if labels:
             self.var_labels[var] = frozenset(labels)
@@ -1807,11 +1823,13 @@ class Translator:
                 F.lit(1).alias("__unit"))
         if df is None or not clause.imports:
             inner = None
+            branch_subs = []
             for b in branches:
                 sub = Translator(self.spark, self.graph, self.params)
                 frame = sub._single(b)
-                self._merge_sub_scope(sub)
+                branch_subs.append(sub)
                 inner = frame if inner is None else inner.unionByName(frame)
+            self._merge_branch_scopes(branch_subs)
             if not union_all:
                 inner = inner.dropDuplicates()
             if df is None:
@@ -1833,6 +1851,7 @@ class Translator:
         for v in shared:
             base = base.withColumn(hid[v], F.col(v))
         matched = None
+        branch_subs = []
         for b in branches:
             sub = Translator(self.spark, self.graph, self.params)
             sub.partition_cols = list(hid.values())  # per-input-row paging
@@ -1853,9 +1872,10 @@ class Translator:
             frame = sub._single_over(base, A.SingleQuery(new_clauses))
             for h in hid.values():
                 sub.kinds.pop(h, None)
-            self.kinds.update({k: v for k, v in sub.kinds.items()
-                               if not k.startswith("__corr_")})
+                sub.var_labels.pop(h, None)
+            branch_subs.append(sub)
             matched = frame if matched is None else matched.unionByName(frame)
+        self._merge_branch_scopes(branch_subs)
         if not union_all:
             matched = matched.dropDuplicates()
         # the COUNT bug: a globally-aggregating subquery yields one row per

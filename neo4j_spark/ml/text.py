@@ -228,8 +228,12 @@ def chunk_documents(df: DataFrame, max_tokens: int, overlap: int = 0,
     assert 0 <= overlap < max_tokens
     stride = max_tokens - overlap
     words = F.split(F.col(text_col), " ")
+    # stop once the previous chunk reaches the end: a start past
+    # size-overlap-1 would emit a chunk fully contained in its
+    # predecessor (duplicate training example); keep >= one chunk
     starts = F.sequence(
-        F.lit(0), F.greatest(F.size(words) - 1, F.lit(0)), F.lit(stride))
+        F.lit(0),
+        F.greatest(F.size(words) - overlap - 1, F.lit(0)), F.lit(stride))
     out = df.select(
         id_col, words.alias("__words"),
         F.posexplode(starts).alias("__pos", "__start"))
@@ -304,7 +308,15 @@ def contamination_check(df: DataFrame, bench: DataFrame, n: int = 3,
     joined = doc_grams.join(
         F.broadcast(bench_grams.withColumn("__hit", F.lit(1))),
         "gram", "left")
-    return (joined.groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("n_grams"),
-                 F.round(F.avg(F.coalesce(F.col("__hit"), F.lit(0))), 6)
-                 .alias("contamination")))
+    agg = (joined.groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("n_grams"),
+                F.round(F.avg(F.coalesce(F.col("__hit"), F.lit(0))), 6)
+                .alias("contamination")))
+    # documents shorter than n words produce zero gram rows — report them
+    # as n_grams=0 / contamination=0.0 instead of dropping them entirely
+    return (df.select(id_col).dropDuplicates()
+            .join(agg, id_col, "left")
+            .select(id_col,
+                    F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+                    F.coalesce(F.col("contamination"), F.lit(0.0))
+                    .alias("contamination")))

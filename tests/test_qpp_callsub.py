@@ -154,3 +154,23 @@ class TestQppVarExpandCollapse:
                     "MATCH (a:A) ((x)-[r:R]->(y)){1,2} (b:C) "
                     "RETURN size(r) AS nr", chain_graph)
         assert [tuple(x) for x in df.collect()] == [(2,)]
+
+
+def test_call_union_label_merge_pruning(spark, chain_graph):
+    # Regression: UNION branches binding the same var from different labels
+    # must merge label knowledge as a union across branches — last-branch-wins
+    # made var-length schema pruning drop paths starting from earlier
+    # branches' labels (A here).
+    out = cypher(spark,
+                 "CALL { MATCH (n:A) RETURN n UNION MATCH (b:B) RETURN b AS n } "
+                 "MATCH (n)-[*1..1]->(m) RETURN count(*) AS c", chain_graph)
+    assert rows(out) == [(2,)]
+
+
+def test_call_union_mixed_label_knowledge(spark, chain_graph):
+    # one branch has labels, the other binds the var unlabeled: all label
+    # knowledge must be discarded (pruning may not assume A-or-B)
+    out = cypher(spark,
+                 "CALL { MATCH (n:A) RETURN n UNION MATCH (b) RETURN b AS n } "
+                 "MATCH (n)-[*1..1]->(m) RETURN count(*) AS c", chain_graph)
+    assert rows(out) == [(2,)]

@@ -17,15 +17,31 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(v):
+    # Type-strict on purpose: the driver hashes cell values, so a DuckDB
+    # DECIMAL vs a Spark DOUBLE (value-identical) still hash-mismatches.
+    # Tag the python type so local selfcheck catches the same class of bug.
+    import decimal
+    if v is None:
+        return ("z",)
+    if isinstance(v, decimal.Decimal):
+        return ("dec", str(v.normalize()))
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
-        return round(v, 9)
-    if isinstance(v, list):
-        return tuple(norm(x) for x in v)
+            return ("f", float("inf"), "nan")
+        return ("f", round(v, 9), "")
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, (bytes, bytearray)):
+        return ("by", bytes(v))
+    if isinstance(v, (list, tuple)):
+        return ("l", tuple(norm(x) for x in v))
+    if isinstance(v, dict):
+        return ("d", tuple(sorted((k, norm(x)) for k, x in v.items())))
     if hasattr(v, "isoformat"):
-        return v.isoformat()[:26]
-    return v
+        return ("t", v.isoformat()[:26])
+    return ("s", str(v))
 
 
 def norm_rows(rows, colnames):
