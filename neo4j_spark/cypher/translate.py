@@ -1555,13 +1555,15 @@ class Translator:
         col = self._anon_var("cl")
         sub = Translator(self.spark, self.graph, self.params)
         if not shared:
+            # uncorrelated: aggregate to a ONE-ROW frame and broadcast
+            # crossJoin — never a driver-side collect (the inner query may
+            # be unboundedly large at scale)
             inner = sub._single(inner_q)
-            if okeys:
-                inner = inner.orderBy(*[
-                    F.col(k).asc() if asc else F.col(k).desc()
-                    for k, asc in okeys])
-            vals = [r["__cl_val"] for r in inner.collect()]
-            return df, A.Lit(vals)
+            agg = self._ordered_collect_expr(inner, okeys)
+            one = inner.agg(agg.alias(col))
+            out = df.crossJoin(F.broadcast(one))
+            self.kinds[col] = "scalar"
+            return out, A.Var(col)
 
         hid = {v: f"__corr_{v}" for v in shared}
         base = df.select(*shared).dropDuplicates()
@@ -1581,38 +1583,7 @@ class Translator:
             threaded.append(c)
         matched = sub._single_over(base, A.SingleQuery(threaded))
 
-        if okeys:
-            def negatable(k):
-                t = matched.schema[k].dataType
-                return isinstance(t, (T.NumericType, T.DateType,
-                                      T.TimestampType, T.TimestampNTZType))
-
-            # uniform-DESC with un-negatable keys (strings): sort ascending
-            # and reverse the collected array instead
-            flip = (all(not asc for _, asc in okeys)
-                    and any(not negatable(k) for k, asc in okeys if not asc))
-            skfields = []
-            for k, asc in okeys:
-                kc = F.col(k)
-                if not asc and not flip:
-                    t = matched.schema[k].dataType
-                    if isinstance(t, T.NumericType):
-                        kc = -kc
-                    elif isinstance(t, (T.DateType, T.TimestampType,
-                                        T.TimestampNTZType)):
-                        kc = -F.unix_micros(kc.cast("timestamp"))
-                    else:
-                        raise TranslateError(
-                            "mixed-direction ORDER BY with a non-numeric "
-                            "DESC key inside COLLECT {} is unsupported")
-                skfields.append(kc.alias(k))
-            skey = F.struct(*skfields, F.col("__cl_val").alias("__cl_val"))
-            agg = F.transform(F.sort_array(F.collect_list(skey)),
-                              lambda x: x.getField("__cl_val"))
-            if flip:
-                agg = F.reverse(agg)
-        else:
-            agg = F.collect_list(F.col("__cl_val"))
+        agg = self._ordered_collect_expr(matched, okeys)
         grouped = matched.groupBy(*[F.col(h) for h in hid.values()]).agg(
             agg.alias(col))
         cond = None
@@ -1628,6 +1599,46 @@ class Translator:
         out = out.withColumn(col, F.coalesce(F.col(col), F.array().cast(et)))
         self.kinds[col] = "scalar"
         return out, A.Var(col)
+
+    def _ordered_collect_expr(self, frame: DataFrame,
+                              okeys: List[Tuple[str, bool]],
+                              val_col: str = "__cl_val") -> Column:
+        """collect_list that honours an inner ORDER BY by collecting
+        (key..., value) structs and sort_array-ing them (struct ordering is
+        field-order lexicographic) — no per-group sort pass."""
+        if not okeys:
+            return F.collect_list(F.col(val_col))
+
+        def negatable(k):
+            t = frame.schema[k].dataType
+            return isinstance(t, (T.NumericType, T.DateType,
+                                  T.TimestampType, T.TimestampNTZType))
+
+        # uniform-DESC with un-negatable keys (strings): sort ascending
+        # and reverse the collected array instead
+        flip = (all(not asc for _, asc in okeys)
+                and any(not negatable(k) for k, asc in okeys if not asc))
+        skfields = []
+        for k, asc in okeys:
+            kc = F.col(k)
+            if not asc and not flip:
+                t = frame.schema[k].dataType
+                if isinstance(t, T.NumericType):
+                    kc = -kc
+                elif isinstance(t, (T.DateType, T.TimestampType,
+                                    T.TimestampNTZType)):
+                    kc = -F.unix_micros(kc.cast("timestamp"))
+                else:
+                    raise TranslateError(
+                        "mixed-direction ORDER BY with a non-numeric "
+                        "DESC key inside COLLECT {} is unsupported")
+            skfields.append(kc.alias(k))
+        skey = F.struct(*skfields, F.col(val_col).alias(val_col))
+        agg = F.transform(F.sort_array(F.collect_list(skey)),
+                          lambda x: x.getField(val_col))
+        if flip:
+            agg = F.reverse(agg)
+        return agg
 
     def _lower_pattern_comp(self, df: DataFrame, e: A.PatternComp
                             ) -> Tuple[DataFrame, A.Expr]:
@@ -1646,8 +1657,12 @@ class Translator:
         val = sub._compiler(matched).compile(e.projection)
         col = self._anon_var("pc")
         if not shared:
-            vals = [r[0] for r in matched.select(val).collect()]
-            return df, A.Lit(vals)
+            # uncorrelated: one-row aggregate + broadcast crossJoin, not a
+            # driver collect (same RollUpApply semantics, no driver OOM)
+            one = matched.agg(F.collect_list(val).alias(col))
+            out = df.crossJoin(F.broadcast(one))
+            self.kinds[col] = "scalar"
+            return out, A.Var(col)
         right = matched.select(
             *[F.col(v).alias(f"__r_{v}") for v in shared], val.alias("__pc_val"))
         grouped = right.groupBy(*[F.col(f"__r_{v}") for v in shared]).agg(
@@ -2310,7 +2325,19 @@ class Translator:
             dfx = df
             for i, a in enumerate(c.args):
                 dfx = dfx.withColumn(keys[i], cc.compile(a))
-            tuples = dfx.select(*keys).dropDuplicates().collect()
+            # bounded by distinct-arg cardinality: each distinct tuple adds
+            # a plan branch, so cap it hard — a per-row-distinct argument
+            # must use a set-oriented procedure variant, not N plan branches
+            cap = int(self.spark.conf.get(
+                "neo4j_spark.procedure.maxDistinctArgs", "64"))
+            tuples = dfx.select(*keys).dropDuplicates().limit(cap + 1) \
+                        .collect()
+            if len(tuples) > cap:
+                raise TranslateError(
+                    f"CALL {c.name}(...) with correlated arguments has more "
+                    f"than {cap} distinct argument tuples; this plans one "
+                    "branch per tuple — rewrite with a set-oriented variant "
+                    "or raise neo4j_spark.procedure.maxDistinctArgs")
             frames = []
             for t in tuples:
                 vals = [t[k] for k in keys]

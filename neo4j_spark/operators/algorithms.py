@@ -32,26 +32,55 @@ def undirected_edges(rels: DataFrame) -> DataFrame:
 
 def connected_components(nodes: DataFrame, rels: DataFrame,
                          max_iter: int = 25) -> DataFrame:
-    """Min-id label propagation over undirected edges.
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14).
 
-    Returns (id, comp) where comp = smallest node id in the component."""
-    edges = undirected_edges(rels)
-    comp = nodes.select("id", F.col("id").alias("comp")) \
-                .localCheckpoint(eager=True)
+    Label propagation needs O(graph diameter) rounds — a 100 TB chain
+    graph never finishes; star contraction converges in O(log^2 n) rounds
+    regardless of diameter.  Each half-round is one groupBy (min neighbor)
+    plus one join back on the grouping key, so AQE reuses the hash
+    partitioning across rounds.  Returns (id, comp) where comp = smallest
+    node id in the component."""
+    edges = (rels.select("src", "dst")
+             .filter(F.col("src") != F.col("dst"))
+             .select(F.greatest("src", "dst").alias("src"),
+                     F.least("src", "dst").alias("dst"))
+             .dropDuplicates()
+             .localCheckpoint(eager=True))
     for _ in range(max_iter):
-        nb = (edges.join(comp, edges["src"] == comp["id"])
-              .select(F.col("dst").alias("id"), F.col("comp")))
-        new = (comp.unionByName(nb)
-               .groupBy("id").agg(F.min("comp").alias("comp"))
-               .localCheckpoint(eager=True))
-        changed = (new.alias("n")
-                   .join(comp.alias("o"), "id")
-                   .filter(F.col("n.comp") != F.col("o.comp"))
-                   .limit(1).count())
-        comp = new
+        # large-star: every neighbor larger than u links to u's min nbr
+        sym = edges.unionByName(edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")))
+        mins = sym.groupBy("src").agg(F.min("dst").alias("__mn")) \
+                  .select("src", F.least("__mn", "src").alias("m"))
+        large = (sym.join(mins, "src")
+                 .filter(F.col("dst") > F.col("src"))
+                 .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+                 .unionByName(mins.select("src", F.col("m").alias("dst")))
+                 .filter(F.col("src") != F.col("dst"))
+                 .dropDuplicates())
+        # small-star: orient (big, small); all smaller nbrs + u link to min
+        ordered = large.select(F.greatest("src", "dst").alias("src"),
+                               F.least("src", "dst").alias("dst")) \
+                       .dropDuplicates()
+        mins2 = ordered.groupBy("src").agg(F.min("dst").alias("m"))
+        small = (ordered.join(mins2, "src")
+                 .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+                 .unionByName(mins2.select("src", F.col("m").alias("dst")))
+                 .filter(F.col("src") != F.col("dst"))
+                 .dropDuplicates()
+                 .select(F.greatest("src", "dst").alias("src"),
+                         F.least("src", "dst").alias("dst"))
+                 .dropDuplicates()
+                 .localCheckpoint(eager=True))
+        changed = small.exceptAll(edges).limit(1).count()
+        edges = small
         if changed == 0:
             break
-    return comp
+    parent = edges.groupBy("src").agg(F.min("dst").alias("comp")) \
+                  .withColumnRenamed("src", "id")
+    return (nodes.select("id").join(parent, "id", "left")
+            .select("id", F.coalesce("comp", "id").alias("comp")))
 
 
 def pagerank(nodes: DataFrame, rels: DataFrame, iterations: int = 10,
@@ -64,19 +93,23 @@ def pagerank(nodes: DataFrame, rels: DataFrame, iterations: int = 10,
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank")) \
                  .localCheckpoint(eager=True)
     for _ in range(iterations):
-        with_deg = ranks.join(outdeg, ranks["id"] == outdeg["src"], "left")
-        dangling = with_deg.filter(F.col("outdeg").isNull()) \
-                           .agg(F.sum("rank")).collect()[0][0] or 0.0
+        # dangling mass folded in as a 1-row broadcast crossJoin — the
+        # whole iteration is ONE job (no extra driver action per round)
+        dangling = (ranks.join(outdeg, ranks["id"] == outdeg["src"],
+                               "left_anti")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                         .alias("__dm")))
         contribs = (edges.join(outdeg, "src")
                     .join(ranks, edges["src"] == ranks["id"])
                     .select(F.col("dst").alias("id"),
                             (F.col("rank") / F.col("outdeg")).alias("c")))
         sums = contribs.groupBy("id").agg(F.sum("c").alias("s"))
-        base = (1.0 - damping) / n + damping * dangling / n
         ranks = (nodes.select("id").join(sums, "id", "left")
-                 .select("id", (F.lit(base) + F.lit(damping)
-                                * F.coalesce(F.col("s"), F.lit(0.0)))
-                         .alias("rank"))
+                 .crossJoin(F.broadcast(dangling))
+                 .select("id",
+                         (F.lit((1.0 - damping) / n) + F.lit(damping)
+                          * (F.coalesce(F.col("s"), F.lit(0.0))
+                             + F.col("__dm") / n)).alias("rank"))
                  .localCheckpoint(eager=True))
     return ranks
 

@@ -151,3 +151,19 @@ def test_scrub_pushes_column_pruning(spark):
     assert "ReadSchema" in plan and "text" in plan
     # lang/source columns must NOT be read for this 2-column projection
     assert "n_chars" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_translate_has_no_driver_collect():
+    """The query translator must never materialize subquery results on the
+    driver — uncorrelated COLLECT{}/pattern comprehensions aggregate to a
+    1-row frame and broadcast-crossJoin instead.  The single allowed
+    .collect() is the capped correlated-procedure-argument enumeration."""
+    import inspect
+
+    from neo4j_spark.cypher import translate as t
+
+    lines = inspect.getsource(t).splitlines()
+    hits = [i for i, ln in enumerate(lines) if ".collect()" in ln]
+    assert len(hits) == 1, [lines[i] for i in hits]
+    ctx = "\n".join(lines[hits[0] - 2:hits[0] + 1])
+    assert "dropDuplicates().limit(cap + 1)" in ctx, ctx
