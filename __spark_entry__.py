@@ -210,6 +210,21 @@ CYPHER_QUERIES = {
         "UNWIND [1, 2, 3, 4, 5] AS x RETURN x, x * x AS sq",
     "list_ops":
         "RETURN [x IN range(1, 10) WHERE x % 2 = 0 | x * x] AS l",
+    # heterogeneous lists + CIP global orderability (AnyValues.java:69,
+    # ValueGroup.java:32): STRING < BOOLEAN < NUMBER < null; LIMIT after
+    # the mixed ORDER BY makes the global order hash-observable
+    "mixed_list_order":
+        "UNWIND [3, 1.5, 'b', 'a', true, false, null, 2, 'c', -1.0] AS x "
+        "WITH x ORDER BY x LIMIT 4 "
+        "RETURN coalesce(toString(x), '<null>') AS s",
+    "mixed_list_order_desc":
+        "UNWIND [3, 1.5, 'b', 'a', true, false, null, 2, 'c', -1.0] AS x "
+        "WITH x ORDER BY x DESC LIMIT 4 "
+        "RETURN coalesce(toString(x), '<null>') AS s",
+    "mixed_cmp_predicates":
+        "RETURN 1 < 'a' AS a, 1 = 'a' AS b, 2 IN [1, 'a', 2] AS c, "
+        "3 IN [1, 'a', null] AS d, toString([1, 'a', true][2]) AS e, "
+        "valueType([1, 'a'][0]) AS vt",
     "labels_function":
         "MATCH (n:Nation) RETURN labels(n)[0] AS label, count(*) AS n",
     "keys_function":
@@ -1424,6 +1439,14 @@ def _oracle_sql_raw() -> dict[str, str]:
         "list_ops":
             "SELECT list_transform(list_filter(range(1, 11), "
             "x -> x % 2 = 0), x -> x * x) AS l",
+        "mixed_list_order":
+            "SELECT unnest(['a', 'b', 'c', 'false']) AS s",
+        "mixed_list_order_desc":
+            "SELECT unnest(['<null>', '3', '2', '1.5']) AS s",
+        "mixed_cmp_predicates":
+            "SELECT CAST(NULL AS BOOLEAN) AS a, FALSE AS b, TRUE AS c, "
+            "CAST(NULL AS BOOLEAN) AS d, 'true' AS e, "
+            "'INTEGER NOT NULL' AS vt",
         "labels_function":
             "SELECT 'Nation' AS label, count(*) AS n FROM nation",
         "keys_function":

@@ -1,0 +1,152 @@
+"""Tagged-struct encoding for heterogeneous (mixed-type) Cypher values.
+
+The reference stores every runtime value as an ``AnyValue`` with one global
+comparator (``community/values/src/main/java/org/neo4j/values/AnyValues.java:69``
+and ``storable/ValueGroup.java:32``); Spark columns have ONE static type, so
+mixed-type values (``[1, 'a', true]``, mixed ORDER BY keys) are encoded as a
+struct whose FIELD ORDER mirrors the CIP's ascending global sort order:
+
+    __vg  int      order-group rank (see ANY_RANK below)
+    __vn  double   number payload (NaN sorts after +Inf, matching the CIP)
+    __vs  string   string payload
+    __vb  boolean  boolean payload (false < true)
+    __vi  long     integer payload (keeps toString(1) = '1', not '1.0')
+
+Struct comparison in Spark is field-order lexicographic, so sorting a tagged
+column ascending IS the Cypher global order: groups separate on ``__vg``,
+then exactly one payload field is non-null within a group.  SQL-null cells
+encode as rank 16 (VOID sorts last), so ``asc_nulls_last`` and the encoding
+agree.
+
+Scope: the scalar storable groups (STRING < BOOLEAN < NUMBER < VOID, ranks
+13/14/15/16).  Containers, temporals, points, and graph entities keep their
+native homogeneous Spark types; mixing THOSE classes in one value raises a
+clear error (the reference's full AnyValue tree is wider than any fixed
+struct can be).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, functions as F, types as T
+
+INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+# ascending global sort order (AnyValues.java javadoc + ValueGroup.java):
+# MAP(1) NODE(2) RELATIONSHIP(3) LIST(4) PATH(5) POINT(6) ZONED_DT(7)
+# LOCAL_DT(8) DATE(9) ZONED_TIME(10) LOCAL_TIME(11) DURATION(12)
+# STRING(13) BOOLEAN(14) NUMBER(15) VOID(16)
+RANK_STRING = 13
+RANK_BOOLEAN = 14
+RANK_NUMBER = 15
+RANK_NULL = 16
+
+ANY_FIELDS = ("__vg", "__vn", "__vs", "__vb", "__vi")
+
+
+def is_any_type(t) -> bool:
+    return (isinstance(t, T.StructType)
+            and tuple(t.fieldNames()) == ANY_FIELDS)
+
+
+def _nulls():
+    return (F.lit(None).cast("double"), F.lit(None).cast("string"),
+            F.lit(None).cast("boolean"), F.lit(None).cast("long"))
+
+
+def _pack(g: Column, n: Column, s: Column, b: Column, i: Column) -> Column:
+    return F.struct(g.cast("int").alias("__vg"), n.alias("__vn"),
+                    s.alias("__vs"), b.alias("__vb"), i.alias("__vi"))
+
+
+def to_any(c: Column, t: Optional[T.DataType]) -> Column:
+    """Encode a natively-typed column as a tagged AnyValue struct.
+
+    A runtime NULL in any payload type encodes as rank 16 so null ordering
+    and ternary logic see one uniform representation."""
+    nn, ns, nb, ni = _nulls()
+    if is_any_type(t):
+        return c
+    if t is None or isinstance(t, T.NullType):
+        return _pack(F.lit(RANK_NULL), nn, ns, nb, ni)
+    if isinstance(t, INT_TYPES):
+        g = F.when(c.isNull(), RANK_NULL).otherwise(RANK_NUMBER)
+        return _pack(g, c.cast("double"), ns, nb, c.cast("long"))
+    if isinstance(t, (T.FloatType, T.DoubleType, T.DecimalType)):
+        g = F.when(c.isNull(), RANK_NULL).otherwise(RANK_NUMBER)
+        return _pack(g, c.cast("double"), ns, nb, ni)
+    if isinstance(t, T.StringType):
+        g = F.when(c.isNull(), RANK_NULL).otherwise(RANK_STRING)
+        return _pack(g, nn, c, nb, ni)
+    if isinstance(t, T.BooleanType):
+        g = F.when(c.isNull(), RANK_NULL).otherwise(RANK_BOOLEAN)
+        return _pack(g, nn, ns, c, ni)
+    from .exprs import CypherTypeError
+
+    raise CypherTypeError(
+        f"cannot mix values of type {t.simpleString()} with other value "
+        "classes — heterogeneous encoding covers string/boolean/number/null")
+
+
+def any_is_null(c: Column) -> Column:
+    return c.getField("__vg") == RANK_NULL
+
+
+def any_eq(l: Column, r: Column) -> Column:
+    """Ternary equality (AnyValue.ternaryEquals, AnyValue.java:62):
+    null operand -> null; cross-class -> false; within class -> payload
+    equality (integer 1 = float 1.0 via the double payload)."""
+    lg, rg = l.getField("__vg"), r.getField("__vg")
+    same = (F.when(lg == RANK_STRING, l.getField("__vs") == r.getField("__vs"))
+             .when(lg == RANK_BOOLEAN, l.getField("__vb") == r.getField("__vb"))
+             .when(lg == RANK_NUMBER, l.getField("__vn") == r.getField("__vn")))
+    return (F.when((lg == RANK_NULL) | (rg == RANK_NULL),
+                   F.lit(None).cast("boolean"))
+             .when(lg != rg, F.lit(False))
+             .otherwise(same))
+
+
+def any_cmp(l: Column, r: Column, op: str) -> Column:
+    """Ternary comparison predicate (AnyValues TERNARY_COMPARATOR):
+    null operand or incomparable classes -> null; else payload compare.
+    NOTE: this is the *predicate* semantics — ORDER BY uses the struct's
+    own lexicographic order (the global orderability), which is total."""
+    lg, rg = l.getField("__vg"), r.getField("__vg")
+
+    def cmp(a, b):
+        return {"<": a < b, "<=": a <= b, ">": a > b, ">=": a >= b}[op]
+
+    same = (F.when(lg == RANK_STRING,
+                   cmp(l.getField("__vs"), r.getField("__vs")))
+             .when(lg == RANK_BOOLEAN,
+                   cmp(l.getField("__vb"), r.getField("__vb")))
+             .when(lg == RANK_NUMBER,
+                   cmp(l.getField("__vn"), r.getField("__vn"))))
+    return (F.when((lg == RANK_NULL) | (rg == RANK_NULL)
+                   | (lg != rg), F.lit(None).cast("boolean"))
+             .otherwise(same))
+
+
+def any_to_string(c: Column) -> Column:
+    """toString over a tagged value: integers print without the decimal
+    point (the __vi payload exists exactly for this)."""
+    g = c.getField("__vg")
+    return (F.when(g == RANK_NULL, F.lit(None).cast("string"))
+             .when(g == RANK_STRING, c.getField("__vs"))
+             .when(g == RANK_BOOLEAN,
+                   F.when(c.getField("__vb"), "true").otherwise("false"))
+             .when(c.getField("__vi").isNotNull(),
+                   c.getField("__vi").cast("string"))
+             .otherwise(c.getField("__vn").cast("string")))
+
+
+def any_value_type(c: Column) -> Column:
+    """valueType() name for a tagged value (CypherFunctions.valueType)."""
+    g = c.getField("__vg")
+    return (F.when(g == RANK_NULL, F.lit("NULL"))
+             .when(g == RANK_STRING, F.lit("STRING NOT NULL"))
+             .when(g == RANK_BOOLEAN, F.lit("BOOLEAN NOT NULL"))
+             .when(c.getField("__vi").isNotNull(),
+                   F.lit("INTEGER NOT NULL"))
+             .otherwise(F.lit("FLOAT NOT NULL")))

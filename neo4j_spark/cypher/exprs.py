@@ -377,9 +377,15 @@ class ExprCompiler:
                 return l | r
             return l != r  # Kleene XOR: null-propagating boolean inequality
         if op in ("=", "<>"):
+            from . import anyvalue as AV
+
             l, r = self._entity_aware(e.left), self._entity_aware(e.right)
             lt = self.dtype_of(l)
-            lg, rg = self._cmp_group(lt), self._cmp_group(self.dtype_of(r))
+            rt0 = self.dtype_of(r)
+            if AV.is_any_type(lt) or AV.is_any_type(rt0):
+                eq = AV.any_eq(AV.to_any(l, lt), AV.to_any(r, rt0))
+                return eq if op == "=" else ~eq
+            lg, rg = self._cmp_group(lt), self._cmp_group(rt0)
             if lg is not None and rg is not None and lg != rg:
                 # cross-value-class equality is FALSE, never an error
                 # (AnyValue.ternaryEquals, AnyValue.java:62) — with ternary
@@ -404,9 +410,14 @@ class ExprCompiler:
                 return eq if op == "=" else ~eq
             return (l == r) if op == "=" else (l != r)
         if op in ("<", "<=", ">", ">="):
+            from . import anyvalue as AV
+
             l, r = self._entity_aware(e.left), self._entity_aware(e.right)
-            lg = self._cmp_group(self.dtype_of(l))
-            rg = self._cmp_group(self.dtype_of(r))
+            lt0, rt0 = self.dtype_of(l), self.dtype_of(r)
+            if AV.is_any_type(lt0) or AV.is_any_type(rt0):
+                return AV.any_cmp(AV.to_any(l, lt0), AV.to_any(r, rt0), op)
+            lg = self._cmp_group(lt0)
+            rg = self._cmp_group(rt0)
             if lg is not None and rg is not None and lg != rg:
                 # comparison across incomparable value classes yields NULL
                 # (AnyValues TERNARY_COMPARATOR, AnyValues.java:69)
@@ -421,8 +432,24 @@ class ExprCompiler:
             #   null IN [..non-empty..] -> null;  null IN [] -> false;
             #   x IN [..] -> true on a definite match, null if the list has
             #   a null and no match, false otherwise; x IN null -> null.
+            from . import anyvalue as AV
+
             l = self._entity_aware(e.left)
             r = self.compile(e.right)
+            rt0 = self.dtype_of(r)
+            if (isinstance(rt0, T.ArrayType)
+                    and AV.is_any_type(rt0.elementType)):
+                la = AV.to_any(l, self.dtype_of(l))
+                hits = F.size(F.filter(
+                    r, lambda el: F.coalesce(AV.any_eq(el, la),
+                                             F.lit(False))))
+                has_null = F.exists(r, lambda el: AV.any_is_null(el))
+                return (F.when(r.isNull(), F.lit(None).cast("boolean"))
+                         .when(hits > 0, F.lit(True))
+                         .when(AV.any_is_null(la) & (F.size(r) > 0),
+                               F.lit(None).cast("boolean"))
+                         .when(has_null, F.lit(None).cast("boolean"))
+                         .otherwise(F.lit(False)))
             hits = F.size(F.filter(
                 r, lambda el: F.coalesce(el == l, F.lit(False))))
             has_null = F.exists(r, lambda el: el.isNull())
@@ -543,7 +570,14 @@ class ExprCompiler:
         return c
 
     def _c_IsNull(self, e: A.IsNull) -> Column:
+        from . import anyvalue as AV
+
         c = self.compile(e.operand)
+        t = self.dtype_of(c)
+        if AV.is_any_type(t):
+            # a tagged null (rank 16) IS a Cypher null
+            isn = c.isNull() | AV.any_is_null(c)
+            return ~isn if e.negated else isn
         return c.isNotNull() if e.negated else c.isNull()
 
     def _c_IsTyped(self, e: A.IsTyped) -> Column:
@@ -589,12 +623,15 @@ class ExprCompiler:
     def _c_ListLit(self, e: A.ListLit) -> Column:
         if not e.items:
             return F.array().cast("array<long>")
-        # static check: Spark arrays widen numerics but cannot hold mixed
-        # value classes — fail with a clear message instead of a deep
-        # CAST_INVALID_INPUT from constant folding
+        # Spark arrays widen numerics but cannot hold mixed value classes;
+        # a list mixing string/boolean/number/null compiles to an array of
+        # tagged AnyValue structs instead (anyvalue.py) — the reference's
+        # heterogeneous ListValue (virtual/ListValue.java)
         classes = set()
+        typed = []
         for x in e.items:
             t = self.static_type(x)
+            typed.append(t)
             if t is None or isinstance(t, T.NullType):
                 continue
             if isinstance(t, (*INT_TYPES, T.FloatType, T.DoubleType)):
@@ -603,11 +640,18 @@ class ExprCompiler:
                 classes.add("string")
             elif isinstance(t, T.BooleanType):
                 classes.add("boolean")
+            else:
+                classes.add(t.simpleString())
         if len(classes) > 1:
-            raise CypherTypeError(
-                "heterogeneous list literals across value classes "
-                f"({', '.join(sorted(classes))}) are not supported — "
-                "Spark array columns are homogeneous")
+            from . import anyvalue as AV
+
+            items = []
+            for x, t in zip(e.items, typed):
+                c = self.compile(x)
+                if t is None:
+                    t = self.dtype_of(c)
+                items.append(AV.to_any(c, t))
+            return F.array(*items)
         return F.array(*[self.compile(x) for x in e.items])
 
     def _c_MapLit(self, e: A.MapLit) -> Column:

@@ -371,7 +371,10 @@ def compile_function(cc, e: A.Func) -> Column:
     # ---- conversions -----------------------------------------------------
     if name in ("tostring", "tostringornull"):
         col, t = ctyped(0)
+        from ..cypher import anyvalue as AV
         from ..cypher.exprs import _is_duration
+        if AV.is_any_type(t):
+            return AV.any_to_string(col)
         if isinstance(t, T.StructType) and _is_duration(t):
             return _duration_to_string(col)
         if isinstance(t, T.StructType) \
@@ -438,6 +441,9 @@ def compile_function(cc, e: A.Func) -> Column:
         # CypherType.description, util/symbols/*.scala): non-null values
         # carry a "NOT NULL" suffix, null → "NULL", [] → LIST<NOTHING>.
         col, t = ctyped(0)
+        from ..cypher import anyvalue as AV
+        if AV.is_any_type(t):
+            return AV.any_value_type(col)
         base = _cypher_type_name(t)
         if base == "NULL":
             return F.lit("NULL")

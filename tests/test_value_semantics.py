@@ -232,3 +232,67 @@ class TestAggAndParamProps:
         df = cypher(spark, "MERGE (n:PP $props) RETURN n.a AS a", g,
                     params={"props": {"a": 1, "b": "x"}})
         assert rows(df) == [(1,)]
+
+
+class TestHeterogeneousValues:
+    """CIP orderability/equivalence over mixed-type values (AnyValues.java:69,
+    ValueGroup.java:32): STRING < BOOLEAN < NUMBER < null, NaN after +Inf,
+    ternary cross-class predicates."""
+
+    def test_mixed_list_literal_and_index(self, spark, chain_graph):
+        df = cypher(spark,
+                    "RETURN toString([1, 'a', true][0]) AS a, "
+                    "toString([1, 'a', true][1]) AS b, "
+                    "toString([1, 'a', true][2]) AS c", chain_graph)
+        assert rows(df) == [("1", "a", "true")]
+
+    def test_global_order_asc(self, spark, chain_graph):
+        df = cypher(spark,
+                    "UNWIND [3, 1.5, 'b', 'a', true, false, null, 2] AS x "
+                    "WITH x ORDER BY x "
+                    "RETURN coalesce(toString(x), '<null>') AS s, "
+                    "1 AS one", chain_graph)
+        got = [r["s"] for r in df.collect()]
+        assert got == ["a", "b", "false", "true", "1.5", "2", "3", "<null>"]
+
+    def test_global_order_nan_after_infinity(self, spark, chain_graph):
+        df = cypher(spark,
+                    "UNWIND [0.0/0.0, 1.0/0.0, 1.0, 'z'] AS x "
+                    "WITH x ORDER BY x RETURN toString(x) AS s", chain_graph)
+        got = [r["s"] for r in df.collect()]
+        assert got[0] == "z" and got[1] == "1.0"
+        assert got[2] in ("Infinity", "inf") and got[3] in ("NaN", "nan")
+
+    def test_cross_class_equality_is_false(self, spark, chain_graph):
+        df = cypher(spark,
+                    "UNWIND [1, 'a'] AS x RETURN x = true AS e ORDER BY x",
+                    chain_graph)
+        assert rows(df) == [(False,), (False,)]
+
+    def test_cross_class_comparison_is_null(self, spark, chain_graph):
+        df = cypher(spark,
+                    "UNWIND [1, 'a'] AS x "
+                    "RETURN x < 'zzz' AS c ORDER BY x", chain_graph)
+        # 'a' < 'zzz' -> true; 1 < 'zzz' -> null (incomparable classes)
+        assert rows(df) == [(True,), (None,)]
+
+    def test_number_cross_width_equality(self, spark, chain_graph):
+        df = cypher(spark,
+                    "UNWIND [1, 'x'] AS v RETURN v = 1.0 AS e ORDER BY v",
+                    chain_graph)
+        assert rows(df) == [(False,), (True,)]
+
+    def test_mixed_in_ternary(self, spark, chain_graph):
+        df = cypher(spark,
+                    "RETURN 2 IN [1, 'a', 2] AS hit, "
+                    "'q' IN [1, 'a'] AS miss, "
+                    "9 IN [1, 'a', null] AS unk, "
+                    "null IN [1, 'a'] AS nl", chain_graph)
+        assert rows(df) == [(True, False, None, None)]
+
+    def test_mixed_is_null(self, spark, chain_graph):
+        df = cypher(spark,
+                    "UNWIND [1, null, 'a'] AS x "
+                    "RETURN count(CASE WHEN x IS NULL THEN 1 END) AS n",
+                    chain_graph)
+        assert rows(df) == [(1,)]
