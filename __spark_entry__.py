@@ -192,6 +192,18 @@ CYPHER_QUERIES = {
         "MATCH p = ANY 2 (o:Order)-[:CONTAINS*1..1]->(pt:Part) "
         "WHERE o.orderkey <= 100 "
         "RETURN o.orderkey AS ok, pt.partkey AS pk, count(*) AS n",
+    # NFA StatefulShortestPath (LP:2290, NFA.scala:37): multi-element
+    # pattern with an UNBOUNDED quantifier — product-graph BFS, no
+    # enumeration cap
+    "sel_shortest_qpp_multi":
+        "MATCH ANY SHORTEST (a:Customer WHERE a.custkey <= 20)"
+        "((x)-[:FROM_NATION|IN_REGION]->(y))+"
+        "(r:Region)<-[:IN_REGION]-(b:Nation) "
+        "RETURN a.custkey AS ck, b.nationkey AS nk ORDER BY ck, nk",
+    "sel_all_shortest_unbounded":
+        "MATCH ALL SHORTEST (a:Customer WHERE a.custkey <= 5)"
+        "((x)-[:PLACED|CONTAINS]->(y))+(b:Part) "
+        "RETURN count(*) AS n",
     # --- expressions / functions (§2.8) ---
     "projection_functions":
         "MATCH (c:Customer) RETURN c.custkey AS custkey, "
@@ -1418,6 +1430,20 @@ def _oracle_sql_raw() -> dict[str, str]:
             "SELECT l_orderkey AS ok, l_partkey AS pk, "
             "least(count(*), 2) AS n FROM lineitem "
             "WHERE l_orderkey <= 100 GROUP BY 1, 2",
+        "sel_shortest_qpp_multi":
+            # shortest = customer -> nation -> region (2 hops), then one
+            # IN_REGION back-edge to every nation of that region
+            "SELECT c.c_custkey AS ck, CAST(n2.n_nationkey AS BIGINT) AS nk "
+            "FROM customer c "
+            "JOIN nation n1 ON c.c_nationkey = n1.n_nationkey "
+            "JOIN nation n2 ON n2.n_regionkey = n1.n_regionkey "
+            "WHERE c.c_custkey <= 20 ORDER BY ck, nk",
+        "sel_all_shortest_unbounded":
+            # every customer->order->part walk has length 2 = the minimum,
+            # so ALL SHORTEST multiplicity = the orders x lineitem join
+            "SELECT count(*) AS n FROM orders o "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "WHERE o.o_custkey <= 5",
         "projection_functions":
             "SELECT c_custkey AS custkey, upper(c_name) AS uname, "
             "substr(c_name, 1, 5) AS prefix, round(c_acctbal * 1.1, 4) AS scaled "

@@ -661,6 +661,13 @@ class Translator:
 
                 return shortest_path(self, df, part2, pending)
             # complex pattern (QPP / fixed chain): enumerate + rank below
+        if self._nfa_eligible(part, pre):
+            from ..operators.paths import nfa_shortest
+
+            import dataclasses
+
+            part2 = dataclasses.replace(part, elements=pre)
+            return nfa_shortest(self, df, part2, pending)
         needs_enum = sel is not None
         pend_start = len(pending)
         rb_start = len(rel_bindings)
@@ -869,6 +876,43 @@ class Translator:
         if part.path_var:
             df = self._build_path(df, part.path_var, path_nodes, path_rels)
         return df
+
+    def _nfa_eligible(self, part: A.PatternPart, pre: list) -> bool:
+        """Route a SHORTEST-family selector to the NFA product-graph BFS
+        (StatefulShortestPath LP:2290) when the pattern has an UNBOUNDED
+        quantifier — the enumerating Trail path must truncate there, the
+        NFA's (node, state) visited set terminates exactly.  Bounded
+        patterns and queries that read group variables / the path keep the
+        fully-uniqueness-exact enumeration path."""
+        sel, k = part.selector, part.selector_k or 1
+        if part.path_var is not None:
+            return False
+        if not (sel in ("shortest", "allShortest")
+                or (sel in ("shortestGroups", "shortestK") and k == 1)):
+            return False
+        has_unbounded = False
+        for i, el in enumerate(pre):
+            if isinstance(el, A.QPP):
+                if el.max_reps is None:
+                    has_unbounded = True
+                # group variables must be pattern-internal only
+                for iel in el.elements:
+                    v = getattr(iel, "var", None)
+                    if v and not self._var_single_use(v):
+                        return False
+                if el.where is not None:
+                    return False
+            elif isinstance(el, A.RelPat):
+                if el.var_length:
+                    return False
+                if el.var and not self._var_single_use(el.var):
+                    return False
+            elif isinstance(el, A.NodePat):
+                # intermediate nodes must not leak bindings
+                if 0 < i < len(pre) - 1 and el.var \
+                        and not self._var_single_use(el.var):
+                    return False
+        return has_unbounded
 
     def _apply_path_selector(self, df: DataFrame, part: A.PatternPart,
                              path_nodes: List[str],

@@ -494,3 +494,321 @@ def shortest_path(tr, df: Optional[DataFrame], part: A.PatternPart,
         if node_rich:
             out = tr._resolve_path_nodes(out, part.path_var)
     return out
+
+
+# ---------------------------------------------------------------------------
+# StatefulShortestPath: NFA product-graph BFS
+# ---------------------------------------------------------------------------
+
+
+class _NFA:
+    """Pattern-element NFA: integer states, relationship transitions, and
+    epsilon edges for QPP repetition (reference:
+    ``cypher-logical-plans/.../NFA.scala:37,157``).  Node predicates attach
+    to the state the node occupies (``state_sets``: state -> DataFrame of
+    qualifying node ids, None = unconstrained)."""
+
+    def __init__(self):
+        self.n_states = 1  # state 0 = at the start node
+        self.trans: List[dict] = []   # {frm, to, edges: DataFrame}
+        self.eps: List[Tuple[int, int]] = []
+        self.state_sets: dict = {}    # state -> DataFrame(nid) | None
+
+    def new_state(self) -> int:
+        self.n_states += 1
+        return self.n_states - 1
+
+    def closure_pairs(self) -> List[Tuple[int, int]]:
+        """Transitive epsilon closure as (src, dst) pairs, src != dst."""
+        reach = {s: {s} for s in range(self.n_states)}
+        changed = True
+        while changed:
+            changed = False
+            for a, b in self.eps:
+                for s in range(self.n_states):
+                    if a in reach[s] and b not in reach[s]:
+                        reach[s].add(b)
+                        changed = True
+        return [(s, d) for s, ds in reach.items() for d in ds if d != s]
+
+
+def _nfa_node_set(tr, np: A.NodePat):
+    """DataFrame(nid) of nodes satisfying a node pattern, or None when the
+    pattern is unconstrained (no scan needed)."""
+    if (not np.labels and not np.neg_labels and np.props is None
+            and np.where is None and not np.req_any_label
+            and not np.req_no_label):
+        return None
+    var = np.var or "__nf"
+    scan = tr._node_scan(np, var)
+    old_kind = tr.kinds.get(var)
+    tr.kinds[var] = "node"
+    scan = tr._filter_node_bound(scan, A.NodePat(
+        var, labels=(), props=np.props, where=np.where), var)
+    if old_kind is None:
+        tr.kinds.pop(var, None)
+    else:
+        tr.kinds[var] = old_kind
+    return scan.select(
+        F.col(var).getField("_id").alias("nid")).dropDuplicates()
+
+
+def _nfa_edges(tr, rp: A.RelPat, src_set, dst_set) -> DataFrame:
+    """(__from, __to) edge frame for one NFA transition, with the adjacent
+    node predicates pushed into the scan as semi-joins."""
+    e = tr._rel_scan(rp, "__nr", slim=True).select("__from", "__to")
+    if rp.where is not None or (rp.props is not None and rp.props.items):
+        full = tr._rel_scan(rp, "__nr")
+        cc = tr._compiler(full)
+        old = tr.kinds.get("__nr")
+        tr.kinds["__nr"] = "rel"
+        if rp.props is not None:
+            for k, v in rp.props.items:
+                full = full.filter(
+                    F.col("__nr").getField(k) == cc.compile(v))
+        if rp.where is not None:
+            uname = rp.var
+            if uname and uname != "__nr":
+                full = full.withColumn(uname, F.col("__nr"))
+                tr.kinds[uname] = "rel"
+            full = full.filter(tr._compiler(full).compile(rp.where))
+            if uname and uname != "__nr":
+                full = full.drop(uname)
+                tr.kinds.pop(uname, None)
+        if old is None:
+            tr.kinds.pop("__nr", None)
+        else:
+            tr.kinds["__nr"] = old
+        e = full.select("__from", "__to")
+    if src_set is not None:
+        e = e.join(src_set.withColumnRenamed("nid", "__from"), "__from",
+                   "left_semi")
+    if dst_set is not None:
+        e = e.join(dst_set.withColumnRenamed("nid", "__to"), "__to",
+                   "left_semi")
+    return e
+
+
+def nfa_compile(tr, els: List) -> _NFA:
+    """Compile a [Node, (Rel | QPP)..., Node] element sequence to an NFA.
+
+    QPP{m,} becomes: m-1 unrolled mandatory iterations, then a looping
+    iteration whose exit has an epsilon back-edge to its entry; {0,} adds
+    an epsilon skipping the loop entirely.  Node patterns constrain the
+    state they occupy via state_sets."""
+    nfa = _NFA()
+    cur = 0
+    start_np = els[0]
+    nfa.state_sets[0] = None  # start filtered by the rowstream binding
+
+    def one_rel(frm: int, rp: A.RelPat, dst_np: A.NodePat) -> int:
+        to = nfa.new_state()
+        dst_set = _nfa_node_set(tr, dst_np)
+        src_set = nfa.state_sets.get(frm)
+        nfa.state_sets[to] = dst_set
+        nfa.trans.append({"frm": frm, "to": to,
+                          "edges": _nfa_edges(tr, rp, src_set, dst_set)})
+        return to
+
+    def one_iteration(frm: int, inner: List) -> int:
+        # inner = [n1, r1, n2, r2, ... nk]; n1's constraint applies to the
+        # iteration-entry state (it must already hold there)
+        entry_set = _nfa_node_set(tr, inner[0])
+        if entry_set is not None:
+            prev = nfa.state_sets.get(frm)
+            nfa.state_sets[frm] = (entry_set if prev is None else
+                                   prev.join(entry_set, "nid", "left_semi"))
+        s = frm
+        j = 1
+        while j < len(inner):
+            s = one_rel(s, inner[j], inner[j + 1])
+            j += 2
+        return s
+
+    i = 1
+    while i < len(els):
+        el = els[i]
+        if isinstance(el, A.QPP):
+            min_r = el.min_reps
+            entry = cur
+            for _ in range(max(min_r - 1, 0)):
+                cur = one_iteration(cur, list(el.elements))
+            it_entry = cur
+            exit_s = one_iteration(it_entry, list(el.elements))
+            nfa.eps.append((exit_s, it_entry))
+            if min_r == 0:
+                nfa.eps.append((entry, exit_s))
+            cur = exit_s
+            i += 1
+            # the NodePat following the QPP constrains the exit state
+            if i < len(els) and isinstance(els[i], A.NodePat) \
+                    and (i == len(els) - 1):
+                break  # final node handled by the caller's end binding
+            if i < len(els) and isinstance(els[i], A.NodePat):
+                ns = _nfa_node_set(tr, els[i])
+                if ns is not None:
+                    prev = nfa.state_sets.get(cur)
+                    nfa.state_sets[cur] = (ns if prev is None else
+                                           prev.join(ns, "nid", "left_semi"))
+                i += 1
+        elif isinstance(el, A.RelPat):
+            dst_np = els[i + 1] if i + 1 < len(els) - 1 else A.NodePat(None)
+            cur = one_rel(cur, el, dst_np if i + 1 < len(els) - 1
+                          else A.NodePat(None))
+            i += 2
+        else:  # bare intermediate NodePat (shouldn't occur mid-sequence)
+            i += 1
+    nfa.final = cur
+    return nfa
+
+
+def nfa_shortest(tr, df: Optional[DataFrame], part: A.PatternPart,
+                 pending: List[A.Expr]) -> DataFrame:
+    """StatefulShortestPath (LP:2290) for arbitrary element patterns with
+    UNBOUNDED quantifiers: BFS over the (node x NFA-state) product graph
+    (reference ``runtime-util .../PGPathPropagatingBFS``), with
+    shortest-walk counting for ALL SHORTEST multiplicity.
+
+    Termination does NOT depend on a repetition cap: the visited set over
+    (start, node, state) is finite, so ``((x)-[:R]->(y))+`` explores to
+    the graph's true reach where the unrolling Trail path must truncate.
+    Frontier rows carry (start, node, state, count) only — no path arrays
+    — so each level is one join per transition, partitioned on the node
+    id.
+
+    Documented divergence: walks in the product graph may in principle
+    revisit a relationship across different NFA states (the enumerating
+    Trail path enforces per-path relationship uniqueness exactly); for
+    SHORTEST semantics this matters only when every shortest trail is
+    strictly longer than the shortest walk — a predicate-forced detour
+    corner we accept in exchange for the unbounded-quantifier reach."""
+    els = list(part.elements)
+    a_pat, b_pat = els[0], els[-1]
+    df, avar = tr._bind_first_node(df, a_pat, pending)
+    nfa = nfa_compile(tr, els)
+    closure = nfa.closure_pairs()
+
+    max_depth = int(tr.spark.conf.get("neo4j_spark.nfa.maxDepth", "32"))
+
+    def apply_state_sets(rows: DataFrame) -> DataFrame:
+        parts = []
+        states_present = sorted(
+            {t["to"] for t in nfa.trans} | {0}
+            | {d for _, d in closure} | {nfa.final})
+        for s in states_present:
+            sub = rows.filter(F.col("__st") == s)
+            ss = nfa.state_sets.get(s)
+            if ss is not None:
+                sub = sub.join(ss.withColumnRenamed("nid", "__n"), "__n",
+                               "left_semi")
+            parts.append(sub)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def eps_close(rows: DataFrame) -> DataFrame:
+        if not closure:
+            return rows
+        extra = []
+        for a, b in closure:
+            extra.append(rows.filter(F.col("__st") == a)
+                         .withColumn("__st", F.lit(b)))
+        out = rows
+        for e in extra:
+            out = out.unionByName(e)
+        return (out.groupBy("__s", "__n", "__st")
+                .agg(F.sum("__c").alias("__c")))
+
+    # pin transition edge frames once — every level joins them
+    for t in nfa.trans:
+        t["edges"] = t["edges"].localCheckpoint(eager=False)
+
+    # inline start-node predicates ((a:X {p: v} WHERE ...)) seed the BFS
+    # with the filtered set — they are ALSO applied to the rowstream via
+    # pending (idempotent), but seeding small saves every BFS level
+    starts = df.select(avar)
+    if a_pat.props is not None or a_pat.where is not None:
+        starts = tr._filter_node_bound(starts, a_pat, avar)
+    frontier = (starts.select(F.col(avar).getField("_id").alias("__s"))
+                .dropDuplicates()
+                .withColumn("__n", F.col("__s"))
+                .withColumn("__st", F.lit(0))
+                .withColumn("__c", F.lit(1).cast("long")))
+    # localCheckpoint (not persist): the per-level plan references the
+    # previous level several times (per transition + eps copies + the
+    # visited anti-join), so lineage must be TRUNCATED or analysis cost
+    # grows exponentially with depth (same rationale as algorithms.py)
+    frontier = apply_state_sets(eps_close(frontier)) \
+        .localCheckpoint(eager=True)
+    visited = frontier.select("__s", "__n", "__st") \
+        .localCheckpoint(eager=True)
+
+    end_set = _nfa_node_set(tr, b_pat)
+
+    def record(rows: DataFrame, depth: int) -> DataFrame:
+        hit = rows.filter(F.col("__st") == nfa.final)
+        if end_set is not None:
+            hit = hit.join(end_set.withColumnRenamed("nid", "__n"), "__n",
+                           "left_semi")
+        return hit.select("__s", F.col("__n").alias("__e"),
+                          F.lit(depth).alias("__len"), "__c")
+
+    results = [record(frontier, 0)]
+    for depth in range(1, max_depth + 1):
+        steps = []
+        for t in nfa.trans:
+            part_f = frontier.filter(F.col("__st") == t["frm"]) \
+                             .select("__s", "__n", "__c")
+            steps.append(
+                part_f.join(t["edges"],
+                            part_f["__n"] == t["edges"]["__from"])
+                .select("__s", F.col("__to").alias("__n"),
+                        F.lit(t["to"]).alias("__st"), "__c"))
+        nxt = steps[0]
+        for s in steps[1:]:
+            nxt = nxt.unionByName(s)
+        nxt = (nxt.groupBy("__s", "__n", "__st")
+               .agg(F.sum("__c").alias("__c")))
+        nxt = eps_close(nxt)
+        nxt = apply_state_sets(nxt)
+        nxt = nxt.join(visited, ["__s", "__n", "__st"], "left_anti") \
+                 .localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        results.append(record(nxt, depth))
+        visited = visited.unionByName(
+            nxt.select("__s", "__n", "__st")).localCheckpoint(eager=True)
+        frontier = nxt
+
+    res = results[0]
+    for r in results[1:]:
+        res = res.unionByName(r)
+
+    sel = part.selector
+    k = part.selector_k or 1
+    if sel in ("allShortest", "shortestGroups"):
+        # one output row per shortest path (multiplicity = walk count)
+        res = res.withColumn(
+            "__dup", F.explode(F.sequence(F.lit(1), F.col("__c")))) \
+            .drop("__dup")
+    res = res.drop("__c")
+
+    # join endpoint structs back onto the rowstream
+    bvar = b_pat.var or tr._anon_var("ne")
+    b_bound = bvar in df.columns
+    out = df.join(
+        res.withColumnRenamed("__s", "__nfs"),
+        F.col(avar).getField("_id") == F.col("__nfs")).drop("__nfs")
+    if b_bound:
+        out = out.filter(
+            F.col(bvar).getField("_id") == F.col("__e")).drop("__e", "__len")
+    else:
+        end_scan = tr._node_scan(A.NodePat(bvar, labels=b_pat.labels), bvar)
+        out = out.join(
+            end_scan,
+            F.col("__e") == F.col(bvar).getField("_id")).drop("__e", "__len")
+        tr.kinds[bvar] = "node"
+        tr._note_labels(bvar, b_pat.labels)
+        tr._queue_node_filters(b_pat, bvar, pending, bound=False)
+    return out

@@ -106,3 +106,54 @@ def test_selector_respects_internal_where(spark, diamond_graph):
         RETURN count(*) AS n
     """)
     assert out[0]["n"] == 3
+
+
+class TestNFAStatefulShortest:
+    """NFA product-graph BFS (StatefulShortestPath LP:2290) for patterns
+    with unbounded quantifiers; agreement with the enumerating Trail path
+    on bounded-diameter graphs."""
+
+    def test_unbounded_matches_bounded_enumeration(self, spark, tpch_graph):
+        from neo4j_spark.api import cypher
+
+        # diameter <= 3 here, so {1,3} enumeration covers the '+' reach
+        nfa = cypher(spark,
+                     "MATCH ANY SHORTEST (a:Supplier WHERE a.suppkey <= 3)"
+                     "((x)-[:FROM_NATION|IN_REGION]->(y))+(b:Region) "
+                     "RETURN count(*) AS n", tpch_graph).collect()[0]["n"]
+        enum = cypher(spark,
+                      "MATCH ANY SHORTEST (a:Supplier WHERE a.suppkey <= 3)"
+                      "((x)-[:FROM_NATION|IN_REGION]->(y)){1,3}(b:Region) "
+                      "RETURN count(*) AS n", tpch_graph).collect()[0]["n"]
+        assert nfa == enum and nfa > 0
+
+    def test_all_shortest_multiplicity(self, spark, diamond_graph):
+        from neo4j_spark.api import cypher
+
+        # a(1) -> d(4): two shortest 2-hop paths via b (x2 parallel edges
+        # count separately: 1->2 has two rels) and one via c => 3
+        out = cypher(spark,
+                     "MATCH ALL SHORTEST (a:N WHERE a.name = 'a')"
+                     "((x)-[:E]->(y))+(b:N WHERE b.name = 'd') "
+                     "RETURN count(*) AS n", diamond_graph)
+        assert out.collect()[0]["n"] == 3
+
+    def test_multi_element_tail(self, spark, tpch_graph):
+        from neo4j_spark.api import cypher
+
+        out = cypher(spark,
+                     "MATCH ANY SHORTEST (a:Supplier WHERE a.suppkey = 1)"
+                     "((x)-[:FROM_NATION|IN_REGION]->(y))+"
+                     "(r:Region)<-[:IN_REGION]-(b:Nation) "
+                     "RETURN count(*) AS n", tpch_graph)
+        assert out.collect()[0]["n"] == 5
+
+    def test_zero_reps_star(self, spark, chain_graph):
+        from neo4j_spark.api import cypher
+
+        # {0,}: zero repetitions match the start node itself
+        out = cypher(spark,
+                     "MATCH ANY SHORTEST (a:A)((x)-[:R]->(y))*(b) "
+                     "RETURN count(*) AS n", chain_graph)
+        # b in {a(itself, 0 hops), B(1), C(2)} => 3 rows
+        assert out.collect()[0]["n"] == 3
