@@ -372,6 +372,10 @@ CYPHER_QUERIES = {
     "qpp_group_rels":
         "MATCH ((a:Nation)-[r:IN_REGION]->(b:Region)){1,1} "
         "RETURN size(r) AS nr, count(*) AS n",
+    "qpp_nested_var":
+        "MATCH (c:Customer WHERE c.custkey <= 10)"
+        "((x)-[:FROM_NATION|IN_REGION*1..2]->(y)){1,2}(r:Region) "
+        "RETURN c.custkey AS ck, count(*) AS n_paths ORDER BY ck",
     "qpp_star":
         "MATCH (n:Nation) (()-[:IN_REGION]->())* (x) RETURN count(*) AS n",
     "qpp_question":
@@ -1622,6 +1626,11 @@ def _oracle_sql_raw() -> dict[str, str]:
         "qpp_group_rels":
             "SELECT CAST(1 AS BIGINT) AS nr, count(*) AS n FROM nation "
             "GROUP BY 1",
+        "qpp_nested_var":
+            # c->nation->region decomposes two ways: one rep of inner
+            # length 2, or two reps of inner length 1
+            "SELECT c_custkey AS ck, CAST(2 AS BIGINT) AS n_paths "
+            "FROM customer WHERE c_custkey <= 10 ORDER BY ck",
         "qpp_star":
             "SELECT CAST(2 * (SELECT count(*) FROM nation) AS BIGINT) AS n",
         "qpp_question":

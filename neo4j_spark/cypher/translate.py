@@ -1058,9 +1058,33 @@ class Translator:
                 while j < len(inner):
                     rp: A.RelPat = inner[j]
                     np: A.NodePat = inner[j + 1]
-                    if rp.var_length or isinstance(rp, A.QPP):
+                    if isinstance(rp, A.QPP):
                         raise TranslateError(
-                            "nested var-length inside a QPP is unsupported")
+                            "nested QPP inside a QPP is unsupported")
+                    if rp.var_length:
+                        # var-length rel inside the repeated unit
+                        # (TrailPipe.scala:65 accepts an arbitrary RHS
+                        # subplan): run the frontier loop per copy; the
+                        # rel-list column joins uniqueness bookkeeping
+                        if rp.var:
+                            raise TranslateError(
+                                "a named var-length relationship inside a "
+                                "QPP is unsupported (its group variable "
+                                "would be a list of lists)")
+                        from ..operators.paths import var_expand
+
+                        rv = self._anon_var("qr")
+                        nv = self._anon_var("qn")
+                        sub = var_expand(
+                            self, sub, end, rp, A.NodePat(None), rv, nv,
+                            slim=False, start_labels=None)
+                        sub = self._filter_node_bound(sub, np, nv)
+                        if np.var:
+                            copies_n[np.var].append(F.col(nv))
+                        all_rel_cols.append((rv, "rellist"))
+                        end = nv
+                        j += 2
+                        continue
                     rv = self._anon_var("qr")
                     scan = self._rel_scan(rp, rv)
                     sub = sub.join(
@@ -1082,7 +1106,7 @@ class Translator:
                         copies_r[rp.var].append(F.col(rv))
                     if np.var:
                         copies_n[np.var].append(F.col(nv))
-                    all_rel_cols.append(rv)
+                    all_rel_cols.append((rv, "rel"))
                     end = nv
                     j += 2
                 if qpp.where is not None:
@@ -1111,10 +1135,14 @@ class Translator:
                         else:
                             self.kinds[v] = k_old
             if len(all_rel_cols) > 1:
-                ids = F.array(*[F.col(rv).getField("_id")
-                                for rv in all_rel_cols])
+                parts_ids = [
+                    (F.array(F.col(rv).getField("_id")) if kd == "rel"
+                     else F.transform(F.col(rv),
+                                      lambda x: x.getField("_id")))
+                    for rv, kd in all_rel_cols]
+                ids = F.concat(*parts_ids)
                 sub = sub.filter(
-                    F.size(F.array_distinct(ids)) == F.lit(len(all_rel_cols)))
+                    F.size(F.array_distinct(ids)) == F.size(ids))
             if end_bound:
                 sub = sub.filter(F.col(end).getField("_id")
                                  == F.col(end_name).getField("_id"))

@@ -174,3 +174,30 @@ def test_call_union_mixed_label_knowledge(spark, chain_graph):
                  "CALL { MATCH (n:A) RETURN n UNION MATCH (b) RETURN b AS n } "
                  "MATCH (n)-[*1..1]->(m) RETURN count(*) AS c", chain_graph)
     assert rows(out) == [(2,)]
+
+
+def test_qpp_nested_var_length(spark, chain_graph):
+    # var-length rel inside the repeated unit (TrailPipe.scala:65 arbitrary
+    # RHS): {1,2} reps of an inner 1..2-hop expansion, rel-unique across
+    # the whole trail
+    out = cypher(spark,
+                 "MATCH (s:A)((a)-[*1..2]->(b)){1,2}(e) "
+                 "RETURN count(*) AS n", chain_graph)
+    assert rows(out) == [(3,)]
+
+
+def test_qpp_nested_var_length_rel_uniqueness(spark, chain_graph):
+    # 2 reps of *1..2 over a 2-edge chain can only be (1 hop, 1 hop);
+    # reusing an edge across reps must be rejected
+    out = cypher(spark,
+                 "MATCH (s:A)((a)-[*1..2]->(b)){2,2}(e) "
+                 "RETURN count(*) AS n", chain_graph)
+    assert rows(out) == [(1,)]
+
+
+def test_qpp_nested_mixed_unit(spark, chain_graph):
+    # repeated unit mixing a var-length and a fixed rel
+    out = cypher(spark,
+                 "MATCH (s:A)((a)-[:R*1..2]->(b)-[:R]->(c)){1,1}(e) "
+                 "RETURN e.x AS x", chain_graph)
+    assert rows(out) == [(3,)]
