@@ -1735,9 +1735,20 @@ def _oracle_sql_raw() -> dict[str, str]:
             "SELECT 'cov_idx' AS name, 'RANGE' AS type "
             "UNION ALL SELECT 'cov_uq', 'UNIQUE' ORDER BY name",
         "call_fulltext_indexed":
-            "SELECT count(*) AS n, round(sum(tf), 1) AS s FROM ("
-            "SELECT len(list_filter(string_split(lower(p_name), ' '), "
-            "x -> x = 'widget')) AS tf FROM part) WHERE tf > 0",
+            # Lucene BM25 defaults (k1=1.2, b=0.75, Lucene>=8 form):
+            # idf = ln(1+(N-df+0.5)/(df+0.5)), tfN = tf/(tf+k1*(1-b+b*dl/avgdl))
+            "WITH docs AS (SELECT list_filter(string_split_regex("
+            "lower(p_name), '\\W+'), x -> x != '') AS toks FROM part "
+            "WHERE p_name IS NOT NULL), "
+            "stats AS (SELECT count(*) AS nd, avg(len(toks)) AS avgdl "
+            "FROM docs), "
+            "sc AS (SELECT len(list_filter(toks, x -> x = 'widget')) AS tf, "
+            "len(toks) AS dl FROM docs), "
+            "dfq AS (SELECT count(*) AS dfr FROM sc WHERE tf > 0) "
+            "SELECT count(*) AS n, round(sum("
+            "ln(1 + (nd - dfr + 0.5) / (dfr + 0.5)) "
+            "* tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 1) AS s "
+            "FROM sc, stats, dfq WHERE tf > 0",
         "call_fulltext_query":
             "SELECT count(*) AS n FROM part WHERE p_name LIKE '%widget%'",
         "call_fulltext_rels":

@@ -185,16 +185,76 @@ def vector_query_nodes(spark, graph, args):
 # ---- fulltext index analog (db.index.fulltext.queryNodes) -----------------
 
 
+# Lucene BM25Similarity defaults (the reference's fulltext scoring,
+# FulltextProcedures.java:120 -> Lucene 9 BM25): idf = ln(1 + (N - df +
+# 0.5) / (df + 0.5)); tfNorm = tf / (tf + k1 * (1 - b + b * dl / avgdl));
+# score = sum over query terms of idf * tfNorm.  (Lucene >= 8 dropped the
+# (k1 + 1) numerator factor; dl here is exact, not SmallFloat-encoded.)
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_score(tf: F.Column, dl: F.Column, df_t: F.Column,
+                n_docs: F.Column, avgdl: F.Column) -> F.Column:
+    idf = F.log(F.lit(1.0) + (n_docs - df_t + F.lit(0.5))
+                / (df_t + F.lit(0.5)))
+    norm = tf.cast("double") / (
+        tf + F.lit(_BM25_K1) * (F.lit(1.0 - _BM25_B)
+                                + F.lit(_BM25_B) * dl / avgdl))
+    return idf * norm
+
+
+def _bm25_scan(frame, id_col: str, prop: str, terms, out_name: str):
+    """BM25 over a tokenized property scan: one stats aggregate (N,
+    avgdl), one per-term document-frequency aggregate, both 1-row frames
+    broadcast-crossJoined into the scoring scan — no driver collects."""
+    toks = F.filter(F.split(F.lower(F.col(prop)), r"\W+"),
+                    lambda x: x != "")
+    docs = frame.filter(F.col(prop).isNotNull()).select(
+        F.col(id_col).alias(out_name), toks.alias("__toks"))
+    docs = docs.withColumn("__dl", F.size("__toks"))
+    stats = docs.agg(F.count(F.lit(1)).alias("__n"),
+                     F.avg("__dl").alias("__avgdl"))
+    def _tf(term):
+        # NB: a two-arg lambda would make F.filter pass (element, index)
+        return F.size(F.filter(F.col("__toks"),
+                               lambda x: x == F.lit(term)))
+
+    tf_cols, df_aggs = [], []
+    for i, t in enumerate(terms):
+        tf_cols.append(_tf(t).alias(f"__tf{i}"))
+        df_aggs.append(F.sum(F.when(F.col(f"__tf{i}") > 0, 1)
+                             .otherwise(0)).alias(f"__df{i}"))
+    scored = docs.select(out_name, "__dl", *tf_cols)
+    dfreq = scored.agg(*df_aggs)
+    scored = scored.crossJoin(F.broadcast(stats)) \
+                   .crossJoin(F.broadcast(dfreq))
+    score = None
+    for i in range(len(terms)):
+        s = _bm25_score(F.col(f"__tf{i}"), F.col("__dl"),
+                        F.col(f"__df{i}"), F.col("__n"), F.col("__avgdl"))
+        score = s if score is None else score + s
+    any_tf = None
+    for i in range(len(terms)):
+        c = F.col(f"__tf{i}") > 0
+        any_tf = c if any_tf is None else (any_tf | c)
+    return (scored.filter(any_tf)
+            .select(out_name, score.alias("score"))
+            .orderBy(F.col("score").desc(), F.col(out_name)))
+
+
 @procedure("db.index.fulltext.createnodeindex")
 def fulltext_create_node_index(spark, graph, args):
     """(indexName, [labels], [properties]) — materialize an inverted-index
     parquet table (FulltextProcedures analog of CREATE FULLTEXT INDEX).
 
-    Layout: (term, node, tf) repartitioned + sorted by term, so a term
-    filter prunes parquet row groups — at 100 TB a query touches only the
-    row groups whose [min,max] term range covers its terms, never the
-    corpus.  Scoring matches the scan fallback (sum of term frequencies),
-    so indexed and un-indexed results are identical."""
+    Layout: postings (term, node, tf, dl) repartitioned + sorted by term,
+    so a term filter prunes parquet row groups — at 100 TB a query touches
+    only the row groups whose [min,max] term range covers its terms, never
+    the corpus — plus a 1-row corpus-stats table (N, avgdl) for BM25.
+    The index root comes from ``neo4j_spark.fulltext.indexDir`` (a shared
+    warehouse path on a real cluster); tempdir is only the local-mode
+    default.  Scoring matches the scan fallback exactly."""
     import tempfile
 
     name = str(args[0])
@@ -212,15 +272,21 @@ def fulltext_create_node_index(spark, graph, args):
         nodes = src if src is not None else nodes
     if prop not in nodes.columns:
         raise ProcedureError(f"no node property {prop}")
-    inv = (nodes.filter(F.col(prop).isNotNull())
-           .select(F.col("id").alias("node"),
-                   F.explode(F.split(F.lower(F.col(prop)), r"\W+"))
-                   .alias("term"))
-           .filter(F.col("term") != "")
-           .groupBy("term", "node").agg(F.count(F.lit(1)).alias("tf")))
-    path = f"{tempfile.gettempdir()}/neo4j_spark_ft_{name}_{id(graph)}"
+    toks = F.filter(F.split(F.lower(F.col(prop)), r"\W+"),
+                    lambda x: x != "")
+    docs = (nodes.filter(F.col(prop).isNotNull())
+            .select(F.col("id").alias("node"), toks.alias("__toks"))
+            .withColumn("dl", F.size("__toks")))
+    inv = (docs.select("node", "dl", F.explode("__toks").alias("term"))
+           .groupBy("term", "node", "dl")
+           .agg(F.count(F.lit(1)).alias("tf")))
+    base = spark.conf.get("neo4j_spark.fulltext.indexDir",
+                          tempfile.gettempdir())
+    path = f"{base}/neo4j_spark_ft_{name}_{id(graph)}"
     inv.repartition("term").sortWithinPartitions("term") \
-       .write.mode("overwrite").parquet(path)
+       .write.mode("overwrite").parquet(f"{path}/postings")
+    docs.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")) \
+        .write.mode("overwrite").parquet(f"{path}/stats")
     graph.fulltext_indexes[name] = {"path": path, "prop": prop}
     graph.fulltext_indexes[prop] = {"path": path, "prop": prop}
     return spark.createDataFrame([(name, prop)], "name string, property string")
@@ -228,33 +294,35 @@ def fulltext_create_node_index(spark, graph, args):
 
 @procedure("db.index.fulltext.querynodes")
 def fulltext_query_nodes(spark, graph, args):
-    """(indexNameOrProperty, query) -> node id + tf score.
+    """(indexNameOrProperty, query) -> node id + BM25 score
+    (FulltextProcedures.java:120; Lucene BM25Similarity defaults).
 
     Uses the materialized inverted index when one was created (term filter
-    pushed into its parquet scan); otherwise a Lucene-less single-pass
-    scan: tokenize on non-word chars, score = sum of query-term
-    frequencies.  Both paths score identically.
-    """
+    pushed into its parquet scan; df per term aggregated from the touched
+    postings, N/avgdl from the 1-row stats table); otherwise a single-pass
+    scan.  Both paths score identically."""
     prop, query = args[0], str(args[1])
     terms = [t.lower() for t in query.split() if t]
     idx = graph.fulltext_indexes.get(prop)
     if idx is not None:
-        inv = spark.read.parquet(idx["path"])
-        return (inv.filter(F.col("term").isin(terms))
-                .groupBy("node").agg(F.sum("tf").cast("double").alias("score"))
+        inv = spark.read.parquet(f"{idx['path']}/postings") \
+            .filter(F.col("term").isin(terms))
+        stats = spark.read.parquet(f"{idx['path']}/stats")
+        dfreq = inv.groupBy("term").agg(
+            F.count(F.lit(1)).alias("__df"))
+        scored = (inv.join(F.broadcast(dfreq), "term")
+                  .crossJoin(F.broadcast(stats))
+                  .select("node",
+                          _bm25_score(F.col("tf"), F.col("dl"),
+                                      F.col("__df"), F.col("n"),
+                                      F.col("avgdl")).alias("__s")))
+        return (scored.groupBy("node")
+                .agg(F.sum("__s").alias("score"))
                 .orderBy(F.col("score").desc(), F.col("node")))
     nodes = graph.nodes
     if prop not in nodes.columns:
         raise ProcedureError(f"no node property {prop}")
-    toks = F.split(F.lower(F.col(prop)), r"\W+")
-    score = None
-    for t in terms:
-        s = F.size(F.filter(toks, lambda x: x == F.lit(t))).cast("double")
-        score = s if score is None else score + s
-    out = nodes.filter(F.col(prop).isNotNull()).select(
-        F.col("id").alias("node"), score.alias("score"))
-    return out.filter(F.col("score") > 0).orderBy(
-        F.col("score").desc(), F.col("node"))
+    return _bm25_scan(nodes, "id", prop, terms, "node")
 
 
 @procedure("db.index.vector.queryrelationships")
@@ -280,7 +348,7 @@ def vector_query_relationships(spark, graph, args):
 
 @procedure("db.index.fulltext.queryrelationships")
 def fulltext_query_relationships(spark, graph, args):
-    """(propertyKey, query) -> relationship id + tf score
+    """(propertyKey, query) -> relationship id + BM25 score
     (FulltextProcedures.java:202), same scan-based scoring as the node
     variant."""
     prop, query = args[0], str(args[1])
@@ -288,15 +356,7 @@ def fulltext_query_relationships(spark, graph, args):
     rels = graph.rels
     if prop not in rels.columns:
         raise ProcedureError(f"no relationship property {prop}")
-    toks = F.split(F.lower(F.col(prop)), r"\W+")
-    score = None
-    for t in terms:
-        s = F.size(F.filter(toks, lambda x: x == F.lit(t))).cast("double")
-        score = s if score is None else score + s
-    out = rels.filter(F.col(prop).isNotNull()).select(
-        F.col("id").alias("relationship"), score.alias("score"))
-    return out.filter(F.col("score") > 0).orderBy(
-        F.col("score").desc(), F.col("relationship"))
+    return _bm25_scan(rels, "id", prop, terms, "relationship")
 
 
 @procedure("db.index.vector.setnodevectorproperty")

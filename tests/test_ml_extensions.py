@@ -244,8 +244,12 @@ class TestStatefulStreaming:
 
 
 def test_fulltext_index_parity_and_plan(spark, tpch_graph):
-    """Indexed fulltext query must score identically to the scan fallback
-    and read ONLY the inverted-index parquet (term filter pruned)."""
+    """Indexed fulltext query must return the same documents in the same
+    BM25 rank order as the scan fallback and read ONLY the inverted-index
+    parquet (term filter pruned).  Absolute scores legitimately differ:
+    the index corpus is the Part label, the scan corpus is every node
+    carrying the property (Lucene's per-index statistics behave the
+    same)."""
     from neo4j_spark.api import cypher
 
     g = tpch_graph.copy()
@@ -255,10 +259,41 @@ def test_fulltext_index_parity_and_plan(spark, tpch_graph):
     cypher(spark, "CALL db.index.fulltext.createNodeIndex('ftx', ['Part'], "
            "['name']) YIELD name RETURN name", g).collect()
     indexed_df = cypher(spark, q.format(key="ftx"), g)
-    assert indexed_df.collect() == scan
+    indexed = indexed_df.collect()
+    assert [r["node"] for r in indexed] == [r["node"] for r in scan]
+    assert all(r["score"] > 0 for r in indexed)
     plan = indexed_df._jdf.queryExecution().executedPlan().toString()
     assert "neo4j_spark_ft_" in plan
     assert "part.parquet" not in plan
+
+
+def test_fulltext_bm25_hand_computed(spark):
+    """BM25 scores against a hand-computed oracle (Lucene >= 8 form:
+    idf = ln(1 + (N - df + .5)/(df + .5)), tf/(tf + k1(1 - b + b dl/avgdl)),
+    k1 = 1.2, b = 0.75)."""
+    import math
+
+    from neo4j_spark.graph import PropertyGraph
+    from neo4j_spark.procedures.registry import run_procedure
+
+    docs = [(1, ["D"], "apple banana apple"),
+            (2, ["D"], "apple cherry"),
+            (3, ["D"], "durian")]
+    g = PropertyGraph(
+        {"D": spark.createDataFrame(
+            docs, "id long, labels array<string>, body string")}, {})
+    out = {r["node"]: r["score"] for r in run_procedure(
+        spark, g, "db.index.fulltext.querynodes",
+        ["body", "apple"]).collect()}
+    n, avgdl, dfr = 3, 2.0, 2
+    idf = math.log(1 + (n - dfr + 0.5) / (dfr + 0.5))
+
+    def tfn(tf, dl):
+        return tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+
+    assert abs(out[1] - idf * tfn(2, 3)) < 1e-9
+    assert abs(out[2] - idf * tfn(1, 2)) < 1e-9
+    assert 3 not in out
 
 
 class TestPiiScrubAndRepetition:

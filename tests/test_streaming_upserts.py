@@ -57,7 +57,7 @@ class TestNewProcedures:
                            "db.index.fulltext.queryRelationships",
                            ["returnflag", "R"])
         rows = df.limit(5).collect()
-        assert len(rows) == 5 and all(r["score"] >= 1.0 for r in rows)
+        assert len(rows) == 5 and all(r["score"] > 0.0 for r in rows)
 
     def test_vector_query_relationships_empty_prop(self, spark, tpch_graph):
         from neo4j_spark.procedures.registry import ProcedureError, run_procedure
