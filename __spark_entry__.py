@@ -372,6 +372,11 @@ CYPHER_QUERIES = {
     "qpp_group_rels":
         "MATCH ((a:Nation)-[r:IN_REGION]->(b:Region)){1,1} "
         "RETURN size(r) AS nr, count(*) AS n",
+    "shortest_path_expr_unbound":
+        "MATCH (n:Nation) WHERE n.nationkey < 5 "
+        "RETURN n.nationkey AS k, "
+        "length(shortestPath((n)-[:IN_REGION*..2]->(r:Region))) AS l "
+        "ORDER BY k",
     "qpp_nested_var":
         "MATCH (c:Customer WHERE c.custkey <= 10)"
         "((x)-[:FROM_NATION|IN_REGION*1..2]->(y)){1,2}(r:Region) "
@@ -1626,6 +1631,9 @@ def _oracle_sql_raw() -> dict[str, str]:
         "qpp_group_rels":
             "SELECT CAST(1 AS BIGINT) AS nr, count(*) AS n FROM nation "
             "GROUP BY 1",
+        "shortest_path_expr_unbound":
+            "SELECT CAST(n_nationkey AS BIGINT) AS k, CAST(1 AS BIGINT) AS l FROM nation "
+            "WHERE n_nationkey < 5 ORDER BY k",
         "qpp_nested_var":
             # c->nation->region decomposes two ways: one rep of inner
             # length 2, or two reps of inner length 1

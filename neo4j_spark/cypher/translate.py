@@ -1797,14 +1797,21 @@ class Translator:
 
         from ..operators.paths import shortest_path
 
-        els = e.pattern.elements
+        els = list(e.pattern.elements)
         if not (len(els) == 3 and isinstance(els[0], A.NodePat)
-                and isinstance(els[2], A.NodePat)
-                and els[0].var and els[2].var
-                and els[0].var in df.columns and els[2].var in df.columns):
+                and isinstance(els[2], A.NodePat)):
             raise TranslateError(
-                "shortestPath() in expression position requires both "
-                "endpoints bound by an enclosing MATCH")
+                "shortestPath() in expression position expects a single "
+                "relationship pattern")
+        # unbound endpoints: nested-plan decorrelation
+        # (NestedPlanExpression.scala GetValue) — bind them from their own
+        # label/prop scans, run the BFS over the distinct bound prefix,
+        # keep ONE deterministic shortest path per prefix value, and
+        # left-join (or broadcast-crossJoin when fully uncorrelated)
+        if not (els[0].var and els[2].var
+                and els[0].var in df.columns
+                and els[2].var in df.columns):
+            return self._lower_shortest_expr_unbound(df, e, els)
         avar, bvar = els[0].var, els[2].var
         pvar = self._anon_var("spx")
         part = dataclasses.replace(e.pattern, path_var=pvar)
@@ -1826,6 +1833,65 @@ class Translator:
             (F.col(avar).getField("_id") == F.col("__spx_a"))
             & (F.col(bvar).getField("_id") == F.col("__spx_b")),
             "left").drop("__spx_a", "__spx_b")
+        self.kinds[pvar] = "path"
+        return out, A.Var(pvar)
+
+    def _lower_shortest_expr_unbound(self, df: DataFrame,
+                                     e: "A.ShortestPathExpr", els: list
+                                     ) -> Tuple[DataFrame, A.Expr]:
+        """shortestPath() value with one or both endpoints unbound: the
+        inner pattern binds them itself (label/prop scans).  Expression
+        position yields exactly ONE value per input row, so among all
+        matching endpoint pairs we keep the deterministic first shortest
+        path (min length, then rel-id tie-break — the reference's
+        NestedPlanExpression GetValue takes its inner plan's first row)."""
+        import dataclasses
+
+        from pyspark.sql import Window as SW
+
+        from ..operators.paths import shortest_path
+
+        a_pat, rp, b_pat = els
+        if a_pat.var is None:
+            a_pat = dataclasses.replace(a_pat, var=self._anon_var("spa"))
+        if b_pat.var is None:
+            b_pat = dataclasses.replace(b_pat, var=self._anon_var("spb"))
+        bound = [v for v in (a_pat.var, b_pat.var) if v in df.columns]
+        pvar = self._anon_var("spx")
+        part = dataclasses.replace(
+            e.pattern, elements=[a_pat, rp, b_pat], path_var=pvar)
+        base = (df.select(*bound).dropDuplicates() if bound else None)
+        pend: List[A.Expr] = []
+        res = shortest_path(self, base, part, pend, force_full_paths=True)
+        for p in pend:
+            res = res.filter(self._compiler(res).compile(p))
+        res = self._resolve_path_rels(res, pvar)
+        res = self._resolve_path_nodes(res, pvar)
+        length = F.size(F.col(pvar).getField("rels"))
+        tie = F.transform(F.col(pvar).getField("rels"),
+                          lambda r: r.getField("_id")).cast("string")
+        if bound:
+            w = SW.partitionBy(
+                *[F.col(v).getField("_id") for v in bound])
+        else:
+            w = SW.partitionBy(F.lit(1))
+        res = (res.withColumn(
+            "__spx_rn",
+            F.row_number().over(w.orderBy(length.asc(), tie.asc())))
+            .filter(F.col("__spx_rn") == 1).drop("__spx_rn"))
+        if not bound:
+            one = res.select(pvar).limit(1)
+            out = df.join(F.broadcast(one), F.lit(True), "left")
+        else:
+            keys = [(v, f"__spx_{v}") for v in bound]
+            right = res.select(
+                *[F.col(v).getField("_id").alias(h) for v, h in keys],
+                F.col(pvar))
+            cond = None
+            for v, h in keys:
+                c = F.col(v).getField("_id").eqNullSafe(F.col(h))
+                cond = c if cond is None else cond & c
+            out = df.join(right, cond, "left").drop(*[h for _, h in keys])
         self.kinds[pvar] = "path"
         return out, A.Var(pvar)
 

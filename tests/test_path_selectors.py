@@ -157,3 +157,27 @@ class TestNFAStatefulShortest:
                      "RETURN count(*) AS n", chain_graph)
         # b in {a(itself, 0 hops), B(1), C(2)} => 3 rows
         assert out.collect()[0]["n"] == 3
+
+
+def test_shortest_path_expr_unbound_endpoints(spark, tpch_graph):
+    """shortestPath() value with endpoints bound by the expression's own
+    pattern (NestedPlanExpression GetValue): one deterministic path per
+    row; null when disconnected."""
+    from neo4j_spark.api import cypher
+
+    out = cypher(spark,
+                 "RETURN length(shortestPath((a:Nation {name: 'NATION_0'})"
+                 "-[*..4]-(b:Region {name: 'AFRICA'}))) AS l",
+                 tpch_graph).collect()
+    assert out[0]["l"] == 1
+    out = cypher(spark,
+                 "RETURN shortestPath((a:Nation {name: 'NATION_0'})"
+                 "-[:IN_REGION*..2]->(b:Region {name: 'EUROPE'})) IS NULL "
+                 "AS n", tpch_graph).collect()
+    assert out[0]["n"] is True
+    out = cypher(spark,
+                 "MATCH (n:Nation) WHERE n.nationkey < 3 "
+                 "RETURN n.nationkey AS k, length(shortestPath("
+                 "(n)-[:IN_REGION*..2]->(r:Region))) AS l ORDER BY k",
+                 tpch_graph).collect()
+    assert [(r["k"], r["l"]) for r in out] == [(0, 1), (1, 1), (2, 1)]
