@@ -372,6 +372,11 @@ CYPHER_QUERIES = {
     "qpp_group_rels":
         "MATCH ((a:Nation)-[r:IN_REGION]->(b:Region)){1,1} "
         "RETURN size(r) AS nr, count(*) AS n",
+    "label_expr_nested":
+        "MATCH (n:(Customer|Supplier)&!Part) RETURN count(*) AS n",
+    "label_expr_negated_group":
+        "MATCH (n:Nation|Region) WHERE n:!(Customer|Part) "
+        "RETURN count(*) AS n",
     "shortest_path_expr_unbound":
         "MATCH (n:Nation) WHERE n.nationkey < 5 "
         "RETURN n.nationkey AS k, "
@@ -1631,6 +1636,12 @@ def _oracle_sql_raw() -> dict[str, str]:
         "qpp_group_rels":
             "SELECT CAST(1 AS BIGINT) AS nr, count(*) AS n FROM nation "
             "GROUP BY 1",
+        "label_expr_nested":
+            "SELECT CAST((SELECT count(*) FROM customer) + "
+            "(SELECT count(*) FROM supplier) AS BIGINT) AS n",
+        "label_expr_negated_group":
+            "SELECT CAST((SELECT count(*) FROM nation) + "
+            "(SELECT count(*) FROM region) AS BIGINT) AS n",
         "shortest_path_expr_unbound":
             "SELECT CAST(n_nationkey AS BIGINT) AS k, CAST(1 AS BIGINT) AS l FROM nation "
             "WHERE n_nationkey < 5 ORDER BY k",

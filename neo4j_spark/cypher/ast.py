@@ -107,6 +107,7 @@ class HasLabels(Expr):
     neg_labels: List[str] = field(default_factory=list)
     req_any_label: bool = False       # :%
     req_no_label: bool = False        # :!%
+    label_tree: object = None         # full algebra tree when not flat
 
 
 @dataclass
@@ -235,6 +236,10 @@ class NodePat:
     neg_labels: List[str] = field(default_factory=list)  # :!Label terms
     req_any_label: bool = False   # :%  — at least one label
     req_no_label: bool = False    # :!% — no labels at all
+    # full label-expression algebra tree (("or"/"and", l, r) / ("not", x)
+    # / ("label", name) / ("any",)) when the expression doesn't fit the
+    # flat fields; ``labels`` then holds a shard-pruning cover
+    label_tree: object = None
 
 
 @dataclass

@@ -85,6 +85,31 @@ def _py_to_col(v) -> Column:
     return F.lit(v)
 
 
+def compile_label_tree(tree, labels_col: Column, type_col: Column = None
+                       ) -> Column:
+    """Boolean Column for a full label-expression algebra tree
+    (CypherParser.g4 labelExpression) over a node's labels array — or,
+    when ``type_col`` is given, over a relationship's single type."""
+    k = tree[0]
+    if k == "label":
+        if type_col is not None:
+            return type_col == F.lit(tree[1])
+        return F.array_contains(labels_col, tree[1])
+    if k == "any":
+        if type_col is not None:
+            return type_col.isNotNull()
+        return F.size(labels_col) > 0
+    if k == "not":
+        return ~compile_label_tree(tree[1], labels_col, type_col)
+    if k == "and":
+        return (compile_label_tree(tree[1], labels_col, type_col)
+                & compile_label_tree(tree[2], labels_col, type_col))
+    if k == "or":
+        return (compile_label_tree(tree[1], labels_col, type_col)
+                | compile_label_tree(tree[2], labels_col, type_col))
+    raise CypherTypeError(f"unknown label expression node {k}")
+
+
 def _type_conforms(t, name: str) -> bool:
     """Does Spark type ``t`` conform to the Cypher type ``name`` (IS ::)?"""
     if name in ("ANY", "PROPERTY VALUE"):
@@ -598,6 +623,12 @@ class ExprCompiler:
     def _c_HasLabels(self, e: A.HasLabels) -> Column:
         subj = self.compile(e.subject)
         kind = self.kinds.get(e.subject.name) if isinstance(e.subject, A.Var) else None
+        tree = getattr(e, "label_tree", None)
+        if tree is not None:
+            if kind == "rel":
+                return compile_label_tree(tree, None,
+                                          subj.getField("_type"))
+            return compile_label_tree(tree, subj.getField("_labels"))
         if kind == "rel":
             conds = [subj.getField("_type") == F.lit(l) for l in e.labels]
         else:

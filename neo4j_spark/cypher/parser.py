@@ -609,43 +609,98 @@ class Parser:
         return None
 
     def parse_label_expr(self):
-        """Label expression body after the leading ``:``; shared between
-        node patterns and WHERE-position predicates (``n:A|B``)."""
-        labels: List[str] = []
-        neg_labels: List[str] = []
-        any_labels = False
-        req_any = req_no = False
-        wrapped = False  # :(A|B) — parenthesized label expression
+        """Label expression body after the leading ``:`` — the full GQL
+        algebra (CypherParser.g4 labelExpression: ``!`` > ``&``/``:`` >
+        ``|``, parenthesized subexpressions, ``%`` wildcard).  Shared
+        between node patterns and WHERE-position predicates (``n:A|B``).
+
+        Returns (labels, any_labels, neg_labels, req_any, req_no, tree):
+        expressions that fit the flat conjunction/disjunction fields lower
+        to them (tree None, the fast planning path); anything else keeps
+        the tree and exposes a shard-pruning COVER in ``labels`` — a set
+        of positive labels such that every matching node carries at least
+        one of them (None cover => all-shards scan + tree filter)."""
+        tree = self._parse_label_or()
+        return self._lower_label_tree(tree)
+
+    def _parse_label_or(self):
+        l = self._parse_label_and()
+        while self.at_op("|"):
+            self.take()
+            if self.at_op(":"):  # "|:" form
+                self.take()
+            l = ("or", l, self._parse_label_and())
+        return l
+
+    def _parse_label_and(self):
+        l = self._parse_label_factor()
+        while self.at_op("&", ":"):
+            self.take()
+            l = ("and", l, self._parse_label_factor())
+        return l
+
+    def _parse_label_factor(self):
+        if self.at_op("!"):
+            self.take()
+            return ("not", self._parse_label_factor())
         if self.at_op("("):
             self.take()
-            wrapped = True
-        while True:
-            neg = False
-            while self.at_op("!"):
-                self.take()
-                neg = not neg
-            if self.at_op("%"):  # wildcard label (GQL)
-                self.take()
-                if neg:
+            t = self._parse_label_or()
+            self.expect_op(")")
+            return t
+        if self.at_op("%"):
+            self.take()
+            return ("any",)
+        return ("label", self.expect_ident())
+
+    @staticmethod
+    def _lower_label_tree(tree):
+        def conjuncts(t):
+            if t[0] == "and":
+                return conjuncts(t[1]) + conjuncts(t[2])
+            return [t]
+
+        def disjuncts(t):
+            if t[0] == "or":
+                return disjuncts(t[1]) + disjuncts(t[2])
+            return [t]
+
+        ds = disjuncts(tree)
+        if len(ds) > 1 and all(d[0] == "label" for d in ds):
+            return [d[1] for d in ds], True, [], False, False, None
+        if len(ds) == 1:
+            labels, neg = [], []
+            req_any = req_no = False
+            flat = True
+            for c in conjuncts(tree):
+                if c[0] == "label":
+                    labels.append(c[1])
+                elif c[0] == "any":
+                    req_any = True
+                elif c[0] == "not" and c[1][0] == "label":
+                    neg.append(c[1][1])
+                elif c[0] == "not" and c[1][0] == "any":
                     req_no = True
                 else:
-                    req_any = True
-            else:
-                (neg_labels if neg else labels).append(self.expect_ident())
-            if self.at_op(":", "|", "&"):
-                sep = self.take().value
-                if self.at_op(":"):  # "|:" form
-                    self.take()
-                if sep == "|":
-                    any_labels = True
-                continue
-            break
-        if wrapped:
-            self.expect_op(")")
-        if any_labels and (neg_labels or req_any or req_no):
-            raise ParseError(
-                "mixed |/! label expressions are not supported")
-        return labels, any_labels, neg_labels, req_any, req_no
+                    flat = False
+                    break
+            if flat:
+                return labels, False, neg, req_any, req_no, None
+
+        def cover(t):
+            if t[0] == "label":
+                return {t[1]}
+            if t[0] == "or":
+                a, b = cover(t[1]), cover(t[2])
+                return None if a is None or b is None else a | b
+            if t[0] == "and":
+                a, b = cover(t[1]), cover(t[2])
+                return a if a is not None else b
+            return None  # not / %
+
+        cov = cover(tree)
+        labels = sorted(cov) if cov else []
+        return labels, len(labels) > 1, [], False, False, tree
 
     def parse_node_pat(self) -> A.NodePat:
         self.expect_op("(")
@@ -656,9 +711,10 @@ class Parser:
         neg_labels: List[str] = []
         any_labels = False
         req_any = req_no = False
+        ltree = None
         if self.at_op(":"):
             self.take()
-            labels, any_labels, neg_labels, req_any, req_no = \
+            labels, any_labels, neg_labels, req_any, req_no, ltree = \
                 self.parse_label_expr()
         props = None
         if self.at_op("{"):
@@ -671,7 +727,7 @@ class Parser:
             where = self.parse_expr()
         self.expect_op(")")
         return A.NodePat(var, labels, any_labels, props, where,
-                         neg_labels, req_any, req_no)
+                         neg_labels, req_any, req_no, label_tree=ltree)
 
     def parse_rel_pat(self) -> A.RelPat:
         direction = "both"
@@ -948,9 +1004,10 @@ class Parser:
                     e = A.Index(e, idx)
             elif self.at_op(":") and isinstance(e, A.Var):
                 self.take()
-                labels, any_l, neg_l, req_any, req_no = \
+                labels, any_l, neg_l, req_any, req_no, ltree = \
                     self.parse_label_expr()
-                e = A.HasLabels(e, labels, any_l, neg_l, req_any, req_no)
+                e = A.HasLabels(e, labels, any_l, neg_l, req_any, req_no,
+                                label_tree=ltree)
             elif self.at_op("{") and isinstance(e, A.Var):
                 e = self.parse_map_projection(e.name)
             else:

@@ -523,6 +523,13 @@ class Translator:
             base = base.filter(F.size(F.col("labels")) > 0)
         if np.req_no_label:
             base = base.filter(F.size(F.col("labels")) == 0)
+        if getattr(np, "label_tree", None) is not None:
+            # full algebra (e.g. :(A|B)&!C): ``labels`` above pruned the
+            # shard cover; the tree is the exact predicate
+            from .exprs import compile_label_tree
+
+            base = base.filter(
+                compile_label_tree(np.label_tree, F.col("labels")))
         props = [c for c in base.columns if c not in NODE_META]
         struct = F.struct(
             F.col("id").alias("_id"), F.col("labels").alias("_labels"),
@@ -621,7 +628,11 @@ class Translator:
 
     def _queue_node_filters(self, np: A.NodePat, var: str,
                             pending: List[A.Expr], bound: bool = False) -> None:
-        if np.labels and bound:  # label check on an already-bound var
+        if bound and getattr(np, "label_tree", None) is not None:
+            pending.append(A.HasLabels(A.Var(var), list(np.labels),
+                                       any_labels=np.any_labels,
+                                       label_tree=np.label_tree))
+        elif np.labels and bound:  # label check on an already-bound var
             pending.append(A.HasLabels(A.Var(var), list(np.labels),
                                        any_labels=np.any_labels))
         if bound:
@@ -955,10 +966,22 @@ class Translator:
 
     def _filter_node_bound(self, sub: DataFrame, np: A.NodePat, var: str
                            ) -> DataFrame:
-        if np.labels:
-            for l in np.labels:
-                sub = sub.filter(
-                    F.array_contains(F.col(var).getField("_labels"), l))
+        if getattr(np, "label_tree", None) is not None:
+            from .exprs import compile_label_tree
+
+            sub = sub.filter(compile_label_tree(
+                np.label_tree, F.col(var).getField("_labels")))
+        elif np.labels:
+            conds = [F.array_contains(F.col(var).getField("_labels"), l)
+                     for l in np.labels]
+            if np.any_labels:
+                c = conds[0]
+                for extra in conds[1:]:
+                    c = c | extra
+                sub = sub.filter(c)
+            else:
+                for c in conds:
+                    sub = sub.filter(c)
         for l in np.neg_labels:
             sub = sub.filter(
                 ~F.array_contains(F.col(var).getField("_labels"), l))

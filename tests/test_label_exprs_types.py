@@ -5,6 +5,8 @@ Reference semantics: SubtractionNodeByLabelsScan (LogicalPlan.scala:4789),
 TypePredicateExpressions.scala, AnyValue.ternaryEquals (AnyValue.java:62).
 """
 
+import pytest
+
 from neo4j_spark.api import cypher
 
 
@@ -215,3 +217,44 @@ class TestQuantifiedRelShorthand:
                     "MATCH p = (a:A)-[:R]->+(c:C) "
                     "RETURN [n IN nodes(p) | n.x] AS xs", chain_graph)
         assert rows(df) == [([1, 2, 3],)]
+
+
+class TestLabelAlgebra:
+    """Full label-expression algebra (CypherParser.g4 labelExpression:
+    ! > &/: > |, parens, %): complex trees keep a shard-pruning cover and
+    filter exactly."""
+
+    @pytest.fixture(scope="class")
+    def multi_graph(self, spark):
+        from neo4j_spark.graph import PropertyGraph
+
+        sch = "id long, labels array<string>, name string"
+        nodes = {
+            "A": spark.createDataFrame(
+                [(1, ["A"], "a"), (3, ["A", "C"], "ac")], sch),
+            "B": spark.createDataFrame(
+                [(2, ["B"], "b"), (4, ["B", "C"], "bc")], sch),
+            "C": spark.createDataFrame([(6, ["C"], "c")], sch),
+            "Z": spark.createDataFrame([(5, [], "none")], sch),
+        }
+        g = PropertyGraph(nodes, {})
+        g.note_extra_label("C")
+        return g
+
+    @pytest.mark.parametrize("q,want", [
+        ("MATCH (n:(A|B)&!C) RETURN n.name AS s ORDER BY s",
+         [("a",), ("b",)]),
+        ("MATCH (n:!(A|B)) RETURN n.name AS s ORDER BY s",
+         [("c",), ("none",)]),
+        ("MATCH (n:(A&C)|B) RETURN n.name AS s ORDER BY s",
+         [("ac",), ("b",), ("bc",)]),
+        ("MATCH (n) WHERE n:(A|B)&!C RETURN n.name AS s ORDER BY s",
+         [("a",), ("b",)]),
+        ("MATCH (n:(!A)&%) RETURN n.name AS s ORDER BY s",
+         [("b",), ("bc",), ("c",)]),
+    ])
+    def test_algebra(self, spark, multi_graph, q, want):
+        from neo4j_spark.api import cypher
+
+        assert [tuple(r) for r in cypher(spark, q, multi_graph).collect()] \
+            == want
