@@ -887,7 +887,10 @@ def _q_knn_lsh(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return knn_lsh(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+    # 7 planes x 8 tables, radius-2 probing: >= 0.9 recall gate
+    # (tests/test_ml_extensions.py::test_lsh_recall_vs_bruteforce)
+    return knn_lsh(emb.filter(F.col("vec_id") != 0), qvec, k=10,
+                   n_planes=7, n_tables=8, probe_hamming=2)
 
 
 def _q_knn_ivf(spark, sf_dir):
@@ -1831,6 +1834,20 @@ def _oracle_sql_raw() -> dict[str, str]:
             " + (SELECT count(*) FROM orders)"
             " + 2 * (SELECT count(*) FROM lineitem)) AS BIGINT) AS s",
         "algo_triangle_count": "SELECT CAST(0 AS BIGINT) AS n",
+        "algo_node_similarity":
+            "WITH e AS (SELECT DISTINCT l_orderkey AS src, l_partkey AS dst "
+            "FROM lineitem), "
+            "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src), "
+            "inter AS (SELECT a.src AS pa, b.src AS pb, count(*) AS i "
+            "FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src "
+            "GROUP BY 1, 2), "
+            "sim AS (SELECT i, round(CAST(i AS DOUBLE) / "
+            "(da.deg + db.deg - i), 6) AS s FROM inter "
+            "JOIN deg da ON da.src = inter.pa "
+            "JOIN deg db ON db.src = inter.pb) "
+            "SELECT count(*) AS n, CAST(sum(i) AS BIGINT) AS s, "
+            "CAST(sum(CASE WHEN s >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_sim FROM sim",
         "algo_sssp_weighted":
             "SELECT CAST(count(*) + 1 AS BIGINT) AS n, round(sum(md), 2) AS s "
             "FROM (SELECT l_partkey, min(l_quantity) AS md FROM lineitem "

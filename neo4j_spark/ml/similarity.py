@@ -115,22 +115,37 @@ def lsh_signature(vec: Column, planes: List[List[float]]) -> Column:
 def knn_lsh(df: DataFrame, query_vec: Sequence[float], k: int = 10,
             id_col: str = "vec_id", vec_col: str = "embedding",
             n_planes: int = 8, dim: Optional[int] = None,
-            probe_hamming: int = 1) -> DataFrame:
+            probe_hamming: int = 1, n_tables: int = 1) -> DataFrame:
     """Approximate top-k: scan only buckets whose signature is within
-    ``probe_hamming`` bits of the query signature (multi-probe).  At scale,
-    write the corpus bucketed/partitioned by signature so a probe is a
-    partition-pruned read instead of a full scan."""
+    ``probe_hamming`` bits of the query signature (multi-probe), unioned
+    across ``n_tables`` independent hash tables (the classic L-table LSH
+    recall knob: miss probability decays as (1 - p^bits)^L).  At scale,
+    write the corpus bucketed/partitioned by each table's signature so a
+    probe is a partition-pruned read instead of a full scan; the candidate
+    filter here is the single-scan local-mode rendering."""
     dim = dim or len(query_vec)
-    planes = _hyperplanes(dim, n_planes)
-    qsig_val = 0
-    for i, p in enumerate(planes):
-        if float(np.dot(np.array(query_vec), np.array(p))) >= 0:
-            qsig_val |= 1 << i
-    probe = [qsig_val]
-    if probe_hamming >= 1:
-        probe += [qsig_val ^ (1 << i) for i in range(n_planes)]
-    bucketed = df.withColumn("_sig", lsh_signature(F.col(vec_col), planes))
-    cand = bucketed.filter(F.col("_sig").isin(probe))
+    qarr = np.array(query_vec)
+    cond = None
+    bucketed = df
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=42 + t)
+        qsig_val = 0
+        for i, p in enumerate(planes):
+            if float(np.dot(qarr, np.array(p))) >= 0:
+                qsig_val |= 1 << i
+        probe = [qsig_val]
+        if probe_hamming >= 1:
+            probe += [qsig_val ^ (1 << i) for i in range(n_planes)]
+        if probe_hamming >= 2:
+            probe += [qsig_val ^ (1 << i) ^ (1 << j)
+                      for i in range(n_planes)
+                      for j in range(i + 1, n_planes)]
+        sig_col = f"_sig{t}"
+        bucketed = bucketed.withColumn(
+            sig_col, lsh_signature(F.col(vec_col), planes))
+        c = F.col(sig_col).isin(probe)
+        cond = c if cond is None else (cond | c)
+    cand = bucketed.filter(cond)
     q = F.lit([float(x) for x in query_vec])
     return (cand.select(F.col(id_col),
                         F.round(cosine(F.col(vec_col), q), 6).alias("score"))

@@ -111,14 +111,47 @@ class TestSimilarity:
         assert narrow.count() == 5
 
     def test_lsh_recall_vs_bruteforce(self, spark, emb):
+        """Recall gate: multi-table multi-probe LSH (7 planes, 8 tables,
+        radius-2 probing) recovers >= 0.9 of the true top-10 averaged over
+        queries — on the synthetic near-random embeddings, the hardest
+        regime for hyperplane LSH."""
         from neo4j_spark.ml.similarity import knn_bruteforce, knn_lsh
 
-        q = emb.filter(F.col("vec_id") == 0).head()["embedding"]
-        exact = {r["vec_id"] for r in knn_bruteforce(emb, q, k=10).collect()}
-        approx = {r["vec_id"] for r in
-                  knn_lsh(emb, q, k=10, probe_hamming=1).collect()}
-        # multi-probe LSH should recover a reasonable fraction of true top-10
-        assert len(exact & approx) >= 3
+        total = 0.0
+        qids = [0, 1, 2, 3]
+        for qid in qids:
+            q = emb.filter(F.col("vec_id") == qid).head()["embedding"]
+            rest = emb.filter(F.col("vec_id") != qid)
+            exact = {r["vec_id"]
+                     for r in knn_bruteforce(rest, q, k=10).collect()}
+            approx = {r["vec_id"] for r in knn_lsh(
+                rest, q, k=10, n_planes=7, n_tables=8,
+                probe_hamming=2).collect()}
+            total += len(exact & approx) / 10
+        assert total / len(qids) >= 0.9
+
+    def test_minhash_recall_vs_exact_jaccard(self, spark, docs):
+        """Recall gate: every pair the exact all-pairs shingle-Jaccard
+        finds at >= 0.9 must be recovered by the banded MinHash candidate
+        path (precision is 1.0 by construction — candidates are verified
+        with exact Jaccard)."""
+        from neo4j_spark.ml.dedup import (minhash_dedup_pairs, shingles,
+                                          jaccard)
+
+        grams = docs.select(
+            F.col("doc_id").alias("_id"),
+            F.array_distinct(shingles(F.col("text"), 3)).alias("_g"))
+        a, b = grams.alias("a"), grams.alias("b")
+        exact = {(r["ia"], r["ib"]) for r in
+                 a.join(b, F.col("a._id") < F.col("b._id"))
+                 .select(F.col("a._id").alias("ia"),
+                         F.col("b._id").alias("ib"),
+                         jaccard(F.col("a._g"), F.col("b._g")).alias("j"))
+                 .filter(F.col("j") >= 0.9).collect()}
+        found = {(r["id_a"], r["id_b"]) for r in
+                 minhash_dedup_pairs(docs, threshold=0.9).collect()}
+        assert exact, "fixture should contain near-duplicates"
+        assert len(exact & found) / len(exact) >= 0.9
 
 
 class TestText:
