@@ -353,3 +353,61 @@ def node_similarity(rels: DataFrame, min_similarity: float = 0.0
     if min_similarity > 0.0:
         out = out.filter(F.col("similarity") >= min_similarity)
     return out
+
+
+def all_paths(rels: DataFrame, source_id: int, target_id: int,
+              max_depth: int, directed: bool = True,
+              node_unique: bool = False) -> DataFrame:
+    """All paths between two nodes up to ``max_depth``: the DataFrame
+    rendering of the reference's traversal-based finders
+    (``community/graph-algo/.../path/AllPaths.java:42`` —
+    RELATIONSHIP_PATH uniqueness / trails — and ``AllSimplePaths.java:32``
+    — NODE_PATH uniqueness / simple paths, via ``node_unique=True``).
+
+    Each level is one hash join of the frontier with the edge frame on the
+    path's tail node; the uniqueness predicate is an array membership test
+    on the carried id array, and levels localCheckpoint so analysis cost
+    stays linear in depth.  Output size IS the path count (inherently
+    exponential in dense graphs) — the depth bound is the contract, as in
+    the reference.  Returns (nodeIds: array<long>, relIds: array<long>,
+    length: long)."""
+    spark = rels.sparkSession
+    edges = rels.select(F.col("id").alias("__eid"),
+                        F.col("src").alias("__a"), F.col("dst").alias("__b"))
+    if not directed:
+        edges = edges.unionByName(
+            rels.filter(F.col("src") != F.col("dst"))
+            .select(F.col("id").alias("__eid"), F.col("dst").alias("__a"),
+                    F.col("src").alias("__b")))
+    edges = edges.localCheckpoint(eager=False)
+    frontier = spark.createDataFrame(
+        [([int(source_id)], [], 0)],
+        "nodeIds array<long>, relIds array<long>, length long") \
+        .localCheckpoint(eager=True)
+    results = [frontier.filter(
+        F.lit(int(source_id)) == F.lit(int(target_id)))]
+    for _ in range(max_depth):
+        # stop extending paths that reached the target: a node-unique path
+        # cannot return, and trail continuations through the target are
+        # recorded only when they END there (same rows either way)
+        live = frontier.filter(
+            F.element_at("nodeIds", -1) != F.lit(int(target_id)))
+        step = live.join(
+            edges, F.element_at("nodeIds", -1) == F.col("__a"))
+        if node_unique:
+            step = step.filter(~F.array_contains("nodeIds", F.col("__b")))
+        else:
+            step = step.filter(~F.array_contains("relIds", F.col("__eid")))
+        frontier = step.select(
+            F.array_append("nodeIds", F.col("__b")).alias("nodeIds"),
+            F.array_append("relIds", F.col("__eid")).alias("relIds"),
+            (F.col("length") + 1).alias("length")) \
+            .localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            break
+        results.append(frontier.filter(
+            F.element_at("nodeIds", -1) == F.lit(int(target_id))))
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out

@@ -133,6 +133,32 @@ def algo_node_similarity(spark, graph, args):
     return node_similarity(rels, min_sim)
 
 
+@procedure("algo.allpaths")
+def algo_all_paths(spark, graph, args):
+    """(sourceId, targetId, maxDepth, directed?) -> (nodeIds, relIds,
+    length): all trails between two nodes up to maxDepth
+    (GraphAlgoFactory.allPaths, graph-algo/.../path/AllPaths.java:42 —
+    RELATIONSHIP_PATH uniqueness)."""
+    from ..operators.algorithms import all_paths
+
+    directed = bool(args[3]) if len(args) > 3 else True
+    return all_paths(graph.rels, int(args[0]), int(args[1]),
+                     int(args[2]), directed=directed, node_unique=False)
+
+
+@procedure("algo.allsimplepaths")
+def algo_all_simple_paths(spark, graph, args):
+    """(sourceId, targetId, maxDepth, directed?) -> (nodeIds, relIds,
+    length): all simple (node-unique) paths up to maxDepth
+    (GraphAlgoFactory.allSimplePaths, AllSimplePaths.java:32 — NODE_PATH
+    uniqueness)."""
+    from ..operators.algorithms import all_paths
+
+    directed = bool(args[3]) if len(args) > 3 else True
+    return all_paths(graph.rels, int(args[0]), int(args[1]),
+                     int(args[2]), directed=directed, node_unique=True)
+
+
 # ---- vector index analog (db.index.vector.queryNodes) ---------------------
 
 

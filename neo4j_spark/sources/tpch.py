@@ -135,8 +135,22 @@ def tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
             cols.append(c.alias(alias))
         return df.select(*cols)
 
-    li = lineitem
-    li_key = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    # Relationship identity for lineitem-derived rels: the generator
+    # duplicates (l_orderkey, l_linenumber) pairs (~20% of rows, including
+    # fully-identical rows), so the natural key is NOT unique — colliding
+    # rel ids would make trail/var-length uniqueness filters wrongly
+    # reject paths that traverse two distinct parallel relationships.
+    # A deterministic per-order ordinal (row_number over a total column
+    # order within the order's <= ~20 rows) disambiguates; the window
+    # shuffles on l_orderkey once per scan, the same key the join
+    # pipeline shuffles on anyway.
+    from pyspark.sql import Window as _W
+
+    _ow = _W.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_quantity", "l_shipdate")
+    li = lineitem.withColumn("__ord", F.row_number().over(_ow))
+    li_key = F.col("l_orderkey") * 64 + F.col("__ord")
     rel_frames = {
         "IN_REGION": rel(nation, 11, F.col("n_nationkey"), 2, "n_nationkey", 1,
                          "n_regionkey", "IN_REGION"),
