@@ -37,10 +37,14 @@ INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 # MAP(1) NODE(2) RELATIONSHIP(3) LIST(4) PATH(5) POINT(6) ZONED_DT(7)
 # LOCAL_DT(8) DATE(9) ZONED_TIME(10) LOCAL_TIME(11) DURATION(12)
 # STRING(13) BOOLEAN(14) NUMBER(15) VOID(16)
+RANK_ZONED_DT = 7
+RANK_LOCAL_DT = 8
+RANK_DATE = 9
 RANK_STRING = 13
 RANK_BOOLEAN = 14
 RANK_NUMBER = 15
 RANK_NULL = 16
+TEMPORAL_RANKS = (RANK_ZONED_DT, RANK_LOCAL_DT, RANK_DATE)
 
 ANY_FIELDS = ("__vg", "__vn", "__vs", "__vb", "__vi")
 
@@ -82,6 +86,23 @@ def to_any(c: Column, t: Optional[T.DataType]) -> Column:
     if isinstance(t, T.BooleanType):
         g = F.when(c.isNull(), RANK_NULL).otherwise(RANK_BOOLEAN)
         return _pack(g, nn, ns, c, ni)
+    if isinstance(t, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+        # temporal groups (ZONED_DT < LOCAL_DT < DATE per ValueGroup.java):
+        # epoch micros in __vn order within the group; the ISO text rides
+        # in __vs for toString (never reached by ordering unless the
+        # instants tie, where it agrees)
+        if isinstance(t, T.DateType):
+            rank, txt = RANK_DATE, c.cast("string")
+        else:
+            from ..functions.registry import _datetime_to_string
+
+            rank = (RANK_ZONED_DT if isinstance(t, T.TimestampType)
+                    else RANK_LOCAL_DT)
+            txt = _datetime_to_string(
+                c, with_offset=isinstance(t, T.TimestampType))
+        g = F.when(c.isNull(), RANK_NULL).otherwise(rank)
+        return _pack(g, F.unix_micros(c.cast("timestamp")).cast("double"),
+                     txt, nb, ni)
     from .exprs import CypherTypeError
 
     raise CypherTypeError(
@@ -100,7 +121,8 @@ def any_eq(l: Column, r: Column) -> Column:
     lg, rg = l.getField("__vg"), r.getField("__vg")
     same = (F.when(lg == RANK_STRING, l.getField("__vs") == r.getField("__vs"))
              .when(lg == RANK_BOOLEAN, l.getField("__vb") == r.getField("__vb"))
-             .when(lg == RANK_NUMBER, l.getField("__vn") == r.getField("__vn")))
+             .when(lg.isin(RANK_NUMBER, *TEMPORAL_RANKS),
+                   l.getField("__vn") == r.getField("__vn")))
     return (F.when((lg == RANK_NULL) | (rg == RANK_NULL),
                    F.lit(None).cast("boolean"))
              .when(lg != rg, F.lit(False))
@@ -121,7 +143,7 @@ def any_cmp(l: Column, r: Column, op: str) -> Column:
                    cmp(l.getField("__vs"), r.getField("__vs")))
              .when(lg == RANK_BOOLEAN,
                    cmp(l.getField("__vb"), r.getField("__vb")))
-             .when(lg == RANK_NUMBER,
+             .when(lg.isin(RANK_NUMBER, *TEMPORAL_RANKS),
                    cmp(l.getField("__vn"), r.getField("__vn"))))
     return (F.when((lg == RANK_NULL) | (rg == RANK_NULL)
                    | (lg != rg), F.lit(None).cast("boolean"))
@@ -133,7 +155,8 @@ def any_to_string(c: Column) -> Column:
     point (the __vi payload exists exactly for this)."""
     g = c.getField("__vg")
     return (F.when(g == RANK_NULL, F.lit(None).cast("string"))
-             .when(g == RANK_STRING, c.getField("__vs"))
+             .when(g.isin(RANK_STRING, *TEMPORAL_RANKS),
+                   c.getField("__vs"))
              .when(g == RANK_BOOLEAN,
                    F.when(c.getField("__vb"), "true").otherwise("false"))
              .when(c.getField("__vi").isNotNull(),
@@ -147,6 +170,9 @@ def any_value_type(c: Column) -> Column:
     return (F.when(g == RANK_NULL, F.lit("NULL"))
              .when(g == RANK_STRING, F.lit("STRING NOT NULL"))
              .when(g == RANK_BOOLEAN, F.lit("BOOLEAN NOT NULL"))
+             .when(g == RANK_ZONED_DT, F.lit("ZONED DATETIME NOT NULL"))
+             .when(g == RANK_LOCAL_DT, F.lit("LOCAL DATETIME NOT NULL"))
+             .when(g == RANK_DATE, F.lit("DATE NOT NULL"))
              .when(c.getField("__vi").isNotNull(),
                    F.lit("INTEGER NOT NULL"))
              .otherwise(F.lit("FLOAT NOT NULL")))

@@ -661,29 +661,27 @@ class ExprCompiler:
         classes = set()
         typed = []
         for x in e.items:
-            t = self.static_type(x)
-            typed.append(t)
+            c, t = self.compile_typed(x)
+            typed.append((c, t))
             if t is None or isinstance(t, T.NullType):
                 continue
-            if isinstance(t, (*INT_TYPES, T.FloatType, T.DoubleType)):
+            if isinstance(t, (*INT_TYPES, T.FloatType, T.DoubleType,
+                              T.DecimalType)):
                 classes.add("number")
             elif isinstance(t, T.StringType):
                 classes.add("string")
             elif isinstance(t, T.BooleanType):
                 classes.add("boolean")
+            elif isinstance(t, (T.DateType, T.TimestampType,
+                                T.TimestampNTZType)):
+                classes.add(t.simpleString())
             else:
                 classes.add(t.simpleString())
         if len(classes) > 1:
             from . import anyvalue as AV
 
-            items = []
-            for x, t in zip(e.items, typed):
-                c = self.compile(x)
-                if t is None:
-                    t = self.dtype_of(c)
-                items.append(AV.to_any(c, t))
-            return F.array(*items)
-        return F.array(*[self.compile(x) for x in e.items])
+            return F.array(*[AV.to_any(c, t) for c, t in typed])
+        return F.array(*[c for c, _ in typed])
 
     def _c_MapLit(self, e: A.MapLit) -> Column:
         return F.struct(*[self.compile(v).alias(k) for k, v in e.items])

@@ -159,6 +159,21 @@ def algo_all_simple_paths(spark, graph, args):
                      int(args[2]), directed=directed, node_unique=True)
 
 
+@procedure("algo.exactdepthpaths")
+def algo_exact_depth_paths(spark, graph, args):
+    """(sourceId, targetId, depth, directed?) -> (nodeIds, relIds,
+    length): node-unique paths of EXACTLY the given length
+    (GraphAlgoFactory.pathsWithLength, ExactDepthPathFinder.java:55 with
+    allowLoops=false => NODE_PATH uniqueness)."""
+    from ..operators.algorithms import all_paths
+
+    depth = int(args[2])
+    directed = bool(args[3]) if len(args) > 3 else True
+    out = all_paths(graph.rels, int(args[0]), int(args[1]), depth,
+                    directed=directed, node_unique=True)
+    return out.filter(F.col("length") == depth)
+
+
 # ---- vector index analog (db.index.vector.queryNodes) ---------------------
 
 

@@ -296,3 +296,23 @@ class TestHeterogeneousValues:
                     "RETURN count(CASE WHEN x IS NULL THEN 1 END) AS n",
                     chain_graph)
         assert rows(df) == [(1,)]
+
+    def test_mixed_temporal_orderability(self, spark, chain_graph):
+        # ValueGroup order: temporals before STRING < BOOLEAN < NUMBER;
+        # DATE group sorts internally by instant
+        df = cypher(spark,
+                    "UNWIND [date('2024-01-02'), 'zz', 5, "
+                    "date('2020-06-06'), null] AS x WITH x ORDER BY x "
+                    "RETURN coalesce(toString(x), '<null>') AS s",
+                    chain_graph)
+        assert [r["s"] for r in df.collect()] == \
+            ["2020-06-06", "2024-01-02", "zz", "5", "<null>"]
+
+    def test_mixed_temporal_predicates(self, spark, chain_graph):
+        df = cypher(spark,
+                    "RETURN [date('2024-01-02'), 'a'][0] = "
+                    "date('2024-01-02') AS eq, "
+                    "[date('2024-01-02'), 'a'][0] < date('2025-01-01') "
+                    "AS lt, [date('2024-01-02'), 'a'][0] < 5 AS incmp",
+                    chain_graph)
+        assert rows(df) == [(True, True, None)]
