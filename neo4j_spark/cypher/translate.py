@@ -2419,6 +2419,17 @@ class Translator:
                     ws.cast("long").alias("seconds"),
                     ns.cast("long").alias("nanos"))
             return F.avg(col)
+        if name in ("min", "max", "collect"):
+            # aggregates skip Cypher nulls; a TAGGED null (heterogeneous
+            # encoding rank 16) must be nullified first or collect would
+            # keep it and max would return it (rank 16 sorts largest)
+            t = cc.dtype_of(col)
+            from . import anyvalue as AV
+
+            if AV.is_any_type(t):
+                col = F.when(AV.any_is_null(col),
+                             F.lit(None).cast(t.simpleString())) \
+                       .otherwise(col)
         if name == "min":
             return F.min(col)
         if name == "max":

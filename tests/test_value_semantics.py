@@ -316,3 +316,13 @@ class TestHeterogeneousValues:
                     "AS lt, [date('2024-01-02'), 'a'][0] < 5 AS incmp",
                     chain_graph)
         assert rows(df) == [(True, True, None)]
+
+    def test_mixed_aggregates_skip_nulls(self, spark, chain_graph):
+        # collect/min/max skip Cypher nulls; min/max use the global
+        # orderability comparator (MinMaxFunction.scala:50 uses
+        # AnyValues.COMPARATOR), so min is the string, max the number
+        df = cypher(spark,
+                    "UNWIND [1, 'a', null, true] AS x "
+                    "RETURN size(collect(x)) AS n, toString(min(x)) AS mn, "
+                    "toString(max(x)) AS mx", chain_graph)
+        assert rows(df) == [(3, "a", "1")]
