@@ -69,3 +69,42 @@ class TestCsvImport:
             g = load_graph(spark, out_dir)
             n = cypher(spark, "MATCH (n) RETURN count(*) AS c", g)
             assert n.collect()[0]["c"] == 2
+
+
+def test_bucketed_graph_join_is_shuffle_free(spark, tmp_path):
+    """save_graph_bucketed: an expand join (node.id = rel.src) over
+    tables bucketed on the join key plans a SortMergeJoin with NO shuffle
+    exchange on either side — the 100 TB traversal lever."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from neo4j_spark.graph import PropertyGraph
+    from neo4j_spark.sources.store import (load_graph_bucketed,
+                                           save_graph_bucketed)
+
+    nodes = {"P": spark.range(0, 5000).select(
+        F.col("id"), F.array(F.lit("P")).alias("labels"),
+        (F.col("id") % 7).alias("x"))}
+    rels = {"E": spark.range(0, 15000).select(
+        F.col("id"), (F.col("id") % 5000).alias("src"),
+        ((F.col("id") * 7) % 5000).alias("dst"),
+        F.lit("E").alias("type"))}
+    save_graph_bucketed(PropertyGraph(nodes, rels), "bk_test_db",
+                        n_buckets=8)
+    try:
+        g = load_graph_bucketed(spark, "bk_test_db")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            n, r = g.node_frames["P"], g.rel_frames["E"]
+            j = n.join(r, n["id"] == r["src"])
+            assert j.count() == 15000
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert not re.findall(r"Exchange hashpartitioning", plan), plan
+            assert plan.count("Bucketed: true") == 2
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bk_test_db CASCADE")
