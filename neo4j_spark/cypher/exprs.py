@@ -740,22 +740,43 @@ class ExprCompiler:
             .otherwise(F.slice(subj, lo + 1, length))
 
     def _c_Case(self, e: A.Case) -> Column:
+        # branch result values mixing value classes (CASE ... THEN 1 ELSE
+        # 'a') coerce to the tagged AnyValue encoding — Cypher CASE is
+        # dynamically typed, a Spark CASE has one result type
+        branch_vals = [val for _, val in e.whens]
+        if e.default is not None:
+            branch_vals.append(e.default)
+        vt = []
+        classes = set()
+        for bv in branch_vals:
+            c, t = self.compile_typed(bv)
+            vt.append((c, t))
+            g = self._cmp_group(t)
+            if g is not None:
+                classes.add("number" if g == "number" else
+                            t.simpleString() if g == "temporal-instant"
+                            else g)
+        mixed = len(classes) > 1
+        if mixed:
+            from . import anyvalue as AV
+
+            vt = [(AV.to_any(c, t), None) for c, t in vt]
+        vals = [c for c, _ in vt]
+        default = vals.pop() if e.default is not None else None
         col = None
         if e.operand is not None:
             op = self.compile(e.operand)
-            for cond, val in e.whens:
+            for (cond, _), v in zip(e.whens, vals):
                 c = op == self.compile(cond)
-                v = self.compile(val)
                 col = F.when(c, v) if col is None else col.when(c, v)
         else:
-            for cond, val in e.whens:
+            for (cond, _), v in zip(e.whens, vals):
                 c, t = self.compile_typed(cond)
                 if isinstance(t, T.NullType):
                     c = F.lit(False)  # CASE WHEN null -> no match
-                v = self.compile(val)
                 col = F.when(c, v) if col is None else col.when(c, v)
-        if e.default is not None:
-            col = col.otherwise(self.compile(e.default))
+        if default is not None:
+            col = col.otherwise(default)
         return col
 
     # ---- lambdas (higher-order functions) --------------------------------

@@ -326,3 +326,11 @@ class TestHeterogeneousValues:
                     "RETURN size(collect(x)) AS n, toString(min(x)) AS mn, "
                     "toString(max(x)) AS mx", chain_graph)
         assert rows(df) == [(3, "a", "1")]
+
+    def test_mixed_case_branches(self, spark, chain_graph):
+        # CASE branches across value classes produce tagged values
+        df = cypher(spark,
+                    "UNWIND [1, 2, 3] AS i RETURN toString("
+                    "CASE WHEN i = 1 THEN 1 WHEN i = 2 THEN 'two' "
+                    "ELSE true END) AS s ORDER BY i", chain_graph)
+        assert [r["s"] for r in df.collect()] == ["1", "two", "true"]
