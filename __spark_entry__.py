@@ -538,6 +538,10 @@ CYPHER_QUERIES = {
     "algo_exact_depth_paths":
         "CALL algo.exactDepthPaths(2000000000000, 2000000000005, 4, false) "
         "YIELD length RETURN count(*) AS n",
+    "algo_sssp_correlated":
+        "MATCH (n:Nation) CALL algo.shortestPathLengths(id(n)) "
+        "YIELD node, dist RETURN n.nationkey AS k, count(*) AS reach, "
+        "max(dist) AS md ORDER BY k",
     "algo_sssp_weighted":
         "CALL algo.shortestPathLengths(6000000000001, 'quantity') "
         "YIELD node, dist RETURN count(*) AS n, round(sum(dist), 2) AS s",
@@ -1868,6 +1872,11 @@ def _oracle_sql_raw() -> dict[str, str]:
             "WITH fam_a AS (SELECT count(*) AS c FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey JOIN lineitem l ON l.l_orderkey = o.o_orderkey JOIN supplier s ON s.s_suppkey = l.l_suppkey WHERE c.c_nationkey = 0 AND s.s_nationkey = 5), fam_b AS (SELECT count(*) AS c FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey JOIN supplier s1 ON s1.s_suppkey = l1.l_suppkey JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey WHERE s1.s_nationkey = 0 AND s2.s_nationkey = 5), fam_c AS (SELECT count(*) AS c FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey JOIN orders o ON o.o_orderkey = l.l_orderkey JOIN customer cu ON cu.c_custkey = o.o_custkey WHERE s.s_nationkey = 0 AND cu.c_nationkey = 5) SELECT * FROM (SELECT CAST(2 AS BIGINT) AS length, CAST((SELECT CASE WHEN (SELECT n_regionkey FROM nation WHERE n_nationkey = 0) = (SELECT n_regionkey FROM nation WHERE n_nationkey = 5) THEN 1 ELSE 0 END) AS BIGINT) AS n UNION ALL SELECT CAST(4 AS BIGINT), CAST(fam_a.c + fam_b.c + fam_c.c AS BIGINT) FROM fam_a, fam_b, fam_c) WHERE n > 0 ORDER BY length",
         "algo_exact_depth_paths":
             "WITH fam_a AS (SELECT count(*) AS c FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey JOIN lineitem l ON l.l_orderkey = o.o_orderkey JOIN supplier s ON s.s_suppkey = l.l_suppkey WHERE c.c_nationkey = 0 AND s.s_nationkey = 5), fam_b AS (SELECT count(*) AS c FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey JOIN supplier s1 ON s1.s_suppkey = l1.l_suppkey JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey WHERE s1.s_nationkey = 0 AND s2.s_nationkey = 5), fam_c AS (SELECT count(*) AS c FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey JOIN orders o ON o.o_orderkey = l.l_orderkey JOIN customer cu ON cu.c_custkey = o.o_custkey WHERE s.s_nationkey = 0 AND cu.c_nationkey = 5) SELECT CAST(fam_a.c + fam_b.c + fam_c.c AS BIGINT) AS n FROM fam_a, fam_b, fam_c",
+        "algo_sssp_correlated":
+            # directed reach from a nation: itself (0) + its region (1)
+            "SELECT CAST(n_nationkey AS BIGINT) AS k, "
+            "CAST(2 AS BIGINT) AS reach, CAST(1.0 AS DOUBLE) AS md "
+            "FROM nation ORDER BY k",
         "algo_sssp_weighted":
             "SELECT CAST(count(*) + 1 AS BIGINT) AS n, round(sum(md), 2) AS s "
             "FROM (SELECT l_partkey, min(l_quantity) AS md FROM lineitem "

@@ -2497,6 +2497,43 @@ class Translator:
             dfx = df
             for i, a in enumerate(c.args):
                 dfx = dfx.withColumn(keys[i], cc.compile(a))
+            # set-oriented variant (SET_PROCEDURES): when only the FIRST
+            # argument is correlated, hand the distinct argument frame to
+            # the procedure in one invocation — no per-tuple plan branches,
+            # no driver collect, unbounded distinct cardinality
+            from ..procedures.registry import SET_PROCEDURES
+
+            set_fn = SET_PROCEDURES.get(c.name.lower())
+            if set_fn is not None and all(ok for ok, _ in statics[1:]):
+                args_frame = dfx.select(keys[0]).dropDuplicates()
+                r = set_fn(self.spark, self.graph, args_frame,
+                           [v for _, v in statics[1:]])
+                # join back on the single correlated key (trailing args
+                # are constants — same for every row)
+                result = r
+                keys = keys[:1]
+                yielded = result
+                if c.yields and c.yields != [("*", None)]:
+                    cols = [F.col(n).alias(al or n) for n, al in c.yields]
+                    for n, al in c.yields:
+                        self.kinds[al or n] = "scalar"
+                    yielded = result.select(*cols, *keys)
+                else:
+                    for col_name in result.columns:
+                        if not col_name.startswith("__pa_"):
+                            self.kinds[col_name] = "scalar"
+                renamed = yielded.withColumnsRenamed(
+                    {k: f"__pb_{k}" for k in keys})
+                cond = None
+                for k in keys:
+                    eq = dfx[k].eqNullSafe(renamed[f"__pb_{k}"])
+                    cond = eq if cond is None else cond & eq
+                out = dfx.join(renamed, cond) \
+                    .drop(*[f"__pa_{i}" for i in range(len(c.args))],
+                          *[f"__pb_{k}" for k in keys])
+                if c.where is not None:
+                    out = out.filter(self._compiler(out).compile(c.where))
+                return out
             # bounded by distinct-arg cardinality: each distinct tuple adds
             # a plan branch, so cap it hard — a per-row-distinct argument
             # must use a set-oriented procedure variant, not N plan branches

@@ -116,12 +116,16 @@ def pagerank(nodes: DataFrame, rels: DataFrame, iterations: int = 10,
 
 def sssp(rels: DataFrame, sources: DataFrame,
          weight_col: Optional[str] = None, directed: bool = True,
-         max_iter: int = 30) -> DataFrame:
+         max_iter: int = 30, per_source: bool = False) -> DataFrame:
     """Single/multi-source shortest path lengths (Dijkstra.java parity,
     rendered as delta-iteration Bellman-Ford: only improved nodes join the
     next round's frontier).
 
-    ``sources``: frame with column id.  Returns (id, dist)."""
+    ``sources``: frame with column id.  Returns (id, dist) — the minimum
+    over all sources — or, with ``per_source``, (source, id, dist): ONE
+    relaxation loop over (source x node) keys instead of a per-source
+    driver loop (the set-oriented rendering of a correlated
+    ``CALL algo.shortestPathLengths(n.id)``)."""
     if weight_col:
         edges = rels.select("src", "dst",
                             F.col(weight_col).cast("double").alias("w"))
@@ -136,24 +140,30 @@ def sssp(rels: DataFrame, sources: DataFrame,
         # an edge without the weight property is not traversable (it would
         # otherwise propagate null distances through the relaxation)
         edges = edges.filter(F.col("w").isNotNull())
-    dist = sources.select("id", F.lit(0.0).alias("dist")) \
-                  .localCheckpoint(eager=True)
+    keys = ["source", "id"] if per_source else ["id"]
+    if per_source:
+        seed = sources.select(F.col("id").alias("source"),
+                              F.col("id"), F.lit(0.0).alias("dist"))
+    else:
+        seed = sources.select("id", F.lit(0.0).alias("dist"))
+    dist = seed.localCheckpoint(eager=True)
     frontier = dist
     for _ in range(max_iter):
         cand = (frontier.join(edges, frontier["id"] == edges["src"])
-                .select(F.col("dst").alias("id"),
+                .select(*[F.col(k) for k in keys if k != "id"],
+                        F.col("dst").alias("id"),
                         (F.col("dist") + F.col("w")).alias("dist"))
-                .groupBy("id").agg(F.min("dist").alias("dist")))
+                .groupBy(*keys).agg(F.min("dist").alias("dist")))
         improved = (cand.alias("c")
-                    .join(dist.alias("d"), "id", "left")
+                    .join(dist.alias("d"), keys, "left")
                     .filter(F.col("d.dist").isNull()
                             | (F.col("c.dist") < F.col("d.dist")))
-                    .select("id", F.col("c.dist").alias("dist"))
+                    .select(*keys, F.col("c.dist").alias("dist"))
                     .localCheckpoint(eager=True))
         if improved.isEmpty():
             break
         dist = (dist.unionByName(improved)
-                .groupBy("id").agg(F.min("dist").alias("dist"))
+                .groupBy(*keys).agg(F.min("dist").alias("dist"))
                 .localCheckpoint(eager=True))
         frontier = improved
     return dist

@@ -18,10 +18,25 @@ from ..graph import PropertyGraph
 
 PROCEDURES: Dict[str, Callable[..., DataFrame]] = {}
 
+# set-oriented variants for correlated CALL proc(expr): instead of one
+# plan branch per distinct argument tuple, the translator hands the whole
+# distinct first-argument frame to the variant in ONE invocation
+# (fn(spark, graph, args_frame, const_args) -> DataFrame that includes the
+# frame's argument column for the join-back)
+SET_PROCEDURES: Dict[str, Callable[..., DataFrame]] = {}
+
 
 def procedure(name: str):
     def deco(fn):
         PROCEDURES[name] = fn
+        return fn
+
+    return deco
+
+
+def set_procedure(name: str):
+    def deco(fn):
+        SET_PROCEDURES[name] = fn
         return fn
 
     return deco
@@ -99,6 +114,24 @@ def algo_sssp(spark, graph, args):
     rels = graph.rels
     return sssp(rels, sources, weight, directed).select(
         F.col("id").alias("node"), F.col("dist"))
+
+
+@set_procedure("algo.shortestpathlengths")
+def algo_sssp_set(spark, graph, args_frame, const_args):
+    """Set-oriented correlated variant: args_frame has one column (the
+    source node ids); ONE per-source relaxation loop over (source x node)
+    keys replaces N driver-planned branches."""
+    from ..operators.algorithms import sssp
+
+    weight = (str(const_args[0])
+              if const_args and const_args[0] is not None else None)
+    directed = bool(const_args[1]) if len(const_args) > 1 else True
+    arg_col = args_frame.columns[0]
+    sources = args_frame.select(
+        F.col(arg_col).cast("long").alias("id")).dropDuplicates()
+    out = sssp(graph.rels, sources, weight, directed, per_source=True)
+    return out.select(F.col("source").alias(arg_col),
+                      F.col("id").alias("node"), F.col("dist"))
 
 
 @procedure("algo.degreecentrality")
