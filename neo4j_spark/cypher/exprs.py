@@ -615,6 +615,35 @@ class ExprCompiler:
         not_null = name.endswith(" NOT NULL")
         if not_null:
             name = name[: -len(" NOT NULL")]
+        from . import anyvalue as AV
+
+        if AV.is_any_type(t):
+            # tagged values carry their type at runtime — IS :: checks the
+            # rank (with INTEGER/FLOAT split on the integer payload)
+            g = c.getField("__vg")
+            rank_checks = {
+                "STRING": g == AV.RANK_STRING,
+                "VARCHAR": g == AV.RANK_STRING,
+                "BOOLEAN": g == AV.RANK_BOOLEAN,
+                "BOOL": g == AV.RANK_BOOLEAN,
+                "INTEGER": (g == AV.RANK_NUMBER)
+                & c.getField("__vi").isNotNull(),
+                "INT": (g == AV.RANK_NUMBER)
+                & c.getField("__vi").isNotNull(),
+                "FLOAT": (g == AV.RANK_NUMBER)
+                & c.getField("__vi").isNull(),
+                "DATE": g == AV.RANK_DATE,
+                "DATETIME": g == AV.RANK_ZONED_DT,
+                "ZONED DATETIME": g == AV.RANK_ZONED_DT,
+                "LOCAL DATETIME": g == AV.RANK_LOCAL_DT,
+                "ANY": F.lit(True),
+                "PROPERTY VALUE": F.lit(True),
+            }
+            is_n = AV.any_is_null(c) | c.isNull()
+            ok_dyn = rank_checks.get(name, F.lit(False))
+            null_ok = not not_null and name != "NOTHING"
+            res = F.when(is_n, F.lit(null_ok)).otherwise(ok_dyn)
+            return ~res if e.negated else res
         ok = _type_conforms(t, name)
         null_ok = not not_null and name != "NOTHING"
         res = F.when(c.isNull(), F.lit(null_ok)).otherwise(F.lit(ok))

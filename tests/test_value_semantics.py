@@ -334,3 +334,15 @@ class TestHeterogeneousValues:
                     "CASE WHEN i = 1 THEN 1 WHEN i = 2 THEN 'two' "
                     "ELSE true END) AS s ORDER BY i", chain_graph)
         assert [r["s"] for r in df.collect()] == ["1", "two", "true"]
+
+    def test_mixed_is_typed(self, spark, chain_graph):
+        # IS :: over tagged values checks the runtime rank; null conforms
+        # to any nullable type (GQL), so each count includes the null row
+        df = cypher(spark,
+                    "UNWIND [1, 1.5, 'a', true, null] AS x "
+                    "RETURN count(CASE WHEN x IS :: INTEGER THEN 1 END) "
+                    "AS i, count(CASE WHEN x IS :: FLOAT THEN 1 END) AS f, "
+                    "count(CASE WHEN x IS :: STRING NOT NULL THEN 1 END) "
+                    "AS s, count(CASE WHEN x IS :: BOOLEAN THEN 1 END) AS b",
+                    chain_graph)
+        assert rows(df) == [(2, 2, 1, 2)]
