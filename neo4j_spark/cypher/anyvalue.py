@@ -18,11 +18,11 @@ then exactly one payload field is non-null within a group.  SQL-null cells
 encode as rank 16 (VOID sorts last), so ``asc_nulls_last`` and the encoding
 agree.
 
-Scope: the scalar storable groups (STRING < BOOLEAN < NUMBER < VOID, ranks
-13/14/15/16).  Containers, temporals, points, and graph entities keep their
-native homogeneous Spark types; mixing THOSE classes in one value raises a
-clear error (the reference's full AnyValue tree is wider than any fixed
-struct can be).
+Scope: the scalar storable groups — temporal instants (7/8/9), DURATION
+(12), STRING (13), BOOLEAN (14), NUMBER (15), VOID (16).  Containers,
+points, and graph entities keep their native homogeneous Spark types;
+mixing THOSE classes in one value raises a clear error (the reference's
+full AnyValue tree is wider than any fixed struct can be).
 """
 
 from __future__ import annotations
@@ -40,6 +40,7 @@ INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 RANK_ZONED_DT = 7
 RANK_LOCAL_DT = 8
 RANK_DATE = 9
+RANK_DURATION = 12
 RANK_STRING = 13
 RANK_BOOLEAN = 14
 RANK_NUMBER = 15
@@ -86,6 +87,20 @@ def to_any(c: Column, t: Optional[T.DataType]) -> Column:
     if isinstance(t, T.BooleanType):
         g = F.when(c.isNull(), RANK_NULL).otherwise(RANK_BOOLEAN)
         return _pack(g, nn, ns, c, ni)
+    from .exprs import _is_duration
+
+    if isinstance(t, T.StructType) and _is_duration(t):
+        # DurationValue.COMPARATOR: average length in seconds, then nanos,
+        # then months/days/seconds.  __vn carries avgSeconds + nanos/1e9
+        # (the first two keys); the ISO text in __vs both formats toString
+        # and breaks the remaining (rare) ties deterministically.
+        from ..functions.registry import _duration_to_string
+
+        avg = (c.getField("months") * F.lit(2_629_746)
+               + c.getField("days") * F.lit(86_400)
+               + c.getField("seconds")).cast("double")             + c.getField("nanos").cast("double") / F.lit(1e9)
+        g = F.when(c.isNull(), RANK_NULL).otherwise(RANK_DURATION)
+        return _pack(g, avg, _duration_to_string(c), nb, ni)
     if isinstance(t, (T.DateType, T.TimestampType, T.TimestampNTZType)):
         # temporal groups (ZONED_DT < LOCAL_DT < DATE per ValueGroup.java):
         # epoch micros in __vn order within the group; the ISO text rides
@@ -119,7 +134,8 @@ def any_eq(l: Column, r: Column) -> Column:
     null operand -> null; cross-class -> false; within class -> payload
     equality (integer 1 = float 1.0 via the double payload)."""
     lg, rg = l.getField("__vg"), r.getField("__vg")
-    same = (F.when(lg == RANK_STRING, l.getField("__vs") == r.getField("__vs"))
+    same = (F.when(lg.isin(RANK_STRING, RANK_DURATION),
+                   l.getField("__vs") == r.getField("__vs"))
              .when(lg == RANK_BOOLEAN, l.getField("__vb") == r.getField("__vb"))
              .when(lg.isin(RANK_NUMBER, *TEMPORAL_RANKS),
                    l.getField("__vn") == r.getField("__vn")))
@@ -146,7 +162,8 @@ def any_cmp(l: Column, r: Column, op: str) -> Column:
              .when(lg.isin(RANK_NUMBER, *TEMPORAL_RANKS),
                    cmp(l.getField("__vn"), r.getField("__vn"))))
     return (F.when((lg == RANK_NULL) | (rg == RANK_NULL)
-                   | (lg != rg), F.lit(None).cast("boolean"))
+                   | (lg != rg) | (lg == RANK_DURATION),
+                   F.lit(None).cast("boolean"))
              .otherwise(same))
 
 
@@ -155,7 +172,7 @@ def any_to_string(c: Column) -> Column:
     point (the __vi payload exists exactly for this)."""
     g = c.getField("__vg")
     return (F.when(g == RANK_NULL, F.lit(None).cast("string"))
-             .when(g.isin(RANK_STRING, *TEMPORAL_RANKS),
+             .when(g.isin(RANK_STRING, RANK_DURATION, *TEMPORAL_RANKS),
                    c.getField("__vs"))
              .when(g == RANK_BOOLEAN,
                    F.when(c.getField("__vb"), "true").otherwise("false"))
@@ -173,6 +190,7 @@ def any_value_type(c: Column) -> Column:
              .when(g == RANK_ZONED_DT, F.lit("ZONED DATETIME NOT NULL"))
              .when(g == RANK_LOCAL_DT, F.lit("LOCAL DATETIME NOT NULL"))
              .when(g == RANK_DATE, F.lit("DATE NOT NULL"))
+             .when(g == RANK_DURATION, F.lit("DURATION NOT NULL"))
              .when(c.getField("__vi").isNotNull(),
                    F.lit("INTEGER NOT NULL"))
              .otherwise(F.lit("FLOAT NOT NULL")))

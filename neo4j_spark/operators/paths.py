@@ -777,8 +777,10 @@ def nfa_shortest(tr, df: Optional[DataFrame], part: A.PatternPart,
         if nxt.isEmpty():
             break
         results.append(record(nxt, depth))
+        # lazy checkpoint: lineage still truncates, but the union computes
+        # inside the NEXT level's job instead of as its own action
         visited = visited.unionByName(
-            nxt.select("__s", "__n", "__st")).localCheckpoint(eager=True)
+            nxt.select("__s", "__n", "__st")).localCheckpoint(eager=False)
         frontier = nxt
 
     res = results[0]

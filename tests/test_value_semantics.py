@@ -346,3 +346,20 @@ class TestHeterogeneousValues:
                     "AS s, count(CASE WHEN x IS :: BOOLEAN THEN 1 END) AS b",
                     chain_graph)
         assert rows(df) == [(2, 2, 1, 2)]
+
+    def test_mixed_duration_orderability(self, spark, chain_graph):
+        # DURATION(12) sorts after instants, before STRING; within the
+        # group by average length (DurationValue.COMPARATOR); duration
+        # predicates stay null (isIncomparableType) while equality uses
+        # normalized components
+        df = cypher(spark,
+                    "UNWIND [duration('PT2H'), 'a', duration('PT1H'), 5, "
+                    "date('2024-01-01')] AS x WITH x ORDER BY x "
+                    "RETURN toString(x) AS s", chain_graph)
+        assert [r["s"] for r in df.collect()] == \
+            ["2024-01-01", "PT1H", "PT2H", "a", "5"]
+        df = cypher(spark,
+                    "RETURN [duration('PT1H'), 1][0] = duration('PT60M') "
+                    "AS eq, [duration('PT1H'), 1][0] < duration('PT2H') "
+                    "AS cm", chain_graph)
+        assert rows(df) == [(True, None)]
