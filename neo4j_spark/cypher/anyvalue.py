@@ -18,8 +18,8 @@ then exactly one payload field is non-null within a group.  SQL-null cells
 encode as rank 16 (VOID sorts last), so ``asc_nulls_last`` and the encoding
 agree.
 
-Scope: the scalar storable groups — temporal instants (7/8/9), DURATION
-(12), STRING (13), BOOLEAN (14), NUMBER (15), VOID (16).  Containers,
+Scope: the scalar storable groups — temporal instants (7/8/9), times
+(10/11), DURATION (12), STRING (13), BOOLEAN (14), NUMBER (15), VOID (16).  Containers,
 points, and graph entities keep their native homogeneous Spark types;
 mixing THOSE classes in one value raises a clear error (the reference's
 full AnyValue tree is wider than any fixed struct can be).
@@ -40,12 +40,15 @@ INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 RANK_ZONED_DT = 7
 RANK_LOCAL_DT = 8
 RANK_DATE = 9
+RANK_ZONED_TIME = 10
+RANK_LOCAL_TIME = 11
 RANK_DURATION = 12
 RANK_STRING = 13
 RANK_BOOLEAN = 14
 RANK_NUMBER = 15
 RANK_NULL = 16
-TEMPORAL_RANKS = (RANK_ZONED_DT, RANK_LOCAL_DT, RANK_DATE)
+TEMPORAL_RANKS = (RANK_ZONED_DT, RANK_LOCAL_DT, RANK_DATE,
+                  RANK_ZONED_TIME, RANK_LOCAL_TIME)
 
 ANY_FIELDS = ("__vg", "__vn", "__vs", "__vb", "__vi")
 
@@ -89,6 +92,32 @@ def to_any(c: Column, t: Optional[T.DataType]) -> Column:
         return _pack(g, nn, ns, c, ni)
     from .exprs import _is_duration
 
+    if isinstance(t, T.StructType) \
+            and {"hour", "minute", "second"} <= set(t.fieldNames()):
+        # TimeValue / LocalTimeValue components struct: zoned-ness is a
+        # runtime property (offset '' = local); zoned times order by the
+        # UTC-adjusted instant, local times by time-of-day
+        h, m = c.getField("hour"), c.getField("minute")
+        sec, ns = c.getField("second"), c.getField("nanosecond")
+        off = (c.getField("offset") if "offset" in t.fieldNames()
+               else F.lit(""))
+        off = F.coalesce(off, F.lit(""))
+        zoned = off != ""
+        off_sec = (F.when(off.isin("", "Z"), F.lit(0)).otherwise(
+            F.when(F.substring(off, 1, 1) == "-", -1).otherwise(1)
+            * (F.substring(off, 2, 2).cast("int") * 3600
+               + F.substring(off, 5, 2).cast("int") * 60)))
+        day_sec = (h * 3600 + m * 60 + sec).cast("double") \
+            + ns.cast("double") / F.lit(1e9)
+        frac = F.when(ns == 0, F.lit("")).otherwise(F.concat(
+            F.lit("."), F.regexp_replace(
+                F.format_string("%09d", ns), "(000)+$", "")))
+        txt = F.concat(F.format_string("%02d:%02d:%02d", h, m, sec),
+                       frac, off)
+        g = (F.when(c.isNull(), RANK_NULL)
+              .when(zoned, RANK_ZONED_TIME).otherwise(RANK_LOCAL_TIME))
+        return _pack(g, F.when(zoned, day_sec - off_sec.cast("double"))
+                     .otherwise(day_sec), txt, nb, ni)
     if isinstance(t, T.StructType) and _is_duration(t):
         # DurationValue.COMPARATOR: average length in seconds, then nanos,
         # then months/days/seconds.  __vn carries avgSeconds + nanos/1e9
@@ -190,6 +219,8 @@ def any_value_type(c: Column) -> Column:
              .when(g == RANK_ZONED_DT, F.lit("ZONED DATETIME NOT NULL"))
              .when(g == RANK_LOCAL_DT, F.lit("LOCAL DATETIME NOT NULL"))
              .when(g == RANK_DATE, F.lit("DATE NOT NULL"))
+             .when(g == RANK_ZONED_TIME, F.lit("ZONED TIME NOT NULL"))
+             .when(g == RANK_LOCAL_TIME, F.lit("LOCAL TIME NOT NULL"))
              .when(g == RANK_DURATION, F.lit("DURATION NOT NULL"))
              .when(c.getField("__vi").isNotNull(),
                    F.lit("INTEGER NOT NULL"))

@@ -363,3 +363,17 @@ class TestHeterogeneousValues:
                     "AS eq, [duration('PT1H'), 1][0] < duration('PT2H') "
                     "AS cm", chain_graph)
         assert rows(df) == [(True, None)]
+
+    def test_mixed_time_orderability(self, spark, chain_graph):
+        # ZONED_TIME(10) < LOCAL_TIME(11) < DURATION(12) < STRING < NUMBER
+        df = cypher(spark,
+                    "UNWIND [localtime('10:30:05'), 'a', time('09:00:00Z'), "
+                    "5, duration('PT1H'), localtime('08:00:00')] AS x "
+                    "WITH x ORDER BY x RETURN toString(x) AS s", chain_graph)
+        assert [r["s"] for r in df.collect()] == \
+            ["09:00:00Z", "08:00:00", "10:30:05", "PT1H", "a", "5"]
+        df = cypher(spark,
+                    "RETURN valueType([time('10:30:05Z'), 1][0]) AS v, "
+                    "[localtime('10:00:00'), 1][0] < localtime('11:00:00') "
+                    "AS lt", chain_graph)
+        assert rows(df) == [("ZONED TIME NOT NULL", True)]
