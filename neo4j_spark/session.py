@@ -23,6 +23,11 @@ def get_spark(app: str = "neo4j_spark", cpus: int | None = None) -> SparkSession
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # low-cardinality join keys (e.g. 25-value nationkey) skew at
+        # scale: let AQE split oversized post-shuffle partitions instead
+        # of requiring manual salting on every such join
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "3")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # driver testdata stores events.ts as TIMESTAMP(NANOS): read as long
