@@ -196,10 +196,13 @@ CYPHER_QUERIES = {
     # pattern with an UNBOUNDED quantifier — product-graph BFS, no
     # enumeration cap
     "sel_shortest_qpp_multi":
-        "MATCH ANY SHORTEST (a:Customer WHERE a.custkey <= 20)"
-        "((x)-[:FROM_NATION|IN_REGION]->(y))+"
-        "(r:Region)<-[:IN_REGION]-(b:Nation) "
-        "RETURN a.custkey AS ck, b.nationkey AS nk ORDER BY ck, nk",
+        # transition type sets pairwise disjoint + directed => the NFA
+        # product BFS is exactly uniqueness-correct (_nfa_eligible guard)
+        "MATCH ANY SHORTEST (a:Customer WHERE a.custkey <= 10)"
+        "((x)-[:PLACED|CONTAINS]->(y) "
+        "WHERE y.orderkey IS NOT NULL OR y.partkey IS NOT NULL)+"
+        "(o:Order)-[:SUPPLIED_BY]->(b:Supplier) "
+        "RETURN a.custkey AS ck, b.suppkey AS sk ORDER BY ck, sk",
     "sel_all_shortest_unbounded":
         "MATCH ALL SHORTEST (a:Customer WHERE a.custkey <= 5)"
         "((x)-[:PLACED|CONTAINS]->(y))+(b:Part) "
@@ -1461,13 +1464,13 @@ def _oracle_sql_raw() -> dict[str, str]:
             "least(count(*), 2) AS n FROM lineitem "
             "WHERE l_orderkey <= 100 GROUP BY 1, 2",
         "sel_shortest_qpp_multi":
-            # shortest = customer -> nation -> region (2 hops), then one
-            # IN_REGION back-edge to every nation of that region
-            "SELECT c.c_custkey AS ck, CAST(n2.n_nationkey AS BIGINT) AS nk "
-            "FROM customer c "
-            "JOIN nation n1 ON c.c_nationkey = n1.n_nationkey "
-            "JOIN nation n2 ON n2.n_regionkey = n1.n_regionkey "
-            "WHERE c.c_custkey <= 20 ORDER BY ck, nk",
+            # QPP exits at Order after exactly one repetition (parts are
+            # sinks for PLACED|CONTAINS), so ANY SHORTEST = one row per
+            # distinct (customer, supplying supplier) pair at length 2
+            "SELECT DISTINCT o.o_custkey AS ck, "
+            "CAST(l.l_suppkey AS BIGINT) AS sk "
+            "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "WHERE o.o_custkey <= 10 ORDER BY ck, sk",
         "sel_all_shortest_unbounded":
             # every customer->order->part walk has length 2 = the minimum,
             # so ALL SHORTEST multiplicity = the orders x lineitem join

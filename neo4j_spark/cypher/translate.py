@@ -901,20 +901,37 @@ class Translator:
         if not (sel in ("shortest", "allShortest")
                 or (sel in ("shortestGroups", "shortestK") and k == 1)):
             return False
+        # The BFS carries no per-path relationship sets, so it is exact
+        # ONLY when edge reuse is structurally impossible: every
+        # relationship directed, every QPP at most one mandatory copy
+        # (min <= 1), and the TYPE sets of all transitions pairwise
+        # disjoint — then an edge belongs to exactly one transition whose
+        # source product-state the visited set admits once.  Anything else
+        # keeps the enumerating Trail path (exact per-path uniqueness).
         has_unbounded = False
+        type_sets: List[frozenset] = []
+
+        def admit_rel(rp) -> bool:
+            if rp.direction == "both" or rp.neg_types or not rp.types:
+                return False
+            type_sets.append(frozenset(rp.types))
+            return True
+
         for i, el in enumerate(pre):
             if isinstance(el, A.QPP):
                 if el.max_reps is None:
                     has_unbounded = True
-                # group variables must be pattern-internal only
+                if el.min_reps > 1 or el.where is not None:
+                    return False
                 for iel in el.elements:
                     v = getattr(iel, "var", None)
                     if v and not self._var_single_use(v):
                         return False
-                if el.where is not None:
-                    return False
+                    if isinstance(iel, A.RelPat):
+                        if iel.var_length or not admit_rel(iel):
+                            return False
             elif isinstance(el, A.RelPat):
-                if el.var_length:
+                if el.var_length or not admit_rel(el):
                     return False
                 if el.var and not self._var_single_use(el.var):
                     return False
@@ -923,7 +940,14 @@ class Translator:
                 if 0 < i < len(pre) - 1 and el.var \
                         and not self._var_single_use(el.var):
                     return False
-        return has_unbounded
+        if not has_unbounded:
+            return False
+        if len(type_sets) > 1:
+            for a in range(len(type_sets)):
+                for b in range(a + 1, len(type_sets)):
+                    if type_sets[a] & type_sets[b]:
+                        return False
+        return True
 
     def _apply_path_selector(self, df: DataFrame, part: A.PatternPart,
                              path_nodes: List[str],

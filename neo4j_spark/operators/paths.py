@@ -676,12 +676,13 @@ def nfa_shortest(tr, df: Optional[DataFrame], part: A.PatternPart,
     — so each level is one join per transition, partitioned on the node
     id.
 
-    Documented divergence: walks in the product graph may in principle
-    revisit a relationship across different NFA states (the enumerating
-    Trail path enforces per-path relationship uniqueness exactly); for
-    SHORTEST semantics this matters only when every shortest trail is
-    strictly longer than the shortest walk — a predicate-forced detour
-    corner we accept in exchange for the unbounded-quantifier reach."""
+    Relationship uniqueness holds EXACTLY under the eligibility guard
+    (translate._nfa_eligible): with every transition directed, type sets
+    pairwise disjoint, and no mandatory QPP unrolls, an edge belongs to
+    exactly one transition and that transition's source product-state is
+    admitted once per start by the visited set — so no walk the BFS
+    counts can traverse a relationship twice.  Patterns outside the guard
+    use the enumerating Trail path instead."""
     els = list(part.elements)
     a_pat, b_pat = els[0], els[-1]
     df, avar = tr._bind_first_node(df, a_pat, pending)
@@ -720,9 +721,13 @@ def nfa_shortest(tr, df: Optional[DataFrame], part: A.PatternPart,
         return (out.groupBy("__s", "__n", "__st")
                 .agg(F.sum("__c").alias("__c")))
 
-    # pin transition edge frames once — every level joins them
+    # pin transition edge frames and state qualifying sets once — every
+    # level joins them
     for t in nfa.trans:
         t["edges"] = t["edges"].localCheckpoint(eager=False)
+    for st, ss in list(nfa.state_sets.items()):
+        if ss is not None:
+            nfa.state_sets[st] = ss.localCheckpoint(eager=False)
 
     # inline start-node predicates ((a:X {p: v} WHERE ...)) seed the BFS
     # with the filtered set — they are ALSO applied to the rowstream via
@@ -745,6 +750,8 @@ def nfa_shortest(tr, df: Optional[DataFrame], part: A.PatternPart,
         .localCheckpoint(eager=True)
 
     end_set = _nfa_node_set(tr, b_pat)
+    if end_set is not None:
+        end_set = end_set.localCheckpoint(eager=False)
 
     def record(rows: DataFrame, depth: int) -> DataFrame:
         hit = rows.filter(F.col("__st") == nfa.final)

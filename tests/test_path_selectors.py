@@ -138,7 +138,11 @@ class TestNFAStatefulShortest:
                      "RETURN count(*) AS n", diamond_graph)
         assert out.collect()[0]["n"] == 3
 
-    def test_multi_element_tail(self, spark, tpch_graph):
+    def test_multi_element_tail_uniqueness(self, spark, tpch_graph):
+        # the tail reuses IN_REGION, so the type-overlap guard routes this
+        # to the enumerating Trail path, which enforces per-path rel
+        # uniqueness exactly: the supplier's own nation is NOT reachable
+        # (its IN_REGION edge is already on the path) => 4 of 5 nations
         from neo4j_spark.api import cypher
 
         out = cypher(spark,
@@ -146,7 +150,23 @@ class TestNFAStatefulShortest:
                      "((x)-[:FROM_NATION|IN_REGION]->(y))+"
                      "(r:Region)<-[:IN_REGION]-(b:Nation) "
                      "RETURN count(*) AS n", tpch_graph)
-        assert out.collect()[0]["n"] == 5
+        assert out.collect()[0]["n"] == 4
+
+    def test_multi_element_tail_disjoint_types(self, spark, tpch_graph):
+        # disjoint transition types: NFA path, exact uniqueness by
+        # construction
+        from neo4j_spark.api import cypher
+
+        out = cypher(spark,
+                     "MATCH ANY SHORTEST (a:Customer WHERE a.custkey = 1)"
+                     "((x)-[:PLACED|CONTAINS]->(y))+"
+                     "(o:Order)-[:SUPPLIED_BY]->(b:Supplier) "
+                     "RETURN count(*) AS n", tpch_graph)
+        exact = cypher(spark,
+                       "MATCH (a:Customer {custkey: 1})-[:PLACED]->(o:Order)"
+                       "-[:SUPPLIED_BY]->(b:Supplier) "
+                       "RETURN count(DISTINCT b) AS n", tpch_graph)
+        assert out.collect()[0]["n"] == exact.collect()[0]["n"] > 0
 
     def test_zero_reps_star(self, spark, chain_graph):
         from neo4j_spark.api import cypher
