@@ -923,6 +923,12 @@ class Translator:
                     has_unbounded = True
                 if el.min_reps > 1 or el.where is not None:
                     return False
+                if el.min_reps == 0 and sel in ("allShortest",
+                                                "shortestGroups"):
+                    # the {0,} epsilon skip forms an eps cycle with the
+                    # loop-back edge; walk-count multiplicities would
+                    # inflate through it — ANY/1-row selectors are immune
+                    return False
                 for iel in el.elements:
                     v = getattr(iel, "var", None)
                     if v and not self._var_single_use(v):
