@@ -195,6 +195,9 @@ CYPHER_QUERIES = {
     # NFA StatefulShortestPath (LP:2290, NFA.scala:37): multi-element
     # pattern with an UNBOUNDED quantifier — product-graph BFS, no
     # enumeration cap
+    "call_scope_clause":
+        "MATCH (n:Nation) CALL (n) { MATCH (n)-[:IN_REGION]->(r) "
+        "RETURN r.name AS rn } RETURN rn, count(*) AS c ORDER BY rn",
     "sel_shortest_qpp_multi":
         # transition type sets pairwise disjoint + directed => the NFA
         # product BFS is exactly uniqueness-correct (_nfa_eligible guard)
@@ -1463,6 +1466,10 @@ def _oracle_sql_raw() -> dict[str, str]:
             "SELECT l_orderkey AS ok, l_partkey AS pk, "
             "least(count(*), 2) AS n FROM lineitem "
             "WHERE l_orderkey <= 100 GROUP BY 1, 2",
+        "call_scope_clause":
+            "SELECT r_name AS rn, count(*) AS c FROM nation "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY rn ORDER BY rn",
         "sel_shortest_qpp_multi":
             # QPP exits at Order after exactly one repetition (parts are
             # sinks for PLACED|CONTAINS), so ANY SHORTEST = one row per

@@ -289,6 +289,27 @@ class Parser:
         return A.Match(parts, optional=optional, where=where)
 
     def parse_call(self) -> A.Clause:
+        # GQL variable-scope clause (Neo4j 5.23+ Clause.scala
+        # SubqueryCall.InTransactionsParameters / scope syntax):
+        # CALL (a, b) { ... } imports exactly a, b; CALL (*) imports the
+        # whole scope; CALL () imports nothing.
+        scope_imports: Optional[List[str]] = None
+        if self.at_op("("):
+            self.take()
+            scope_imports = []
+            if self.at_op("*"):
+                self.take()
+                scope_imports = ["*"]
+            elif not self.at_op(")"):
+                while True:
+                    scope_imports.append(self.expect_ident())
+                    if self.at_op(","):
+                        self.take()
+                        continue
+                    break
+            self.expect_op(")")
+            if not self.at_op("{"):
+                raise ParseError("expected { after CALL scope clause")
         if self.at_op("{"):
             self.take()
 
@@ -339,7 +360,8 @@ class Parser:
                     branches.append(self.parse_single_query())
                 sub = A.UnionQuery(branches, all=bool(is_all))
             self.expect_op("}")
-            call = A.CallSub(sub, imports)
+            call = A.CallSub(sub, scope_imports if scope_imports is not None
+                             else imports)
             if self.at_kw("IN"):
                 self.take()
                 call.in_transactions = True

@@ -2006,6 +2006,13 @@ class Translator:
         join back on them — Apply decorrelated to a join (SURVEY §2.5).
         A UNION body runs each branch over the same import rows and unions
         the results (distinct unless UNION ALL) before the join-back."""
+        if clause.imports == ["*"] and df is not None:
+            # CALL (*) { ... }: import the entire variable scope
+            import dataclasses
+
+            clause = dataclasses.replace(
+                clause,
+                imports=[c for c in df.columns if not c.startswith("__")])
         branches = (clause.query.queries
                     if isinstance(clause.query, A.UnionQuery)
                     else [clause.query])

@@ -201,3 +201,20 @@ def test_qpp_nested_mixed_unit(spark, chain_graph):
                  "MATCH (s:A)((a)-[:R*1..2]->(b)-[:R]->(c)){1,1}(e) "
                  "RETURN e.x AS x", chain_graph)
     assert rows(out) == [(3,)]
+
+
+def test_call_scope_clause_forms(spark, chain_graph):
+    # GQL variable-scope clause: CALL (n) imports n; CALL (*) the whole
+    # scope; CALL () nothing (uncorrelated body)
+    out = cypher(spark,
+                 "MATCH (a:A) CALL (a) { MATCH (a)-[:R]->(b) "
+                 "RETURN b.x AS bx } RETURN a.x AS ax, bx", chain_graph)
+    assert rows(out) == [(1, 2)]
+    out = cypher(spark,
+                 "MATCH (a:A) CALL (*) { MATCH (a)-[:R]->(b) "
+                 "RETURN b.x AS bx } RETURN bx", chain_graph)
+    assert rows(out) == [(2,)]
+    out = cypher(spark,
+                 "MATCH (a:A) CALL () { MATCH (n) RETURN count(*) AS k } "
+                 "RETURN a.x AS ax, k", chain_graph)
+    assert rows(out) == [(1, 3)]
