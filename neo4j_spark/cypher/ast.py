@@ -287,6 +287,15 @@ class Clause:
 
 
 @dataclass
+class Use(Clause):
+    """USE [GRAPH] <ref> (useClause in CypherParser.g4): graph selection
+    for composite DBMSs.  This engine hosts ONE graph per session, so USE
+    is accepted for surface compatibility and recorded as metadata."""
+
+    graph: str
+
+
+@dataclass
 class Finish(Clause):
     """FINISH — complete with no result rows (Clause.scala Finish)."""
 

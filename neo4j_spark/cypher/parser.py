@@ -24,7 +24,7 @@ class ParseError(ValueError):
 CLAUSE_STARTS = {
     "MATCH", "OPTIONAL", "UNWIND", "WITH", "RETURN", "CALL", "CREATE",
     "MERGE", "SET", "REMOVE", "DELETE", "DETACH", "UNION", "LOAD", "FOREACH",
-    "INSERT", "FINISH",
+    "INSERT", "FINISH", "USE",
 }
 
 DOTTED_FN_NS = {
@@ -177,6 +177,15 @@ class Parser:
         if self.at_kw("FINISH"):
             self.take()
             return A.Finish()
+        if self.at_kw("USE"):
+            self.take()
+            if self.at_kw("GRAPH"):
+                self.take()
+            parts = [self.expect_ident()]
+            while self.at_op("."):
+                self.take()
+                parts.append(self.expect_ident())
+            return A.Use(".".join(parts))
         if self.at_kw("MERGE"):
             self.take()
             part = self.parse_pattern_part()

@@ -388,6 +388,11 @@ class Translator:
     # -------------------------------------------------------------- clauses
 
     def _apply(self, df: Optional[DataFrame], clause: A.Clause) -> DataFrame:
+        if isinstance(clause, A.Use):
+            # USE <graph> (useClause): one graph per session here — accept
+            # the clause, record the selection, pass rows through
+            self.selected_graph = clause.graph
+            return df
         if isinstance(clause, A.Finish):
             # FINISH (Clause.scala): effects (if any) happen, no rows out
             base = df if df is not None else self.spark.range(1)

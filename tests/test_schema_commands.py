@@ -128,3 +128,15 @@ class TestFinishInsertTerminate:
                        tpch_graph).collect()
         assert rows_[0].transactionId == "tx-9"
         assert "not found" in rows_[0].message.lower()
+
+
+def test_use_clause_accepted(spark, tpch_graph):
+    from neo4j_spark.api import cypher
+
+    out = cypher(spark, "USE neo4j MATCH (r:Region) RETURN count(*) AS c",
+                 tpch_graph)
+    assert out.collect()[0]["c"] == 5
+    out = cypher(spark,
+                 "USE GRAPH db.shard MATCH (r:Region) RETURN count(*) AS c",
+                 tpch_graph)
+    assert out.collect()[0]["c"] == 5
