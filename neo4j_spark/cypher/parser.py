@@ -1373,8 +1373,9 @@ class Parser:
             if self.at_kw("NOT"):
                 self.take()
                 neg = True
-            if self.at_op("::"):
+            if self.at_op(":"):  # '::' arrives as two ':' tokens
                 self.take()
+                self.expect_op(":")
                 return A.IsTyped(operand, self._parse_type_name(), neg), True
             if self.at_kw("TYPED"):
                 self.take()

@@ -377,3 +377,10 @@ class TestHeterogeneousValues:
                     "[localtime('10:00:00'), 1][0] < localtime('11:00:00') "
                     "AS lt", chain_graph)
         assert rows(df) == [("ZONED TIME NOT NULL", True)]
+
+    def test_extended_case_is_typed_on_mixed(self, spark, chain_graph):
+        df = cypher(spark,
+                    "UNWIND [1, 'a'] AS x RETURN CASE x "
+                    "WHEN IS :: INTEGER THEN 'int' ELSE 'other' END AS s "
+                    "ORDER BY x", chain_graph)
+        assert rows(df) == [("other",), ("int",)]
