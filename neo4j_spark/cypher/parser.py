@@ -942,6 +942,16 @@ class Parser:
                     else:
                         self.take()
                     e = A.IsTyped(e, self._parse_type_name(), negated)
+                elif self.at_kw("NORMALIZED", "NFC", "NFD", "NFKC", "NFKD"):
+                    # x IS [NOT] [form] NORMALIZED (extendedWhen WhenForm):
+                    # true iff x equals its form-normalization
+                    form = "NFC"
+                    if not self.at_kw("NORMALIZED"):
+                        form = self.take().value.upper()
+                    self.expect_kw("NORMALIZED")
+                    eq = A.BinOp("=", e, A.Func(
+                        "normalize", [e, A.Var(form)]))
+                    e = A.UnaryOp("NOT", eq) if negated else eq
                 else:
                     self.expect_kw("NULL")
                     e = A.IsNull(e, negated)
@@ -1377,6 +1387,14 @@ class Parser:
                 self.take()
                 self.expect_op(":")
                 return A.IsTyped(operand, self._parse_type_name(), neg), True
+            if self.at_kw("NORMALIZED", "NFC", "NFD", "NFKC", "NFKD"):
+                form = "NFC"
+                if not self.at_kw("NORMALIZED"):
+                    form = self.take().value.upper()
+                self.expect_kw("NORMALIZED")
+                eq = A.BinOp("=", operand,
+                             A.Func("normalize", [operand, A.Var(form)]))
+                return (A.UnaryOp("NOT", eq) if neg else eq), True
             if self.at_kw("TYPED"):
                 self.take()
                 return A.IsTyped(operand, self._parse_type_name(), neg), True

@@ -384,3 +384,12 @@ class TestHeterogeneousValues:
                     "WHEN IS :: INTEGER THEN 'int' ELSE 'other' END AS s "
                     "ORDER BY x", chain_graph)
         assert rows(df) == [("other",), ("int",)]
+
+    def test_is_normalized_predicate(self, spark, chain_graph):
+        df = cypher(spark,
+                    "RETURN 'abc' IS NORMALIZED AS a, "
+                    "'abc' IS NFKD NORMALIZED AS b, "
+                    "null IS NORMALIZED AS d, "
+                    "CASE 'abc' WHEN IS NORMALIZED THEN 1 ELSE 0 END AS e",
+                    chain_graph)
+        assert rows(df) == [(True, True, None, 1)]
