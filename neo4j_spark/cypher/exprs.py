@@ -636,6 +636,10 @@ class ExprCompiler:
                 "DATETIME": g == AV.RANK_ZONED_DT,
                 "ZONED DATETIME": g == AV.RANK_ZONED_DT,
                 "LOCAL DATETIME": g == AV.RANK_LOCAL_DT,
+                "DURATION": g == AV.RANK_DURATION,
+                "TIME": g == AV.RANK_ZONED_TIME,
+                "ZONED TIME": g == AV.RANK_ZONED_TIME,
+                "LOCAL TIME": g == AV.RANK_LOCAL_TIME,
                 "ANY": F.lit(True),
                 "PROPERTY VALUE": F.lit(True),
             }

@@ -537,7 +537,8 @@ def _nfa_node_set(tr, np: A.NodePat):
     pattern is unconstrained (no scan needed)."""
     if (not np.labels and not np.neg_labels and np.props is None
             and np.where is None and not np.req_any_label
-            and not np.req_no_label):
+            and not np.req_no_label
+            and getattr(np, "label_tree", None) is None):
         return None
     var = np.var or "__nf"
     scan = tr._node_scan(np, var)
@@ -633,12 +634,24 @@ def nfa_compile(tr, els: List) -> _NFA:
             entry = cur
             for _ in range(max(min_r - 1, 0)):
                 cur = one_iteration(cur, list(el.elements))
-            it_entry = cur
+            # the looping iteration gets a FRESH entry state (eps from the
+            # pre-QPP state) so its first-inner-node constraint does not
+            # leak onto paths that take zero repetitions, and a FRESH
+            # unconstrained exit state so the last-inner-node constraint
+            # does not filter the zero-repetition bypass (the eps skip
+            # previously pointed entry->exit, wrongly applying inner
+            # predicates to the zero-rep match)
+            it_entry = nfa.new_state()
+            nfa.state_sets[it_entry] = None
+            nfa.eps.append((cur, it_entry))
             exit_s = one_iteration(it_entry, list(el.elements))
             nfa.eps.append((exit_s, it_entry))
+            qexit = nfa.new_state()
+            nfa.state_sets[qexit] = None
+            nfa.eps.append((exit_s, qexit))
             if min_r == 0:
-                nfa.eps.append((entry, exit_s))
-            cur = exit_s
+                nfa.eps.append((entry, qexit))
+            cur = qexit
             i += 1
             # the NodePat following the QPP constrains the exit state
             if i < len(els) and isinstance(els[i], A.NodePat) \
@@ -813,7 +826,14 @@ def nfa_shortest(tr, df: Optional[DataFrame], part: A.PatternPart,
         out = out.filter(
             F.col(bvar).getField("_id") == F.col("__e")).drop("__e", "__len")
     else:
-        end_scan = tr._node_scan(A.NodePat(bvar, labels=b_pat.labels), bvar)
+        import dataclasses
+
+        # build the end scan from the FULL node pattern (any_labels,
+        # neg_labels, label_tree survive) — props/where re-applied on the
+        # rowstream via _queue_node_filters below
+        end_scan = tr._node_scan(
+            dataclasses.replace(b_pat, var=bvar, props=None, where=None),
+            bvar)
         out = out.join(
             end_scan,
             F.col("__e") == F.col(bvar).getField("_id")).drop("__e", "__len")

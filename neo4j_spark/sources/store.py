@@ -187,10 +187,12 @@ def save_graph_bucketed(graph: PropertyGraph, database: str,
     spark = next(iter(graph.node_frames.values())).sparkSession \
         if graph.node_frames else next(iter(graph.rel_frames.values())).sparkSession
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    meta: List[Tuple[str, str, str]] = []  # (table, kind, original name)
     for label, df in graph.node_frames.items():
         (df.write.mode("overwrite")
          .bucketBy(n_buckets, "id").sortBy("id")
          .saveAsTable(f"{database}.nodes_{label.lower()}"))
+        meta.append((f"nodes_{label.lower()}", "label", label))
     for rtype, df in graph.rel_frames.items():
         (df.write.mode("overwrite")
          .bucketBy(n_buckets, "src").sortBy("src")
@@ -198,6 +200,11 @@ def save_graph_bucketed(graph: PropertyGraph, database: str,
         (df.write.mode("overwrite")
          .bucketBy(n_buckets, "dst").sortBy("dst")
          .saveAsTable(f"{database}.rels_{rtype.lower()}_in"))
+        meta.append((f"rels_{rtype.lower()}_out", "type", rtype))
+    # original label/type names: table names are lowercased, so CamelCase
+    # labels (OrderItem) cannot be derived back — persist the mapping
+    (spark.createDataFrame(meta, "table string, kind string, name string")
+     .write.mode("overwrite").saveAsTable(f"{database}.graph_meta"))
 
 
 def load_graph_bucketed(spark: SparkSession, database: str) -> PropertyGraph:
@@ -206,12 +213,16 @@ def load_graph_bucketed(spark: SparkSession, database: str) -> PropertyGraph:
     ``bucketed_rel_table``)."""
     nodes: Dict[str, DataFrame] = {}
     rels: Dict[str, DataFrame] = {}
+    names: Dict[str, str] = {}
+    if spark.catalog.tableExists(f"{database}.graph_meta"):
+        names = {r["table"]: r["name"]
+                 for r in spark.table(f"{database}.graph_meta").collect()}
     for row in spark.sql(f"SHOW TABLES IN {database}").collect():
         t = row["tableName"]
         if t.startswith("nodes_"):
-            label = t[len("nodes_"):].capitalize()
+            label = names.get(t, t[len("nodes_"):].capitalize())
             nodes[label] = spark.table(f"{database}.{t}")
         elif t.startswith("rels_") and t.endswith("_out"):
-            rtype = t[len("rels_"):-len("_out")].upper()
+            rtype = names.get(t, t[len("rels_"):-len("_out")].upper())
             rels[rtype] = spark.table(f"{database}.{t}")
     return PropertyGraph(nodes, rels)

@@ -201,3 +201,72 @@ def test_shortest_path_expr_unbound_endpoints(spark, tpch_graph):
                  "(n)-[:IN_REGION*..2]->(r:Region))) AS l ORDER BY k",
                  tpch_graph).collect()
     assert [(r["k"], r["l"]) for r in out] == [(0, 1), (1, 1), (2, 1)]
+
+
+class TestNFALabelExpressions:
+    """Round-3 regressions: label expressions on NFA end/inner nodes and
+    zero-repetition semantics with inner predicates (ADVICE r2)."""
+
+    import pytest as _pytest
+
+    @_pytest.fixture(scope="class")
+    def abcd_chain(self, spark):
+        """(:A)-[:R]->(:B)-[:R]->(:C)-[:R]->(:D), x = 1..4."""
+        from neo4j_spark.graph import PropertyGraph
+
+        nodes = {
+            l: spark.createDataFrame(
+                [(i, [l], i)], "id long, labels array<string>, x long")
+            for i, l in enumerate("ABCD", start=1)
+        }
+        rels = {"R": spark.createDataFrame(
+            [(10, 1, 2, "R"), (11, 2, 3, "R"), (12, 3, 4, "R")],
+            "id long, src long, dst long, type string")}
+        return PropertyGraph(nodes, rels)
+
+    def test_disjunctive_end_label(self, spark, abcd_chain):
+        # end scan must keep any_labels (b:B|C intersected to zero rows
+        # before the r2 fix)
+        out = _count(spark, abcd_chain,
+                     "MATCH ANY SHORTEST (a:A)((x)-[:R]->(y))+(b:B|C) "
+                     "RETURN b.x AS bx ORDER BY bx")
+        assert [r["bx"] for r in out] == [2, 3]
+
+    def test_label_tree_end(self, spark, abcd_chain):
+        out = _count(spark, abcd_chain,
+                     "MATCH ANY SHORTEST (a:A)((x)-[:R]->(y))+(b:!(A|B)) "
+                     "RETURN b.x AS bx ORDER BY bx")
+        assert [r["bx"] for r in out] == [3, 4]
+
+    def test_label_tree_inner(self, spark, abcd_chain):
+        # y:!(A|B) blocks the first hop (dst is :B) => no rows; the
+        # pre-fix NFA ignored the tree and returned every node
+        out = _count(spark, abcd_chain,
+                     "MATCH ANY SHORTEST (a:A)((x)-[:R]->(y:!(A|B)))+(b) "
+                     "RETURN b.x AS bx")
+        assert out == []
+        out2 = _count(spark, abcd_chain,
+                      "MATCH ANY SHORTEST (a:A)((x)-[:R]->(y:!A))+(b) "
+                      "RETURN b.x AS bx ORDER BY bx")
+        assert [r["bx"] for r in out2] == [2, 3, 4]
+
+    def test_zero_rep_skips_inner_predicate(self, spark, abcd_chain):
+        # ((x)-[:R]->(y:C))*: hop 1 lands on :B (blocked), so ONLY the
+        # zero-repetition row (b = a) survives — the eps bypass must not
+        # filter it by the inner y:C state set
+        out = _count(spark, abcd_chain,
+                     "MATCH ANY SHORTEST (a:A)((x)-[:R]->(y:C))*(b) "
+                     "RETURN b.x AS bx")
+        assert [r["bx"] for r in out] == [1]
+
+
+def test_is_typed_tagged_temporal_ranks(spark, chain_graph):
+    # IS :: on tagged values: DURATION / ZONED TIME / LOCAL TIME ranks
+    # (ADVICE r2 — the rank table previously omitted them)
+    out = _count(spark, chain_graph, """
+        RETURN [duration('PT1H'), 1][0] IS :: DURATION AS d,
+               [time('12:00:00+01:00'), 1][0] IS :: ZONED TIME AS zt,
+               [localtime('12:00:00'), 1][0] IS :: LOCAL TIME AS lt,
+               [duration('PT1H'), 1][1] IS :: DURATION AS notd
+    """)
+    assert tuple(out[0]) == (True, True, True, False)

@@ -108,3 +108,27 @@ def test_bucketed_graph_join_is_shuffle_free(spark, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     finally:
         spark.sql("DROP DATABASE IF EXISTS bk_test_db CASCADE")
+
+
+def test_bucketed_graph_camelcase_roundtrip(spark):
+    """CamelCase labels / mixed-case rel types survive the bucketed store
+    round-trip via the graph_meta table (table names are lowercased)."""
+    from pyspark.sql import functions as F
+
+    from neo4j_spark.graph import PropertyGraph
+    from neo4j_spark.sources.store import (load_graph_bucketed,
+                                           save_graph_bucketed)
+
+    nodes = {"OrderItem": spark.range(0, 10).select(
+        F.col("id"), F.array(F.lit("OrderItem")).alias("labels"))}
+    rels = {"HasPart": spark.range(0, 5).select(
+        F.col("id"), F.col("id").alias("src"),
+        ((F.col("id") + 1) % 10).alias("dst"),
+        F.lit("HasPart").alias("type"))}
+    save_graph_bucketed(PropertyGraph(nodes, rels), "bk_cc_db", n_buckets=4)
+    try:
+        g = load_graph_bucketed(spark, "bk_cc_db")
+        assert set(g.node_frames) == {"OrderItem"}
+        assert set(g.rel_frames) == {"HasPart"}
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bk_cc_db CASCADE")
