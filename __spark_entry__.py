@@ -210,6 +210,25 @@ CYPHER_QUERIES = {
         "MATCH ALL SHORTEST (a:Customer WHERE a.custkey <= 5)"
         "((x)-[:PLACED|CONTAINS]->(y))+(b:Part) "
         "RETURN count(*) AS n",
+    # path-propagating NFA (nfa_shortest_tracked, PGPathPropagatingBFS
+    # design): nodes(p) / group variables through an UNBOUNDED SHORTEST
+    "sel_shortest_path_nodes":
+        "MATCH p = ANY SHORTEST (a:Supplier WHERE a.suppkey <= 100)"
+        "((x)-[:FROM_NATION|IN_REGION]->(y))+(b:Region) "
+        "RETURN a.suppkey AS sk, [n IN nodes(p) | n.name] AS names, "
+        "length(p) AS len ORDER BY sk",
+    "sel_shortest_group_vars":
+        "MATCH ANY SHORTEST (a:Supplier WHERE a.suppkey <= 100)"
+        "((x)-[:FROM_NATION|IN_REGION]->(y))+(b:Region) "
+        "RETURN a.suppkey AS sk, size(y) AS hops, b.name AS region "
+        "ORDER BY sk",
+    # SHORTEST 2 over an unbounded quantifier: exact dynamic Trail
+    # unroll (per supplier: the 1-hop trail to its nation and the 2-hop
+    # trail on to its region)
+    "sel_shortest_k_unbounded":
+        "MATCH p = SHORTEST 2 (a:Supplier WHERE a.suppkey <= 50)"
+        "((x)-[:FROM_NATION|IN_REGION]->(y))+(b) "
+        "RETURN a.suppkey AS sk, length(p) AS len ORDER BY sk, len",
     # --- expressions / functions (§2.8) ---
     "projection_functions":
         "MATCH (c:Customer) RETURN c.custkey AS custkey, "
@@ -1470,6 +1489,22 @@ def _oracle_sql_raw() -> dict[str, str]:
             "SELECT r_name AS rn, count(*) AS c FROM nation "
             "JOIN region ON n_regionkey = r_regionkey "
             "GROUP BY rn ORDER BY rn",
+        "sel_shortest_path_nodes":
+            "SELECT s_suppkey AS sk, [s_name, n_name, r_name] AS names, "
+            "CAST(2 AS BIGINT) AS len FROM supplier "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE s_suppkey <= 100 ORDER BY sk",
+        "sel_shortest_group_vars":
+            "SELECT s_suppkey AS sk, CAST(2 AS INTEGER) AS hops, "
+            "r_name AS region FROM supplier "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE s_suppkey <= 100 ORDER BY sk",
+        "sel_shortest_k_unbounded":
+            "SELECT s_suppkey AS sk, CAST(v AS BIGINT) AS len "
+            "FROM supplier, (SELECT unnest([1, 2]) AS v) "
+            "WHERE s_suppkey <= 50 ORDER BY sk, len",
         "sel_shortest_qpp_multi":
             # QPP exits at Order after exactly one repetition (parts are
             # sinks for PLACED|CONTAINS), so ANY SHORTEST = one row per

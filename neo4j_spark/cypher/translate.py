@@ -677,12 +677,15 @@ class Translator:
 
                 return shortest_path(self, df, part2, pending)
             # complex pattern (QPP / fixed chain): enumerate + rank below
-        if self._nfa_eligible(part, pre):
-            from ..operators.paths import nfa_shortest
+        nfa_mode = self._nfa_eligible(part, pre)
+        if nfa_mode:
+            from ..operators.paths import nfa_shortest, nfa_shortest_tracked
 
             import dataclasses
 
             part2 = dataclasses.replace(part, elements=pre)
+            if nfa_mode == "track":
+                return nfa_shortest_tracked(self, df, part2, pending)
             return nfa_shortest(self, df, part2, pending)
         needs_enum = sel is not None
         pend_start = len(pending)
@@ -893,28 +896,44 @@ class Translator:
             df = self._build_path(df, part.path_var, path_nodes, path_rels)
         return df
 
-    def _nfa_eligible(self, part: A.PatternPart, pre: list) -> bool:
-        """Route a SHORTEST-family selector to the NFA product-graph BFS
+    def _nfa_eligible(self, part: A.PatternPart, pre: list
+                      ) -> Optional[str]:
+        """Route a SHORTEST-family selector to an NFA product-graph BFS
         (StatefulShortestPath LP:2290) when the pattern has an UNBOUNDED
-        quantifier — the enumerating Trail path must truncate there, the
-        NFA's (node, state) visited set terminates exactly.  Bounded
-        patterns and queries that read group variables / the path keep the
-        fully-uniqueness-exact enumeration path."""
+        quantifier — the enumerating Trail path must truncate (now:
+        raise) there, the NFA's (node, state) visited set terminates
+        exactly.  Returns the variant to run, or None for the Trail path:
+
+        - ``"count"``: length-only BFS (operators/paths.nfa_shortest) —
+          no path/group variables are consumed, frontier rows carry no
+          arrays.
+        - ``"track"``: path-propagating BFS (nfa_shortest_tracked) —
+          the statement reads the path variable or QPP group variables,
+          so frontier rows carry path state (PGPathPropagatingBFS).
+
+        Both variants share one structural exactness guard: every
+        relationship directed, every QPP at most one mandatory copy
+        (min <= 1), and the TYPE sets of all transitions pairwise
+        disjoint — then NO walk can repeat a relationship (an edge
+        belongs to exactly one transition whose source product-state the
+        visited set admits once), so walks are trails and the visited-set
+        pruning is exact.  Anything else keeps the enumerating Trail path
+        (exact per-path uniqueness, dynamic unroll)."""
         sel, k = part.selector, part.selector_k or 1
-        if part.path_var is not None:
-            return False
         if not (sel in ("shortest", "allShortest")
                 or (sel in ("shortestGroups", "shortestK") and k == 1)):
-            return False
-        # The BFS carries no per-path relationship sets, so it is exact
-        # ONLY when edge reuse is structurally impossible: every
-        # relationship directed, every QPP at most one mandatory copy
-        # (min <= 1), and the TYPE sets of all transitions pairwise
-        # disjoint — then an edge belongs to exactly one transition whose
-        # source product-state the visited set admits once.  Anything else
-        # keeps the enumerating Trail path (exact per-path uniqueness).
+            return None
         has_unbounded = False
+        needs_track = False
         type_sets: List[frozenset] = []
+
+        if part.path_var is not None:
+            from ..operators.paths import _length_only_use
+
+            if not _length_only_use(
+                    getattr(self, "query_ast", None) or part,
+                    part.path_var):
+                needs_track = True
 
         def admit_rel(rp) -> bool:
             if rp.direction == "both" or rp.neg_types or not rp.types:
@@ -927,38 +946,40 @@ class Translator:
                 if el.max_reps is None:
                     has_unbounded = True
                 if el.min_reps > 1 or el.where is not None:
-                    return False
-                if el.min_reps == 0 and sel in ("allShortest",
-                                                "shortestGroups"):
-                    # the {0,} epsilon skip forms an eps cycle with the
-                    # loop-back edge; walk-count multiplicities would
-                    # inflate through it — ANY/1-row selectors are immune
-                    return False
+                    return None
                 for iel in el.elements:
                     v = getattr(iel, "var", None)
                     if v and not self._var_single_use(v):
-                        return False
+                        needs_track = True
                     if isinstance(iel, A.RelPat):
                         if iel.var_length or not admit_rel(iel):
-                            return False
+                            return None
+                if el.min_reps == 0 and sel in ("allShortest",
+                                                "shortestGroups") \
+                        and not needs_track:
+                    # the {0,} epsilon skip + loop-back edge inflate the
+                    # COUNTING variant's walk multiplicities; the tracked
+                    # variant dedups real paths, so route there
+                    needs_track = True
             elif isinstance(el, A.RelPat):
                 if el.var_length or not admit_rel(el):
-                    return False
+                    return None
                 if el.var and not self._var_single_use(el.var):
-                    return False
+                    # top-level scalar rel binding: Trail enumerates
+                    return None
             elif isinstance(el, A.NodePat):
-                # intermediate nodes must not leak bindings
+                # intermediate scalar node bindings: Trail enumerates
                 if 0 < i < len(pre) - 1 and el.var \
                         and not self._var_single_use(el.var):
-                    return False
+                    return None
         if not has_unbounded:
-            return False
+            return None
         if len(type_sets) > 1:
             for a in range(len(type_sets)):
                 for b in range(a + 1, len(type_sets)):
                     if type_sets[a] & type_sets[b]:
-                        return False
-        return True
+                        return None
+        return "track" if needs_track else "count"
 
     def _apply_path_selector(self, df: DataFrame, part: A.PatternPart,
                              path_nodes: List[str],
@@ -1084,10 +1105,22 @@ class Translator:
         inner pattern, unioned; named inner variables become list columns
         (Trail's group variables), relationship uniqueness holds *within*
         the trail (pairwise-distinct ids) and *across* the MATCH via
-        rel_bindings.  Returns (df, end_node_var, group_rel_vars)."""
+        rel_bindings.  Returns (df, end_node_var, group_rel_vars).
+
+        Unbounded quantifiers (``+``/``*``/``{m,}``) unroll INCREMENTALLY
+        with a dynamic stop: each level is pinned and the loop ends when a
+        level is empty — trail uniqueness makes that exact (a length-k+1
+        trail contains a length-k prefix trail, so an empty level k proves
+        every deeper level empty).  If the frontier is still alive at the
+        ``neo4j_spark.qpp.maxUnroll`` cap, raise instead of silently
+        truncating (the round-2 behavior capped at 8 repetitions and
+        returned wrong answers on graphs with longer reach)."""
+        from ..operators.paths import _pin
+
         min_r = qpp.min_reps
-        max_r = (qpp.max_reps if qpp.max_reps is not None
-                 else min(self.max_var_length, 8))
+        unbounded = qpp.max_reps is None
+        max_r = (int(self.spark.conf.get("neo4j_spark.qpp.maxUnroll", "32"))
+                 if unbounded else qpp.max_reps)
         inner = qpp.elements
         node_group = [el.var for el in inner
                       if isinstance(el, A.NodePat) and el.var]
@@ -1098,109 +1131,108 @@ class Translator:
         end_name = next_np.var or self._anon_var("qe")
         end_bound = end_name in df.columns
 
-        branches: List[DataFrame] = []
         keep = (list(df.columns) + node_group + rel_group
                 + ([] if end_bound else [end_name]))
-        for k in range(max(min_r, 1), max_r + 1):
-            sub = df
-            end = prev
-            copies_n: Dict[str, List[Column]] = {v: [] for v in node_group}
-            copies_r: Dict[str, List[Column]] = {v: [] for v in rel_group}
-            all_rel_cols: List[str] = []
-            for _ in range(k):
-                first: A.NodePat = inner[0]
-                sub = self._filter_node_bound(sub, first, end)
-                if first.var:
-                    copies_n[first.var].append(F.col(end))
-                j = 1
-                while j < len(inner):
-                    rp: A.RelPat = inner[j]
-                    np: A.NodePat = inner[j + 1]
-                    if isinstance(rp, A.QPP):
-                        raise TranslateError(
-                            "nested QPP inside a QPP is unsupported")
-                    if rp.var_length:
-                        # var-length rel inside the repeated unit
-                        # (TrailPipe.scala:65 accepts an arbitrary RHS
-                        # subplan): run the frontier loop per copy; the
-                        # rel-list column joins uniqueness bookkeeping
-                        if rp.var:
-                            raise TranslateError(
-                                "a named var-length relationship inside a "
-                                "QPP is unsupported (its group variable "
-                                "would be a list of lists)")
-                        from ..operators.paths import var_expand
+        uniq = "__qpp_uids"
+        copies_n: Dict[str, List[Column]] = {v: [] for v in node_group}
+        copies_r: Dict[str, List[Column]] = {v: [] for v in rel_group}
 
-                        rv = self._anon_var("qr")
-                        nv = self._anon_var("qn")
-                        sub = var_expand(
-                            self, sub, end, rp, A.NodePat(None), rv, nv,
-                            slim=False, start_labels=None)
-                        sub = self._filter_node_bound(sub, np, nv)
-                        if np.var:
-                            copies_n[np.var].append(F.col(nv))
-                        all_rel_cols.append((rv, "rellist"))
-                        end = nv
-                        j += 2
-                        continue
-                    rv = self._anon_var("qr")
-                    scan = self._rel_scan(rp, rv)
-                    sub = sub.join(
-                        scan, F.col(end).getField("_id") == F.col("__from"))
-                    if rp.props is not None:
-                        cc = self._compiler(sub)
-                        for pk, pv in rp.props.items:
-                            sub = sub.filter(
-                                F.col(rv).getField(pk) == cc.compile(pv))
-                    nv = self._anon_var("qn")
-                    nscan = self._node_scan(np, nv)
-                    sub = sub.join(
-                        nscan, F.col("__to") == F.col(nv).getField("_id")
-                    ).drop("__from", "__to")
-                    sub = self._filter_node_bound(
-                        sub, A.NodePat(np.var, [], False, np.props, np.where),
-                        nv)
+        def extend(sub: DataFrame, end: str) -> Tuple[DataFrame, str]:
+            """Chain ONE more copy of the inner pattern onto ``sub``;
+            appends this copy's bindings to copies_n/copies_r and keeps
+            the accumulated rel-id column ``uniq`` trail-unique."""
+            first: A.NodePat = inner[0]
+            sub = self._filter_node_bound(sub, first, end)
+            if first.var:
+                copies_n[first.var].append(F.col(end))
+            j = 1
+            while j < len(inner):
+                rp: A.RelPat = inner[j]
+                np: A.NodePat = inner[j + 1]
+                if isinstance(rp, A.QPP):
+                    raise TranslateError(
+                        "nested QPP inside a QPP is unsupported")
+                if rp.var_length:
+                    # var-length rel inside the repeated unit
+                    # (TrailPipe.scala:65 accepts an arbitrary RHS
+                    # subplan): run the frontier loop per copy; the
+                    # rel-list column joins uniqueness bookkeeping
                     if rp.var:
-                        copies_r[rp.var].append(F.col(rv))
+                        raise TranslateError(
+                            "a named var-length relationship inside a "
+                            "QPP is unsupported (its group variable "
+                            "would be a list of lists)")
+                    from ..operators.paths import var_expand
+
+                    rv = self._anon_var("qr")
+                    nv = self._anon_var("qn")
+                    sub = var_expand(
+                        self, sub, end, rp, A.NodePat(None), rv, nv,
+                        slim=False, start_labels=None)
+                    sub = self._filter_node_bound(sub, np, nv)
                     if np.var:
                         copies_n[np.var].append(F.col(nv))
-                    all_rel_cols.append((rv, "rel"))
+                    ids = F.transform(F.col(rv), lambda x: x.getField("_id"))
+                    sub = sub.filter(
+                        F.size(F.array_intersect(F.col(uniq), ids)) == 0)
+                    sub = sub.withColumn(uniq, F.concat(F.col(uniq), ids))
                     end = nv
                     j += 2
-                if qpp.where is not None:
-                    # per-repetition WHERE: bind this copy's inner vars
-                    # under their user names, filter, unbind
-                    bound = []
-                    old_kinds = {}
-                    for v in node_group:
-                        if copies_n[v]:
-                            sub = sub.withColumn(v, copies_n[v][-1])
-                            bound.append(v)
-                            old_kinds[v] = self.kinds.get(v)
-                            self.kinds[v] = "node"
-                            self.var_labels.pop(v, None)
-                    for v in rel_group:
-                        if copies_r[v]:
-                            sub = sub.withColumn(v, copies_r[v][-1])
-                            bound.append(v)
-                            old_kinds[v] = self.kinds.get(v)
-                            self.kinds[v] = "rel"
-                    sub = sub.filter(
-                        self._compiler(sub).compile(qpp.where)).drop(*bound)
-                    for v, k_old in old_kinds.items():
-                        if k_old is None:
-                            self.kinds.pop(v, None)
-                        else:
-                            self.kinds[v] = k_old
-            if len(all_rel_cols) > 1:
-                parts_ids = [
-                    (F.array(F.col(rv).getField("_id")) if kd == "rel"
-                     else F.transform(F.col(rv),
-                                      lambda x: x.getField("_id")))
-                    for rv, kd in all_rel_cols]
-                ids = F.concat(*parts_ids)
+                    continue
+                rv = self._anon_var("qr")
+                scan = self._rel_scan(rp, rv)
+                sub = sub.join(
+                    scan, F.col(end).getField("_id") == F.col("__from"))
+                if rp.props is not None:
+                    cc = self._compiler(sub)
+                    for pk, pv in rp.props.items:
+                        sub = sub.filter(
+                            F.col(rv).getField(pk) == cc.compile(pv))
+                nv = self._anon_var("qn")
+                nscan = self._node_scan(np, nv)
+                sub = sub.join(
+                    nscan, F.col("__to") == F.col(nv).getField("_id")
+                ).drop("__from", "__to")
+                sub = self._filter_node_bound(
+                    sub, A.NodePat(np.var, [], False, np.props, np.where),
+                    nv)
+                if rp.var:
+                    copies_r[rp.var].append(F.col(rv))
+                if np.var:
+                    copies_n[np.var].append(F.col(nv))
+                rid = F.col(rv).getField("_id")
+                sub = sub.filter(~F.array_contains(F.col(uniq), rid))
+                sub = sub.withColumn(uniq, F.array_append(F.col(uniq), rid))
+                end = nv
+                j += 2
+            if qpp.where is not None:
+                # per-repetition WHERE: bind this copy's inner vars
+                # under their user names, filter, unbind
+                bound = []
+                old_kinds = {}
+                for v in node_group:
+                    if copies_n[v]:
+                        sub = sub.withColumn(v, copies_n[v][-1])
+                        bound.append(v)
+                        old_kinds[v] = self.kinds.get(v)
+                        self.kinds[v] = "node"
+                        self.var_labels.pop(v, None)
+                for v in rel_group:
+                    if copies_r[v]:
+                        sub = sub.withColumn(v, copies_r[v][-1])
+                        bound.append(v)
+                        old_kinds[v] = self.kinds.get(v)
+                        self.kinds[v] = "rel"
                 sub = sub.filter(
-                    F.size(F.array_distinct(ids)) == F.size(ids))
+                    self._compiler(sub).compile(qpp.where)).drop(*bound)
+                for v, k_old in old_kinds.items():
+                    if k_old is None:
+                        self.kinds.pop(v, None)
+                    else:
+                        self.kinds[v] = k_old
+            return sub, end
+
+        def finalize(sub: DataFrame, end: str) -> DataFrame:
             if end_bound:
                 sub = sub.filter(F.col(end).getField("_id")
                                  == F.col(end_name).getField("_id"))
@@ -1217,7 +1249,27 @@ class Translator:
                     for c in copies_n[v]]))
             for v in rel_group:
                 sub = sub.withColumn(v, F.array(*copies_r[v]))
-            branches.append(sub.select(*keep))
+            return sub.select(*keep)
+
+        branches: List[DataFrame] = []
+        sub = df.withColumn(uniq, F.array().cast("array<bigint>"))
+        end = prev
+        for k in range(1, max_r + 1):
+            sub, end = extend(sub, end)
+            if unbounded:
+                sub = _pin(sub)
+                if sub.isEmpty():
+                    if not branches:
+                        branches.append(finalize(sub, end))  # schema donor
+                    break
+                if k == max_r:
+                    raise TranslateError(
+                        f"unbounded quantified path pattern still has "
+                        f"matches at {max_r} repetitions; raise "
+                        f"neo4j_spark.qpp.maxUnroll to enumerate further "
+                        f"(refusing to silently truncate)")
+            if k >= max(min_r, 1):
+                branches.append(finalize(sub, end))
 
         out = branches[0]
         for b in branches[1:]:

@@ -137,6 +137,7 @@ def var_expand(tr, df: DataFrame, prev_var: str, rp: A.RelPat, np: A.NodePat,
     if min_len == 0:
         levels.append(base)
     frontier = base
+    cap_alive = True  # dynamic stop never saw an empty level
     for k in range(1, max_len + 1):
         sc = fscans[k - 1] if fscans is not None else scan
         step = frontier.join(sc, F.col("__end") == F.col("__from"))
@@ -148,10 +149,27 @@ def var_expand(tr, df: DataFrame, prev_var: str, rp: A.RelPat, np: A.NodePat,
         if k < max_len:  # last level has a single consumer — no reuse
             step = _pin(step)
         if dynamic_stop and k > min_len and step.isEmpty():
+            cap_alive = False
             break
         if k >= min_len:
             levels.append(step)
         frontier = step
+
+    if dynamic_stop and cap_alive:
+        # the frontier was never observed empty within max_len levels —
+        # probe one more extension; refusing to silently truncate an
+        # unbounded -[*]-> enumeration (trail uniqueness guarantees the
+        # probe is exact: no k+1-trail exists without a k-trail prefix)
+        probe = frontier.join(scan, F.col("__end") == F.col("__from")) \
+            .filter(~F.array_contains(_rel_ids(F.col(rvar)),
+                                      F.col("__r").getField("_id")))
+        if not probe.isEmpty():
+            from ..cypher.translate import TranslateError
+
+            raise TranslateError(
+                f"unbounded var-length expansion still has matches at "
+                f"{max_len} hops; set a bound or raise the translator's "
+                f"max_var_length (refusing to silently truncate)")
 
     out = levels[0]
     for l in levels[1:]:
@@ -554,11 +572,17 @@ def _nfa_node_set(tr, np: A.NodePat):
         F.col(var).getField("_id").alias("nid")).dropDuplicates()
 
 
-def _nfa_edges(tr, rp: A.RelPat, src_set, dst_set) -> DataFrame:
-    """(__from, __to) edge frame for one NFA transition, with the adjacent
-    node predicates pushed into the scan as semi-joins."""
-    e = tr._rel_scan(rp, "__nr", slim=True).select("__from", "__to")
-    if rp.where is not None or (rp.props is not None and rp.props.items):
+def _nfa_edges(tr, rp: A.RelPat, src_set, dst_set,
+               core: bool = False) -> DataFrame:
+    """(__from, __to [, __r]) edge frame for one NFA transition, with the
+    adjacent node predicates pushed into the scan as semi-joins.
+    ``core``: also carry the rel-core struct (id/src/dst/type) as ``__r``
+    for the path-propagating BFS."""
+    need_full = (core or rp.where is not None
+                 or (rp.props is not None and rp.props.items))
+    if not need_full:
+        e = tr._rel_scan(rp, "__nr", slim=True).select("__from", "__to")
+    else:
         full = tr._rel_scan(rp, "__nr")
         cc = tr._compiler(full)
         old = tr.kinds.get("__nr")
@@ -580,7 +604,14 @@ def _nfa_edges(tr, rp: A.RelPat, src_set, dst_set) -> DataFrame:
             tr.kinds.pop("__nr", None)
         else:
             tr.kinds["__nr"] = old
-        e = full.select("__from", "__to")
+        cols = ["__from", "__to"]
+        if core:
+            cols.append(F.struct(
+                F.col("__nr").getField("_id").alias("_id"),
+                F.col("__nr").getField("_src").alias("_src"),
+                F.col("__nr").getField("_dst").alias("_dst"),
+                F.col("__nr").getField("_type").alias("_type")).alias("__r"))
+        e = full.select(*cols)
     if src_set is not None:
         e = e.join(src_set.withColumnRenamed("nid", "__from"), "__from",
                    "left_semi")
@@ -590,25 +621,33 @@ def _nfa_edges(tr, rp: A.RelPat, src_set, dst_set) -> DataFrame:
     return e
 
 
-def nfa_compile(tr, els: List) -> _NFA:
+def nfa_compile(tr, els: List, core: bool = False) -> _NFA:
     """Compile a [Node, (Rel | QPP)..., Node] element sequence to an NFA.
 
     QPP{m,} becomes: m-1 unrolled mandatory iterations, then a looping
     iteration whose exit has an epsilon back-edge to its entry; {0,} adds
     an epsilon skipping the loop entirely.  Node patterns constrain the
-    state they occupy via state_sets."""
+    state they occupy via state_sets.  ``core``: edge frames carry the
+    rel-core struct for the path-propagating variant; transitions record
+    src/dst/rel variable names so group variables can be re-derived from
+    a path's per-step transition ids."""
     nfa = _NFA()
     cur = 0
     start_np = els[0]
     nfa.state_sets[0] = None  # start filtered by the rowstream binding
 
-    def one_rel(frm: int, rp: A.RelPat, dst_np: A.NodePat) -> int:
+    def one_rel(frm: int, rp: A.RelPat, dst_np: A.NodePat,
+                src_np: A.NodePat = None) -> int:
         to = nfa.new_state()
         dst_set = _nfa_node_set(tr, dst_np)
         src_set = nfa.state_sets.get(frm)
         nfa.state_sets[to] = dst_set
         nfa.trans.append({"frm": frm, "to": to,
-                          "edges": _nfa_edges(tr, rp, src_set, dst_set)})
+                          "edges": _nfa_edges(tr, rp, src_set, dst_set,
+                                              core=core),
+                          "src_var": src_np.var if src_np else None,
+                          "dst_var": dst_np.var,
+                          "rel_var": rp.var})
         return to
 
     def one_iteration(frm: int, inner: List) -> int:
@@ -622,7 +661,7 @@ def nfa_compile(tr, els: List) -> _NFA:
         s = frm
         j = 1
         while j < len(inner):
-            s = one_rel(s, inner[j], inner[j + 1])
+            s = one_rel(s, inner[j], inner[j + 1], src_np=inner[j - 1])
             j += 2
         return s
 
@@ -666,8 +705,8 @@ def nfa_compile(tr, els: List) -> _NFA:
                 i += 1
         elif isinstance(el, A.RelPat):
             dst_np = els[i + 1] if i + 1 < len(els) - 1 else A.NodePat(None)
-            cur = one_rel(cur, el, dst_np if i + 1 < len(els) - 1
-                          else A.NodePat(None))
+            src_np = els[i - 1] if isinstance(els[i - 1], A.NodePat) else None
+            cur = one_rel(cur, el, dst_np, src_np=src_np)
             i += 2
         else:  # bare intermediate NodePat (shouldn't occur mid-sequence)
             i += 1
@@ -796,6 +835,13 @@ def nfa_shortest(tr, df: Optional[DataFrame], part: A.PatternPart,
                  .localCheckpoint(eager=True)
         if nxt.isEmpty():
             break
+        if depth == max_depth:
+            from ..cypher.translate import TranslateError
+
+            raise TranslateError(
+                f"NFA shortest-path search still has an active frontier "
+                f"at depth {max_depth}; raise neo4j_spark.nfa.maxDepth "
+                f"(refusing to silently truncate)")
         results.append(record(nxt, depth))
         # lazy checkpoint: lineage still truncates, but the union computes
         # inside the NEXT level's job instead of as its own action
@@ -824,7 +870,7 @@ def nfa_shortest(tr, df: Optional[DataFrame], part: A.PatternPart,
         F.col(avar).getField("_id") == F.col("__nfs")).drop("__nfs")
     if b_bound:
         out = out.filter(
-            F.col(bvar).getField("_id") == F.col("__e")).drop("__e", "__len")
+            F.col(bvar).getField("_id") == F.col("__e")).drop("__e")
     else:
         import dataclasses
 
@@ -836,8 +882,323 @@ def nfa_shortest(tr, df: Optional[DataFrame], part: A.PatternPart,
             bvar)
         out = out.join(
             end_scan,
-            F.col("__e") == F.col(bvar).getField("_id")).drop("__e", "__len")
+            F.col("__e") == F.col(bvar).getField("_id")).drop("__e")
         tr.kinds[bvar] = "node"
         tr._note_labels(bvar, b_pat.labels)
         tr._queue_node_filters(b_pat, bvar, pending, bound=False)
+    if part.path_var:
+        # length-only path use (the eligibility guard routes any richer
+        # use to the tracked variant): a {len} stub, like shortest_path's
+        out = out.withColumn(
+            part.path_var,
+            F.struct(F.col("__len").cast("long").alias("len")))
+        tr.kinds[part.path_var] = "path"
+    return out.drop("__len")
+
+
+def nfa_shortest_tracked(tr, df: Optional[DataFrame], part: A.PatternPart,
+                         pending: List[A.Expr]) -> DataFrame:
+    """Path-propagating StatefulShortestPath: the product-graph BFS of
+    ``nfa_shortest`` with per-row path state, so path variables, group
+    variables and ALL SHORTEST multiplicity project REAL paths instead of
+    falling back to the truncating Trail unroll (reference:
+    ``runtime-util .../PGPathPropagatingBFS``,
+    ``pipes/StatefulShortestPathPipe.scala:41``).
+
+    Frontier rows carry (start, node, state, rels, node-ids, transition
+    ids, path id).  Group variables are re-derived AFTER the search from
+    the transition-id array: a QPP inner variable's occurrences are
+    exactly the steps taken through its transition, so
+    ``x`` in ``(a)((x)-[:R]->(y))+(b)`` is the per-step source node list
+    and ``y`` the destination list — no per-level list columns beyond the
+    three arrays.
+
+    Exactness: the same structural guard as the counting BFS (every
+    transition directed, type sets pairwise disjoint, no mandatory
+    unrolls — translate._nfa_eligible) means NO walk can repeat a
+    relationship, so walks are trails and every representative path per
+    (start, node, state) extends exactly like any other: the visited-set
+    pruning loses no reachable product state, and for the ANY selector
+    the deterministic min-path-id representative is a true shortest path.
+
+    Scale: each level is one hash join per transition partitioned on the
+    node id, plus one map-side-combinable min_by (ANY) or a distinct
+    (ALL).  Path arrays grow with depth — the cost of the query ASKING
+    for path contents; the counting variant remains the fast path when
+    only lengths are consumed."""
+    els = list(part.elements)
+    a_pat, b_pat = els[0], els[-1]
+    df, avar = tr._bind_first_node(df, a_pat, pending)
+    nfa = nfa_compile(tr, els, core=True)
+    closure = nfa.closure_pairs()
+    max_depth = int(tr.spark.conf.get("neo4j_spark.nfa.maxDepth", "32"))
+    sel = part.selector
+    keep_all = sel in ("allShortest", "shortestGroups")
+    path_cols = ["__rels", "__ns", "__trs", "__pid"]
+
+    def apply_state_sets(rows: DataFrame) -> DataFrame:
+        parts = []
+        states_present = sorted(
+            {t["to"] for t in nfa.trans} | {0}
+            | {d for _, d in closure} | {nfa.final})
+        for s in states_present:
+            sub = rows.filter(F.col("__st") == s)
+            ss = nfa.state_sets.get(s)
+            if ss is not None:
+                sub = sub.join(ss.withColumnRenamed("nid", "__n"), "__n",
+                               "left_semi")
+            parts.append(sub)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def eps_close(rows: DataFrame) -> DataFrame:
+        if not closure:
+            return rows
+        out = rows
+        for a, b in closure:
+            out = out.unionByName(
+                rows.filter(F.col("__st") == a)
+                    .withColumn("__st", F.lit(b)))
+        return out
+
+    def reduce_paths(rows: DataFrame) -> DataFrame:
+        if keep_all:
+            # ALL SHORTEST: every distinct path survives (path id = the
+            # rel-id sequence); eps copies of the same path dedup here
+            return rows.dropDuplicates(["__s", "__n", "__st", "__pid"])
+        # ANY: ONE deterministic representative per product state — the
+        # lexicographically-least path id.  min_by is a plain aggregate:
+        # partial (map-side) combine shrinks each partition first.
+        return (rows.groupBy("__s", "__n", "__st")
+                .agg(F.min_by(F.struct(*path_cols),
+                              F.col("__pid")).alias("__p"))
+                .select("__s", "__n", "__st",
+                        *[F.col(f"__p.{c}").alias(c) for c in path_cols]))
+
+    for t in nfa.trans:
+        t["edges"] = t["edges"].localCheckpoint(eager=False)
+    for st, ss in list(nfa.state_sets.items()):
+        if ss is not None:
+            nfa.state_sets[st] = ss.localCheckpoint(eager=False)
+
+    starts = df.select(avar)
+    if a_pat.props is not None or a_pat.where is not None:
+        starts = tr._filter_node_bound(starts, a_pat, avar)
+    frontier = (starts.select(F.col(avar).getField("_id").alias("__s"))
+                .dropDuplicates()
+                .withColumn("__n", F.col("__s"))
+                .withColumn("__st", F.lit(0))
+                .withColumn("__rels", F.array().cast(REL_CORE_T))
+                .withColumn("__ns", F.array().cast("array<bigint>"))
+                .withColumn("__trs", F.array().cast("array<int>"))
+                .withColumn("__pid", F.lit("")))
+    frontier = reduce_paths(apply_state_sets(eps_close(frontier))) \
+        .localCheckpoint(eager=True)
+    visited = frontier.select("__s", "__n", "__st").dropDuplicates() \
+        .localCheckpoint(eager=True)
+
+    end_set = _nfa_node_set(tr, b_pat)
+    if end_set is not None:
+        end_set = end_set.localCheckpoint(eager=False)
+
+    def record(rows: DataFrame, depth: int) -> DataFrame:
+        hit = rows.filter(F.col("__st") == nfa.final)
+        if end_set is not None:
+            hit = hit.join(end_set.withColumnRenamed("nid", "__n"), "__n",
+                           "left_semi")
+        return hit.select("__s", F.col("__n").alias("__e"),
+                          F.lit(depth).alias("__len"), *path_cols)
+
+    results = [record(frontier, 0)]
+    for depth in range(1, max_depth + 1):
+        steps = []
+        for ti, t in enumerate(nfa.trans):
+            part_f = frontier.filter(F.col("__st") == t["frm"]) \
+                             .select("__s", "__n", *path_cols)
+            e = t["edges"]
+            steps.append(
+                part_f.join(e, part_f["__n"] == e["__from"])
+                .select(
+                    "__s", F.col("__to").alias("__n"),
+                    F.lit(t["to"]).alias("__st"),
+                    F.array_append(F.col("__rels"),
+                                   F.col("__r")).alias("__rels"),
+                    F.array_append(F.col("__ns"),
+                                   F.col("__to")).alias("__ns"),
+                    F.array_append(F.col("__trs"),
+                                   F.lit(ti)).alias("__trs"),
+                    F.concat(
+                        F.col("__pid"), F.lit(","),
+                        F.format_string(
+                            "%019d",
+                            F.col("__r").getField("_id"))).alias("__pid")))
+        nxt = steps[0]
+        for s in steps[1:]:
+            nxt = nxt.unionByName(s)
+        nxt = eps_close(nxt)
+        nxt = apply_state_sets(nxt)
+        nxt = nxt.join(visited, ["__s", "__n", "__st"], "left_anti")
+        nxt = reduce_paths(nxt).localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        if depth == max_depth:
+            from ..cypher.translate import TranslateError
+
+            raise TranslateError(
+                f"NFA shortest-path search still has an active frontier "
+                f"at depth {max_depth}; raise neo4j_spark.nfa.maxDepth "
+                f"(refusing to silently truncate)")
+        results.append(record(nxt, depth))
+        visited = visited.unionByName(
+            nxt.select("__s", "__n", "__st")).localCheckpoint(eager=False)
+        frontier = nxt
+
+    res = results[0]
+    for r in results[1:]:
+        res = res.unionByName(r)
+    if not keep_all:
+        # ONE row per (start, end) pair — deterministic representative
+        res = (res.groupBy("__s", "__e")
+               .agg(F.min_by(F.struct("__len", *path_cols),
+                             F.col("__pid")).alias("__p"))
+               .select("__s", "__e", F.col("__p.__len").alias("__len"),
+                       *[F.col(f"__p.{c}").alias(c) for c in path_cols]))
+
+    out = df.join(
+        res.withColumnRenamed("__s", "__nfs"),
+        F.col(avar).getField("_id") == F.col("__nfs")).drop("__nfs")
+    bvar = b_pat.var or tr._anon_var("ne")
+    b_bound = bvar in df.columns
+    if b_bound:
+        out = out.filter(
+            F.col(bvar).getField("_id") == F.col("__e")).drop("__e")
+    else:
+        import dataclasses
+
+        end_scan = tr._node_scan(
+            dataclasses.replace(b_pat, var=bvar, props=None, where=None),
+            bvar)
+        out = out.join(
+            end_scan,
+            F.col("__e") == F.col(bvar).getField("_id")).drop("__e")
+        tr.kinds[bvar] = "node"
+        tr._note_labels(bvar, b_pat.labels)
+        tr._queue_node_filters(b_pat, bvar, pending, bound=False)
+
+    # ---- project group variables from the transition-id array ----------
+    dstmap, srcmap, relmap = {}, {}, {}
+    for ti, t in enumerate(nfa.trans):
+        if t.get("dst_var"):
+            dstmap.setdefault(t["dst_var"], []).append(ti)
+        if t.get("src_var"):
+            srcmap.setdefault(t["src_var"], []).append(ti)
+        if t.get("rel_var"):
+            relmap.setdefault(t["rel_var"], []).append(ti)
+
+    start_id = F.col(avar).getField("_id")
+    allns = F.concat(F.array(start_id), F.col("__ns"))
+    idxs = F.when(F.size(F.col("__trs")) == 0,
+                  F.array().cast("array<integer>")) \
+            .otherwise(F.sequence(F.lit(0), F.size(F.col("__trs")) - 1))
+
+    def steps_for(tis) -> Column:
+        return F.filter(
+            idxs, lambda i: F.element_at(F.col("__trs"), i + 1).isin(tis))
+
+    bound_vars = {avar, bvar}
+    for v in list(dstmap) + list(srcmap) + list(relmap):
+        if v in bound_vars or v in out.columns:
+            continue
+        if tr._var_single_use(v):
+            continue  # pattern-only variable: no binding needed
+        bound_vars.add(v)
+        if v in relmap:
+            lst = F.transform(steps_for(relmap[v]),
+                              lambda i: F.element_at(F.col("__rels"), i + 1))
+            out = out.withColumn(v, lst)
+            out = _enrich_rel_list(tr, out, v)
+            tr.kinds[v] = "rellist"
+        elif v in dstmap:
+            lst = F.transform(
+                steps_for(dstmap[v]),
+                lambda i: F.struct(
+                    F.element_at(F.col("__ns"), i + 1).alias("_id")))
+            out = out.withColumn(v, lst)
+            out = _enrich_node_list(tr, out, v)
+            tr.kinds[v] = "nodelist"
+        else:  # src-only (the iteration's entry node)
+            lst = F.transform(
+                steps_for(srcmap[v]),
+                lambda i: F.struct(F.element_at(allns, i + 1).alias("_id")))
+            out = out.withColumn(v, lst)
+            out = _enrich_node_list(tr, out, v)
+            tr.kinds[v] = "nodelist"
+
+    if part.path_var:
+        pvar = part.path_var
+        nodes_arr = F.transform(allns, lambda x: F.struct(x.alias("_id")))
+        out = out.withColumn(
+            pvar, F.struct(nodes_arr.alias("nodes"),
+                           F.col("__rels").alias("rels")))
+        tr.kinds[pvar] = "path"
+    out = out.drop(*path_cols, "__len")
+    if part.path_var:
+        node_rich, rel_rich = tr._path_use_kinds(part.path_var)
+        if rel_rich:
+            out = tr._resolve_path_rels(out, part.path_var)
+        if node_rich:
+            out = tr._resolve_path_nodes(out, part.path_var)
     return out
+
+
+def _enrich_node_list(tr, df: DataFrame, col: str) -> DataFrame:
+    """Replace an array of {_id} node stubs with full node structs (the
+    group-variable analog of _resolve_path_nodes): one posexplode + join
+    + positional regroup, only run when the statement reads the list."""
+    rid = tr._anon_var("gnrow")
+    df = _pin(df.withColumn(rid, F.monotonically_increasing_id()))
+    ex = df.select(
+        F.col(rid),
+        F.posexplode_outer(F.col(col)).alias("__pos", "__gid"))
+    nscan = tr._node_scan(A.NodePat(None), "__gnode")
+    joined = ex.join(
+        nscan,
+        F.col("__gid").getField("_id") == F.col("__gnode").getField("_id"),
+        "left")
+    agg = joined.groupBy(rid).agg(
+        F.filter(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("__pos").alias("o"),
+                             F.col("__gnode").alias("n")))),
+                lambda x: x.getField("n")),
+            lambda n: n.isNotNull()).alias("__gnodes"))
+    return df.join(agg, rid).withColumn(col, F.col("__gnodes")) \
+             .drop(rid, "__gnodes")
+
+
+def _enrich_rel_list(tr, df: DataFrame, col: str) -> DataFrame:
+    """Replace an array of rel-core structs with full property-carrying
+    rel structs (the group-variable analog of _resolve_path_rels)."""
+    rid = tr._anon_var("grrow")
+    df = _pin(df.withColumn(rid, F.monotonically_increasing_id()))
+    ex = df.select(
+        F.col(rid),
+        F.posexplode_outer(F.col(col)).alias("__pos", "__gr"))
+    rscan = tr._rel_scan(A.RelPat(None), "__grel").drop("__from", "__to")
+    joined = ex.join(
+        rscan,
+        F.col("__gr").getField("_id") == F.col("__grel").getField("_id"),
+        "left")
+    agg = joined.groupBy(rid).agg(
+        F.filter(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("__pos").alias("o"),
+                             F.col("__grel").alias("r")))),
+                lambda x: x.getField("r")),
+            lambda r: r.isNotNull()).alias("__grels"))
+    return df.join(agg, rid).withColumn(col, F.col("__grels")) \
+             .drop(rid, "__grels")

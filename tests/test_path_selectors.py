@@ -270,3 +270,121 @@ def test_is_typed_tagged_temporal_ranks(spark, chain_graph):
                [duration('PT1H'), 1][1] IS :: DURATION AS notd
     """)
     assert tuple(out[0]) == (True, True, True, False)
+
+
+class TestNFAPathPropagation:
+    """Round-3: path/group-variable projection through the NFA product
+    BFS (nfa_shortest_tracked, PGPathPropagatingBFS design) + the
+    exact-or-raise contract for unbounded quantifiers."""
+
+    def test_path_nodes_match_bounded_trail(self, spark, tpch_graph):
+        nfa = _count(spark, tpch_graph, """
+            MATCH p = ANY SHORTEST (a:Supplier WHERE a.suppkey <= 3)
+                ((x)-[:FROM_NATION|IN_REGION]->(y))+(b:Region)
+            RETURN a.suppkey AS sk, [n IN nodes(p) | n.name] AS names,
+                   length(p) AS len ORDER BY sk
+        """)
+        trail = _count(spark, tpch_graph, """
+            MATCH p = ANY SHORTEST (a:Supplier WHERE a.suppkey <= 3)
+                ((x)-[:FROM_NATION|IN_REGION]->(y)){1,3}(b:Region)
+            RETURN a.suppkey AS sk, [n IN nodes(p) | n.name] AS names,
+                   length(p) AS len ORDER BY sk
+        """)
+        assert [tuple(r) for r in nfa] == [tuple(r) for r in trail]
+        assert len(nfa) == 4 and all(r["len"] == 2 for r in nfa)
+
+    def test_all_shortest_projects_every_path(self, spark, diamond_graph):
+        out = _count(spark, diamond_graph, """
+            MATCH p = ALL SHORTEST (a:N WHERE a.name = 'a')
+                ((x)-[:E]->(y))+(b:N WHERE b.name = 'd')
+            RETURN [n IN nodes(p) | n.name] AS names, length(p) AS len
+        """)
+        got = sorted((tuple(r["names"]), r["len"]) for r in out)
+        assert got == [(("a", "b", "d"), 2), (("a", "b", "d"), 2),
+                       (("a", "c", "d"), 2)]
+
+    def test_group_variables_from_nfa(self, spark, diamond_graph):
+        out = _count(spark, diamond_graph, """
+            MATCH ANY SHORTEST (a:N WHERE a.name = 'a')
+                ((x)-[e:E]->(y))+(b:N WHERE b.name = 'd')
+            RETURN [n IN x | n.name] AS xs, [n IN y | n.name] AS ys,
+                   size(e) AS ne
+        """)
+        assert len(out) == 1
+        r = out[0]
+        assert r["ne"] == 2 and len(r["xs"]) == 2 and len(r["ys"]) == 2
+        assert r["xs"][0] == "a" and r["ys"][-1] == "d"
+
+    def test_rel_types_off_path(self, spark, tpch_graph):
+        out = _count(spark, tpch_graph, """
+            MATCH p = ANY SHORTEST (a:Supplier WHERE a.suppkey = 1)
+                ((x)-[:FROM_NATION|IN_REGION]->(y))+(b:Region)
+            RETURN [r IN relationships(p) | type(r)] AS ts
+        """)
+        assert [tuple(r["ts"]) for r in out] == [("FROM_NATION",
+                                                 "IN_REGION")]
+
+
+class TestUnboundedExactOrRaise:
+    """Unbounded quantifiers outside the NFA guard either enumerate to
+    the graph's true reach (dynamic Trail unroll) or raise — never
+    silently truncate (round-2 capped at 8 repetitions)."""
+
+    import pytest as _pytest
+
+    @_pytest.fixture(scope="class")
+    def chain10(self, spark):
+        """n1 -> n2 -> ... -> n11 (10 R-hops)."""
+        from neo4j_spark.graph import PropertyGraph
+
+        nodes = {"N": spark.createDataFrame(
+            [(i, ["N"], f"n{i}") for i in range(1, 12)],
+            "id long, labels array<string>, name string")}
+        rels = {"R": spark.createDataFrame(
+            [(100 + i, i, i + 1, "R") for i in range(1, 11)],
+            "id long, src long, dst long, type string")}
+        return PropertyGraph(nodes, rels)
+
+    def test_unbounded_qpp_reaches_past_old_cap(self, spark, chain10):
+        # group var read => Trail path; reach is 10 > the old silent cap
+        # of 8 — the dynamic unroll must find the full chain
+        out = _count(spark, chain10, """
+            MATCH (a:N {name: 'n1'})((x)-[r:R]->(y))+(b:N {name: 'n11'})
+            RETURN size(r) AS n
+        """)
+        assert [r["n"] for r in out] == [10]
+
+    def test_unbounded_qpp_raises_at_cap(self, spark, chain10):
+        import pytest
+
+        from neo4j_spark.cypher.translate import TranslateError
+
+        spark.conf.set("neo4j_spark.qpp.maxUnroll", "4")
+        try:
+            with pytest.raises(TranslateError, match="maxUnroll"):
+                _count(spark, chain10, """
+                    MATCH (a:N {name: 'n1'})((x)-[r:R]->(y))+(b)
+                    RETURN size(r) AS n
+                """)
+        finally:
+            spark.conf.unset("neo4j_spark.qpp.maxUnroll")
+
+    def test_unbounded_var_expand_raises_past_max(self, spark):
+        # 14-hop chain > max_var_length (12): -[*]-> must raise, not
+        # silently return the truncated 12-hop enumeration
+        import pytest
+
+        from neo4j_spark.graph import PropertyGraph
+        from neo4j_spark.cypher.translate import TranslateError
+
+        nodes = {"N": spark.createDataFrame(
+            [(i, ["N"], f"n{i}") for i in range(1, 16)],
+            "id long, labels array<string>, name string")}
+        rels = {"R": spark.createDataFrame(
+            [(100 + i, i, i + 1, "R") for i in range(1, 15)],
+            "id long, src long, dst long, type string")}
+        g = PropertyGraph(nodes, rels)
+        with pytest.raises(TranslateError, match="max_var_length"):
+            _count(spark, g,
+                   "MATCH (a:N {name: 'n1'})-[:R*]->(b) "
+                   "RETURN count(*) AS n")
