@@ -258,6 +258,16 @@ CYPHER_QUERIES = {
         "UNWIND [3, 1.5, 'b', 'a', true, false, null, 2, 'c', -1.0] AS x "
         "WITH x ORDER BY x DESC LIMIT 4 "
         "RETURN coalesce(toString(x), '<null>') AS s",
+    # container groups in the tagged encoding (anyvalue.py round 3:
+    # MAP(1) < LIST(4) < POINT(6) < scalars; lists element-wise)
+    "mixed_container_order":
+        "UNWIND [[1, 2], 'a', {k: 1}, [1], 7, [1, 'x'], null, true] AS x "
+        "WITH x ORDER BY x LIMIT 5 "
+        "RETURN coalesce(toString(x), '<null>') AS s",
+    "mixed_list_nested":
+        "WITH [[1], 'a'] AS l "
+        "RETURN toString(l[0]) AS first, toString(l[1]) AS second, "
+        "size(l) AS n, l[0] IS :: LIST AS isl, l[0] = [1] AS eq",
     "mixed_cmp_predicates":
         "RETURN 1 < 'a' AS a, 1 = 'a' AS b, 2 IN [1, 'a', 2] AS c, "
         "3 IN [1, 'a', null] AS d, toString([1, 'a', true][2]) AS e, "
@@ -1544,6 +1554,12 @@ def _oracle_sql_raw() -> dict[str, str]:
             "SELECT unnest(['a', 'b', 'c', 'false']) AS s",
         "mixed_list_order_desc":
             "SELECT unnest(['<null>', '3', '2', '1.5']) AS s",
+        "mixed_container_order":
+            "SELECT unnest(['{k: 1}', '[1]', '[1, x]', '[1, 2]', 'a']) "
+            "AS s",
+        "mixed_list_nested":
+            "SELECT '[1]' AS first, 'a' AS second, CAST(2 AS INTEGER) AS n, "
+            "TRUE AS isl, TRUE AS eq",
         "mixed_cmp_predicates":
             "SELECT CAST(NULL AS BOOLEAN) AS a, FALSE AS b, TRUE AS c, "
             "CAST(NULL AS BOOLEAN) AS d, 'true' AS e, "

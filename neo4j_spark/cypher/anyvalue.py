@@ -19,10 +19,29 @@ encode as rank 16 (VOID sorts last), so ``asc_nulls_last`` and the encoding
 agree.
 
 Scope: the scalar storable groups — temporal instants (7/8/9), times
-(10/11), DURATION (12), STRING (13), BOOLEAN (14), NUMBER (15), VOID (16).  Containers,
-points, and graph entities keep their native homogeneous Spark types;
-mixing THOSE classes in one value raises a clear error (the reference's
-full AnyValue tree is wider than any fixed struct can be).
+(10/11), DURATION (12), STRING (13), BOOLEAN (14), NUMBER (15), VOID (16)
+— in the 5-field layout above, PLUS (round 3) the container/virtual
+groups MAP(1), NODE(2), RELATIONSHIP(3), LIST(4), POINT(6) in an
+EXTENDED layout appending three payload fields:
+
+    __vl  array<scalar-layout>          list elements, in order
+    __vm  struct<__msz, __mkv: array<{__mk, __mv}>>  map size + entries
+                                        sorted by key (AnyValues.java's
+                                        map comparator: size, then
+                                        key-ordered entries)
+    __vp  struct<__pc, __px: array<double>>  point CRS + coordinates
+
+Because only ONE payload group is non-null per row and equal-null fields
+tie in Spark's struct comparison, appending fields preserves the scalar
+order while making lists sort element-wise (Spark array comparison is
+exactly the CIP's list order: element-wise, prefix-shorter-first), maps
+by size-then-sorted-entries and points by CRS-then-coordinates.  Nodes
+and relationships order by id, reusing the ``__vi`` payload.
+
+Mixing depth is bounded: a heterogeneous list may contain lists/maps of
+SCALARS (``[[1], 'a']``); mixing containers nested deeper raises the
+same clear error as before (the reference's AnyValue tree is unbounded;
+a fixed struct cannot be).
 """
 
 from __future__ import annotations
@@ -37,6 +56,12 @@ INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 # MAP(1) NODE(2) RELATIONSHIP(3) LIST(4) PATH(5) POINT(6) ZONED_DT(7)
 # LOCAL_DT(8) DATE(9) ZONED_TIME(10) LOCAL_TIME(11) DURATION(12)
 # STRING(13) BOOLEAN(14) NUMBER(15) VOID(16)
+RANK_MAP = 1
+RANK_NODE = 2
+RANK_REL = 3
+RANK_LIST = 4
+RANK_PATH = 5
+RANK_POINT = 6
 RANK_ZONED_DT = 7
 RANK_LOCAL_DT = 8
 RANK_DATE = 9
@@ -51,11 +76,25 @@ TEMPORAL_RANKS = (RANK_ZONED_DT, RANK_LOCAL_DT, RANK_DATE,
                   RANK_ZONED_TIME, RANK_LOCAL_TIME)
 
 ANY_FIELDS = ("__vg", "__vn", "__vs", "__vb", "__vi")
+CONTAINER_FIELDS = ("__vl", "__vm", "__vp")
+
+# simpleString type fragments for the extended layout's payloads
+_SCAL_T = ("struct<__vg:int,__vn:double,__vs:string,__vb:boolean,"
+           "__vi:bigint>")
+_LIST_T = f"array<{_SCAL_T}>"
+_MAP_T = (f"struct<__msz:int,__mkv:array<struct<__mk:string,"
+          f"__mv:{_SCAL_T}>>>")
+_POINT_T = "struct<__pc:string,__px:array<double>>"
 
 
 def is_any_type(t) -> bool:
     return (isinstance(t, T.StructType)
-            and tuple(t.fieldNames()) == ANY_FIELDS)
+            and tuple(t.fieldNames())[:5] == ANY_FIELDS)
+
+
+def is_deep_any_type(t) -> bool:
+    return (isinstance(t, T.StructType)
+            and tuple(t.fieldNames()) == ANY_FIELDS + CONTAINER_FIELDS)
 
 
 def _nulls():
@@ -225,3 +264,271 @@ def any_value_type(c: Column) -> Column:
              .when(c.getField("__vi").isNotNull(),
                    F.lit("INTEGER NOT NULL"))
              .otherwise(F.lit("FLOAT NOT NULL")))
+
+
+# ---------------------------------------------------------------------------
+# Extended (container) layout — round 3
+# ---------------------------------------------------------------------------
+
+_SCALAR_SPARK_TYPES = (*INT_TYPES, T.FloatType, T.DoubleType, T.DecimalType,
+                       T.StringType, T.BooleanType, T.DateType,
+                       T.TimestampType, T.TimestampNTZType)
+
+
+def _is_scalar_class(t) -> bool:
+    """True when ``t`` encodes in the 5-field scalar layout."""
+    if t is None or isinstance(t, T.NullType):
+        return True
+    if isinstance(t, _SCALAR_SPARK_TYPES):
+        return True
+    if isinstance(t, T.StructType):
+        from .exprs import _is_duration
+
+        names = set(t.fieldNames())
+        if {"hour", "minute", "second"} <= names or _is_duration(t):
+            return True
+    return False
+
+
+def _null_containers():
+    return (F.lit(None).cast(_LIST_T), F.lit(None).cast(_MAP_T),
+            F.lit(None).cast(_POINT_T))
+
+
+def _pack_deep(g: Column, n, s, b, i, l, m, p) -> Column:
+    return F.struct(g.cast("int").alias("__vg"), n.alias("__vn"),
+                    s.alias("__vs"), b.alias("__vb"), i.alias("__vi"),
+                    l.alias("__vl"), m.alias("__vm"), p.alias("__vp"))
+
+
+def _widen(c: Column) -> Column:
+    """Pad a 5-field scalar tagged struct to the extended layout."""
+    nl, nm, np_ = _null_containers()
+    return _pack_deep(c.getField("__vg"), c.getField("__vn"),
+                      c.getField("__vs"), c.getField("__vb"),
+                      c.getField("__vi"), nl, nm, np_)
+
+
+def to_any_deep(c: Column, t: Optional[T.DataType]) -> Column:
+    """Encode a column as an EXTENDED tagged struct: scalars as in
+    ``to_any`` plus MAP/NODE/RELATIONSHIP/LIST/POINT container groups.
+    Containers hold SCALAR-layout elements — mixing at nesting depth > 2
+    raises (see module docstring)."""
+    from .exprs import CypherTypeError
+
+    nn, ns, nb, ni = _nulls()
+    nl, nm, np_ = _null_containers()
+    if is_any_type(t):
+        if is_deep_any_type(t):
+            return c
+        return _widen(c)
+    if _is_scalar_class(t):
+        return _widen(to_any(c, t))
+    if isinstance(t, T.ArrayType):
+        et = t.elementType
+        if is_any_type(et):
+            if isinstance(et, T.StructType) \
+                    and any(f in et.fieldNames() for f in CONTAINER_FIELDS):
+                raise CypherTypeError(
+                    "heterogeneous values nest containers at most 2 deep")
+            enc = F.transform(c, lambda el: el)
+        elif not _is_scalar_class(et):
+            raise CypherTypeError(
+                "heterogeneous values nest containers at most 2 deep")
+        else:
+            enc = F.transform(c, lambda el: to_any(el, et))
+        g = F.when(c.isNull(), RANK_NULL).otherwise(RANK_LIST)
+        return _pack_deep(g, nn, ns, nb, ni, enc, nm, np_)
+    if isinstance(t, T.StructType) and {"crs", "x", "y"} <= set(
+            t.fieldNames()):
+        coords = [c.getField("x").cast("double"),
+                  c.getField("y").cast("double")]
+        if "z" in t.fieldNames():
+            coords.append(c.getField("z").cast("double"))
+        pp = F.struct(c.getField("crs").alias("__pc"),
+                      F.array(*coords).alias("__px"))
+        g = F.when(c.isNull(), RANK_NULL).otherwise(RANK_POINT)
+        return _pack_deep(g, nn, ns, nb, ni, nl, nm,
+                          F.when(c.isNull(), np_).otherwise(pp))
+    if isinstance(t, T.StructType) and "_id" in t.fieldNames():
+        rank = RANK_REL if "_type" in t.fieldNames() else RANK_NODE
+        g = F.when(c.isNull(), RANK_NULL).otherwise(rank)
+        return _pack_deep(g, nn, ns, nb, c.getField("_id").cast("long"),
+                          nl, nm, np_)
+    if isinstance(t, T.StructType):  # map literal (static keys)
+        items = sorted(
+            [(f.name, f.dataType) for f in t.fields], key=lambda kv: kv[0])
+        for _, ft in items:
+            if not _is_scalar_class(ft) and not is_any_type(ft):
+                raise CypherTypeError(
+                    "heterogeneous values nest containers at most 2 deep")
+        kv = F.array(*[
+            F.struct(F.lit(k).alias("__mk"),
+                     (c.getField(k) if is_any_type(ft)
+                      else to_any(c.getField(k), ft)).alias("__mv"))
+            for k, ft in items])
+        mm = F.struct(F.lit(len(items)).cast("int").alias("__msz"),
+                      kv.alias("__mkv"))
+        g = F.when(c.isNull(), RANK_NULL).otherwise(RANK_MAP)
+        return _pack_deep(g, nn, ns, nb, ni, nl,
+                          F.when(c.isNull(), nm).otherwise(mm), np_)
+    if isinstance(t, T.MapType):
+        if not _is_scalar_class(t.valueType):
+            raise CypherTypeError(
+                "heterogeneous values nest containers at most 2 deep")
+        entries = F.array_sort(F.map_entries(c))
+        kv = F.transform(
+            entries,
+            lambda e: F.struct(
+                e.getField("key").cast("string").alias("__mk"),
+                to_any(e.getField("value"), t.valueType).alias("__mv")))
+        mm = F.struct(F.size(c).cast("int").alias("__msz"),
+                      kv.alias("__mkv"))
+        g = F.when(c.isNull(), RANK_NULL).otherwise(RANK_MAP)
+        return _pack_deep(g, nn, ns, nb, ni, nl,
+                          F.when(c.isNull(), nm).otherwise(mm), np_)
+    from .exprs import CypherTypeError as _CTE
+
+    raise _CTE(
+        f"cannot mix values of type {t.simpleString()} with other value "
+        "classes in the heterogeneous encoding")
+
+
+def _scal_eq(l: Column, r: Column) -> Column:
+    """Ternary equality on two SCALAR-layout tagged values."""
+    lg, rg = l.getField("__vg"), r.getField("__vg")
+    same = (F.when(lg.isin(RANK_STRING, RANK_DURATION),
+                   l.getField("__vs") == r.getField("__vs"))
+             .when(lg == RANK_BOOLEAN,
+                   l.getField("__vb") == r.getField("__vb"))
+             .when(lg.isin(RANK_NUMBER, *TEMPORAL_RANKS),
+                   l.getField("__vn") == r.getField("__vn")))
+    return (F.when((lg == RANK_NULL) | (rg == RANK_NULL),
+                   F.lit(None).cast("boolean"))
+             .when(lg != rg, F.lit(False))
+             .otherwise(same))
+
+
+def _ternary_all(pair_eqs: Column) -> Column:
+    """Fold an array of ternary booleans: any false -> false, else any
+    null -> null, else true (ListValue.ternaryEquality)."""
+    has_false = F.exists(pair_eqs, lambda x: ~F.coalesce(x, F.lit(True)))
+    has_null = F.exists(pair_eqs, lambda x: x.isNull())
+    return (F.when(has_false, F.lit(False))
+             .when(has_null, F.lit(None).cast("boolean"))
+             .otherwise(F.lit(True)))
+
+
+def any_eq_deep(l: Column, r: Column) -> Column:
+    """Ternary equality over EXTENDED tagged values: scalar groups as in
+    any_eq; LIST element-wise ternary (null elements -> null result,
+    AnyValue.ternaryEquals over ListValue); MAP by size + sorted entries;
+    POINT by crs + coordinates; NODE/REL by id."""
+    lg, rg = l.getField("__vg"), r.getField("__vg")
+    lv, rv = l.getField("__vl"), r.getField("__vl")
+    list_eq = F.when(F.size(lv) != F.size(rv), F.lit(False)).otherwise(
+        _ternary_all(F.zip_with(lv, rv, _scal_eq)))
+    lm, rm = l.getField("__vm"), r.getField("__vm")
+    map_eq = F.when(
+        lm.getField("__msz") != rm.getField("__msz"), F.lit(False)
+    ).otherwise(_ternary_all(F.zip_with(
+        lm.getField("__mkv"), rm.getField("__mkv"),
+        lambda a, b: F.when(a.getField("__mk") != b.getField("__mk"),
+                            F.lit(False))
+                      .otherwise(_scal_eq(a.getField("__mv"),
+                                          b.getField("__mv"))))))
+    pt_eq = (l.getField("__vp") == r.getField("__vp"))
+    id_eq = (l.getField("__vi") == r.getField("__vi"))
+    same = (F.when(lg == RANK_LIST, list_eq)
+             .when(lg == RANK_MAP, map_eq)
+             .when(lg == RANK_POINT, pt_eq)
+             .when(lg.isin(RANK_NODE, RANK_REL), id_eq)
+             .otherwise(_scal_eq(l, r)))
+    return (F.when((lg == RANK_NULL) | (rg == RANK_NULL),
+                   F.lit(None).cast("boolean"))
+             .when(lg != rg, F.lit(False))
+             .otherwise(same))
+
+
+def any_cmp_deep(l: Column, r: Column, op: str) -> Column:
+    """Ternary comparison over extended tagged values: scalars as in
+    any_cmp; LIST compares element-wise via Spark's array ordering over
+    the tagged elements (the CIP list order); other container classes and
+    cross-class pairs yield null."""
+    lg, rg = l.getField("__vg"), r.getField("__vg")
+
+    def cmp(a, b):
+        return {"<": a < b, "<=": a <= b, ">": a > b, ">=": a >= b}[op]
+
+    same = (F.when(lg == RANK_STRING,
+                   cmp(l.getField("__vs"), r.getField("__vs")))
+             .when(lg == RANK_BOOLEAN,
+                   cmp(l.getField("__vb"), r.getField("__vb")))
+             .when(lg.isin(RANK_NUMBER, *TEMPORAL_RANKS),
+                   cmp(l.getField("__vn"), r.getField("__vn")))
+             .when(lg == RANK_LIST,
+                   cmp(l.getField("__vl"), r.getField("__vl"))))
+    return (F.when((lg == RANK_NULL) | (rg == RANK_NULL)
+                   | (lg != rg) | (lg == RANK_DURATION),
+                   F.lit(None).cast("boolean"))
+             .otherwise(same))
+
+
+def _scal_to_string(c: Column) -> Column:
+    g = c.getField("__vg")
+    return (F.when(g == RANK_NULL, F.lit("null"))
+             .when(g.isin(RANK_STRING, RANK_DURATION, *TEMPORAL_RANKS),
+                   c.getField("__vs"))
+             .when(g == RANK_BOOLEAN,
+                   F.when(c.getField("__vb"), "true").otherwise("false"))
+             .when(c.getField("__vi").isNotNull(),
+                   c.getField("__vi").cast("string"))
+             .otherwise(c.getField("__vn").cast("string")))
+
+
+def any_to_string_deep(c: Column) -> Column:
+    """Rendering for extended tagged values.  The reference's toString()
+    rejects containers; this extension renders them (lists as
+    ``[a, b]``, maps as ``{k: v}``, points as ``point({...})``) so mixed
+    container values stay observable through a string column."""
+    g = c.getField("__vg")
+    lst = F.concat(
+        F.lit("["),
+        F.array_join(F.transform(c.getField("__vl"), _scal_to_string),
+                     ", "),
+        F.lit("]"))
+    mp = F.concat(
+        F.lit("{"),
+        F.array_join(
+            F.transform(c.getField("__vm").getField("__mkv"),
+                        lambda e: F.concat(e.getField("__mk"), F.lit(": "),
+                                           _scal_to_string(
+                                               e.getField("__mv")))),
+            ", "),
+        F.lit("}"))
+    pt = F.concat(
+        F.lit("point({crs: "), c.getField("__vp").getField("__pc"),
+        F.lit(", coords: ["),
+        F.array_join(F.transform(
+            c.getField("__vp").getField("__px"),
+            lambda x: x.cast("string")), ", "),
+        F.lit("]})"))
+    return (F.when(g == RANK_NULL, F.lit(None).cast("string"))
+             .when(g == RANK_LIST, lst)
+             .when(g == RANK_MAP, mp)
+             .when(g == RANK_POINT, pt)
+             .when(g.isin(RANK_NODE, RANK_REL),
+                   c.getField("__vi").cast("string"))
+             .otherwise(any_to_string(c)))
+
+
+def any_value_type_deep(c: Column) -> Column:
+    """valueType() over extended tagged values (container groups report
+    the coarse GQL names; element types are runtime-erased here)."""
+    g = c.getField("__vg")
+    return (F.when(g == RANK_LIST, F.lit("LIST<ANY> NOT NULL"))
+             .when(g == RANK_MAP, F.lit("MAP NOT NULL"))
+             .when(g == RANK_POINT, F.lit("POINT NOT NULL"))
+             .when(g == RANK_NODE, F.lit("NODE NOT NULL"))
+             .when(g == RANK_REL, F.lit("RELATIONSHIP NOT NULL"))
+             .otherwise(any_value_type(c)))

@@ -408,7 +408,11 @@ class ExprCompiler:
             lt = self.dtype_of(l)
             rt0 = self.dtype_of(r)
             if AV.is_any_type(lt) or AV.is_any_type(rt0):
-                eq = AV.any_eq(AV.to_any(l, lt), AV.to_any(r, rt0))
+                if AV.is_deep_any_type(lt) or AV.is_deep_any_type(rt0):
+                    eq = AV.any_eq_deep(AV.to_any_deep(l, lt),
+                                        AV.to_any_deep(r, rt0))
+                else:
+                    eq = AV.any_eq(AV.to_any(l, lt), AV.to_any(r, rt0))
                 return eq if op == "=" else ~eq
             lg, rg = self._cmp_group(lt), self._cmp_group(rt0)
             if lg is not None and rg is not None and lg != rg:
@@ -440,6 +444,9 @@ class ExprCompiler:
             l, r = self._entity_aware(e.left), self._entity_aware(e.right)
             lt0, rt0 = self.dtype_of(l), self.dtype_of(r)
             if AV.is_any_type(lt0) or AV.is_any_type(rt0):
+                if AV.is_deep_any_type(lt0) or AV.is_deep_any_type(rt0):
+                    return AV.any_cmp_deep(AV.to_any_deep(l, lt0),
+                                           AV.to_any_deep(r, rt0), op)
                 return AV.any_cmp(AV.to_any(l, lt0), AV.to_any(r, rt0), op)
             lg = self._cmp_group(lt0)
             rg = self._cmp_group(rt0)
@@ -464,9 +471,14 @@ class ExprCompiler:
             rt0 = self.dtype_of(r)
             if (isinstance(rt0, T.ArrayType)
                     and AV.is_any_type(rt0.elementType)):
-                la = AV.to_any(l, self.dtype_of(l))
+                if AV.is_deep_any_type(rt0.elementType):
+                    la = AV.to_any_deep(l, self.dtype_of(l))
+                    el_eq = AV.any_eq_deep
+                else:
+                    la = AV.to_any(l, self.dtype_of(l))
+                    el_eq = AV.any_eq
                 hits = F.size(F.filter(
-                    r, lambda el: F.coalesce(AV.any_eq(el, la),
+                    r, lambda el: F.coalesce(el_eq(el, la),
                                              F.lit(False))))
                 has_null = F.exists(r, lambda el: AV.any_is_null(el))
                 return (F.when(r.isNull(), F.lit(None).cast("boolean"))
@@ -640,6 +652,13 @@ class ExprCompiler:
                 "TIME": g == AV.RANK_ZONED_TIME,
                 "ZONED TIME": g == AV.RANK_ZONED_TIME,
                 "LOCAL TIME": g == AV.RANK_LOCAL_TIME,
+                "LIST": g == AV.RANK_LIST,
+                "LIST<ANY>": g == AV.RANK_LIST,
+                "MAP": g == AV.RANK_MAP,
+                "POINT": g == AV.RANK_POINT,
+                "NODE": g == AV.RANK_NODE,
+                "RELATIONSHIP": g == AV.RANK_REL,
+                "PATH": g == AV.RANK_PATH,
                 "ANY": F.lit(True),
                 "PROPERTY VALUE": F.lit(True),
             }
@@ -713,7 +732,12 @@ class ExprCompiler:
         if len(classes) > 1:
             from . import anyvalue as AV
 
-            return F.array(*[AV.to_any(c, t) for c, t in typed])
+            if all(AV._is_scalar_class(t) or AV.is_any_type(t)
+                   and not AV.is_deep_any_type(t) for _, t in typed):
+                return F.array(*[AV.to_any(c, t) for c, t in typed])
+            # a container class in the mix: EXTENDED layout (MAP/NODE/
+            # RELATIONSHIP/LIST/POINT groups, anyvalue.py round 3)
+            return F.array(*[AV.to_any_deep(c, t) for c, t in typed])
         return F.array(*[c for c, _ in typed])
 
     def _c_MapLit(self, e: A.MapLit) -> Column:
@@ -793,7 +817,11 @@ class ExprCompiler:
         if mixed:
             from . import anyvalue as AV
 
-            vt = [(AV.to_any(c, t), None) for c, t in vt]
+            if all(AV._is_scalar_class(t) or AV.is_any_type(t)
+                   and not AV.is_deep_any_type(t) for _, t in vt):
+                vt = [(AV.to_any(c, t), None) for c, t in vt]
+            else:
+                vt = [(AV.to_any_deep(c, t), None) for c, t in vt]
         vals = [c for c, _ in vt]
         default = vals.pop() if e.default is not None else None
         col = None

@@ -374,6 +374,8 @@ def compile_function(cc, e: A.Func) -> Column:
         from ..cypher import anyvalue as AV
         from ..cypher.exprs import _is_duration
         if AV.is_any_type(t):
+            if AV.is_deep_any_type(t):
+                return AV.any_to_string_deep(col)
             return AV.any_to_string(col)
         if isinstance(t, T.StructType) and _is_duration(t):
             return _duration_to_string(col)
@@ -443,6 +445,8 @@ def compile_function(cc, e: A.Func) -> Column:
         col, t = ctyped(0)
         from ..cypher import anyvalue as AV
         if AV.is_any_type(t):
+            if AV.is_deep_any_type(t):
+                return AV.any_value_type_deep(col)
             return AV.any_value_type(col)
         base = _cypher_type_name(t)
         if base == "NULL":

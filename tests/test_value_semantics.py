@@ -393,3 +393,82 @@ class TestHeterogeneousValues:
                     "CASE 'abc' WHEN IS NORMALIZED THEN 1 ELSE 0 END AS e",
                     chain_graph)
         assert rows(df) == [(True, True, None, 1)]
+
+
+class TestContainerOrderability:
+    """Round-3: container groups in the tagged encoding (anyvalue.py
+    extended layout) — TCK-style global orderability over MAP(1) <
+    LIST(4) < POINT(6) < temporals < STRING < BOOLEAN < NUMBER < null
+    (AnyValues.java:69-72, ValueGroup.java:32)."""
+
+    def test_container_groups_sort_before_scalars(self, spark, chain_graph):
+        df = cypher(spark,
+                    "UNWIND [[1, 2], 'a', {k: 1}, [1], 7, [1, 'x'], null, "
+                    "true] AS x WITH x ORDER BY x "
+                    "RETURN collect(coalesce(toString(x), '<null>')) AS s",
+                    chain_graph)
+        assert rows(df) == [((["{k: 1}", "[1]", "[1, x]", "[1, 2]", "a",
+                               "true", "7", "<null>"],))]
+
+    def test_list_order_is_elementwise_prefix_first(self, spark,
+                                                    chain_graph):
+        # CIP list order: [1] < [1, 'x'] < [1, 2] ('x' STRING(13) sorts
+        # before 2 NUMBER(15)); prefix-shorter-first
+        df = cypher(spark,
+                    "UNWIND [[1, 2], [1], [1, 'x'], [2]] AS x "
+                    "WITH x ORDER BY x LIMIT 3 "
+                    "RETURN collect(toString(x)) AS s", chain_graph)
+        assert rows(df) == [((["[1]", "[1, x]", "[1, 2]"],))]
+
+    def test_map_order_size_then_entries(self, spark, chain_graph):
+        # AnyValues map comparator: size first, then key-sorted entries
+        df = cypher(spark,
+                    "UNWIND [{b: 1}, {a: 1, b: 2}, {a: 9}, 'tail'] AS x "
+                    "WITH x ORDER BY x "
+                    "RETURN collect(toString(x)) AS s", chain_graph)
+        assert rows(df) == [((["{a: 9}", "{b: 1}", "{a: 1, b: 2}",
+                               "tail"],))]
+
+    def test_point_orders_between_list_and_temporals(self, spark,
+                                                     chain_graph):
+        df = cypher(spark,
+                    "UNWIND [point({x: 1.0, y: 2.0}), [9], 'a', "
+                    "date('2024-01-01')] AS x WITH x ORDER BY x LIMIT 2 "
+                    "RETURN collect(toString(x)) AS s", chain_graph)
+        assert rows(df) == [((["[9]",
+                               "point({crs: cartesian, coords: "
+                               "[1.0, 2.0]})"],))]
+
+    def test_nested_null_list_equality_is_ternary(self, spark,
+                                                  chain_graph):
+        # [1, null] = [1, null] -> null; [1, null] = [2, null] -> false
+        # (AnyValue.ternaryEquals over ListValue)
+        df = cypher(spark,
+                    "WITH [[1, null], 'a'] AS l, [[2, null], 'b'] AS m "
+                    "RETURN l[0] = l[0] AS same, l[0] = m[0] AS diff",
+                    chain_graph)
+        assert rows(df) == [(None, False)]
+
+    def test_map_equality_ternary_on_values(self, spark, chain_graph):
+        df = cypher(spark,
+                    "WITH [{a: 1}, 'x'] AS l, [{a: 1}, 'y'] AS m, "
+                    "[{a: 2}, 'z'] AS o, [{b: 1}, 'w'] AS p "
+                    "RETURN l[0] = m[0] AS eq, l[0] = o[0] AS neq, "
+                    "l[0] = p[0] AS diffkey", chain_graph)
+        assert rows(df) == [(True, False, False)]
+
+    def test_container_is_typed(self, spark, chain_graph):
+        df = cypher(spark,
+                    "WITH [[1], {k: 1}, point({x: 1.0, y: 1.0}), 's'] AS l "
+                    "RETURN l[0] IS :: LIST AS a, l[1] IS :: MAP AS b, "
+                    "l[2] IS :: POINT AS c, l[0] IS NOT :: MAP AS d",
+                    chain_graph)
+        assert rows(df) == [(True, True, True, True)]
+
+    def test_nesting_depth_limit_raises(self, spark, chain_graph):
+        import pytest
+
+        from neo4j_spark.cypher.exprs import CypherTypeError
+
+        with pytest.raises(CypherTypeError, match="nest"):
+            cypher(spark, "RETURN [[[1], 'a'], 'b'] AS x", chain_graph)
