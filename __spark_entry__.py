@@ -532,6 +532,15 @@ CYPHER_QUERIES = {
     "call_fulltext_rels":
         "CALL db.index.fulltext.queryRelationships('returnflag', 'R') "
         "YIELD relationship, score RETURN count(*) AS n",
+    # Lucene query syntax (FulltextProcedures.java:120 -> Lucene parser):
+    # quoted phrases (consecutive-token match) and boolean operators
+    "call_fulltext_phrase":
+        "CALL db.index.fulltext.queryNodes('name', '\"red widget\"') "
+        "YIELD node, score RETURN count(*) AS n",
+    "call_fulltext_boolean":
+        "CALL db.index.fulltext.queryNodes('name', "
+        "'(red OR blue) AND widget') "
+        "YIELD node, score RETURN count(*) AS n",
     "call_list_config":
         "CALL dbms.listConfig() YIELD name, value "
         "WHERE name = 'spark.sql.adaptive.enabled' "
@@ -1855,6 +1864,13 @@ def _oracle_sql_raw() -> dict[str, str]:
         "call_fulltext_rels":
             "SELECT count(*) AS n FROM lineitem "
             "WHERE lower(l_returnflag) = 'r'",
+        "call_fulltext_phrase":
+            "SELECT count(*) AS n FROM part "
+            "WHERE p_name LIKE '%red widget%'",
+        "call_fulltext_boolean":
+            "SELECT count(*) AS n FROM part "
+            "WHERE (p_name LIKE '%red%' OR p_name LIKE '%blue%') "
+            "AND p_name LIKE '%widget%'",
         "call_list_config":
             "SELECT 'true' AS v",
         "algo_connected_components":

@@ -10,6 +10,7 @@ A procedure is a Python callable ``(spark, graph, args) -> DataFrame``.
 
 from __future__ import annotations
 
+import re
 from typing import Any, Callable, Dict, List
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -317,6 +318,304 @@ def _bm25_scan(frame, id_col: str, prop: str, terms, out_name: str):
             .orderBy(F.col("score").desc(), F.col(out_name)))
 
 
+# ---- Lucene query syntax (the common subset) ------------------------------
+#
+# The reference hands the query string to Lucene's parser
+# (FulltextProcedures.java:120 -> QueryParser).  Supported here: bare
+# terms (implicit OR, Lucene's default operator), "quoted phrases",
+# AND / OR / NOT (also && / || / !), +must / -must_not modifiers,
+# parentheses, field prefixes (must name the indexed property), and
+# fuzzy term~N (Levenshtein, default 2).  Wildcards / ranges / boosts /
+# phrase slop raise a clear ProcedureError.  Scoring: BM25 summed over
+# the matching POSITIVE clauses (must_not never scores), phrase tf =
+# exact consecutive-token occurrences, fuzzy tf = tokens within edit
+# distance.
+
+
+def _lucene_lex(q: str):
+    toks, i, n = [], 0, len(q)
+    _clause_start = True
+    while i < n:
+        c = q[i]
+        if c.isspace():
+            i += 1
+            _clause_start = True
+            continue
+        if c == '"':
+            j = q.find('"', i + 1)
+            if j < 0:
+                raise ProcedureError("unterminated phrase in Lucene query")
+            if j + 1 < n and q[j + 1] == "~":
+                raise ProcedureError(
+                    "phrase slop (\"...\"~N) is not supported")
+            toks.append(("phrase", q[i + 1:j]))
+            i = j + 1
+        elif c == "(":
+            toks.append(("lp",)); i += 1; _clause_start = True
+        elif c == ")":
+            toks.append(("rp",)); i += 1
+        elif c == "+" and _clause_start:
+            toks.append(("plus",)); i += 1
+        elif c == "-" and _clause_start:
+            toks.append(("minus",)); i += 1
+        elif c == "!":
+            toks.append(("not",)); i += 1
+        elif q.startswith("&&", i):
+            toks.append(("and",)); i += 2
+        elif q.startswith("||", i):
+            toks.append(("or",)); i += 2
+        else:
+            j = i
+            while j < n and not q[j].isspace() and q[j] not in '()"':
+                j += 1
+            w = q[i:j]
+            i = j
+            if w == "AND":
+                toks.append(("and",))
+            elif w == "OR":
+                toks.append(("or",))
+            elif w == "NOT":
+                toks.append(("not",))
+            else:
+                field = None
+                if ":" in w:
+                    field, w = w.split(":", 1)
+                fuzz = None
+                if "~" in w:
+                    w, _, fz = w.partition("~")
+                    try:
+                        fuzz = int(fz) if fz else 2
+                    except ValueError:
+                        raise ProcedureError(
+                            f"bad fuzzy distance in Lucene query: {fz}")
+                if any(ch in w for ch in "*?[]{}^"):
+                    raise ProcedureError(
+                        f"unsupported Lucene syntax: {w} (wildcards/"
+                        "ranges/boosts are not implemented)")
+                toks.append(("term", w.lower(), field, fuzz))
+        _clause_start = toks[-1][0] in ("lp", "and", "or", "not",
+                                        "plus", "minus")
+    return toks
+
+
+def _lucene_parse(q: str, prop: str):
+    """Parse a Lucene query into ('bool', musts, nots, shoulds) /
+    ('and', kids) / ('not', kid) / leaf nodes; leaves are
+    ('term', w) / ('fuzzy', w, n) / ('phrase', [w...])."""
+    tokens = _lucene_lex(q)
+    pos = [0]
+
+    def peek():
+        return tokens[pos[0]] if pos[0] < len(tokens) else None
+
+    def take():
+        t = tokens[pos[0]]
+        pos[0] += 1
+        return t
+
+    def parse_primary():
+        t = peek()
+        if t is None:
+            raise ProcedureError("unexpected end of Lucene query")
+        if t[0] == "lp":
+            take()
+            node = parse_or()
+            if peek() is None or peek()[0] != "rp":
+                raise ProcedureError("unbalanced ( in Lucene query")
+            take()
+            return node
+        if t[0] == "phrase":
+            take()
+            words = [w for w in re.split(r"\W+", t[1].lower()) if w]
+            if not words:
+                raise ProcedureError("empty phrase in Lucene query")
+            return ("term", words[0]) if len(words) == 1 \
+                else ("phrase", words)
+        if t[0] == "term":
+            take()
+            _, w, field, fuzz = t
+            if field is not None and field != prop:
+                raise ProcedureError(
+                    f"field '{field}:' does not match the indexed "
+                    f"property '{prop}'")
+            if not w:
+                raise ProcedureError("empty term in Lucene query")
+            return ("fuzzy", w, fuzz) if fuzz else ("term", w)
+        raise ProcedureError(f"unexpected token in Lucene query: {t[0]}")
+
+    def parse_mod():
+        t = peek()
+        if t is not None and t[0] in ("not", "minus"):
+            take()
+            return ("not", parse_mod())
+        if t is not None and t[0] == "plus":
+            take()
+            return ("must", parse_mod())
+        return parse_primary()
+
+    def parse_and():
+        kids = [parse_mod()]
+        while peek() is not None and peek()[0] == "and":
+            take()
+            kids.append(parse_mod())
+        if len(kids) == 1:
+            return kids[0]
+        return ("and", [k[1] if k[0] == "must" else k for k in kids])
+
+    def parse_or():
+        kids = [parse_and()]
+        while peek() is not None and peek()[0] in (
+                "or", "phrase", "term", "plus", "minus", "not", "lp"):
+            if peek()[0] == "or":
+                take()
+            kids.append(parse_and())
+        if len(kids) == 1 and kids[0][0] not in ("must", "not"):
+            return kids[0]
+        # BooleanQuery semantics: with MUST clauses present, SHOULD
+        # clauses are optional (scoring only); without, one must match
+        musts = [k[1] for k in kids if k[0] == "must"]
+        nots = [k[1] for k in kids if k[0] == "not"]
+        shoulds = [k for k in kids if k[0] not in ("must", "not")]
+        return ("bool", musts, nots, shoulds)
+
+    node = parse_or()
+    if peek() is not None:
+        raise ProcedureError("unbalanced ) in Lucene query")
+    return node
+
+
+def _is_lucene_syntax(q: str) -> bool:
+    if any(ch in q for ch in '"():+~&|!'):
+        return True
+    return bool(re.search(r"\b(AND|OR|NOT)\b", q))
+
+
+def _lucene_scan(frame, id_col: str, prop: str, node, out_name: str):
+    """Evaluate a parsed Lucene query over a tokenized property scan:
+    per-leaf tf columns (term equality / Levenshtein / consecutive-token
+    phrase count), per-leaf df aggregates broadcast back, BM25 summed
+    over matching positive leaves, boolean tree as the match filter."""
+    leaves = []   # (node, scoring)
+
+    def collect(nd, scoring=True):
+        kind = nd[0]
+        if kind in ("term", "fuzzy", "phrase"):
+            for i, (l, s) in enumerate(leaves):
+                if l == nd:
+                    if scoring and not s:
+                        leaves[i] = (l, True)
+                    return
+            leaves.append((nd, scoring))
+        elif kind == "not":
+            collect(nd[1], False)
+        elif kind == "and":
+            for k in nd[1]:
+                collect(k, scoring)
+        elif kind == "bool":
+            for k in nd[1]:
+                collect(k, scoring)
+            for k in nd[2]:
+                collect(k, False)
+            for k in nd[3]:
+                collect(k, scoring)
+
+    collect(node)
+
+    toks = F.filter(F.split(F.lower(F.col(prop)), r"\W+"),
+                    lambda x: x != "")
+    docs = frame.filter(F.col(prop).isNotNull()).select(
+        F.col(id_col).alias(out_name), toks.alias("__toks"))
+    docs = docs.withColumn("__dl", F.size("__toks"))
+    stats = docs.agg(F.count(F.lit(1)).alias("__n"),
+                     F.avg("__dl").alias("__avgdl"))
+
+    def leaf_tf(nd):
+        if nd[0] == "term":
+            return F.size(F.filter(F.col("__toks"),
+                                   lambda x: x == F.lit(nd[1])))
+        if nd[0] == "fuzzy":
+            w, dist = nd[1], nd[2]
+            return F.size(F.filter(
+                F.col("__toks"),
+                lambda x: F.levenshtein(x, F.lit(w)) <= F.lit(dist)))
+        words = nd[1]
+        k = len(words)
+        starts = F.when(F.col("__dl") < k, F.array().cast("array<int>")) \
+            .otherwise(F.sequence(F.lit(0), F.col("__dl") - k))
+
+        def at(i, j):
+            return F.element_at(F.col("__toks"), i + j + 1)
+
+        def match_at(i):
+            cond = at(i, 0) == F.lit(words[0])
+            for j in range(1, k):
+                cond = cond & (at(i, j) == F.lit(words[j]))
+            return cond
+
+        return F.size(F.filter(starts, match_at))
+
+    tf_cols = [leaf_tf(nd).alias(f"__tf{i}")
+               for i, (nd, _) in enumerate(leaves)]
+    scored = docs.select(out_name, "__dl", *tf_cols)
+    df_aggs = [F.sum(F.when(F.col(f"__tf{i}") > 0, 1).otherwise(0))
+               .alias(f"__df{i}") for i in range(len(leaves))]
+    dfreq = scored.agg(*df_aggs)
+    scored = scored.crossJoin(F.broadcast(stats)) \
+                   .crossJoin(F.broadcast(dfreq))
+
+    def hit(nd):
+        for i, (l, _) in enumerate(leaves):
+            if l == nd:
+                return F.col(f"__tf{i}") > 0
+        raise ProcedureError("internal: unknown Lucene leaf")
+
+    def matches(nd):
+        kind = nd[0]
+        if kind in ("term", "fuzzy", "phrase"):
+            return hit(nd)
+        if kind == "not":
+            return ~matches(nd[1])
+        if kind == "and":
+            out = None
+            for k in nd[1]:
+                c = matches(k)
+                out = c if out is None else out & c
+            return out
+        if kind == "bool":
+            musts, nots, shoulds = nd[1], nd[2], nd[3]
+            out = None
+            for k in musts:
+                c = matches(k)
+                out = c if out is None else out & c
+            for k in nots:
+                c = ~matches(k)
+                out = c if out is None else out & c
+            if shoulds and not musts:
+                sh = None
+                for k in shoulds:
+                    c = matches(k)
+                    sh = c if sh is None else sh | c
+                out = sh if out is None else out & sh
+            return out if out is not None else F.lit(False)
+        raise ProcedureError(f"internal: unknown Lucene node {kind}")
+
+    score = None
+    for i, (nd, scoring) in enumerate(leaves):
+        if not scoring:
+            continue
+        s = F.when(
+            F.col(f"__tf{i}") > 0,
+            _bm25_score(F.col(f"__tf{i}"), F.col("__dl"),
+                        F.col(f"__df{i}"), F.col("__n"),
+                        F.col("__avgdl"))).otherwise(F.lit(0.0))
+        score = s if score is None else score + s
+    if score is None:
+        score = F.lit(0.0)
+    return (scored.filter(matches(node))
+            .select(out_name, score.alias("score"))
+            .orderBy(F.col("score").desc(), F.col(out_name)))
+
+
 @procedure("db.index.fulltext.createnodeindex")
 def fulltext_create_node_index(spark, graph, args):
     """(indexName, [labels], [properties]) — materialize an inverted-index
@@ -376,6 +675,17 @@ def fulltext_query_nodes(spark, graph, args):
     postings, N/avgdl from the 1-row stats table); otherwise a single-pass
     scan.  Both paths score identically."""
     prop, query = args[0], str(args[1])
+    if _is_lucene_syntax(query):
+        # Lucene operators need per-document token positions (phrases) or
+        # boolean context — evaluated on the single-pass scan; the
+        # postings layout carries no positions (documented trade-off)
+        idx0 = graph.fulltext_indexes.get(prop)
+        real_prop = idx0["prop"] if idx0 is not None else prop
+        nodes = graph.nodes
+        if real_prop not in nodes.columns:
+            raise ProcedureError(f"no node property {real_prop}")
+        node = _lucene_parse(query, real_prop)
+        return _lucene_scan(nodes, "id", real_prop, node, "node")
     terms = [t.lower() for t in query.split() if t]
     idx = graph.fulltext_indexes.get(prop)
     if idx is not None:
@@ -426,10 +736,13 @@ def fulltext_query_relationships(spark, graph, args):
     (FulltextProcedures.java:202), same scan-based scoring as the node
     variant."""
     prop, query = args[0], str(args[1])
-    terms = [t.lower() for t in query.split() if t]
     rels = graph.rels
     if prop not in rels.columns:
         raise ProcedureError(f"no relationship property {prop}")
+    if _is_lucene_syntax(query):
+        node = _lucene_parse(query, prop)
+        return _lucene_scan(rels, "id", prop, node, "relationship")
+    terms = [t.lower() for t in query.split() if t]
     return _bm25_scan(rels, "id", prop, terms, "relationship")
 
 

@@ -140,3 +140,56 @@ def test_use_clause_accepted(spark, tpch_graph):
                  "USE GRAPH db.shard MATCH (r:Region) RETURN count(*) AS c",
                  tpch_graph)
     assert out.collect()[0]["c"] == 5
+
+
+class TestLuceneQuerySyntax:
+    """Round-3: the common Lucene operator subset in fulltext queries
+    (FulltextProcedures.java:120 hands the string to Lucene's parser)."""
+
+    def _n(self, spark, g, q):
+        from neo4j_spark.api import cypher
+
+        return cypher(
+            spark, f"CALL db.index.fulltext.queryNodes('name', '{q}') "
+            "YIELD node, score RETURN count(*) AS n", g).collect()[0]["n"]
+
+    def test_phrase_requires_adjacency_in_order(self, spark, tpch_graph):
+        fwd = self._n(spark, tpch_graph, '\\"red widget\\"')
+        rev = self._n(spark, tpch_graph, '\\"widget red\\"')
+        both = self._n(spark, tpch_graph, 'red AND widget')
+        assert fwd == both > 0  # part names are 'adjective noun'
+        assert rev == 0
+
+    def test_boolean_operators(self, spark, tpch_graph):
+        w = self._n(spark, tpch_graph, 'widget')
+        r_and_w = self._n(spark, tpch_graph, 'red AND widget')
+        w_not_r = self._n(spark, tpch_graph, 'widget NOT red')
+        w_or_b = self._n(spark, tpch_graph, 'widget OR bolt')
+        b = self._n(spark, tpch_graph, 'bolt')
+        assert r_and_w + w_not_r == w
+        assert w_or_b == w + b  # disjoint nouns
+        assert self._n(spark, tpch_graph, '+widget -red') == w_not_r
+
+    def test_parens_and_field_prefix(self, spark, tpch_graph):
+        g1 = self._n(spark, tpch_graph, '(red OR blue) AND widget')
+        r = self._n(spark, tpch_graph, 'red AND widget')
+        b = self._n(spark, tpch_graph, 'blue AND widget')
+        assert g1 == r + b
+        assert self._n(spark, tpch_graph, 'name:widget') \
+            == self._n(spark, tpch_graph, 'widget')
+
+    def test_fuzzy_and_unsupported_raise(self, spark, tpch_graph):
+        import pytest
+
+        from neo4j_spark.procedures.registry import (ProcedureError,
+                                                     _lucene_parse)
+
+        # 'widgee'~2 is within edit distance 2 of 'widget'
+        assert self._n(spark, tpch_graph, 'widgee~2') \
+            >= self._n(spark, tpch_graph, 'widget')
+        with pytest.raises(ProcedureError, match="unsupported"):
+            _lucene_parse("wid*", "name")
+        with pytest.raises(ProcedureError, match="field"):
+            _lucene_parse("other:widget", "name")
+        with pytest.raises(ProcedureError, match="slop"):
+            _lucene_parse('"a b"~2', "name")
