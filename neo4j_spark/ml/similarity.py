@@ -207,12 +207,23 @@ def ivf_centroids(df: DataFrame, n_centroids: int = 16,
     couple of Lloyd (k-means) refinement rounds as DataFrame aggs.
     Collected to the driver (n_centroids * dim floats — tiny) so they can
     be broadcast into the assignment scan."""
-    n = df.count()
-    stride = max(n // n_centroids, 1)
-    seeds = (df.withColumn("_h", F.abs(F.xxhash64(F.col(id_col))) % n)
-               .filter(F.col("_h") % stride == 0)
-               .orderBy("_h").limit(n_centroids)
-               .select(vec_col).collect())
+    # hash-threshold sampling: keep rows whose id hash falls under a
+    # threshold sized to yield ~8x n_centroids survivors, then TAKE the
+    # n smallest hashes.  The take is a TakeOrderedAndProject over the
+    # tiny survivor set — no global sort of the corpus (the round-2
+    # orderBy(_h).limit(k) shape sorted every row at 100 TB).
+    n = max(df.count(), 1)
+    hashed = df.select(F.col(vec_col).alias("_v"),
+                       F.abs(F.xxhash64(F.col(id_col))).alias("_h"))
+    top = 1 << 62
+    factor = 8
+    seeds = []
+    while len(seeds) < min(n_centroids, n):
+        thr = min(int(top * min(factor * n_centroids / n, 1.0)), top)
+        seeds = (hashed.filter(F.col("_h") % top < thr)
+                 .orderBy("_h").limit(n_centroids)
+                 .select("_v").collect())
+        factor *= 8
     cents = [[float(x) for x in r[0]] for r in seeds]
     for _ in range(iterations):
         assigned = ivf_assign(df, cents, vec_col)

@@ -297,15 +297,22 @@ def astar(rels: DataFrame, nodes: DataFrame, source_id: int, target_id: int,
     dist = spark.createDataFrame([(source_id, 0.0)], "id long, dist double") \
                 .localCheckpoint(eager=True)
     frontier = dist
-    best = None  # best known g(target): the A* upper bound
     for _ in range(max_iter):
-        if best is not None:
-            # prune: g + h >= best cannot improve the route (h admissible)
-            frontier = (frontier.join(h, "id", "left")
-                        .filter(F.col("dist")
-                                + F.coalesce(F.col("h"), F.lit(0.0))
-                                < F.lit(best))
-                        .select("id", "dist"))
+        # prune: g + h >= best known g(target) cannot improve the route
+        # (h admissible).  The bound is a broadcast 1-row aggregate over
+        # the checkpointed dist table — it folds into the frontier job
+        # (PageRank's dangling-mass pattern) instead of a driver .head()
+        # per iteration; the only per-iteration action is the emptiness
+        # check.
+        bound = dist.filter(F.col("id") == target_id) \
+                    .agg(F.min("dist").alias("__bound"))
+        frontier = (frontier.join(h, "id", "left")
+                    .crossJoin(F.broadcast(bound))
+                    .filter(F.col("dist")
+                            + F.coalesce(F.col("h"), F.lit(0.0))
+                            < F.coalesce(F.col("__bound"),
+                                         F.lit(float("inf"))))
+                    .select("id", "dist"))
         cand = (frontier.join(edges, frontier["id"] == edges["src"])
                 .select(F.col("dst").alias("id"),
                         (F.col("dist") + F.col("w")).alias("dist"))
@@ -321,9 +328,6 @@ def astar(rels: DataFrame, nodes: DataFrame, source_id: int, target_id: int,
         dist = (dist.unionByName(improved)
                 .groupBy("id").agg(F.min("dist").alias("dist"))
                 .localCheckpoint(eager=True))
-        trow = improved.filter(F.col("id") == target_id).head()
-        if trow is not None:
-            best = trow["dist"] if best is None else min(best, trow["dist"])
         frontier = improved
     row = dist.filter(F.col("id") == target_id).head()
     return None if row is None else row["dist"]

@@ -382,3 +382,100 @@ class TestEmbeddingQuantization:
             F.round(l2norm(l2_normalize(F.col("embedding"))), 6).alias("n")
         ).collect()}
         assert out[1] == 1.0 and out[2] == 0.0
+
+
+class TestRound3ScaleShapes:
+    """Round-3: scale-safe candidate generation — prefix-filtered n-gram
+    join (exact, bounded blocks) and Manku block-combination SimHash
+    banding (guaranteed recall at two configs)."""
+
+    def test_ngram_prefix_join_matches_brute_force(self, spark, docs):
+        from neo4j_spark.ml.dedup import jaccard, ngram_jaccard_pairs, shingles
+
+        sub = docs.limit(120)
+        got = {(r.id_a, r.id_b): r.jaccard
+               for r in ngram_jaccard_pairs(sub, "doc_id", "text", "lang",
+                                            threshold=0.5).collect()}
+        g = sub.select(F.col("lang").alias("_g"),
+                       F.col("doc_id").alias("_id"),
+                       F.array_distinct(
+                           shingles(F.col("text"), 3)).alias("_grams"))
+        a, b = g.alias("a"), g.alias("b")
+        brute = (a.join(b, (F.col("a._g") == F.col("b._g"))
+                        & (F.col("a._id") < F.col("b._id")))
+                 .withColumn("j", F.round(
+                     jaccard(F.col("a._grams"), F.col("b._grams")), 6))
+                 .filter(F.col("j") >= 0.5)
+                 .select(F.col("a._id").alias("id_a"),
+                         F.col("b._id").alias("id_b"), "j"))
+        want = {(r.id_a, r.id_b): r.j for r in brute.collect()}
+        assert got == want  # prefix filtering is EXACT, not approximate
+
+    def test_ngram_prefix_blocks_bounded(self, spark, docs):
+        # the prefix join's per-block input must be far below the group
+        # size (the round-2 all-pairs shape put the WHOLE language block
+        # on both sides)
+        from pyspark.sql import Window as W
+
+        from neo4j_spark.ml.dedup import shingles
+
+        grams = docs.select(F.col("lang").alias("_g"),
+                            F.col("doc_id").alias("_id"),
+                            F.array_distinct(
+                                shingles(F.col("text"), 3)).alias("_grams"))
+        grams = grams.withColumn("_sz", F.size("_grams"))
+        ex = grams.select("_g", "_id", "_sz",
+                          F.explode("_grams").alias("_gr"))
+        dfreq = ex.groupBy("_g", "_gr").agg(F.count(F.lit(1)).alias("_df"))
+        ranked = (ex.join(dfreq, ["_g", "_gr"])
+                  .withColumn("_rk", F.row_number().over(
+                      W.partitionBy("_g", "_id")
+                       .orderBy("_df", F.xxhash64("_gr")))))
+        pref = ranked.filter(
+            F.col("_rk") <= F.col("_sz")
+            - F.ceil(F.lit(0.5) * F.col("_sz")) + 1)
+        biggest_block = (pref.groupBy("_g", "_gr")
+                         .agg(F.count(F.lit(1)).alias("n"))
+                         .agg(F.max("n").alias("m")).head()["m"])
+        group_size = (docs.groupBy("lang").count()
+                      .agg(F.max("count").alias("m")).head()["m"])
+        assert biggest_block < group_size / 4
+
+    def test_simhash_banding_recall_two_configs(self, spark):
+        import itertools
+        import random
+
+        from neo4j_spark.ml.dedup import simhash_band_candidates
+
+        rng = random.Random(7)
+        rows, expected = [], set()
+        nid = 0
+        for base_i in range(12):
+            base = rng.getrandbits(63)
+            rows.append((nid, base))
+            base_id = nid
+            nid += 1
+            for flips in (1, 2, 3):
+                v = base
+                for bit in rng.sample(range(64), flips):
+                    v ^= (1 << bit) - (2 << 63 if bit == 63 else 0)
+                rows.append((nid, v))
+                expected.add((base_id, nid))
+                nid += 1
+        sh = spark.createDataFrame(rows, "_id long, _sh long")
+        for cfg in ({"max_hamming": 3},                       # 6 blocks, 20 tables
+                    {"max_hamming": 3, "n_blocks": 4}):        # 4 blocks, 4 tables
+            cands = {(r.id_a, r.id_b)
+                     for r in simhash_band_candidates(sh, **cfg).collect()}
+            missing = expected - cands
+            assert not missing, (cfg, missing)
+
+    def test_simhash_bad_config_raises(self, spark):
+        import pytest
+
+        from neo4j_spark.ml.dedup import simhash_band_candidates
+
+        sh = spark.createDataFrame([(1, 5)], "_id long, _sh long")
+        with pytest.raises(ValueError, match="recall"):
+            simhash_band_candidates(sh, max_hamming=5, n_blocks=4,
+                                    key_blocks=2)
