@@ -258,6 +258,14 @@ CYPHER_QUERIES = {
         "UNWIND [3, 1.5, 'b', 'a', true, false, null, 2, 'c', -1.0] AS x "
         "WITH x ORDER BY x DESC LIMIT 4 "
         "RETURN coalesce(toString(x), '<null>') AS s",
+    # named IANA time zones (DateTimeValue ZoneId handling): the zone id
+    # rides alongside the instant; accessors/truncate act in the zone
+    "temporal_named_zone":
+        "WITH datetime({year: 2024, month: 3, day: 31, hour: 1, "
+        "minute: 30, timezone: 'Europe/Paris'}) AS dt "
+        "RETURN dt.timezone AS tz, dt.epochMillis AS ms, dt.hour AS h, "
+        "dt.offset AS off, toString(dt) AS s, "
+        "datetime.truncate('day', dt).epochMillis AS day_ms",
     # container groups in the tagged encoding (anyvalue.py round 3:
     # MAP(1) < LIST(4) < POINT(6) < scalars; lists element-wise)
     "mixed_container_order":
@@ -1563,6 +1571,14 @@ def _oracle_sql_raw() -> dict[str, str]:
             "SELECT unnest(['a', 'b', 'c', 'false']) AS s",
         "mixed_list_order_desc":
             "SELECT unnest(['<null>', '3', '2', '1.5']) AS s",
+        "temporal_named_zone":
+            "SELECT 'Europe/Paris' AS tz, "
+            "CAST(epoch_ms(timezone('Europe/Paris', "
+            "TIMESTAMP '2024-03-31 01:30:00')) AS BIGINT) AS ms, "
+            "CAST(1 AS BIGINT) AS h, '+01:00' AS off, "
+            "'2024-03-31T01:30+01:00[Europe/Paris]' AS s, "
+            "CAST(epoch_ms(timezone('Europe/Paris', "
+            "TIMESTAMP '2024-03-31 00:00:00')) AS BIGINT) AS day_ms",
         "mixed_container_order":
             "SELECT unnest(['{k: 1}', '[1]', '[1, x]', '[1, 2]', 'a']) "
             "AS s",

@@ -157,6 +157,15 @@ def to_any(c: Column, t: Optional[T.DataType]) -> Column:
               .when(zoned, RANK_ZONED_TIME).otherwise(RANK_LOCAL_TIME))
         return _pack(g, F.when(zoned, day_sec - off_sec.cast("double"))
                      .otherwise(day_sec), txt, nb, ni)
+    from .exprs import _is_zoned_dt
+
+    if _is_zoned_dt(t):
+        from .exprs import zoned_dt_to_string
+
+        g = F.when(c.isNull(), RANK_NULL).otherwise(RANK_ZONED_DT)
+        return _pack(g,
+                     F.unix_micros(c.getField("instant")).cast("double"),
+                     zoned_dt_to_string(c), nb, ni)
     if isinstance(t, T.StructType) and _is_duration(t):
         # DurationValue.COMPARATOR: average length in seconds, then nanos,
         # then months/days/seconds.  __vn carries avgSeconds + nanos/1e9
@@ -282,10 +291,11 @@ def _is_scalar_class(t) -> bool:
     if isinstance(t, _SCALAR_SPARK_TYPES):
         return True
     if isinstance(t, T.StructType):
-        from .exprs import _is_duration
+        from .exprs import _is_duration, _is_zoned_dt
 
         names = set(t.fieldNames())
-        if {"hour", "minute", "second"} <= names or _is_duration(t):
+        if {"hour", "minute", "second"} <= names or _is_duration(t) \
+                or _is_zoned_dt(t):
             return True
     return False
 

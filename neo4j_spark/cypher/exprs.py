@@ -42,6 +42,43 @@ def _is_temporal(t) -> bool:
     return isinstance(t, (T.DateType, T.TimestampType, T.TimestampNTZType))
 
 
+def _is_zoned_dt(t) -> bool:
+    """Named-zone ZonedDateTime struct {instant: timestamp, tz: string}
+    (reference DateTimeValue keeps a ZoneId next to the instant,
+    values/storable/DateTimeValue.java; plain offsets stay plain
+    TimestampType instants)."""
+    return (isinstance(t, T.StructType)
+            and set(t.fieldNames()) == {"instant", "tz"})
+
+
+def _zoned_wall(c: Column) -> Column:
+    """Wall-clock (NTZ) time of a zoned struct in its own zone."""
+    return F.from_utc_timestamp(c.getField("instant"), c.getField("tz"))
+
+
+def _zone_offset_str(c: Column) -> Column:
+    """'+HH:MM' / 'Z' offset of the zone at the struct's instant
+    (session tz is pinned to UTC, so NTZ wall - instant = the offset)."""
+    osec = ((F.unix_micros(_zoned_wall(c).cast("timestamp"))
+             - F.unix_micros(c.getField("instant"))) / 1_000_000) \
+        .cast("long")
+    a = F.abs(osec)
+    txt = F.format_string(
+        "%s%02d:%02d",
+        F.when(osec < 0, F.lit("-")).otherwise(F.lit("+")),
+        F.floor(a / 3600).cast("int"), (F.floor(a / 60) % 60).cast("int"))
+    return F.when(osec == 0, F.lit("Z")).otherwise(txt)
+
+
+def zoned_dt_to_string(c: Column) -> Column:
+    """'2024-03-31T01:30+02:00[Europe/Paris]' (DateTimeValue.toString)."""
+    from ..functions.registry import _datetime_to_string
+
+    return F.concat(
+        _datetime_to_string(_zoned_wall(c), with_offset=False),
+        _zone_offset_str(c), F.lit("["), c.getField("tz"), F.lit("]"))
+
+
 def _dur_map2(lc: Column, rc, fn) -> Column:
     """Fieldwise combine of two duration structs (rc=None -> unary)."""
     return F.struct(*[
@@ -284,6 +321,25 @@ class ExprCompiler:
         if t is None:
             t = self.dtype_of(subj)
         key = e.key
+        if _is_zoned_dt(t):
+            k = key.lower()
+            if k == "timezone":
+                return subj.getField("tz")
+            if k == "offset":
+                return _zone_offset_str(subj)
+            if k == "offsetseconds":
+                return ((F.unix_micros(_zoned_wall(subj).cast("timestamp"))
+                         - F.unix_micros(subj.getField("instant")))
+                        / 1_000_000).cast("long")
+            if k == "epochmillis":
+                return (F.unix_micros(subj.getField("instant")) / 1000) \
+                    .cast("long")
+            if k == "epochseconds":
+                return F.unix_seconds(subj.getField("instant"))
+            fn = TEMPORAL_FIELDS.get(k)
+            if fn is not None:
+                return fn(_zoned_wall(subj)).cast("long")
+            raise CypherTypeError(f"unknown temporal field {key}")
         if isinstance(t, T.StructType):
             if key in t.fieldNames():
                 return subj.getField(key)
@@ -387,10 +443,20 @@ class ExprCompiler:
         if isinstance(t, T.StructType):
             if _is_duration(t):
                 return "duration"
+            if _is_zoned_dt(t):
+                return "temporal-instant"
             if {f.name for f in t.fields} >= {"crs", "x", "y"}:
                 return "point"
             return "struct"
         return None
+
+    @staticmethod
+    def _unzone(c: Column, t) -> tuple:
+        """A named-zone datetime struct compares by its INSTANT
+        (ZonedDateTime ordering ignores the zone id)."""
+        if _is_zoned_dt(t):
+            return c.getField("instant"), T.TimestampType()
+        return c, t
 
     def _c_BinOp(self, e: A.BinOp) -> Column:
         op = e.op
@@ -407,6 +473,8 @@ class ExprCompiler:
             l, r = self._entity_aware(e.left), self._entity_aware(e.right)
             lt = self.dtype_of(l)
             rt0 = self.dtype_of(r)
+            l, lt = self._unzone(l, lt)
+            r, rt0 = self._unzone(r, rt0)
             if AV.is_any_type(lt) or AV.is_any_type(rt0):
                 if AV.is_deep_any_type(lt) or AV.is_deep_any_type(rt0):
                     eq = AV.any_eq_deep(AV.to_any_deep(l, lt),
@@ -443,6 +511,8 @@ class ExprCompiler:
 
             l, r = self._entity_aware(e.left), self._entity_aware(e.right)
             lt0, rt0 = self.dtype_of(l), self.dtype_of(r)
+            l, lt0 = self._unzone(l, lt0)
+            r, rt0 = self._unzone(r, rt0)
             if AV.is_any_type(lt0) or AV.is_any_type(rt0):
                 if AV.is_deep_any_type(lt0) or AV.is_deep_any_type(rt0):
                     return AV.any_cmp_deep(AV.to_any_deep(l, lt0),

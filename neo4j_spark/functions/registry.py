@@ -99,6 +99,8 @@ def _cypher_type_name(t) -> str:
         names = set(t.fieldNames())
         if {"months", "days", "seconds", "nanos"} <= names:
             return "DURATION"
+        if names == {"instant", "tz"}:
+            return "ZONED DATETIME"
         if {"crs", "x", "y"} <= names:
             return "POINT"
         if {"_src", "_dst"} <= names:
@@ -377,6 +379,9 @@ def compile_function(cc, e: A.Func) -> Column:
             if AV.is_deep_any_type(t):
                 return AV.any_to_string_deep(col)
             return AV.any_to_string(col)
+        from ..cypher.exprs import _is_zoned_dt, zoned_dt_to_string
+        if _is_zoned_dt(t):
+            return zoned_dt_to_string(col)
         if isinstance(t, T.StructType) and _is_duration(t):
             return _duration_to_string(col)
         if isinstance(t, T.StructType) \
@@ -533,6 +538,12 @@ def compile_function(cc, e: A.Func) -> Column:
             return F.current_timestamp()
         col, t = ctyped(0)
         if isinstance(t, T.StructType):
+            from ..cypher.exprs import _is_zoned_dt
+
+            if _is_zoned_dt(t):
+                return col if name == "datetime" \
+                    else F.from_utc_timestamp(col.getField("instant"),
+                                              col.getField("tz"))
             lower = {f.lower(): f for f in t.fieldNames()}
             if "epochseconds" in lower:
                 return F.timestamp_seconds(
@@ -546,10 +557,36 @@ def compile_function(cc, e: A.Func) -> Column:
             for k, mult in (("millisecond", 1e-3), ("microsecond", 1e-6),
                             ("nanosecond", 1e-9)):
                 sec = sec + _map_field(col, t, k, 0).cast("double") * mult
-            return F.make_timestamp(
-                _map_field(col, t, "year", 1), _map_field(col, t, "month", 1),
-                _map_field(col, t, "day", 1), _map_field(col, t, "hour", 0),
-                _map_field(col, t, "minute", 0), sec)
+            ymd = (_map_field(col, t, "year", 1),
+                   _map_field(col, t, "month", 1),
+                   _map_field(col, t, "day", 1),
+                   _map_field(col, t, "hour", 0),
+                   _map_field(col, t, "minute", 0), sec)
+            if "timezone" in lower and name == "datetime":
+                # IANA zone id (or offset): the instant is the wall time
+                # interpreted IN that zone; the id rides alongside so
+                # .timezone/.offset/toString round-trip
+                # (DateTimeValue.java ZoneId handling)
+                tz = col.getField(lower["timezone"]).cast("string")
+                inst = F.make_timestamp(*ymd, timezone=tz)
+                return F.struct(inst.alias("instant"), tz.alias("tz"))
+            return F.make_timestamp(*ymd)
+        if (name == "datetime" and isinstance(args[0], A.Lit)
+                and isinstance(args[0].value, str)
+                and args[0].value.endswith("]") and "[" in args[0].value):
+            # 'wall[Zone/Id]' (optionally with an explicit offset before
+            # the bracket, e.g. '2015-06-24T12:50+01:00[Europe/London]')
+            body, _, zpart = args[0].value.rpartition("[")
+            zone = zpart[:-1]
+            import re as _re
+
+            if _re.search(r"(Z|[+-]\d{2}:?\d{2})$", body):
+                inst = F.to_timestamp(F.lit(body))
+            else:
+                inst = F.to_utc_timestamp(
+                    F.to_timestamp_ntz(F.lit(body)), zone)
+            return F.struct(inst.alias("instant"),
+                            F.lit(zone).alias("tz"))
         return F.to_timestamp(col)
     if name in ("time", "localtime"):
         # TimeValue/LocalTimeValue: no Spark TIME type — a components
@@ -598,7 +635,20 @@ def compile_function(cc, e: A.Func) -> Column:
         if not isinstance(args[0], A.Lit):
             raise FunctionError("truncate unit must be a string literal")
         unit = str(args[0].value)
-        out = F.date_trunc(unit, c(1))
+        col, t = ctyped(1)
+        from ..cypher.exprs import _is_zoned_dt
+        if _is_zoned_dt(t):
+            # truncate in the value's OWN zone, then back to the instant
+            tz = col.getField("tz")
+            wall = F.from_utc_timestamp(col.getField("instant"), tz)
+            trunc = F.date_trunc(unit, wall)
+            if name == "date.truncate":
+                return trunc.cast("date")
+            out = F.struct(F.to_utc_timestamp(trunc, tz).alias("instant"),
+                           tz.alias("tz"))
+            return (F.from_utc_timestamp(out.getField("instant"), tz)
+                    if name == "localdatetime.truncate" else out)
+        out = F.date_trunc(unit, col)
         return out.cast("date") if name == "date.truncate" else out
     if name == "timestamp":
         return F.unix_millis(F.current_timestamp())

@@ -472,3 +472,54 @@ class TestContainerOrderability:
 
         with pytest.raises(CypherTypeError, match="nest"):
             cypher(spark, "RETURN [[[1], 'a'], 'b'] AS x", chain_graph)
+
+
+class TestNamedTimeZones:
+    """Round-3: IANA zone ids in datetime values (DateTimeValue keeps a
+    ZoneId next to the instant — values/storable/DateTimeValue.java)."""
+
+    def test_constructor_and_accessors(self, spark, chain_graph):
+        df = cypher(spark,
+                    "WITH datetime({year: 2024, month: 7, day: 1, "
+                    "hour: 12, timezone: 'Europe/Paris'}) AS dt "
+                    "RETURN dt.timezone AS tz, dt.hour AS h, "
+                    "dt.offset AS off, dt.epochMillis AS ms", chain_graph)
+        assert rows(df) == [("Europe/Paris", 12, "+02:00", 1719828000000)]
+
+    def test_dst_offset_change(self, spark, chain_graph):
+        # Paris switches +01:00 -> +02:00 at 2024-03-31 02:00 local
+        df = cypher(spark,
+                    "WITH datetime({year: 2024, month: 3, day: 31, "
+                    "hour: 1, minute: 30, timezone: 'Europe/Paris'}) AS w, "
+                    "datetime({year: 2024, month: 3, day: 31, hour: 3, "
+                    "minute: 30, timezone: 'Europe/Paris'}) AS s "
+                    "RETURN w.offset AS wo, s.offset AS so, "
+                    "s.epochMillis - w.epochMillis AS gap", chain_graph)
+        # 01:30+01:00 -> 00:30Z; 03:30+02:00 -> 01:30Z: one real hour
+        assert rows(df) == [("+01:00", "+02:00", 3600000)]
+
+    def test_string_form_and_tostring(self, spark, chain_graph):
+        df = cypher(spark,
+                    "RETURN toString(datetime("
+                    "'2015-06-24T12:50:35[Europe/London]')) AS s",
+                    chain_graph)
+        assert rows(df) == [("2015-06-24T12:50:35+01:00[Europe/London]",)]
+
+    def test_zoned_compares_by_instant(self, spark, chain_graph):
+        df = cypher(spark,
+                    "WITH datetime({year: 2024, month: 1, day: 1, "
+                    "timezone: 'Europe/Paris'}) AS a, "
+                    "datetime('2023-12-31T23:00:00Z') AS b "
+                    "RETURN a = b AS eq, a > b AS gt, a >= b AS ge",
+                    chain_graph)
+        assert rows(df) == [(True, False, True)]
+
+    def test_truncate_in_zone(self, spark, chain_graph):
+        df = cypher(spark,
+                    "WITH datetime({year: 2024, month: 7, day: 1, "
+                    "hour: 12, timezone: 'Europe/Paris'}) AS dt "
+                    "RETURN datetime.truncate('day', dt).epochMillis AS m, "
+                    "datetime.truncate('day', dt).timezone AS tz",
+                    chain_graph)
+        # Paris midnight Jul 1 = Jun 30 22:00Z
+        assert rows(df) == [(1719784800000, "Europe/Paris")]
