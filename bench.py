@@ -15,6 +15,88 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def probabilistic_gates(spark, sf_dir: str) -> dict:
+    """Measured recall/consistency for the four probabilistic (rows-only)
+    operators, so their correctness is visible in the driver-recorded
+    bench artifact and not only in pytest.  Runs at sf0.01 where exact
+    ground truth (all-pairs Jaccard / hamming, brute-force kNN) is cheap.
+
+    - minhash_recall:   exact shingle-Jaccard >= 0.8 pairs recovered by
+                        the banded MinHash path (precision is 1.0 by
+                        construction — candidates are verified exactly)
+    - simhash_recall_h3: exact hamming <= 3 pairs recovered by the
+                        block-combination banding (guaranteed 1.0)
+    - knn_lsh_recall:   mean true-top-10 recall over 4 probe queries
+    - fingerprint_consistency: exact-duplicate texts sharing a
+                        fingerprint (deterministic hash: must be 1.0)
+    """
+    from pyspark.sql import functions as F
+
+    from neo4j_spark.ml.dedup import (jaccard, minhash_dedup_pairs,
+                                      shingles, simhash,
+                                      simhash_band_candidates)
+    from neo4j_spark.ml.similarity import knn_bruteforce, knn_lsh
+    from neo4j_spark.ml.text import fingerprint
+
+    gates = {}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # minhash recall vs exact all-pairs Jaccard
+    grams = docs.select(
+        F.col("doc_id").alias("_id"),
+        F.array_distinct(shingles(F.col("text"), 3)).alias("_g")).persist()
+    a, b = grams.alias("a"), grams.alias("b")
+    exact = {(r.id_a, r.id_b) for r in
+             (a.join(b, F.col("a._id") < F.col("b._id"))
+              .withColumn("j", jaccard(F.col("a._g"), F.col("b._g")))
+              .filter(F.col("j") >= 0.8)
+              .select(F.col("a._id").alias("id_a"),
+                      F.col("b._id").alias("id_b")).collect())}
+    found = {(r.id_a, r.id_b) for r in minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.8).collect()}
+    gates["minhash_recall"] = round(
+        len(exact & found) / len(exact), 4) if exact else 1.0
+
+    # simhash recall for hamming <= 3 vs exact all-pairs
+    sh = docs.select(F.col("doc_id").alias("_id"),
+                     simhash(F.col("text")).alias("_sh")).persist()
+    sa, sb = sh.alias("a"), sh.alias("b")
+    sh_exact = {(r.id_a, r.id_b) for r in
+                (sa.join(sb, F.col("a._id") < F.col("b._id"))
+                 .withColumn("h", F.bit_count(
+                     F.col("a._sh").bitwiseXOR(F.col("b._sh"))))
+                 .filter(F.col("h") <= 3)
+                 .select(F.col("a._id").alias("id_a"),
+                         F.col("b._id").alias("id_b")).collect())}
+    sh_found = {(r.id_a, r.id_b) for r in
+                simhash_band_candidates(sh, max_hamming=3)
+                .filter(F.col("hamming") <= 3).collect()}
+    gates["simhash_recall_h3"] = round(
+        len(sh_exact & sh_found) / len(sh_exact), 4) if sh_exact else 1.0
+
+    # LSH kNN recall vs brute force
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+    total, qids = 0.0, [0, 1, 2, 3]
+    for qid in qids:
+        q = emb.filter(F.col("vec_id") == qid).head()["embedding"]
+        rest = emb.filter(F.col("vec_id") != qid)
+        ex = {r["vec_id"] for r in knn_bruteforce(rest, q, k=10).collect()}
+        ap = {r["vec_id"] for r in knn_lsh(
+            rest, q, k=10, n_planes=7, n_tables=8,
+            probe_hamming=2).collect()}
+        total += len(ex & ap) / 10
+    gates["knn_lsh_recall"] = round(total / len(qids), 4)
+
+    # fingerprint consistency on exact-duplicate texts
+    fp = docs.select(F.col("text"), fingerprint(F.col("text")).alias("_f"))
+    bad = (fp.groupBy("text")
+           .agg(F.count_distinct("_f").alias("nf"))
+           .filter(F.col("nf") > 1).count())
+    gates["fingerprint_consistency"] = 1.0 if bad == 0 else 0.0
+    grams.unpersist(); sh.unpersist(); emb.unpersist()
+    return gates
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -110,11 +192,23 @@ def main() -> None:
         spark.catalog.clearCache()
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # probabilistic-operator gates: measured at sf0.01 (exact ground
+    # truth is cheap there) so rows-only entries are verified in this
+    # driver-visible artifact, not only in pytest
+    gate_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    gates = {}
+    try:
+        gates = probabilistic_gates(
+            spark, gate_dir if os.path.isdir(gate_dir) else sf_dir)
+    except Exception as e:  # pragma: no cover
+        print(f"gate error: {e}", file=sys.stderr)
+    spark.catalog.clearCache()
     print(json.dumps({
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "gates": gates,
         "sf": float(sf),
     }))
 

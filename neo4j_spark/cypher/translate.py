@@ -456,11 +456,30 @@ class Translator:
                 v = getattr(el, "var", None)
                 if v:
                     pattern_vars.add(v)
-        shared = [v for v in df.columns if v in pattern_vars]
+        # outer variables referenced only in predicates (WHERE a.x = b.y)
+        # correlate too — they must be visible inside the optional side
+        import dataclasses as _dc
+
+        def free_vars(node, acc):
+            if isinstance(node, (list, tuple)):
+                for x in node:
+                    free_vars(x, acc)
+                return acc
+            if isinstance(node, A.Var):
+                acc.add(node.name)
+                return acc
+            if _dc.is_dataclass(node):
+                for f in _dc.fields(node):
+                    free_vars(getattr(node, f.name), acc)
+            return acc
+
+        referenced = free_vars(m, set())
+        shared = [v for v in df.columns
+                  if v in pattern_vars or v in referenced]
         inner = A.Match(m.parts, optional=False, where=m.where)
         if shared:
             base = df.select(*shared).dropDuplicates()
-            sub = Translator(self.spark, self.graph, self.params)
+            sub = Translator(self.spark, self.graph, self.params, catalog=self.catalog)
             sub.kinds.update({v: self.kinds[v] for v in shared if v in self.kinds})
             sub.var_labels.update(
                 {v: self.var_labels[v] for v in shared

@@ -523,3 +523,57 @@ class TestNamedTimeZones:
                     chain_graph)
         # Paris midnight Jul 1 = Jun 30 22:00Z
         assert rows(df) == [(1719784800000, "Europe/Paris")]
+
+
+class TestTCKEdgeSemantics:
+    """Round-3 TCK-ish edge cases: zero-length-path equality, OPTIONAL
+    MATCH WHERE with outer references and null rows."""
+
+    import pytest as _pytest
+
+    @_pytest.fixture(scope="class")
+    def ab_graph(self, spark):
+        from neo4j_spark.graph import PropertyGraph
+
+        nodes = {
+            "A": spark.createDataFrame(
+                [(1, ["A"], 1)], "id long, labels array<string>, x long"),
+            "B": spark.createDataFrame(
+                [(2, ["B"], 2)], "id long, labels array<string>, x long")}
+        rels = {"R": spark.createDataFrame(
+            [(10, 1, 2, "R")], "id long, src long, dst long, type string")}
+        return PropertyGraph(nodes, rels)
+
+    def test_zero_length_path_equality(self, spark, ab_graph):
+        assert rows(cypher(spark,
+                    "MATCH p1 = (a:A), p2 = (a:A) RETURN p1 = p2 AS eq",
+                    ab_graph)) == [(True,)]
+        assert rows(cypher(spark,
+                    "MATCH p1 = (a:A), p2 = (b:B) RETURN p1 = p2 AS eq",
+                    ab_graph)) == [(False,)]
+        assert rows(cypher(spark,
+                    "MATCH p = (a:A) RETURN length(p) AS l, "
+                    "size(nodes(p)) AS n", ab_graph)) == [(0, 1)]
+
+    def test_optional_match_where_keeps_null_row(self, spark, ab_graph):
+        assert rows(cypher(spark,
+                    "MATCH (a:A) OPTIONAL MATCH (a)-[r:R]->(b) "
+                    "WHERE b.x > 99 RETURN a.x AS ax, b.x AS bx",
+                    ab_graph)) == [(1, None)]
+
+    def test_optional_match_where_outer_reference(self, spark, ab_graph):
+        # WHERE references ONLY outer vars: they correlate into the
+        # optional side; a null outer property null-fails the predicate
+        # and the row survives null-padded
+        assert rows(cypher(spark,
+                    "MATCH (a:A) OPTIONAL MATCH (b:B) "
+                    "WHERE a.missing = b.x RETURN b.x AS bx",
+                    ab_graph)) == [(None,)]
+        assert rows(cypher(spark,
+                    "MATCH (a:A) OPTIONAL MATCH (b:B) "
+                    "WHERE a.x + 1 = b.x RETURN b.x AS bx",
+                    ab_graph)) == [(2,)]
+        got = rows(cypher(spark,
+                   "MATCH (n:A|B) OPTIONAL MATCH (m:B) WHERE m.x > n.x "
+                   "RETURN n.x AS nx, m.x AS mx ORDER BY nx", ab_graph))
+        assert got == [(1, 2), (2, None)]
