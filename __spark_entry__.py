@@ -761,6 +761,66 @@ def _q_user_aggregate(spark, sf_dir):
                   _graph(spark, sf_dir))
 
 
+_CATALOG_CACHE: dict = {}
+
+
+def _catalog(spark, sf_dir):
+    """Composite catalog: the TPC-H graph split into two constituents
+    ('geo' = Nation/Region, 'trade' = Customer/Nation) sharing the
+    Nation frame — the reference's composite-database shape
+    (query-router + RunQueryAt LP:3559)."""
+    key = (id(spark), sf_dir)
+    if key not in _CATALOG_CACHE:
+        from neo4j_spark.graph import GraphCatalog, PropertyGraph
+        from neo4j_spark.sources.tpch import TAG
+
+        g = _graph(spark, sf_dir)
+        geo = PropertyGraph(
+            {k: g.node_frames[k] for k in ("Nation", "Region")},
+            {"IN_REGION": g.rel_frames["IN_REGION"]},
+            {"IN_REGION": ("Nation", "Region")})
+        cust_from = g.rel_frames["FROM_NATION"].filter(
+            (F.col("src") >= 3 * TAG) & (F.col("src") < 4 * TAG))
+        trade = PropertyGraph(
+            {k: g.node_frames[k] for k in ("Customer", "Nation")},
+            {"FROM_NATION": cust_from},
+            {"FROM_NATION": ("Customer", "Nation")})
+        _CATALOG_CACHE[key] = GraphCatalog(
+            {"geo": geo, "trade": trade}, default="geo")
+    return _CATALOG_CACHE[key]
+
+
+def _use_cy(text: str):
+    def run(spark, sf_dir):
+        from neo4j_spark.api import cypher
+
+        return cypher(spark, text, _catalog(spark, sf_dir))
+
+    return run
+
+
+_q_use_graph_select = _use_cy(
+    "USE geo MATCH (n:Nation)-[:IN_REGION]->(r:Region) "
+    "RETURN r.name AS region, count(*) AS nations ORDER BY region")
+
+_q_use_graph_union = _use_cy(
+    "USE geo MATCH (n:Nation) RETURN 'nation' AS kind, count(*) AS n "
+    "UNION ALL "
+    "USE trade MATCH (c:Customer) RETURN 'customer' AS kind, count(*) AS n")
+
+_q_use_graph_call_sub = _use_cy("""
+    USE geo MATCH (n:Nation)-[:IN_REGION]->(r:Region)
+    WITH r.name AS region, n.nationkey AS nk
+    CALL {
+      WITH nk
+      USE trade
+      MATCH (c:Customer)-[:FROM_NATION]->(m:Nation)
+      WHERE m.nationkey = nk
+      RETURN count(c) AS customers
+    }
+    RETURN region, sum(customers) AS customers ORDER BY region""")
+
+
 def _q_input_rows(spark, sf_dir):
     """Input operator (LP:2389): client-provided rows via $param UNWIND."""
     from neo4j_spark.api import cypher
@@ -1303,6 +1363,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["call_fulltext_indexed"] = _q_call_fulltext_indexed
     out["ddl_index_catalog"] = _q_ddl_index_catalog
     out["input_rows"] = _q_input_rows
+    out["use_graph_select"] = _q_use_graph_select
+    out["use_graph_union"] = _q_use_graph_union
+    out["use_graph_call_sub"] = _q_use_graph_call_sub
     out["user_function_call"] = _q_user_function
     out["user_aggregate_call"] = _q_user_aggregate
     out.update(WRITE_QUERIES)
@@ -1688,6 +1751,19 @@ def _oracle_sql_raw() -> dict[str, str]:
         "input_rows":
             "SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'x'), "
             "(CAST(2 AS BIGINT), 'y')) t(a, b) ORDER BY a",
+        "use_graph_select":
+            "SELECT r_name AS region, count(*) AS nations FROM nation "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY r_name ORDER BY region",
+        "use_graph_union":
+            "SELECT 'nation' AS kind, count(*) AS n FROM nation "
+            "UNION ALL "
+            "SELECT 'customer' AS kind, count(*) AS n FROM customer",
+        "use_graph_call_sub":
+            "SELECT r_name AS region, count(c_custkey) AS customers "
+            "FROM region JOIN nation ON n_regionkey = r_regionkey "
+            "LEFT JOIN customer ON c_nationkey = n_nationkey "
+            "GROUP BY r_name ORDER BY region",
         "call_schema_viz":
             "SELECT ['Customer', 'Document', 'Embedding', 'Nation', 'Order', "
             "'Part', 'Region', 'Supplier'] AS nodes, "

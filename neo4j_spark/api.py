@@ -48,11 +48,21 @@ def preparse(query: str):
 def cypher(
     spark: SparkSession,
     query: str,
-    graph: PropertyGraph,
+    graph,
     params: Optional[Dict[str, Any]] = None,
 ) -> DataFrame:
+    """``graph`` is a :class:`PropertyGraph`, or — for composite
+    (multi-graph) queries with ``USE`` — a :class:`GraphCatalog` or a
+    plain ``{name: PropertyGraph}`` dict (first entry is the default)."""
+    from .graph import GraphCatalog
     from .cypher.translate import Translator
 
+    catalog = None
+    if isinstance(graph, GraphCatalog):
+        catalog, graph = graph, graph.default_graph
+    elif isinstance(graph, dict):
+        catalog = GraphCatalog(graph)
+        graph = catalog.default_graph
     mode, _options, body = preparse(query)
     from .schema import is_schema_command, run_schema_command
 
@@ -60,7 +70,8 @@ def cypher(
         # SchemaLogicalPlan / ShowCommandLogicalPlan path (SURVEY §2.10)
         return run_schema_command(spark, graph, body)
     ast = parse(body)
-    df = Translator(spark, graph, params or {}).translate(ast)
+    df = Translator(spark, graph, params or {}, catalog=catalog) \
+        .translate(ast)
     if mode == "EXPLAIN":
         # plan description only, no execution (reference: EXPLAIN returns
         # an empty result annotated with the plan)

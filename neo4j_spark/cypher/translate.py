@@ -108,8 +108,14 @@ def _walk_expr_list(walk, df, v):
 
 class Translator:
     def __init__(self, spark: SparkSession, graph: PropertyGraph,
-                 params: Dict[str, Any]) -> None:
+                 params: Dict[str, Any], catalog=None) -> None:
         self.spark = spark
+        # composite queries: a GraphCatalog routes USE clauses to named
+        # constituents (reference: query-router + RunQueryAt LP:3559);
+        # ``graph`` is the currently-selected target
+        self.catalog = catalog
+        if graph is None and catalog is not None:
+            graph = catalog.default_graph
         self.graph = graph
         self.params = params
         self.kinds: Dict[str, str] = {}
@@ -150,7 +156,7 @@ class Translator:
             frames = []
             sub = self
             for q in queries:
-                sub = Translator(self.spark, self.graph, self.params)
+                sub = Translator(self.spark, self.graph, self.params, catalog=self.catalog)
                 frames.append(sub._single(q))
             out = frames[0]
             for f in frames[1:]:
@@ -389,9 +395,23 @@ class Translator:
 
     def _apply(self, df: Optional[DataFrame], clause: A.Clause) -> DataFrame:
         if isinstance(clause, A.Use):
-            # USE <graph> (useClause): one graph per session here — accept
-            # the clause, record the selection, pass rows through
+            # USE <graph> (useClause): with a GraphCatalog bound, re-target
+            # this (sub)query's scans at the named constituent — the
+            # engine-side analog of the reference's query router sending
+            # the fragment to the selected graph (RunQueryAt LP:3559).
+            # Binding is translator-local, so UNION branches and CALL {}
+            # subqueries each honor their own USE head.  Without a
+            # catalog the clause is recorded for surface compatibility
+            # (single-graph session).
             self.selected_graph = clause.graph
+            if self.catalog is not None:
+                target = self.catalog.resolve(clause.graph)
+                if df is not None and target is not self.graph:
+                    raise TranslateError(
+                        "USE must be the first clause of a query or "
+                        "subquery branch (graph switching mid-stream is "
+                        "not supported)")
+                self.graph = target
             return df
         if isinstance(clause, A.Finish):
             # FINISH (Clause.scala): effects (if any) happen, no rows out
@@ -500,7 +520,7 @@ class Translator:
                 cond = c if cond is None else cond & c
             out = df.join(right, cond, "left")
             return out.drop(*[f"__r_{v}" for v in shared])
-        sub = Translator(self.spark, self.graph, self.params)
+        sub = Translator(self.spark, self.graph, self.params, catalog=self.catalog)
         matched = sub._match(None, inner)
         self._merge_sub_scope(sub)
         return df.join(matched, F.lit(True), "left")
@@ -1539,7 +1559,7 @@ class Translator:
         def build_matched(cur_df: DataFrame, parts, where) -> Tuple[DataFrame, List[str]]:
             shared = correlate(parts)
             base = cur_df.select(*shared).dropDuplicates() if shared else None
-            sub = Translator(self.spark, self.graph, self.params)
+            sub = Translator(self.spark, self.graph, self.params, catalog=self.catalog)
             sub.kinds.update(self.kinds)
             matched = sub._match(base, A.Match(parts, where=where))
             return matched, shared
@@ -1611,7 +1631,7 @@ class Translator:
             total = 0
             frames = []
             for q in queries:
-                sub = Translator(self.spark, self.graph, self.params)
+                sub = Translator(self.spark, self.graph, self.params, catalog=self.catalog)
                 frames.append(sub._single(q))
             if mode == "exists":
                 has = any(f.limit(1).count() > 0 for f in frames)
@@ -1629,7 +1649,7 @@ class Translator:
             base = base.withColumn(hid[v], F.col(v))
         frames = []
         for q in queries:
-            sub = Translator(self.spark, self.graph, self.params)
+            sub = Translator(self.spark, self.graph, self.params, catalog=self.catalog)
             sub.partition_cols = list(hid.values())
             sub.kinds.update(
                 {v: self.kinds[v] for v in shared if v in self.kinds})
@@ -1754,7 +1774,7 @@ class Translator:
         inner_q = A.SingleQuery(list(q.clauses[:-1]) + [new_last])
 
         col = self._anon_var("cl")
-        sub = Translator(self.spark, self.graph, self.params)
+        sub = Translator(self.spark, self.graph, self.params, catalog=self.catalog)
         if not shared:
             # uncorrelated: aggregate to a ONE-ROW frame and broadcast
             # crossJoin — never a driver-side collect (the inner query may
@@ -1852,7 +1872,7 @@ class Translator:
                 pv.add(v)
         shared = [v for v in df.columns if v in pv]
         base = df.select(*shared).dropDuplicates() if shared else None
-        sub = Translator(self.spark, self.graph, self.params)
+        sub = Translator(self.spark, self.graph, self.params, catalog=self.catalog)
         sub.kinds.update(self.kinds)
         matched = sub._match(base, A.Match(parts, where=e.where))
         val = sub._compiler(matched).compile(e.projection)
@@ -2075,6 +2095,29 @@ class Translator:
             self.kinds[clause.report_var] = "scalar"
         return out
 
+    def _hoist_use(self, branch: A.SingleQuery):
+        """Split a leading USE off a subquery branch.  The reference
+        permits USE as the first clause of a subquery, or second after an
+        importing WITH (query-router docs); graph re-targeting only
+        touches scan sources, so hoisting it ahead of the import binding
+        is semantics-preserving.  Returns (branch', target graph or
+        None)."""
+        cl = list(branch.clauses)
+        for idx in (0, 1):
+            if idx >= len(cl):
+                break
+            c = cl[idx]
+            if isinstance(c, A.Use):
+                del cl[idx]
+                target = self.graph
+                self.selected_graph = c.graph
+                if self.catalog is not None:
+                    target = self.catalog.resolve(c.graph)
+                return A.SingleQuery(cl), target
+            if not (isinstance(c, A.Projection) and not c.is_return):
+                break  # only an importing WITH may precede USE
+        return branch, None
+
     def _call_sub_body(self, df: Optional[DataFrame],
                        clause: A.CallSub) -> DataFrame:
         """Uncorrelated CALL {}: run once, join to every input row.
@@ -2100,21 +2143,25 @@ class Translator:
             # unit subquery (SubqueryForeach LP:3897 / TransactionForeach
             # LP:4100): run the body for its side effects only; the outer
             # rowstream passes through unchanged
-            sub = Translator(self.spark, self.graph, self.params)
+            body, use_g = self._hoist_use(branches[0])
+            sub = Translator(self.spark, use_g or self.graph, self.params,
+                             catalog=self.catalog)
             if df is not None and clause.imports:
                 shared = [v for v in clause.imports if v in df.columns]
                 sub.kinds.update(
                     {v: self.kinds[v] for v in shared if v in self.kinds})
-                sub._single_over(df.select(*shared), branches[0])
+                sub._single_over(df.select(*shared), body)
             else:
-                sub._single(branches[0])
+                sub._single(body)
             return df if df is not None else self.spark.range(1).select(
                 F.lit(1).alias("__unit"))
         if df is None or not clause.imports:
             inner = None
             branch_subs = []
             for b in branches:
-                sub = Translator(self.spark, self.graph, self.params)
+                b, use_g = self._hoist_use(b)
+                sub = Translator(self.spark, use_g or self.graph,
+                                 self.params, catalog=self.catalog)
                 frame = sub._single(b)
                 branch_subs.append(sub)
                 inner = frame if inner is None else inner.unionByName(frame)
@@ -2142,7 +2189,9 @@ class Translator:
         matched = None
         branch_subs = []
         for b in branches:
-            sub = Translator(self.spark, self.graph, self.params)
+            b, use_g = self._hoist_use(b)
+            sub = Translator(self.spark, use_g or self.graph, self.params,
+                             catalog=self.catalog)
             sub.partition_cols = list(hid.values())  # per-input-row paging
             sub.kinds.update(
                 {v: self.kinds[v] for v in shared if v in self.kinds})

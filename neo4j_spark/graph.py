@@ -254,3 +254,39 @@ def graph_from_frames(
         norm = [{k: r.get(k) for k in keys} for r in rows]
         rel_frames[t] = spark.createDataFrame(pd.DataFrame(norm))
     return PropertyGraph(node_frames, rel_frames)
+
+
+class GraphCatalog:
+    """Named-graph catalog for composite (multi-graph) queries.
+
+    The reference's query router resolves a ``USE <graph>`` target against
+    the database/graph catalog and executes the (sub)query against it
+    (``community/fabric/query-router/.../QueryRouterImpl.java``, logical
+    plan ``RunQueryAt`` LP:3559).  Here the catalog is an in-session map
+    of name -> :class:`PropertyGraph`; ``cypher()`` accepts it wherever a
+    single graph is accepted, and the translator re-targets scans when a
+    ``USE`` clause (query head, UNION branch head, or CALL {} subquery
+    head) selects a constituent.  Names are dot-separated and
+    case-insensitive, matching the reference's symbolic graph names.
+    """
+
+    def __init__(self, graphs: Dict[str, PropertyGraph],
+                 default: Optional[str] = None) -> None:
+        if not graphs:
+            raise ValueError("GraphCatalog requires at least one graph")
+        self.graphs = {k.lower(): v for k, v in graphs.items()}
+        self.default = (default or next(iter(graphs))).lower()
+        if self.default not in self.graphs:
+            raise ValueError(f"default graph '{default}' not in catalog")
+
+    def resolve(self, name: str) -> PropertyGraph:
+        g = self.graphs.get(name.lower())
+        if g is None:
+            known = ", ".join(sorted(self.graphs))
+            raise KeyError(
+                f"graph '{name}' not found in catalog (known: {known})")
+        return g
+
+    @property
+    def default_graph(self) -> PropertyGraph:
+        return self.graphs[self.default]
