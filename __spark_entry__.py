@@ -266,6 +266,16 @@ CYPHER_QUERIES = {
         "RETURN dt.timezone AS tz, dt.epochMillis AS ms, dt.hour AS h, "
         "dt.offset AS off, toString(dt) AS s, "
         "datetime.truncate('day', dt).epochMillis AS day_ms",
+    # zoned datetime ± duration: months/days shift the wall clock in the
+    # value's zone (DST-aware), seconds add exactly (DurationValue.addTo)
+    "temporal_zoned_arith":
+        "WITH datetime({year: 2024, month: 3, day: 30, hour: 12, "
+        "timezone: 'Europe/Paris'}) AS dt "
+        "RETURN (dt + duration('P1D')).epochMillis AS day_ms, "
+        "(dt + duration('P1D')).hour AS day_h, "
+        "(dt + duration('PT24H')).hour AS sec_h, "
+        "(dt - duration('P1M')).epochMillis AS back_ms, "
+        "toString(dt + duration('P1D')) AS s",
     # container groups in the tagged encoding (anyvalue.py round 3:
     # MAP(1) < LIST(4) < POINT(6) < scalars; lists element-wise)
     "mixed_container_order":
@@ -1642,6 +1652,13 @@ def _oracle_sql_raw() -> dict[str, str]:
             "'2024-03-31T01:30+01:00[Europe/Paris]' AS s, "
             "CAST(epoch_ms(timezone('Europe/Paris', "
             "TIMESTAMP '2024-03-31 00:00:00')) AS BIGINT) AS day_ms",
+        "temporal_zoned_arith":
+            "SELECT CAST(epoch_ms(timezone('Europe/Paris', "
+            "TIMESTAMP '2024-03-31 12:00:00')) AS BIGINT) AS day_ms, "
+            "CAST(12 AS BIGINT) AS day_h, CAST(13 AS BIGINT) AS sec_h, "
+            "CAST(epoch_ms(timezone('Europe/Paris', "
+            "TIMESTAMP '2024-02-29 12:00:00')) AS BIGINT) AS back_ms, "
+            "'2024-03-31T12:00+02:00[Europe/Paris]' AS s",
         "mixed_container_order":
             "SELECT unnest(['{k: 1}', '[1]', '[1, x]', '[1, 2]', 'a']) "
             "AS s",

@@ -588,6 +588,8 @@ class ExprCompiler:
                 return _dur_map2(lc, rc, lambda a, b: a - b)
             if _is_temporal(lt) and _is_duration(rt):
                 return self._temporal_shift(lc, lt, rc, -1)
+            if _is_zoned_dt(lt) and _is_duration(rt):
+                return self._zoned_shift(lc, rc, -1)
             return lc - rc
         if op == "*":
             if _is_duration(lt):
@@ -622,6 +624,10 @@ class ExprCompiler:
             return self._temporal_shift(lc, lt, rc, 1)
         if _is_duration(lt) and _is_temporal(rt):
             return self._temporal_shift(rc, rt, lc, 1)
+        if _is_zoned_dt(lt) and _is_duration(rt):
+            return self._zoned_shift(lc, rc, 1)
+        if _is_duration(lt) and _is_zoned_dt(rt):
+            return self._zoned_shift(rc, lc, 1)
         if isinstance(lt, T.StringType) or isinstance(rt, T.StringType):
             ls = lc if isinstance(lt, T.StringType) else self._to_string(lc, lt)
             rs = rc if isinstance(rt, T.StringType) else self._to_string(rc, rt)
@@ -656,6 +662,30 @@ class ExprCompiler:
         if isinstance(tt, T.TimestampNTZType):
             return out.cast("timestamp_ntz")
         return out
+
+    def _zoned_shift(self, zc: Column, dur: Column, sign: int) -> Column:
+        """Named-zone ZonedDateTime ± duration (DurationValue.addTo,
+        values/storable/DurationValue.java: months and days shift the
+        WALL clock in the value's own zone — DST-aware, a +1 day across a
+        spring-forward keeps the local hour — then seconds/nanos add as
+        exact instant arithmetic)."""
+        tz = zc.getField("tz")
+        wall = F.from_utc_timestamp(zc.getField("instant"), tz)
+        iv = F.make_interval(
+            F.lit(0), (dur.getField("months") * sign).cast("int"), F.lit(0),
+            (dur.getField("days") * sign).cast("int"), F.lit(0), F.lit(0),
+            F.lit(0).cast("decimal(18,6)"))
+        back = F.to_utc_timestamp(wall + iv, tz)
+        micros = (F.unix_micros(back)
+                  + F.lit(sign) * (dur.getField("seconds") * F.lit(1_000_000)
+                                   + F.floor(dur.getField("nanos")
+                                             / F.lit(1_000)).cast("long")))
+        out = F.struct(F.timestamp_micros(micros).alias("instant"),
+                       tz.alias("tz"))
+        return F.when(zc.isNull() | dur.isNull(),
+                      F.lit(None).cast(
+                          "struct<instant:timestamp,tz:string>")) \
+                .otherwise(out)
 
     def _to_string(self, c: Column, t) -> Column:
         return c.cast("string")

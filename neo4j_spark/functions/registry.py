@@ -687,9 +687,13 @@ def compile_function(cc, e: A.Func) -> Column:
             secs_f = grp(5) * 3600 + grp(6) * 60 + grp(7)
         seconds = F.floor(secs_f).cast("long")
         nanos = F.round((secs_f - F.floor(secs_f)) * 1e9).cast("long")
-        return F.struct(
+        res = F.struct(
             months.cast("long").alias("months"), days.cast("long").alias("days"),
             seconds.alias("seconds"), nanos.alias("nanos"))
+        # duration(null) -> null (TemporalFunction: null input, null value)
+        return F.when(col.isNull(), F.lit(None).cast(
+            "struct<months:bigint,days:bigint,seconds:bigint,nanos:bigint>")
+        ).otherwise(res)
     if name == "duration.between":
         (a, ta), (b, tb) = ctyped(0), ctyped(1)
 

@@ -525,6 +525,56 @@ class TestNamedTimeZones:
         assert rows(df) == [(1719784800000, "Europe/Paris")]
 
 
+class TestZonedDurationArithmetic:
+    """Named-zone datetime ± duration (DurationValue.addTo): months/days
+    shift the wall clock in the value's own zone (DST-aware); seconds and
+    nanos add as exact instant arithmetic."""
+
+    def test_calendar_day_across_spring_forward(self, spark, chain_graph):
+        # Paris 2024-03-31 02:00 -> 03:00: +P1D keeps the wall hour
+        df = cypher(spark,
+                    "WITH datetime({year: 2024, month: 3, day: 30, hour: 12,"
+                    " timezone: 'Europe/Paris'}) AS dt "
+                    "RETURN toString(dt + duration('P1D')) AS s",
+                    chain_graph)
+        assert rows(df) == [("2024-03-31T12:00+02:00[Europe/Paris]",)]
+
+    def test_exact_seconds_across_spring_forward(self, spark, chain_graph):
+        # PT24H of SECONDS crosses the 23-hour day -> wall clock 13:00
+        df = cypher(spark,
+                    "WITH datetime({year: 2024, month: 3, day: 30, hour: 12,"
+                    " timezone: 'Europe/Paris'}) AS dt "
+                    "RETURN toString(dt + duration('PT24H')) AS s",
+                    chain_graph)
+        assert rows(df) == [("2024-03-31T13:00+02:00[Europe/Paris]",)]
+
+    def test_subtract_and_month_clamp(self, spark, chain_graph):
+        # Mar 30 - P1M clamps to Feb 29 (leap year), java.time semantics
+        df = cypher(spark,
+                    "WITH datetime({year: 2024, month: 3, day: 30, hour: 6, "
+                    "timezone: 'America/New_York'}) AS dt "
+                    "RETURN toString(dt - duration('P1M')) AS s",
+                    chain_graph)
+        assert rows(df) == [("2024-02-29T06:00-05:00[America/New_York]",)]
+
+    def test_duration_plus_zoned_commutes(self, spark, chain_graph):
+        df = cypher(spark,
+                    "WITH datetime({year: 2024, month: 3, day: 30, hour: 12,"
+                    " timezone: 'Europe/Paris'}) AS dt "
+                    "RETURN toString(duration('P1D') + dt) AS s",
+                    chain_graph)
+        assert rows(df) == [("2024-03-31T12:00+02:00[Europe/Paris]",)]
+
+    def test_duration_null_is_null(self, spark, chain_graph):
+        df = cypher(spark,
+                    "RETURN duration(null) IS NULL AS isn, "
+                    "datetime({year: 2024, month: 1, day: 1, "
+                    "timezone: 'Europe/Paris'}) + duration(null) AS v",
+                    chain_graph)
+        got = rows(df)
+        assert got[0][0] is True and got[0][1] is None
+
+
 class TestTCKEdgeSemantics:
     """Round-3 TCK-ish edge cases: zero-length-path equality, OPTIONAL
     MATCH WHERE with outer references and null rows."""
