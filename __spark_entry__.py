@@ -290,6 +290,16 @@ CYPHER_QUERIES = {
         "RETURN 1 < 'a' AS a, 1 = 'a' AS b, 2 IN [1, 'a', 2] AS c, "
         "3 IN [1, 'a', null] AS d, toString([1, 'a', true][2]) AS e, "
         "valueType([1, 'a'][0]) AS vt",
+    # arbitrary-depth container mixing (layout recursed to the static
+    # schema's nesting, anyvalue.py container_depth)
+    "mixed_deep_nesting":
+        "UNWIND [[[2]], [[1]], 'z', [[1], 0]] AS v "
+        "WITH v ORDER BY v "
+        "RETURN collect(toString(v)) AS ordered, "
+        "toString([[[1], 'a'], 'b']) AS deep3, "
+        "[[1, null], 'a'] = [[1, null], 'a'] AS eq_n, "
+        "[[1, 2], 'a'] = [[1, 3], 'a'] AS neq, "
+        "[[1]] IN [[[1]], 'x'] AS inn",
     "labels_function":
         "MATCH (n:Nation) RETURN labels(n)[0] AS label, count(*) AS n",
     "keys_function":
@@ -1662,6 +1672,10 @@ def _oracle_sql_raw() -> dict[str, str]:
         "mixed_container_order":
             "SELECT unnest(['{k: 1}', '[1]', '[1, x]', '[1, 2]', 'a']) "
             "AS s",
+        "mixed_deep_nesting":
+            "SELECT ['[[1]]', '[[1], 0]', '[[2]]', 'z'] AS ordered, "
+            "'[[[1], a], b]' AS deep3, CAST(1 AS BOOLEAN) AS eq_n, "
+            "CAST(0 AS BOOLEAN) AS neq, CAST(1 AS BOOLEAN) AS inn",
         "mixed_list_nested":
             "SELECT '[1]' AS first, 'a' AS second, CAST(2 AS INTEGER) AS n, "
             "TRUE AS isl, TRUE AS eq",

@@ -38,10 +38,12 @@ exactly the CIP's list order: element-wise, prefix-shorter-first), maps
 by size-then-sorted-entries and points by CRS-then-coordinates.  Nodes
 and relationships order by id, reusing the ``__vi`` payload.
 
-Mixing depth is bounded: a heterogeneous list may contain lists/maps of
-SCALARS (``[[1], 'a']``); mixing containers nested deeper raises the
-same clear error as before (the reference's AnyValue tree is unbounded;
-a fixed struct cannot be).
+Nesting depth is derived from the STATIC schema: Spark types are finite
+trees, so the encoder builds the layout recursively to exactly the depth
+the mixed operands need (``container_depth``) — ``[[1], 'a']`` encodes at
+depth 1, ``[[[1], 'a'], 'b']`` at depth 2, and so on.  The reference's
+AnyValue tree is unbounded only dynamically; any CONCRETE value/schema is
+finite, which is all a static layout must cover.
 """
 
 from __future__ import annotations
@@ -81,10 +83,32 @@ CONTAINER_FIELDS = ("__vl", "__vm", "__vp")
 # simpleString type fragments for the extended layout's payloads
 _SCAL_T = ("struct<__vg:int,__vn:double,__vs:string,__vb:boolean,"
            "__vi:bigint>")
-_LIST_T = f"array<{_SCAL_T}>"
-_MAP_T = (f"struct<__msz:int,__mkv:array<struct<__mk:string,"
-          f"__mv:{_SCAL_T}>>>")
 _POINT_T = "struct<__pc:string,__px:array<double>>"
+
+
+def _layout_str(depth: int) -> str:
+    """simpleString of the tagged layout at ``depth`` container levels
+    (0 = the 5-field scalar layout)."""
+    if depth <= 0:
+        return _SCAL_T
+    inner = _layout_str(depth - 1)
+    return ("struct<__vg:int,__vn:double,__vs:string,__vb:boolean,"
+            f"__vi:bigint,__vl:array<{inner}>,"
+            f"__vm:struct<__msz:int,__mkv:array<struct<__mk:string,"
+            f"__mv:{inner}>>>,__vp:{_POINT_T}>")
+
+
+def _list_t(depth: int) -> str:
+    return f"array<{_layout_str(depth - 1)}>"
+
+
+def _map_t(depth: int) -> str:
+    return (f"struct<__msz:int,__mkv:array<struct<__mk:string,"
+            f"__mv:{_layout_str(depth - 1)}>>>")
+
+# back-compat aliases (depth-1 layout payloads)
+_LIST_T = _list_t(1)
+_MAP_T = _map_t(1)
 
 
 def is_any_type(t) -> bool:
@@ -95,6 +119,14 @@ def is_any_type(t) -> bool:
 def is_deep_any_type(t) -> bool:
     return (isinstance(t, T.StructType)
             and tuple(t.fieldNames()) == ANY_FIELDS + CONTAINER_FIELDS)
+
+
+def any_layout_depth(t) -> int:
+    """Container depth of a TAGGED layout type (0 = scalar 5-field)."""
+    if not is_deep_any_type(t):
+        return 0
+    el = t["__vl"].dataType.elementType
+    return 1 + any_layout_depth(el)
 
 
 def _nulls():
@@ -300,8 +332,34 @@ def _is_scalar_class(t) -> bool:
     return False
 
 
-def _null_containers():
-    return (F.lit(None).cast(_LIST_T), F.lit(None).cast(_MAP_T),
+def container_depth(t) -> int:
+    """Container-nesting depth a Spark type needs in the tagged encoding
+    (0 = fits the scalar layout).  Static schemas are finite trees, so
+    this terminates and bounds the recursive layout exactly."""
+    if t is None or _is_scalar_class(t):
+        return 0
+    if is_any_type(t):
+        return any_layout_depth(t)
+    if isinstance(t, T.ArrayType):
+        return 1 + container_depth(t.elementType)
+    if isinstance(t, T.MapType):
+        return 1 + container_depth(t.valueType)
+    if isinstance(t, T.StructType):
+        names = set(t.fieldNames())
+        if {"crs", "x", "y"} <= names or "_id" in names:
+            return 1  # POINT / NODE / RELATIONSHIP
+        return 1 + max((container_depth(f.dataType) for f in t.fields),
+                       default=0)
+    from .exprs import CypherTypeError
+
+    raise CypherTypeError(
+        f"cannot mix values of type {t.simpleString()} with other value "
+        "classes in the heterogeneous encoding")
+
+
+def _null_containers(depth: int = 1):
+    return (F.lit(None).cast(_list_t(depth)),
+            F.lit(None).cast(_map_t(depth)),
             F.lit(None).cast(_POINT_T))
 
 
@@ -311,42 +369,65 @@ def _pack_deep(g: Column, n, s, b, i, l, m, p) -> Column:
                     l.alias("__vl"), m.alias("__vm"), p.alias("__vp"))
 
 
-def _widen(c: Column) -> Column:
+def _widen(c: Column, depth: int = 1) -> Column:
     """Pad a 5-field scalar tagged struct to the extended layout."""
-    nl, nm, np_ = _null_containers()
+    nl, nm, np_ = _null_containers(depth)
     return _pack_deep(c.getField("__vg"), c.getField("__vn"),
                       c.getField("__vs"), c.getField("__vb"),
                       c.getField("__vi"), nl, nm, np_)
 
 
-def to_any_deep(c: Column, t: Optional[T.DataType]) -> Column:
-    """Encode a column as an EXTENDED tagged struct: scalars as in
-    ``to_any`` plus MAP/NODE/RELATIONSHIP/LIST/POINT container groups.
-    Containers hold SCALAR-layout elements — mixing at nesting depth > 2
-    raises (see module docstring)."""
-    from .exprs import CypherTypeError
+def _rewiden(c: Column, from_d: int, to_d: int) -> Column:
+    """Re-encode a tagged value from layout depth ``from_d`` to a deeper
+    ``to_d`` (payload values are rewidened recursively; scalar fields
+    copy)."""
+    if from_d == to_d:
+        return c
+    if from_d == 0:
+        return _widen(c, to_d)
+    nl, nm, np_ = _null_containers(to_d)
+    lv = c.getField("__vl")
+    lst = F.when(lv.isNull(), F.lit(None).cast(_list_t(to_d))).otherwise(
+        F.transform(lv, lambda el: _rewiden(el, from_d - 1, to_d - 1)))
+    mv = c.getField("__vm")
+    mp = F.when(mv.isNull(), F.lit(None).cast(_map_t(to_d))).otherwise(
+        F.struct(
+            mv.getField("__msz").alias("__msz"),
+            F.transform(
+                mv.getField("__mkv"),
+                lambda e: F.struct(
+                    e.getField("__mk").alias("__mk"),
+                    _rewiden(e.getField("__mv"), from_d - 1,
+                             to_d - 1).alias("__mv"))).alias("__mkv")))
+    return _pack_deep(c.getField("__vg"), c.getField("__vn"),
+                      c.getField("__vs"), c.getField("__vb"),
+                      c.getField("__vi"), lst, mp, c.getField("__vp"))
 
+
+def to_any_deep(c: Column, t: Optional[T.DataType],
+                depth: Optional[int] = None) -> Column:
+    """Encode a column as an EXTENDED tagged struct: scalars as in
+    ``to_any`` plus MAP/NODE/RELATIONSHIP/LIST/POINT container groups,
+    recursively to ``depth`` container levels (derived from the static
+    schema when omitted).  Operands mixed into one column must share the
+    same depth — callers pass the max over their operand types."""
+    if depth is None:
+        depth = max(1, container_depth(t))
     nn, ns, nb, ni = _nulls()
-    nl, nm, np_ = _null_containers()
+    nl, nm, np_ = _null_containers(depth)
+
+    def enc_inner(col: Column, it) -> Column:
+        # encode a payload value one level down
+        if depth - 1 == 0:
+            return col if is_any_type(it) else to_any(col, it)
+        return to_any_deep(col, it, depth - 1)
+
     if is_any_type(t):
-        if is_deep_any_type(t):
-            return c
-        return _widen(c)
+        return _rewiden(c, any_layout_depth(t), depth)
     if _is_scalar_class(t):
-        return _widen(to_any(c, t))
+        return _widen(to_any(c, t), depth)
     if isinstance(t, T.ArrayType):
-        et = t.elementType
-        if is_any_type(et):
-            if isinstance(et, T.StructType) \
-                    and any(f in et.fieldNames() for f in CONTAINER_FIELDS):
-                raise CypherTypeError(
-                    "heterogeneous values nest containers at most 2 deep")
-            enc = F.transform(c, lambda el: el)
-        elif not _is_scalar_class(et):
-            raise CypherTypeError(
-                "heterogeneous values nest containers at most 2 deep")
-        else:
-            enc = F.transform(c, lambda el: to_any(el, et))
+        enc = F.transform(c, lambda el: enc_inner(el, t.elementType))
         g = F.when(c.isNull(), RANK_NULL).otherwise(RANK_LIST)
         return _pack_deep(g, nn, ns, nb, ni, enc, nm, np_)
     if isinstance(t, T.StructType) and {"crs", "x", "y"} <= set(
@@ -368,14 +449,9 @@ def to_any_deep(c: Column, t: Optional[T.DataType]) -> Column:
     if isinstance(t, T.StructType):  # map literal (static keys)
         items = sorted(
             [(f.name, f.dataType) for f in t.fields], key=lambda kv: kv[0])
-        for _, ft in items:
-            if not _is_scalar_class(ft) and not is_any_type(ft):
-                raise CypherTypeError(
-                    "heterogeneous values nest containers at most 2 deep")
         kv = F.array(*[
             F.struct(F.lit(k).alias("__mk"),
-                     (c.getField(k) if is_any_type(ft)
-                      else to_any(c.getField(k), ft)).alias("__mv"))
+                     enc_inner(c.getField(k), ft).alias("__mv"))
             for k, ft in items])
         mm = F.struct(F.lit(len(items)).cast("int").alias("__msz"),
                       kv.alias("__mkv"))
@@ -383,15 +459,12 @@ def to_any_deep(c: Column, t: Optional[T.DataType]) -> Column:
         return _pack_deep(g, nn, ns, nb, ni, nl,
                           F.when(c.isNull(), nm).otherwise(mm), np_)
     if isinstance(t, T.MapType):
-        if not _is_scalar_class(t.valueType):
-            raise CypherTypeError(
-                "heterogeneous values nest containers at most 2 deep")
         entries = F.array_sort(F.map_entries(c))
         kv = F.transform(
             entries,
             lambda e: F.struct(
                 e.getField("key").cast("string").alias("__mk"),
-                to_any(e.getField("value"), t.valueType).alias("__mv")))
+                enc_inner(e.getField("value"), t.valueType).alias("__mv")))
         mm = F.struct(F.size(c).cast("int").alias("__msz"),
                       kv.alias("__mkv"))
         g = F.when(c.isNull(), RANK_NULL).otherwise(RANK_MAP)
@@ -429,15 +502,21 @@ def _ternary_all(pair_eqs: Column) -> Column:
              .otherwise(F.lit(True)))
 
 
-def any_eq_deep(l: Column, r: Column) -> Column:
+def any_eq_deep(l: Column, r: Column, depth: int = 1) -> Column:
     """Ternary equality over EXTENDED tagged values: scalar groups as in
     any_eq; LIST element-wise ternary (null elements -> null result,
-    AnyValue.ternaryEquals over ListValue); MAP by size + sorted entries;
-    POINT by crs + coordinates; NODE/REL by id."""
+    AnyValue.ternaryEquals over ListValue) recursing through nested
+    containers; MAP by size + sorted entries; POINT by crs + coordinates;
+    NODE/REL by id."""
     lg, rg = l.getField("__vg"), r.getField("__vg")
+
+    def inner_eq(a, b):
+        return (_scal_eq(a, b) if depth - 1 == 0
+                else any_eq_deep(a, b, depth - 1))
+
     lv, rv = l.getField("__vl"), r.getField("__vl")
     list_eq = F.when(F.size(lv) != F.size(rv), F.lit(False)).otherwise(
-        _ternary_all(F.zip_with(lv, rv, _scal_eq)))
+        _ternary_all(F.zip_with(lv, rv, inner_eq)))
     lm, rm = l.getField("__vm"), r.getField("__vm")
     map_eq = F.when(
         lm.getField("__msz") != rm.getField("__msz"), F.lit(False)
@@ -445,7 +524,7 @@ def any_eq_deep(l: Column, r: Column) -> Column:
         lm.getField("__mkv"), rm.getField("__mkv"),
         lambda a, b: F.when(a.getField("__mk") != b.getField("__mk"),
                             F.lit(False))
-                      .otherwise(_scal_eq(a.getField("__mv"),
+                      .otherwise(inner_eq(a.getField("__mv"),
                                           b.getField("__mv"))))))
     pt_eq = (l.getField("__vp") == r.getField("__vp"))
     id_eq = (l.getField("__vi") == r.getField("__vi"))
@@ -496,15 +575,34 @@ def _scal_to_string(c: Column) -> Column:
              .otherwise(c.getField("__vn").cast("string")))
 
 
-def any_to_string_deep(c: Column) -> Column:
+def any_render_element(c: Column, depth: int) -> Column:
+    """Render one tagged value as LIST-ELEMENT text: nulls print as the
+    literal ``null`` (top-level toString keeps SQL null)."""
+    base = (_scal_to_string(c) if depth == 0
+            else F.when(c.getField("__vg") == RANK_NULL, F.lit("null"))
+                  .otherwise(any_to_string_deep(c, depth)))
+    return base
+
+
+def any_to_string_deep(c: Column, depth: int = 1) -> Column:
     """Rendering for extended tagged values.  The reference's toString()
     rejects containers; this extension renders them (lists as
-    ``[a, b]``, maps as ``{k: v}``, points as ``point({...})``) so mixed
-    container values stay observable through a string column."""
+    ``[a, b]``, maps as ``{k: v}``, points as ``point({...})``, nested
+    recursively) so mixed container values stay observable through a
+    string column."""
     g = c.getField("__vg")
+
+    def inner_str(x):
+        if depth - 1 == 0:
+            return _scal_to_string(x)
+        # nested nulls render as the text 'null' (top-level null is SQL
+        # null), matching the scalar inner renderer
+        return F.when(x.getField("__vg") == RANK_NULL, F.lit("null")) \
+                .otherwise(any_to_string_deep(x, depth - 1))
+
     lst = F.concat(
         F.lit("["),
-        F.array_join(F.transform(c.getField("__vl"), _scal_to_string),
+        F.array_join(F.transform(c.getField("__vl"), inner_str),
                      ", "),
         F.lit("]"))
     mp = F.concat(
@@ -512,8 +610,7 @@ def any_to_string_deep(c: Column) -> Column:
         F.array_join(
             F.transform(c.getField("__vm").getField("__mkv"),
                         lambda e: F.concat(e.getField("__mk"), F.lit(": "),
-                                           _scal_to_string(
-                                               e.getField("__mv")))),
+                                           inner_str(e.getField("__mv")))),
             ", "),
         F.lit("}"))
     pt = F.concat(

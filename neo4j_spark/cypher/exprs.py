@@ -477,8 +477,10 @@ class ExprCompiler:
             r, rt0 = self._unzone(r, rt0)
             if AV.is_any_type(lt) or AV.is_any_type(rt0):
                 if AV.is_deep_any_type(lt) or AV.is_deep_any_type(rt0):
-                    eq = AV.any_eq_deep(AV.to_any_deep(l, lt),
-                                        AV.to_any_deep(r, rt0))
+                    d = max(1, AV.container_depth(lt),
+                            AV.container_depth(rt0))
+                    eq = AV.any_eq_deep(AV.to_any_deep(l, lt, d),
+                                        AV.to_any_deep(r, rt0, d), d)
                 else:
                     eq = AV.any_eq(AV.to_any(l, lt), AV.to_any(r, rt0))
                 return eq if op == "=" else ~eq
@@ -515,8 +517,10 @@ class ExprCompiler:
             r, rt0 = self._unzone(r, rt0)
             if AV.is_any_type(lt0) or AV.is_any_type(rt0):
                 if AV.is_deep_any_type(lt0) or AV.is_deep_any_type(rt0):
-                    return AV.any_cmp_deep(AV.to_any_deep(l, lt0),
-                                           AV.to_any_deep(r, rt0), op)
+                    d = max(1, AV.container_depth(lt0),
+                            AV.container_depth(rt0))
+                    return AV.any_cmp_deep(AV.to_any_deep(l, lt0, d),
+                                           AV.to_any_deep(r, rt0, d), op)
                 return AV.any_cmp(AV.to_any(l, lt0), AV.to_any(r, rt0), op)
             lg = self._cmp_group(lt0)
             rg = self._cmp_group(rt0)
@@ -542,8 +546,13 @@ class ExprCompiler:
             if (isinstance(rt0, T.ArrayType)
                     and AV.is_any_type(rt0.elementType)):
                 if AV.is_deep_any_type(rt0.elementType):
-                    la = AV.to_any_deep(l, self.dtype_of(l))
-                    el_eq = AV.any_eq_deep
+                    d = max(AV.any_layout_depth(rt0.elementType),
+                            AV.container_depth(self.dtype_of(l)), 1)
+                    la = AV.to_any_deep(l, self.dtype_of(l), d)
+
+                    def el_eq(a, b, _d=d, _et=rt0.elementType):
+                        a = AV._rewiden(a, AV.any_layout_depth(_et), _d)
+                        return AV.any_eq_deep(a, b, _d)
                 else:
                     la = AV.to_any(l, self.dtype_of(l))
                     el_eq = AV.any_eq
@@ -836,8 +845,10 @@ class ExprCompiler:
                    and not AV.is_deep_any_type(t) for _, t in typed):
                 return F.array(*[AV.to_any(c, t) for c, t in typed])
             # a container class in the mix: EXTENDED layout (MAP/NODE/
-            # RELATIONSHIP/LIST/POINT groups, anyvalue.py round 3)
-            return F.array(*[AV.to_any_deep(c, t) for c, t in typed])
+            # RELATIONSHIP/LIST/POINT groups), recursed to the deepest
+            # operand's static nesting
+            d = max(1, *[AV.container_depth(t) for _, t in typed])
+            return F.array(*[AV.to_any_deep(c, t, d) for c, t in typed])
         return F.array(*[c for c, _ in typed])
 
     def _c_MapLit(self, e: A.MapLit) -> Column:
@@ -921,7 +932,8 @@ class ExprCompiler:
                    and not AV.is_deep_any_type(t) for _, t in vt):
                 vt = [(AV.to_any(c, t), None) for c, t in vt]
             else:
-                vt = [(AV.to_any_deep(c, t), None) for c, t in vt]
+                d = max(1, *[AV.container_depth(t) for _, t in vt])
+                vt = [(AV.to_any_deep(c, t, d), None) for c, t in vt]
         vals = [c for c, _ in vt]
         default = vals.pop() if e.default is not None else None
         col = None

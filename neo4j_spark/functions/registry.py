@@ -377,7 +377,7 @@ def compile_function(cc, e: A.Func) -> Column:
         from ..cypher.exprs import _is_duration
         if AV.is_any_type(t):
             if AV.is_deep_any_type(t):
-                return AV.any_to_string_deep(col)
+                return AV.any_to_string_deep(col, AV.any_layout_depth(t))
             return AV.any_to_string(col)
         from ..cypher.exprs import _is_zoned_dt, zoned_dt_to_string
         if _is_zoned_dt(t):
@@ -401,6 +401,15 @@ def compile_function(cc, e: A.Func) -> Column:
         if isinstance(t, (T.TimestampNTZType, T.TimestampType)):
             return _datetime_to_string(col, with_offset=isinstance(
                 t, T.TimestampType))
+        if isinstance(t, T.ArrayType) and AV.is_any_type(t.elementType):
+            # heterogeneous list: render elements through the tagged
+            # layout ([1, a, [2]]), not the raw struct cast
+            d = AV.any_layout_depth(t.elementType)
+            return F.concat(
+                F.lit("["),
+                F.array_join(F.transform(
+                    col, lambda x: AV.any_render_element(x, d)), ", "),
+                F.lit("]"))
         return col.cast("string")
     if name in ("tointeger", "tointegerornull"):
         col, t = ctyped(0)
@@ -456,6 +465,10 @@ def compile_function(cc, e: A.Func) -> Column:
         base = _cypher_type_name(t)
         if base == "NULL":
             return F.lit("NULL")
+        if isinstance(t, T.ArrayType) and AV.is_any_type(t.elementType):
+            # heterogeneous list: element types are runtime-erased
+            return F.when(col.isNull(), F.lit("NULL")) \
+                    .otherwise(F.lit("LIST<ANY> NOT NULL"))
         if isinstance(t, T.ArrayType):
             inner = _cypher_type_name(t.elementType)
             inner_col = F.when(

@@ -465,13 +465,30 @@ class TestContainerOrderability:
                     chain_graph)
         assert rows(df) == [(True, True, True, True)]
 
-    def test_nesting_depth_limit_raises(self, spark, chain_graph):
-        import pytest
+    def test_deep_nesting_renders_and_orders(self, spark, chain_graph):
+        # the former depth-2 cap is gone: the layout recurses to the
+        # static schema's depth
+        assert rows(cypher(
+            spark, "RETURN toString([[[1], 'a'], 'b']) AS s",
+            chain_graph)) == [("[[[1], a], b]",)]
+        got = rows(cypher(
+            spark,
+            "UNWIND [[[2]], [[1]], 'z', [[1], 0]] AS v "
+            "RETURN toString(v) AS s ORDER BY v", chain_graph))
+        assert got == [("[[1]]",), ("[[1], 0]",), ("[[2]]",), ("z",)]
 
-        from neo4j_spark.cypher.exprs import CypherTypeError
+    def test_deep_nested_equality_and_in(self, spark, chain_graph):
+        assert rows(cypher(
+            spark,
+            "RETURN [[1, null], 'a'] = [[1, null], 'a'] AS e1, "
+            "[[1, 2], 'a'] = [[1, 3], 'a'] AS e2, "
+            "[[1]] IN [[[1]], 'x'] AS i1, 'x' IN [[[1]], 'x'] AS i2",
+            chain_graph)) == [(True, False, True, True)]
 
-        with pytest.raises(CypherTypeError, match="nest"):
-            cypher(spark, "RETURN [[[1], 'a'], 'b'] AS x", chain_graph)
+    def test_heterogeneous_list_value_type(self, spark, chain_graph):
+        assert rows(cypher(
+            spark, "RETURN valueType([[1], 'a']) AS t", chain_graph)) \
+            == [("LIST<ANY> NOT NULL",)]
 
 
 class TestNamedTimeZones:
