@@ -900,6 +900,37 @@ def _q_call_fulltext_indexed(spark, sf_dir):
                   "RETURN count(*) AS n, round(sum(score), 1) AS s", g)
 
 
+def _q_call_fulltext_analyzer(spark, sf_dir):
+    """Configurable analyzer ('english': stop words + S-stemming): the
+    query term 'tables' stems to 'table' and matches unstemmed docs."""
+    from neo4j_spark.api import cypher
+
+    g = _graph(spark, sf_dir).copy()
+    cypher(spark, "CALL db.index.fulltext.createNodeIndex("
+           "'ft_en', ['Document'], ['text'], {analyzer: 'english'}) "
+           "YIELD name RETURN name", g).collect()
+    return cypher(spark, "CALL db.index.fulltext.queryNodes("
+                  "'ft_en', 'tables') YIELD node "
+                  "RETURN count(*) AS n", g)
+
+
+def _q_call_fulltext_stopwords(spark, sf_dir):
+    """'standard' analyzer drops English stop words on both sides: 'the'
+    alone matches nothing; 'the scan' scores only 'scan'."""
+    from neo4j_spark.api import cypher
+
+    g = _graph(spark, sf_dir).copy()
+    cypher(spark, "CALL db.index.fulltext.createNodeIndex("
+           "'ft_std', ['Document'], ['text'], {analyzer: 'standard'}) "
+           "YIELD name RETURN name", g).collect()
+    return cypher(spark, """
+        CALL db.index.fulltext.queryNodes('ft_std', 'the')
+        YIELD node WITH count(*) AS n_the
+        CALL db.index.fulltext.queryNodes('ft_std', 'the scan')
+        YIELD node RETURN n_the, count(*) AS n_scan
+        """, g)
+
+
 def _q_dedup_exact(spark, sf_dir):
     from neo4j_spark.ml.dedup import exact_dedup
 
@@ -1381,6 +1412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {name: _cy(text) for name, text in CYPHER_QUERIES.items()}
     out["call_vector_query"] = _q_call_vector
     out["call_fulltext_indexed"] = _q_call_fulltext_indexed
+    out["call_fulltext_analyzer"] = _q_call_fulltext_analyzer
+    out["call_fulltext_stopwords"] = _q_call_fulltext_stopwords
     out["ddl_index_catalog"] = _q_ddl_index_catalog
     out["input_rows"] = _q_input_rows
     out["use_graph_select"] = _q_use_graph_select
@@ -1990,6 +2023,13 @@ def _oracle_sql_raw() -> dict[str, str]:
         "call_fulltext_phrase":
             "SELECT count(*) AS n FROM part "
             "WHERE p_name LIKE '%red widget%'",
+        "call_fulltext_analyzer":
+            "SELECT count(*) AS n FROM documents "
+            "WHERE regexp_matches(lower(text), '\\btables?\\b')",
+        "call_fulltext_stopwords":
+            "SELECT CAST(0 AS BIGINT) AS n_the, count(*) AS n_scan "
+            "FROM documents "
+            "WHERE regexp_matches(lower(text), '\\bscan\\b')",
         "call_fulltext_boolean":
             "SELECT count(*) AS n FROM part "
             "WHERE (p_name LIKE '%red%' OR p_name LIKE '%blue%') "

@@ -2638,6 +2638,9 @@ class Translator:
             if isinstance(a, A.ListLit) and all(
                     isinstance(x, A.Lit) for x in a.items):
                 return True, [x.value for x in a.items]
+            if isinstance(a, A.MapLit) and all(
+                    isinstance(v, A.Lit) for _, v in a.items):
+                return True, {k: v.value for k, v in a.items}
             return False, None
 
         statics = [_static(a) for a in c.args]

@@ -279,12 +279,125 @@ def _bm25_score(tf: F.Column, dl: F.Column, df_t: F.Column,
     return idf * norm
 
 
-def _bm25_scan(frame, id_col: str, prop: str, terms, out_name: str):
+# ---- analyzers ------------------------------------------------------------
+#
+# The reference exposes configurable Lucene analyzers per fulltext index
+# (createNodeIndex config {analyzer: ...}; the catalog is listed by
+# db.index.fulltext.listAvailableAnalyzers — community/fulltext-index/
+# .../analyzer provider SPI).  Implemented here as paired column-side /
+# driver-side tokenizers (both sides MUST agree: documents tokenize in
+# the scan, query strings tokenize on the driver).  'english' uses the
+# published S-stemmer (Harman 1991, "How Effective Is Suffixing?") —
+# a deterministic plural stemmer — rather than full Porter.
+
+# Lucene's ENGLISH_STOP_WORDS_SET (EnglishAnalyzer.java — public)
+_ENGLISH_STOP_WORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or "
+    "such that the their then there these they this to was will with"
+    .split())
+
+_ANALYZERS = {
+    "standard-no-stop-words":
+        "lowercase, split on non-word characters (the default)",
+    "standard": "lowercase, split, English stop words removed",
+    "english": "standard + S-stemmer plural stemming (Harman 1991)",
+    "simple": "lowercase, split on non-letters",
+    "whitespace": "split on whitespace, case preserved",
+    "keyword": "the whole value as a single token",
+}
+
+
+def _s_stem_py(w: str) -> str:
+    if w.endswith("ies") and not (w.endswith("eies") or w.endswith("aies")):
+        return w[:-3] + "y"
+    if w.endswith("es") and not (w.endswith("aes") or w.endswith("ees")
+                                 or w.endswith("oes")):
+        return w[:-1]
+    if w.endswith("s") and not (w.endswith("us") or w.endswith("ss")):
+        return w[:-1]
+    return w
+
+
+def _s_stem_col(x: F.Column) -> F.Column:
+    return (F.when(x.rlike("(?<![ea])ies$"),
+                   F.regexp_replace(x, "ies$", "y"))
+             .when(x.rlike("(?<![aeo])es$"), F.regexp_replace(x, "s$", ""))
+             .when(x.rlike("(?<![us])s$"), F.regexp_replace(x, "s$", ""))
+             .otherwise(x))
+
+
+def _check_analyzer(analyzer: str) -> str:
+    analyzer = (analyzer or "standard-no-stop-words").lower()
+    if analyzer not in _ANALYZERS:
+        raise ProcedureError(
+            f"unknown analyzer '{analyzer}' (available: "
+            f"{', '.join(sorted(_ANALYZERS))})")
+    return analyzer
+
+
+def _analyze_col(prop_col: F.Column, analyzer: str) -> F.Column:
+    """Tokenize a document column under ``analyzer`` -> array<string>."""
+    analyzer = _check_analyzer(analyzer)
+    if analyzer == "keyword":
+        return F.array(prop_col)
+    if analyzer == "whitespace":
+        toks = F.split(prop_col, r"\s+")
+    elif analyzer == "simple":
+        toks = F.split(F.lower(prop_col), r"[^a-z]+")
+    else:
+        toks = F.split(F.lower(prop_col), r"\W+")
+    toks = F.filter(toks, lambda x: x != "")
+    if analyzer in ("standard", "english"):
+        stops = F.lit(sorted(_ENGLISH_STOP_WORDS))
+
+        def keep(x):
+            return ~F.array_contains(stops, x)
+
+        toks = F.filter(toks, keep)
+    if analyzer == "english":
+        toks = F.transform(toks, _s_stem_col)
+    return toks
+
+
+def _analyze_term_py(word: str, analyzer: str):
+    """Driver-side mirror of ``_analyze_col`` for one query term; returns
+    None when the analyzer drops the term (stop word / empty)."""
+    analyzer = _check_analyzer(analyzer)
+    if analyzer == "keyword":
+        return word
+    if analyzer == "whitespace":
+        return word or None
+    word = word.lower()
+    if analyzer == "simple":
+        word = re.sub(r"[^a-z]+", "", word)
+    else:
+        word = re.sub(r"\W+", "", word)
+    if not word:
+        return None
+    if analyzer in ("standard", "english") and word in _ENGLISH_STOP_WORDS:
+        return None
+    if analyzer == "english":
+        word = _s_stem_py(word)
+    return word
+
+
+def _analyze_query_py(query: str, analyzer: str):
+    if _check_analyzer(analyzer) == "keyword":
+        return [query]
+    out = []
+    for w in re.split(r"\s+", query):
+        t = _analyze_term_py(w, analyzer)
+        if t is not None:
+            out.append(t)
+    return out
+
+
+def _bm25_scan(frame, id_col: str, prop: str, terms, out_name: str,
+               analyzer: str = "standard-no-stop-words"):
     """BM25 over a tokenized property scan: one stats aggregate (N,
     avgdl), one per-term document-frequency aggregate, both 1-row frames
     broadcast-crossJoined into the scoring scan — no driver collects."""
-    toks = F.filter(F.split(F.lower(F.col(prop)), r"\W+"),
-                    lambda x: x != "")
+    toks = _analyze_col(F.col(prop), analyzer)
     docs = frame.filter(F.col(prop).isNotNull()).select(
         F.col(id_col).alias(out_name), toks.alias("__toks"))
     docs = docs.withColumn("__dl", F.size("__toks"))
@@ -490,11 +603,56 @@ def _is_lucene_syntax(q: str) -> bool:
     return bool(re.search(r"\b(AND|OR|NOT)\b", q))
 
 
-def _lucene_scan(frame, id_col: str, prop: str, node, out_name: str):
+def _analyze_lucene_tree(nd, analyzer: str):
+    """Run the index's analyzer over the parsed query tree's terms
+    (Lucene analyzes query terms with the field's analyzer).  Dropped
+    terms (stop words) remove their clause, as Lucene's parser does;
+    fuzzy terms are lowercased but never stemmed."""
+    kind = nd[0]
+    if kind == "term":
+        t = _analyze_term_py(nd[1], analyzer)
+        return None if t is None else ("term", t)
+    if kind == "fuzzy":
+        return ("fuzzy", nd[1].lower(), nd[2])
+    if kind == "phrase":
+        words = [w for w in (_analyze_term_py(x, analyzer)
+                             for x in nd[1]) if w is not None]
+        if not words:
+            return None
+        return ("term", words[0]) if len(words) == 1 else ("phrase", words)
+    if kind == "not":
+        ch = _analyze_lucene_tree(nd[1], analyzer)
+        return None if ch is None else ("not", ch)
+    if kind == "and":
+        kids = [k for k in (_analyze_lucene_tree(x, analyzer)
+                            for x in nd[1]) if k is not None]
+        if not kids:
+            return None
+        return kids[0] if len(kids) == 1 else ("and", kids)
+    if kind == "bool":
+        musts = [k for k in (_analyze_lucene_tree(x, analyzer)
+                             for x in nd[1]) if k is not None]
+        nots = [k for k in (_analyze_lucene_tree(x, analyzer)
+                            for x in nd[2]) if k is not None]
+        shoulds = [k for k in (_analyze_lucene_tree(x, analyzer)
+                               for x in nd[3]) if k is not None]
+        if not (musts or nots or shoulds):
+            return None
+        return ("bool", musts, nots, shoulds)
+    return nd
+
+
+def _lucene_scan(frame, id_col: str, prop: str, node, out_name: str,
+                 analyzer: str = "standard-no-stop-words"):
     """Evaluate a parsed Lucene query over a tokenized property scan:
     per-leaf tf columns (term equality / Levenshtein / consecutive-token
     phrase count), per-leaf df aggregates broadcast back, BM25 summed
     over matching positive leaves, boolean tree as the match filter."""
+    node = _analyze_lucene_tree(node, analyzer)
+    if node is None:
+        # every clause analyzed away (all stop words): no matches
+        return frame.sparkSession.createDataFrame(
+            [], f"{out_name} bigint, score double")
     leaves = []   # (node, scoring)
 
     def collect(nd, scoring=True):
@@ -521,8 +679,7 @@ def _lucene_scan(frame, id_col: str, prop: str, node, out_name: str):
 
     collect(node)
 
-    toks = F.filter(F.split(F.lower(F.col(prop)), r"\W+"),
-                    lambda x: x != "")
+    toks = _analyze_col(F.col(prop), analyzer)
     docs = frame.filter(F.col(prop).isNotNull()).select(
         F.col(id_col).alias(out_name), toks.alias("__toks"))
     docs = docs.withColumn("__dl", F.size("__toks"))
@@ -633,6 +790,9 @@ def fulltext_create_node_index(spark, graph, args):
     name = str(args[0])
     labels = list(args[1]) if len(args) > 1 and args[1] else []
     props = list(args[2]) if len(args) > 2 and args[2] else []
+    config = dict(args[3]) if len(args) > 3 and args[3] else {}
+    analyzer = _check_analyzer(str(config.get(
+        "analyzer", "standard-no-stop-words")))
     prop = props[0] if props else name
     nodes = graph.nodes
     if labels:
@@ -645,8 +805,7 @@ def fulltext_create_node_index(spark, graph, args):
         nodes = src if src is not None else nodes
     if prop not in nodes.columns:
         raise ProcedureError(f"no node property {prop}")
-    toks = F.filter(F.split(F.lower(F.col(prop)), r"\W+"),
-                    lambda x: x != "")
+    toks = _analyze_col(F.col(prop), analyzer)
     docs = (nodes.filter(F.col(prop).isNotNull())
             .select(F.col("id").alias("node"), toks.alias("__toks"))
             .withColumn("dl", F.size("__toks")))
@@ -660,9 +819,18 @@ def fulltext_create_node_index(spark, graph, args):
        .write.mode("overwrite").parquet(f"{path}/postings")
     docs.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")) \
         .write.mode("overwrite").parquet(f"{path}/stats")
-    graph.fulltext_indexes[name] = {"path": path, "prop": prop}
-    graph.fulltext_indexes[prop] = {"path": path, "prop": prop}
+    entry = {"path": path, "prop": prop, "analyzer": analyzer}
+    graph.fulltext_indexes[name] = entry
+    graph.fulltext_indexes[prop] = entry
     return spark.createDataFrame([(name, prop)], "name string, property string")
+
+
+@procedure("db.index.fulltext.listavailableanalyzers")
+def fulltext_list_analyzers(spark, graph, args):
+    """() -> (analyzer, description) rows
+    (FulltextProcedures.java listAvailableAnalyzers)."""
+    return spark.createDataFrame(
+        sorted(_ANALYZERS.items()), "analyzer string, description string")
 
 
 @procedure("db.index.fulltext.querynodes")
@@ -675,19 +843,21 @@ def fulltext_query_nodes(spark, graph, args):
     postings, N/avgdl from the 1-row stats table); otherwise a single-pass
     scan.  Both paths score identically."""
     prop, query = args[0], str(args[1])
+    idx0 = graph.fulltext_indexes.get(prop)
+    analyzer = (idx0 or {}).get("analyzer", "standard-no-stop-words")
     if _is_lucene_syntax(query):
         # Lucene operators need per-document token positions (phrases) or
         # boolean context — evaluated on the single-pass scan; the
         # postings layout carries no positions (documented trade-off)
-        idx0 = graph.fulltext_indexes.get(prop)
         real_prop = idx0["prop"] if idx0 is not None else prop
         nodes = graph.nodes
         if real_prop not in nodes.columns:
             raise ProcedureError(f"no node property {real_prop}")
         node = _lucene_parse(query, real_prop)
-        return _lucene_scan(nodes, "id", real_prop, node, "node")
-    terms = [t.lower() for t in query.split() if t]
-    idx = graph.fulltext_indexes.get(prop)
+        return _lucene_scan(nodes, "id", real_prop, node, "node",
+                            analyzer=analyzer)
+    terms = _analyze_query_py(query, analyzer)
+    idx = idx0
     if idx is not None:
         inv = spark.read.parquet(f"{idx['path']}/postings") \
             .filter(F.col("term").isin(terms))
@@ -706,7 +876,7 @@ def fulltext_query_nodes(spark, graph, args):
     nodes = graph.nodes
     if prop not in nodes.columns:
         raise ProcedureError(f"no node property {prop}")
-    return _bm25_scan(nodes, "id", prop, terms, "node")
+    return _bm25_scan(nodes, "id", prop, terms, "node", analyzer=analyzer)
 
 
 @procedure("db.index.vector.queryrelationships")
@@ -742,7 +912,7 @@ def fulltext_query_relationships(spark, graph, args):
     if _is_lucene_syntax(query):
         node = _lucene_parse(query, prop)
         return _lucene_scan(rels, "id", prop, node, "relationship")
-    terms = [t.lower() for t in query.split() if t]
+    terms = _analyze_query_py(query, "standard-no-stop-words")
     return _bm25_scan(rels, "id", prop, terms, "relationship")
 
 

@@ -193,3 +193,92 @@ class TestLuceneQuerySyntax:
             _lucene_parse("other:widget", "name")
         with pytest.raises(ProcedureError, match="slop"):
             _lucene_parse('"a b"~2', "name")
+
+
+class TestFulltextAnalyzers:
+    """Configurable analyzers (FulltextProcedures createNodeIndex config
+    {analyzer}, listAvailableAnalyzers)."""
+
+    import pytest as _pytest
+
+    @_pytest.fixture(scope="class")
+    def doc_graph(self, spark):
+        from neo4j_spark.graph import PropertyGraph
+
+        rows = [
+            (1, ["Doc"], "The quick tables run"),
+            (2, ["Doc"], "a table for the report"),
+            (3, ["Doc"], "Reports and stories"),
+            (4, ["Doc"], "CamelCase Words-Here"),
+        ]
+        return PropertyGraph(
+            {"Doc": spark.createDataFrame(
+                rows, "id long, labels array<string>, text string")}, {})
+
+    def _ids(self, spark, g, index, q):
+        from neo4j_spark.api import cypher
+
+        return sorted(r["node"] for r in cypher(
+            spark, f"CALL db.index.fulltext.queryNodes('{index}', '{q}') "
+            "YIELD node RETURN node", g).collect())
+
+    def _mk(self, spark, g, name, analyzer):
+        from neo4j_spark.api import cypher
+
+        cypher(spark, "CALL db.index.fulltext.createNodeIndex("
+               f"'{name}', ['Doc'], ['text'], {{analyzer: '{analyzer}'}}) "
+               "YIELD name RETURN name", g).collect()
+
+    def test_standard_drops_stop_words(self, spark, doc_graph):
+        g = doc_graph.copy()
+        self._mk(spark, g, "f1", "standard")
+        assert self._ids(spark, g, "f1", "the") == []
+        assert self._ids(spark, g, "f1", "the table") == [2]
+
+    def test_english_stems_plurals_both_sides(self, spark, doc_graph):
+        g = doc_graph.copy()
+        self._mk(spark, g, "f2", "english")
+        # query 'table' matches doc 1 ('tables') and doc 2 ('table');
+        # 'report' matches docs 2 and 3; 'story' matches 'stories'
+        assert self._ids(spark, g, "f2", "table") == [1, 2]
+        assert self._ids(spark, g, "f2", "reports") == [2, 3]
+        assert self._ids(spark, g, "f2", "story") == [3]
+
+    def test_whitespace_preserves_case(self, spark, doc_graph):
+        g = doc_graph.copy()
+        self._mk(spark, g, "f3", "whitespace")
+        assert self._ids(spark, g, "f3", "CamelCase") == [4]
+        assert self._ids(spark, g, "f3", "camelcase") == []
+        assert self._ids(spark, g, "f3", "Words-Here") == [4]
+
+    def test_keyword_whole_value(self, spark, doc_graph):
+        g = doc_graph.copy()
+        self._mk(spark, g, "f4", "keyword")
+        assert self._ids(spark, g, "f4", "Reports and stories") == [3]
+        assert self._ids(spark, g, "f4", "Reports") == []
+
+    def test_lucene_syntax_respects_analyzer(self, spark, doc_graph):
+        g = doc_graph.copy()
+        self._mk(spark, g, "f5", "english")
+        assert self._ids(spark, g, "f5", "tables AND run") == [1]
+        # stop word clause drops out instead of matching nothing
+        assert self._ids(spark, g, "f5", "the AND table") == [1, 2]
+
+    def test_list_available_analyzers(self, spark, doc_graph):
+        from neo4j_spark.api import cypher
+
+        rows = cypher(spark, "CALL db.index.fulltext."
+                      "listAvailableAnalyzers() YIELD analyzer "
+                      "RETURN analyzer ORDER BY analyzer",
+                      doc_graph).collect()
+        names = [r["analyzer"] for r in rows]
+        assert "english" in names and "standard" in names \
+            and "whitespace" in names
+
+    def test_unknown_analyzer_raises(self, spark, doc_graph):
+        import pytest
+
+        from neo4j_spark.procedures.registry import ProcedureError
+
+        with pytest.raises(ProcedureError, match="unknown analyzer"):
+            self._mk(spark, doc_graph.copy(), "f6", "bogus")
