@@ -728,18 +728,49 @@ def compile_function(cc, e: A.Func) -> Column:
                 (_secs(b) - _secs(a)).cast("long").alias("seconds"),
                 (b.getField("nanosecond")
                  - a.getField("nanosecond")).cast("long").alias("nanos"))
-        months = F.floor(F.months_between(b, a)).cast("long")
-        a2 = F.add_months(a.cast("date"), months)
-        days = F.datediff(b.cast("date"), a2).cast("long")
-        secs = (
-            F.unix_seconds(b.cast("timestamp"))
-            - F.unix_seconds(F.to_timestamp(a2))
-            - days * 86400
-        )
+        # months, then whole days, then the EXACT seconds remainder — so
+        # a + duration.between(a, b) = b (DurationValue.between).  Named
+        # zones: calendar parts shift the wall clock in the first zoned
+        # operand's zone; remainders stay exact on instants (DST gaps
+        # land in the seconds component).  Operands are ordered first so
+        # every component carries the sign of b - a.
+        from ..cypher.exprs import _is_zoned_dt as _izd
+
+        zoned = _izd(ta) or _izd(tb)
+        tzc = (a if _izd(ta) else b).getField("tz") if zoned else None
+
+        def _inst(col, t):
+            return (col.getField("instant") if _izd(t)
+                    else col.cast("timestamp"))
+
+        ia, ib = _inst(a, ta), _inst(b, tb)
+        cond = ia <= ib
+        sgn = F.when(cond, F.lit(1)).otherwise(F.lit(-1)).cast("long")
+        lo = F.when(cond, ia).otherwise(ib)
+        hi = F.when(cond, ib).otherwise(ia)
+        wlo = F.from_utc_timestamp(lo, tzc) if zoned else lo
+        whi = F.from_utc_timestamp(hi, tzc) if zoned else hi
+        months = F.floor(F.months_between(whi, wlo)).cast("long")
+
+        def _iv(mo, dy):
+            return F.make_interval(
+                F.lit(0), mo.cast("int"), F.lit(0), dy.cast("int"),
+                F.lit(0), F.lit(0), F.lit(0).cast("decimal(18,6)"))
+
+        def _shift(dy):
+            w = wlo + _iv(months, dy)
+            return F.to_utc_timestamp(w, tzc) if zoned else w
+
+        d0 = F.datediff(whi.cast("date"),
+                        (wlo + _iv(months, F.lit(0))).cast("date")) \
+              .cast("long")
+        days = F.when(F.unix_seconds(_shift(d0)) > F.unix_seconds(hi),
+                      d0 - 1).otherwise(d0)
+        secs = F.unix_seconds(hi) - F.unix_seconds(_shift(days))
         return F.struct(
-            months.alias("months"), days.alias("days"),
-            secs.cast("long").alias("seconds"), F.lit(0).cast("long").alias("nanos"),
-        )
+            (sgn * months).alias("months"), (sgn * days).alias("days"),
+            (sgn * secs).cast("long").alias("seconds"),
+            F.lit(0).cast("long").alias("nanos"))
     if name == "duration.indays":
         days = F.datediff(c(1).cast("date"), c(0).cast("date")).cast("long")
         return F.struct(

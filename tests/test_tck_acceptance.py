@@ -405,6 +405,31 @@ class TestTemporalSemanticsAcceptance:
                         "RETURN duration.between(localtime('10:00:00'), "
                         "localtime('12:30:00')).minutes AS m")) == [(150,)]
 
+    def test_duration_between_roundtrip(self, spark, g):
+        # DurationValue.between invariant: a + between(a, b) = b, with
+        # every component carrying the sign of b - a.  Covers time-of-day
+        # remainders, the negative direction, and a named-zone DST gap
+        # (calendar day across Europe/Paris spring-forward is 1 day even
+        # though the instant gap is 23h).
+        pairs = [
+            ("datetime('2024-01-31T10:30:00')",
+             "datetime('2024-03-01T09:00:00')"),
+            ("datetime('2024-03-01T09:00:00')",
+             "datetime('2024-01-31T10:30:00')"),
+            ("localdatetime('2024-01-01T23:59:59')",
+             "localdatetime('2024-01-02T00:00:01')"),
+            ("datetime('2024-03-30T12:00:00[Europe/Paris]')",
+             "datetime('2024-03-31T12:00:00[Europe/Paris]')"),
+        ]
+        for a, b in pairs:
+            assert rows(run(
+                spark, g,
+                f"RETURN {a} + duration.between({a}, {b}) = {b} AS ok",
+            )) == [(True,)], (a, b)
+        assert rows(run(spark, g,
+                        "RETURN duration.between(datetime('2024-03-01T09:00:00'), "
+                        "datetime('2024-01-31T10:30:00')).months AS m")) == [(-1,)]
+
     def test_duration_aggregates(self, spark, g):
         # sum/avg over durations aggregate component-wise; avg carries
         # fractional months into days (DurationValue.approximate)
