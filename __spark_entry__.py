@@ -1183,6 +1183,67 @@ def _q_top1_with_ties(spark, sf_dir):
         F.col("o_orderdate").alias("odate"))
 
 
+# Deterministic sampling (ml/sampling.py).  The md5 hash backend is used
+# here precisely because it is engine-portable — DuckDB reproduces the
+# split bit-for-bit, making these fully oracle-checkable.
+def _q_sample_hash_split(spark, sf_dir):
+    from neo4j_spark.ml.sampling import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split = hash_split(docs, "doc_id",
+                       {"train": 0.8, "val": 0.1, "test": 0.1},
+                       seed=42, hash_fn="md5")
+    return (split.groupBy("split").agg(F.count("*").alias("n"))
+            .orderBy("split"))
+
+
+def _q_sample_stratified(spark, sf_dir):
+    from neo4j_spark.ml.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_sample(docs, "lang", {"en": 0.5, "de": 0.2},
+                            key="doc_id", seed=7, hash_fn="md5")
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+def _q_sample_topk(spark, sf_dir):
+    from neo4j_spark.ml.sampling import take_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return take_sample(docs, 50, key="doc_id", seed=5, hash_fn="md5") \
+        .select("doc_id", "lang").orderBy("doc_id")
+
+
+def _q_sample_weighted(spark, sf_dir):
+    from neo4j_spark.ml.sampling import weighted_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return weighted_sample(docs, 30, "n_chars", key="doc_id",
+                           seed=11, hash_fn="md5") \
+        .select("doc_id").orderBy("doc_id")
+
+
+def _q_sample_kfold(spark, sf_dir):
+    from neo4j_spark.ml.sampling import kfold_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (kfold_split(docs, "doc_id", 5, seed=1, hash_fn="md5")
+            .groupBy("fold").agg(F.count("*").alias("n")).orderBy("fold"))
+
+
+def _q_sample_dataset_mix(spark, sf_dir):
+    from neo4j_spark.ml.sampling import dataset_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    names = sorted(r[0] for r in docs.select("source").distinct().collect())
+    a, b = names[0], names[1]
+    srcs = {n: docs.where(F.col("source") == n) for n in names[:2]}
+    mix = dataset_mix(srcs, {a: 3.0, b: 1.0}, key="doc_id", seed=4,
+                      hash_fn="md5")
+    return (mix.groupBy("mix_source").agg(F.count("*").alias("n"))
+            .orderBy("mix_source"))
+
+
 # ---------------------------------------------------------------------------
 # Updating operators (SURVEY §2.10) — each runs on an isolated graph copy
 # ---------------------------------------------------------------------------
@@ -1405,6 +1466,12 @@ EXTENSION_QUERIES = {
     "multimodal_frame_sample": _q_multimodal_frame_sample,
     "audio_features": _q_audio_features,
     "top1_with_ties": _q_top1_with_ties,
+    "sample_hash_split": _q_sample_hash_split,
+    "sample_stratified": _q_sample_stratified,
+    "sample_topk": _q_sample_topk,
+    "sample_weighted": _q_sample_weighted,
+    "sample_kfold": _q_sample_kfold,
+    "sample_dataset_mix": _q_sample_dataset_mix,
 }
 
 
@@ -1468,6 +1535,18 @@ def _cast_rounds_double(sql: str) -> str:
 def oracle_sql() -> dict[str, str]:
     sqls = _oracle_sql_raw()
     return {k: _cast_rounds_double(v) for k, v in sqls.items()}
+
+
+def _md5_u(key_sql: str, seed: int) -> str:
+    """DuckDB expression reproducing ml/sampling.uniform_hash(md5) bit-for-bit."""
+    return ("CAST('0x' || substring(md5(CAST(%s AS VARCHAR) || ':%d'), 1, 13) "
+            "AS UBIGINT) / 4503599627370496.0" % (key_sql, seed))
+
+
+def _md5_split(key_sql: str, weights, seed: int) -> str:
+    from neo4j_spark.ml.sampling import md5_split_sql
+
+    return md5_split_sql(key_sql, weights, seed)
 
 
 def _oracle_sql_raw() -> dict[str, str]:
@@ -2232,6 +2311,43 @@ def _oracle_sql_raw() -> dict[str, str]:
             "SELECT doc_id, CAST(len(list_filter(string_split_regex("
             "lower(text), '[^a-z0-9'']+'), t -> t != '')) AS BIGINT) AS n_tokens, "
             "CAST(length(text) AS BIGINT) AS n_chars FROM documents",
+        # Deterministic sampling: the md5 backend is bit-reproducible in
+        # DuckDB, so these are full value oracles, not rows-only checks.
+        "sample_hash_split":
+            "SELECT split, count(*) AS n FROM (SELECT "
+            + _md5_split("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, 42)
+            + " AS split FROM documents) GROUP BY split ORDER BY split",
+        "sample_stratified":
+            f"SELECT doc_id, lang FROM documents WHERE {_md5_u('doc_id', 7)}"
+            " < CASE lang WHEN 'en' THEN CAST(0.5 AS DOUBLE) WHEN 'de' THEN "
+            "CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END ORDER BY doc_id",
+        "sample_topk":
+            "SELECT doc_id, lang FROM (SELECT doc_id, lang FROM documents "
+            f"ORDER BY {_md5_u('doc_id', 5)} LIMIT 50) ORDER BY doc_id",
+        "sample_weighted":
+            "SELECT doc_id FROM (SELECT doc_id FROM documents "
+            "WHERE CAST(n_chars AS DOUBLE) > 0 "
+            f"ORDER BY pow({_md5_u('doc_id', 11)}, "
+            "1.0 / CAST(n_chars AS DOUBLE)) DESC LIMIT 30) ORDER BY doc_id",
+        "sample_kfold":
+            f"SELECT CAST(LEAST(floor({_md5_u('doc_id', 1)} * 5), 4) "
+            "AS INTEGER) AS fold, count(*) AS n FROM documents "
+            "GROUP BY fold ORDER BY fold",
+        "sample_dataset_mix":
+            "WITH two AS (SELECT source FROM documents GROUP BY source "
+            "ORDER BY source LIMIT 2), "
+            "n AS (SELECT d.source, count(*) AS c FROM documents d "
+            "JOIN two t ON d.source = t.source GROUP BY d.source), "
+            "s AS (SELECT source, CAST(c AS DOUBLE) AS c, CASE WHEN source = "
+            "(SELECT min(source) FROM two) THEN CAST(0.75 AS DOUBLE) ELSE "
+            "CAST(0.25 AS DOUBLE) END AS share FROM n), "
+            "sc AS (SELECT min(c / share) AS scale FROM s), "
+            "r AS (SELECT source, LEAST(CAST(1.0 AS DOUBLE), share * "
+            "(SELECT scale FROM sc) / c) AS rate FROM s) "
+            "SELECT d.source AS mix_source, count(*) AS n "
+            "FROM documents d JOIN r ON d.source = r.source "
+            f"WHERE {_md5_u('doc_id', 4)} < r.rate "
+            "GROUP BY d.source ORDER BY mix_source",
         "events_json_props":
             "SELECT event_type, count(*) AS n FROM events "
             "WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 "
