@@ -507,6 +507,40 @@ class ExprCompiler:
                                                       lambda x, y: x == y),
                                            lambda b: b)))
                 return eq if op == "=" else ~eq
+            rt = self.dtype_of(r)
+            if lg == "struct" and rg == "struct" \
+                    and isinstance(lt, T.StructType) \
+                    and isinstance(rt, T.StructType):
+                # ternary structural MAP equality (MapValue ternaryEquals):
+                # different key sets -> false; else a three-valued AND over
+                # per-key comparisons, so a null value yields null unless
+                # some key definitely differs, and a cross-class value pair
+                # (e.g. {a:1} vs {a:'x'}) decides false.  (Plain Spark
+                # struct == treats null fields as equal.)  One level deep.
+                lkeys = sorted(f.name for f in lt.fields)
+                rkeys = sorted(f.name for f in rt.fields)
+                if lkeys != rkeys:
+                    eq = F.when(l.isNull() | r.isNull(),
+                                F.lit(None).cast("boolean")) \
+                        .otherwise(F.lit(False))
+                    return eq if op == "=" else ~eq
+                ltypes = {f.name: f.dataType for f in lt.fields}
+                rtypes = {f.name: f.dataType for f in rt.fields}
+                conj = F.lit(True)
+                for k in lkeys:
+                    fg, gg = self._cmp_group(ltypes[k]), \
+                        self._cmp_group(rtypes[k])
+                    lf, rf = l.getField(k), r.getField(k)
+                    if fg is not None and gg is not None and fg != gg:
+                        fe = F.when(lf.isNull() | rf.isNull(),
+                                    F.lit(None).cast("boolean")) \
+                            .otherwise(F.lit(False))
+                    else:
+                        fe = lf == rf
+                    conj = conj & fe
+                eq = F.when(l.isNull() | r.isNull(),
+                            F.lit(None).cast("boolean")).otherwise(conj)
+                return eq if op == "=" else ~eq
             return (l == r) if op == "=" else (l != r)
         if op in ("<", "<=", ">", ">="):
             from . import anyvalue as AV
@@ -995,7 +1029,13 @@ class ExprCompiler:
         et = self._elem_type(e.source)
 
         def pred(x):
-            return self._with_local(e.var, x, et, lambda: self.compile(e.predicate))
+            # cast keeps analysis alive when the element type is a
+            # placeholder (e.g. an empty list literal types as
+            # array<bigint>, so a bare-variable predicate isn't boolean);
+            # the lambda never runs on an empty source anyway
+            return self._with_local(
+                e.var, x, et,
+                lambda: self.compile(e.predicate)).cast("boolean")
 
         if e.kind == "all":
             return F.forall(src, pred)

@@ -16,6 +16,7 @@ from typing import Callable, Dict
 from pyspark.sql import Column, functions as F, types as T
 
 from ..cypher import ast as A
+from ..cypher.exprs import CypherTypeError
 
 
 class FunctionError(ValueError):
@@ -279,10 +280,72 @@ def compile_function(cc, e: A.Func) -> Column:
     if name in simple:
         return simple[name](c(0))
     if name == "round":
-        # Cypher rounds HALF_UP (CypherFunctions.java) — F.round matches
-        if n == 1:
-            return F.round(c(0), 0)
-        return F.round(c(0), args[1].value if isinstance(args[1], A.Lit) else 0)
+        # CypherFunctions.java:253-303.  round(x) and round(x, 0) use
+        # Math.round: ties toward +INFINITY (round(-2.5) = -2.0), NaN and
+        # infinities pass through, and values with no fractional part
+        # (|x| >= 2^53) are returned unchanged.  With a precision > 0 or
+        # an EXPLICIT mode, the reference switches to
+        # BigDecimal.valueOf(x).setScale(p, mode); Spark's F.round /
+        # F.bround are exactly that for HALF_UP / HALF_EVEN, and the other
+        # modes are computed in decimal space (cast double->decimal is
+        # BigDecimal.valueOf semantics) so FLOOR(2.3 * 10) is an exact 23,
+        # not floor(22.999...).
+        x = c(0).cast("double")
+        p = args[1].value if n >= 2 and isinstance(args[1], A.Lit) else 0
+        if p is None or (n >= 3 and isinstance(args[2], A.Lit)
+                         and args[2].value is None):
+            return F.lit(None).cast("double")
+        p = int(p)
+        if p < 0:
+            raise CypherTypeError(
+                "Precision argument to 'round()' cannot be negative")
+        mode = None
+        if n >= 3:
+            if not isinstance(args[2], A.Lit) or not isinstance(
+                    args[2].value, str):
+                raise CypherTypeError(
+                    "round() rounding mode must be a string literal")
+            mode = args[2].value.upper()
+        nonfinite = F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+        if mode is None and p == 0:
+            whole = F.abs(x) >= F.lit(9007199254740992.0)  # 2^53
+            return F.when(nonfinite | whole, x) \
+                .otherwise(F.floor(x + F.lit(0.5)).cast("double"))
+        if mode is None or mode == "HALF_UP":
+            return F.when(nonfinite, x).otherwise(F.round(x, p))
+        if mode == "HALF_EVEN":
+            return F.when(nonfinite, x).otherwise(F.bround(x, p))
+        valid = {"CEILING", "FLOOR", "UP", "DOWN", "HALF_DOWN",
+                 "UNNECESSARY"}
+        if mode not in valid:
+            raise CypherTypeError(
+                "Unknown rounding mode. Valid values are: CEILING, FLOOR, "
+                "UP, DOWN, HALF_EVEN, HALF_UP, HALF_DOWN, UNNECESSARY.")
+        dec = x.cast("decimal(38,18)")
+        factor = F.lit(10 ** p).cast("decimal(20,0)")
+        scaled = dec * factor
+        sgn = F.when(x < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+        a = F.abs(scaled)
+        if mode == "CEILING":
+            ticks = F.ceil(scaled).cast("double")
+        elif mode == "FLOOR":
+            ticks = F.floor(scaled).cast("double")
+        elif mode == "UP":
+            ticks = sgn * F.ceil(a).cast("double")
+        elif mode == "DOWN":
+            ticks = sgn * F.floor(a).cast("double")
+        elif mode == "HALF_DOWN":
+            ticks = sgn * F.ceil(a - F.lit(0.5).cast("decimal(2,1)")) \
+                .cast("double")
+        else:  # UNNECESSARY: error if rounding would change the value
+            exact = F.floor(a).cast("decimal(38,0)").cast("decimal(38,18)") \
+                == a
+            return F.when(nonfinite, x).otherwise(
+                F.when(exact, x).otherwise(F.raise_error(F.lit(
+                    "Rounding is necessary for 'round()' with mode "
+                    "UNNECESSARY"))))
+        out = ticks / F.lit(float(10 ** p))
+        return F.when(nonfinite, x).otherwise(out)
     if name == "sign":
         return F.signum(c(0)).cast("long")
     if name == "cot":

@@ -442,6 +442,59 @@ class TestTemporalSemanticsAcceptance:
                         "avg(d).days AS ad")) == [(3, 1, 15)]
 
 
+class TestRoundModesAcceptance:
+    def test_round_ties_toward_positive_infinity(self, spark, g):
+        # CypherFunctions.java:297 — round(x)/round(x, 0) is Math.round
+        assert rows(run(spark, g,
+                        "RETURN round(2.5) AS a, round(-2.5) AS b, "
+                        "round(-1.5) AS c, round(-2.5, 0) AS d")) == \
+            [(3.0, -2.0, -1.0, -2.0)]
+
+    def test_round_explicit_modes(self, spark, g):
+        # explicit mode switches to BigDecimal.setScale — away from zero
+        # for HALF_UP even at precision 0
+        assert rows(run(spark, g,
+                        "RETURN round(-2.5, 0, 'HALF_UP') AS a, "
+                        "round(2.435, 2, 'HALF_EVEN') AS b, "
+                        "round(-2.3, 0, 'CEILING') AS c, "
+                        "round(-2.35, 1, 'FLOOR') AS d, "
+                        "round(-2.3, 0, 'UP') AS e, "
+                        "round(2.7, 0, 'DOWN') AS f, "
+                        "round(2.5, 0, 'HALF_DOWN') AS h")) == \
+            [(-3.0, 2.44, -2.0, -2.4, -3.0, 2.0, 2.0)]
+
+    def test_round_decimal_exactness(self, spark, g):
+        # FLOOR at precision 1 must treat 2.3 as the decimal 2.3, not the
+        # double 2.2999...: floor(2.3 * 10) is exactly 23
+        assert rows(run(spark, g,
+                        "RETURN round(2.3, 1, 'FLOOR') AS a")) == [(2.3,)]
+
+
+class TestMapEqualityAcceptance:
+    def test_map_equality_with_null_values_is_null(self, spark, g):
+        assert rows(run(spark, g,
+                        "RETURN {a: 1, b: null} = {a: 1, b: null} AS r, "
+                        "{a: 1, b: null} <> {a: 1, b: null} AS r2")) == \
+            [(None, None)]
+
+    def test_map_equality_definite_mismatch_decides(self, spark, g):
+        assert rows(run(spark, g,
+                        "RETURN {a: 1, b: null} = {a: 2, b: null} AS r, "
+                        "{a: 1} = {b: 1} AS r2, {a: 1} = {a: 'x'} AS r3, "
+                        "{a: 1} = {a: 1} AS r4")) == \
+            [(False, False, False, True)]
+
+
+class TestQuantifierEmptyListAcceptance:
+    def test_quantifiers_over_empty_list(self, spark, g):
+        assert rows(run(spark, g,
+                        "RETURN all(x IN [] WHERE x) AS a, "
+                        "any(x IN [] WHERE x) AS b, "
+                        "none(x IN [] WHERE x) AS c, "
+                        "single(x IN [] WHERE x) AS d")) == \
+            [(True, False, True, False)]
+
+
 class TestSetFromEntityAcceptance:
     def test_set_replace_from_entity(self, spark, g):
         run(spark, g, "CREATE (:SC {a: 1, b: 2}), (:TC {c: 9})").collect()
