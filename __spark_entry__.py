@@ -215,7 +215,7 @@ CYPHER_QUERIES = {
     "sel_shortest_path_nodes":
         "MATCH p = ANY SHORTEST (a:Supplier WHERE a.suppkey <= 100)"
         "((x)-[:FROM_NATION|IN_REGION]->(y))+(b:Region) "
-        "RETURN a.suppkey AS sk, [n IN nodes(p) | n.name] AS names, "
+        "RETURN a.suppkey AS sk, toString([n IN nodes(p) | n.name]) AS names, "
         "length(p) AS len ORDER BY sk",
     "sel_shortest_group_vars":
         "MATCH ANY SHORTEST (a:Supplier WHERE a.suppkey <= 100)"
@@ -246,7 +246,7 @@ CYPHER_QUERIES = {
     "unwind_op":
         "UNWIND [1, 2, 3, 4, 5] AS x RETURN x, x * x AS sq",
     "list_ops":
-        "RETURN [x IN range(1, 10) WHERE x % 2 = 0 | x * x] AS l",
+        "RETURN toString([x IN range(1, 10) WHERE x % 2 = 0 | x * x]) AS l",
     # heterogeneous lists + CIP global orderability (AnyValues.java:69,
     # ValueGroup.java:32): STRING < BOOLEAN < NUMBER < null; LIMIT after
     # the mixed ORDER BY makes the global order hash-observable
@@ -295,7 +295,7 @@ CYPHER_QUERIES = {
     "mixed_deep_nesting":
         "UNWIND [[[2]], [[1]], 'z', [[1], 0]] AS v "
         "WITH v ORDER BY v "
-        "RETURN collect(toString(v)) AS ordered, "
+        "RETURN toString(collect(toString(v))) AS ordered, "
         "toString([[[1], 'a'], 'b']) AS deep3, "
         "[[1, null], 'a'] = [[1, null], 'a'] AS eq_n, "
         "[[1, 2], 'a'] = [[1, 3], 'a'] AS neq, "
@@ -384,7 +384,7 @@ CYPHER_QUERIES = {
         "RETURN linenumber() AS ln, row.name AS name ORDER BY ln",
     "call_schema_viz":
         "CALL db.schema.visualization() YIELD nodes, relationships "
-        "RETURN nodes, relationships",
+        "RETURN toString(nodes) AS nodes, toString(relationships) AS relationships",
     "call_dbms_components":
         "CALL dbms.components() YIELD name, edition RETURN name, edition",
     "duration_functions":
@@ -398,8 +398,8 @@ CYPHER_QUERIES = {
         "trim(TRAILING 'x' FROM 'abxx') AS t4",
     "collect_subquery":
         "MATCH (r:Region) RETURN r.name AS rn, "
-        "COLLECT { MATCH (n:Nation)-[:IN_REGION]->(r) "
-        "RETURN n.name ORDER BY n.name } AS ns ORDER BY rn",
+        "toString(COLLECT { MATCH (n:Nation)-[:IN_REGION]->(r) "
+        "RETURN n.name ORDER BY n.name }) AS ns ORDER BY rn",
     "call_in_transactions":
         "MATCH (r:Region) CALL { WITH r "
         "MATCH (n:Nation)-[:IN_REGION]->(r) RETURN count(*) AS cnt } "
@@ -409,7 +409,7 @@ CYPHER_QUERIES = {
         "MATCH (c:Customer) WHERE c.custkey <= 50 "
         "RETURN c.custkey AS ck, "
         "c{.name, scaled: round(c.acctbal * 2, 2)}.scaled AS scaled2, "
-        "keys(c{.name, .mktsegment}) AS ks",
+        "toString(keys(c{.name, .mktsegment})) AS ks",
     # --- horizons (§2.4/§2.6, widened) ---
     "with_pipeline":
         "MATCH (c:Customer)-[:PLACED]->(o:Order) "
@@ -1027,8 +1027,12 @@ def _q_embedding_quantize(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = quantize_embeddings(emb.withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))))
-    return out.select("vec_id", F.round("qscale", 6).alias("qscale"),
-                      F.col("qvec")).orderBy("vec_id").limit(100)
+    return out.select(
+        "vec_id", F.round("qscale", 6).alias("qscale"),
+        # string-joined so the driver's pandas canonicalizer (which cannot
+        # sort/hash list cells) compares it as a scalar
+        F.array_join(F.col("qvec").cast("array<string>"), ",").alias("qvec"),
+    ).orderBy("vec_id").limit(100)
 
 
 def _q_embedding_normalize(spark, sf_dir):
@@ -1712,7 +1716,8 @@ def _oracle_sql_raw() -> dict[str, str]:
             "JOIN region ON n_regionkey = r_regionkey "
             "GROUP BY rn ORDER BY rn",
         "sel_shortest_path_nodes":
-            "SELECT s_suppkey AS sk, [s_name, n_name, r_name] AS names, "
+            "SELECT s_suppkey AS sk, "
+            "'[' || s_name || ', ' || n_name || ', ' || r_name || ']' AS names, "
             "CAST(2 AS BIGINT) AS len FROM supplier "
             "JOIN nation ON s_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey "
@@ -1760,8 +1765,7 @@ def _oracle_sql_raw() -> dict[str, str]:
             "SELECT CAST(x AS BIGINT) AS x, CAST(x * x AS BIGINT) AS sq "
             "FROM (SELECT unnest([1, 2, 3, 4, 5]) AS x)",
         "list_ops":
-            "SELECT list_transform(list_filter(range(1, 11), "
-            "x -> x % 2 = 0), x -> x * x) AS l",
+            "SELECT '[4, 16, 36, 64, 100]' AS l",
         "mixed_list_order":
             "SELECT unnest(['a', 'b', 'c', 'false']) AS s",
         "mixed_list_order_desc":
@@ -1785,7 +1789,7 @@ def _oracle_sql_raw() -> dict[str, str]:
             "SELECT unnest(['{k: 1}', '[1]', '[1, x]', '[1, 2]', 'a']) "
             "AS s",
         "mixed_deep_nesting":
-            "SELECT ['[[1]]', '[[1], 0]', '[[2]]', 'z'] AS ordered, "
+            "SELECT '[[[1]], [[1], 0], [[2]], z]' AS ordered, "
             "'[[[1], a], b]' AS deep3, CAST(1 AS BOOLEAN) AS eq_n, "
             "CAST(0 AS BOOLEAN) AS neq, CAST(1 AS BOOLEAN) AS inn",
         "mixed_list_nested":
@@ -1908,14 +1912,14 @@ def _oracle_sql_raw() -> dict[str, str]:
             "LEFT JOIN customer ON c_nationkey = n_nationkey "
             "GROUP BY r_name ORDER BY region",
         "call_schema_viz":
-            "SELECT ['Customer', 'Document', 'Embedding', 'Nation', 'Order', "
-            "'Part', 'Region', 'Supplier'] AS nodes, "
-            "['(:Customer)-[:FROM_NATION]->(:Nation)', "
-            "'(:Customer)-[:PLACED]->(:Order)', "
-            "'(:Nation)-[:IN_REGION]->(:Region)', "
-            "'(:Order)-[:CONTAINS]->(:Part)', "
-            "'(:Order)-[:SUPPLIED_BY]->(:Supplier)', "
-            "'(:Supplier)-[:FROM_NATION]->(:Nation)'] AS relationships",
+            "SELECT '[Customer, Document, Embedding, Nation, Order, "
+            "Part, Region, Supplier]' AS nodes, "
+            "'[(:Customer)-[:FROM_NATION]->(:Nation), "
+            "(:Customer)-[:PLACED]->(:Order), "
+            "(:Nation)-[:IN_REGION]->(:Region), "
+            "(:Order)-[:CONTAINS]->(:Part), "
+            "(:Order)-[:SUPPLIED_BY]->(:Supplier), "
+            "(:Supplier)-[:FROM_NATION]->(:Nation)]' AS relationships",
         "call_dbms_components":
             "SELECT 'neo4j-spark-engine' AS name, 'community' AS edition",
         "duration_functions":
@@ -1926,16 +1930,16 @@ def _oracle_sql_raw() -> dict[str, str]:
         "trim_variants":
             "SELECT 'x' AS t1, 'ab' AS t2, 'ab' AS t3, 'ab' AS t4",
         "collect_subquery":
-            "SELECT r_name AS rn, (SELECT list(n_name ORDER BY n_name) "
-            "FROM nation WHERE n_regionkey = r_regionkey) AS ns "
-            "FROM region ORDER BY rn",
+            "SELECT r_name AS rn, '[' || (SELECT string_agg(n_name, ', ' "
+            "ORDER BY n_name) FROM nation WHERE n_regionkey = r_regionkey) "
+            "|| ']' AS ns FROM region ORDER BY rn",
         "call_in_transactions":
             "SELECT r_name AS rn, (SELECT count(*) FROM nation "
             "WHERE n_regionkey = r_regionkey) AS cnt, TRUE AS committed "
             "FROM region",
         "map_projection":
             "SELECT c_custkey AS ck, round(c_acctbal * 2, 2) AS scaled2, "
-            "['name', 'mktsegment'] AS ks FROM customer WHERE c_custkey <= 50",
+            "'[name, mktsegment]' AS ks FROM customer WHERE c_custkey <= 50",
         "with_pipeline":
             "SELECT count(*) AS n FROM (SELECT o_custkey FROM orders "
             "GROUP BY o_custkey HAVING count(*) > 5)",
@@ -2393,8 +2397,8 @@ def _oracle_sql_raw() -> dict[str, str]:
             "x -> abs(x))) = 0 THEN 1.0 ELSE list_max(list_transform(v, "
             "x -> abs(x))) END AS scale FROM e) "
             "SELECT vec_id, round(scale, 6) AS qscale, "
-            "list_transform(v, x -> CAST(round(greatest(least("
-            "x / scale * 127.0, 127.0), -127.0)) AS INT)) AS qvec "
+            "array_to_string(list_transform(v, x -> CAST(round(greatest(least("
+            "x / scale * 127.0, 127.0), -127.0)) AS INT)), ',') AS qvec "
             "FROM s ORDER BY vec_id LIMIT 100",
         "embedding_normalize":
             "SELECT vec_id, CASE WHEN sqrt(list_sum(list_transform("
