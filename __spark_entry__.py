@@ -823,6 +823,31 @@ _q_use_graph_select = _use_cy(
     "USE geo MATCH (n:Nation)-[:IN_REGION]->(r:Region) "
     "RETURN r.name AS region, count(*) AS nations ORDER BY region")
 
+def _q_call_token_create(spark, sf_dir):
+    """db.createLabel / db.createRelationshipType (BuiltInProcedures.java):
+    token creation visible in the catalog procedures."""
+    return _write(
+        spark, sf_dir,
+        "CALL db.createLabel('Brand')",
+        "CALL db.createRelationshipType('OWNS')",
+        "CALL db.labels() YIELD label WITH label "
+        "WHERE label IN ['Brand', 'Region'] RETURN label ORDER BY label")
+
+
+def _q_call_tx_metadata(spark, sf_dir):
+    """tx.setMetaData / tx.getMetaData round-trip."""
+    return _write(
+        spark, sf_dir,
+        "CALL tx.setMetaData({app: 'pipeline', shard: 3})",
+        "CALL tx.getMetaData() YIELD metadata "
+        "RETURN metadata.app AS app, metadata.shard AS shard")
+
+
+_q_use_graph_by_name = _use_cy(
+    # dynamic graph reference (GraphByName.scala): plan-time constant arg
+    "USE graph.byName('trade') MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
+    "RETURN n.nationkey AS nk, count(*) AS customers ORDER BY nk")
+
 _q_use_graph_union = _use_cy(
     "USE geo MATCH (n:Nation) RETURN 'nation' AS kind, count(*) AS n "
     "UNION ALL "
@@ -1488,6 +1513,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ddl_index_catalog"] = _q_ddl_index_catalog
     out["input_rows"] = _q_input_rows
     out["use_graph_select"] = _q_use_graph_select
+    out["use_graph_by_name"] = _q_use_graph_by_name
+    out["call_token_create"] = _q_call_token_create
+    out["call_tx_metadata"] = _q_call_tx_metadata
     out["use_graph_union"] = _q_use_graph_union
     out["use_graph_call_sub"] = _q_use_graph_call_sub
     out["user_function_call"] = _q_user_function
@@ -1902,6 +1930,13 @@ def _oracle_sql_raw() -> dict[str, str]:
             "SELECT r_name AS region, count(*) AS nations FROM nation "
             "JOIN region ON n_regionkey = r_regionkey "
             "GROUP BY r_name ORDER BY region",
+        "call_token_create":
+            "SELECT unnest(['Brand', 'Region']) AS label",
+        "call_tx_metadata":
+            "SELECT 'pipeline' AS app, '3' AS shard",
+        "use_graph_by_name":
+            "SELECT c_nationkey AS nk, count(*) AS customers "
+            "FROM customer GROUP BY c_nationkey ORDER BY nk",
         "use_graph_union":
             "SELECT 'nation' AS kind, count(*) AS n FROM nation "
             "UNION ALL "

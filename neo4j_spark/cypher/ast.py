@@ -290,9 +290,18 @@ class Clause:
 class Use(Clause):
     """USE [GRAPH] <ref> (useClause in CypherParser.g4): graph selection
     for composite DBMSs.  This engine hosts ONE graph per session, so USE
-    is accepted for surface compatibility and recorded as metadata."""
+    is accepted for surface compatibility and recorded as metadata.
+
+    ``via``/``dynamic`` carry the dynamic graph-reference functions
+    ``graph.byName(expr)`` / ``graph.byElementId(expr)``
+    (GraphByName.scala / GraphByElementId.scala); the argument must be
+    statically evaluable (literal or parameter) so routing stays a
+    plan-time decision, mirroring the reference's constant graph-reference
+    dependency requirement."""
 
     graph: str
+    via: Optional[str] = None       # None | "byname" | "byelementid"
+    dynamic: Optional[Expr] = None  # argument of graph.byName/byElementId
 
 
 @dataclass

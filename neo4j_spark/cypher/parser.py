@@ -179,12 +179,23 @@ class Parser:
             return A.Finish()
         if self.at_kw("USE"):
             self.take()
-            if self.at_kw("GRAPH"):
+            # optional GRAPH keyword — but "graph" may instead be the
+            # namespace of graph.byName()/graph.byElementId()
+            if self.at_kw("GRAPH") and not self.at_op(".", ahead=1):
                 self.take()
             parts = [self.expect_ident()]
             while self.at_op("."):
                 self.take()
                 parts.append(self.expect_ident())
+            # dynamic graph references: USE graph.byName(expr) /
+            # graph.byElementId(expr) (GraphByName.scala)
+            if (len(parts) == 2 and parts[0].lower() == "graph"
+                    and parts[1].lower() in ("byname", "byelementid")
+                    and self.at_op("(")):
+                self.take()
+                arg = self.parse_expr()
+                self.expect_op(")")
+                return A.Use("", via=parts[1].lower(), dynamic=arg)
             return A.Use(".".join(parts))
         if self.at_kw("MERGE"):
             self.take()

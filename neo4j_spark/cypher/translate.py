@@ -403,9 +403,30 @@ class Translator:
             # subqueries each honor their own USE head.  Without a
             # catalog the clause is recorded for surface compatibility
             # (single-graph session).
-            self.selected_graph = clause.graph
+            name = clause.graph
+            if clause.via is not None:
+                # graph.byName/byElementId: the argument must be a
+                # plan-time constant (literal or parameter), as in the
+                # reference's constant graph-reference dependency check.
+                arg = clause.dynamic
+                if isinstance(arg, A.Lit):
+                    val = arg.value
+                elif isinstance(arg, A.Param):
+                    val = self.params.get(arg.name)
+                else:
+                    raise TranslateError(
+                        "USE graph.%s(...) requires a literal or "
+                        "parameter argument" % clause.via)
+                if not isinstance(val, str):
+                    raise TranslateError(
+                        "USE graph.%s(...) argument must be a string, "
+                        "got %r" % (clause.via, val))
+                name = (val.split(":", 1)[1]
+                        if clause.via == "byelementid" and val.startswith("g:")
+                        else val)
+            self.selected_graph = name
             if self.catalog is not None:
-                target = self.catalog.resolve(clause.graph)
+                target = self.catalog.resolve(name)
                 if df is not None and target is not self.graph:
                     raise TranslateError(
                         "USE must be the first clause of a query or "

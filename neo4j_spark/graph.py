@@ -19,7 +19,7 @@ name-union with null-padding, only for label-less scans.
 from __future__ import annotations
 
 from functools import reduce
-from typing import Dict, Iterable, List, Optional, Sequence
+from typing import Any, Dict, Iterable, List, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
@@ -71,6 +71,15 @@ class PropertyGraph:
         # labels added by SET/CREATE that are not shard keys: scans for them
         # must fall back to a full union filter instead of shard pruning
         self._extra_labels: set = set()
+        # token-creation procedures (BuiltInProcedures.java db.createLabel /
+        # db.createProperty / db.createRelationshipType): tokens exist in
+        # the catalog before any entity uses them
+        self._token_labels: set = set()
+        self._token_rel_types: set = set()
+        self._token_props: set = set()
+        # tx.setMetaData / tx.getMetaData (TransactionProcedures): a
+        # session-scoped attachment, surfaced verbatim
+        self._tx_metadata: Dict[str, Any] = {}
         self._write_epoch = 0
         # count store (NodeCountFromCountStore LP:2748 /
         # RelationshipCountFromCountStore LP:3466): the reference maintains
@@ -98,6 +107,10 @@ class PropertyGraph:
         # entries valid for the shared snapshot; dicts diverge after writes
         g._count_memo = dict(self._count_memo)
         g.fulltext_indexes = dict(self.fulltext_indexes)
+        g._token_labels = set(self._token_labels)
+        g._token_rel_types = set(self._token_rel_types)
+        g._token_props = set(self._token_props)
+        g._tx_metadata = dict(self._tx_metadata)
         return g
 
     # ---- scans (leaf operators, SURVEY §2.1) ----------------------------
@@ -180,15 +193,16 @@ class PropertyGraph:
     # ---- catalog helpers (db.labels / db.relationshipTypes procedures) ---
 
     def labels(self) -> List[str]:
-        return sorted(self.node_frames.keys())
+        return sorted(set(self.node_frames) | self._token_labels)
 
     def relationship_types(self) -> List[str]:
-        return sorted(self.rel_frames.keys())
+        return sorted(set(self.rel_frames) | self._token_rel_types)
 
     def node_property_keys(self) -> List[str]:
         keys: set = set()
         for df in self.node_frames.values():
             keys.update(c for c in df.columns if c not in NODE_META)
+        keys.update(self._token_props)
         return sorted(keys)
 
     # ---- persistence ----------------------------------------------------

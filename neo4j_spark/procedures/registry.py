@@ -916,9 +916,12 @@ def fulltext_query_relationships(spark, graph, args):
     return _bm25_scan(rels, "id", prop, terms, "relationship")
 
 
+@procedure("db.create.setvectorproperty")
+@procedure("db.create.setnodevectorproperty")
 @procedure("db.index.vector.setnodevectorproperty")
 def set_node_vector_property(spark, graph, args):
-    """(nodeId, propertyKey, vector) -> () (VectorIndexProcedures.java:197):
+    """(nodeId, propertyKey, vector) -> () (VectorIndexProcedures.java:197,
+    current names db.create.setNodeVectorProperty / legacy aliases):
     batch property rewrite of the owning label shard."""
     node_id, prop, vec = int(args[0]), str(args[1]), list(args[2])
     lit_vec = F.array(*[F.lit(float(x)) for x in vec])
@@ -932,12 +935,109 @@ def set_node_vector_property(spark, graph, args):
     return spark.createDataFrame([], "node bigint")
 
 
+@procedure("db.create.setrelationshipvectorproperty")
+def set_rel_vector_property(spark, graph, args):
+    """(relId, propertyKey, vector) -> ()
+    (db.create.setRelationshipVectorProperty): rel-shard analog of the
+    node setter."""
+    rel_id, prop, vec = int(args[0]), str(args[1]), list(args[2])
+    lit_vec = F.array(*[F.lit(float(x)) for x in vec])
+    for t, frame in list(graph.rel_frames.items()):
+        if prop in frame.columns:
+            newcol = F.when(F.col("id") == rel_id, lit_vec) \
+                      .otherwise(F.col(prop))
+        else:
+            newcol = F.when(F.col("id") == rel_id, lit_vec)
+        graph.rel_frames[t] = frame.withColumn(prop, newcol)
+    return spark.createDataFrame([], "relationship bigint")
+
+
 @procedure("db.awaitindex")
 @procedure("db.awaitindexes")
 def db_await_indexes(spark, graph, args):
     """No-op: there are no async index builds — scans + parquet stats play
     the index role (BuiltInProcedures.java db.awaitIndex)."""
     return spark.createDataFrame([], "success boolean")
+
+
+@procedure("db.index.fulltext.awaiteventuallyconsistentindexrefresh")
+def db_fulltext_await_refresh(spark, graph, args):
+    """No-op: fulltext indexes here are parquet snapshots, always consistent
+    with the graph epoch that built them (FulltextProcedures.java)."""
+    return spark.createDataFrame([], "success boolean")
+
+
+@procedure("db.clearquerycaches")
+def db_clear_query_caches(spark, graph, args):
+    """Clears the engine-side memo caches (count store / catalog memos) —
+    the batch analog of BuiltInDbmsProcedures db.clearQueryCaches."""
+    n = len(graph._count_memo)
+    graph._count_memo = {}
+    return spark.createDataFrame(
+        [(f"Query caches successfully cleared of {n} queries.",)],
+        "value string")
+
+
+@procedure("db.prepareforreplanning")
+def db_prepare_for_replanning(spark, graph, args):
+    """No-op (db.prepareForReplanning): Catalyst/AQE replan per action;
+    there is no statistics-staleness state to reset."""
+    return spark.createDataFrame([], "success boolean")
+
+
+@procedure("db.createlabel")
+def db_create_label(spark, graph, args):
+    """db.createLabel (BuiltInProcedures.java): create the label token so
+    it exists in the catalog before any node uses it."""
+    graph._token_labels.add(str(args[0]))
+    return spark.createDataFrame([], "success boolean")
+
+
+@procedure("db.createproperty")
+def db_create_property(spark, graph, args):
+    """db.createProperty: property-key token creation."""
+    graph._token_props.add(str(args[0]))
+    return spark.createDataFrame([], "success boolean")
+
+
+@procedure("db.createrelationshiptype")
+def db_create_relationship_type(spark, graph, args):
+    """db.createRelationshipType: relationship-type token creation."""
+    graph._token_rel_types.add(str(args[0]))
+    return spark.createDataFrame([], "success boolean")
+
+
+@procedure("tx.setmetadata")
+def tx_set_metadata(spark, graph, args):
+    """tx.setMetaData (TransactionProcedures): attach a metadata map to the
+    session; surfaced verbatim by tx.getMetaData."""
+    meta = args[0] if args else {}
+    if not isinstance(meta, dict):
+        raise ProcedureError("tx.setMetaData expects a map argument")
+    graph._tx_metadata = dict(meta)
+    return spark.createDataFrame([], "success boolean")
+
+
+@procedure("tx.getmetadata")
+def tx_get_metadata(spark, graph, args):
+    """tx.getMetaData -> (metadata map). Keys/values stringified: Spark
+    map columns are homogeneous, the reference's are AnyValue."""
+    meta = {str(k): str(v) for k, v in graph._tx_metadata.items()}
+    return spark.createDataFrame([(meta,)], "metadata map<string,string>")
+
+
+@procedure("dbms.listcapabilities")
+def dbms_list_capabilities(spark, graph, args):
+    """dbms.listCapabilities -> (name, description) (CapabilitiesService):
+    the engine's capability inventory."""
+    caps = [
+        ("dbms.cypher.version", "Cypher surface implemented by the engine"),
+        ("engine.execution", "Spark DataFrame / Catalyst batch execution"),
+        ("engine.streaming", "Structured Streaming windows and upserts"),
+        ("engine.fulltext", "BM25 fulltext with Lucene-syntax queries"),
+        ("engine.vector", "vector similarity + IVF/LSH ANN indexes"),
+    ]
+    return spark.createDataFrame(caps, "name string, description string")
 
 
 @procedure("dbms.listconfig")

@@ -100,3 +100,53 @@ class TestGraphCatalog:
         assert rows(cypher(
             spark, "USE anything.here MATCH (p:Person) RETURN count(*) AS c",
             g)) == [(3,)]
+
+
+class TestDynamicGraphReference:
+    """graph.byName / graph.byElementId (GraphByName.scala,
+    GraphByElementId.scala): dynamic graph references with plan-time
+    constant arguments."""
+
+    def test_by_name_literal(self, spark, catalog):
+        assert rows(cypher(
+            spark,
+            "USE graph.byName('beta') MATCH (p:Person) RETURN count(*) AS c",
+            catalog)) == [(3,)]
+
+    def test_by_name_parameter(self, spark, catalog):
+        assert rows(cypher(
+            spark,
+            "USE graph.byName($g) MATCH (p:Person) RETURN p.name AS n "
+            "ORDER BY n LIMIT 1",
+            catalog, params={"g": "beta"})) == [("b0",)]
+
+    def test_by_element_id(self, spark, catalog):
+        assert rows(cypher(
+            spark,
+            "USE graph.byElementId('g:beta') MATCH (p:Person) "
+            "RETURN count(*) AS c",
+            catalog)) == [(3,)]
+
+    def test_by_name_union_branch(self, spark, catalog):
+        got = rows(cypher(spark, """
+            USE graph.byName('alpha') MATCH (p:Person) RETURN p.name AS n
+            UNION ALL
+            USE graph.byName('beta') MATCH (p:Person) RETURN p.name AS n
+            """, catalog))
+        assert sorted(got) == [(f"{t}{i}",) for t in "ab" for i in range(3)]
+
+    def test_by_name_non_constant_raises(self, spark, catalog):
+        from neo4j_spark.cypher.translate import TranslateError
+
+        with pytest.raises(TranslateError, match="literal or parameter"):
+            cypher(spark,
+                   "MATCH (p:Person) RETURN p.name AS n", catalog)
+            cypher(spark,
+                   "USE graph.byName(toString(1)) MATCH (p:Person) "
+                   "RETURN count(*) AS c", catalog).collect()
+
+    def test_unknown_name_raises(self, spark, catalog):
+        with pytest.raises(KeyError, match="not found"):
+            cypher(spark,
+                   "USE graph.byName('gamma') MATCH (p:Person) "
+                   "RETURN count(*) AS c", catalog)

@@ -282,3 +282,75 @@ class TestFulltextAnalyzers:
 
         with pytest.raises(ProcedureError, match="unknown analyzer"):
             self._mk(spark, doc_graph.copy(), "f6", "bogus")
+
+
+class TestTokenAndAdminProcs:
+    """db.createLabel/createProperty/createRelationshipType, tx metadata,
+    db.clearQueryCaches, dbms.listCapabilities, db.create.set*VectorProperty
+    (BuiltInProcedures.java / TransactionProcedures / CapabilitiesService)."""
+
+    def test_create_tokens_visible_in_catalog(self, spark, tpch_graph):
+        g = tpch_graph.copy()
+        cypher(spark, "CALL db.createLabel('Brand')", g).collect()
+        cypher(spark, "CALL db.createRelationshipType('OWNS')", g).collect()
+        cypher(spark, "CALL db.createProperty('warranty')", g).collect()
+        labels = [r.label for r in cypher(
+            spark, "CALL db.labels() YIELD label RETURN label", g).collect()]
+        assert "Brand" in labels
+        types = [r.relationshipType for r in cypher(
+            spark, "CALL db.relationshipTypes() YIELD relationshipType "
+            "RETURN relationshipType", g).collect()]
+        assert "OWNS" in types
+        keys = [r.propertyKey for r in cypher(
+            spark, "CALL db.propertyKeys() YIELD propertyKey "
+            "RETURN propertyKey", g).collect()]
+        assert "warranty" in keys
+        # snapshot isolation: tokens do not leak into the source graph
+        assert "Brand" not in tpch_graph.labels()
+
+    def test_tx_metadata_roundtrip(self, spark, tpch_graph):
+        g = tpch_graph.copy()
+        cypher(spark, "CALL tx.setMetaData({app: 'etl', run: 7})",
+               g).collect()
+        row = cypher(spark,
+                     "CALL tx.getMetaData() YIELD metadata RETURN metadata",
+                     g).collect()[0]
+        assert row.metadata == {"app": "etl", "run": "7"}
+
+    def test_clear_query_caches_and_noops(self, spark, tpch_graph):
+        g = tpch_graph.copy()
+        cypher(spark, "MATCH (n:Region) RETURN count(n) AS c", g).collect()
+        row = cypher(spark, "CALL db.clearQueryCaches() YIELD value "
+                     "RETURN value", g).collect()[0]
+        assert "cleared" in row.value
+        for q in ("CALL db.prepareForReplanning()",
+                  "CALL db.index.fulltext.awaitEventuallyConsistentIndexRefresh()"):
+            assert cypher(spark, q, g).count() == 0
+
+    def test_list_capabilities(self, spark, tpch_graph):
+        rows = cypher(spark, "CALL dbms.listCapabilities() "
+                      "YIELD name, description RETURN name ORDER BY name",
+                      tpch_graph).collect()
+        assert len(rows) >= 4
+
+    def test_create_set_vector_property_aliases(self, spark, tpch_graph):
+        g = tpch_graph.copy()
+        nid = cypher(spark, "MATCH (r:Region) RETURN id(r) AS i "
+                     "ORDER BY i LIMIT 1", g).collect()[0].i
+        cypher(spark,
+               f"CALL db.create.setNodeVectorProperty({nid}, 'vec', "
+               "[1.0, 2.0])", g).collect()
+        got = cypher(spark, f"MATCH (r:Region) WHERE id(r) = {nid} "
+                     "RETURN r.vec AS v", g).collect()[0].v
+        assert got == [1.0, 2.0]
+
+    def test_set_relationship_vector_property(self, spark, tpch_graph):
+        g = tpch_graph.copy()
+        rid = cypher(spark, "MATCH ()-[r:IN_REGION]->() RETURN id(r) AS i "
+                     "ORDER BY i LIMIT 1", g).collect()[0].i
+        cypher(spark,
+               f"CALL db.create.setRelationshipVectorProperty({rid}, "
+               "'vec', [0.5, 0.5])", g).collect()
+        got = cypher(spark, f"MATCH ()-[r:IN_REGION]->() WHERE id(r) = {rid} "
+                     "RETURN r.vec AS v", g).collect()[0].v
+        assert got == [0.5, 0.5]
