@@ -483,10 +483,10 @@ class Translator:
         df = self._uniqueness_filters(df, rel_bindings)
         for p in pending:
             df, expr = self._lower_predicates(df, p)
-            df = df.filter(self._compiler(df).compile(expr))
+            df = df.filter(self._compiler(df).compile(expr).cast("boolean"))
         if m.where is not None:
             df, expr = self._lower_predicates(df, m.where)
-            df = df.filter(self._compiler(df).compile(expr))
+            df = df.filter(self._compiler(df).compile(expr).cast("boolean"))
         return df
 
     def _optional_match(self, df: DataFrame, m: A.Match) -> DataFrame:
@@ -949,7 +949,7 @@ class Translator:
             del pending[pend_start:]
             for p in part_pend:
                 df, expr = self._lower_predicates(df, p)
-                df = df.filter(self._compiler(df).compile(expr))
+                df = df.filter(self._compiler(df).compile(expr).cast("boolean"))
             df = self._uniqueness_filters(df, rel_bindings[rb_start:])
             df = self._apply_path_selector(df, part, path_nodes, path_rels)
         if part.path_var:
@@ -1117,7 +1117,7 @@ class Translator:
                 old_kind = self.kinds.get(uname)
                 self.kinds[uname] = "node"
                 self.var_labels.pop(uname, None)
-            sub = sub.filter(self._compiler(sub).compile(np.where))
+            sub = sub.filter(self._compiler(sub).compile(np.where).cast("boolean"))
             if tmp_added:
                 sub = sub.drop(uname)
                 if old_kind is None:
@@ -1989,7 +1989,7 @@ class Translator:
         pend: List[A.Expr] = []
         res = shortest_path(self, pairs, part, pend, force_full_paths=True)
         for p in pend:
-            res = res.filter(self._compiler(res).compile(p))
+            res = res.filter(self._compiler(res).compile(p).cast("boolean"))
         # the anon path var is invisible to usage-based laziness — resolve
         # node/rel contents eagerly, the expression may read anything
         res = self._resolve_path_rels(res, pvar)
@@ -2034,7 +2034,7 @@ class Translator:
         pend: List[A.Expr] = []
         res = shortest_path(self, base, part, pend, force_full_paths=True)
         for p in pend:
-            res = res.filter(self._compiler(res).compile(p))
+            res = res.filter(self._compiler(res).compile(p).cast("boolean"))
         res = self._resolve_path_rels(res, pvar)
         res = self._resolve_path_nodes(res, pvar)
         length = F.size(F.col(pvar).getField("rels"))
@@ -2372,7 +2372,7 @@ class Translator:
             if isinstance(it.expr, A.Var) and it.expr.name in old_labels}
         if p.where is not None:
             out, expr = self._lower_predicates(out, p.where)
-            out = out.filter(self._compiler(out).compile(expr))
+            out = out.filter(self._compiler(out).compile(expr).cast("boolean"))
         if order_items:
             # ORDER BY may reference pre-projection variables (Cypher keeps
             # the previous scope in scope for sorting); such items become
@@ -2718,7 +2718,7 @@ class Translator:
                     .drop(*[f"__pa_{i}" for i in range(len(c.args))],
                           *[f"__pb_{k}" for k in keys])
                 if c.where is not None:
-                    out = out.filter(self._compiler(out).compile(c.where))
+                    out = out.filter(self._compiler(out).compile(c.where).cast("boolean"))
                 return out
             # bounded by distinct-arg cardinality: each distinct tuple adds
             # a plan branch, so cap it hard — a per-row-distinct argument
@@ -2762,7 +2762,7 @@ class Translator:
             out = dfx.join(renamed, cond if cond is not None else F.lit(True)) \
                 .drop(*keys, *[f"__pb_{k}" for k in keys])
             if c.where is not None:
-                out = out.filter(self._compiler(out).compile(c.where))
+                out = out.filter(self._compiler(out).compile(c.where).cast("boolean"))
             return out
         if c.yields == [("*", None)]:  # YIELD *
             for col_name in result.columns:
@@ -2778,7 +2778,7 @@ class Translator:
                 self.kinds[col_name] = "scalar"
         out = result if df is None else df.crossJoin(result)
         if c.where is not None:
-            out = out.filter(self._compiler(out).compile(c.where))
+            out = out.filter(self._compiler(out).compile(c.where).cast("boolean"))
         return out
 
     def _load_csv(self, df: Optional[DataFrame], c: A.LoadCSV) -> DataFrame:

@@ -741,3 +741,57 @@ class TestEndpointResolutionAcceptance:
                         "MATCH ()-[r:R]->() "
                         "RETURN startNode(r).v AS s, endNode(r).v AS e")) \
             == [(5, 6)]
+
+
+class TestEdgeSemanticsAcceptance:
+    """Round-4 long-tail: bare-null WHERE, zero-length paths, nested-null
+    container equality, cross-clause path equality, negative indexing."""
+
+    def test_where_bare_null_filters_all(self, spark, g):
+        assert rows(run(spark, g,
+            "UNWIND [1, 2] AS x WITH x WHERE null RETURN count(x) AS n")) \
+            == [(0,)]
+        assert rows(run(spark, g,
+            "UNWIND [1, 2] AS x WITH x WHERE NOT null RETURN count(x) AS n")) \
+            == [(0,)]
+
+    def test_zero_length_path_values(self, spark, g):
+        run(spark, g, "CREATE (:A {v: 1})-[:R]->(:B {v: 2})").collect()
+        assert rows(run(spark, g,
+            "MATCH p = (a:A)-[*0..1]->(x) "
+            "RETURN length(p) AS l, size(nodes(p)) AS n ORDER BY l")) \
+            == [(0, 1), (1, 2)]
+
+    def test_list_equality_nested_nulls(self, spark, g):
+        assert rows(run(spark, g,
+            "RETURN [1, null] = [1, null] AS a, [1, null] = [2, null] AS b, "
+            "[1, 2] = [1, 2, 3] AS c")) == [(None, False, False)]
+
+    def test_rel_uniqueness_within_single_match(self, spark, g):
+        # one relationship cannot bind two rel variables of the same MATCH
+        run(spark, g, "CREATE (:A)-[:R]->(:B)").collect()
+        assert rows(run(spark, g,
+            "MATCH p1 = (a:A)-[:R]->(b), p2 = (a)-[:R]->(b) "
+            "RETURN count(*) AS n")) == [(0,)]
+
+    def test_path_equality_across_clauses(self, spark, g):
+        run(spark, g, "CREATE (:A)-[:R]->(:B)").collect()
+        assert rows(run(spark, g,
+            "MATCH p1 = (a:A)-[:R]->(b) MATCH p2 = (a)-[:R]->(b) "
+            "RETURN p1 = p2 AS eq")) == [(True,)]
+
+    def test_optional_match_where_binds_null(self, spark, g):
+        run(spark, g, "CREATE (:A {v: 1})-[:R]->(:B {v: 2})").collect()
+        assert rows(run(spark, g,
+            "MATCH (a:A) OPTIONAL MATCH (a)-[:R]->(b:B) WHERE b.v > 5 "
+            "RETURN a.v AS av, b.v AS bv")) == [(1, None)]
+
+    def test_negative_and_null_list_indexing(self, spark, g):
+        assert rows(run(spark, g,
+            "RETURN [1, 2, 3][-1] AS a, [1, 2, 3][-4] AS b, "
+            "[1, 2, 3][null..2] AS s")) == [(3, None, None)]
+
+    def test_distinct_over_null_containing_lists(self, spark, g):
+        assert rows(run(spark, g,
+            "UNWIND [[1, null], [1, null], [2]] AS l "
+            "RETURN count(DISTINCT l) AS n")) == [(2,)]
