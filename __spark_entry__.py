@@ -300,6 +300,12 @@ CYPHER_QUERIES = {
         "[[1, null], 'a'] = [[1, null], 'a'] AS eq_n, "
         "[[1, 2], 'a'] = [[1, 3], 'a'] AS neq, "
         "[[1]] IN [[[1]], 'x'] AS inn",
+    # dynamic labels/types (Cypher25Parser.g4 dynamicLabelType):
+    # $(expr) with plan-time-constant args resolves before planning, so
+    # label-shard pruning and the count store still apply
+    "dyn_label_match":
+        "MATCH (n:$('Nation'))-[:$(['IN_REGION'])]->(r:$('Region')) "
+        "RETURN r.name AS rn, count(*) AS c ORDER BY rn",
     "labels_function":
         "MATCH (n:Nation) RETURN labels(n)[0] AS label, count(*) AS n",
     "keys_function":
@@ -1827,6 +1833,10 @@ def _oracle_sql_raw() -> dict[str, str]:
             "SELECT CAST(NULL AS BOOLEAN) AS a, FALSE AS b, TRUE AS c, "
             "CAST(NULL AS BOOLEAN) AS d, 'true' AS e, "
             "'INTEGER NOT NULL' AS vt",
+        "dyn_label_match":
+            "SELECT r_name AS rn, count(*) AS c FROM nation "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY r_name ORDER BY rn",
         "labels_function":
             "SELECT 'Nation' AS label, count(*) AS n FROM nation",
         "keys_function":

@@ -143,6 +143,13 @@ def tokenize(text: str) -> List[Token]:
             while j < n and (text[j].isalnum() or text[j] == "_"):
                 j += 1
             if j == i + 1:
+                if j < n and text[j] == "(":
+                    # dynamic label/type expression $(expr)
+                    # (Cypher25Parser.g4 dynamicLabelType): emit a DOLLAR
+                    # op; the parser pairs it with the parenthesized expr
+                    toks.append(Token("OP", "$", i))
+                    i = j
+                    continue
                 raise LexError(f"bad parameter at {i}")
             toks.append(Token("PARAM", text[i + 1 : j], i))
             i = j

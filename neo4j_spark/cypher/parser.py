@@ -287,7 +287,15 @@ class Parser:
             labels = []
             while self.at_op(":"):
                 self.take()
-                labels.append(self.expect_ident())
+                if self.at_op("$"):
+                    # SET/REMOVE n:$(expr) dynamic label
+                    self.take()
+                    self.expect_op("(")
+                    ex = self.parse_expr()
+                    self.expect_op(")")
+                    labels.append(ex)
+                else:
+                    labels.append(self.expect_ident())
             return A.HasLabels(e, labels)
         return e
 
@@ -693,6 +701,13 @@ class Parser:
         if self.at_op("%"):
             self.take()
             return ("any",)
+        if self.at_op("$"):
+            # dynamic label $(expr) (Cypher25Parser.g4 dynamicLabelType)
+            self.take()
+            self.expect_op("(")
+            e = self.parse_expr()
+            self.expect_op(")")
+            return ("dyn", e)
         return ("label", self.expect_ident())
 
     @staticmethod
@@ -804,6 +819,13 @@ class Parser:
                         self.take()
                         if neg:
                             raise ParseError(":!% matches no relationship")
+                    elif self.at_op("$"):
+                        # dynamic type $(expr): resolved by the translator
+                        self.take()
+                        self.expect_op("(")
+                        e = self.parse_expr()
+                        self.expect_op(")")
+                        (neg_types if neg else types).append(e)
                     else:
                         (neg_types if neg else types).append(
                             self.expect_ident())

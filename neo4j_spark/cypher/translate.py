@@ -257,6 +257,9 @@ class Translator:
             return None
         if m.optional or m.where is not None or len(m.parts) != 1:
             return None
+        # dynamic labels/types resolve to plain tokens first so
+        # MATCH (n:$(param)) still gets the O(1) count-store answer
+        m = self._resolve_dyn_clause(m)
         part = m.parts[0]
         if part.path_var or part.selector:
             return None
@@ -277,10 +280,14 @@ class Translator:
             return None
 
         def plain_node(np, max_labels: int) -> bool:
+            # a residual label_tree means `labels` is only a shard-pruning
+            # COVER, not the full predicate — never answer from the store
             return (isinstance(np, A.NodePat) and np.props is None
                     and np.where is None and not np.any_labels
                     and not np.neg_labels and not np.req_any_label
-                    and not np.req_no_label and len(np.labels) <= max_labels)
+                    and not np.req_no_label
+                    and getattr(np, "label_tree", None) is None
+                    and len(np.labels) <= max_labels)
 
         els = part.elements
         if len(els) == 1 and plain_node(els[0], 1):
@@ -393,7 +400,141 @@ class Translator:
 
     # -------------------------------------------------------------- clauses
 
+    # ---- dynamic label/type resolution (Cypher25Parser.g4
+    # dynamicLabelType: CREATE (n:$(expr)), MATCH ()-[:$(expr)]->(),
+    # SET n:$(expr)).  The argument must be a plan-time constant (literal
+    # or parameter) so label-shard pruning stays a compile-time decision;
+    # a string resolves to one token, a list of strings to a conjunction
+    # for node labels and a disjunction for relationship types (the only
+    # multi-type form a rel pattern admits). ----------------------------
+
+    def _dyn_values(self, e) -> List[str]:
+        if isinstance(e, A.Lit):
+            v = e.value
+        elif isinstance(e, A.Param):
+            v = self.params.get(e.name)
+        elif isinstance(e, A.ListLit):
+            v = []
+            for it in e.items:
+                v.extend(self._dyn_values(it))
+        else:
+            raise TranslateError(
+                "dynamic label/type expressions must be literal or "
+                "parameter values (plan-time constants)")
+        if isinstance(v, str):
+            return [v]
+        if isinstance(v, (list, tuple)) and v \
+                and all(isinstance(x, str) for x in v):
+            return list(v)
+        raise TranslateError(
+            "dynamic label/type must evaluate to a string or a non-empty "
+            f"list of strings, got {v!r}")
+
+    def _resolve_dyn_tree(self, t):
+        if t[0] == "dyn":
+            names = self._dyn_values(t[1])
+            node = ("label", names[0])
+            for nm in names[1:]:
+                node = ("and", node, ("label", nm))
+            return node
+        if t[0] in ("and", "or"):
+            return (t[0], self._resolve_dyn_tree(t[1]),
+                    self._resolve_dyn_tree(t[2]))
+        if t[0] == "not":
+            return ("not", self._resolve_dyn_tree(t[1]))
+        return t
+
+    @staticmethod
+    def _tree_has_dyn(t) -> bool:
+        if not isinstance(t, tuple):
+            return False
+        if t[0] == "dyn":
+            return True
+        return any(Translator._tree_has_dyn(c) for c in t[1:])
+
+    def _resolve_dyn_pattern(self, el):
+        import dataclasses
+
+        from .parser import Parser
+        if isinstance(el, A.NodePat):
+            if self._tree_has_dyn(getattr(el, "label_tree", None)):
+                labels, any_l, neg, r_any, r_no, tree = \
+                    Parser._lower_label_tree(
+                        self._resolve_dyn_tree(el.label_tree))
+                return dataclasses.replace(
+                    el, labels=labels, any_labels=any_l, neg_labels=neg,
+                    req_any_label=r_any, req_no_label=r_no, label_tree=tree)
+            return el
+        if isinstance(el, A.RelPat):
+            if any(isinstance(t, A.Expr) for t in el.types + el.neg_types):
+                def flat(ts):
+                    out: List[str] = []
+                    for t in ts:
+                        out.extend(self._dyn_values(t)) \
+                            if isinstance(t, A.Expr) else out.append(t)
+                    return out
+                return dataclasses.replace(
+                    el, types=flat(el.types), neg_types=flat(el.neg_types))
+            return el
+        if isinstance(el, A.QPP):
+            els = [self._resolve_dyn_pattern(x) for x in el.elements]
+            if any(a is not b for a, b in zip(els, el.elements)):
+                return dataclasses.replace(el, elements=els)
+            return el
+        return el
+
+    def _resolve_dyn_clause(self, clause: A.Clause) -> A.Clause:
+        import dataclasses
+
+        def part(p: A.PatternPart) -> A.PatternPart:
+            els = [self._resolve_dyn_pattern(e) for e in p.elements]
+            if any(a is not b for a, b in zip(els, p.elements)):
+                return dataclasses.replace(p, elements=els)
+            return p
+
+        def set_items(items):
+            out, changed = [], False
+            for it in items:
+                tgt = it.target
+                if isinstance(tgt, A.HasLabels) and \
+                        any(isinstance(l, A.Expr) for l in tgt.labels):
+                    labels: List[str] = []
+                    for l in tgt.labels:
+                        labels.extend(self._dyn_values(l)) \
+                            if isinstance(l, A.Expr) else labels.append(l)
+                    it = dataclasses.replace(
+                        it, target=dataclasses.replace(tgt, labels=labels))
+                    changed = True
+                out.append(it)
+            return out, changed
+
+        if isinstance(clause, A.Match):
+            parts = [part(p) for p in clause.parts]
+            if any(a is not b for a, b in zip(parts, clause.parts)):
+                return dataclasses.replace(clause, parts=parts)
+        elif isinstance(clause, A.Create):
+            parts = [part(p) for p in clause.parts]
+            if any(a is not b for a, b in zip(parts, clause.parts)):
+                return dataclasses.replace(clause, parts=parts)
+        elif isinstance(clause, A.Merge):
+            p = part(clause.part)
+            oc, c1 = set_items(clause.on_create)
+            om, c2 = set_items(clause.on_match)
+            if p is not clause.part or c1 or c2:
+                return dataclasses.replace(
+                    clause, part=p, on_create=oc, on_match=om)
+        elif isinstance(clause, (A.SetClause, A.RemoveClause)):
+            items, changed = set_items(clause.items)
+            if changed:
+                return dataclasses.replace(clause, items=items)
+        elif isinstance(clause, A.Foreach):
+            ups = [self._resolve_dyn_clause(u) for u in clause.updates]
+            if any(a is not b for a, b in zip(ups, clause.updates)):
+                return dataclasses.replace(clause, updates=ups)
+        return clause
+
     def _apply(self, df: Optional[DataFrame], clause: A.Clause) -> DataFrame:
+        clause = self._resolve_dyn_clause(clause)
         if isinstance(clause, A.Use):
             # USE <graph> (useClause): with a GraphCatalog bound, re-target
             # this (sub)query's scans at the named constituent — the

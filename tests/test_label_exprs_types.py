@@ -258,3 +258,69 @@ class TestLabelAlgebra:
 
         assert [tuple(r) for r in cypher(spark, q, multi_graph).collect()] \
             == want
+
+
+class TestDynamicLabelsAndTypes:
+    """$(expr) dynamic labels/types (Cypher25Parser.g4 dynamicLabelType):
+    plan-time-constant expressions resolve to tokens; strings are single
+    tokens, lists are conjunctions on nodes and disjunctions on rel
+    patterns.  Non-constant arguments raise."""
+
+    def test_match_dynamic_label_literal_and_param(self, spark, chain_graph):
+        assert rows(cypher(spark, "MATCH (n:$('A')) RETURN count(*) AS c",
+                           chain_graph)) == [(1,)]
+        assert rows(cypher(spark, "MATCH (n:$($l)) RETURN count(*) AS c",
+                           chain_graph, params={"l": "A"})) == [(1,)]
+
+    def test_match_dynamic_rel_type(self, spark, chain_graph):
+        n_all = rows(cypher(spark, "MATCH ()-[r]->() RETURN count(r) AS c",
+                            chain_graph))[0][0]
+        assert rows(cypher(spark,
+                           "MATCH ()-[r:$('R')]->() RETURN count(r) AS c",
+                           chain_graph))[0][0] <= n_all
+
+    def test_create_dynamic_label_list_is_conjunction(self, spark,
+                                                      chain_graph):
+        g = chain_graph.copy()
+        got = rows(cypher(spark,
+                          "CREATE (n:$(['X', 'Y'])) RETURN labels(n) AS l",
+                          g))
+        assert got == [(["X", "Y"],)]
+
+    def test_set_and_remove_dynamic_label(self, spark, chain_graph):
+        g = chain_graph.copy()
+        got = rows(cypher(spark,
+                          "MATCH (n:A) SET n:$('Extra') "
+                          "RETURN labels(n) AS l", g))
+        assert got == [(["A", "Extra"],)]
+        g2 = chain_graph.copy()
+        got = rows(cypher(spark,
+                          "MATCH (n:A) REMOVE n:$('A') "
+                          "RETURN size(labels(n)) AS s", g2))
+        assert got == [(0,)]
+
+    def test_dynamic_rel_type_list_is_disjunction(self, spark, chain_graph):
+        one = rows(cypher(spark,
+                          "MATCH ()-[r:$('R')]->() RETURN count(r) AS c",
+                          chain_graph))[0][0]
+        both = rows(cypher(spark,
+                           "MATCH ()-[r:$(['R', 'S'])]->() "
+                           "RETURN count(r) AS c", chain_graph))[0][0]
+        assert both >= one
+
+    def test_non_constant_raises(self, spark, chain_graph):
+        from neo4j_spark.cypher.translate import TranslateError
+
+        with pytest.raises(TranslateError, match="plan-time constants"):
+            cypher(spark, "MATCH (n:A) CREATE (m:$(n.x)) RETURN 1 AS o",
+                   chain_graph.copy()).collect()
+
+    def test_count_store_rejects_residual_tree(self, spark, chain_graph):
+        # cover-with-tree patterns must take the full scan path: A&(B|%)
+        # is NOT "all of A" unless the tree is actually applied
+        a_and_any = rows(cypher(spark,
+                                "MATCH (n:(A&(A|%))) RETURN count(*) AS c",
+                                chain_graph))[0][0]
+        a = rows(cypher(spark, "MATCH (n:A) RETURN count(*) AS c",
+                        chain_graph))[0][0]
+        assert a_and_any == a
