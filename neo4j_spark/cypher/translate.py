@@ -1677,6 +1677,10 @@ class Translator:
         columns (SemiApply/AntiSemiApply/LetSemiApply family, LP:3615-3676)."""
 
         def walk(df: DataFrame, e: A.Expr) -> Tuple[DataFrame, A.Expr]:
+            if isinstance(e, A.ShortestPathExpr):
+                # shortestPath() used as a value inside WHERE, e.g.
+                # WHERE shortestPath((a)-[*..3]->(b)) IS NOT NULL
+                return self._lower_shortest_expr(df, e)
             if isinstance(e, A.PatternPred):
                 return lower_exists(df, A.ExistsSub([e.pattern], None))
             if isinstance(e, A.ExistsSub):

@@ -388,3 +388,34 @@ class TestUnboundedExactOrRaise:
             _count(spark, g,
                    "MATCH (a:N {name: 'n1'})-[:R*]->(b) "
                    "RETURN count(*) AS n")
+
+
+class TestShortestPathInWhere:
+    """shortestPath() as a value expression in predicate position
+    (NestedPlanExpression via the WHERE lowering path)."""
+
+    def test_is_not_null_predicate(self, spark):
+        from neo4j_spark.graph import PropertyGraph
+        g = PropertyGraph({}, {})
+        cypher(spark,
+               "CREATE (:A {v: 1})-[:R]->(:B {v: 2}), (:A {v: 9})",
+               g).collect()
+        got = [tuple(r) for r in cypher(
+            spark,
+            "MATCH (a:A), (b:B) "
+            "WHERE shortestPath((a)-[*..3]->(b)) IS NOT NULL "
+            "RETURN a.v AS v", g).collect()]
+        assert got == [(1,)]
+
+    def test_length_of_shortest_in_where(self, spark):
+        from neo4j_spark.graph import PropertyGraph
+        g = PropertyGraph({}, {})
+        cypher(spark,
+               "CREATE (:A {v: 1})-[:R]->(:B {v: 2}), (:A {v: 9})",
+               g).collect()
+        got = [tuple(r) for r in cypher(
+            spark,
+            "MATCH (a:A), (b:B) "
+            "WHERE length(shortestPath((a)-[*..3]->(b))) = 1 "
+            "RETURN a.v AS v", g).collect()]
+        assert got == [(1,)]
