@@ -74,9 +74,16 @@ def zoned_dt_to_string(c: Column) -> Column:
     """'2024-03-31T01:30+02:00[Europe/Paris]' (DateTimeValue.toString)."""
     from ..functions.registry import _datetime_to_string
 
+    tz = c.getField("tz")
+    # pure-offset zones ('+02:00', 'Z') render without the [zone] bracket
+    # (DateTimeValue.toString: only named ZoneIds are bracketed)
+    is_offset = tz.startswith("+") | tz.startswith("-") | (tz == "Z") \
+        | (tz == "z")
     return F.concat(
         _datetime_to_string(_zoned_wall(c), with_offset=False),
-        _zone_offset_str(c), F.lit("["), c.getField("tz"), F.lit("]"))
+        _zone_offset_str(c),
+        F.when(is_offset, F.lit("")).otherwise(
+            F.concat(F.lit("["), tz, F.lit("]"))))
 
 
 def _dur_map2(lc: Column, rc, fn) -> Column:
@@ -341,6 +348,28 @@ class ExprCompiler:
                 return fn(_zoned_wall(subj)).cast("long")
             raise CypherTypeError(f"unknown temporal field {key}")
         if isinstance(t, T.StructType):
+            if {"crs", "x", "y"} <= set(t.fieldNames()):
+                # point accessors (PointValue.java get): latitude/longitude/
+                # height only for geographic CRS; crs/srid reflect
+                # dimensionality (wgs-84[-3d] 4326/4979, cartesian[-3d]
+                # 7203/9157, CoordinateReferenceSystem.java)
+                k = key.lower()
+                crs0 = subj.getField("crs")
+                is3d = subj.getField("z").isNotNull()
+                geo = crs0.startswith("wgs")
+                if k == "latitude":
+                    return F.when(geo, subj.getField("y"))
+                if k == "longitude":
+                    return F.when(geo, subj.getField("x"))
+                if k == "height":
+                    return F.when(geo, subj.getField("z"))
+                if k == "crs":
+                    return F.when(is3d, F.concat(crs0, F.lit("-3d"))) \
+                        .otherwise(crs0)
+                if k == "srid":
+                    return F.when(geo & is3d, 4979) \
+                        .when(geo, 4326) \
+                        .when(is3d, 9157).otherwise(7203).cast("long")
             if key in t.fieldNames():
                 return subj.getField(key)
             if _is_duration(t):

@@ -438,6 +438,17 @@ def compile_function(cc, e: A.Func) -> Column:
         col, t = ctyped(0)
         from ..cypher import anyvalue as AV
         from ..cypher.exprs import _is_duration
+        if name == "tostringornull":
+            # only numbers/booleans/strings/temporals/durations/points are
+            # stringable; lists and maps yield null (ToStringOrNull.scala)
+            from ..cypher.exprs import _is_zoned_dt as _zdt
+            stringable_struct = isinstance(t, T.StructType) and (
+                AV.is_any_type(t) or _zdt(t) or _is_duration(t)
+                or {"hour", "minute", "second"} <= set(t.fieldNames())
+                or {"crs", "x", "y"} <= set(t.fieldNames()))
+            if isinstance(t, (T.ArrayType, T.MapType)) \
+                    or (isinstance(t, T.StructType) and not stringable_struct):
+                return F.lit(None).cast("string")
         if AV.is_any_type(t):
             if AV.is_deep_any_type(t):
                 return AV.any_to_string_deep(col, AV.any_layout_depth(t))
@@ -663,6 +674,23 @@ def compile_function(cc, e: A.Func) -> Column:
                     F.to_timestamp_ntz(F.lit(body)), zone)
             return F.struct(inst.alias("instant"),
                             F.lit(zone).alias("tz"))
+        if (name == "datetime" and isinstance(args[0], A.Lit)
+                and isinstance(args[0].value, str)
+                and "T" in args[0].value):
+            # explicit offset in the literal ('...T12:50+02:00' / 'Z'):
+            # keep it as the value's zone so .offset/.timezone/toString
+            # round-trip (DateTimeValue.parse keeps the offset)
+            import re as _re
+
+            m = _re.search(r"(Z|[+-]\d{2}:\d{2}|[+-]\d{4})$",
+                           args[0].value)
+            if m:
+                off = m.group(1)
+                if off != "Z" and ":" not in off:
+                    off = off[:3] + ":" + off[3:]
+                return F.struct(
+                    F.to_timestamp(col).alias("instant"),
+                    F.lit(off).alias("tz"))
         return F.to_timestamp(col)
     if name in ("time", "localtime"):
         # TimeValue/LocalTimeValue: no Spark TIME type — a components
@@ -864,7 +892,9 @@ def compile_function(cc, e: A.Func) -> Column:
                 else F.lit("cartesian"))
             x = col.getField("x") if "x" in names else col.getField("longitude")
             y = col.getField("y") if "y" in names else col.getField("latitude")
-            z = col.getField("z") if "z" in names else F.lit(None).cast("double")
+            z = (col.getField("z") if "z" in names
+                 else col.getField("height") if "height" in names
+                 else F.lit(None).cast("double"))
             return F.struct(
                 crs.alias("crs"), x.cast("double").alias("x"),
                 y.cast("double").alias("y"), z.cast("double").alias("z"))

@@ -795,3 +795,38 @@ class TestEdgeSemanticsAcceptance:
         assert rows(run(spark, g,
             "UNWIND [[1, null], [1, null], [2]] AS l "
             "RETURN count(DISTINCT l) AS n")) == [(2,)]
+
+
+class TestPointAndConversionAcceptance:
+    """Point accessors (PointValue.java get / CoordinateReferenceSystem
+    srids), offset-datetime round-trip, toStringOrNull stringability."""
+
+    def test_point_geographic_accessors(self, spark, g):
+        assert rows(run(spark, g,
+            "RETURN point({latitude: 1.5, longitude: 2.5}).latitude AS lat, "
+            "point({latitude: 1.5, longitude: 2.5}).longitude AS lon, "
+            "point({latitude: 1, longitude: 2, height: 3}).height AS h, "
+            "point({x: 1, y: 2}).latitude AS no_lat")) \
+            == [(1.5, 2.5, 3.0, None)]
+
+    def test_point_srid_and_crs(self, spark, g):
+        assert rows(run(spark, g,
+            "RETURN point({x: 1, y: 2}).srid AS a, "
+            "point({latitude: 1, longitude: 2}).srid AS b, "
+            "point({x: 1, y: 2, z: 3}).srid AS c, "
+            "point({latitude: 1, longitude: 2, height: 3}).srid AS d, "
+            "point({x: 1, y: 2, z: 3}).crs AS c3")) \
+            == [(7203, 4326, 9157, 4979, "cartesian-3d")]
+
+    def test_offset_datetime_string_roundtrip(self, spark, g):
+        assert rows(run(spark, g,
+            "WITH datetime('2024-03-31T01:30:00+02:00') AS dt "
+            "RETURN dt.offset AS o, dt.hour AS h, dt.epochMillis AS ms, "
+            "toString(dt) AS s")) \
+            == [("+02:00", 1, 1711841400000, "2024-03-31T01:30+02:00")]
+
+    def test_to_string_or_null_stringability(self, spark, g):
+        assert rows(run(spark, g,
+            "RETURN toStringOrNull([1]) AS a, toStringOrNull({k: 1}) AS b, "
+            "toStringOrNull(1.5) AS c, toStringOrNull(true) AS d")) \
+            == [(None, None, "1.5", "true")]
