@@ -1110,6 +1110,26 @@ class ExprCompiler:
         if is_agg_fn(e.name):
             raise CypherTypeError(
                 f"aggregate {e.name}() outside aggregating projection")
+        lname = e.name.lower()
+        if lname in ("graph.names", "graph.propertiesbyname"):
+            # composite-catalog functions (GraphFunctions in the
+            # reference's fabric surface): plan-time constants from the
+            # session's GraphCatalog
+            tr = self.translator
+            cat = getattr(tr, "catalog", None) if tr is not None else None
+            if lname == "graph.names":
+                names = sorted(cat.graphs) if cat is not None else []
+                return F.array(*[F.lit(n) for n in names])
+            if not e.args or not isinstance(e.args[0], (A.Lit, A.Param)):
+                raise CypherTypeError(
+                    "graph.propertiesByName expects a constant graph name")
+            val = (e.args[0].value if isinstance(e.args[0], A.Lit)
+                   else (tr.params.get(e.args[0].name) if tr else None))
+            if cat is not None and isinstance(val, str):
+                cat.resolve(val)  # raises on unknown graph, like the ref
+            # graphs carry no alias properties in this engine -> {} (the
+            # reference returns an empty map for alias-less graphs too)
+            return F.create_map().cast("map<string,string>")
         return compile_function(self, e)
 
     # subquery expressions are lowered by the translator before compile;

@@ -150,3 +150,21 @@ class TestDynamicGraphReference:
             cypher(spark,
                    "USE graph.byName('gamma') MATCH (p:Person) "
                    "RETURN count(*) AS c", catalog)
+
+
+class TestGraphFunctions:
+    """graph.names() / graph.propertiesByName() (fabric graph functions)."""
+
+    def test_graph_names(self, spark, catalog):
+        got = rows(cypher(spark, "RETURN graph.names() AS n", catalog))
+        assert got == [(["alpha", "beta"],)]
+
+    def test_properties_by_name(self, spark, catalog):
+        got = rows(cypher(
+            spark, "RETURN graph.propertiesByName('alpha') AS p", catalog))
+        assert got == [({},)]
+
+    def test_properties_unknown_graph_raises(self, spark, catalog):
+        with pytest.raises(KeyError, match="not found"):
+            cypher(spark, "RETURN graph.propertiesByName('nope') AS p",
+                   catalog)
