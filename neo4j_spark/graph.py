@@ -95,8 +95,11 @@ class PropertyGraph:
         self.fulltext_indexes: Dict[str, Dict] = {}
 
     def note_extra_label(self, label: str) -> None:
-        if label not in self.node_frames:
-            self._extra_labels.add(label)
+        """Mark ``label`` as stored outside its own shard (secondary label
+        of a CREATE, or added by SET).  Scans for it must fall back to the
+        full union filter — even when a shard with that name exists, since
+        the shard is no longer complete for the label."""
+        self._extra_labels.add(label)
 
     def copy(self) -> "PropertyGraph":
         """Cheap snapshot: shares the (immutable) frames, isolates writes."""

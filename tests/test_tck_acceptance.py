@@ -830,3 +830,22 @@ class TestPointAndConversionAcceptance:
             "RETURN toStringOrNull([1]) AS a, toStringOrNull({k: 1}) AS b, "
             "toStringOrNull(1.5) AS c, toStringOrNull(true) AS d")) \
             == [(None, None, "1.5", "true")]
+
+
+class TestSecondaryLabelVisibility:
+    """A node whose secondary label names an EXISTING shard must still be
+    found by scans on that label (shard completeness regression)."""
+
+    def test_multilabel_create_with_existing_shard(self, spark, g):
+        run(spark, g, "CREATE (:Y {v: 1})").collect()
+        run(spark, g, "CREATE (:X:Y {v: 2})").collect()
+        assert rows(run(spark, g,
+            "MATCH (n:Y) RETURN n.v AS v ORDER BY v")) == [(1,), (2,)]
+        assert rows(run(spark, g,
+            "MATCH (n:Y) RETURN count(*) AS c")) == [(2,)]
+
+    def test_set_label_onto_existing_shard(self, spark, g):
+        run(spark, g, "CREATE (:Y {v: 1}), (:Z {v: 2})").collect()
+        run(spark, g, "MATCH (n:Z) SET n:Y").collect()
+        assert rows(run(spark, g,
+            "MATCH (n:Y) RETURN n.v AS v ORDER BY v")) == [(1,), (2,)]
