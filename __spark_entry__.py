@@ -829,6 +829,17 @@ _q_use_graph_select = _use_cy(
     "USE geo MATCH (n:Nation)-[:IN_REGION]->(r:Region) "
     "RETURN r.name AS region, count(*) AS nations ORDER BY region")
 
+def _q_dyn_label_route(spark, sf_dir):
+    """Row-dependent dynamic labels: CREATE (n:$(expr)) routes each row to
+    the shard named by its own value (training-pipeline document
+    routing shape)."""
+    return _write(
+        spark, sf_dir,
+        "MATCH (c:Customer) WHERE c.custkey <= 100 "
+        "CREATE (t:$(c.mktsegment) {ck: c.custkey})",
+        "MATCH (b:BUILDING) RETURN count(*) AS n")
+
+
 def _q_call_token_create(spark, sf_dir):
     """db.createLabel / db.createRelationshipType (BuiltInProcedures.java):
     token creation visible in the catalog procedures."""
@@ -1521,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["use_graph_select"] = _q_use_graph_select
     out["use_graph_by_name"] = _q_use_graph_by_name
     out["call_token_create"] = _q_call_token_create
+    out["dyn_label_route"] = _q_dyn_label_route
     out["call_tx_metadata"] = _q_call_tx_metadata
     out["use_graph_union"] = _q_use_graph_union
     out["use_graph_call_sub"] = _q_use_graph_call_sub
@@ -1942,6 +1954,9 @@ def _oracle_sql_raw() -> dict[str, str]:
             "GROUP BY r_name ORDER BY region",
         "call_token_create":
             "SELECT unnest(['Brand', 'Region']) AS label",
+        "dyn_label_route":
+            "SELECT count(*) AS n FROM customer "
+            "WHERE c_custkey <= 100 AND c_mktsegment = 'BUILDING'",
         "call_tx_metadata":
             "SELECT 'pipeline' AS app, '3' AS shard",
         "use_graph_by_name":

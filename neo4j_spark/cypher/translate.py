@@ -498,22 +498,42 @@ class Translator:
                 tgt = it.target
                 if isinstance(tgt, A.HasLabels) and \
                         any(isinstance(l, A.Expr) for l in tgt.labels):
-                    labels: List[str] = []
-                    for l in tgt.labels:
-                        labels.extend(self._dyn_values(l)) \
-                            if isinstance(l, A.Expr) else labels.append(l)
-                    it = dataclasses.replace(
-                        it, target=dataclasses.replace(tgt, labels=labels))
-                    changed = True
+                    try:
+                        labels: List[str] = []
+                        for l in tgt.labels:
+                            labels.extend(self._dyn_values(l)) \
+                                if isinstance(l, A.Expr) else labels.append(l)
+                        it = dataclasses.replace(
+                            it,
+                            target=dataclasses.replace(tgt, labels=labels))
+                        changed = True
+                    except TranslateError:
+                        # row-dependent SET/REMOVE label: resolved
+                        # per-row by the writes layer
+                        pass
                 out.append(it)
             return out, changed
+
+        def part_tolerant(p: A.PatternPart) -> A.PatternPart:
+            # CREATE/SET admit ROW-DEPENDENT dynamic labels (the writes
+            # layer routes rows to shards by value); keep the unresolved
+            # tree when the argument isn't a plan-time constant
+            els = []
+            for e in p.elements:
+                try:
+                    els.append(self._resolve_dyn_pattern(e))
+                except TranslateError:
+                    els.append(e)
+            if any(a is not b for a, b in zip(els, p.elements)):
+                return dataclasses.replace(p, elements=els)
+            return p
 
         if isinstance(clause, A.Match):
             parts = [part(p) for p in clause.parts]
             if any(a is not b for a, b in zip(parts, clause.parts)):
                 return dataclasses.replace(clause, parts=parts)
         elif isinstance(clause, A.Create):
-            parts = [part(p) for p in clause.parts]
+            parts = [part_tolerant(p) for p in clause.parts]
             if any(a is not b for a, b in zip(parts, clause.parts)):
                 return dataclasses.replace(clause, parts=parts)
         elif isinstance(clause, A.Merge):

@@ -91,24 +91,127 @@ def _create_part(tr, df: DataFrame, part: A.PatternPart) -> DataFrame:
     return df
 
 
+def _tree_has_dyn(t) -> bool:
+    if not isinstance(t, tuple):
+        return False
+    if t[0] == "dyn":
+        return True
+    return any(_tree_has_dyn(c) for c in t[1:])
+
+
+def _split_dyn_conj(tree):
+    """Split a label-expression tree into (static names, dynamic exprs).
+    Only conjunctions are meaningful for CREATE (a created node has a
+    definite label set)."""
+    static: List[str] = []
+    dyn: List[A.Expr] = []
+
+    def walk(t):
+        if t[0] == "and":
+            walk(t[1])
+            walk(t[2])
+        elif t[0] == "label":
+            static.append(t[1])
+        elif t[0] == "dyn":
+            dyn.append(t[1])
+        else:
+            raise ValueError(
+                "dynamic label expressions in CREATE support only "
+                "conjunctions of labels")
+
+    walk(tree)
+    return static, dyn
+
+
+_DYN_LABEL_CAP = 1000
+
+
+def _dyn_labels_col(tr, df: DataFrame, static: List[str],
+                    dyn: List[A.Expr]) -> Column:
+    """array<string> of a row's labels from static names + $(expr) values
+    (a string expr contributes one label, an array expr all of its
+    elements), deduplicated, order: static first."""
+    from pyspark.sql import types as T
+    cc = tr._compiler(df)
+    arrs = []
+    if static:
+        arrs.append(F.array(*[F.lit(l) for l in static]))
+    for e in dyn:
+        col = cc.compile(e)
+        t = df.select(col.alias("__x")).schema[0].dataType
+        if isinstance(t, T.ArrayType):
+            arrs.append(col.cast("array<string>"))
+        else:
+            arrs.append(F.array(col.cast("string")))
+    out = arrs[0]
+    for a in arrs[1:]:
+        out = F.concat(out, a)
+    return F.array_distinct(F.filter(out, lambda x: x.isNotNull()))
+
+
+def _collect_capped(df: DataFrame, col: Column, what: str) -> List[str]:
+    """Distinct values of ``col``, driver-side, hard-capped: label/type
+    cardinality is inherently small (labels become shards), so the collect
+    is bounded; exceeding the cap is a modeling error, not a scale path."""
+    rows = df.select(col.alias("__v")).dropDuplicates() \
+             .limit(_DYN_LABEL_CAP + 1).collect()
+    if len(rows) > _DYN_LABEL_CAP:
+        raise ValueError(
+            f"more than {_DYN_LABEL_CAP} distinct {what} from a dynamic "
+            "label expression — labels are shard keys and must stay "
+            "low-cardinality")
+    return [r["__v"] for r in rows if r["__v"] is not None]
+
+
 def _create_or_ref_node(tr, df: DataFrame, np: A.NodePat) -> Tuple[DataFrame, str]:
     var = np.var or tr._anon_var("cn")
     if var in df.columns:
         return df, var
     base = _epoch_base(tr)
-    labels = list(np.labels) or ["_none"]
+    tree = getattr(np, "label_tree", None)
+    dynamic = tree is not None and _tree_has_dyn(tree)
     prop_cols = _props_struct(tr, df, np.props)
     df = df.withColumn("__newid", F.lit(base) + F.monotonically_increasing_id())
     df = df.localCheckpoint(eager=True)  # freeze allocated ids
+    if dynamic:
+        # row-dependent $(expr) labels: per-row label array, rows routed
+        # to the shard of their FIRST label (same single-home design as
+        # static multi-label CREATE; secondary labels -> extra-label scan
+        # fallback)
+        static, dyn = _split_dyn_conj(tree)
+        labels_arr = _dyn_labels_col(tr, df, static, dyn)
+    else:
+        labels = list(np.labels) or ["_none"]
+        labels_arr = F.array(*[F.lit(l) for l in labels])
     struct = F.struct(
         F.col("__newid").alias("_id"),
-        F.array(*[F.lit(l) for l in labels]).alias("_labels"),
+        labels_arr.alias("_labels"),
         *[c.alias(k) for k, c in prop_cols])
     df = df.withColumn(var, struct).drop("__newid")
     delta = df.select(
         F.col(var).getField("_id").alias("id"),
         F.col(var).getField("_labels").alias("labels"),
         *[F.col(var).getField(k).alias(k) for k, _ in prop_cols])
+    if dynamic:
+        delta = delta.localCheckpoint(eager=True)
+        firsts = _collect_capped(
+            delta, F.element_at("labels", 1), "first labels")
+        for shard in firsts:
+            sub = delta.filter(F.element_at("labels", 1) == shard)
+            old = tr.graph.node_frames.get(shard)
+            tr.graph.node_frames[shard] = (
+                sub if old is None
+                else old.unionByName(sub, allowMissingColumns=True))
+        # labels appearing beyond position 1 live outside their shard
+        for extra in _collect_capped(
+                delta.select(F.explode(F.expr(
+                    "slice(labels, 2, greatest(size(labels) - 1, 0))"
+                )).alias("l")), F.col("l"), "secondary labels"):
+            tr.graph.note_extra_label(extra)
+        tr.effects["nodes_created"] += delta.count()
+        tr.kinds[var] = "node"
+        return df, var
+    labels = list(np.labels) or ["_none"]
     shard = labels[0]
     old = tr.graph.node_frames.get(shard)
     tr.graph.node_frames[shard] = (
@@ -255,20 +358,34 @@ def _clear_props(tr, df: DataFrame, var: str) -> DataFrame:
 
 def _mutate_labels(tr, df: DataFrame, target: A.HasLabels, add: bool) -> DataFrame:
     var = target.subject.name
-    labels = F.array(*[F.lit(l) for l in target.labels])
-    ids = df.select(F.col(var).getField("_id").alias("__tid")) \
-            .dropDuplicates().localCheckpoint(eager=True)
+    static = [l for l in target.labels if isinstance(l, str)]
+    dyn = [l for l in target.labels if isinstance(l, A.Expr)]
+    if dyn:
+        # row-dependent SET/REMOVE n:$(expr): carry the per-row label
+        # array through the id join instead of a constant
+        labels = _dyn_labels_col(tr, df, static, dyn)
+    else:
+        labels = F.array(*[F.lit(l) for l in static])
+    ids = df.select(F.col(var).getField("_id").alias("__tid"),
+                    labels.alias("__nl")) \
+            .dropDuplicates(["__tid"]).localCheckpoint(eager=True)
     op = F.array_union if add else F.array_except
     for name, frame in list(tr.graph.node_frames.items()):
         joined = frame.join(ids, frame["id"] == ids["__tid"], "left")
         tr.graph.node_frames[name] = joined.withColumn(
             "labels", F.when(F.col("__tid").isNotNull(),
-                             op(F.col("labels"), labels))
-                       .otherwise(F.col("labels"))).drop("__tid")
-    n = ids.count() * len(target.labels)
+                             op(F.col("labels"), F.col("__nl")))
+                       .otherwise(F.col("labels"))).drop("__tid", "__nl")
+    if dyn:
+        n = ids.select(F.sum(F.size("__nl"))).head()[0] or 0
+        touched = _collect_capped(ids, F.explode("__nl"), "labels") \
+            if add else []
+    else:
+        n = ids.count() * len(static)
+        touched = static if add else []
     if add:
         tr.effects["labels_added"] += n
-        for l in target.labels:
+        for l in touched:
             tr.graph.note_extra_label(l)
     else:
         tr.effects["labels_removed"] += n

@@ -308,11 +308,13 @@ class TestDynamicLabelsAndTypes:
                            "RETURN count(r) AS c", chain_graph))[0][0]
         assert both >= one
 
-    def test_non_constant_raises(self, spark, chain_graph):
+    def test_non_constant_merge_raises(self, spark, chain_graph):
+        # CREATE/SET admit row-dependent $(expr); MERGE stays strict
+        # (matching on a row-dependent label is ambiguous)
         from neo4j_spark.cypher.translate import TranslateError
 
         with pytest.raises(TranslateError, match="plan-time constants"):
-            cypher(spark, "MATCH (n:A) CREATE (m:$(n.x)) RETURN 1 AS o",
+            cypher(spark, "MATCH (n:A) MERGE (m:$(n.x)) RETURN 1 AS o",
                    chain_graph.copy()).collect()
 
     def test_count_store_rejects_residual_tree(self, spark, chain_graph):
@@ -324,3 +326,59 @@ class TestDynamicLabelsAndTypes:
         a = rows(cypher(spark, "MATCH (n:A) RETURN count(*) AS c",
                         chain_graph))[0][0]
         assert a_and_any == a
+
+
+class TestRowDependentDynamicLabels:
+    """Row-dependent $(expr) labels in CREATE / SET / REMOVE: each row's
+    label set is computed from its own values; rows route to the shard of
+    their first label, secondary labels fall back to the extra-label scan."""
+
+    def test_create_routes_rows_by_value(self, spark):
+        from neo4j_spark.graph import PropertyGraph
+        g = PropertyGraph({}, {})
+        cypher(spark,
+               "UNWIND [{k: 'Doc', v: 1}, {k: 'Img', v: 2}, "
+               "{k: 'Doc', v: 3}] AS row "
+               "CREATE (n:$(row.k) {v: row.v})", g).collect()
+        assert rows(cypher(
+            spark, "MATCH (d:Doc) RETURN d.v AS v ORDER BY v", g)) \
+            == [(1,), (3,)]
+        assert rows(cypher(
+            spark, "MATCH (i:Img) RETURN count(*) AS c", g)) == [(1,)]
+
+    def test_create_static_plus_dynamic_conjunction(self, spark):
+        from neo4j_spark.graph import PropertyGraph
+        g = PropertyGraph({}, {})
+        cypher(spark,
+               "UNWIND ['X', 'Y'] AS l CREATE (n:Base&$(l))", g).collect()
+        assert rows(cypher(
+            spark, "MATCH (b:Base) RETURN count(*) AS c", g)) == [(2,)]
+        assert rows(cypher(
+            spark, "MATCH (y:Y) RETURN count(*) AS c", g)) == [(1,)]
+
+    def test_set_label_from_property(self, spark):
+        from neo4j_spark.graph import PropertyGraph
+        g = PropertyGraph({}, {})
+        cypher(spark,
+               "CREATE (:T {tag: 'Hot'}), (:T {tag: 'Cold'})", g).collect()
+        cypher(spark, "MATCH (t:T) SET t:$(t.tag)", g).collect()
+        assert rows(cypher(
+            spark, "MATCH (h:Hot) RETURN h.tag AS t", g)) == [("Hot",)]
+        assert rows(cypher(
+            spark, "MATCH (c:Cold) RETURN count(*) AS c", g)) == [(1,)]
+
+    def test_remove_label_from_property(self, spark):
+        from neo4j_spark.graph import PropertyGraph
+        g = PropertyGraph({}, {})
+        cypher(spark, "CREATE (:U:Extra {tag: 'Extra'})", g).collect()
+        got = rows(cypher(
+            spark, "MATCH (u:U) REMOVE u:$(u.tag) RETURN labels(u) AS l",
+            g))
+        assert got == [(["U"],)]
+
+    def test_match_stays_strict(self, spark, chain_graph):
+        from neo4j_spark.cypher.translate import TranslateError
+
+        with pytest.raises(TranslateError, match="plan-time constants"):
+            cypher(spark, "MATCH (n:A) MATCH (m:$(n.x)) RETURN count(*) "
+                   "AS c", chain_graph).collect()
