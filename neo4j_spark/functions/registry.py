@@ -594,7 +594,13 @@ def compile_function(cc, e: A.Func) -> Column:
                 return F.lit(default)
 
             if "date" in lower:  # selector: date({date: <temporal>})
-                return col.getField(lower["date"]).cast("date")
+                from ..cypher.exprs import _is_zoned_dt, _zoned_wall
+                inner = col.getField(lower["date"])
+                it = t[lower["date"]].dataType
+                if _is_zoned_dt(it):
+                    # calendar date in the VALUE's zone, not the session's
+                    return _zoned_wall(inner).cast("date")
+                return inner.cast("date")
             y = fld("year", 1)
             if "week" in lower:
                 # ISO week date (TemporalFields week/dayOfWeek): week 1 is
@@ -629,9 +635,21 @@ def compile_function(cc, e: A.Func) -> Column:
 
             if _is_zoned_dt(t):
                 return col if name == "datetime" \
-                    else F.from_utc_timestamp(col.getField("instant"),
-                                              col.getField("tz"))
+                    else F.from_utc_timestamp(
+                        col.getField("instant"),
+                        col.getField("tz")).cast("timestamp_ntz")
             lower = {f.lower(): f for f in t.fieldNames()}
+            if "datetime" in lower:
+                # selector: datetime({datetime: <temporal>})
+                inner = col.getField(lower["datetime"])
+                it = t[lower["datetime"]].dataType
+                if _is_zoned_dt(it):
+                    return inner if name == "datetime" \
+                        else F.from_utc_timestamp(
+                            inner.getField("instant"),
+                            inner.getField("tz")).cast("timestamp_ntz")
+                return inner.cast("timestamp" if name == "datetime"
+                                  else "timestamp_ntz")
             if "epochseconds" in lower:
                 return F.timestamp_seconds(
                     col.getField(lower["epochseconds"]).cast("long"))

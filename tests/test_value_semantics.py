@@ -644,3 +644,23 @@ class TestTCKEdgeSemantics:
                    "MATCH (n:A|B) OPTIONAL MATCH (m:B) WHERE m.x > n.x "
                    "RETURN n.x AS nx, m.x AS mx ORDER BY nx", ab_graph))
         assert got == [(1, 2), (2, None)]
+
+
+class TestZonedSelectorArguments:
+    """Temporal selectors receiving ZONED datetime values: the calendar
+    components come from the value's own zone (TemporalValue selectors)."""
+
+    def test_date_selector_from_zoned(self, spark, chain_graph):
+        df = cypher(spark,
+                    "RETURN date({date: "
+                    "datetime('2020-03-04T23:06:07+05:00')}) = "
+                    "date('2020-03-04') AS ok", chain_graph)
+        assert rows(df) == [(True,)]
+
+    def test_localdatetime_selector_from_zoned(self, spark, chain_graph):
+        df = cypher(spark,
+                    "RETURN toString(localdatetime({datetime: "
+                    "datetime('2020-03-04T05:06:07Z')})) AS s, "
+                    "toString(localdatetime(datetime("
+                    "'2020-03-04T05:06:07+02:00'))) AS t", chain_graph)
+        assert rows(df) == [("2020-03-04T05:06:07", "2020-03-04T05:06:07")]
