@@ -547,6 +547,16 @@ CYPHER_QUERIES = {
         "MATCH (s:Supplier) "
         "WHERE EXISTS { MATCH (s)<-[:SUPPLIED_BY]-(:Order) } "
         "RETURN count(*) AS n",
+    "exists_where_correlated":
+        # correlation only via the inner WHERE (no shared pattern var)
+        "MATCH (s:Supplier) "
+        "WHERE EXISTS { MATCH (c:Customer) "
+        "WHERE c.acctbal > s.acctbal + 2000.0 } "
+        "RETURN count(*) AS n",
+    "count_sub_where_correlated":
+        "MATCH (r:Region) RETURN r.name AS name, "
+        "COUNT { MATCH (n:Nation) WHERE n.name > r.name } AS c "
+        "ORDER BY name",
     # --- set ops / unwind (§2.7, widened) ---
     "union_three_way":
         "MATCH (r:Region) RETURN r.name AS name "
@@ -2121,6 +2131,13 @@ def _oracle_sql_raw() -> dict[str, str]:
         "exists_subquery":
             "SELECT count(*) AS n FROM supplier WHERE EXISTS "
             "(SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)",
+        "exists_where_correlated":
+            "SELECT count(*) AS n FROM supplier WHERE EXISTS "
+            "(SELECT 1 FROM customer WHERE c_acctbal > s_acctbal + 2000.0)",
+        "count_sub_where_correlated":
+            "SELECT r_name AS name, "
+            "CAST((SELECT count(*) FROM nation WHERE n_name > r_name) "
+            "AS BIGINT) AS c FROM region ORDER BY name",
         "union_three_way":
             "SELECT r_name AS name FROM region "
             "UNION SELECT n_name AS name FROM nation "

@@ -629,6 +629,43 @@ def any_to_string_deep(c: Column, depth: int = 1) -> Column:
              .otherwise(any_to_string(c)))
 
 
+def tagged_null(depth: int) -> Column:
+    """A tagged NULL value (rank 16) at the given layout depth."""
+    nn, ns, nb, ni = _nulls()
+    if depth <= 0:
+        return _pack(F.lit(RANK_NULL), nn, ns, nb, ni)
+    nl, nm, np_ = _null_containers(depth)
+    return _pack_deep(F.lit(RANK_NULL), nn, ns, nb, ni, nl, nm, np_)
+
+
+def any_get_key(c: Column, key: Column, t) -> Column:
+    """Map-key access through the heterogeneous encoding
+    (``m.k`` / ``m['k']`` on a tagged value): the inner tagged payload
+    one layout level down; tagged NULL when the subject is not a map or
+    the key is absent (MapValue.get, returns NO_VALUE on miss)."""
+    d = any_layout_depth(t)
+    if d <= 0:
+        return tagged_null(0)
+    hits = F.filter(c.getField("__vm").getField("__mkv"),
+                    lambda e: e.getField("__mk") == key)
+    v = F.element_at(hits, 1).getField("__mv")
+    return F.when((c.getField("__vg") == RANK_MAP) & (F.size(hits) > 0),
+                  v).otherwise(tagged_null(d - 1))
+
+
+def any_get_index(c: Column, idx: Column, t) -> Column:
+    """List indexing through the heterogeneous encoding (0-based,
+    negative wrap); tagged NULL when out of bounds or not a list."""
+    d = any_layout_depth(t)
+    if d <= 0:
+        return tagged_null(0)
+    lst = c.getField("__vl")
+    n = F.size(lst)
+    v = F.when(idx >= 0, F.get(lst, idx)).otherwise(F.get(lst, n + idx))
+    return F.when((c.getField("__vg") == RANK_LIST) & v.isNotNull(),
+                  v).otherwise(tagged_null(d - 1))
+
+
 def any_value_type_deep(c: Column) -> Column:
     """valueType() over extended tagged values (container groups report
     the coarse GQL names; element types are runtime-erased here)."""

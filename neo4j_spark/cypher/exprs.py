@@ -31,6 +31,44 @@ NUMERIC_TYPES = (
 )
 INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
+_NO_UNIFY = object()  # sentinel: the two types cannot be unified
+
+
+def _unify_types(a, b):
+    """Least common Spark type of two static types under null-widening,
+    numeric widening, and field-wise struct/array recursion — or
+    ``_NO_UNIFY`` when the values belong to different Cypher value
+    classes (those need the tagged heterogeneous encoding)."""
+    if a is _NO_UNIFY or b is _NO_UNIFY:
+        return _NO_UNIFY
+    if a is None or isinstance(a, T.NullType):
+        return b
+    if b is None or isinstance(b, T.NullType):
+        return a
+    if a == b:
+        return a
+    frac = (T.FloatType, T.DoubleType, T.DecimalType)
+    if isinstance(a, (*INT_TYPES, *frac)) and isinstance(b, (*INT_TYPES, *frac)):
+        if isinstance(a, frac) or isinstance(b, frac):
+            return T.DoubleType()
+        return T.LongType()
+    if isinstance(a, T.StructType) and isinstance(b, T.StructType) \
+            and a.fieldNames() == b.fieldNames():
+        fs = []
+        for fa, fb in zip(a.fields, b.fields):
+            u = _unify_types(fa.dataType, fb.dataType)
+            if u is _NO_UNIFY:
+                return _NO_UNIFY
+            fs.append(T.StructField(fa.name, u if u is not None
+                                    else T.NullType()))
+        return T.StructType(fs)
+    if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
+        u = _unify_types(a.elementType, b.elementType)
+        if u is _NO_UNIFY:
+            return _NO_UNIFY
+        return T.ArrayType(u if u is not None else T.NullType())
+    return _NO_UNIFY
+
 DUR_FIELDS = frozenset({"months", "days", "seconds", "nanos"})
 
 
@@ -347,6 +385,11 @@ class ExprCompiler:
             if fn is not None:
                 return fn(_zoned_wall(subj)).cast("long")
             raise CypherTypeError(f"unknown temporal field {key}")
+        from . import anyvalue as AV
+
+        if AV.is_any_type(t):
+            # property access through the heterogeneous encoding
+            return AV.any_get_key(subj, F.lit(key), t)
         if isinstance(t, T.StructType):
             if {"crs", "x", "y"} <= set(t.fieldNames()):
                 # point accessors (PointValue.java get): latitude/longitude/
@@ -902,6 +945,19 @@ class ExprCompiler:
             else:
                 classes.add(t.simpleString())
         if len(classes) > 1:
+            # before falling back to the tagged encoding, try unifying the
+            # static types (null-widening, numeric widening, field-wise on
+            # same-shaped structs): [{k: null, v: 1}, {k: 'a', v: 3}] is a
+            # homogeneous list of maps, not a heterogeneous value
+            u: Optional[T.DataType] = None
+            ok = True
+            for _, t in typed:
+                u = _unify_types(u, t)
+                if u is _NO_UNIFY:
+                    ok = False
+                    break
+            if ok and u is not None and not isinstance(u, T.NullType):
+                return F.array(*[c.cast(u) for c, _ in typed])
             from . import anyvalue as AV
 
             if all(AV._is_scalar_class(t) or AV.is_any_type(t)
@@ -920,10 +976,24 @@ class ExprCompiler:
     def _c_Index(self, e: A.Index) -> Column:
         subj, t = self.compile_typed(e.subject)
         idx = self.compile(e.index)
+        from . import anyvalue as AV
+
+        if AV.is_any_type(t):
+            # container access through the heterogeneous encoding: a
+            # string index is a map-key lookup, anything else a list index
+            it = (type(e.index.value) if isinstance(e.index, A.Lit)
+                  else None)
+            if it is str or (it is None and isinstance(
+                    self.dtype_of(idx), T.StringType)):
+                return AV.any_get_key(subj, idx, t)
+            return AV.any_get_index(subj, idx.cast("int"), t)
         if isinstance(t, T.MapType):
             return F.element_at(subj, idx)
         if isinstance(t, T.StructType) and isinstance(e.index, A.Lit):
-            return subj.getField(str(e.index.value))
+            key = str(e.index.value)
+            if key in t.fieldNames():
+                return subj.getField(key)
+            return F.lit(None)  # missing key on a map value is null
         if isinstance(t, T.StructType):
             # dynamic key on a node/rel/map struct: fields are static, so
             # compile to a CASE over the field names.  A Column has ONE

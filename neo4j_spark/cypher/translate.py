@@ -1733,20 +1733,26 @@ class Translator:
                 e = dataclasses.replace(e, **changes)
             return df, e
 
-        def correlate(parts: List[A.PatternPart]) -> List[str]:
+        def correlate(parts: List[A.PatternPart], where=None) -> List[str]:
+            # any outer-scope name referenced anywhere in the subquery —
+            # pattern variables, property/WHERE expressions — is an
+            # implicit correlation (reference: SemiApply LP:3659 keeps the
+            # outer row as the Apply argument)
             pv = set()
             for part in parts:
-                for el in part.elements:
-                    v = getattr(el, "var", None)
-                    if v:
-                        pv.add(v)
+                pv |= _collect_var_names(part)
+            if where is not None:
+                pv |= _collect_var_names(where)
             return [v for v in df.columns if v in pv]
 
         def build_matched(cur_df: DataFrame, parts, where) -> Tuple[DataFrame, List[str]]:
-            shared = correlate(parts)
+            shared = correlate(parts, where)
             base = cur_df.select(*shared).dropDuplicates() if shared else None
             sub = Translator(self.spark, self.graph, self.params, catalog=self.catalog)
             sub.kinds.update(self.kinds)
+            sub.var_labels.update(
+                {v: self.var_labels[v] for v in shared
+                 if v in self.var_labels})
             matched = sub._match(base, A.Match(parts, where=where))
             return matched, shared
 

@@ -797,6 +797,48 @@ class TestEdgeSemanticsAcceptance:
             "RETURN count(DISTINCT l) AS n")) == [(2,)]
 
 
+class TestWhereOnlyCorrelationAcceptance:
+    """EXISTS/COUNT subqueries whose only correlation is an outer variable
+    referenced inside the inner WHERE (or a property map) — no shared
+    pattern variable (SemiApply LP:3659 keeps the outer row in scope)."""
+
+    def _seed(self, spark, g):
+        run(spark, g, "CREATE (:P {v: 1}), (:P {v: 2}), (:P {v: 2})") \
+            .collect()
+
+    def test_exists_outer_var_only_in_inner_where(self, spark, g):
+        self._seed(spark, g)
+        assert rows(run(spark, g,
+            "MATCH (p:P) WHERE EXISTS { MATCH (q:P) WHERE q.v > p.v } "
+            "RETURN count(*) AS n")) == [(1,)]
+
+    def test_exists_pattern_form_outer_in_where(self, spark, g):
+        self._seed(spark, g)
+        assert rows(run(spark, g,
+            "MATCH (p:P) WHERE EXISTS { (q:P) WHERE q.v > p.v } "
+            "RETURN count(*) AS n")) == [(1,)]
+
+    def test_count_sub_outer_var_only_in_inner_where(self, spark, g):
+        self._seed(spark, g)
+        assert rows(run(spark, g,
+            "MATCH (p:P) RETURN p.v AS v, "
+            "COUNT { MATCH (q:P) WHERE q.v > p.v } AS c ORDER BY v")) \
+            == [(1, 2), (2, 0), (2, 0)]
+
+    def test_exists_outer_var_in_inner_props_map(self, spark, g):
+        self._seed(spark, g)
+        assert rows(run(spark, g,
+            "MATCH (p:P) WHERE EXISTS { (q:P {v: p.v}) WHERE q <> p } "
+            "RETURN count(*) AS n")) == [(2,)]
+
+    def test_exists_outer_var_in_arithmetic(self, spark, g):
+        self._seed(spark, g)
+        assert rows(run(spark, g,
+            "MATCH (p:P) WHERE p.v = 1 "
+            "AND EXISTS { MATCH (q:P) WHERE q.v = p.v + 1 } "
+            "RETURN count(*) AS n")) == [(1,)]
+
+
 class TestPointAndConversionAcceptance:
     """Point accessors (PointValue.java get / CoordinateReferenceSystem
     srids), offset-datetime round-trip, toStringOrNull stringability."""

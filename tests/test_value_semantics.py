@@ -664,3 +664,60 @@ class TestZonedSelectorArguments:
                     "toString(localdatetime(datetime("
                     "'2020-03-04T05:06:07+02:00'))) AS t", chain_graph)
         assert rows(df) == [("2020-03-04T05:06:07", "2020-03-04T05:06:07")]
+
+
+class TestTaggedContainerAccess:
+    """Chained property/index access through the heterogeneous encoding
+    (MapValue.get / ListValue index: miss and out-of-bounds yield null)."""
+
+    def test_nested_mixed_map_chain(self, spark, chain_graph):
+        df = cypher(spark,
+                    "WITH {a: {b: [1, {c: 2}]}} AS m "
+                    "RETURN m.a.b[1].c = 2 AS eq, "
+                    "toString(m.a.b[1].c) AS s, "
+                    "toString(m.a.b[0]) AS h", chain_graph)
+        assert rows(df) == [(True, "2", "1")]
+
+    def test_mixed_list_index_wrap_and_oob(self, spark, chain_graph):
+        df = cypher(spark,
+                    "WITH [[1], 'a'] AS l "
+                    "RETURN toString(l[-1]) AS neg, toString(l[5]) AS oob, "
+                    "toString(l[0][0]) AS nested", chain_graph)
+        assert rows(df) == [("a", None, "1")]
+
+    def test_missing_static_map_key_is_null(self, spark, chain_graph):
+        df = cypher(spark,
+                    "RETURN {a: 1}['a'] AS hit, {a: 1}['b'] AS miss",
+                    chain_graph)
+        assert rows(df) == [(1, None)]
+
+    def test_dynamic_key_on_mixed_map(self, spark, chain_graph):
+        df = cypher(spark,
+                    "WITH {a: 1, b: 'x'} AS m RETURN m['b'] AS v",
+                    chain_graph)
+        assert rows(df) == [("x",)]
+
+
+class TestListLiteralUnification:
+    """A literal list whose elements differ only by null-widening or
+    numeric widening is a homogeneous list (no tagged encoding) — so maps
+    with null-valued fields group and aggregate normally."""
+
+    def test_null_widened_maps_group_and_sum(self, spark, chain_graph):
+        df = cypher(spark,
+                    "UNWIND [{k: null, v: 1}, {k: null, v: 2}, "
+                    "{k: 'a', v: 3}] AS m "
+                    "RETURN m.k AS k, sum(m.v) AS s ORDER BY k",
+                    chain_graph)
+        assert rows(df) == [("a", 3), (None, 3)]
+
+    def test_int_float_list_widen(self, spark, chain_graph):
+        df = cypher(spark, "RETURN [1, 2.5][0] AS a, [1, 2.5][1] AS b",
+                    chain_graph)
+        assert rows(df) == [(1.0, 2.5)]
+
+    def test_nested_array_null_widen(self, spark, chain_graph):
+        df = cypher(spark,
+                    "WITH [[1, null], [2, 3]] AS l RETURN l[0][1] AS a, "
+                    "l[1][0] AS b", chain_graph)
+        assert rows(df) == [(None, 2)]
