@@ -1845,8 +1845,10 @@ def _oracle_sql_raw() -> dict[str, str]:
             "SELECT unnest(['{k: 1}', '[1]', '[1, x]', '[1, 2]', 'a']) "
             "AS s",
         "mixed_deep_nesting":
+            # eq_n: the null INSIDE [1, null] makes the comparison
+            # UNDEFINED (SequenceValue.ternaryEqualsUsingRandomAccess)
             "SELECT '[[[1]], [[1], 0], [[2]], z]' AS ordered, "
-            "'[[[1], a], b]' AS deep3, CAST(1 AS BOOLEAN) AS eq_n, "
+            "'[[[1], a], b]' AS deep3, CAST(NULL AS BOOLEAN) AS eq_n, "
             "CAST(0 AS BOOLEAN) AS neq, CAST(1 AS BOOLEAN) AS inn",
         "mixed_list_nested":
             "SELECT '[1]' AS first, 'a' AS second, CAST(2 AS INTEGER) AS n, "

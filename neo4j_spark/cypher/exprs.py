@@ -530,6 +530,52 @@ class ExprCompiler:
             return c.getField("instant"), T.TimestampType()
         return c, t
 
+    def _ternary_eq(self, l: Column, lt, r: Column, rt) -> Column:
+        """Ternary (Kleene) equality for statically-typed values
+        (AnyValue.ternaryEquals, AnyValue.java:62).
+
+        Cross-value-class pairs decide FALSE (never an error); lists
+        compare as length-then-elementwise three-valued AND, so a null
+        element yields null unless some element definitely differs; maps
+        compare as keyset-then-per-key three-valued AND.  Both container
+        forms recurse, so nested lists/maps get ternary semantics at
+        every static depth.  (Plain Spark array/struct ``==`` treats null
+        elements as equal — exactly the divergence this avoids.)
+        """
+        l, lt = self._unzone(l, lt)
+        r, rt = self._unzone(r, rt)
+        lg, rg = self._cmp_group(lt), self._cmp_group(rt)
+        if lg is not None and rg is not None and lg != rg:
+            return F.when(l.isNull() | r.isNull(),
+                          F.lit(None).cast("boolean")).otherwise(F.lit(False))
+        if isinstance(lt, T.ArrayType) and isinstance(rt, T.ArrayType):
+            el_t, er_t = lt.elementType, rt.elementType
+            return (F.when(l.isNull() | r.isNull(),
+                           F.lit(None).cast("boolean"))
+                     .when(F.size(l) != F.size(r), F.lit(False))
+                     .otherwise(F.forall(
+                         F.zip_with(l, r, lambda x, y:
+                                    self._ternary_eq(x, el_t, y, er_t)),
+                         lambda b: b)))
+        if lg == "struct" and rg == "struct" \
+                and isinstance(lt, T.StructType) \
+                and isinstance(rt, T.StructType):
+            lkeys = sorted(f.name for f in lt.fields)
+            rkeys = sorted(f.name for f in rt.fields)
+            if lkeys != rkeys:
+                return F.when(l.isNull() | r.isNull(),
+                              F.lit(None).cast("boolean")) \
+                    .otherwise(F.lit(False))
+            ltypes = {f.name: f.dataType for f in lt.fields}
+            rtypes = {f.name: f.dataType for f in rt.fields}
+            conj = F.lit(True)
+            for k in lkeys:
+                conj = conj & self._ternary_eq(
+                    l.getField(k), ltypes[k], r.getField(k), rtypes[k])
+            return F.when(l.isNull() | r.isNull(),
+                          F.lit(None).cast("boolean")).otherwise(conj)
+        return l == r
+
     def _c_BinOp(self, e: A.BinOp) -> Column:
         op = e.op
         if op in ("AND", "OR", "XOR"):
@@ -556,64 +602,8 @@ class ExprCompiler:
                 else:
                     eq = AV.any_eq(AV.to_any(l, lt), AV.to_any(r, rt0))
                 return eq if op == "=" else ~eq
-            lg, rg = self._cmp_group(lt), self._cmp_group(rt0)
-            if lg is not None and rg is not None and lg != rg:
-                # cross-value-class equality is FALSE, never an error
-                # (AnyValue.ternaryEquals, AnyValue.java:62) — with ternary
-                # null propagation
-                eq = F.when(l.isNull() | r.isNull(),
-                            F.lit(None).cast("boolean")).otherwise(F.lit(False))
-                return eq if op == "=" else ~eq
-            if isinstance(lt, T.ArrayType) \
-                    and isinstance(self.dtype_of(r), T.ArrayType):
-                # ternary structural list equality (AnyValue.ternaryEquals,
-                # AnyValue.java:62): different lengths -> false; else a
-                # three-valued AND over elementwise comparisons, so a null
-                # element yields null unless some element differs.  (Plain
-                # Spark array == treats null elements as equal.)  One level
-                # deep: nested-list elements fall back to Spark equality.
-                eq = (F.when(l.isNull() | r.isNull(),
-                             F.lit(None).cast("boolean"))
-                       .when(F.size(l) != F.size(r), F.lit(False))
-                       .otherwise(F.forall(F.zip_with(l, r,
-                                                      lambda x, y: x == y),
-                                           lambda b: b)))
-                return eq if op == "=" else ~eq
-            rt = self.dtype_of(r)
-            if lg == "struct" and rg == "struct" \
-                    and isinstance(lt, T.StructType) \
-                    and isinstance(rt, T.StructType):
-                # ternary structural MAP equality (MapValue ternaryEquals):
-                # different key sets -> false; else a three-valued AND over
-                # per-key comparisons, so a null value yields null unless
-                # some key definitely differs, and a cross-class value pair
-                # (e.g. {a:1} vs {a:'x'}) decides false.  (Plain Spark
-                # struct == treats null fields as equal.)  One level deep.
-                lkeys = sorted(f.name for f in lt.fields)
-                rkeys = sorted(f.name for f in rt.fields)
-                if lkeys != rkeys:
-                    eq = F.when(l.isNull() | r.isNull(),
-                                F.lit(None).cast("boolean")) \
-                        .otherwise(F.lit(False))
-                    return eq if op == "=" else ~eq
-                ltypes = {f.name: f.dataType for f in lt.fields}
-                rtypes = {f.name: f.dataType for f in rt.fields}
-                conj = F.lit(True)
-                for k in lkeys:
-                    fg, gg = self._cmp_group(ltypes[k]), \
-                        self._cmp_group(rtypes[k])
-                    lf, rf = l.getField(k), r.getField(k)
-                    if fg is not None and gg is not None and fg != gg:
-                        fe = F.when(lf.isNull() | rf.isNull(),
-                                    F.lit(None).cast("boolean")) \
-                            .otherwise(F.lit(False))
-                    else:
-                        fe = lf == rf
-                    conj = conj & fe
-                eq = F.when(l.isNull() | r.isNull(),
-                            F.lit(None).cast("boolean")).otherwise(conj)
-                return eq if op == "=" else ~eq
-            return (l == r) if op == "=" else (l != r)
+            eq = self._ternary_eq(l, lt, r, rt0)
+            return eq if op == "=" else ~eq
         if op in ("<", "<=", ">", ">="):
             from . import anyvalue as AV
 
@@ -672,6 +662,25 @@ class ExprCompiler:
                                F.lit(None).cast("boolean"))
                          .when(has_null, F.lit(None).cast("boolean"))
                          .otherwise(F.lit(False)))
+            if isinstance(rt0, T.ArrayType):
+                # ternary element equality (recursive — a null INSIDE a
+                # candidate list makes the comparison undefined, not a
+                # match): true on a definite hit, null if any element
+                # comparison is undefined, else false
+                lt_l = self.dtype_of(l)
+                et = rt0.elementType
+
+                def _cmp(el):
+                    return self._ternary_eq(el, et, l, lt_l)
+
+                hits = F.size(F.filter(
+                    r, lambda el: F.coalesce(_cmp(el), F.lit(False))))
+                maybe = F.exists(r, lambda el: _cmp(el).isNull())
+                return (F.when(r.isNull(), F.lit(None).cast("boolean"))
+                         .when(hits > 0, F.lit(True))
+                         .when(F.coalesce(maybe, F.lit(False)),
+                               F.lit(None).cast("boolean"))
+                         .otherwise(F.lit(False)))
             hits = F.size(F.filter(
                 r, lambda el: F.coalesce(el == l, F.lit(False))))
             has_null = F.exists(r, lambda el: el.isNull())
@@ -705,6 +714,21 @@ class ExprCompiler:
                 return self._temporal_shift(lc, lt, rc, -1)
             if _is_zoned_dt(lt) and _is_duration(rt):
                 return self._zoned_shift(lc, rc, -1)
+            if ((_is_temporal(lt) or _is_zoned_dt(lt))
+                    and (_is_temporal(rt) or _is_zoned_dt(rt))):
+                # temporal - temporal is a type error in the reference
+                # (CypherMath.java subtract: only Duration RHS allowed;
+                # use duration.between)
+                raise CypherTypeError(
+                    "cannot subtract a temporal value from a temporal "
+                    "value — use duration.between(a, b)")
+            if ((_is_temporal(lt) or _is_zoned_dt(lt)
+                 or _is_temporal(rt) or _is_zoned_dt(rt))
+                    and not isinstance(lt, T.NullType)
+                    and not isinstance(rt, T.NullType)):
+                raise CypherTypeError(
+                    "cannot subtract a number and a temporal value — "
+                    "only durations add to or subtract from temporals")
             return lc - rc
         if op == "*":
             if _is_duration(lt):
@@ -760,6 +784,15 @@ class ExprCompiler:
             prepend = (F.array_prepend(rc, lc) if hasattr(F, "array_prepend")
                        else F.concat(F.array(lc), rc))
             return F.when(lc.isNull(), F.lit(None).cast(rt)).otherwise(prepend)
+        if ((_is_temporal(lt) or _is_zoned_dt(lt)
+             or _is_temporal(rt) or _is_zoned_dt(rt))
+                and not isinstance(lt, T.NullType)
+                and not isinstance(rt, T.NullType)):
+            # temporal + number / temporal + temporal is a type error in
+            # the reference (CypherMath.java add: temporals only combine
+            # with Duration); a NULL operand still propagates null
+            raise CypherTypeError(
+                "cannot add a temporal value and a non-duration value")
         return lc + rc
 
     def _temporal_shift(self, tc: Column, tt, dur: Column, sign: int) -> Column:

@@ -272,7 +272,19 @@ def compile_function(cc, e: A.Func) -> Column:
     simple = {
         "abs": F.abs, "ceil": lambda x: F.ceil(x).cast("double"),
         "floor": lambda x: F.floor(x).cast("double"),
-        "sqrt": F.sqrt, "exp": F.exp, "log": F.log, "log10": F.log10,
+        # Math.log/Math.log10 semantics (CypherFunctions.java): 0 -> -Inf,
+        # negative -> NaN — Spark's log/log10 return NULL for both
+        "sqrt": F.sqrt, "exp": F.exp,
+        "log": lambda x: (F.when(x.cast("double") == 0.0,
+                                 F.lit(float("-inf")))
+                           .when(x.cast("double") < 0,
+                                 F.lit(float("nan")))
+                           .otherwise(F.log(x))),
+        "log10": lambda x: (F.when(x.cast("double") == 0.0,
+                                   F.lit(float("-inf")))
+                             .when(x.cast("double") < 0,
+                                   F.lit(float("nan")))
+                             .otherwise(F.log10(x))),
         "sin": F.sin, "cos": F.cos, "tan": F.tan, "asin": F.asin,
         "acos": F.acos, "atan": F.atan, "degrees": F.degrees,
         "radians": F.radians, "isnan": F.isnan,
@@ -379,11 +391,18 @@ def compile_function(cc, e: A.Func) -> Column:
     if name == "btrim":
         return F.btrim(c(0)) if n == 1 else F.btrim(c(0), c(1))
     if name == "left":
+        # negative length throws (StringWrappingStringValue.substring:100)
         col, ln = c(0), c(1)
-        return col.substr(F.lit(1), ln)
+        ok = F.assert_true(ln.isNull() | (ln >= 0),
+                           "negative length in left()")
+        return F.when(ok.isNull(), col.substr(F.lit(1), ln))
     if name == "right":
         col, ln = c(0), c(1)
-        return col.substr(F.greatest(F.length(col) - ln + 1, F.lit(1)), ln)
+        ok = F.assert_true(ln.isNull() | (ln >= 0),
+                           "negative length in right()")
+        return F.when(
+            ok.isNull(),
+            col.substr(F.greatest(F.length(col) - ln + 1, F.lit(1)), ln))
     if name == "substring":
         col = c(0)
         start = c(1) + 1  # Cypher 0-based
@@ -391,8 +410,18 @@ def compile_function(cc, e: A.Func) -> Column:
             return col.substr(start, c(2))
         return col.substr(start, F.length(col))
     if name == "replace":
-        return F.replace(c(0), c(1), c(2)) if hasattr(F, "replace") else \
-            F.expr("replace(...)")
+        # Java String.replace semantics (StringValue.java:190-194): an
+        # EMPTY search string interleaves the replacement between every
+        # character and at both ends ("abc".replace("", "X") = XaXbXcX);
+        # Spark's replace returns the original for an empty search
+        src, find, rep = c(0), c(1), c(2)
+        interleaved = F.concat(
+            rep, F.array_join(
+                F.transform(F.split(src, ""),
+                            lambda ch: F.concat(ch, rep)), ""))
+        plain = (F.replace(src, find, rep) if hasattr(F, "replace")
+                 else F.expr("replace(...)"))
+        return F.when(find == "", interleaved).otherwise(plain)
     if name == "reverse":
         return F.reverse(c(0))
     if name == "split":
@@ -880,25 +909,32 @@ def compile_function(cc, e: A.Func) -> Column:
             (sgn * months).alias("months"), (sgn * days).alias("days"),
             (sgn * secs).cast("long").alias("seconds"),
             F.lit(0).cast("long").alias("nanos"))
-    if name == "duration.indays":
-        days = F.datediff(c(1).cast("date"), c(0).cast("date")).cast("long")
-        return F.struct(
-            F.lit(0).cast("long").alias("months"), days.alias("days"),
-            F.lit(0).cast("long").alias("seconds"), F.lit(0).cast("long").alias("nanos"),
-        )
-    if name == "duration.inmonths":
-        months = F.floor(F.months_between(c(1), c(0))).cast("long")
-        return F.struct(
-            months.alias("months"), F.lit(0).cast("long").alias("days"),
-            F.lit(0).cast("long").alias("seconds"), F.lit(0).cast("long").alias("nanos"),
-        )
-    if name == "duration.inseconds":
-        secs = (F.unix_seconds(c(1).cast("timestamp"))
-                - F.unix_seconds(c(0).cast("timestamp"))).cast("long")
-        return F.struct(
-            F.lit(0).cast("long").alias("months"), F.lit(0).cast("long").alias("days"),
-            secs.alias("seconds"), F.lit(0).cast("long").alias("nanos"),
-        )
+    if name in ("duration.indays", "duration.inmonths",
+                "duration.inseconds"):
+        # single-component truncations (DurationValue.durationBetween
+        # variants) — named-zone datetime operands contribute their
+        # INSTANT, same as duration.between above
+        from ..cypher.exprs import _is_zoned_dt as _izd
+
+        (a, ta), (b, tb) = ctyped(0), ctyped(1)
+
+        def _inst2(col, t):
+            return col.getField("instant") if _izd(t) else col
+
+        ia, ib = _inst2(a, ta), _inst2(b, tb)
+        zero = F.lit(0).cast("long")
+        if name == "duration.indays":
+            days = F.datediff(ib.cast("date"), ia.cast("date")).cast("long")
+            return F.struct(zero.alias("months"), days.alias("days"),
+                            zero.alias("seconds"), zero.alias("nanos"))
+        if name == "duration.inmonths":
+            months = F.floor(F.months_between(ib, ia)).cast("long")
+            return F.struct(months.alias("months"), zero.alias("days"),
+                            zero.alias("seconds"), zero.alias("nanos"))
+        secs = (F.unix_seconds(ib.cast("timestamp"))
+                - F.unix_seconds(ia.cast("timestamp"))).cast("long")
+        return F.struct(zero.alias("months"), zero.alias("days"),
+                        secs.alias("seconds"), zero.alias("nanos"))
 
     # ---- spatial ---------------------------------------------------------
     if name == "point":

@@ -478,12 +478,15 @@ class TestContainerOrderability:
         assert got == [("[[1]]",), ("[[1], 0]",), ("[[2]]",), ("z",)]
 
     def test_deep_nested_equality_and_in(self, spark, chain_graph):
+        # e1: the null INSIDE [1, null] makes the comparison UNDEFINED
+        # (SequenceValue.ternaryEqualsUsingRandomAccess — null element ->
+        # UNDEFINED unless some element definitely differs)
         assert rows(cypher(
             spark,
             "RETURN [[1, null], 'a'] = [[1, null], 'a'] AS e1, "
             "[[1, 2], 'a'] = [[1, 3], 'a'] AS e2, "
             "[[1]] IN [[[1]], 'x'] AS i1, 'x' IN [[[1]], 'x'] AS i2",
-            chain_graph)) == [(True, False, True, True)]
+            chain_graph)) == [(None, False, True, True)]
 
     def test_heterogeneous_list_value_type(self, spark, chain_graph):
         assert rows(cypher(
@@ -721,3 +724,93 @@ class TestListLiteralUnification:
                     "WITH [[1, null], [2, 3]] AS l RETURN l[0][1] AS a, "
                     "l[1][0] AS b", chain_graph)
         assert rows(df) == [(None, 2)]
+
+
+class TestTernaryContainerEquality:
+    """Recursive ternary equality through nested lists/maps and IN
+    (AnyValue.ternaryEquals, AnyValue.java:62): a null INSIDE a container
+    makes the comparison undefined unless some element definitely differs.
+    Plain Spark array/struct == would treat null elements as equal."""
+
+    def test_list_with_null_eq_is_null(self, spark, chain_graph):
+        df = cypher(spark,
+                    "RETURN [1, null] = [1, null] AS a, "
+                    "[1, 2] = [1, null] AS b, "
+                    "[1, null] = [2, null] AS c", chain_graph)
+        assert rows(df) == [(None, None, False)]
+
+    def test_nested_list_null_eq_recurses(self, spark, chain_graph):
+        df = cypher(spark,
+                    "RETURN [[1, null]] = [[1, null]] AS a, "
+                    "[1, [2, null]] = [1, [2, null]] AS b, "
+                    "[[1, 2]] = [[1, 2]] AS c", chain_graph)
+        assert rows(df) == [(None, None, True)]
+
+    def test_map_null_value_eq_is_null(self, spark, chain_graph):
+        df = cypher(spark,
+                    "RETURN {a: 1, b: null} = {a: 1, b: null} AS a, "
+                    "{a: [1, null]} = {a: [1, null]} AS b, "
+                    "{a: 1} = {a: 1} AS c", chain_graph)
+        assert rows(df) == [(None, None, True)]
+
+    def test_in_with_null_inside_candidate(self, spark, chain_graph):
+        df = cypher(spark,
+                    "RETURN [1, null] IN [[1, null]] AS a, "
+                    "[1, null] IN [[1, 2]] AS b, "
+                    "[1, null] IN [[2, 3]] AS c, "
+                    "[1, 2] IN [[1, 2], [3]] AS d", chain_graph)
+        assert rows(df) == [(None, None, False, True)]
+
+    def test_in_scalar_rules_unchanged(self, spark, chain_graph):
+        df = cypher(spark,
+                    "RETURN 1 IN [1, null] AS a, 3 IN [1, null] AS b, "
+                    "null IN [] AS c, null IN [1] AS d", chain_graph)
+        assert rows(df) == [(True, None, False, None)]
+
+
+class TestTemporalArithmeticStrictness:
+    """CypherMath.java add/subtract: temporals combine only with
+    durations — temporal+number and temporal-temporal are type errors
+    (use duration.between); a null operand still propagates null."""
+
+    def test_temporal_plus_number_raises(self, spark, chain_graph):
+        import pytest
+        from neo4j_spark.cypher.exprs import CypherTypeError
+        with pytest.raises(CypherTypeError):
+            cypher(spark, "RETURN date('2020-01-01') + 1 AS d", chain_graph)
+
+    def test_temporal_minus_temporal_raises(self, spark, chain_graph):
+        import pytest
+        from neo4j_spark.cypher.exprs import CypherTypeError
+        with pytest.raises(CypherTypeError):
+            cypher(spark,
+                   "RETURN date('2020-01-02') - date('2020-01-01') AS d",
+                   chain_graph)
+
+    def test_temporal_null_operand_propagates(self, spark, chain_graph):
+        df = cypher(spark,
+                    "RETURN date('2020-01-01') + null AS a, "
+                    "date('2020-01-01') - null AS b", chain_graph)
+        assert rows(df) == [(None, None)]
+
+    def test_duration_truncations_zoned_operands(self, spark, chain_graph):
+        # duration.inDays/inMonths/inSeconds unwrap named-zone structs to
+        # their instant, same as duration.between
+        df = cypher(spark,
+                    "RETURN duration.inDays(date('2020-01-01'), "
+                    "datetime('2020-03-01T00:00:00Z')).days AS d, "
+                    "duration.inSeconds(datetime('2020-01-01T00:00:00Z'), "
+                    "datetime({year: 2020, month: 1, day: 1, hour: 2, "
+                    "timezone: 'Z'})).seconds AS s", chain_graph)
+        assert rows(df) == [(60, 7200)]
+
+    def test_log_zero_is_neg_infinity(self, spark, chain_graph):
+        # Math.log semantics: 0 -> -Inf, negative -> NaN (Spark's log
+        # returns NULL for both)
+        import math
+        df = cypher(spark,
+                    "RETURN log(0) AS a, log10(0) AS b, log(-1) AS c, "
+                    "log(null) AS d", chain_graph)
+        [(a, b, c, d)] = rows(df)
+        assert a == float("-inf") and b == float("-inf")
+        assert math.isnan(c) and d is None
