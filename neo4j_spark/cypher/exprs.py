@@ -279,6 +279,13 @@ class ExprCompiler:
         self.translator = translator
         self.locals: Dict[str, Column] = {}
         self._local_types: Dict[str, T.DataType] = {}
+        # null-is-false context: set while compiling a WHERE predicate,
+        # where UNDEFINED and FALSE are indistinguishable (both drop the
+        # row).  Lets NaN-aware comparisons emit the parquet-PUSHABLE
+        # conjunct form instead of a CASE WHEN no source can push.
+        # Propagates through AND/OR only (they preserve the equivalence);
+        # NOT/XOR/function args reset it.
+        self._nif = False
 
     # ---- type resolution -------------------------------------------------
 
@@ -323,11 +330,22 @@ class ExprCompiler:
 
     # ---- entry -----------------------------------------------------------
 
+    _NIF_OPS = frozenset(("AND", "OR", "<", "<=", ">", ">=", "="))
+
     def compile(self, e: A.Expr) -> Column:
         m = getattr(self, f"_c_{type(e).__name__}", None)
         if m is None:
             raise CypherTypeError(f"unsupported expression {type(e).__name__}")
-        return m(e)
+        nif = self._nif
+        if nif and not (isinstance(e, A.BinOp) and e.op in self._NIF_OPS):
+            # anything but an AND/OR/comparison conjunct leaves the
+            # null-is-false filter context ('<>' excluded: NOT of a
+            # false-for-NaN equality would flip a dropped row to kept)
+            self._nif = False
+        try:
+            return m(e)
+        finally:
+            self._nif = nif
 
     def compile_typed(self, e: A.Expr):
         c = self.compile(e)
@@ -349,6 +367,14 @@ class ExprCompiler:
             return self.locals[e.name]
         if self.df is not None and e.name in self.df.columns:
             return F.col(e.name)
+        # Cypher 5 float keyword literals, case-insensitive (literals
+        # NaN/Inf/Infinity in expressions/Literal.scala); a same-named
+        # bound variable above takes precedence
+        kw = e.name.lower()
+        if kw in ("inf", "infinity"):
+            return F.lit(float("inf"))
+        if kw == "nan":
+            return F.lit(float("nan"))
         raise CypherTypeError(f"variable `{e.name}` not defined")
 
     def _c_CountStar(self, e) -> Column:  # handled by aggregation planner
@@ -530,7 +556,8 @@ class ExprCompiler:
             return c.getField("instant"), T.TimestampType()
         return c, t
 
-    def _ternary_eq(self, l: Column, lt, r: Column, rt) -> Column:
+    def _ternary_eq(self, l: Column, lt, r: Column, rt,
+                    nif: bool = False) -> Column:
         """Ternary (Kleene) equality for statically-typed values
         (AnyValue.ternaryEquals, AnyValue.java:62).
 
@@ -574,7 +601,58 @@ class ExprCompiler:
                     l.getField(k), ltypes[k], r.getField(k), rtypes[k])
             return F.when(l.isNull() | r.isNull(),
                           F.lit(None).cast("boolean")).otherwise(conj)
+        nan = self._nan_any(l, lt, r, rt)
+        if nan is not None:
+            # a NaN operand decides FALSE, never a match (Value.java:151
+            # hasNaNOperand -> Equality.FALSE); Spark's == is NaN-safe
+            # (NaN == NaN is true) — exactly the divergence this avoids.
+            # Filter context: pushable EqualTo conjunct + isnan residual
+            if nif:
+                eq = l == r
+                for c_, t_ in ((l, lt), (r, rt)):
+                    if isinstance(t_, (T.FloatType, T.DoubleType)):
+                        eq = eq & ~F.isnan(c_)
+                return eq
+            return (F.when(l.isNull() | r.isNull(),
+                           F.lit(None).cast("boolean"))
+                     .when(nan, F.lit(False)).otherwise(l == r))
         return l == r
+
+    @staticmethod
+    def _nan_any(l: Column, lt, r: Column, rt):
+        """isnan(l) | isnan(r) over whichever operands are statically
+        floating-point, or None when neither can be NaN."""
+        nan = None
+        for c_, t_ in ((l, lt), (r, rt)):
+            if isinstance(t_, (T.FloatType, T.DoubleType)):
+                g = F.isnan(c_)
+                nan = g if nan is None else (nan | g)
+        return nan
+
+    def _tag_pair(self, arr: Column, el_t, other: Column, other_t,
+                  both_lists: bool = False):
+        """Encode a list's elements and a companion value into one shared
+        tagged layout (heterogeneous list append/concat — the ListValue
+        append/prepend branches of CypherMath.java add).  Returns
+        (encoded_array, encoded_other); ``other`` is a second list when
+        ``both_lists``, else a single element."""
+        from . import anyvalue as AV
+
+        types = [el_t, other_t]
+        if all(AV._is_scalar_class(t)
+               or (AV.is_any_type(t) and not AV.is_deep_any_type(t))
+               for t in types):
+            def enc(c, t):
+                return c if AV.is_any_type(t) else AV.to_any(c, t)
+        else:
+            d = max(1, *[AV.container_depth(t) for t in types])
+
+            def enc(c, t):
+                return AV.to_any_deep(c, t, d)
+        ea = F.transform(arr, lambda x: enc(x, el_t))
+        eo = (F.transform(other, lambda x: enc(x, other_t))
+              if both_lists else enc(other, other_t))
+        return ea, eo
 
     def _c_BinOp(self, e: A.BinOp) -> Column:
         op = e.op
@@ -588,6 +666,7 @@ class ExprCompiler:
         if op in ("=", "<>"):
             from . import anyvalue as AV
 
+            nif, self._nif = self._nif and op == "=", False
             l, r = self._entity_aware(e.left), self._entity_aware(e.right)
             lt = self.dtype_of(l)
             rt0 = self.dtype_of(r)
@@ -602,11 +681,12 @@ class ExprCompiler:
                 else:
                     eq = AV.any_eq(AV.to_any(l, lt), AV.to_any(r, rt0))
                 return eq if op == "=" else ~eq
-            eq = self._ternary_eq(l, lt, r, rt0)
+            eq = self._ternary_eq(l, lt, r, rt0, nif=nif)
             return eq if op == "=" else ~eq
         if op in ("<", "<=", ">", ">="):
             from . import anyvalue as AV
 
+            nif, self._nif = self._nif, False
             l, r = self._entity_aware(e.left), self._entity_aware(e.right)
             lt0, rt0 = self.dtype_of(l), self.dtype_of(r)
             l, lt0 = self._unzone(l, lt0)
@@ -628,7 +708,23 @@ class ExprCompiler:
                 # durations are orderable but NOT comparable — months vs
                 # days have no fixed ratio (TemporalValue comparability)
                 return F.lit(None).cast("boolean")
-            return {"<": l < r, "<=": l <= r, ">": l > r, ">=": l >= r}[op]
+            cmp = {"<": l < r, "<=": l <= r, ">": l > r, ">=": l >= r}[op]
+            nan = self._nan_any(l, lt0, r, rt0)
+            if nan is not None:
+                # a NaN operand makes the comparison UNDEFINED
+                # (FloatingPointValue.ternaryUndefined -> Comparison
+                # .UNDEFINED); Spark orders NaN greatest instead.  In the
+                # null-is-false filter context emit pushable conjuncts —
+                # the comparison atom reaches PushedFilters, the isnan
+                # residual evaluates in the Filter node
+                if nif:
+                    for c_, t_ in ((l, lt0), (r, rt0)):
+                        if isinstance(t_, (T.FloatType, T.DoubleType)):
+                            cmp = cmp & ~F.isnan(c_)
+                    return cmp
+                return F.when(nan, F.lit(None).cast("boolean")) \
+                        .otherwise(cmp)
+            return cmp
         if op == "IN":
             # Ternary IN (AnyValue.ternaryEquals, AnyValue.java:62):
             #   null IN [..non-empty..] -> null;  null IN [] -> false;
@@ -690,12 +786,31 @@ class ExprCompiler:
                            F.lit(None).cast("boolean"))
                      .when(has_null, F.lit(None).cast("boolean"))
                      .otherwise(F.lit(False)))
-        if op == "STARTSWITH":
-            return self.compile(e.left).startswith(self.compile(e.right))
-        if op == "ENDSWITH":
-            return self.compile(e.left).endswith(self.compile(e.right))
-        if op == "CONTAINS":
-            return self.compile(e.left).contains(self.compile(e.right))
+        if op in ("STARTSWITH", "ENDSWITH", "CONTAINS"):
+            # a non-text operand yields NULL, not false (CypherFunctions
+            # startsWith/endsWith/contains: anything but two TextValues
+            # returns NO_VALUE)
+            from . import anyvalue as AV
+
+            (l, lt), (r, rt) = (self.compile_typed(e.left),
+                                self.compile_typed(e.right))
+
+            def as_text(c_, t_):
+                # text operand, or null when the value isn't text; a
+                # statically non-text class decides null at compile time
+                if t_ is None or isinstance(t_, (T.StringType, T.NullType)):
+                    return c_
+                if AV.is_any_type(t_):
+                    return F.when(c_.getField("__vg") == AV.RANK_STRING,
+                                  c_.getField("__vs"))
+                return None
+
+            lx, rx = as_text(l, lt), as_text(r, rt)
+            if lx is None or rx is None:
+                return F.lit(None).cast("boolean")
+            fn = {"STARTSWITH": lx.startswith, "ENDSWITH": lx.endswith,
+                  "CONTAINS": lx.contains}[op]
+            return fn(rx)
         if op == "=~":
             l = self.compile(e.left)
             r = self.compile(e.right)
@@ -740,9 +855,10 @@ class ExprCompiler:
             if _is_duration(lt):
                 return _dur_scale(lc, F.lit(1.0) / rc.cast("double"))
             if isinstance(lt, INT_TYPES) and isinstance(rt, INT_TYPES):
-                # Cypher integer / integer = integer division truncating toward
-                # zero (CypherMath.java); double-divide + cast truncates the same
-                return (lc / rc).cast("long")
+                # Cypher integer / integer = integer division truncating
+                # toward zero (CypherMath.java); true integral division —
+                # a double round-trip loses exactness above 2^53
+                return F.call_function("div", lc, rc)
             # float division never errors: x/0.0 -> ±Infinity, 0.0/0.0 -> NaN
             # (IEEE semantics, CypherMath.java) — Spark ANSI raises instead
             ld, rd = lc.cast("double"), rc.cast("double")
@@ -751,7 +867,15 @@ class ExprCompiler:
                  .when(ld < 0, F.lit(float("-inf")))
                  .otherwise(F.lit(float("nan"))))
         if op == "%":
-            return lc % rc
+            if isinstance(lt, INT_TYPES) and isinstance(rt, INT_TYPES):
+                return lc % rc  # % by integer zero raises (CypherMath)
+            # floating % follows IEEE: x % 0.0 -> NaN, never an error
+            # (CypherMath.java modulo uses Java % on doubles)
+            ld, rd = lc.cast("double"), rc.cast("double")
+            return F.when(rd != 0.0, ld % rd).otherwise(
+                F.when(ld.isNull() | rd.isNull(),
+                       F.lit(None).cast("double"))
+                 .otherwise(F.lit(float("nan"))))
         if op == "^":
             return F.pow(lc, rc)
         raise CypherTypeError(f"unknown operator {op}")
@@ -767,23 +891,43 @@ class ExprCompiler:
             return self._zoned_shift(lc, rc, 1)
         if _is_duration(lt) and _is_zoned_dt(rt):
             return self._zoned_shift(rc, lc, 1)
+        # list branches take precedence over string concatenation
+        # (CypherMath.java add: the ListValue append/prepend checks run
+        # before the TextValue branch, so [1] + 'a' = [1, 'a'] and
+        # 'a' + [1] = ['a', 1], never string concat)
+        if isinstance(lt, T.ArrayType) and isinstance(rt, T.ArrayType):
+            u = _unify_types(lt, rt)
+            if u is not _NO_UNIFY:
+                return F.concat(lc.cast(u), rc.cast(u))
+            le, re_ = self._tag_pair(lc, lt.elementType, rc, rt.elementType,
+                                     both_lists=True)
+            return F.concat(le, re_)
+        if isinstance(lt, T.ArrayType):
+            if isinstance(rt, T.NullType):
+                return F.lit(None).cast(lt)  # [..] + null -> null
+            u = _unify_types(lt.elementType, rt)
+            if u is not _NO_UNIFY:
+                arr = lc.cast(T.ArrayType(u))
+                return F.when(rc.isNull(), F.lit(None).cast(T.ArrayType(u))) \
+                        .otherwise(F.array_append(arr, rc.cast(u)))
+            le, re_ = self._tag_pair(lc, lt.elementType, rc, rt)
+            return F.when(rc.isNull(), F.lit(None)) \
+                    .otherwise(F.array_append(le, re_))
+        if isinstance(rt, T.ArrayType):
+            if isinstance(lt, T.NullType):
+                return F.lit(None).cast(rt)
+            u = _unify_types(rt.elementType, lt)
+            if u is not _NO_UNIFY:
+                arr, el = rc.cast(T.ArrayType(u)), lc.cast(u)
+            else:
+                arr, el = self._tag_pair(rc, rt.elementType, lc, lt)
+            prepend = (F.array_prepend(arr, el) if hasattr(F, "array_prepend")
+                       else F.concat(F.array(el), arr))
+            return F.when(lc.isNull(), F.lit(None)).otherwise(prepend)
         if isinstance(lt, T.StringType) or isinstance(rt, T.StringType):
             ls = lc if isinstance(lt, T.StringType) else self._to_string(lc, lt)
             rs = rc if isinstance(rt, T.StringType) else self._to_string(rc, rt)
             return F.concat(ls, rs)
-        if isinstance(lt, T.ArrayType) and isinstance(rt, T.ArrayType):
-            return F.concat(lc, rc)
-        if isinstance(lt, T.ArrayType):
-            if isinstance(rt, T.NullType):
-                return F.lit(None).cast(lt)  # [..] + null -> null
-            return F.when(rc.isNull(), F.lit(None).cast(lt)) \
-                    .otherwise(F.array_append(lc, rc))
-        if isinstance(rt, T.ArrayType):
-            if isinstance(lt, T.NullType):
-                return F.lit(None).cast(rt)
-            prepend = (F.array_prepend(rc, lc) if hasattr(F, "array_prepend")
-                       else F.concat(F.array(lc), rc))
-            return F.when(lc.isNull(), F.lit(None).cast(rt)).otherwise(prepend)
         if ((_is_temporal(lt) or _is_zoned_dt(lt)
              or _is_temporal(rt) or _is_zoned_dt(rt))
                 and not isinstance(lt, T.NullType)
@@ -1011,6 +1155,14 @@ class ExprCompiler:
         idx = self.compile(e.index)
         from . import anyvalue as AV
 
+        if isinstance(t, T.ArrayType) and isinstance(
+                self.dtype_of(idx), (T.FloatType, T.DoubleType,
+                                     T.DecimalType)):
+            # list subscripts must be integers (CypherFunctions
+            # .listAccess: a FloatingPointValue index raises, 2.0 incl.)
+            raise CypherTypeError(
+                "Cannot index a list using a non-integer number")
+
         if AV.is_any_type(t):
             # container access through the heterogeneous encoding: a
             # string index is a map-key lookup, anything else a list index
@@ -1175,8 +1327,16 @@ class ExprCompiler:
             return F.exists(src, pred)
         if e.kind == "none":
             return ~F.exists(src, pred)
-        # single
-        return F.size(F.filter(src, pred)) == 1
+        # single: ternary — two definite hits decide false, else any
+        # undefined element makes the result undefined
+        # (SingleFunction in IterableExpressions.scala)
+        trues = F.size(F.filter(
+            src, lambda x: F.coalesce(pred(x), F.lit(False))))
+        undef = F.exists(src, lambda x: pred(x).isNull())
+        return (F.when(src.isNull(), F.lit(None).cast("boolean"))
+                 .when(trues > 1, F.lit(False))
+                 .when(undef, F.lit(None).cast("boolean"))
+                 .otherwise(trues == 1))
 
     def _c_Reduce(self, e: A.Reduce) -> Column:
         src = self.compile(e.source)

@@ -174,8 +174,42 @@ class Translator:
                     out = out.offset(self._int_value(post.skip))
                 if post.limit is not None:
                     out = out.limit(self._int_value(post.limit))
-            return out
-        return self._single(ast)
+            return self._render_tagged(out)
+        return self._render_tagged(self._single(ast))
+
+    @staticmethod
+    def _render_tagged(df: DataFrame) -> DataFrame:
+        """ProduceResult epilogue: any column still carrying the INTERNAL
+        tagged heterogeneous encoding (e.g. min/max over mixed-type
+        values, a returned heterogeneous list) renders to its Cypher text
+        form.  A Spark column has one static type, so a dynamically-typed
+        result cell is representable only as text (documented divergence
+        from the reference's AnyValue results)."""
+        from . import anyvalue as AV
+
+        out_cols, changed = [], False
+        for f in df.schema.fields:
+            c = F.col(f.name)
+            t = f.dataType
+            if AV.is_any_type(t):
+                d = AV.any_layout_depth(t)
+                c = (AV.any_to_string(c) if d == 0
+                     else AV.any_to_string_deep(c, d))
+                changed = True
+            elif isinstance(t, T.ArrayType) and AV.is_any_type(t.elementType):
+                d = AV.any_layout_depth(t.elementType)
+
+                def _render(dd):
+                    return lambda x: AV.any_render_element(x, dd)
+
+                c = F.when(
+                    c.isNull(), F.lit(None).cast("string")).otherwise(
+                    F.concat(F.lit("["), F.array_join(
+                        F.transform(c, _render(d)), ", "),
+                        F.lit("]")))
+                changed = True
+            out_cols.append(c.alias(f.name))
+        return df.select(*out_cols) if changed else df
 
     def _inline_param_props(self, obj):
         """``(n:L $props)`` / ``[r:T $props]``: swap a whole-map property
@@ -644,11 +678,32 @@ class Translator:
         df = self._uniqueness_filters(df, rel_bindings)
         for p in pending:
             df, expr = self._lower_predicates(df, p)
-            df = df.filter(self._compiler(df).compile(expr).cast("boolean"))
+            df = df.filter(self._bool_pred(self._compiler(df), expr))
         if m.where is not None:
             df, expr = self._lower_predicates(df, m.where)
-            df = df.filter(self._compiler(df).compile(expr).cast("boolean"))
+            df = df.filter(self._bool_pred(self._compiler(df), expr))
         return df
+
+    def _bool_pred(self, cc, expr) -> Column:
+        """Compile a WHERE predicate and reject statically non-boolean
+        values (CoerceToPredicate: a number/string/temporal in boolean
+        position is a type error, not truthiness)."""
+        cc._nif = True  # WHERE: UNDEFINED == FALSE, comparisons pushable
+        try:
+            col = cc.compile(expr)
+        finally:
+            cc._nif = False
+        t = cc.dtype_of(col)
+        from .exprs import INT_TYPES, _is_duration
+
+        if isinstance(t, (*INT_TYPES, T.FloatType, T.DoubleType,
+                          T.DecimalType, T.StringType, T.DateType,
+                          T.TimestampType, T.TimestampNTZType)) \
+                or _is_duration(t):
+            raise TranslateError(
+                f"Type mismatch: expected Boolean but was "
+                f"{t.simpleString()}")
+        return col.cast("boolean")
 
     def _optional_match(self, df: DataFrame, m: A.Match) -> DataFrame:
         """Optional (LP:3095) == left outer join on the correlated variables."""
@@ -1110,7 +1165,7 @@ class Translator:
             del pending[pend_start:]
             for p in part_pend:
                 df, expr = self._lower_predicates(df, p)
-                df = df.filter(self._compiler(df).compile(expr).cast("boolean"))
+                df = df.filter(self._bool_pred(self._compiler(df), expr))
             df = self._uniqueness_filters(df, rel_bindings[rb_start:])
             df = self._apply_path_selector(df, part, path_nodes, path_rels)
         if part.path_var:
@@ -2471,10 +2526,16 @@ class Translator:
     def _unwind(self, df: Optional[DataFrame], u: A.Unwind) -> DataFrame:
         def fix(col: Column, cc) -> Column:
             # UNWIND null yields zero rows (explode drops null rows, but a
-            # typeless NULL literal must be cast before explode resolves)
+            # typeless NULL literal must be cast before explode resolves).
+            # UNWIND of a non-list scalar yields ONE row carrying the value
+            # (UnwindPipe wraps non-sequence values as a singleton list);
+            # a null scalar still yields zero rows
             t = cc.dtype_of(col)
             if isinstance(t, T.NullType):
                 return col.cast("array<string>")
+            if not isinstance(t, T.ArrayType):
+                return F.when(col.isNull(), F.lit(None)) \
+                        .otherwise(F.array(col))
             return col
 
         if df is None:
@@ -2543,7 +2604,7 @@ class Translator:
             if isinstance(it.expr, A.Var) and it.expr.name in old_labels}
         if p.where is not None:
             out, expr = self._lower_predicates(out, p.where)
-            out = out.filter(self._compiler(out).compile(expr).cast("boolean"))
+            out = out.filter(self._bool_pred(self._compiler(out), expr))
         if order_items:
             # ORDER BY may reference pre-projection variables (Cypher keeps
             # the previous scope in scope for sorting); such items become

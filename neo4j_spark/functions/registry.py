@@ -175,6 +175,16 @@ def _datetime_to_string(col: Column, with_offset: bool = False) -> Column:
     return F.concat(base, tail, off)
 
 
+def _checked(cond: Column, value: Column, msg: str) -> Column:
+    """``value`` where ``cond`` holds, else raise ``msg`` at runtime —
+    the per-row argument checks of CypherFunctions.java.  raise_error in
+    the else branch survives the optimizer where an assert_true wrapped
+    in ``when(x.isNull(), ...)`` is elided (AssertTrue types as null, so
+    the IsNull folds away without evaluating it)."""
+    return F.when(cond, value).otherwise(
+        F.call_function("raise_error", F.lit(msg)))
+
+
 def compile_function(cc, e: A.Func) -> Column:
     """cc: ExprCompiler; e: Func AST node."""
     name = e.name
@@ -231,14 +241,19 @@ def compile_function(cc, e: A.Func) -> Column:
             return F.lit(None).cast("array<string>")
         if isinstance(t, T.StructType):
             fields = [f.name for f in t.fields if not f.name.startswith("_")]
+            if "_id" not in t.fieldNames():
+                # plain map value: a null-VALUED key is still a key
+                # (MapValue keeps NO_VALUE entries; only entities drop
+                # null properties as absent)
+                return F.when(col.isNull(),
+                              F.lit(None).cast("array<string>")) \
+                        .otherwise(F.array(*[F.lit(f) for f in fields]))
             arr = F.array(*[
                 F.when(col.getField(f).isNotNull(), F.lit(f)) for f in fields
             ])
             out = F.array_compact(arr)
-            if "_id" in t.fieldNames():
-                out = F.when(col.getField("_id").isNull(),
-                             F.lit(None).cast("array<string>")).otherwise(out)
-            return out
+            return F.when(col.getField("_id").isNull(),
+                          F.lit(None).cast("array<string>")).otherwise(out)
         if isinstance(t, T.MapType):
             return F.map_keys(col)
         raise FunctionError("keys() expects node/rel/map")
@@ -361,7 +376,13 @@ def compile_function(cc, e: A.Func) -> Column:
     if name == "sign":
         return F.signum(c(0)).cast("long")
     if name == "cot":
-        return F.lit(1.0) / F.tan(c(0))
+        # cot(0) = 1/0.0 = Infinity in Java (CypherFunctions.cot); Spark
+        # ANSI division raises, so guard the zero (sign of a negative zero
+        # is not observable column-side — both zeros map to +Infinity)
+        t = F.tan(c(0))
+        return F.when(t != 0.0, F.lit(1.0) / t).otherwise(
+            F.when(t.isNull(), F.lit(None).cast("double"))
+             .otherwise(F.lit(float("inf"))))
     if name == "haversin":
         return (F.lit(1.0) - F.cos(c(0))) / 2
     if name == "atan2":
@@ -393,22 +414,27 @@ def compile_function(cc, e: A.Func) -> Column:
     if name == "left":
         # negative length throws (StringWrappingStringValue.substring:100)
         col, ln = c(0), c(1)
-        ok = F.assert_true(ln.isNull() | (ln >= 0),
-                           "negative length in left()")
-        return F.when(ok.isNull(), col.substr(F.lit(1), ln))
+        return _checked(ln.isNull() | (ln >= 0),
+                        col.substr(F.lit(1), ln),
+                        "negative length in left()")
     if name == "right":
         col, ln = c(0), c(1)
-        ok = F.assert_true(ln.isNull() | (ln >= 0),
-                           "negative length in right()")
-        return F.when(
-            ok.isNull(),
-            col.substr(F.greatest(F.length(col) - ln + 1, F.lit(1)), ln))
+        return _checked(
+            ln.isNull() | (ln >= 0),
+            col.substr(F.greatest(F.length(col) - ln + 1, F.lit(1)), ln),
+            "negative length in right()")
     if name == "substring":
-        col = c(0)
-        start = c(1) + 1  # Cypher 0-based
+        # negative start/length throw (CypherFunctions.substring checks)
+        col, s0 = c(0), c(1)
+        ok = s0.isNull() | (s0 >= 0)
+        start = s0 + 1  # Cypher 0-based
         if n == 3:
-            return col.substr(start, c(2))
-        return col.substr(start, F.length(col))
+            ln = c(2)
+            return _checked(ok & (ln.isNull() | (ln >= 0)),
+                            col.substr(start, ln),
+                            "negative start or length in substring()")
+        return _checked(ok, col.substr(start, F.length(col)),
+                        "negative start in substring()")
     if name == "replace":
         # Java String.replace semantics (StringValue.java:190-194): an
         # EMPTY search string interleaves the replacement between every
@@ -427,10 +453,16 @@ def compile_function(cc, e: A.Func) -> Column:
     if name == "split":
         import re as _re
         if isinstance(args[1], A.Lit):
+            if args[1].value is None:
+                return F.lit(None).cast("array<string>")
             return F.split(c(0), _re.escape(args[1].value))
         if isinstance(args[1], A.ListLit) and all(
                 isinstance(x, A.Lit) for x in args[1].items):
-            # split(s, [d1, d2, ...]): any delimiter splits
+            # split(s, [d1, d2, ...]): any delimiter splits; a null in
+            # the separator list makes the whole call null
+            # (CypherFunctions.split:956)
+            if any(x.value is None for x in args[1].items):
+                return F.lit(None).cast("array<string>")
             pat = "|".join(_re.escape(x.value) for x in args[1].items)
             return F.split(c(0), pat)
         return F.split(c(0), c(1))
@@ -513,14 +545,45 @@ def compile_function(cc, e: A.Func) -> Column:
                 F.array_join(F.transform(
                     col, lambda x: AV.any_render_element(x, d)), ", "),
                 F.lit("]"))
+        if isinstance(t, T.StructType) \
+                and {"crs", "x", "y"} <= set(t.fieldNames()):
+            # PointValue.prettyPrint: point({x: ..., y: ..., crs: '...'})
+            zpart = F.lit("")
+            if "z" in t.fieldNames():
+                zpart = F.when(
+                    col.getField("z").isNotNull(),
+                    F.concat(F.lit(", z: "),
+                             col.getField("z").cast("string"))) \
+                    .otherwise(F.lit(""))
+            return F.when(col.isNull(), F.lit(None).cast("string")) \
+                .otherwise(F.concat(
+                    F.lit("point({x: "), col.getField("x").cast("string"),
+                    F.lit(", y: "), col.getField("y").cast("string"),
+                    zpart, F.lit(", crs: '"), col.getField("crs"),
+                    F.lit("'})")))
         return col.cast("string")
     if name in ("tointeger", "tointegerornull"):
         col, t = ctyped(0)
         if isinstance(t, T.StringType):
-            return F.try_cast(F.try_cast(col, "double"), "long") if hasattr(F, "try_cast") \
-                else col.try_cast("double").try_cast("long")
+            d = col.try_cast("double")
+            as_long = d.try_cast("long")
+            if name == "tointeger":
+                # stringToLongValue (CypherFunctions.java:1646): a string
+                # that parses as a number but exceeds the long range
+                # THROWS for toInteger (OrNull maps it to null)
+                return _checked(d.isNull() | as_long.isNotNull(), as_long,
+                                "integer value is too large")
+            return as_long
         if isinstance(t, T.BooleanType):
             return F.when(col, 1).otherwise(0).cast("long")
+        if isinstance(t, (T.FloatType, T.DoubleType)):
+            # Java (long) double semantics (NumberValue.longValue):
+            # NaN -> 0, out-of-range saturates — ANSI cast raises instead
+            maxl, minl = 9223372036854775807, -9223372036854775808
+            return (F.when(F.isnan(col), F.lit(0).cast("long"))
+                     .when(col >= F.lit(9.223372036854776e18), F.lit(maxl))
+                     .when(col <= F.lit(-9.223372036854776e18), F.lit(minl))
+                     .otherwise(col.cast("long")))
         return col.cast("long")
     if name in ("tofloat", "tofloatornull"):
         col, t = ctyped(0)
@@ -538,22 +601,58 @@ def compile_function(cc, e: A.Func) -> Column:
                      .when(lowered == "false", F.lit(False))
                      .otherwise(F.lit(None).cast("boolean")))
         return col.cast("boolean")
-    if name == "tointegerlist":
-        return F.transform(c(0), lambda x: x.try_cast("long"))
-    if name == "tofloatlist":
-        return F.transform(c(0), lambda x: x.try_cast("double"))
-    if name == "tostringlist":
-        return F.transform(c(0), lambda x: x.cast("string"))
-    if name == "tobooleanlist":
+    if name in ("tointegerlist", "tofloatlist", "tostringlist",
+                "tobooleanlist"):
+        # elementwise to*OrNull (CypherFunctions.toIntegerList et al:
+        # every entry maps through the OrNull coercion); heterogeneous
+        # lists dispatch per-element on the tagged rank
+        from ..cypher import anyvalue as AV
+
         col, t = ctyped(0)
-        if isinstance(t, T.ArrayType) \
-                and isinstance(t.elementType, T.StringType):
-            def _to_bool(x):
-                lowered = F.lower(F.trim(x))
-                return (F.when(lowered == "true", F.lit(True))
-                         .when(lowered == "false", F.lit(False))
-                         .otherwise(F.lit(None).cast("boolean")))
-            return F.transform(col, _to_bool)
+        el_t = t.elementType if isinstance(t, T.ArrayType) else None
+        tagged = el_t is not None and AV.is_any_type(el_t)
+
+        def _to_bool_str(x):
+            lowered = F.lower(F.trim(x))
+            return (F.when(lowered == "true", F.lit(True))
+                     .when(lowered == "false", F.lit(False))
+                     .otherwise(F.lit(None).cast("boolean")))
+
+        if tagged:
+            def conv(x):
+                g = x.getField("__vg")
+                vs, vb = x.getField("__vs"), x.getField("__vb")
+                vi, vn = x.getField("__vi"), x.getField("__vn")
+                if name == "tostringlist":
+                    return AV.any_to_string(x)
+                if name == "tointegerlist":
+                    return (F.when(g == AV.RANK_BOOLEAN,
+                                   vb.cast("long"))
+                             .when((g == AV.RANK_NUMBER) & vi.isNotNull(),
+                                   vi)
+                             .when(g == AV.RANK_NUMBER,
+                                   vn.try_cast("long"))
+                             .when(g == AV.RANK_STRING,
+                                   vs.try_cast("double").try_cast("long")))
+                if name == "tofloatlist":
+                    return (F.when(g == AV.RANK_NUMBER, vn)
+                             .when(g == AV.RANK_STRING,
+                                   vs.try_cast("double")))
+                return (F.when(g == AV.RANK_BOOLEAN, vb)
+                         .when(g == AV.RANK_STRING, _to_bool_str(vs)))
+            return F.transform(col, conv)
+        if name == "tointegerlist":
+            if isinstance(el_t, T.StringType):
+                return F.transform(
+                    col,
+                    lambda x: x.try_cast("double").try_cast("long"))
+            return F.transform(col, lambda x: x.try_cast("long"))
+        if name == "tofloatlist":
+            return F.transform(col, lambda x: x.try_cast("double"))
+        if name == "tostringlist":
+            return F.transform(col, lambda x: x.cast("string"))
+        if isinstance(el_t, T.StringType):
+            return F.transform(col, _to_bool_str)
         return F.transform(col, lambda x: x.try_cast("boolean"))
     if name == "valuetype":
         # GQL type descriptions (functions/ValueType.scala →
@@ -598,10 +697,13 @@ def compile_function(cc, e: A.Func) -> Column:
         start, stop = c(0), c(1)
         step = c(2) if n == 3 else F.lit(1)
         # Neo4j: an empty range (start past stop for the step's direction)
-        # is [], where Spark's sequence() raises
+        # is [], where Spark's sequence() raises; a ZERO step throws
+        # (CypherFunctions.range: "step argument to range() cannot be zero")
         ok = ((step > 0) & (start <= stop)) | ((step < 0) & (start >= stop))
-        return F.when(ok, F.sequence(start, stop, step)) \
-                .otherwise(F.array().cast("array<bigint>"))
+        return _checked(step.isNull() | (step != 0),
+                        F.when(ok, F.sequence(start, stop, step))
+                         .otherwise(F.array().cast("array<bigint>")),
+                        "step argument to range() cannot be zero")
 
     # ---- temporal --------------------------------------------------------
     def _map_field(col, t, key, default):
@@ -645,7 +747,37 @@ def compile_function(cc, e: A.Func) -> Column:
                 return F.date_add(F.make_date(y, F.lit(1), F.lit(1)),
                                   fld("ordinalday", 1) - 1)
             return F.make_date(y, fld("month", 1), fld("day", 1))
-        return F.to_date(col)
+        # string parse: besides calendar dates, DateValue.parse (PATTERN)
+        # accepts ISO week (yyyy-Www-d), quarter (yyyy-Qq-dd) and ordinal
+        # (yyyy-ddd) forms, dashed or compact, plus year / year-month
+        wk = r"(?i)^(\d{4})-?W(\d{1,2})(?:-?(\d))?$"
+        qt = r"(?i)^(\d{4})-?Q([1-4])(?:-?(\d{1,2}))?$"
+        od = r"^(\d{4})-?(\d{3})$"
+        ym = r"^(\d{4})(?:-(\d{1,2}))?$"
+        cal8 = r"^(\d{4})(\d{2})(\d{2})$"
+
+        def ex(pat, i, default=1):
+            return F.coalesce(
+                F.regexp_extract(col, pat, i).try_cast("int"),
+                F.lit(default))
+
+        jan4 = F.make_date(ex(wk, 1), F.lit(1), F.lit(4))
+        week_date = F.date_add(
+            F.date_sub(jan4, F.weekday(jan4)),
+            (ex(wk, 2) - 1) * 7 + ex(wk, 3) - 1)
+        quarter_date = F.date_add(
+            F.make_date(ex(qt, 1), (ex(qt, 2) - 1) * 3 + 1, F.lit(1)),
+            ex(qt, 3) - 1)
+        ordinal_date = F.date_add(
+            F.make_date(ex(od, 1), F.lit(1), F.lit(1)), ex(od, 2) - 1)
+        return (F.when(col.rlike(wk), week_date)
+                 .when(col.rlike(qt), quarter_date)
+                 .when(col.rlike(od), ordinal_date)
+                 .when(col.rlike(ym),
+                       F.make_date(ex(ym, 1), ex(ym, 2), F.lit(1)))
+                 .when(col.rlike(cal8),
+                       F.make_date(ex(cal8, 1), ex(cal8, 2), ex(cal8, 3)))
+                 .otherwise(F.to_date(col)))
     if name in ("datetime.fromepoch", "localdatetime.fromepoch"):
         # datetime.fromepoch(seconds, nanoseconds)
         # (TemporalFunction.java FromEpoch)
@@ -824,23 +956,61 @@ def compile_function(cc, e: A.Func) -> Column:
             secs_f = total(("hours", 3600), ("minutes", 60), ("seconds", 1),
                            ("milliseconds", 1e-3), ("microseconds", 1e-6),
                            ("nanoseconds", 1e-9))
+            sign = F.lit(1.0)
+            guard = None
         else:
-            pat = (r"^P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)W)?(?:(\d+)D)?"
-                   r"(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?$")
+            # DurationValue.java PATTERN (line 310): overall [-+]? sign,
+            # per-unit [-+]? signs, decimal fractions ('.' or ','),
+            # case-insensitive, plus the date-based form
+            # P<yyyy>-<mm>-<dd>T<hh>:<mm>:<ss.fff>
+            num = r"([-+]?\d+(?:[.,]\d+)?)"
+            unit_pat = (r"(?i)^([-+]?)P(?:" + num + r"Y)?(?:" + num + r"M)?"
+                        r"(?:" + num + r"W)?(?:" + num + r"D)?"
+                        r"(?:T(?:" + num + r"H)?(?:" + num + r"M)?"
+                        r"(?:" + num + r"S)?)?$")
+            date_pat = (r"(?i)^([-+]?)P(\d{4})-(\d{2})-(\d{2})"
+                        r"T(\d{2}):(\d{2}):(\d{2}(?:[.,]\d+)?)$")
 
-            def grp(i):
+            def grp(pat, i):
                 return F.coalesce(
-                    F.regexp_extract(col, pat, i).try_cast("double"),
-                    F.lit(0.0))
+                    F.translate(F.regexp_extract(col, pat, i), ",", ".")
+                     .try_cast("double"), F.lit(0.0))
 
-            months = grp(1) * 12 + grp(2)
-            days = grp(3) * 7 + grp(4)
-            secs_f = grp(5) * 3600 + grp(6) * 60 + grp(7)
-        seconds = F.floor(secs_f).cast("long")
-        nanos = F.round((secs_f - F.floor(secs_f)) * 1e9).cast("long")
+            is_unit = col.rlike(unit_pat)
+            sign = F.when(
+                F.when(is_unit, F.regexp_extract(col, unit_pat, 1))
+                 .otherwise(F.regexp_extract(col, date_pat, 1)) == "-",
+                F.lit(-1.0)).otherwise(F.lit(1.0))
+            months = F.when(
+                is_unit, grp(unit_pat, 2) * 12 + grp(unit_pat, 3)) \
+                .otherwise(grp(date_pat, 2) * 12 + grp(date_pat, 3))
+            days = F.when(is_unit, grp(unit_pat, 4) * 7 + grp(unit_pat, 5)) \
+                .otherwise(grp(date_pat, 4))
+            secs_f = F.when(
+                is_unit,
+                grp(unit_pat, 6) * 3600 + grp(unit_pat, 7) * 60
+                + grp(unit_pat, 8)) \
+                .otherwise(grp(date_pat, 5) * 3600 + grp(date_pat, 6) * 60
+                           + grp(date_pat, 7))
+            guard = col.isNull() | is_unit | col.rlike(date_pat)
+        # approximate() carry chain (DurationValue.java:858): truncate each
+        # unit toward zero, carry the fractional remainder into the next
+        # smaller unit (AVG_SECONDS_PER_MONTH = 2_629_746); the overall
+        # sign applies to every component last
+        months_l = months.cast("long")
+        days_c = days + (months - months_l) * (2629746.0 / 86400.0)
+        days_l = days_c.cast("long")
+        secs_c = secs_f + (days_c - days_l) * 86400.0
+        secs_l = secs_c.cast("long")
+        nanos_l = F.round((secs_c - secs_l) * 1e9).cast("long")
         res = F.struct(
-            months.cast("long").alias("months"), days.cast("long").alias("days"),
-            seconds.alias("seconds"), nanos.alias("nanos"))
+            (sign * months_l).cast("long").alias("months"),
+            (sign * days_l).cast("long").alias("days"),
+            (sign * secs_l).cast("long").alias("seconds"),
+            (sign * nanos_l).cast("long").alias("nanos"))
+        if guard is not None:
+            res = _checked(guard, res,
+                           "Text cannot be parsed to a Duration")
         # duration(null) -> null (TemporalFunction: null input, null value)
         return F.when(col.isNull(), F.lit(None).cast(
             "struct<months:bigint,days:bigint,seconds:bigint,nanos:bigint>")

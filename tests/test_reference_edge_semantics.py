@@ -1,0 +1,255 @@
+"""Edge semantics verified against the reference source (round-4 probe
+sweep): CypherMath.java arithmetic, CypherFunctions.java coercions and
+argument checks, Value.java NaN equality/comparability, DurationValue
+/DateValue parse forms, and IterableExpressions quantifier ternary logic."""
+
+import math
+
+import pytest
+
+from neo4j_spark.api import cypher
+
+
+def rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def one(spark, g, q):
+    [(v,)] = rows(cypher(spark, q, g))
+    return v
+
+
+class TestArithmeticEdges:
+    """CypherMath.java add/divide/modulo + ValueMath overflow."""
+
+    def test_integer_division_exact_above_2_53(self, spark, chain_graph):
+        # double-roundtrip division would round this to ...330
+        assert one(spark, chain_graph,
+                   "RETURN 9007199254740993 / 3 AS v") == 3002399751580331
+
+    def test_int_division_truncates_toward_zero(self, spark, chain_graph):
+        assert rows(cypher(spark, "RETURN -3 / 2 AS a, 3 / 2 AS b",
+                           chain_graph)) == [(-1, 1)]
+
+    def test_float_mod_by_zero_is_nan(self, spark, chain_graph):
+        assert math.isnan(one(spark, chain_graph, "RETURN 1.0 % 0.0 AS v"))
+
+    def test_int_div_and_mod_by_zero_raise(self, spark, chain_graph):
+        with pytest.raises(Exception, match="(?i)zero"):
+            cypher(spark, "RETURN 1 / 0 AS v", chain_graph).collect()
+        with pytest.raises(Exception, match="(?i)zero"):
+            cypher(spark, "RETURN 1 % 0 AS v", chain_graph).collect()
+
+    def test_long_overflow_raises(self, spark, chain_graph):
+        with pytest.raises(Exception, match="(?i)overflow"):
+            cypher(spark, "RETURN 9223372036854775807 + 1 AS v",
+                   chain_graph).collect()
+
+    def test_cot_zero_is_infinity(self, spark, chain_graph):
+        assert one(spark, chain_graph, "RETURN cot(0) AS v") == float("inf")
+
+    def test_inf_nan_keyword_literals(self, spark, chain_graph):
+        [(a, b, c)] = rows(cypher(
+            spark, "RETURN Inf AS a, -Infinity AS b, NaN AS c", chain_graph))
+        assert a == float("inf") and b == float("-inf") and math.isnan(c)
+
+
+class TestListPlusPrecedence:
+    """CypherMath.add: ListValue append/prepend precede string concat."""
+
+    def test_list_plus_string_appends(self, spark, chain_graph):
+        # heterogeneous result renders as its Cypher text form
+        assert one(spark, chain_graph,
+                   "RETURN [1] + 'a' AS v") == "[1, a]"
+
+    def test_string_plus_list_prepends(self, spark, chain_graph):
+        assert one(spark, chain_graph,
+                   "RETURN 'a' + [1] AS v") == "[a, 1]"
+
+    def test_homogeneous_append_stays_typed(self, spark, chain_graph):
+        assert rows(cypher(
+            spark, "RETURN ([1] + 2)[1] AS a, (1 + [2, 3])[0] AS b",
+            chain_graph)) == [(2, 1)]
+
+    def test_numeric_widening_append(self, spark, chain_graph):
+        assert one(spark, chain_graph,
+                   "RETURN [1] + 2.5 AS v") == [1.0, 2.5]
+
+
+class TestNaNSemantics:
+    """Value.java:151 hasNaNOperand -> Equality.FALSE; ternary compare
+    with a NaN operand is UNDEFINED (Value.java:170)."""
+
+    def test_nan_never_equals(self, spark, chain_graph):
+        assert rows(cypher(
+            spark,
+            "RETURN 0.0/0.0 = 0.0/0.0 AS a, 0.0/0.0 <> 0.0/0.0 AS b, "
+            "0.0/0.0 = 1.0 AS c", chain_graph)) == [(False, True, False)]
+
+    def test_nan_comparison_is_null_in_return(self, spark, chain_graph):
+        assert rows(cypher(
+            spark, "RETURN (0.0/0.0) < 1.0 AS a, (0.0/0.0) >= 1.0 AS b",
+            chain_graph)) == [(None, None)]
+
+    def test_nan_filter_drops_rows_and_pushes_down(self, spark, tpch_graph):
+        # WHERE compiles the pushable conjunct form: the comparison atom
+        # must reach PushedFilters (null-is-false context)
+        df = cypher(spark,
+                    "MATCH (c:Customer) WHERE c.acctbal >= 1000 "
+                    "RETURN count(*) AS n", tpch_graph)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "GreaterThanOrEqual(c_acctbal,1000" in plan.replace(" ", "")
+
+
+class TestCoercionEdges:
+    def test_tointeger_string_forms(self, spark, chain_graph):
+        assert rows(cypher(
+            spark,
+            "RETURN toInteger('42') AS a, toInteger('42.7') AS b, "
+            "toInteger('foo') AS c, toInteger(true) AS d, "
+            "toInteger(-3.9) AS e", chain_graph)) == [(42, 42, None, 1, -3)]
+
+    def test_tointeger_too_large_raises_ornull_nulls(self, spark,
+                                                     chain_graph):
+        with pytest.raises(Exception, match="(?i)too large"):
+            cypher(spark, "RETURN toInteger('1e20') AS v",
+                   chain_graph).collect()
+        assert one(spark, chain_graph,
+                   "RETURN toIntegerOrNull('1e20') AS v") is None
+
+    def test_tointeger_nan_is_zero(self, spark, chain_graph):
+        # Java (long) NaN == 0 (NumberValue.longValue)
+        assert one(spark, chain_graph,
+                   "RETURN toInteger(0.0/0.0) AS v") == 0
+
+    def test_list_conversions_elementwise_ornull(self, spark, chain_graph):
+        assert rows(cypher(
+            spark,
+            "RETURN toIntegerList(['1', 'x', 2.9]) AS a, "
+            "toBooleanList(['true', 'x', false]) AS b, "
+            "toStringList([1, 2.5, 'a', null]) AS c", chain_graph)) == \
+            [(
+                [1, None, 2],
+                [True, None, False],
+                ["1", "2.5", "a", None],
+            )]
+
+
+class TestArgumentChecks:
+    def test_range_zero_step_raises(self, spark, chain_graph):
+        with pytest.raises(Exception, match="(?i)zero"):
+            cypher(spark, "RETURN range(0, 2, 0) AS v",
+                   chain_graph).collect()
+
+    def test_substring_negative_raises(self, spark, chain_graph):
+        with pytest.raises(Exception, match="(?i)negative"):
+            cypher(spark, "RETURN substring('hello', -1) AS v",
+                   chain_graph).collect()
+
+    def test_left_negative_raises(self, spark, chain_graph):
+        with pytest.raises(Exception, match="(?i)negative"):
+            cypher(spark, "RETURN left('hello', -1) AS v",
+                   chain_graph).collect()
+
+    def test_non_integer_list_index_raises(self, spark, chain_graph):
+        from neo4j_spark.cypher.exprs import CypherTypeError
+        with pytest.raises(CypherTypeError):
+            cypher(spark, "RETURN [1, 2, 3][1.5] AS v", chain_graph)
+
+    def test_where_non_boolean_raises(self, spark, chain_graph):
+        from neo4j_spark.cypher.translate import TranslateError
+        with pytest.raises(TranslateError):
+            cypher(spark, "WITH 1 AS x WHERE 1 RETURN x", chain_graph)
+
+
+class TestStringPredicateEdges:
+    def test_non_text_operand_is_null(self, spark, chain_graph):
+        assert rows(cypher(
+            spark,
+            "RETURN 'abc' STARTS WITH 1 AS a, 'abc' CONTAINS true AS b, "
+            "1 ENDS WITH 'a' AS c, 'abc' STARTS WITH '' AS d",
+            chain_graph)) == [(None, None, None, True)]
+
+    def test_split_null_separator_in_list(self, spark, chain_graph):
+        assert rows(cypher(
+            spark,
+            "RETURN split('a,b', [',', null]) AS a, "
+            "split('a,b;c', [',', ';']) AS b", chain_graph)) == \
+            [(None, ["a", "b", "c"])]
+
+
+class TestQuantifierTernary:
+    def test_single_with_undefined_element(self, spark, chain_graph):
+        assert rows(cypher(
+            spark,
+            "RETURN single(x IN [1, null] WHERE x > 0) AS a, "
+            "single(x IN [1, 2, null] WHERE x > 0) AS b, "
+            "single(x IN [1, 2, 3] WHERE x = 2) AS c, "
+            "single(x IN [] WHERE x > 0) AS d",
+            chain_graph)) == [(None, False, True, False)]
+
+
+class TestUnwindScalar:
+    def test_unwind_scalar_yields_one_row(self, spark, chain_graph):
+        assert rows(cypher(spark, "UNWIND 5 AS x RETURN x", chain_graph)) \
+            == [(5,)]
+
+    def test_unwind_null_yields_no_rows(self, spark, chain_graph):
+        assert rows(cypher(
+            spark, "UNWIND null AS x RETURN x", chain_graph)) == []
+
+
+class TestTemporalParseForms:
+    """DateValue.parse PATTERN: week / quarter / ordinal forms;
+    DurationValue.parse sign and fraction handling."""
+
+    def test_iso_week_quarter_ordinal_dates(self, spark, chain_graph):
+        import datetime
+        assert rows(cypher(
+            spark,
+            "RETURN date('2020-W03-2') AS w, date('2020-Q2-01') AS q, "
+            "date('2020-123') AS o, date('2020-02') AS ym",
+            chain_graph)) == [(datetime.date(2020, 1, 14),
+                               datetime.date(2020, 4, 1),
+                               datetime.date(2020, 5, 2),
+                               datetime.date(2020, 2, 1))]
+
+    def test_duration_negative_and_fractional(self, spark, chain_graph):
+        assert rows(cypher(
+            spark,
+            "RETURN duration('-PT1H').seconds AS a, "
+            "duration('P1.5D').hours AS b, "
+            "duration('-P1DT30M') = duration({days: -1, minutes: -30}) "
+            "AS c", chain_graph)) == [(-3600, 12, True)]
+
+    def test_duration_date_based_form(self, spark, chain_graph):
+        assert rows(cypher(
+            spark,
+            "WITH duration('P0001-02-03T04:05:06') AS d "
+            "RETURN d.months AS m, d.days AS dd, d.seconds AS s",
+            chain_graph)) == [(14, 3, 14706)]
+
+    def test_duration_garbage_raises(self, spark, chain_graph):
+        with pytest.raises(Exception, match="(?i)duration"):
+            cypher(spark, "RETURN duration('bogus') AS v",
+                   chain_graph).collect()
+
+
+class TestMiscRendering:
+    def test_tostring_point(self, spark, chain_graph):
+        assert one(spark, chain_graph,
+                   "RETURN toString(point({x: 1, y: 2})) AS v") == \
+            "point({x: 1.0, y: 2.0, crs: 'cartesian'})"
+
+    def test_keys_keeps_null_valued_map_keys(self, spark, chain_graph):
+        assert rows(cypher(
+            spark, "RETURN keys({a: 1, b: null}) AS v", chain_graph)) == \
+            [(["a", "b"],)]
+
+    def test_minmax_over_mixed_types_render(self, spark, chain_graph):
+        # aggregate over heterogeneous values: orderability picks the
+        # winner; the result renders as its text form at ProduceResult
+        assert rows(cypher(
+            spark,
+            "UNWIND [1, 'a'] AS x RETURN min(x) AS lo, max(x) AS hi",
+            chain_graph)) == [("a", "1")]
