@@ -300,6 +300,38 @@ CYPHER_QUERIES = {
         "[[1, null], 'a'] = [[1, null], 'a'] AS eq_n, "
         "[[1, 2], 'a'] = [[1, 3], 'a'] AS neq, "
         "[[1]] IN [[[1]], 'x'] AS inn",
+    # reference-exact edge semantics (round-4 probe sweep):
+    # CypherMath.java arithmetic, Value.java NaN rules, DateValue/
+    # DurationValue parse forms, CypherFunctions coercions
+    "edge_arithmetic":
+        "RETURN 9007199254740993 / 3 AS exact_div, -3 / 2 AS trunc_div, "
+        "-3 % 2 AS mod_sign, 1.0 % 0.0 AS nan_mod, cot(0) AS cot0, "
+        "2 ^ 3 AS pow_v",
+    "edge_nan_semantics":
+        "RETURN 0.0/0.0 = 0.0/0.0 AS eq, 0.0/0.0 <> 0.0/0.0 AS ne, "
+        "(0.0/0.0) < 1.0 AS lt, 0.0/0.0 = 1.0 AS eqn, NaN > Inf AS gi",
+    "edge_coercions":
+        "WITH toIntegerList(['1', 'x', 2.9]) AS lst "
+        "RETURN toInteger('42.7') AS a, toInteger(true) AS b, "
+        "toInteger(-3.9) AS c, toIntegerOrNull('1e20') AS d, "
+        "toInteger(0.0/0.0) AS e, lst[0] AS l0, lst[1] AS l1, lst[2] AS l2",
+    "edge_list_plus":
+        "RETURN toString(([1] + 2)[1]) AS a, ([1] + 2.5)[0] AS b, "
+        "[1] + 'a' AS hetero, 'a' + [1] AS hetero2",
+    "edge_iso_dates":
+        "RETURN toString(date('2020-W03-2')) AS w, "
+        "toString(date('2020-Q2-01')) AS q, toString(date('2020-123')) AS o, "
+        "toString(date('2020-02')) AS ym, date('2020-01-14').week AS wk",
+    "edge_duration_parse":
+        "RETURN duration('-PT1H').seconds AS a, duration('P1.5D').hours "
+        "AS b, duration('P0001-02-03T04:05:06').months AS m, "
+        "duration('-P1DT30M').seconds AS s",
+    "edge_string_preds":
+        "RETURN 'abc' STARTS WITH 1 AS a, split('a,b;c', [',', ';'])[1] "
+        "AS b, single(x IN [1, null] WHERE x > 0) AS c, "
+        "substring('hello', 1, 2) AS d",
+    "edge_unwind_scalar":
+        "UNWIND 5 AS x RETURN x AS v",
     # dynamic labels/types (Cypher25Parser.g4 dynamicLabelType):
     # $(expr) with plan-time-constant args resolves before planning, so
     # label-shard pruning and the count store still apply
@@ -1857,6 +1889,33 @@ def _oracle_sql_raw() -> dict[str, str]:
             "SELECT CAST(NULL AS BOOLEAN) AS a, FALSE AS b, TRUE AS c, "
             "CAST(NULL AS BOOLEAN) AS d, 'true' AS e, "
             "'INTEGER NOT NULL' AS vt",
+        "edge_arithmetic":
+            "SELECT CAST(3002399751580331 AS BIGINT) AS exact_div, "
+            "CAST(-1 AS BIGINT) AS trunc_div, CAST(-1 AS BIGINT) AS "
+            "mod_sign, CAST('nan' AS DOUBLE) AS nan_mod, "
+            "CAST('inf' AS DOUBLE) AS cot0, CAST(8 AS DOUBLE) AS pow_v",
+        "edge_nan_semantics":
+            "SELECT FALSE AS eq, TRUE AS ne, CAST(NULL AS BOOLEAN) AS lt, "
+            "FALSE AS eqn, CAST(NULL AS BOOLEAN) AS gi",
+        "edge_coercions":
+            "SELECT CAST(42 AS BIGINT) AS a, CAST(1 AS BIGINT) AS b, "
+            "CAST(-3 AS BIGINT) AS c, CAST(NULL AS BIGINT) AS d, "
+            "CAST(0 AS BIGINT) AS e, CAST(1 AS BIGINT) AS l0, "
+            "CAST(NULL AS BIGINT) AS l1, CAST(2 AS BIGINT) AS l2",
+        "edge_list_plus":
+            "SELECT '2' AS a, CAST(1.0 AS DOUBLE) AS b, '[1, a]' AS hetero, "
+            "'[a, 1]' AS hetero2",
+        "edge_iso_dates":
+            "SELECT '2020-01-14' AS w, '2020-04-01' AS q, '2020-05-02' AS o, "
+            "'2020-02-01' AS ym, CAST(3 AS BIGINT) AS wk",
+        "edge_duration_parse":
+            "SELECT CAST(-3600 AS BIGINT) AS a, CAST(12 AS BIGINT) AS b, "
+            "CAST(14 AS BIGINT) AS m, CAST(-1800 AS BIGINT) AS s",
+        "edge_string_preds":
+            "SELECT CAST(NULL AS BOOLEAN) AS a, 'b' AS b, "
+            "CAST(NULL AS BOOLEAN) AS c, 'el' AS d",
+        "edge_unwind_scalar":
+            "SELECT CAST(5 AS BIGINT) AS v",
         "dyn_label_match":
             "SELECT r_name AS rn, count(*) AS c FROM nation "
             "JOIN region ON n_regionkey = r_regionkey "
