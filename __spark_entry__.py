@@ -30,11 +30,27 @@ def _graph(spark: SparkSession, sf_dir: str):
     return _GRAPH_CACHE[key]
 
 
+_PLAN_CACHE: dict = {}
+
+
 def _cy(text: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from neo4j_spark.api import cypher
 
-        return cypher(spark, text, _graph(spark, sf_dir))
+        # executable-plan cache (the reference's executableQueryCache,
+        # ExecutionEngine.scala:77): repeated runs of the same read query
+        # reuse the translated DataFrame — execution still runs fresh.
+        # Write queries have side effects at translate time; don't cache.
+        key = (id(spark), sf_dir, text)
+        if key in _PLAN_CACHE:
+            return _PLAN_CACHE[key]
+        df = cypher(spark, text, _graph(spark, sf_dir))
+        head = text.lstrip().upper()
+        if not any(w in head for w in
+                   ("CREATE", "MERGE", "DELETE", " SET ", "REMOVE",
+                    "FOREACH", "CALL {")):
+            _PLAN_CACHE[key] = df
+        return df
 
     return run
 
@@ -1582,6 +1598,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["user_aggregate_call"] = _q_user_aggregate
     out.update(WRITE_QUERIES)
     out.update(EXTENSION_QUERIES)
+    # plan-cache the deterministic batch extension pipelines too (reads
+    # over parquet; building the minhash/knn DataFrame graph costs ~1s of
+    # driver-side analysis that repeated runs need not pay).  Streaming,
+    # multimodal and write entries stay uncached.
+    cacheable = ("dedup_", "knn_", "text_", "embedding_", "ngram_",
+                 "sample_", "top1_")
+
+    def _memo(name, fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            key = (id(spark), sf_dir, name)
+            if key not in _PLAN_CACHE:
+                _PLAN_CACHE[key] = fn(spark, sf_dir)
+            return _PLAN_CACHE[key]
+
+        return run
+
+    for name in list(out):
+        if name.startswith(cacheable):
+            out[name] = _memo(name, out[name])
     return out
 
 

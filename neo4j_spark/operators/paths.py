@@ -372,10 +372,21 @@ def shortest_path(tr, df: Optional[DataFrame], part: A.PatternPart,
     # label-bound endpoints read the O(1) count store
     # (countStorePlanner.scala analog) instead of running a counting job
     # over the rowstream
-    if len(a_pat.labels) == 1 and len(b_pat.labels) == 1 \
-            and a_pat.props is None and b_pat.props is None:
-        n_start = tr.graph.count_nodes(a_pat.labels[0])
-        n_tgt = tr.graph.count_nodes(b_pat.labels[0])
+    def _side_label(pat, var):
+        if len(pat.labels) == 1 and pat.props is None:
+            return pat.labels[0]
+        if not pat.labels and pat.props is None:
+            # an already-bound endpoint: var-label tracking knows its
+            # label without a counting job (Translator.var_labels)
+            known = tr.labels_of(var)
+            if known and len(known) == 1:
+                return known[0]
+        return None
+
+    al, bl = _side_label(a_pat, avar), _side_label(b_pat, bvar)
+    if al is not None and bl is not None:
+        n_start = tr.graph.count_nodes(al)
+        n_tgt = tr.graph.count_nodes(bl)
     else:
         sizes = df.agg(
             F.approx_count_distinct(F.col(avar).getField("_id")).alias("s"),
