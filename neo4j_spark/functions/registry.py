@@ -817,17 +817,39 @@ def compile_function(cc, e: A.Func) -> Column:
             if "epochmillis" in lower:
                 return F.timestamp_millis(
                     col.getField(lower["epochmillis"]).cast("long"))
-            # datetime({year, month, day, hour, minute, second, ...})
+            # datetime({year, month, day, hour, minute, second, ...}) and
+            # the {date: d, time: t} composition selectors
             # (TemporalValue map constructors, TemporalFunction.java:59)
             sec = _map_field(col, t, "second", 0).cast("double")
             for k, mult in (("millisecond", 1e-3), ("microsecond", 1e-6),
                             ("nanosecond", 1e-9)):
                 sec = sec + _map_field(col, t, k, 0).cast("double") * mult
-            ymd = (_map_field(col, t, "year", 1),
-                   _map_field(col, t, "month", 1),
-                   _map_field(col, t, "day", 1),
-                   _map_field(col, t, "hour", 0),
-                   _map_field(col, t, "minute", 0), sec)
+            if "date" in lower:
+                from ..cypher.exprs import _is_zoned_dt as _izd
+                dc = col.getField(lower["date"])
+                dt_ = t[lower["date"]].dataType
+                if _izd(dt_):
+                    dc = dc.getField("instant")
+                dc = dc.cast("date")
+                y_, mo_, dd_ = F.year(dc), F.month(dc), F.dayofmonth(dc)
+            else:
+                y_ = _map_field(col, t, "year", 1)
+                mo_ = _map_field(col, t, "month", 1)
+                dd_ = _map_field(col, t, "day", 1)
+            if "time" in lower:
+                tc = col.getField(lower["time"])
+                tt_ = t[lower["time"]].dataType
+                if isinstance(tt_, T.StructType):
+                    h_, mi_ = tc.getField("hour"), tc.getField("minute")
+                    sec = (tc.getField("second").cast("double")
+                           + tc.getField("nanosecond").cast("double") / 1e9)
+                else:
+                    h_, mi_ = F.hour(tc), F.minute(tc)
+                    sec = F.second(tc).cast("double")
+            else:
+                h_ = _map_field(col, t, "hour", 0)
+                mi_ = _map_field(col, t, "minute", 0)
+            ymd = (y_, mo_, dd_, h_, mi_, sec)
             if "timezone" in lower and name == "datetime":
                 # IANA zone id (or offset): the instant is the wall time
                 # interpreted IN that zone; the id rides alongside so
@@ -836,6 +858,12 @@ def compile_function(cc, e: A.Func) -> Column:
                 tz = col.getField(lower["timezone"]).cast("string")
                 inst = F.make_timestamp(*ymd, timezone=tz)
                 return F.struct(inst.alias("instant"), tz.alias("tz"))
+            if name == "localdatetime":
+                # LOCAL datetime: wall-clock components, no zone
+                # (LocalDateTimeValue) — NTZ so toString has no offset
+                return (F.make_timestamp_ntz(*ymd)
+                        if hasattr(F, "make_timestamp_ntz")
+                        else F.make_timestamp(*ymd).cast("timestamp_ntz"))
             return F.make_timestamp(*ymd)
         if (name == "datetime" and isinstance(args[0], A.Lit)
                 and isinstance(args[0].value, str)
@@ -1144,7 +1172,13 @@ def compile_function(cc, e: A.Func) -> Column:
         # wgs-84-3d: pythagoras over the great-circle distance and the
         # height difference (reference CRSCalculator.GeographicCalculator)
         hav = F.sqrt(F.pow(r * F.asin(F.sqrt(h)), 2) + dz * dz)
-        return F.when(a.getField("crs").startswith("wgs"), hav).otherwise(eucl)
+        # points in DIFFERENT coordinate reference systems are not
+        # comparable: distance is null (PointValue: distance requires
+        # equal CRS; CypherFunctions.distance returns NO_VALUE)
+        return (F.when(a.getField("crs") != b.getField("crs"),
+                       F.lit(None).cast("double"))
+                 .when(a.getField("crs").startswith("wgs"), hav)
+                 .otherwise(eucl))
     if name == "point.withinbbox":
         p, lo, hi = c(0), c(1), c(2)
         return (

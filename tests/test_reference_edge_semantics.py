@@ -253,3 +253,23 @@ class TestMiscRendering:
             spark,
             "UNWIND [1, 'a'] AS x RETURN min(x) AS lo, max(x) AS hi",
             chain_graph)) == [("a", "1")]
+
+
+class TestTemporalComposition:
+    def test_localdatetime_date_time_composition(self, spark, chain_graph):
+        assert one(spark, chain_graph,
+                   "RETURN toString(localdatetime({date: date('2020-01-02'),"
+                   " time: localtime('03:04:05')})) AS v") == \
+            "2020-01-02T03:04:05"
+
+    def test_datetime_date_selector_with_fields(self, spark, chain_graph):
+        assert one(spark, chain_graph,
+                   "RETURN datetime({date: date('2020-01-02'), hour: 5})"
+                   ".hour AS v") == 5
+
+
+class TestPointCrs:
+    def test_distance_across_crs_is_null(self, spark, chain_graph):
+        assert one(spark, chain_graph,
+                   "RETURN point.distance(point({x: 1, y: 2}), "
+                   "point({latitude: 52.0, longitude: 4.0})) AS v") is None
