@@ -916,6 +916,20 @@ def compile_function(cc, e: A.Func) -> Column:
                                 F.lit(0), F.lit("Z" if name == "time" else ""))
         col, t = ctyped(0)
         if isinstance(t, T.StructType):  # time({hour, minute, second})
+            lower = {f.lower(): f for f in t.fieldNames()}
+            if "time" in lower and "hour" not in lower:
+                # selector: time({time: <time value>}) copies components
+                inner = col.getField(lower["time"])
+                it = t[lower["time"]].dataType
+                if isinstance(it, T.StructType):
+                    off = (inner.getField("offset")
+                           if "offset" in it.fieldNames() else F.lit(""))
+                    return _time_struct(
+                        inner.getField("hour"), inner.getField("minute"),
+                        inner.getField("second"),
+                        inner.getField("nanosecond"), off)
+                return _time_struct(F.hour(inner), F.minute(inner),
+                                    F.second(inner), F.lit(0), F.lit(""))
             return _time_struct(
                 _map_field(col, t, "hour", 0), _map_field(col, t, "minute", 0),
                 _map_field(col, t, "second", 0),
@@ -961,6 +975,38 @@ def compile_function(cc, e: A.Func) -> Column:
                     if name == "localdatetime.truncate" else out)
         out = F.date_trunc(unit, col)
         return out.cast("date") if name == "date.truncate" else out
+    if name in ("time.truncate", "localtime.truncate"):
+        # truncate over the components struct: zero every unit below the
+        # requested one (TimeValue/LocalTimeValue truncate; units day..
+        # microsecond — 'day' zeroes the whole time-of-day)
+        if not isinstance(args[0], A.Lit):
+            raise FunctionError("truncate unit must be a string literal")
+        unit = str(args[0].value).lower()
+        rank = {"day": 0, "hour": 1, "minute": 2, "second": 3,
+                "millisecond": 4, "microsecond": 5}
+        if unit not in rank:
+            raise FunctionError(f"unsupported time truncation unit {unit}")
+        r = rank[unit]
+        col, t = ctyped(1)
+        zero = F.lit(0).cast("long")
+        h = col.getField("hour") if r >= 1 else zero
+        m = col.getField("minute") if r >= 2 else zero
+        s = col.getField("second") if r >= 3 else zero
+        ns = col.getField("nanosecond")
+        if r == 4:
+            ns = (ns / 1000000).cast("long") * 1000000
+        elif r == 5:
+            ns = (ns / 1000).cast("long") * 1000
+        elif r < 4:
+            ns = zero
+        off = (col.getField("offset")
+               if isinstance(t, T.StructType)
+               and "offset" in t.fieldNames() else F.lit(""))
+        return F.struct(h.cast("long").alias("hour"),
+                        m.cast("long").alias("minute"),
+                        s.cast("long").alias("second"),
+                        ns.cast("long").alias("nanosecond"),
+                        off.alias("offset"))
     if name == "timestamp":
         return F.unix_millis(F.current_timestamp())
     if name == "duration":

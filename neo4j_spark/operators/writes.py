@@ -444,6 +444,16 @@ def _delete_rels_by_id(tr, ids: DataFrame) -> None:
 # ---- MERGE ----------------------------------------------------------------
 
 
+def _merge_key(col: Column) -> Column:
+    """MERGE key values must be non-null: merging on a null property is a
+    runtime error in the reference (MergeNode spec — 'Cannot merge ...
+    null property value'), never a silent non-match."""
+    return F.when(col.isNotNull(), col).otherwise(
+        F.call_function(
+            "raise_error",
+            F.lit("Cannot merge using a null property value")))
+
+
 def apply_merge(tr, df: Optional[DataFrame], clause: A.Merge) -> DataFrame:
     _ensure_effects(tr)
     if df is None:
@@ -486,7 +496,7 @@ def _merge_chain(tr, df: DataFrame, clause: A.Merge) -> DataFrame:
         if props is not None:
             for _k, v in props.items:
                 col = f"__mg_{ki}"
-                mk = mk.withColumn(col, cc.compile(v))
+                mk = mk.withColumn(col, _merge_key(cc.compile(v)))
                 key_cols.append(col)
                 ki += 1
     bound_vars = [el.var for el in els
@@ -563,7 +573,7 @@ def _merge_node(tr, df: DataFrame, clause: A.Merge) -> DataFrame:
     for k, v in prop_items:
         # a property key absent from the scan schema can never match
         lhs = F.col(var).getField(k) if k in fields else F.lit(None)
-        cond = cond & (lhs == cc.compile(v))
+        cond = cond & (lhs == _merge_key(cc.compile(v)))
     joined = df.join(scan, cond, "left")
     matched = joined.filter(F.col(var).isNotNull())
     missing = joined.filter(F.col(var).isNull()).drop(var)

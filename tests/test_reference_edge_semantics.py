@@ -273,3 +273,18 @@ class TestPointCrs:
         assert one(spark, chain_graph,
                    "RETURN point.distance(point({x: 1, y: 2}), "
                    "point({latitude: 52.0, longitude: 4.0})) AS v") is None
+
+
+class TestWriteEdges:
+    def test_merge_null_key_raises(self, spark, chain_graph):
+        with pytest.raises(Exception, match="(?i)null property"):
+            cypher(spark, "MERGE (n:A {x: null}) RETURN n.x AS v",
+                   chain_graph).collect()
+
+    def test_time_selector_and_truncate(self, spark, chain_graph):
+        assert rows(cypher(
+            spark,
+            "RETURN toString(localtime({time: localtime('01:02:03')})) "
+            "AS a, toString(localtime.truncate('minute', "
+            "localtime('01:02:03'))) AS b",
+            chain_graph)) == [("01:02:03", "01:02:00")]
