@@ -42,6 +42,11 @@ def preparse(query: str):
             rest = head[1] if len(head) > 1 else ""
         else:
             break
+    # a trailing statement terminator is whitespace to the parser
+    # (cypher-shell sends 'RETURN 1;')
+    rest = rest.rstrip()
+    while rest.endswith(";"):
+        rest = rest[:-1].rstrip()
     return mode, options, rest
 
 
