@@ -28,6 +28,10 @@ def get_spark(app: str = "neo4j_spark", cpus: int | None = None) -> SparkSession
         # of requiring manual salting on every such join
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "3")
+        # Cypher arithmetic error semantics (long overflow and integer
+        # division by zero THROW, CypherMath.java/ValueMath.java) ride on
+        # ANSI evaluation — pin it rather than inherit the default
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # driver testdata stores events.ts as TIMESTAMP(NANOS): read as long
