@@ -589,6 +589,15 @@ def compile_function(cc, e: A.Func) -> Column:
         col, t = ctyped(0)
         if isinstance(t, T.StringType):
             return col.try_cast("double")
+        if isinstance(t, T.BooleanType):
+            # only String/Float/Integer convert (CypherFunctions
+            # .toFloat:1453 throws on Boolean)
+            if name == "tofloat":
+                from ..cypher.exprs import CypherTypeError
+                raise CypherTypeError(
+                    "Invalid input for function 'toFloat()': Expected a "
+                    "String, Float or Integer, got a Boolean")
+            return F.lit(None).cast("double")
         return col.cast("double")
     if name in ("toboolean", "tobooleanornull"):
         col, t = ctyped(0)
@@ -600,6 +609,15 @@ def compile_function(cc, e: A.Func) -> Column:
             return (F.when(lowered == "true", F.lit(True))
                      .when(lowered == "false", F.lit(False))
                      .otherwise(F.lit(None).cast("boolean")))
+        if isinstance(t, (T.FloatType, T.DoubleType, T.DecimalType)):
+            # only Boolean/Integer/String convert (CypherFunctions
+            # .toBoolean:1411 throws on anything else)
+            if name == "toboolean":
+                from ..cypher.exprs import CypherTypeError
+                raise CypherTypeError(
+                    "Invalid input for function 'toBoolean()': Expected "
+                    "a Boolean, Integer or String, got a Float")
+            return F.lit(None).cast("boolean")
         return col.cast("boolean")
     if name in ("tointegerlist", "tofloatlist", "tostringlist",
                 "tobooleanlist"):

@@ -288,3 +288,19 @@ class TestWriteEdges:
             "AS a, toString(localtime.truncate('minute', "
             "localtime('01:02:03'))) AS b",
             chain_graph)) == [("01:02:03", "01:02:00")]
+
+
+class TestCoercionClassErrors:
+    def test_toboolean_float_raises_ornull_nulls(self, spark, chain_graph):
+        from neo4j_spark.cypher.exprs import CypherTypeError
+        with pytest.raises(CypherTypeError):
+            cypher(spark, "RETURN toBoolean(1.5) AS v", chain_graph)
+        assert one(spark, chain_graph,
+                   "RETURN toBooleanOrNull(1.5) AS v") is None
+
+    def test_tofloat_boolean_raises_ornull_nulls(self, spark, chain_graph):
+        from neo4j_spark.cypher.exprs import CypherTypeError
+        with pytest.raises(CypherTypeError):
+            cypher(spark, "RETURN toFloat(true) AS v", chain_graph)
+        assert one(spark, chain_graph,
+                   "RETURN toFloatOrNull(true) AS v") is None
