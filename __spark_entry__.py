@@ -1290,6 +1290,26 @@ def _q_top1_with_ties(spark, sf_dir):
 # Deterministic sampling (ml/sampling.py).  The md5 hash backend is used
 # here precisely because it is engine-portable — DuckDB reproduces the
 # split bit-for-bit, making these fully oracle-checkable.
+def _q_dedup_resolve(spark, sf_dir):
+    """Duplicate-group RESOLUTION: pairs -> connected components ->
+    canonical doc per group (ml/dedup.py keep_canonical).  Driven here
+    with exact-duplicate pairs so the whole chain (including the star-
+    contraction CC) is oracle-checkable: canonical-per-component ==
+    min(doc_id) per distinct text."""
+    from neo4j_spark.ml.dedup import keep_canonical
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a, b = docs.alias("a"), docs.alias("b")
+    pairs = (a.join(b, (F.xxhash64(F.col("a.text"))
+                        == F.xxhash64(F.col("b.text")))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("id_a"),
+                     F.col("b.doc_id").alias("id_b")))
+    kept = keep_canonical(docs, pairs, id_col="doc_id", policy="min_id")
+    return kept.agg(F.count(F.lit(1)).alias("kept"),
+                    F.sum("doc_id").alias("id_sum"))
+
+
 def _q_sample_hash_split(spark, sf_dir):
     from neo4j_spark.ml.sampling import hash_split
 
@@ -1570,6 +1590,7 @@ EXTENSION_QUERIES = {
     "multimodal_frame_sample": _q_multimodal_frame_sample,
     "audio_features": _q_audio_features,
     "top1_with_ties": _q_top1_with_ties,
+    "dedup_resolve": _q_dedup_resolve,
     "sample_hash_split": _q_sample_hash_split,
     "sample_stratified": _q_sample_stratified,
     "sample_topk": _q_sample_topk,
@@ -2490,6 +2511,10 @@ def _oracle_sql_raw() -> dict[str, str]:
             "CAST(length(text) AS BIGINT) AS n_chars FROM documents",
         # Deterministic sampling: the md5 backend is bit-reproducible in
         # DuckDB, so these are full value oracles, not rows-only checks.
+        "dedup_resolve":
+            "SELECT CAST(COUNT(*) AS BIGINT) AS kept, "
+            "CAST(SUM(mid) AS BIGINT) AS id_sum FROM "
+            "(SELECT MIN(doc_id) AS mid FROM documents GROUP BY text)",
         "sample_hash_split":
             "SELECT split, count(*) AS n FROM (SELECT "
             + _md5_split("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, 42)

@@ -396,3 +396,60 @@ def simhash_dup_pairs(df: DataFrame, id_col: str = "doc_id",
                    simhash(F.col(text_col)).alias("_sh"))
     cands = simhash_band_candidates(sh, max_hamming, n_blocks, key_blocks)
     return cands.filter(F.col("hamming") <= max_hamming)
+
+
+# ---- duplicate-group resolution (pairs -> components -> canonical) ---------
+
+
+def dup_components(pairs: DataFrame, id_a: str = "id_a",
+                   id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """Connected components over a near-duplicate PAIR list: every id that
+    appears in a pair gets a ``group`` label (the smallest id in its
+    component).  Near-dup similarity is not transitive, but dedup policy
+    treats it as such (a~b and b~c means keep one of {a, b, c}) — exactly
+    a connected-components problem over the candidate-pair graph.
+
+    At 100 TB scale the pair graph is SPARSE (LSH candidates, not all
+    pairs), and star contraction converges in O(log^2 n) rounds
+    independent of component diameter — chains of near-dups (crawl
+    mirrors) are the common worst case that breaks label propagation."""
+    from ..operators.algorithms import connected_components
+
+    rels = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    nodes = (pairs.select(F.col(id_a).alias("id"))
+             .union(pairs.select(id_b)).dropDuplicates())
+    return (connected_components(nodes, rels, max_iter=max_iter)
+            .withColumnRenamed("comp", "group"))
+
+
+def keep_canonical(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                   policy: str = "min_id", length_col: str = None,
+                   id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Drop all but one document per duplicate component.
+
+    policy='min_id' keeps the smallest id (deterministic, join-free
+    tie-break); policy='longest' keeps the longest ``length_col`` value
+    (ties broken by id).  Docs in no pair pass through untouched — the
+    anti-join side is only the LOSERS, so the common case (mostly-unique
+    corpus) broadcasts a small exclusion list rather than rewriting the
+    corpus."""
+    comps = dup_components(pairs, id_a, id_b)
+    if policy == "min_id":
+        winners = comps.groupBy("group").agg(F.min("id").alias("_keep"))
+        losers = (comps.join(winners, "group")
+                  .filter(F.col("id") != F.col("_keep")).select("id"))
+    elif policy == "longest":
+        if length_col is None:
+            raise ValueError("policy='longest' needs length_col")
+        ranked = (comps.join(
+            df.select(F.col(id_col).alias("id"),
+                      F.col(length_col).alias("_len")), "id"))
+        from pyspark.sql import Window as W
+        rn = F.row_number().over(
+            W.partitionBy("group").orderBy(F.col("_len").desc(),
+                                           F.col("id").asc()))
+        losers = (ranked.withColumn("_rn", rn)
+                  .filter(F.col("_rn") > 1).select("id"))
+    else:
+        raise ValueError(f"unknown policy {policy}")
+    return df.join(losers, df[id_col] == losers["id"], "left_anti")

@@ -479,3 +479,47 @@ class TestRound3ScaleShapes:
         with pytest.raises(ValueError, match="recall"):
             simhash_band_candidates(sh, max_hamming=5, n_blocks=4,
                                     key_blocks=2)
+
+
+class TestDupResolution:
+    """pairs -> connected components -> canonical doc (ml/dedup.py
+    dup_components / keep_canonical)."""
+
+    def test_components_transitive_chain(self, spark):
+        from neo4j_spark.ml.dedup import dup_components
+        # a~b, b~c, d~e: two components despite no direct a~c pair
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+        got = {(r.id, r.group) for r in dup_components(pairs).collect()}
+        assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+    def test_keep_canonical_min_id_and_longest(self, spark):
+        from neo4j_spark.ml.dedup import keep_canonical
+        docs = spark.createDataFrame(
+            [(1, "aa"), (2, "aaaa"), (3, "a"), (10, "zz"), (20, "q")],
+            "doc_id long, text string")
+        docs = docs.withColumn("n_chars", __import__(
+            "pyspark.sql.functions", fromlist=["length"]).length("text"))
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3)], "id_a long, id_b long")
+        kept_min = {r.doc_id for r in
+                    keep_canonical(docs, pairs, "doc_id").collect()}
+        assert kept_min == {1, 10, 20}  # min id of {1,2,3} + untouched
+        kept_long = {r.doc_id for r in keep_canonical(
+            docs, pairs, "doc_id", policy="longest",
+            length_col="n_chars").collect()}
+        assert kept_long == {2, 10, 20}  # longest text wins
+
+    def test_resolution_over_minhash_pairs(self, spark):
+        from neo4j_spark.ml.dedup import keep_canonical, minhash_dedup_pairs
+        base = ("the quick brown fox jumps over the lazy dog and runs "
+                "far away into the woods tonight")
+        docs = spark.createDataFrame(
+            [(i, base) for i in range(4)]
+            + [(9, "completely different text about spark execution "
+                   "plans and shuffle boundaries in the optimizer")],
+            "doc_id long, text string")
+        pairs = minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.8)
+        kept = {r.doc_id for r in
+                keep_canonical(docs, pairs, "doc_id").collect()}
+        assert kept == {0, 9}
