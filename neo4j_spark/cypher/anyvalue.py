@@ -146,7 +146,10 @@ def to_any(c: Column, t: Optional[T.DataType]) -> Column:
     and ternary logic see one uniform representation."""
     nn, ns, nb, ni = _nulls()
     if is_any_type(t):
-        return c
+        # normalize SQL-null cells (unification casts) to rank-16 so
+        # ordering/equality see one null representation
+        return F.when(c.isNull(),
+                      _pack(F.lit(RANK_NULL), nn, ns, nb, ni)).otherwise(c)
     if t is None or isinstance(t, T.NullType):
         return _pack(F.lit(RANK_NULL), nn, ns, nb, ni)
     if isinstance(t, INT_TYPES):
@@ -235,7 +238,10 @@ def to_any(c: Column, t: Optional[T.DataType]) -> Column:
 
 
 def any_is_null(c: Column) -> Column:
-    return c.getField("__vg") == RANK_NULL
+    # an SQL-null tagged struct IS a Cypher null: unification casts
+    # (e.g. array<void> widening into array<tagged>) produce null
+    # payload cells rather than rank-16 structs
+    return c.isNull() | (c.getField("__vg") == RANK_NULL)
 
 
 def any_eq(l: Column, r: Column) -> Column:
@@ -419,11 +425,12 @@ def to_any_deep(c: Column, t: Optional[T.DataType],
     def enc_inner(col: Column, it) -> Column:
         # encode a payload value one level down
         if depth - 1 == 0:
-            return col if is_any_type(it) else to_any(col, it)
+            return to_any(col, it)  # tagged input normalizes SQL nulls
         return to_any_deep(col, it, depth - 1)
 
     if is_any_type(t):
-        return _rewiden(c, any_layout_depth(t), depth)
+        return F.when(c.isNull(), tagged_null(depth)).otherwise(
+            _rewiden(c, any_layout_depth(t), depth))
     if _is_scalar_class(t):
         return _widen(to_any(c, t), depth)
     if isinstance(t, T.ArrayType):
@@ -577,11 +584,14 @@ def _scal_to_string(c: Column) -> Column:
 
 def any_render_element(c: Column, depth: int) -> Column:
     """Render one tagged value as LIST-ELEMENT text: nulls print as the
-    literal ``null`` (top-level toString keeps SQL null)."""
-    base = (_scal_to_string(c) if depth == 0
-            else F.when(c.getField("__vg") == RANK_NULL, F.lit("null"))
-                  .otherwise(any_to_string_deep(c, depth)))
-    return base
+    literal ``null`` (top-level toString keeps SQL null).  An SQL-null
+    element (unification-cast null, not a rank-16 struct) is a Cypher
+    null too."""
+    if depth == 0:
+        return F.when(c.isNull(), F.lit("null")).otherwise(
+            F.coalesce(_scal_to_string(c), F.lit("null")))
+    return F.when(c.isNull() | (c.getField("__vg") == RANK_NULL),
+                  F.lit("null")).otherwise(any_to_string_deep(c, depth))
 
 
 def any_to_string_deep(c: Column, depth: int = 1) -> Column:
@@ -593,12 +603,9 @@ def any_to_string_deep(c: Column, depth: int = 1) -> Column:
     g = c.getField("__vg")
 
     def inner_str(x):
-        if depth - 1 == 0:
-            return _scal_to_string(x)
-        # nested nulls render as the text 'null' (top-level null is SQL
-        # null), matching the scalar inner renderer
-        return F.when(x.getField("__vg") == RANK_NULL, F.lit("null")) \
-                .otherwise(any_to_string_deep(x, depth - 1))
+        # nested nulls (rank-16 OR SQL-null cells from unification casts)
+        # render as the text 'null'; top-level null stays SQL null
+        return any_render_element(x, depth - 1)
 
     lst = F.concat(
         F.lit("["),
@@ -676,3 +683,59 @@ def any_value_type_deep(c: Column) -> Column:
              .when(g == RANK_NODE, F.lit("NODE NOT NULL"))
              .when(g == RANK_REL, F.lit("RELATIONSHIP NOT NULL"))
              .otherwise(any_value_type(c)))
+
+
+def type_contains_any(t) -> bool:
+    """True when a Spark type has a tagged any-layout anywhere inside."""
+    if t is None:
+        return False
+    if is_any_type(t):
+        return True
+    if isinstance(t, T.ArrayType):
+        return type_contains_any(t.elementType)
+    if isinstance(t, T.MapType):
+        return type_contains_any(t.valueType)
+    if isinstance(t, T.StructType) and not is_any_type(t):
+        return any(type_contains_any(f.dataType) for f in t.fields)
+    return False
+
+
+def render_containing(c: Column, t, top: bool = True) -> Column:
+    """Cypher-text rendering for a column whose type CONTAINS a tagged
+    layout at any nesting depth (e.g. array<array<tagged>> from partial
+    unification).  Top-level null stays SQL null; nested nulls print as
+    the literal ``null``."""
+    if is_any_type(t):
+        d = any_layout_depth(t)
+        if top:
+            return any_to_string(c) if d == 0 else any_to_string_deep(c, d)
+        return any_render_element(c, d)
+    if isinstance(t, T.ArrayType):
+        def el(x):
+            return render_containing(x, t.elementType, top=False)
+        body = F.concat(
+            F.lit("["),
+            F.array_join(F.transform(c, el), ", ", "null"),
+            F.lit("]"))
+        if top:
+            return F.when(c.isNull(), F.lit(None).cast("string")) \
+                    .otherwise(body)
+        return F.when(c.isNull(), F.lit("null")).otherwise(body)
+    if isinstance(t, T.StructType):
+        # plain (statically-keyed) map holding tagged values in some
+        # field: {k: v, ...} text with each field rendered recursively
+        parts = []
+        for i, f in enumerate(t.fields):
+            if i:
+                parts.append(F.lit(", "))
+            parts.append(F.lit(f"{f.name}: "))
+            parts.append(render_containing(c.getField(f.name), f.dataType,
+                                           top=False))
+        body = F.concat(F.lit("{"), *parts, F.lit("}"))
+        if top:
+            return F.when(c.isNull(), F.lit(None).cast("string")) \
+                    .otherwise(body)
+        return F.when(c.isNull(), F.lit("null")).otherwise(body)
+    # scalar alongside tagged siblings: plain text
+    out = c.cast("string")
+    return out if top else F.coalesce(out, F.lit("null"))

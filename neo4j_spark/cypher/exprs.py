@@ -571,6 +571,20 @@ class ExprCompiler:
         """
         l, lt = self._unzone(l, lt)
         r, rt = self._unzone(r, rt)
+        from . import anyvalue as AV
+
+        if AV.is_any_type(lt) or AV.is_any_type(rt):
+            # tagged operand(s) — e.g. elements of a heterogeneous list:
+            # the payload-null fields are encoding detail, not map
+            # entries, so equality routes through the tagged comparator
+            scalar_ok = all(
+                (AV.is_any_type(t_) and not AV.is_deep_any_type(t_))
+                or AV._is_scalar_class(t_) for t_ in (lt, rt))
+            if scalar_ok:
+                return AV.any_eq(AV.to_any(l, lt), AV.to_any(r, rt))
+            d = max(1, AV.container_depth(lt), AV.container_depth(rt))
+            return AV.any_eq_deep(AV.to_any_deep(l, lt, d),
+                                  AV.to_any_deep(r, rt, d), d)
         lg, rg = self._cmp_group(lt), self._cmp_group(rt)
         if lg is not None and rg is not None and lg != rg:
             return F.when(l.isNull() | r.isNull(),

@@ -166,10 +166,12 @@ class Translator:
             if post is not None:
                 if post.order:
                     cc = ExprCompiler(out, dict(sub.kinds), self.params, sub)
+                    keys = [self._sort_key(cc.compile(o.expr), cc)
+                            for o in post.order]
                     out = out.orderBy(*[
-                        (cc.compile(o.expr).asc_nulls_last() if o.ascending
-                         else cc.compile(o.expr).desc_nulls_first())
-                        for o in post.order])
+                        (k.asc_nulls_last() if o.ascending
+                         else k.desc_nulls_first())
+                        for k, o in zip(keys, post.order)])
                 if post.skip is not None:
                     out = out.offset(self._int_value(post.skip))
                 if post.limit is not None:
@@ -189,24 +191,9 @@ class Translator:
 
         out_cols, changed = [], False
         for f in df.schema.fields:
-            c = F.col(f.name)
-            t = f.dataType
-            if AV.is_any_type(t):
-                d = AV.any_layout_depth(t)
-                c = (AV.any_to_string(c) if d == 0
-                     else AV.any_to_string_deep(c, d))
-                changed = True
-            elif isinstance(t, T.ArrayType) and AV.is_any_type(t.elementType):
-                d = AV.any_layout_depth(t.elementType)
-
-                def _render(dd):
-                    return lambda x: AV.any_render_element(x, dd)
-
-                c = F.when(
-                    c.isNull(), F.lit(None).cast("string")).otherwise(
-                    F.concat(F.lit("["), F.array_join(
-                        F.transform(c, _render(d)), ", "),
-                        F.lit("]")))
+            c = df[f.name]  # not F.col: output names may contain dots
+            if AV.type_contains_any(f.dataType):
+                c = AV.render_containing(c, f.dataType)
                 changed = True
             out_cols.append(c.alias(f.name))
         return df.select(*out_cols) if changed else df
@@ -683,6 +670,45 @@ class Translator:
             df, expr = self._lower_predicates(df, m.where)
             df = df.filter(self._bool_pred(self._compiler(df), expr))
         return df
+
+    def _sort_key(self, col: Column, cc) -> Column:
+        """Cypher-orderable sort key.  Array-, map-, duration- and
+        time-typed keys wrap into the tagged encoding: plain Spark
+        comparison diverges on each (array nulls sort SMALLEST where the
+        null rank is largest; maps order by size then key-sorted entries;
+        durations by average length — AnyValues.java / DurationValue
+        .COMPARATOR).  Scalars, instants and entities pass through."""
+        from . import anyvalue as AV
+        from .exprs import _is_duration, _is_zoned_dt
+
+        t = cc.dtype_of(col)
+        if isinstance(t, T.ArrayType):
+            if AV.is_any_type(t.elementType):
+                # tagged elements carry the order, but unification casts
+                # can leave SQL-null cells that would sort smallest —
+                # normalize them to rank-16 nulls
+                d = AV.any_layout_depth(t.elementType)
+                return F.transform(
+                    col, lambda x: F.when(x.isNull(), AV.tagged_null(d))
+                                    .otherwise(x))
+            try:
+                return AV.to_any_deep(col, t,
+                                      max(1, AV.container_depth(t)))
+            except Exception:
+                return col
+        if isinstance(t, T.StructType):
+            if AV.is_any_type(t) or _is_zoned_dt(t) \
+                    or "_id" in t.fieldNames():
+                return col  # tagged / instant-leading / entity-by-id
+            names = set(t.fieldNames())
+            if _is_duration(t) or {"hour", "minute", "second"} <= names:
+                return AV.to_any(col, t)
+            try:
+                return AV.to_any_deep(col, t,
+                                      max(1, AV.container_depth(t)))
+            except Exception:
+                return col
+        return col
 
     def _bool_pred(self, cc, expr) -> Column:
         """Compile a WHERE predicate and reject statically non-boolean
@@ -2631,9 +2657,12 @@ class Translator:
                 out = df.select(*cols, *extra)
                 for i in failing:
                     resolved[i] = F.col(f"__ord_{i}")
-            order_cols = [
-                col.asc_nulls_last() if o.ascending else col.desc_nulls_first()
-                for col, o in zip(resolved, order_items)]
+            key_cc = self._compiler(out)
+            order_cols = []
+            for col, o in zip(resolved, order_items):
+                k = self._sort_key(col, key_cc)
+                order_cols.append(k.asc_nulls_last() if o.ascending
+                                  else k.desc_nulls_first())
             if p.distinct:
                 out = out.dropDuplicates()
             pcols = self._apply_partition_cols(out)

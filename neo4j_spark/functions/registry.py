@@ -536,15 +536,12 @@ def compile_function(cc, e: A.Func) -> Column:
         if isinstance(t, (T.TimestampNTZType, T.TimestampType)):
             return _datetime_to_string(col, with_offset=isinstance(
                 t, T.TimestampType))
-        if isinstance(t, T.ArrayType) and AV.is_any_type(t.elementType):
-            # heterogeneous list: render elements through the tagged
-            # layout ([1, a, [2]]), not the raw struct cast
-            d = AV.any_layout_depth(t.elementType)
-            return F.concat(
-                F.lit("["),
-                F.array_join(F.transform(
-                    col, lambda x: AV.any_render_element(x, d)), ", "),
-                F.lit("]"))
+        if isinstance(t, (T.ArrayType, T.StructType)) \
+                and AV.type_contains_any(t):
+            # a container holding tagged values ANYWHERE (incl. partial
+            # unification shapes like array<array<tagged>>): render
+            # through the tagged layout, not the raw struct cast
+            return AV.render_containing(col, t)
         if isinstance(t, T.StructType) \
                 and {"crs", "x", "y"} <= set(t.fieldNames()):
             # PointValue.prettyPrint: point({x: ..., y: ..., crs: '...'})
