@@ -249,11 +249,13 @@ def any_eq(l: Column, r: Column) -> Column:
     null operand -> null; cross-class -> false; within class -> payload
     equality (integer 1 = float 1.0 via the double payload)."""
     lg, rg = l.getField("__vg"), r.getField("__vg")
+    ln, rn = l.getField("__vn"), r.getField("__vn")
+    num_eq = F.when(F.isnan(ln) | F.isnan(rn), F.lit(False)) \
+              .otherwise(ln == rn)  # NaN never equals (Value.java:151)
     same = (F.when(lg.isin(RANK_STRING, RANK_DURATION),
                    l.getField("__vs") == r.getField("__vs"))
              .when(lg == RANK_BOOLEAN, l.getField("__vb") == r.getField("__vb"))
-             .when(lg.isin(RANK_NUMBER, *TEMPORAL_RANKS),
-                   l.getField("__vn") == r.getField("__vn")))
+             .when(lg.isin(RANK_NUMBER, *TEMPORAL_RANKS), num_eq))
     return (F.when((lg == RANK_NULL) | (rg == RANK_NULL),
                    F.lit(None).cast("boolean"))
              .when(lg != rg, F.lit(False))
@@ -270,12 +272,14 @@ def any_cmp(l: Column, r: Column, op: str) -> Column:
     def cmp(a, b):
         return {"<": a < b, "<=": a <= b, ">": a > b, ">=": a >= b}[op]
 
+    ln, rn = l.getField("__vn"), r.getField("__vn")
+    num_cmp = F.when(F.isnan(ln) | F.isnan(rn),
+                     F.lit(None).cast("boolean")).otherwise(cmp(ln, rn))
     same = (F.when(lg == RANK_STRING,
                    cmp(l.getField("__vs"), r.getField("__vs")))
              .when(lg == RANK_BOOLEAN,
                    cmp(l.getField("__vb"), r.getField("__vb")))
-             .when(lg.isin(RANK_NUMBER, *TEMPORAL_RANKS),
-                   cmp(l.getField("__vn"), r.getField("__vn"))))
+             .when(lg.isin(RANK_NUMBER, *TEMPORAL_RANKS), num_cmp))
     return (F.when((lg == RANK_NULL) | (rg == RANK_NULL)
                    | (lg != rg) | (lg == RANK_DURATION),
                    F.lit(None).cast("boolean"))
@@ -485,14 +489,18 @@ def to_any_deep(c: Column, t: Optional[T.DataType],
 
 
 def _scal_eq(l: Column, r: Column) -> Column:
-    """Ternary equality on two SCALAR-layout tagged values."""
+    """Ternary equality on two SCALAR-layout tagged values.  A NaN
+    payload decides FALSE (Value.java:151 hasNaNOperand) — Spark's == is
+    NaN-safe and would say true."""
     lg, rg = l.getField("__vg"), r.getField("__vg")
+    ln, rn = l.getField("__vn"), r.getField("__vn")
+    num_eq = F.when(F.isnan(ln) | F.isnan(rn), F.lit(False)) \
+              .otherwise(ln == rn)
     same = (F.when(lg.isin(RANK_STRING, RANK_DURATION),
                    l.getField("__vs") == r.getField("__vs"))
              .when(lg == RANK_BOOLEAN,
                    l.getField("__vb") == r.getField("__vb"))
-             .when(lg.isin(RANK_NUMBER, *TEMPORAL_RANKS),
-                   l.getField("__vn") == r.getField("__vn")))
+             .when(lg.isin(RANK_NUMBER, *TEMPORAL_RANKS), num_eq))
     return (F.when((lg == RANK_NULL) | (rg == RANK_NULL),
                    F.lit(None).cast("boolean"))
              .when(lg != rg, F.lit(False))
@@ -546,24 +554,69 @@ def any_eq_deep(l: Column, r: Column, depth: int = 1) -> Column:
              .otherwise(same))
 
 
-def any_cmp_deep(l: Column, r: Column, op: str) -> Column:
-    """Ternary comparison over extended tagged values: scalars as in
-    any_cmp; LIST compares element-wise via Spark's array ordering over
-    the tagged elements (the CIP list order); other container classes and
-    cross-class pairs yield null."""
+def _ternary_list_cmp(lv: Column, rv: Column, op: str,
+                      depth: int) -> Column:
+    """Ternary elementwise list comparison (AnyValues.TERNARY_COMPARATOR
+    over SequenceValues): scan in order — an UNDEFINED element comparison
+    before the first definite difference makes the whole comparison
+    undefined; the first definite difference decides (via the element
+    ternary comparator, itself possibly undefined for cross-group or NaN
+    elements); equal prefixes fall back to length."""
+    def inner_eq(a, b):
+        return (_scal_eq(a, b) if depth - 1 == 0
+                else any_eq_deep(a, b, depth - 1))
+
+    def inner_cmp(a, b):
+        return (any_cmp(a, b, op) if depth - 1 == 0
+                else any_cmp_deep(a, b, op, depth - 1))
+
+    n = F.least(F.size(lv), F.size(rv))
+    la, ra = F.slice(lv, F.lit(1), n), F.slice(rv, F.lit(1), n)
+    eqs = F.zip_with(la, ra, inner_eq)
+    idxs = F.when(F.size(eqs) == 0, F.array().cast("array<int>")) \
+            .otherwise(F.sequence(F.lit(1), F.size(eqs)))
+    zipped = F.zip_with(eqs, idxs,
+                        lambda e, i: F.struct(e.alias("e"), i.alias("i")))
+    i_false = F.array_min(F.transform(
+        F.filter(zipped, lambda p: ~F.coalesce(p.getField("e"),
+                                               F.lit(True))),
+        lambda p: p.getField("i")))
+    i_null = F.array_min(F.transform(
+        F.filter(zipped, lambda p: p.getField("e").isNull()),
+        lambda p: p.getField("i")))
+    ls, rs = F.size(lv), F.size(rv)
+    len_cmp = {"<": ls < rs, "<=": ls <= rs,
+               ">": ls > rs, ">=": ls >= rs}[op]
+    el_cmp = inner_cmp(F.element_at(la, i_false),
+                       F.element_at(ra, i_false))
+    return (F.when(i_null.isNotNull()
+                   & (i_false.isNull() | (i_null < i_false)),
+                   F.lit(None).cast("boolean"))
+             .when(i_false.isNotNull(), el_cmp)
+             .otherwise(len_cmp))
+
+
+def any_cmp_deep(l: Column, r: Column, op: str, depth: int = 1) -> Column:
+    """Ternary comparison over extended tagged values at layout ``depth``:
+    scalars as in any_cmp (NaN undefined); LIST compares elementwise with
+    ternary semantics; other container classes and cross-class pairs
+    yield null."""
     lg, rg = l.getField("__vg"), r.getField("__vg")
 
     def cmp(a, b):
         return {"<": a < b, "<=": a <= b, ">": a > b, ">=": a >= b}[op]
 
+    ln, rn = l.getField("__vn"), r.getField("__vn")
+    num_cmp = F.when(F.isnan(ln) | F.isnan(rn),
+                     F.lit(None).cast("boolean")).otherwise(cmp(ln, rn))
     same = (F.when(lg == RANK_STRING,
                    cmp(l.getField("__vs"), r.getField("__vs")))
              .when(lg == RANK_BOOLEAN,
                    cmp(l.getField("__vb"), r.getField("__vb")))
-             .when(lg.isin(RANK_NUMBER, *TEMPORAL_RANKS),
-                   cmp(l.getField("__vn"), r.getField("__vn")))
+             .when(lg.isin(RANK_NUMBER, *TEMPORAL_RANKS), num_cmp)
              .when(lg == RANK_LIST,
-                   cmp(l.getField("__vl"), r.getField("__vl"))))
+                   _ternary_list_cmp(l.getField("__vl"),
+                                     r.getField("__vl"), op, depth)))
     return (F.when((lg == RANK_NULL) | (rg == RANK_NULL)
                    | (lg != rg) | (lg == RANK_DURATION),
                    F.lit(None).cast("boolean"))

@@ -705,13 +705,23 @@ class ExprCompiler:
             lt0, rt0 = self.dtype_of(l), self.dtype_of(r)
             l, lt0 = self._unzone(l, lt0)
             r, rt0 = self._unzone(r, rt0)
-            if AV.is_any_type(lt0) or AV.is_any_type(rt0):
-                if AV.is_deep_any_type(lt0) or AV.is_deep_any_type(rt0):
-                    d = max(1, AV.container_depth(lt0),
-                            AV.container_depth(rt0))
-                    return AV.any_cmp_deep(AV.to_any_deep(l, lt0, d),
-                                           AV.to_any_deep(r, rt0, d), op)
-                return AV.any_cmp(AV.to_any(l, lt0), AV.to_any(r, rt0), op)
+            if (AV.is_any_type(lt0) or AV.is_any_type(rt0)
+                    or isinstance(lt0, T.ArrayType)
+                    or isinstance(rt0, T.ArrayType)):
+                # tagged operands, and ALSO plain list-vs-list: Spark's
+                # array comparison is neither ternary (null/NaN elements
+                # decide instead of undefining) nor type-lenient, so list
+                # comparisons always run through the tagged comparator
+                scalar_ok = all(
+                    (AV.is_any_type(t_) and not AV.is_deep_any_type(t_))
+                    or AV._is_scalar_class(t_) for t_ in (lt0, rt0))
+                if scalar_ok:
+                    return AV.any_cmp(AV.to_any(l, lt0),
+                                      AV.to_any(r, rt0), op)
+                d = max(1, AV.container_depth(lt0),
+                        AV.container_depth(rt0))
+                return AV.any_cmp_deep(AV.to_any_deep(l, lt0, d),
+                                       AV.to_any_deep(r, rt0, d), op, d)
             lg = self._cmp_group(lt0)
             rg = self._cmp_group(rt0)
             if lg is not None and rg is not None and lg != rg:
@@ -749,6 +759,8 @@ class ExprCompiler:
             l = self._entity_aware(e.left)
             r = self.compile(e.right)
             rt0 = self.dtype_of(r)
+            if rt0 is None or isinstance(rt0, T.NullType):
+                return F.lit(None).cast("boolean")  # x IN null -> null
             if (isinstance(rt0, T.ArrayType)
                     and AV.is_any_type(rt0.elementType)):
                 if AV.is_deep_any_type(rt0.elementType):

@@ -165,3 +165,138 @@ def test_random_ternary_equality_matches_reference_model(spark, chain_graph,
     got = [row[i] for i in range(len(pairs))]
     want = [_teq(a, b) for a, b in pairs]
     assert got == want
+
+
+# integer pool variant: ints stay longs (render '1', order via __vi)
+_INT_SCALAR = st.one_of(
+    st.sampled_from([-3, 1, 7]), st.sampled_from(_STRS),
+    st.sampled_from(_BOOLS), st.none())
+_INT_VALUE = st.recursive(
+    _INT_SCALAR, lambda kids: st.lists(kids, min_size=0, max_size=3),
+    max_leaves=5)
+
+
+def _render_i(v, top=True):
+    if v is None:
+        return None if top else "null"
+    if isinstance(v, list):
+        return "[" + ", ".join(_render_i(x, top=False) for x in v) + "]"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        return v
+    return repr(v)
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(_INT_VALUE, min_size=1, max_size=6))
+def test_random_integer_order_matches_reference_model(spark, chain_graph,
+                                                      vals):
+    lits = ", ".join(_lit(v) for v in vals)
+    got = [r[0] for r in cypher(
+        spark, f"UNWIND [{lits}] AS x RETURN x ORDER BY x DESC",
+        chain_graph).collect()]
+    want = [_render_i(v) for v in
+            sorted(vals, key=functools.cmp_to_key(_cmp), reverse=True)]
+    norm = []
+    for g in got:
+        if g is None:
+            norm.append(None)
+        elif isinstance(g, bool):
+            norm.append("true" if g else "false")
+        elif isinstance(g, list):
+            norm.append(_render_i(g))
+        else:
+            norm.append(str(g))
+    assert norm == want
+
+
+def _tin(x, lst):
+    """Ternary IN model: definite hit True; null element or null subject
+    (non-empty list) None; else False.  x IN null is None."""
+    if lst is None:
+        return None
+    if x is None:
+        return None if len(lst) > 0 else False
+    undef = False
+    for el in lst:
+        e = _teq(x, el)
+        if e is True:
+            return True
+        if e is None:
+            undef = True
+    return None if undef else False
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(cases=st.lists(
+    st.tuples(_value, st.one_of(st.none(),
+                                st.lists(_value, max_size=4))),
+    min_size=1, max_size=5))
+def test_random_in_matches_reference_model(spark, chain_graph, cases):
+    cols = ", ".join(
+        f"{_lit(a)} IN {_lit(b)} AS c{i}" for i, (a, b) in enumerate(cases))
+    [row] = cypher(spark, f"RETURN {cols}", chain_graph).collect()
+    got = [row[i] for i in range(len(cases))]
+    want = [_tin(a, b) for a, b in cases]
+    assert got == want
+
+
+def _tcmp(a, b):
+    """Ternary comparability model (<): null/NaN operand or cross-group
+    -> None; booleans/strings/numbers by value; lists elementwise with
+    ternary element comparisons."""
+    if a is None or b is None:
+        return None
+    ra, rb = _rank(a), _rank(b)
+    if ra != rb:
+        return None
+    if ra == 15:
+        if math.isnan(a) or math.isnan(b):
+            return None
+        return a < b
+    if ra in (13, 14):
+        return a < b
+    # lists: first non-equal element decides; undefined element -> None
+    for x, y in zip(a, b):
+        e = _teq(x, y)
+        if e is None:
+            return None
+        if e is False:
+            c = _tcmp(x, y)
+            return c
+    return len(a) < len(b)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pairs=st.lists(st.tuples(_value, _value), min_size=1, max_size=3))
+def test_random_less_than_matches_reference_model(spark, chain_graph,
+                                                  pairs):
+    cols = ", ".join(
+        f"{_lit(a)} < {_lit(b)} AS c{i}" for i, (a, b) in enumerate(pairs))
+    [row] = cypher(spark, f"RETURN {cols}", chain_graph).collect()
+    got = [row[i] for i in range(len(pairs))]
+    want = [_tcmp(a, b) for a, b in pairs]
+    assert got == want
+
+
+def test_list_comparison_deterministic_cases(spark, chain_graph):
+    """Hand-picked ternary list comparisons (the shapes the random sweep
+    exercises, pinned so a fast deterministic run still covers them)."""
+    cases = [
+        ("[0.0/0.0] < [0.0/0.0]", None), ("[0.5] < [0.0/0.0]", None),
+        ("[null] < [0.5]", None), ("[0.5] < [2.5]", True),
+        ("[0.5, ''] < [0.5, 'a']", True), ("[''] < [0.5]", None),
+        ("[] < 0.5", None), ("[[0.5]] < [[2.5]]", True),
+        ("[true] < [false]", False), ("[0.5] <= [0.5]", True),
+        ("[0.5, null] < [0.5, 2.5]", None), ("[null] < []", False),
+        ("-3.5 < []", None), ("[] < ['']", True),
+        ("0.5 IN null", None),
+    ]
+    cols = ", ".join(f"{q} AS c{i}" for i, (q, _) in enumerate(cases))
+    [row] = cypher(spark, f"RETURN {cols}", chain_graph).collect()
+    for i, (q, want) in enumerate(cases):
+        assert row[i] == want, f"{q}: got {row[i]}, want {want}"
