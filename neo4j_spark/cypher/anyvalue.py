@@ -244,14 +244,40 @@ def any_is_null(c: Column) -> Column:
     return c.isNull() | (c.getField("__vg") == RANK_NULL)
 
 
+def _num_eq(l: Column, r: Column) -> Column:
+    """NUMBER-group payload equality (NumberValues.numbersEqual): two
+    longs compare EXACTLY on the __vi payload (the double payload
+    collapses distinct longs above 2^53); long vs double is equal only
+    when the double also round-trips to the same long; NaN never equals
+    (Value.java:151)."""
+    ln, rn = l.getField("__vn"), r.getField("__vn")
+    li, ri = l.getField("__vi"), r.getField("__vi")
+    return (F.when(li.isNotNull() & ri.isNotNull(), li == ri)
+             .when(F.isnan(ln) | F.isnan(rn), F.lit(False))
+             .when(li.isNotNull() | ri.isNotNull(),
+                   (ln == rn)
+                   & (F.when(li.isNotNull(), rn).otherwise(ln)
+                      .try_cast("long") == F.coalesce(li, ri)))
+             .otherwise(ln == rn))
+
+
+def _num_cmp(l: Column, r: Column, cmp) -> Column:
+    """NUMBER/temporal-group payload comparison: two longs compare
+    exactly (NumberValues.compareLongs); long vs double falls back to
+    the double payload (exact within 1 ulp); NaN is undefined."""
+    ln, rn = l.getField("__vn"), r.getField("__vn")
+    li, ri = l.getField("__vi"), r.getField("__vi")
+    return (F.when(li.isNotNull() & ri.isNotNull(), cmp(li, ri))
+             .when(F.isnan(ln) | F.isnan(rn), F.lit(None).cast("boolean"))
+             .otherwise(cmp(ln, rn)))
+
+
 def any_eq(l: Column, r: Column) -> Column:
     """Ternary equality (AnyValue.ternaryEquals, AnyValue.java:62):
     null operand -> null; cross-class -> false; within class -> payload
     equality (integer 1 = float 1.0 via the double payload)."""
     lg, rg = l.getField("__vg"), r.getField("__vg")
-    ln, rn = l.getField("__vn"), r.getField("__vn")
-    num_eq = F.when(F.isnan(ln) | F.isnan(rn), F.lit(False)) \
-              .otherwise(ln == rn)  # NaN never equals (Value.java:151)
+    num_eq = _num_eq(l, r)
     same = (F.when(lg.isin(RANK_STRING, RANK_DURATION),
                    l.getField("__vs") == r.getField("__vs"))
              .when(lg == RANK_BOOLEAN, l.getField("__vb") == r.getField("__vb"))
@@ -272,9 +298,7 @@ def any_cmp(l: Column, r: Column, op: str) -> Column:
     def cmp(a, b):
         return {"<": a < b, "<=": a <= b, ">": a > b, ">=": a >= b}[op]
 
-    ln, rn = l.getField("__vn"), r.getField("__vn")
-    num_cmp = F.when(F.isnan(ln) | F.isnan(rn),
-                     F.lit(None).cast("boolean")).otherwise(cmp(ln, rn))
+    num_cmp = _num_cmp(l, r, cmp)
     same = (F.when(lg == RANK_STRING,
                    cmp(l.getField("__vs"), r.getField("__vs")))
              .when(lg == RANK_BOOLEAN,
@@ -493,9 +517,7 @@ def _scal_eq(l: Column, r: Column) -> Column:
     payload decides FALSE (Value.java:151 hasNaNOperand) — Spark's == is
     NaN-safe and would say true."""
     lg, rg = l.getField("__vg"), r.getField("__vg")
-    ln, rn = l.getField("__vn"), r.getField("__vn")
-    num_eq = F.when(F.isnan(ln) | F.isnan(rn), F.lit(False)) \
-              .otherwise(ln == rn)
+    num_eq = _num_eq(l, r)
     same = (F.when(lg.isin(RANK_STRING, RANK_DURATION),
                    l.getField("__vs") == r.getField("__vs"))
              .when(lg == RANK_BOOLEAN,
@@ -509,12 +531,19 @@ def _scal_eq(l: Column, r: Column) -> Column:
 
 def _ternary_all(pair_eqs: Column) -> Column:
     """Fold an array of ternary booleans: any false -> false, else any
-    null -> null, else true (ListValue.ternaryEquality)."""
-    has_false = F.exists(pair_eqs, lambda x: ~F.coalesce(x, F.lit(True)))
-    has_null = F.exists(pair_eqs, lambda x: x.isNull())
-    return (F.when(has_false, F.lit(False))
-             .when(has_null, F.lit(None).cast("boolean"))
-             .otherwise(F.lit(True)))
+    null -> null, else true (ListValue.ternaryEquality).  The array is
+    let-bound so its (recursively large) subtree appears ONCE in the
+    expression tree — inlining it per consumer compounds exponentially
+    through nested-container recursion (a depth-3 comparison OOMed the
+    driver on the inlined form)."""
+    from ..functions.let import let
+
+    return let(pair_eqs, lambda pe: (
+        F.when(F.exists(pe, lambda x: ~F.coalesce(x, F.lit(True))),
+               F.lit(False))
+         .when(F.exists(pe, lambda x: x.isNull()),
+               F.lit(None).cast("boolean"))
+         .otherwise(F.lit(True))))
 
 
 def any_eq_deep(l: Column, r: Column, depth: int = 1) -> Column:
@@ -570,30 +599,50 @@ def _ternary_list_cmp(lv: Column, rv: Column, op: str,
         return (any_cmp(a, b, op) if depth - 1 == 0
                 else any_cmp_deep(a, b, op, depth - 1))
 
-    n = F.least(F.size(lv), F.size(rv))
-    la, ra = F.slice(lv, F.lit(1), n), F.slice(rv, F.lit(1), n)
-    eqs = F.zip_with(la, ra, inner_eq)
-    idxs = F.when(F.size(eqs) == 0, F.array().cast("array<int>")) \
-            .otherwise(F.sequence(F.lit(1), F.size(eqs)))
-    zipped = F.zip_with(eqs, idxs,
-                        lambda e, i: F.struct(e.alias("e"), i.alias("i")))
-    i_false = F.array_min(F.transform(
-        F.filter(zipped, lambda p: ~F.coalesce(p.getField("e"),
-                                               F.lit(True))),
-        lambda p: p.getField("i")))
-    i_null = F.array_min(F.transform(
-        F.filter(zipped, lambda p: p.getField("e").isNull()),
-        lambda p: p.getField("i")))
+    # every intermediate is let-bound: each (recursive) subtree appears
+    # exactly once, keeping expression size LINEAR in nesting depth —
+    # the inlined form compounds ~10x per level and OOMs at depth 3
+    from ..functions.let import let, let2
+
     ls, rs = F.size(lv), F.size(rv)
     len_cmp = {"<": ls < rs, "<=": ls <= rs,
                ">": ls > rs, ">=": ls >= rs}[op]
-    el_cmp = inner_cmp(F.element_at(la, i_false),
-                       F.element_at(ra, i_false))
-    return (F.when(i_null.isNotNull()
-                   & (i_false.isNull() | (i_null < i_false)),
-                   F.lit(None).cast("boolean"))
-             .when(i_false.isNotNull(), el_cmp)
-             .otherwise(len_cmp))
+    n = F.least(ls, rs)
+
+    def with_sliced(la, ra):
+        def with_eqs(eqs):
+            idxs = F.when(F.size(eqs) == 0, F.array().cast("array<int>")) \
+                    .otherwise(F.sequence(F.lit(1), F.size(eqs)))
+            zipped = F.zip_with(
+                eqs, idxs,
+                lambda e, i: F.struct(e.alias("e"), i.alias("i")))
+
+            def with_zipped(zp):
+                i_false = F.array_min(F.transform(
+                    F.filter(zp, lambda p: ~F.coalesce(p.getField("e"),
+                                                       F.lit(True))),
+                    lambda p: p.getField("i")))
+                i_null = F.array_min(F.transform(
+                    F.filter(zp, lambda p: p.getField("e").isNull()),
+                    lambda p: p.getField("i")))
+
+                def with_idx(i_f, i_n):
+                    el_cmp = inner_cmp(F.element_at(la, i_f),
+                                       F.element_at(ra, i_f))
+                    return (F.when(i_n.isNotNull()
+                                   & (i_f.isNull() | (i_n < i_f)),
+                                   F.lit(None).cast("boolean"))
+                             .when(i_f.isNotNull(), el_cmp)
+                             .otherwise(len_cmp))
+
+                return let2(i_false, i_null, with_idx)
+
+            return let(zipped, with_zipped)
+
+        return let(F.zip_with(la, ra, inner_eq), with_eqs)
+
+    return let2(F.slice(lv, F.lit(1), n), F.slice(rv, F.lit(1), n),
+                with_sliced)
 
 
 def any_cmp_deep(l: Column, r: Column, op: str, depth: int = 1) -> Column:
@@ -606,9 +655,7 @@ def any_cmp_deep(l: Column, r: Column, op: str, depth: int = 1) -> Column:
     def cmp(a, b):
         return {"<": a < b, "<=": a <= b, ">": a > b, ">=": a >= b}[op]
 
-    ln, rn = l.getField("__vn"), r.getField("__vn")
-    num_cmp = F.when(F.isnan(ln) | F.isnan(rn),
-                     F.lit(None).cast("boolean")).otherwise(cmp(ln, rn))
+    num_cmp = _num_cmp(l, r, cmp)
     same = (F.when(lg == RANK_STRING,
                    cmp(l.getField("__vs"), r.getField("__vs")))
              .when(lg == RANK_BOOLEAN,

@@ -763,9 +763,13 @@ class ExprCompiler:
                 return F.lit(None).cast("boolean")  # x IN null -> null
             if (isinstance(rt0, T.ArrayType)
                     and AV.is_any_type(rt0.elementType)):
-                if AV.is_deep_any_type(rt0.elementType):
+                # a CONTAINER lhs against scalar-layout elements promotes
+                # both sides to the deep layout (cross-class compares are
+                # false, never an encode error)
+                ldepth = AV.container_depth(self.dtype_of(l))
+                if AV.is_deep_any_type(rt0.elementType) or ldepth > 0:
                     d = max(AV.any_layout_depth(rt0.elementType),
-                            AV.container_depth(self.dtype_of(l)), 1)
+                            ldepth, 1)
                     la = AV.to_any_deep(l, self.dtype_of(l), d)
 
                     def el_eq(a, b, _d=d, _et=rt0.elementType):
@@ -774,16 +778,35 @@ class ExprCompiler:
                 else:
                     la = AV.to_any(l, self.dtype_of(l))
                     el_eq = AV.any_eq
-                hits = F.size(F.filter(
-                    r, lambda el: F.coalesce(el_eq(el, la),
-                                             F.lit(False))))
-                has_null = F.exists(r, lambda el: AV.any_is_null(el))
-                return (F.when(r.isNull(), F.lit(None).cast("boolean"))
-                         .when(hits > 0, F.lit(True))
-                         .when(AV.any_is_null(la) & (F.size(r) > 0),
-                               F.lit(None).cast("boolean"))
-                         .when(has_null, F.lit(None).cast("boolean"))
-                         .otherwise(F.lit(False)))
+                from ..functions.let import let, let2
+
+                def with_la(la_):
+                    # one copy of the (recursively large) element
+                    # comparator: bind the per-element results once
+                    def with_eqs(eqs):
+                        hits = F.size(F.filter(
+                            eqs, lambda x: F.coalesce(x, F.lit(False))))
+                        # an UNDEFINED element comparison (e.g.
+                        # [null] = [[]]) makes the whole IN null when
+                        # nothing matched
+                        maybe = F.exists(eqs, lambda x: x.isNull())
+                        has_null = F.exists(
+                            r, lambda el: AV.any_is_null(el))
+                        return (F.when(r.isNull(),
+                                       F.lit(None).cast("boolean"))
+                                 .when(hits > 0, F.lit(True))
+                                 .when(AV.any_is_null(la_)
+                                       & (F.size(r) > 0),
+                                       F.lit(None).cast("boolean"))
+                                 .when(has_null | maybe,
+                                       F.lit(None).cast("boolean"))
+                                 .otherwise(F.lit(False)))
+
+                    return let(
+                        F.transform(r, lambda el: el_eq(el, la_)),
+                        with_eqs)
+
+                return let(la, with_la)
             if isinstance(rt0, T.ArrayType):
                 # ternary element equality (recursive — a null INSIDE a
                 # candidate list makes the comparison undefined, not a

@@ -447,7 +447,10 @@ def compile_function(cc, e: A.Func) -> Column:
                             lambda ch: F.concat(ch, rep)), ""))
         plain = (F.replace(src, find, rep) if hasattr(F, "replace")
                  else F.expr("replace(...)"))
-        return F.when(find == "", interleaved).otherwise(plain)
+        # "".replace("", "X") is "X" in Java — the interleave would
+        # double it (Spark split("", "") yields [""])
+        return (F.when((find == "") & (F.length(src) == 0), rep)
+                 .when(find == "", interleaved).otherwise(plain))
     if name == "reverse":
         return F.reverse(c(0))
     if name == "split":
@@ -562,12 +565,16 @@ def compile_function(cc, e: A.Func) -> Column:
     if name in ("tointeger", "tointegerornull"):
         col, t = ctyped(0)
         if isinstance(t, T.StringType):
+            # stringToLongValue (CypherFunctions.java:1646) tries an
+            # EXACT long parse first — integer-form strings above 2^53
+            # stay exact — and only falls back to double truncation for
+            # decimal/scientific forms
+            direct = col.try_cast("long")
             d = col.try_cast("double")
-            as_long = d.try_cast("long")
+            as_long = F.coalesce(direct, d.try_cast("long"))
             if name == "tointeger":
-                # stringToLongValue (CypherFunctions.java:1646): a string
-                # that parses as a number but exceeds the long range
-                # THROWS for toInteger (OrNull maps it to null)
+                # a string that parses as a number but exceeds the long
+                # range THROWS for toInteger (OrNull maps it to null)
                 return _checked(d.isNull() | as_long.isNotNull(), as_long,
                                 "integer value is too large")
             return as_long
@@ -785,9 +792,22 @@ def compile_function(cc, e: A.Func) -> Column:
             ex(qt, 3) - 1)
         ordinal_date = F.date_add(
             F.make_date(ex(od, 1), F.lit(1), F.lit(1)), ex(od, 2) - 1)
-        return (F.when(col.rlike(wk), week_date)
-                 .when(col.rlike(qt), quarter_date)
-                 .when(col.rlike(od), ordinal_date)
+        # DateValue.parse raises on out-of-range components ('2020-W60-1',
+        # '2020-999') rather than rolling into later periods; validate by
+        # mapping the computed date back to its components
+        week_ok = (F.weekofyear(week_date) == ex(wk, 2)) \
+            & ex(wk, 3).between(1, 7)
+        quarter_ok = F.quarter(quarter_date) == ex(qt, 2)
+        ordinal_ok = F.year(ordinal_date) == ex(od, 1)
+        return (F.when(col.rlike(wk),
+                       _checked(week_ok, week_date,
+                                "Invalid value for Week/DayOfWeek"))
+                 .when(col.rlike(qt),
+                       _checked(quarter_ok, quarter_date,
+                                "Invalid value for DayOfQuarter"))
+                 .when(col.rlike(od),
+                       _checked(ordinal_ok, ordinal_date,
+                                "Invalid value for OrdinalDay"))
                  .when(col.rlike(ym),
                        F.make_date(ex(ym, 1), ex(ym, 2), F.lit(1)))
                  .when(col.rlike(cal8),

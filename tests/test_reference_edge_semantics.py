@@ -304,3 +304,61 @@ class TestCoercionClassErrors:
             cypher(spark, "RETURN toFloat(true) AS v", chain_graph)
         assert one(spark, chain_graph,
                    "RETURN toFloatOrNull(true) AS v") is None
+
+
+class TestRound4AdviceFixes:
+    """Round-4 advisor findings: exact long parses/compares, empty-source
+    replace, date component range validation, plan-cache write detection."""
+
+    def test_tointeger_string_exact_above_2_53(self, spark, chain_graph):
+        # stringToLongValue tries Long.parseLong first — no double round
+        assert rows(cypher(
+            spark,
+            "RETURN toInteger('9007199254740993') AS a, "
+            "toInteger('9223372036854775807') AS b, "
+            "toInteger('-9223372036854775808') AS c",
+            chain_graph)) == [(9007199254740993, 9223372036854775807,
+                               -9223372036854775808)]
+
+    def test_replace_empty_source_empty_search(self, spark, chain_graph):
+        # Java "".replace("", "X") is "X", not "XX"
+        assert rows(cypher(
+            spark,
+            "RETURN replace('', '', 'X') AS a, "
+            "replace('abc', '', 'X') AS b",
+            chain_graph)) == [("X", "XaXbXcX")]
+
+    @pytest.mark.parametrize("bad", [
+        "date('2020-W60-1')",   # week > 53
+        "date('2021-W53-1')",   # 2021 has 52 ISO weeks
+        "date('2020-999')",     # ordinal day > year length
+        "date('2020-Q1-99')",   # day beyond quarter
+    ])
+    def test_date_parse_component_ranges_raise(self, spark, chain_graph,
+                                               bad):
+        # DateValue.parse raises rather than rolling into later periods
+        with pytest.raises(Exception, match="Invalid value"):
+            cypher(spark, f"RETURN {bad} AS v", chain_graph).collect()
+
+    def test_date_parse_week53_valid_year(self, spark, chain_graph):
+        import datetime
+        assert one(spark, chain_graph,
+                   "RETURN date('2015-W53-1') AS v") \
+            == datetime.date(2015, 12, 28)
+
+    def test_tagged_long_equality_exact(self, spark, chain_graph):
+        # NumberValues.numbersEqual: longs above 2^53 compare exactly
+        # even inside a heterogeneous (tagged) list
+        assert rows(cypher(
+            spark,
+            "RETURN 9007199254740993 IN [9007199254740992, 'a'] AS a, "
+            "9007199254740993 IN [9007199254740993, 'a'] AS b",
+            chain_graph)) == [(False, True)]
+
+    def test_tagged_long_comparison_exact(self, spark, chain_graph):
+        assert rows(cypher(
+            spark,
+            "WITH [9007199254740993, 'a'] AS l "
+            "RETURN l[0] > 9007199254740992 AS a, "
+            "l[0] <= 9007199254740992 AS b",
+            chain_graph)) == [(True, False)]
