@@ -41,14 +41,18 @@ def _cy(text: str) -> Callable[[SparkSession, str], DataFrame]:
         # ExecutionEngine.scala:77): repeated runs of the same read query
         # reuse the translated DataFrame — execution still runs fresh.
         # Write queries have side effects at translate time; don't cache.
-        key = (id(spark), sf_dir, text)
+        # Keyed on applicationId (session-lifetime), not id(spark), so a
+        # garbage-collected session can't alias a stopped context; write
+        # detection tokenizes on whitespace so "\nSET" is caught too.
+        key = (spark.sparkContext.applicationId, sf_dir, text)
         if key in _PLAN_CACHE:
             return _PLAN_CACHE[key]
         df = cypher(spark, text, _graph(spark, sf_dir))
-        head = text.lstrip().upper()
-        if not any(w in head for w in
-                   ("CREATE", "MERGE", "DELETE", " SET ", "REMOVE",
-                    "FOREACH", "CALL {")):
+        toks = set(text.upper().replace("{", " { ").split())
+        writeish = {"CREATE", "MERGE", "DELETE", "DETACH", "SET",
+                    "REMOVE", "FOREACH"}
+        call_subquery = "CALL" in toks and "{" in toks
+        if not (toks & writeish) and not call_subquery:
             _PLAN_CACHE[key] = df
         return df
 
@@ -245,6 +249,23 @@ CYPHER_QUERIES = {
         "MATCH p = SHORTEST 2 (a:Supplier WHERE a.suppkey <= 50)"
         "((x)-[:FROM_NATION|IN_REGION]->(y))+(b) "
         "RETURN a.suppkey AS sk, length(p) AS len ORDER BY sk, len",
+    # SHORTEST k>1 with REAL per-pair path multiplicity (several orders
+    # of one customer containing the same part): the k-budgeted
+    # path-propagating NFA BFS keeps min(k, #paths) per pair
+    # (nfa_shortest_tracked, PGPathPropagatingBFS design)
+    "sel_shortest_k_multi":
+        "MATCH p = SHORTEST 2 (c:Customer WHERE c.custkey <= 50)"
+        "((x)-[:PLACED|CONTAINS]->(y))+(b:Part) "
+        "RETURN c.custkey AS ck, b.partkey AS pk, count(*) AS n "
+        "ORDER BY ck, pk",
+    # SHORTEST k GROUPS over an unbounded quantifier: every walk sits in
+    # the (single) shortest length-group per pair, so the result is the
+    # full orders x lineitem multiplicity
+    "sel_groups_k_unbounded":
+        "MATCH p = SHORTEST 2 GROUPS (c:Customer WHERE c.custkey <= 20)"
+        "((x)-[:PLACED|CONTAINS]->(y))+(b:Part) "
+        "RETURN c.custkey AS ck, b.partkey AS pk, count(*) AS n "
+        "ORDER BY ck, pk",
     # --- expressions / functions (§2.8) ---
     "projection_functions":
         "MATCH (c:Customer) RETURN c.custkey AS custkey, "
@@ -1876,6 +1897,19 @@ def _oracle_sql_raw() -> dict[str, str]:
             "SELECT s_suppkey AS sk, CAST(v AS BIGINT) AS len "
             "FROM supplier, (SELECT unnest([1, 2]) AS v) "
             "WHERE s_suppkey <= 50 ORDER BY sk, len",
+        "sel_shortest_k_multi":
+            # every customer->order->part walk has length 2; SHORTEST 2
+            # keeps at most two walks per (customer, part) pair
+            "SELECT o.o_custkey AS ck, CAST(l.l_partkey AS BIGINT) AS pk, "
+            "least(count(*), 2) AS n "
+            "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "WHERE o.o_custkey <= 50 GROUP BY 1, 2 ORDER BY ck, pk",
+        "sel_groups_k_unbounded":
+            # one length-group per pair => all walks survive
+            "SELECT o.o_custkey AS ck, CAST(l.l_partkey AS BIGINT) AS pk, "
+            "count(*) AS n "
+            "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "WHERE o.o_custkey <= 20 GROUP BY 1, 2 ORDER BY ck, pk",
         "sel_shortest_qpp_multi":
             # QPP exits at Order after exactly one repetition (parts are
             # sinks for PLACED|CONTAINS), so ANY SHORTEST = one row per

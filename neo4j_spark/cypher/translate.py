@@ -1222,11 +1222,14 @@ class Translator:
         pruning is exact.  Anything else keeps the enumerating Trail path
         (exact per-path uniqueness, dynamic unroll)."""
         sel, k = part.selector, part.selector_k or 1
-        if not (sel in ("shortest", "allShortest")
-                or (sel in ("shortestGroups", "shortestK") and k == 1)):
+        if sel not in ("shortest", "allShortest", "shortestGroups",
+                       "shortestK", "anyK"):
             return None
         has_unbounded = False
-        needs_track = False
+        # k > 1 needs path identity to tell the k winners apart (the
+        # counting BFS collapses paths per product state); ANY k is
+        # served by the k shortest (any k paths satisfy the selector)
+        needs_track = k > 1
         type_sets: List[frozenset] = []
 
         if part.path_var is not None:

@@ -944,7 +944,18 @@ def nfa_shortest_tracked(tr, df: Optional[DataFrame], part: A.PatternPart,
     closure = nfa.closure_pairs()
     max_depth = int(tr.spark.conf.get("neo4j_spark.nfa.maxDepth", "32"))
     sel = part.selector
-    keep_all = sel in ("allShortest", "shortestGroups")
+    k = part.selector_k or 1
+    # groups_mode: admit up to k distinct DEPTHS per product state and
+    # every distinct path at an admitted depth (ALL SHORTEST = 1 group);
+    # otherwise admit up to k distinct PATHS per product state in
+    # (depth, path-id) order (ANY/SHORTEST = 1 path, SHORTEST k /
+    # ANY k = k).  The k-budget relaxation is exact by prefix
+    # replacement: a path whose prefix to state v is not among v's k
+    # admitted (depths | paths) is dominated by k extensions of better
+    # prefixes — same suffix, valid because product-graph extension is
+    # state-local and the structural guard makes every walk a trail.
+    groups_mode = sel in ("allShortest", "shortestGroups")
+    keep_all = groups_mode and k == 1
     path_cols = ["__rels", "__ns", "__trs", "__pid"]
 
     def apply_state_sets(rows: DataFrame) -> DataFrame:
@@ -1007,8 +1018,12 @@ def nfa_shortest_tracked(tr, df: Optional[DataFrame], part: A.PatternPart,
                 .withColumn("__pid", F.lit("")))
     frontier = reduce_paths(apply_state_sets(eps_close(frontier))) \
         .localCheckpoint(eager=True)
-    visited = frontier.select("__s", "__n", "__st").dropDuplicates() \
-        .localCheckpoint(eager=True)
+    visited = frontier.select("__s", "__n", "__st").dropDuplicates()
+    if k > 1:
+        # k-budgeted visited set: __cnt = admitted depths (groups_mode)
+        # or admitted paths per product state; depth 0 consumed one
+        visited = visited.withColumn("__cnt", F.lit(1))
+    visited = visited.localCheckpoint(eager=True)
 
     end_set = _nfa_node_set(tr, b_pat)
     if end_set is not None:
@@ -1050,8 +1065,25 @@ def nfa_shortest_tracked(tr, df: Optional[DataFrame], part: A.PatternPart,
             nxt = nxt.unionByName(s)
         nxt = eps_close(nxt)
         nxt = apply_state_sets(nxt)
-        nxt = nxt.join(visited, ["__s", "__n", "__st"], "left_anti")
-        nxt = reduce_paths(nxt).localCheckpoint(eager=True)
+        if k == 1:
+            nxt = nxt.join(visited, ["__s", "__n", "__st"], "left_anti")
+            nxt = reduce_paths(nxt)
+        else:
+            # budgeted admission: spend remaining per-state budget on
+            # this level's distinct paths (path-id order for kpaths;
+            # whole level counts as one depth for groups_mode)
+            nxt = nxt.dropDuplicates(["__s", "__n", "__st", "__pid"])
+            j = (nxt.join(visited, ["__s", "__n", "__st"], "left")
+                 .withColumn("__c0", F.coalesce(F.col("__cnt"), F.lit(0)))
+                 .drop("__cnt"))
+            if groups_mode:
+                nxt = j.filter(F.col("__c0") < k).drop("__c0")
+            else:
+                wk = W.partitionBy("__s", "__n", "__st").orderBy("__pid")
+                nxt = (j.withColumn("__rk", F.row_number().over(wk))
+                        .filter(F.col("__c0") + F.col("__rk") <= k)
+                        .drop("__c0", "__rk"))
+        nxt = nxt.localCheckpoint(eager=True)
         if nxt.isEmpty():
             break
         if depth == max_depth:
@@ -1062,20 +1094,44 @@ def nfa_shortest_tracked(tr, df: Optional[DataFrame], part: A.PatternPart,
                 f"at depth {max_depth}; raise neo4j_spark.nfa.maxDepth "
                 f"(refusing to silently truncate)")
         results.append(record(nxt, depth))
-        visited = visited.unionByName(
-            nxt.select("__s", "__n", "__st")).localCheckpoint(eager=False)
+        if k == 1:
+            visited = visited.unionByName(
+                nxt.select("__s", "__n", "__st")).localCheckpoint(eager=False)
+        else:
+            if groups_mode:
+                delta = (nxt.select("__s", "__n", "__st").dropDuplicates()
+                         .withColumn("__cnt", F.lit(1)))
+            else:
+                delta = nxt.groupBy("__s", "__n", "__st").agg(
+                    F.count(F.lit(1)).cast("int").alias("__cnt"))
+            visited = (visited.unionByName(delta)
+                       .groupBy("__s", "__n", "__st")
+                       .agg(F.sum("__cnt").cast("int").alias("__cnt"))
+                       .localCheckpoint(eager=False))
         frontier = nxt
 
     res = results[0]
     for r in results[1:]:
         res = res.unionByName(r)
-    if not keep_all:
+    if groups_mode:
+        # (k=1: visited-once pruning already kept only min-depth paths;
+        #  k>1: the final state's depth budget admitted exactly the k
+        #  shortest length-groups per (start, end))
+        pass
+    elif k == 1:
         # ONE row per (start, end) pair — deterministic representative
         res = (res.groupBy("__s", "__e")
                .agg(F.min_by(F.struct("__len", *path_cols),
                              F.col("__pid")).alias("__p"))
                .select("__s", "__e", F.col("__p.__len").alias("__len"),
                        *[F.col(f"__p.{c}").alias(c) for c in path_cols]))
+    else:
+        # SHORTEST k / ANY k: the final-state budget already admitted at
+        # most k paths per (start, end) in (len, pid) order; re-rank as
+        # belt-and-braces over the (small) result set
+        wk = W.partitionBy("__s", "__e").orderBy("__len", "__pid")
+        res = (res.withColumn("__rk", F.row_number().over(wk))
+               .filter(F.col("__rk") <= k).drop("__rk"))
 
     out = df.join(
         res.withColumnRenamed("__s", "__nfs"),

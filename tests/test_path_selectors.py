@@ -419,3 +419,81 @@ class TestShortestPathInWhere:
             "WHERE length(shortestPath((a)-[*..3]->(b))) = 1 "
             "RETURN a.v AS v", g).collect()]
         assert got == [(1,)]
+
+
+class TestNFAKBudgeted:
+    """SHORTEST k / SHORTEST k GROUPS / ANY k over UNBOUNDED quantifiers
+    route to the k-budgeted path-propagating NFA (nfa_shortest_tracked):
+    up to k paths (or k distinct depths for GROUPS) admitted per product
+    state — exact by prefix replacement.  Oracle: the exact Trail
+    enumeration of the same pattern with a bound beyond the graph's
+    reach."""
+
+    import pytest as _pytest
+
+    @_pytest.fixture(scope="class")
+    def multilen_graph(self, spark):
+        """1->4 direct; 1->2->4; 1->3->4; 2->3 (so 1->2->3->4): lengths
+        {1, 2, 2, 3} between nodes 1 and 4."""
+        from neo4j_spark.graph import PropertyGraph
+
+        nodes = {"N": spark.createDataFrame(
+            [(i, ["N"], i) for i in range(1, 7)],
+            "id long, labels array<string>, x long")}
+        edges = [(10, 1, 4), (11, 1, 2), (12, 2, 4), (13, 1, 3),
+                 (14, 3, 4), (15, 2, 3), (16, 4, 5), (17, 5, 6)]
+        rels = {"R": spark.createDataFrame(
+            [(e, s, d, "R") for e, s, d in edges],
+            "id long, src long, dst long, type string")}
+        return PropertyGraph(nodes, rels)
+
+    @_pytest.mark.parametrize("sel", [
+        "SHORTEST 2", "SHORTEST 3", "SHORTEST 2 GROUPS", "ALL SHORTEST",
+        "ANY SHORTEST",
+    ])
+    def test_unbounded_matches_bounded_trail(self, spark, multilen_graph,
+                                             sel):
+        unb = sorted(tuple(r) for r in cypher(
+            spark,
+            f"MATCH p = {sel} (a)((x)-[:R]->(y))+(b) "
+            "RETURN a.x AS ax, b.x AS bx, length(p) AS len",
+            multilen_graph).collect())
+        bnd = sorted(tuple(r) for r in cypher(
+            spark,
+            f"MATCH p = {sel} (a)((x)-[:R]->(y)){{1,7}}(b) "
+            "RETURN a.x AS ax, b.x AS bx, length(p) AS len",
+            multilen_graph).collect())
+        assert unb == bnd
+
+    def test_shortest_2_lengths_1_4(self, spark, multilen_graph):
+        got = sorted(r[0] for r in cypher(
+            spark,
+            "MATCH p = SHORTEST 2 (a {x: 1})((u)-[:R]->(v))+(b {x: 4}) "
+            "RETURN length(p) AS len", multilen_graph).collect())
+        assert got == [1, 2]
+
+    def test_groups_2_lengths_1_4(self, spark, multilen_graph):
+        got = sorted(r[0] for r in cypher(
+            spark,
+            "MATCH p = SHORTEST 2 GROUPS (a {x: 1})((u)-[:R]->(v))+"
+            "(b {x: 4}) RETURN length(p) AS len",
+            multilen_graph).collect())
+        assert got == [1, 2, 2]
+
+    def test_any_k_unbounded_count(self, spark, multilen_graph):
+        # ANY 2: any two paths — assert the count, not which two
+        got = [tuple(r) for r in cypher(
+            spark,
+            "MATCH p = ANY 2 (a {x: 1})((u)-[:R]->(v))+(b {x: 4}) "
+            "RETURN count(*) AS n", multilen_graph).collect()]
+        assert got == [(2,)]
+
+    def test_path_projection_under_k(self, spark, multilen_graph):
+        # group/path variables re-derive through the k-budgeted search
+        got = sorted(tuple(r) for r in cypher(
+            spark,
+            "MATCH p = SHORTEST 2 (a {x: 1})((u)-[:R]->(v))+(b {x: 4}) "
+            "RETURN length(p) AS len, [n IN nodes(p) | n.x] AS xs",
+            multilen_graph).collect())
+        assert got[0] == (1, [1, 4])
+        assert got[1][0] == 2 and got[1][1][0] == 1 and got[1][1][2] == 4
