@@ -654,6 +654,14 @@ CYPHER_QUERIES = {
         "CALL db.index.fulltext.queryNodes('name', "
         "'(red OR blue) AND widget') "
         "YIELD node, score RETURN count(*) AS n",
+    # Lucene wildcard terms (MultiTermQuery, constant-score rewrite)
+    "call_fulltext_wildcard":
+        "CALL db.index.fulltext.queryNodes('name', 'wid* OR gi?mo') "
+        "YIELD node, score RETURN count(*) AS n",
+    # Lucene term range [lo TO hi} — tokens in ['w', 'x')
+    "call_fulltext_range":
+        "CALL db.index.fulltext.queryNodes('name', '[w TO x}') "
+        "YIELD node, score RETURN count(*) AS n",
     "call_list_config":
         "CALL dbms.listConfig() YIELD name, value "
         "WHERE name = 'spark.sql.adaptive.enabled' "
@@ -2345,6 +2353,14 @@ def _oracle_sql_raw() -> dict[str, str]:
             "SELECT count(*) AS n FROM part "
             "WHERE (p_name LIKE '%red%' OR p_name LIKE '%blue%') "
             "AND p_name LIKE '%widget%'",
+        "call_fulltext_wildcard":
+            "SELECT count(*) AS n FROM part "
+            "WHERE regexp_matches(lower(p_name), "
+            "'\\b(wid[a-z]*|gi.mo)\\b')",
+        "call_fulltext_range":
+            # tokens lexicographically in ['w','x') = tokens starting 'w'
+            "SELECT count(*) AS n FROM part "
+            "WHERE regexp_matches(lower(p_name), '\\bw')",
         "call_list_config":
             "SELECT 'true' AS v",
         "algo_connected_components":

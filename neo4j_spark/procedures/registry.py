@@ -437,12 +437,15 @@ def _bm25_scan(frame, id_col: str, prop: str, terms, out_name: str,
 # (FulltextProcedures.java:120 -> QueryParser).  Supported here: bare
 # terms (implicit OR, Lucene's default operator), "quoted phrases",
 # AND / OR / NOT (also && / || / !), +must / -must_not modifiers,
-# parentheses, field prefixes (must name the indexed property), and
-# fuzzy term~N (Levenshtein, default 2).  Wildcards / ranges / boosts /
-# phrase slop raise a clear ProcedureError.  Scoring: BM25 summed over
-# the matching POSITIVE clauses (must_not never scores), phrase tf =
-# exact consecutive-token occurrences, fuzzy tf = tokens within edit
-# distance.
+# parentheses, field prefixes (must name the indexed property),
+# fuzzy term~N (Levenshtein, default 2), wildcards te?t / te*t,
+# term ranges [a TO b] / {a TO b} (mixed brackets, * endpoints), and
+# boosts term^2 / "phrase"^2.  Phrase slop raises a clear
+# ProcedureError.  Scoring: BM25 x boost summed over the matching
+# POSITIVE clauses (must_not never scores); wildcard and range clauses
+# are CONSTANT-score (= boost), matching Lucene's MultiTermQuery
+# constant-score rewrite; phrase tf = exact consecutive-token
+# occurrences, fuzzy tf = tokens within edit distance.
 
 
 def _lucene_lex(q: str):
@@ -461,8 +464,16 @@ def _lucene_lex(q: str):
             if j + 1 < n and q[j + 1] == "~":
                 raise ProcedureError(
                     "phrase slop (\"...\"~N) is not supported")
-            toks.append(("phrase", q[i + 1:j]))
-            i = j + 1
+            boost = 1.0
+            i2 = j + 1
+            if i2 < n and q[i2] == "^":
+                m = re.match(r"\^(\d+(?:\.\d+)?)", q[i2:])
+                if not m:
+                    raise ProcedureError("bad boost in Lucene query")
+                boost = float(m.group(1))
+                i2 += m.end()
+            toks.append(("phrase", q[i + 1:j], boost))
+            i = i2
         elif c == "(":
             toks.append(("lp",)); i += 1; _clause_start = True
         elif c == ")":
@@ -478,6 +489,7 @@ def _lucene_lex(q: str):
         elif q.startswith("||", i):
             toks.append(("or",)); i += 2
         else:
+            st = i
             j = i
             while j < n and not q[j].isspace() and q[j] not in '()"':
                 j += 1
@@ -491,21 +503,60 @@ def _lucene_lex(q: str):
                 toks.append(("not",))
             else:
                 field = None
-                if ":" in w:
+                if ":" in w and w[:1] not in "[{":
                     field, w = w.split(":", 1)
-                fuzz = None
-                if "~" in w:
-                    w, _, fz = w.partition("~")
-                    try:
-                        fuzz = int(fz) if fz else 2
-                    except ValueError:
+                if w[:1] in "[{":
+                    # term range [a TO b] / {a TO b}: contains spaces —
+                    # rescan from the opening bracket to the closing one
+                    bs = st + (len(field) + 1 if field is not None else 0)
+                    m = re.search(r"[\]}]", q[bs:])
+                    if not m:
                         raise ProcedureError(
-                            f"bad fuzzy distance in Lucene query: {fz}")
-                if any(ch in w for ch in "*?[]{}^"):
-                    raise ProcedureError(
-                        f"unsupported Lucene syntax: {w} (wildcards/"
-                        "ranges/boosts are not implemented)")
-                toks.append(("term", w.lower(), field, fuzz))
+                            "unterminated range in Lucene query")
+                    rng = q[bs:bs + m.end()]
+                    i = bs + m.end()
+                    boost = 1.0
+                    if i < n and q[i] == "^":
+                        mb = re.match(r"\^(\d+(?:\.\d+)?)", q[i:])
+                        if not mb:
+                            raise ProcedureError(
+                                "bad boost in Lucene query")
+                        boost = float(mb.group(1))
+                        i += mb.end()
+                    parts = re.split(r"\s+TO\s+", rng[1:-1].strip())
+                    if len(parts) != 2:
+                        raise ProcedureError(
+                            f"bad range syntax in Lucene query: {rng}")
+                    lo = None if parts[0] == "*" else parts[0].lower()
+                    hi = None if parts[1] == "*" else parts[1].lower()
+                    toks.append(("rangeq", lo, hi, rng[0] == "[",
+                                 rng[-1] == "]", field, boost))
+                else:
+                    boost = 1.0
+                    mb = re.search(r"\^(\d+(?:\.\d+)?)$", w)
+                    if mb:
+                        boost = float(mb.group(1))
+                        w = w[:mb.start()]
+                    fuzz = None
+                    if "~" in w:
+                        w, _, fz = w.partition("~")
+                        try:
+                            fuzz = int(fz) if fz else 2
+                        except ValueError:
+                            raise ProcedureError(
+                                f"bad fuzzy distance in Lucene query: {fz}")
+                    if any(ch in w for ch in "[]{}^"):
+                        raise ProcedureError(
+                            f"unsupported Lucene syntax: {w}")
+                    if "*" in w or "?" in w:
+                        if fuzz is not None:
+                            raise ProcedureError(
+                                "cannot combine wildcard and fuzzy in "
+                                "one Lucene term")
+                        toks.append(("wildq", w.lower(), field, boost))
+                    else:
+                        toks.append(
+                            ("term", w.lower(), field, fuzz, boost))
         _clause_start = toks[-1][0] in ("lp", "and", "or", "not",
                                         "plus", "minus")
     return toks
@@ -513,8 +564,9 @@ def _lucene_lex(q: str):
 
 def _lucene_parse(q: str, prop: str):
     """Parse a Lucene query into ('bool', musts, nots, shoulds) /
-    ('and', kids) / ('not', kid) / leaf nodes; leaves are
-    ('term', w) / ('fuzzy', w, n) / ('phrase', [w...])."""
+    ('and', kids) / ('not', kid) / leaf nodes; leaves carry a trailing
+    boost: ('term', w, b) / ('fuzzy', w, n, b) / ('phrase', [w...], b) /
+    ('wild', pat, b) / ('range', lo, hi, inc_lo, inc_hi, b)."""
     tokens = _lucene_lex(q)
     pos = [0]
 
@@ -537,23 +589,38 @@ def _lucene_parse(q: str, prop: str):
                 raise ProcedureError("unbalanced ( in Lucene query")
             take()
             return node
-        if t[0] == "phrase":
-            take()
-            words = [w for w in re.split(r"\W+", t[1].lower()) if w]
-            if not words:
-                raise ProcedureError("empty phrase in Lucene query")
-            return ("term", words[0]) if len(words) == 1 \
-                else ("phrase", words)
-        if t[0] == "term":
-            take()
-            _, w, field, fuzz = t
+        def ck_field(field):
             if field is not None and field != prop:
                 raise ProcedureError(
                     f"field '{field}:' does not match the indexed "
                     f"property '{prop}'")
+
+        if t[0] == "phrase":
+            take()
+            _, body, boost = t
+            words = [w for w in re.split(r"\W+", body.lower()) if w]
+            if not words:
+                raise ProcedureError("empty phrase in Lucene query")
+            return ("term", words[0], boost) if len(words) == 1 \
+                else ("phrase", words, boost)
+        if t[0] == "term":
+            take()
+            _, w, field, fuzz, boost = t
+            ck_field(field)
             if not w:
                 raise ProcedureError("empty term in Lucene query")
-            return ("fuzzy", w, fuzz) if fuzz else ("term", w)
+            return ("fuzzy", w, fuzz, boost) if fuzz \
+                else ("term", w, boost)
+        if t[0] == "wildq":
+            take()
+            _, w, field, boost = t
+            ck_field(field)
+            return ("wild", w, boost)
+        if t[0] == "rangeq":
+            take()
+            _, lo, hi, il, ih, field, boost = t
+            ck_field(field)
+            return ("range", lo, hi, il, ih, boost)
         raise ProcedureError(f"unexpected token in Lucene query: {t[0]}")
 
     def parse_mod():
@@ -578,7 +645,8 @@ def _lucene_parse(q: str, prop: str):
     def parse_or():
         kids = [parse_and()]
         while peek() is not None and peek()[0] in (
-                "or", "phrase", "term", "plus", "minus", "not", "lp"):
+                "or", "phrase", "term", "wildq", "rangeq",
+                "plus", "minus", "not", "lp"):
             if peek()[0] == "or":
                 take()
             kids.append(parse_and())
@@ -598,7 +666,7 @@ def _lucene_parse(q: str, prop: str):
 
 
 def _is_lucene_syntax(q: str) -> bool:
-    if any(ch in q for ch in '"():+~&|!'):
+    if any(ch in q for ch in '"():+~&|!*?[]{}^'):
         return True
     return bool(re.search(r"\b(AND|OR|NOT)\b", q))
 
@@ -611,15 +679,20 @@ def _analyze_lucene_tree(nd, analyzer: str):
     kind = nd[0]
     if kind == "term":
         t = _analyze_term_py(nd[1], analyzer)
-        return None if t is None else ("term", t)
+        return None if t is None else ("term", t, nd[2])
     if kind == "fuzzy":
-        return ("fuzzy", nd[1].lower(), nd[2])
+        return ("fuzzy", nd[1].lower(), nd[2], nd[3])
+    if kind in ("wild", "range"):
+        # Lucene multi-term queries are lowercased but never
+        # stemmed/stop-filtered by the analyzer
+        return nd
     if kind == "phrase":
         words = [w for w in (_analyze_term_py(x, analyzer)
                              for x in nd[1]) if w is not None]
         if not words:
             return None
-        return ("term", words[0]) if len(words) == 1 else ("phrase", words)
+        return ("term", words[0], nd[2]) if len(words) == 1 \
+            else ("phrase", words, nd[2])
     if kind == "not":
         ch = _analyze_lucene_tree(nd[1], analyzer)
         return None if ch is None else ("not", ch)
@@ -657,7 +730,7 @@ def _lucene_scan(frame, id_col: str, prop: str, node, out_name: str,
 
     def collect(nd, scoring=True):
         kind = nd[0]
-        if kind in ("term", "fuzzy", "phrase"):
+        if kind in ("term", "fuzzy", "phrase", "wild", "range"):
             for i, (l, s) in enumerate(leaves):
                 if l == nd:
                     if scoring and not s:
@@ -695,6 +768,24 @@ def _lucene_scan(frame, id_col: str, prop: str, node, out_name: str,
             return F.size(F.filter(
                 F.col("__toks"),
                 lambda x: F.levenshtein(x, F.lit(w)) <= F.lit(dist)))
+        if nd[0] == "wild":
+            pat = "^" + "".join(
+                ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+                for ch in nd[1]) + "$"
+            return F.size(F.filter(F.col("__toks"),
+                                   lambda x: x.rlike(pat)))
+        if nd[0] == "range":
+            _, lo, hi, il, ih, _b = nd
+
+            def in_range(x):
+                c = F.lit(True)
+                if lo is not None:
+                    c = c & ((x >= lo) if il else (x > lo))
+                if hi is not None:
+                    c = c & ((x <= hi) if ih else (x < hi))
+                return c
+
+            return F.size(F.filter(F.col("__toks"), in_range))
         words = nd[1]
         k = len(words)
         starts = F.when(F.col("__dl") < k, F.array().cast("array<int>")) \
@@ -728,7 +819,7 @@ def _lucene_scan(frame, id_col: str, prop: str, node, out_name: str,
 
     def matches(nd):
         kind = nd[0]
-        if kind in ("term", "fuzzy", "phrase"):
+        if kind in ("term", "fuzzy", "phrase", "wild", "range"):
             return hit(nd)
         if kind == "not":
             return ~matches(nd[1])
@@ -760,11 +851,19 @@ def _lucene_scan(frame, id_col: str, prop: str, node, out_name: str,
     for i, (nd, scoring) in enumerate(leaves):
         if not scoring:
             continue
-        s = F.when(
-            F.col(f"__tf{i}") > 0,
-            _bm25_score(F.col(f"__tf{i}"), F.col("__dl"),
-                        F.col(f"__df{i}"), F.col("__n"),
-                        F.col("__avgdl"))).otherwise(F.lit(0.0))
+        boost = float(nd[-1])
+        if nd[0] in ("wild", "range"):
+            # Lucene MultiTermQuery constant-score rewrite: a matching
+            # wildcard/range clause contributes its boost, not BM25
+            s = F.when(F.col(f"__tf{i}") > 0,
+                       F.lit(boost)).otherwise(F.lit(0.0))
+        else:
+            s = F.when(
+                F.col(f"__tf{i}") > 0,
+                _bm25_score(F.col(f"__tf{i}"), F.col("__dl"),
+                            F.col(f"__df{i}"), F.col("__n"),
+                            F.col("__avgdl"))
+                * F.lit(boost)).otherwise(F.lit(0.0))
         score = s if score is None else score + s
     if score is None:
         score = F.lit(0.0)

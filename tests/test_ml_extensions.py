@@ -523,3 +523,47 @@ class TestDupResolution:
         kept = {r.doc_id for r in
                 keep_canonical(docs, pairs, "doc_id").collect()}
         assert kept == {0, 9}
+
+
+def test_fulltext_wildcard_range_boost(spark):
+    """Lucene multi-term syntax: wildcards (te?t / te*t) and term ranges
+    are CONSTANT-score clauses (MultiTermQuery constant-score rewrite);
+    boosts multiply BM25; mixed brackets and * endpoints parse."""
+    from neo4j_spark.graph import PropertyGraph
+    from neo4j_spark.procedures.registry import (ProcedureError,
+                                                 run_procedure)
+
+    docs = [(1, ["D"], "apple banana apricot"),
+            (2, ["D"], "apple cherry"),
+            (3, ["D"], "durian axe"),
+            (4, ["D"], "banana bread")]
+    g = PropertyGraph(
+        {"D": spark.createDataFrame(
+            docs, "id long, labels array<string>, body string")}, {})
+
+    def q(s):
+        return [(r["node"], r["score"]) for r in run_procedure(
+            spark, g, "db.index.fulltext.querynodes", ["body", s])
+            .collect()]
+
+    assert [n for n, _ in q("ap*")] == [1, 2]
+    assert all(s == 1.0 for _, s in q("ap*"))       # constant score
+    assert [n for n, _ in q("a?e")] == [3]
+    assert [n for n, _ in q("ap* AND banana")] == [1]
+    assert [n for n, _ in q("[apple TO banana]")] == [1, 2, 3, 4]
+    assert [n for n, _ in q("{apple TO banana}")] == [1, 3]  # excl. ends
+    assert [n for n, _ in q("[b TO *]")] == [1, 2, 3, 4]
+    assert [n for n, _ in q("body:ap*")] == [1, 2]
+    # boost multiplies BM25: apple^3 outranks durian's plain idf
+    plain = dict(q("apple OR durian"))
+    boosted = dict(q("apple^3 OR durian"))
+    assert abs(boosted[1] - 3 * plain[1]) < 1e-9
+    assert abs(boosted[3] - plain[3]) < 1e-9
+    boosted_phrase = dict(q('"banana bread"^2'))
+    plain_phrase = dict(q('"banana bread"'))
+    assert abs(boosted_phrase[4] - 2 * plain_phrase[4]) < 1e-9
+    import pytest as _pytest
+    with _pytest.raises(ProcedureError):
+        q("a[pple")
+    with _pytest.raises(ProcedureError):
+        q('"a b"~2')
