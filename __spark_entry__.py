@@ -1076,6 +1076,23 @@ def _q_dedup_minhash(spark, sf_dir):
     return minhash_dedup_pairs(docs, threshold=0.8).orderBy("id_a", "id_b")
 
 
+def _q_stream_near_dup(spark, sf_dir):
+    """Streaming near-dup probe (stream-static LSH join + exact Jaccard
+    verify, streaming/neardup.py) run in its batch-equivalent mode: the
+    plan is stream-agnostic, and pytest asserts the drained stream equals
+    this batch output exactly."""
+    import tempfile
+
+    from neo4j_spark.streaming.neardup import (build_near_dup_index,
+                                               stream_near_dup)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = tempfile.gettempdir() + f"/neo4j_spark_neardup_{abs(hash(sf_dir))}"
+    build_near_dup_index(docs, idx)
+    return (stream_near_dup(docs, spark, idx, threshold=0.8)
+            .dropDuplicates().orderBy("doc_id", "corpus_id"))
+
+
 def _q_dedup_simhash(spark, sf_dir):
     from neo4j_spark.ml.dedup import simhash_dup_pairs
 
@@ -1590,6 +1607,7 @@ WRITE_QUERIES = {
 EXTENSION_QUERIES = {
     "dedup_exact": _q_dedup_exact,
     "dedup_minhash_lsh": _q_dedup_minhash,
+    "stream_near_dup": _q_stream_near_dup,
     "dedup_simhash": _q_dedup_simhash,
     "ngram_jaccard": _q_ngram_jaccard,
     "dedup_embedding_cosine": _q_dedup_embedding_cosine,
@@ -2892,6 +2910,7 @@ def _oracle_sql_raw() -> dict[str, str]:
             "SELECT CAST(2 * sum(r_regionkey) AS BIGINT) AS s FROM region",
         "user_aggregate_call":
             "SELECT round(exp(avg(ln(n_nationkey + 1))), 4) AS g FROM nation",
-        # dedup_minhash_lsh / dedup_simhash / knn_lsh / text_fingerprint:
-        # hash-function-specific (xxhash64) — rows-only check (omitted).
+        # dedup_minhash_lsh / dedup_simhash / knn_lsh / text_fingerprint /
+        # stream_near_dup: hash-function-specific (xxhash64) — rows-only
+        # check (omitted); recall/equivalence gated in pytest + bench.
     }

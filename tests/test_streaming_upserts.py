@@ -129,3 +129,73 @@ class TestStreamStreamJoin:
         got = sorted((r.l_id, r.r_id)
                      for r in spark.sql("SELECT * FROM ssjoin").collect())
         assert got == want and len(got) > 0
+
+
+class TestStreamingNearDup:
+    def _corpus(self, spark, d):
+        """documents + near-dup copies (one word changed), written to a
+        tempdir so a file stream can replay them."""
+        from pyspark.sql import functions as F
+
+        docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+                .select("doc_id", "text").limit(40))
+        dups = docs.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" near dup tail word soup"))
+            .alias("text"))
+        corpus = docs.unionByName(dups)
+        corpus.coalesce(1).write.mode("overwrite") \
+            .parquet(d + "/docs/documents.parquet")
+        return spark.read.parquet(d + "/docs/documents.parquet")
+
+    def test_rowwise_signatures_bit_identical_to_batch(self, spark):
+        from neo4j_spark.ml.dedup import (_banded_signatures,
+                                          exploded_shingles,
+                                          rowwise_band_signatures)
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon"),
+             (2, "alpha beta"),          # shorter than k tokens
+             (3, ""),                    # empty
+             (4, "alpha beta gamma"),    # exactly k
+             (5, "Alpha, beta; GAMMA delta!")],  # analyzer punctuation
+            "doc_id long, text string")
+        batch = {tuple(r) for r in _banded_signatures(
+            exploded_shingles(docs, "doc_id", "text", 3), 32, 8).collect()}
+        roww = {tuple(r) for r in rowwise_band_signatures(
+            docs, "doc_id", "text", 32, 8, 3).collect()}
+        assert roww == batch and len(batch) == 5 * 8
+
+    def test_stream_near_dup_equals_batch(self, spark):
+        import tempfile
+
+        from neo4j_spark.streaming.neardup import (build_near_dup_index,
+                                                   stream_near_dup)
+
+        with tempfile.TemporaryDirectory() as d:
+            corpus = self._corpus(spark, d)
+            build_near_dup_index(corpus, d + "/idx")
+
+            batch_out = stream_near_dup(corpus, spark, d + "/idx",
+                                        threshold=0.8)
+            want = {(r.doc_id, r.corpus_id, r.jaccard)
+                    for r in batch_out.collect()}
+            # the synthesized copies must be found (symmetric pairs)
+            assert len(want) > 0
+            assert all(j >= 0.8 for _, _, j in want)
+            assert any(b - a == 100000 for a, b, _ in want)
+
+            stream = (spark.readStream.schema(corpus.schema)
+                      .option("maxFilesPerTrigger", 1)
+                      .parquet(d + "/docs/documents.parquet"))
+            out = stream_near_dup(stream, spark, d + "/idx",
+                                  threshold=0.8)
+            assert out.isStreaming
+            q = (out.writeStream.format("memory").queryName("neardup")
+                 .outputMode("append")
+                 .option("checkpointLocation", d + "/ck")
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+            got = {(r.doc_id, r.corpus_id, r.jaccard) for r in
+                   spark.sql("SELECT * FROM neardup").collect()}
+            assert got == want
