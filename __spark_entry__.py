@@ -126,6 +126,42 @@ CYPHER_QUERIES = {
     "agg_count_distinct":
         "MATCH (o:Order)-[:SUPPLIED_BY]->(s:Supplier) "
         "RETURN s.suppkey AS suppkey, count(DISTINCT o.orderkey) AS n_orders",
+    # TPC-H classics as property-graph queries: multi-hop joins +
+    # selective filters + grouped aggregation — the optimizer surface
+    # (join order, pushdown, broadcast) a warehouse query exercises
+    "q3_shipping_priority":
+        "MATCH (c:Customer {mktsegment: 'BUILDING'})-[:PLACED]->"
+        "(o:Order)-[l:CONTAINS]->(:Part) "
+        "WHERE o.orderdate < datetime('1997-01-01') "
+        "AND l.shipdate > datetime('1997-01-01') "
+        "RETURN o.orderkey AS okey, "
+        "round(sum(l.extendedprice * (1 - l.discount)), 2) AS revenue "
+        "ORDER BY revenue DESC, okey LIMIT 10",
+    # revenue in exact integer cents (x100 each factor, /10000 once):
+    # a float sum's rounding can land on a .005 boundary and hash
+    # differently per engine; integer sums are bit-stable everywhere
+    "q5_local_supplier_volume":
+        "MATCH (r:Region {name: 'ASIA'})<-[:IN_REGION]-(n:Nation)"
+        "<-[:FROM_NATION]-(s:Supplier)<-[sb:SUPPLIED_BY]-(o:Order)"
+        "-[l:CONTAINS]->(:Part), "
+        "(c:Customer)-[:PLACED]->(o), (c)-[:FROM_NATION]->(n) "
+        "WHERE sb.linenumber = l.linenumber "
+        "AND o.orderdate >= datetime('1996-01-01') "
+        "AND o.orderdate < datetime('1997-01-01') "
+        "RETURN n.name AS nation, "
+        "sum(toInteger(round(l.extendedprice * 100)) * "
+        "toInteger(round((1 - l.discount) * 100))) / 10000.0 AS revenue "
+        "ORDER BY revenue DESC",
+    "q10_returned_items":
+        "MATCH (c:Customer)-[:PLACED]->(o:Order)-[l:CONTAINS]->(:Part), "
+        "(c)-[:FROM_NATION]->(n:Nation) "
+        "WHERE l.returnflag = 'R' "
+        "AND o.orderdate >= datetime('1996-01-01') "
+        "AND o.orderdate < datetime('1996-04-01') "
+        "RETURN c.custkey AS ck, n.name AS nation, "
+        "sum(toInteger(round(l.extendedprice * 100)) * "
+        "toInteger(round((1 - l.discount) * 100))) / 10000.0 AS revenue "
+        "ORDER BY revenue DESC, ck LIMIT 20",
     "agg_stddev":
         "MATCH (o:Order) RETURN o.orderstatus AS status, "
         "round(stDev(o.totalprice), 2) AS sd, "
@@ -1800,6 +1836,48 @@ def _oracle_sql_raw() -> dict[str, str]:
             "round(avg(l_discount), 6) AS avg_disc, count(*) AS cnt "
             "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
             "GROUP BY l_returnflag, l_linestatus",
+        "q3_shipping_priority":
+            "SELECT o_orderkey AS okey, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM customer JOIN orders ON o_custkey = c_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "AND l_shipdate > TIMESTAMP '1997-01-01' "
+            "GROUP BY 1 ORDER BY revenue DESC, okey LIMIT 10",
+        "q5_local_supplier_volume":
+            # the graph query correlates the money rel (CONTAINS) to the
+            # supplier rel (SUPPLIED_BY) on (order, linenumber) — the
+            # synthetic generator does NOT keep linenumber unique per
+            # order, so the faithful relational form is a lineitem
+            # self-join on that key, not the single-table TPC-H join
+            "SELECT n_name AS nation, "
+            "sum(CAST(round(lm.l_extendedprice * 100) AS BIGINT) * "
+            "CAST(round((1 - lm.l_discount) * 100) AS BIGINT)) / 10000.0 "
+            "AS revenue "
+            "FROM customer, orders, lineitem lm, lineitem ls, supplier, "
+            "nation, region "
+            "WHERE c_custkey = o_custkey AND lm.l_orderkey = o_orderkey "
+            "AND ls.l_orderkey = o_orderkey "
+            "AND lm.l_linenumber = ls.l_linenumber "
+            "AND ls.l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+            "AND r_name = 'ASIA' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY 1 ORDER BY revenue DESC",
+        "q10_returned_items":
+            "SELECT c_custkey AS ck, n_name AS nation, "
+            "sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "CAST(round((1 - l_discount) * 100) AS BIGINT)) / 10000.0 "
+            "AS revenue "
+            "FROM customer JOIN orders ON o_custkey = c_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE l_returnflag = 'R' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1996-04-01' "
+            "GROUP BY 1, 2 ORDER BY revenue DESC, ck LIMIT 20",
         "agg_count_distinct":
             "SELECT l_suppkey AS suppkey, count(DISTINCT l_orderkey) AS n_orders "
             "FROM lineitem GROUP BY l_suppkey",

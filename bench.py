@@ -121,6 +121,8 @@ def main() -> None:
         "var_expand_fixed",        # iterative var-length expand
         "shortest_path_op",        # BFS shortest path
         "qpp_fixed",               # quantified path pattern (Trail)
+        "q3_shipping_priority",    # TPC-H Q3: 3-table join + top-k agg
+        "q5_local_supplier_volume",  # TPC-H Q5: 6-way join, 2 rel corr
         # training-data pipeline
         "dedup_exact",
         "dedup_minhash_lsh",
