@@ -216,6 +216,12 @@ CYPHER_QUERIES = {
         "MATCH (r:Region) RETURN r.name AS region, "
         "size([(n:Nation)-[:IN_REGION]->(r) | n.name]) AS n_nations "
         "ORDER BY region",
+    # path-BOUND pattern comprehension: [p = pattern | proj over p]
+    "rollup_path_comprehension":
+        "MATCH (n:Nation) WHERE n.nationkey <= 3 "
+        "RETURN n.name AS nation, "
+        "toString([p = (n)-[:IN_REGION]->(:Region) | length(p)]) AS lens "
+        "ORDER BY nation",
     # --- var-length / shortest (§2.3 iterative) ---
     "var_expand_fixed":
         "MATCH (c:Customer)-[*2..2]->(r:Region) RETURN count(*) AS n",
@@ -1937,6 +1943,9 @@ def _oracle_sql_raw() -> dict[str, str]:
             "SELECT r_name AS region, CAST(count(n_nationkey) AS BIGINT) "
             "AS n_nations FROM region LEFT JOIN nation "
             "ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY region",
+        "rollup_path_comprehension":
+            "SELECT n_name AS nation, '[1]' AS lens FROM nation "
+            "WHERE n_nationkey <= 3 ORDER BY nation",
         "var_expand_fixed":
             "SELECT count(*) AS n FROM customer "
             "JOIN nation ON c_nationkey = n_nationkey "

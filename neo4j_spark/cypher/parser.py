@@ -1325,11 +1325,20 @@ class Parser:
         if self.at_op("]"):
             self.take()
             return A.ListLit([])
-        # pattern comprehension: [ (a)-[...]->(b) WHERE ... | expr ]
-        if self.at_op("("):
+        # pattern comprehension: [ (a)-[...]->(b) WHERE ... | expr ],
+        # optionally binding a path variable: [ p = (a)-->(b) | len(p) ]
+        has_path_var = (self.peek().kind == "IDENT"
+                        and self.at_op("=", ahead=1)
+                        and self.at_op("(", ahead=2))
+        if self.at_op("(") or has_path_var:
             save = self.i
+            pvar = None
+            if has_path_var:
+                pvar = self.expect_ident()
+                self.take()  # '='
             pat = self.try_parse_pattern_pred()
             if pat is not None and (self.at_kw("WHERE") or self.at_op("|")):
+                pat.path_var = pvar
                 where = None
                 if self.at_kw("WHERE"):
                     self.take()

@@ -218,3 +218,28 @@ def test_call_scope_clause_forms(spark, chain_graph):
                  "MATCH (a:A) CALL () { MATCH (n) RETURN count(*) AS k } "
                  "RETURN a.x AS ax, k", chain_graph)
     assert rows(out) == [(1, 3)]
+
+
+class TestPathBoundPatternComprehension:
+    """[p = (a)-->(b) | proj] — path variable bound inside a pattern
+    comprehension (RollUpApply with path construction)."""
+
+    def test_length_and_nodes(self, spark, chain_graph):
+        from neo4j_spark.api import cypher
+
+        got = [tuple(r) for r in cypher(
+            spark,
+            "MATCH (a:A) RETURN [p = (a)-[:R]->(:B) | length(p)] AS l, "
+            "[p = (a)-[:R]->(b:B) | [n IN nodes(p) | n.x]] AS ns",
+            chain_graph).collect()]
+        assert got == [([1], [[1, 2]])]
+
+    def test_where_on_path(self, spark, chain_graph):
+        from neo4j_spark.api import cypher
+
+        got = [tuple(r) for r in cypher(
+            spark,
+            "MATCH (a:A) RETURN "
+            "size([p = (a)-[:R*1..2]->() WHERE length(p) = 2 | 1]) AS n",
+            chain_graph).collect()]
+        assert got == [(1,)]
