@@ -739,6 +739,11 @@ CYPHER_QUERIES = {
     "algo_all_paths":
         "CALL algo.allPaths(2000000000000, 2000000000005, 4, false) "
         "YIELD length RETURN length, count(*) AS n ORDER BY length",
+    # k cheapest simple paths (Dijkstra + numberOfShortest(k) interest)
+    "algo_k_shortest_paths":
+        "CALL algo.kShortestPaths(3000000000102, 5000000001784, 2) "
+        "YIELD nodeIds, cost "
+        "RETURN count(*) AS n, max(cost) AS c",
     "algo_all_simple_paths":
         "CALL algo.allSimplePaths(2000000000000, 2000000000005, 4, false) "
         "YIELD length RETURN length, count(*) AS n ORDER BY length",
@@ -2544,6 +2549,13 @@ def _oracle_sql_raw() -> dict[str, str]:
             "WITH fam_a AS (SELECT count(*) AS c FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey JOIN lineitem l ON l.l_orderkey = o.o_orderkey JOIN supplier s ON s.s_suppkey = l.l_suppkey WHERE c.c_nationkey = 0 AND s.s_nationkey = 5), fam_b AS (SELECT count(*) AS c FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey JOIN supplier s1 ON s1.s_suppkey = l1.l_suppkey JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey WHERE s1.s_nationkey = 0 AND s2.s_nationkey = 5), fam_c AS (SELECT count(*) AS c FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey JOIN orders o ON o.o_orderkey = l.l_orderkey JOIN customer cu ON cu.c_custkey = o.o_custkey WHERE s.s_nationkey = 0 AND cu.c_nationkey = 5) SELECT * FROM (SELECT CAST(2 AS BIGINT) AS length, CAST((SELECT CASE WHEN (SELECT n_regionkey FROM nation WHERE n_nationkey = 0) = (SELECT n_regionkey FROM nation WHERE n_nationkey = 5) THEN 1 ELSE 0 END) AS BIGINT) AS n UNION ALL SELECT CAST(4 AS BIGINT), CAST(fam_a.c + fam_b.c + fam_c.c AS BIGINT) FROM fam_a, fam_b, fam_c) WHERE n > 0 ORDER BY length",
         "algo_exact_depth_paths":
             "WITH fam_a AS (SELECT count(*) AS c FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey JOIN lineitem l ON l.l_orderkey = o.o_orderkey JOIN supplier s ON s.s_suppkey = l.l_suppkey WHERE c.c_nationkey = 0 AND s.s_nationkey = 5), fam_b AS (SELECT count(*) AS c FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey JOIN supplier s1 ON s1.s_suppkey = l1.l_suppkey JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey WHERE s1.s_nationkey = 0 AND s2.s_nationkey = 5), fam_c AS (SELECT count(*) AS c FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey JOIN orders o ON o.o_orderkey = l.l_orderkey JOIN customer cu ON cu.c_custkey = o.o_custkey WHERE s.s_nationkey = 0 AND cu.c_nationkey = 5) SELECT CAST(fam_a.c + fam_b.c + fam_c.c AS BIGINT) AS n FROM fam_a, fam_b, fam_c",
+        "algo_k_shortest_paths":
+            # every customer->order->part path costs 2 hops; k = 2 keeps
+            # least(2, multiplicity) of them
+            "SELECT least(2, count(*)) AS n, "
+            "CASE WHEN count(*) > 0 THEN CAST(2.0 AS DOUBLE) END AS c "
+            "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "WHERE o.o_custkey = 102 AND l.l_partkey = 1784",
         "algo_sssp_correlated":
             # directed reach from a nation: itself (0) + its region (1)
             "SELECT CAST(n_nationkey AS BIGINT) AS k, "

@@ -425,3 +425,78 @@ def all_paths(rels: DataFrame, source_id: int, target_id: int,
     for r in results[1:]:
         out = out.unionByName(r)
     return out
+
+
+def k_shortest_paths(rels: DataFrame, source_id: int, target_id: int,
+                     k: int, weight_col: Optional[str] = None,
+                     directed: bool = True,
+                     max_depth: int = 15) -> DataFrame:
+    """K cheapest simple paths between two nodes (the reference's
+    Dijkstra with ``PathInterestFactory.numberOfShortest(k)`` drained
+    through ``TopFetchingWeightedPathIterator`` —
+    ``community/graph-algo/.../shortestpath/Dijkstra.java`` +
+    ``TopFetchingWeightedPathIterator.java``).
+
+    Rendering: level-synchronous simple-path enumeration (as
+    ``all_paths``) with the reference's interest-based branch-and-bound:
+    once k complete paths exist, any partial path costing more than the
+    k-th best cannot improve the answer and is pruned — computed as a
+    one-row broadcast aggregate joined onto the frontier, never a
+    driver-side action (the A* bound-maintenance lesson).  Exact for
+    NON-NEGATIVE weights (pruning assumes extensions cannot reduce
+    cost), which is the reference's Dijkstra contract too.  Missing
+    ``weight_col`` values make an edge non-traversable; without
+    ``weight_col`` every hop costs 1.
+
+    Returns (nodeIds, relIds, cost) — the k cheapest, ties broken by the
+    rel-id sequence for determinism."""
+    spark = rels.sparkSession
+    w = (F.col(weight_col).cast("double") if weight_col
+         else F.lit(1.0)).alias("__w")
+    edges = rels.select(F.col("id").alias("__eid"),
+                        F.col("src").alias("__a"),
+                        F.col("dst").alias("__b"), w)
+    if not directed:
+        edges = edges.unionByName(
+            rels.filter(F.col("src") != F.col("dst"))
+            .select(F.col("id").alias("__eid"), F.col("dst").alias("__a"),
+                    F.col("src").alias("__b"), w))
+    if weight_col:
+        edges = edges.filter(F.col("__w").isNotNull())
+    edges = edges.localCheckpoint(eager=False)
+
+    cols = "nodeIds array<long>, relIds array<long>, cost double"
+    frontier = spark.createDataFrame(
+        [([int(source_id)], [], 0.0)], cols).localCheckpoint(eager=True)
+    done = frontier.filter(F.lit(int(source_id)) == F.lit(int(target_id)))
+    for _ in range(max_depth):
+        live = frontier.filter(
+            F.element_at("nodeIds", -1) != F.lit(int(target_id)))
+        step = (live.join(edges,
+                          F.element_at("nodeIds", -1) == F.col("__a"))
+                .filter(~F.array_contains("nodeIds", F.col("__b")))
+                .select(F.array_append("nodeIds", F.col("__b"))
+                        .alias("nodeIds"),
+                        F.array_append("relIds", F.col("__eid"))
+                        .alias("relIds"),
+                        (F.col("cost") + F.col("__w")).alias("cost")))
+        # branch & bound: the k-th best COMPLETE cost (when k are known)
+        # as a broadcast 1-row frame — partials above it cannot win
+        bound = (done.orderBy("cost").limit(k)
+                 .agg(F.max("cost").alias("__kth"),
+                      F.count(F.lit(1)).alias("__ndone")))
+        frontier = (step.crossJoin(F.broadcast(bound))
+                    .filter((F.col("__ndone") < k)
+                            | (F.col("cost") <= F.col("__kth")))
+                    .drop("__kth", "__ndone")
+                    .localCheckpoint(eager=True))
+        if frontier.isEmpty():
+            break
+        done = done.unionByName(frontier.filter(
+            F.element_at("nodeIds", -1) == F.lit(int(target_id)))) \
+            .localCheckpoint(eager=False)
+    return (done
+            .withColumn("__tie", F.concat_ws(
+                ",", F.transform("relIds",
+                                 lambda x: F.format_string("%019d", x))))
+            .orderBy("cost", "__tie").limit(k).drop("__tie"))

@@ -193,6 +193,21 @@ def algo_all_simple_paths(spark, graph, args):
                      int(args[2]), directed=directed, node_unique=True)
 
 
+@procedure("algo.kshortestpaths")
+def algo_k_shortest_paths(spark, graph, args):
+    """(sourceId, targetId, k, weightProp?, directed?) -> (nodeIds,
+    relIds, cost): the k cheapest simple paths (Dijkstra with
+    PathInterestFactory.numberOfShortest(k), drained via
+    TopFetchingWeightedPathIterator — graph-algo/.../Dijkstra.java)."""
+    from ..operators.algorithms import k_shortest_paths
+
+    weight = str(args[3]) if len(args) > 3 and args[3] is not None else None
+    directed = bool(args[4]) if len(args) > 4 else True
+    return k_shortest_paths(graph.rels, int(args[0]), int(args[1]),
+                            int(args[2]), weight_col=weight,
+                            directed=directed)
+
+
 @procedure("algo.exactdepthpaths")
 def algo_exact_depth_paths(spark, graph, args):
     """(sourceId, targetId, depth, directed?) -> (nodeIds, relIds,

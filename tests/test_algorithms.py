@@ -174,3 +174,53 @@ class TestAStar:
                     "CALL algo.astar(cid, rid) YIELD dist RETURN dist",
                     tpch_graph)
         assert [r.dist for r in df.collect()] == [2.0]
+
+
+class TestKShortestPaths:
+    """Dijkstra + PathInterestFactory.numberOfShortest(k) parity
+    (TopFetchingWeightedPathIterator): k cheapest simple paths with
+    branch-and-bound pruning on the k-th complete cost."""
+
+    import pytest as _pytest
+
+    @_pytest.fixture(scope="class")
+    def wgraph(self, spark):
+        from neo4j_spark.graph import PropertyGraph
+
+        nodes = {"N": spark.createDataFrame(
+            [(i, ["N"]) for i in range(1, 5)],
+            "id long, labels array<string>")}
+        rels = {"R": spark.createDataFrame(
+            [(10, 1, 2, "R", 1.0), (11, 2, 4, "R", 1.0),
+             (12, 1, 3, "R", 1.0), (13, 3, 4, "R", 2.0),
+             (14, 1, 4, "R", 4.0)],
+            "id long, src long, dst long, type string, w double")}
+        return PropertyGraph(nodes, rels)
+
+    def test_weighted_k2(self, spark, wgraph):
+        from neo4j_spark.procedures.registry import run_procedure
+
+        out = [(r.nodeIds, r.cost) for r in run_procedure(
+            spark, wgraph, "algo.kshortestpaths", [1, 4, 2, "w"]).collect()]
+        assert out == [([1, 2, 4], 2.0), ([1, 3, 4], 3.0)]
+
+    def test_k_exceeds_path_count(self, spark, wgraph):
+        from neo4j_spark.procedures.registry import run_procedure
+
+        out = [(r.nodeIds, r.cost) for r in run_procedure(
+            spark, wgraph, "algo.kshortestpaths", [1, 4, 9, "w"]).collect()]
+        assert out == [([1, 2, 4], 2.0), ([1, 3, 4], 3.0), ([1, 4], 4.0)]
+
+    def test_unweighted_hops(self, spark, wgraph):
+        from neo4j_spark.procedures.registry import run_procedure
+
+        out = [(r.nodeIds, r.cost) for r in run_procedure(
+            spark, wgraph, "algo.kshortestpaths", [1, 4, 1]).collect()]
+        assert out == [([1, 4], 1.0)]
+
+    def test_source_equals_target(self, spark, wgraph):
+        from neo4j_spark.procedures.registry import run_procedure
+
+        out = [(r.nodeIds, r.cost) for r in run_procedure(
+            spark, wgraph, "algo.kshortestpaths", [1, 1, 2, "w"]).collect()]
+        assert out == [([1], 0.0)]
