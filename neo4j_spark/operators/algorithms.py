@@ -260,7 +260,7 @@ def all_pairs_shortest(rels: DataFrame, weight_col: Optional[str] = None,
 def astar(rels: DataFrame, nodes: DataFrame, source_id: int, target_id: int,
           weight_col: Optional[str] = None,
           x_col: Optional[str] = None, y_col: Optional[str] = None,
-          directed: bool = True, max_iter: int = 30):
+          directed: bool = True, max_iter: int = 30, geo: bool = False):
     """Point-to-point shortest path length with admissible-heuristic
     pruning (AStar.java parity, ``community/graph-algo/.../path/AStar.java``).
 
@@ -286,10 +286,29 @@ def astar(rels: DataFrame, nodes: DataFrame, source_id: int, target_id: int,
         trow = nodes.filter(F.col("id") == target_id) \
                     .select(x_col, y_col).head()
         tx, ty = (trow[0], trow[1]) if trow else (None, None)
-        h = nodes.select(
-            "id",
-            (F.sqrt(F.pow(F.col(x_col) - F.lit(tx), 2)
-                    + F.pow(F.col(y_col) - F.lit(ty), 2))).alias("h"))
+        if geo:
+            # GeoEstimateEvaluator.distance (graph-algo/.../util/
+            # GeoEstimateEvaluator.java): CHORD distance through the
+            # Earth — 3D Euclidean between surface points at
+            # R = 6371 km; x_col = latitude, y_col = longitude, meters
+            R = 6371.0 * 1000
+
+            def xyz(lat, lon):
+                la, lo = F.radians(lat), F.radians(lon)
+                return (F.lit(R) * F.cos(la) * F.cos(lo),
+                        F.lit(R) * F.cos(la) * F.sin(lo),
+                        F.lit(R) * F.sin(la))
+
+            xa, ya, za = xyz(F.col(x_col), F.col(y_col))
+            xb, yb, zb = xyz(F.lit(tx), F.lit(ty))
+            h = nodes.select(
+                "id", F.sqrt(F.pow(xa - xb, 2) + F.pow(ya - yb, 2)
+                             + F.pow(za - zb, 2)).alias("h"))
+        else:
+            h = nodes.select(
+                "id",
+                (F.sqrt(F.pow(F.col(x_col) - F.lit(tx), 2)
+                        + F.pow(F.col(y_col) - F.lit(ty), 2))).alias("h"))
     else:
         h = nodes.select("id", F.lit(0.0).alias("h"))
 

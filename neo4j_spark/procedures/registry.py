@@ -1313,9 +1313,11 @@ def algo_all_pairs_shortest(spark, graph, args):
 
 @procedure("algo.astar")
 def algo_astar(spark, graph, args):
-    """(sourceId, targetId, weightProp?, xProp?, yProp?, directed?) ->
-    (dist) — point-to-point search with admissible-heuristic pruning
-    (graph-algo/.../path/AStar.java)."""
+    """(sourceId, targetId, weightProp?, xProp?, yProp?, directed?,
+    geo?) -> (dist) — point-to-point search with admissible-heuristic
+    pruning (graph-algo/.../path/AStar.java); geo=true treats
+    (xProp, yProp) as (latitude, longitude) and uses the chord-distance
+    estimate of GeoEstimateEvaluator.java."""
     from ..operators.algorithms import astar
 
     src_id, dst_id = int(args[0]), int(args[1])
@@ -1323,6 +1325,7 @@ def algo_astar(spark, graph, args):
     x_col = str(args[3]) if len(args) > 3 and args[3] is not None else None
     y_col = str(args[4]) if len(args) > 4 and args[4] is not None else None
     directed = bool(args[5]) if len(args) > 5 else True
+    geo = bool(args[6]) if len(args) > 6 else False
     d = astar(graph.rels, graph.nodes, src_id, dst_id, weight,
-              x_col, y_col, directed)
+              x_col, y_col, directed, geo=geo)
     return spark.createDataFrame([(d,)], "dist double")

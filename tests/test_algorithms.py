@@ -224,3 +224,29 @@ class TestKShortestPaths:
         out = [(r.nodeIds, r.cost) for r in run_procedure(
             spark, wgraph, "algo.kshortestpaths", [1, 1, 2, "w"]).collect()]
         assert out == [([1], 0.0)]
+
+
+def test_astar_geo_heuristic(spark):
+    """GeoEstimateEvaluator parity: (lat, lon) chord-distance heuristic;
+    the estimate is admissible for metric road weights, so the geo A*
+    returns the same distance as plain Dijkstra on the same graph."""
+    import math
+
+    from neo4j_spark.graph import PropertyGraph
+    from neo4j_spark.procedures.registry import run_procedure
+
+    # three cities; direct edge is LONGER than the 2-hop route
+    nodes = {"C": spark.createDataFrame(
+        [(1, ["C"], 52.52, 13.40),    # Berlin
+         (2, ["C"], 50.08, 14.44),    # Prague
+         (3, ["C"], 48.21, 16.37)],   # Vienna
+        "id long, labels array<string>, lat double, lon double")}
+    rels = {"R": spark.createDataFrame(
+        [(10, 1, 2, "R", 280_000.0), (11, 2, 3, "R", 250_000.0),
+         (12, 1, 3, "R", 900_000.0)],
+        "id long, src long, dst long, type string, meters double")}
+    g = PropertyGraph(nodes, rels)
+    [row] = run_procedure(
+        spark, g, "algo.astar",
+        [1, 3, "meters", "lat", "lon", True, True]).collect()
+    assert math.isclose(row["dist"], 530_000.0)
