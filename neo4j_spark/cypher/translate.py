@@ -2841,6 +2841,10 @@ class Translator:
                                       F.lit(0)).cast("long").alias(fld)
                 return F.struct(s("months"), s("days"), s("seconds"),
                                 s("nanos"))
+            if t is None or isinstance(t, T.NullType):
+                # sum of a statically-VOID input is the long zero seed
+                # (SumFunction starts from Values.ZERO_INT), not 0.0
+                return F.lit(0).cast("long")
             s = F.sum_distinct(col) if e.distinct else F.sum(col)
             # Cypher: the sum of no (or only-null) values is 0, not null
             # (pipes/aggregation/SumFunction.scala starts from 0)

@@ -362,3 +362,10 @@ class TestRound4AdviceFixes:
             "RETURN l[0] > 9007199254740992 AS a, "
             "l[0] <= 9007199254740992 AS b",
             chain_graph)) == [(True, False)]
+
+
+def test_sum_of_void_is_long_zero(spark, chain_graph):
+    # SumFunction starts from Values.ZERO_INT: sum(null) is the long 0
+    [(s, a)] = rows(cypher(spark, "RETURN sum(null) AS s, avg(null) AS a",
+                           chain_graph))
+    assert s == 0 and not isinstance(s, float) and a is None
