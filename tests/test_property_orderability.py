@@ -7,6 +7,7 @@ ranks: LIST < STRING < BOOLEAN < NUMBER < NULL for the classes used
 here; numbers by value with NaN greatest, booleans false < true, lists
 elementwise with prefix-shorter-first)."""
 
+import datetime as _dt
 import math
 
 from hypothesis import HealthCheck, given, settings, strategies as st
@@ -21,9 +22,10 @@ from neo4j_spark.api import cypher
 _FLOATS = [-3.5, 0.5, 2.5, float("nan")]
 _STRS = ["", "B", "a", "ab"]
 _BOOLS = [False, True]
+_DATES = [_dt.date(2023, 1, 1), _dt.date(2024, 6, 15)]
 
 _scalar = st.one_of(
-    st.sampled_from(_FLOATS),
+    st.sampled_from(_FLOATS), st.sampled_from(_DATES),
     st.sampled_from(_STRS), st.sampled_from(_BOOLS), st.none())
 _value = st.recursive(
     _scalar, lambda kids: st.lists(kids, min_size=0, max_size=3),
@@ -35,6 +37,8 @@ def _rank(v) -> int:
         return 16
     if isinstance(v, list):
         return 4
+    if isinstance(v, _dt.date):
+        return 9
     if isinstance(v, bool):
         return 14
     if isinstance(v, str):
@@ -54,9 +58,7 @@ def _cmp(a, b) -> int:
         if na or nb:
             return 0 if na and nb else (1 if na else -1)
         return -1 if a < b else (1 if a > b else 0)
-    if ra == 14:
-        return (a > b) - (a < b)
-    if ra == 13:
+    if ra in (9, 13, 14):
         return (a > b) - (a < b)
     # lists: elementwise, shorter prefix first
     for x, y in zip(a, b):
@@ -69,6 +71,8 @@ def _cmp(a, b) -> int:
 def _lit(v) -> str:
     if v is None:
         return "null"
+    if isinstance(v, _dt.date):
+        return f"date('{v.isoformat()}')"
     if isinstance(v, list):
         return "[" + ", ".join(_lit(x) for x in v) + "]"
     if isinstance(v, bool):
@@ -84,6 +88,8 @@ def _render(v, top=True):
     """Mirror the engine's ProduceResult text form for tagged values."""
     if v is None:
         return None if top else "null"
+    if isinstance(v, _dt.date):
+        return v.isoformat()
     if isinstance(v, list):
         return "[" + ", ".join(_render(x, top=False) for x in v) + "]"
     if isinstance(v, bool):
@@ -140,6 +146,8 @@ def _teq(a, b):
         return False
     if ra == 15 and (math.isnan(a) or math.isnan(b)):
         return False
+    if ra == 9:
+        return a == b
     if ra == 4:
         if len(a) != len(b):
             return False
@@ -257,7 +265,7 @@ def _tcmp(a, b):
         if math.isnan(a) or math.isnan(b):
             return None
         return a < b
-    if ra in (13, 14):
+    if ra in (9, 13, 14):
         return a < b
     # lists: first non-equal element decides; undefined element -> None
     for x, y in zip(a, b):
