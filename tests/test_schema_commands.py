@@ -187,12 +187,16 @@ class TestLuceneQuerySyntax:
         # 'widgee'~2 is within edit distance 2 of 'widget'
         assert self._n(spark, tpch_graph, 'widgee~2') \
             >= self._n(spark, tpch_graph, 'widget')
-        with pytest.raises(ProcedureError, match="unsupported"):
-            _lucene_parse("wid*", "name")
+        # wildcards and ranges parse since round 5 (constant-score)
+        assert _lucene_parse("wid*", "name") == ("wild", "wid*", 1.0)
+        assert _lucene_parse("[a TO b}", "name") \
+            == ("range", "a", "b", True, False, 1.0)
         with pytest.raises(ProcedureError, match="field"):
             _lucene_parse("other:widget", "name")
         with pytest.raises(ProcedureError, match="slop"):
             _lucene_parse('"a b"~2', "name")
+        with pytest.raises(ProcedureError, match="unsupported"):
+            _lucene_parse("a[b", "name")
 
 
 class TestFulltextAnalyzers:
