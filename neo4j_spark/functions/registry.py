@@ -757,17 +757,26 @@ def compile_function(cc, e: A.Func) -> Column:
             y = fld("year", 1)
             if "week" in lower:
                 # ISO week date (TemporalFields week/dayOfWeek): week 1 is
-                # the week of Jan 4; Monday-based
+                # the week of Jan 4; Monday-based.  Out-of-range week/dow
+                # raise (DateValue checked fields), never roll over —
+                # validated by mapping the computed date back
                 jan4 = F.make_date(y, F.lit(1), F.lit(4))
                 monday1 = F.date_sub(jan4, F.weekday(jan4))
-                return F.date_add(monday1, (fld("week", 1) - 1) * 7
-                                  + fld("dayofweek", 1) - 1)
+                d = F.date_add(monday1, (fld("week", 1) - 1) * 7
+                               + fld("dayofweek", 1) - 1)
+                ok = (F.weekofyear(d) == fld("week", 1)) \
+                    & fld("dayofweek", 1).between(1, 7)
+                return _checked(ok, d, "Invalid value for Week/DayOfWeek")
             if "quarter" in lower:
                 q1 = F.make_date(y, (fld("quarter", 1) - 1) * 3 + 1, F.lit(1))
-                return F.date_add(q1, fld("dayofquarter", 1) - 1)
+                d = F.date_add(q1, fld("dayofquarter", 1) - 1)
+                return _checked(F.quarter(d) == fld("quarter", 1), d,
+                                "Invalid value for DayOfQuarter")
             if "ordinalday" in lower:
-                return F.date_add(F.make_date(y, F.lit(1), F.lit(1)),
-                                  fld("ordinalday", 1) - 1)
+                d = F.date_add(F.make_date(y, F.lit(1), F.lit(1)),
+                               fld("ordinalday", 1) - 1)
+                return _checked(F.year(d) == y, d,
+                                "Invalid value for OrdinalDay")
             return F.make_date(y, fld("month", 1), fld("day", 1))
         # string parse: besides calendar dates, DateValue.parse (PATTERN)
         # accepts ISO week (yyyy-Www-d), quarter (yyyy-Qq-dd) and ordinal

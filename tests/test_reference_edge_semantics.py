@@ -369,3 +369,16 @@ def test_sum_of_void_is_long_zero(spark, chain_graph):
     [(s, a)] = rows(cypher(spark, "RETURN sum(null) AS s, avg(null) AS a",
                            chain_graph))
     assert s == 0 and not isinstance(s, float) and a is None
+
+
+@pytest.mark.parametrize("bad", [
+    "date({year: 2020, week: 60})",
+    "date({year: 2021, week: 53})",
+    "date({year: 2020, ordinalDay: 999})",
+    "date({year: 2020, quarter: 1, dayOfQuarter: 99})",
+])
+def test_date_map_component_ranges_raise(spark, chain_graph, bad):
+    # the map constructor validates like DateValue's checked fields,
+    # mirroring the string-parse validation
+    with pytest.raises(Exception, match="Invalid value"):
+        cypher(spark, f"RETURN {bad} AS v", chain_graph).collect()
