@@ -136,15 +136,32 @@ def _dur_approximate(months: Column, days: Column, seconds: Column,
                      nanos: Column) -> Column:
     """DurationValue.approximate (DurationValue.java:853): truncate each
     double component toward zero, carrying the fraction into the next
-    smaller unit with AVG_NANOS_PER_MONTH = 2_629_746e9."""
-    m_l = months.cast("long")
-    days = days + (months - m_l) * (2_629_746.0 / 86_400.0)
-    d_l = days.cast("long")
-    seconds = seconds + (days - d_l) * 86_400.0
-    s_l = seconds.cast("long")
-    nanos = nanos + (seconds - s_l) * 1e9
-    return F.struct(m_l.alias("months"), d_l.alias("days"),
-                    s_l.alias("seconds"), nanos.cast("long").alias("nanos"))
+    smaller unit with AVG_NANOS_PER_MONTH = 2_629_746e9.
+
+    Each carry stage is let-bound: the inlined chain duplicated every
+    prior stage ~3x (months appears 81x inside nanos), and a consumer
+    like toString multiplied it again — duration('PT1H') * 2.5 spent
+    ~2 minutes in Catalyst on the inlined form, milliseconds on this."""
+    from ..functions.let import let
+
+    def with_m(m):
+        def with_d(d):
+            def with_s(s):
+                def with_n(n):
+                    return F.struct(
+                        m.cast("long").alias("months"),
+                        d.cast("long").alias("days"),
+                        s.cast("long").alias("seconds"),
+                        n.cast("long").alias("nanos"))
+
+                return let(nanos + (s - s.cast("long")) * 1e9, with_n)
+
+            return let(seconds + (d - d.cast("long")) * 86_400.0, with_s)
+
+        return let(days + (m - m.cast("long")) * (2_629_746.0 / 86_400.0),
+                   with_d)
+
+    return let(months, with_m)
 
 
 def _dur_scale(col: Column, factor: Column) -> Column:

@@ -133,7 +133,17 @@ def _norm_udf():
 def _duration_to_string(col: Column) -> Column:
     """ISO-8601 duration text (DurationValue.toString): P<Y><M><D>T<H><M><S>,
     zero components omitted, all-zero -> 'PT0S', fractional seconds from
-    nanos with trailing zeros trimmed."""
+    nanos with trailing zeros trimmed.
+
+    The input struct is let-bound: this body reads it ~15 times, and
+    inlining a computed duration (e.g. the carry chain of duration * x)
+    15x multiplied planning time into minutes."""
+    from .let import let
+
+    return let(col, _duration_to_string_body)
+
+
+def _duration_to_string_body(col: Column) -> Column:
     m, d = col.getField("months"), col.getField("days")
     s, ns = col.getField("seconds"), col.getField("nanos")
     years, months = F.floor(m / 12), m % 12
