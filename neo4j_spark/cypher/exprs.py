@@ -109,27 +109,40 @@ def _zone_offset_str(c: Column) -> Column:
 
 
 def zoned_dt_to_string(c: Column) -> Column:
-    """'2024-03-31T01:30+02:00[Europe/Paris]' (DateTimeValue.toString)."""
+    """'2024-03-31T01:30+02:00[Europe/Paris]' (DateTimeValue.toString).
+    Input let-bound (read ~6x through wall/offset/zone pieces)."""
+    from ..functions.let import let
     from ..functions.registry import _datetime_to_string
 
-    tz = c.getField("tz")
-    # pure-offset zones ('+02:00', 'Z') render without the [zone] bracket
-    # (DateTimeValue.toString: only named ZoneIds are bracketed)
-    is_offset = tz.startswith("+") | tz.startswith("-") | (tz == "Z") \
-        | (tz == "z")
-    return F.concat(
-        _datetime_to_string(_zoned_wall(c), with_offset=False),
-        _zone_offset_str(c),
-        F.when(is_offset, F.lit("")).otherwise(
-            F.concat(F.lit("["), tz, F.lit("]"))))
+    def body(c):
+        tz = c.getField("tz")
+        # pure-offset zones ('+02:00', 'Z') render without the [zone]
+        # bracket (DateTimeValue.toString: only named ZoneIds bracketed)
+        is_offset = tz.startswith("+") | tz.startswith("-") | (tz == "Z") \
+            | (tz == "z")
+        return F.concat(
+            _datetime_to_string(_zoned_wall(c), with_offset=False),
+            _zone_offset_str(c),
+            F.when(is_offset, F.lit("")).otherwise(
+                F.concat(F.lit("["), tz, F.lit("]"))))
+
+    return let(c, body)
 
 
 def _dur_map2(lc: Column, rc, fn) -> Column:
-    """Fieldwise combine of two duration structs (rc=None -> unary)."""
-    return F.struct(*[
-        fn(lc.getField(f), rc.getField(f) if rc is not None else None)
-        .cast("long").alias(f)
-        for f in ("months", "days", "seconds", "nanos")])
+    """Fieldwise combine of two duration structs (rc=None -> unary).
+    Operands let-bound (each read 4x; computed durations would inline)."""
+    from ..functions.let import let, let2
+
+    def body(lb, rb):
+        return F.struct(*[
+            fn(lb.getField(f), rb.getField(f) if rb is not None else None)
+            .cast("long").alias(f)
+            for f in ("months", "days", "seconds", "nanos")])
+
+    if rc is None:
+        return let(lc, lambda lb: body(lb, None))
+    return let2(lc, rc, body)
 
 
 def _dur_approximate(months: Column, days: Column, seconds: Column,
@@ -1008,42 +1021,59 @@ class ExprCompiler:
     def _temporal_shift(self, tc: Column, tt, dur: Column, sign: int) -> Column:
         """temporal ± duration (CypherMath.java add/subtract on
         TemporalValue): calendar-correct month shift then day/second shift
-        via a make_interval addition on timestamps."""
-        iv = F.make_interval(
-            F.lit(0), (dur.getField("months") * sign).cast("int"), F.lit(0),
-            (dur.getField("days") * sign).cast("int"), F.lit(0), F.lit(0),
-            ((dur.getField("seconds")
-              + dur.getField("nanos") / F.lit(1e9)) * sign).cast("decimal(18,6)"))
-        out = tc.cast("timestamp") + iv
-        if isinstance(tt, T.DateType):
-            return out.cast("date")
-        if isinstance(tt, T.TimestampNTZType):
-            return out.cast("timestamp_ntz")
-        return out
+        via a make_interval addition on timestamps.  The duration operand
+        is let-bound — it is read 4x, and a COMPUTED duration (carry
+        chains) inlined 4x compounds across chained arithmetic."""
+        from ..functions.let import let
+
+        def body(d):
+            iv = F.make_interval(
+                F.lit(0), (d.getField("months") * sign).cast("int"),
+                F.lit(0), (d.getField("days") * sign).cast("int"),
+                F.lit(0), F.lit(0),
+                ((d.getField("seconds")
+                  + d.getField("nanos") / F.lit(1e9))
+                 * sign).cast("decimal(18,6)"))
+            out = tc.cast("timestamp") + iv
+            if isinstance(tt, T.DateType):
+                return out.cast("date")
+            if isinstance(tt, T.TimestampNTZType):
+                return out.cast("timestamp_ntz")
+            return out
+
+        return let(dur, body)
 
     def _zoned_shift(self, zc: Column, dur: Column, sign: int) -> Column:
         """Named-zone ZonedDateTime ± duration (DurationValue.addTo,
         values/storable/DurationValue.java: months and days shift the
         WALL clock in the value's own zone — DST-aware, a +1 day across a
         spring-forward keeps the local hour — then seconds/nanos add as
-        exact instant arithmetic)."""
-        tz = zc.getField("tz")
-        wall = F.from_utc_timestamp(zc.getField("instant"), tz)
-        iv = F.make_interval(
-            F.lit(0), (dur.getField("months") * sign).cast("int"), F.lit(0),
-            (dur.getField("days") * sign).cast("int"), F.lit(0), F.lit(0),
-            F.lit(0).cast("decimal(18,6)"))
-        back = F.to_utc_timestamp(wall + iv, tz)
-        micros = (F.unix_micros(back)
-                  + F.lit(sign) * (dur.getField("seconds") * F.lit(1_000_000)
-                                   + F.floor(dur.getField("nanos")
-                                             / F.lit(1_000)).cast("long")))
-        out = F.struct(F.timestamp_micros(micros).alias("instant"),
-                       tz.alias("tz"))
-        return F.when(zc.isNull() | dur.isNull(),
-                      F.lit(None).cast(
-                          "struct<instant:timestamp,tz:string>")) \
-                .otherwise(out)
+        exact instant arithmetic).  Both operands let-bound (read 3-4x
+        each)."""
+        from ..functions.let import let2
+
+        def body(z, d):
+            tz = z.getField("tz")
+            wall = F.from_utc_timestamp(z.getField("instant"), tz)
+            iv = F.make_interval(
+                F.lit(0), (d.getField("months") * sign).cast("int"),
+                F.lit(0), (d.getField("days") * sign).cast("int"),
+                F.lit(0), F.lit(0), F.lit(0).cast("decimal(18,6)"))
+            back = F.to_utc_timestamp(wall + iv, tz)
+            micros = (F.unix_micros(back)
+                      + F.lit(sign) * (d.getField("seconds")
+                                       * F.lit(1_000_000)
+                                       + F.floor(d.getField("nanos")
+                                                 / F.lit(1_000))
+                                       .cast("long")))
+            out = F.struct(F.timestamp_micros(micros).alias("instant"),
+                           tz.alias("tz"))
+            return F.when(z.isNull() | d.isNull(),
+                          F.lit(None).cast(
+                              "struct<instant:timestamp,tz:string>")) \
+                    .otherwise(out)
+
+        return let2(zc, dur, body)
 
     def _to_string(self, c: Column, t) -> Column:
         return c.cast("string")

@@ -172,7 +172,13 @@ def _duration_to_string_body(col: Column) -> Column:
 def _datetime_to_string(col: Column, with_offset: bool = False) -> Column:
     """ISO-8601 datetime text (java.time LocalDateTime/ZonedDateTime
     toString): 'T' separator, seconds omitted when zero, fractional part
-    trimmed to millis/micros groups."""
+    trimmed to millis/micros groups.  Input let-bound (read ~5x)."""
+    from .let import let
+
+    return let(col, lambda c: _datetime_to_string_body(c, with_offset))
+
+
+def _datetime_to_string_body(col: Column, with_offset: bool) -> Column:
     micros = F.pmod(F.unix_micros(col.cast("timestamp")), 1_000_000)
     base = F.date_format(col, "yyyy-MM-dd'T'HH:mm")
     secs = F.date_format(col, "ss")
@@ -1017,16 +1023,22 @@ def compile_function(cc, e: A.Func) -> Column:
         col, t = ctyped(1)
         from ..cypher.exprs import _is_zoned_dt
         if _is_zoned_dt(t):
-            # truncate in the value's OWN zone, then back to the instant
-            tz = col.getField("tz")
-            wall = F.from_utc_timestamp(col.getField("instant"), tz)
-            trunc = F.date_trunc(unit, wall)
-            if name == "date.truncate":
-                return trunc.cast("date")
-            out = F.struct(F.to_utc_timestamp(trunc, tz).alias("instant"),
-                           tz.alias("tz"))
-            return (F.from_utc_timestamp(out.getField("instant"), tz)
-                    if name == "localdatetime.truncate" else out)
+            from .let import let
+
+            def ztrunc(c):
+                # truncate in the value's OWN zone, back to the instant
+                tz = c.getField("tz")
+                wall = F.from_utc_timestamp(c.getField("instant"), tz)
+                trunc = F.date_trunc(unit, wall)
+                if name == "date.truncate":
+                    return trunc.cast("date")
+                if name == "localdatetime.truncate":
+                    return trunc
+                return F.struct(
+                    F.to_utc_timestamp(trunc, tz).alias("instant"),
+                    tz.alias("tz"))
+
+            return let(col, ztrunc)
         out = F.date_trunc(unit, col)
         return out.cast("date") if name == "date.truncate" else out
     if name in ("time.truncate", "localtime.truncate"):
@@ -1169,44 +1181,52 @@ def compile_function(cc, e: A.Func) -> Column:
         # zones: calendar parts shift the wall clock in the first zoned
         # operand's zone; remainders stay exact on instants (DST gaps
         # land in the seconds component).  Operands are ordered first so
-        # every component carries the sign of b - a.
+        # every component carries the sign of b - a.  Both operands are
+        # let-bound: the body reads each many times, and COMPUTED
+        # operands (datetime arithmetic) inlined per read took ~90 s of
+        # Catalyst time on a single duration.between call.
         from ..cypher.exprs import _is_zoned_dt as _izd
+        from .let import let2
 
         zoned = _izd(ta) or _izd(tb)
-        tzc = (a if _izd(ta) else b).getField("tz") if zoned else None
 
-        def _inst(col, t):
-            return (col.getField("instant") if _izd(t)
-                    else col.cast("timestamp"))
+        def between_body(a, b):
+            tzc = (a if _izd(ta) else b).getField("tz") if zoned else None
 
-        ia, ib = _inst(a, ta), _inst(b, tb)
-        cond = ia <= ib
-        sgn = F.when(cond, F.lit(1)).otherwise(F.lit(-1)).cast("long")
-        lo = F.when(cond, ia).otherwise(ib)
-        hi = F.when(cond, ib).otherwise(ia)
-        wlo = F.from_utc_timestamp(lo, tzc) if zoned else lo
-        whi = F.from_utc_timestamp(hi, tzc) if zoned else hi
-        months = F.floor(F.months_between(whi, wlo)).cast("long")
+            def _inst(col, t):
+                return (col.getField("instant") if _izd(t)
+                        else col.cast("timestamp"))
 
-        def _iv(mo, dy):
-            return F.make_interval(
-                F.lit(0), mo.cast("int"), F.lit(0), dy.cast("int"),
-                F.lit(0), F.lit(0), F.lit(0).cast("decimal(18,6)"))
+            ia, ib = _inst(a, ta), _inst(b, tb)
+            cond = ia <= ib
+            sgn = F.when(cond, F.lit(1)).otherwise(F.lit(-1)).cast("long")
+            lo = F.when(cond, ia).otherwise(ib)
+            hi = F.when(cond, ib).otherwise(ia)
+            wlo = F.from_utc_timestamp(lo, tzc) if zoned else lo
+            whi = F.from_utc_timestamp(hi, tzc) if zoned else hi
+            months = F.floor(F.months_between(whi, wlo)).cast("long")
 
-        def _shift(dy):
-            w = wlo + _iv(months, dy)
-            return F.to_utc_timestamp(w, tzc) if zoned else w
+            def _iv(mo, dy):
+                return F.make_interval(
+                    F.lit(0), mo.cast("int"), F.lit(0), dy.cast("int"),
+                    F.lit(0), F.lit(0), F.lit(0).cast("decimal(18,6)"))
 
-        d0 = F.datediff(whi.cast("date"),
-                        (wlo + _iv(months, F.lit(0))).cast("date")) \
-              .cast("long")
-        days = F.when(F.unix_seconds(_shift(d0)) > F.unix_seconds(hi),
-                      d0 - 1).otherwise(d0)
-        secs = F.unix_seconds(hi) - F.unix_seconds(_shift(days))
-        return F.struct(
-            (sgn * months).alias("months"), (sgn * days).alias("days"),
-            (sgn * secs).cast("long").alias("seconds"),
-            F.lit(0).cast("long").alias("nanos"))
+            def _shift(dy):
+                w = wlo + _iv(months, dy)
+                return F.to_utc_timestamp(w, tzc) if zoned else w
+
+            d0 = F.datediff(whi.cast("date"),
+                            (wlo + _iv(months, F.lit(0))).cast("date")) \
+                  .cast("long")
+            days = F.when(F.unix_seconds(_shift(d0)) > F.unix_seconds(hi),
+                          d0 - 1).otherwise(d0)
+            secs = F.unix_seconds(hi) - F.unix_seconds(_shift(days))
+            return F.struct(
+                (sgn * months).alias("months"), (sgn * days).alias("days"),
+                (sgn * secs).cast("long").alias("seconds"),
+                F.lit(0).cast("long").alias("nanos"))
+
+        return let2(a, b, between_body)
     if name in ("duration.indays", "duration.inmonths",
                 "duration.inseconds"):
         # single-component truncations (DurationValue.durationBetween
