@@ -1177,6 +1177,17 @@ def _q_text_scrub_pii(spark, sf_dir):
                        *pii_counts(t)).orderBy("doc_id").limit(50)
 
 
+def _q_text_dup_ngrams(spark, sf_dir):
+    """Within-document duplicate-2-gram ratio (Gopher repetition rules):
+    pure array expressions, quality signal at scan cost."""
+    from neo4j_spark.ml.text import dup_ngram_ratio
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (docs.select("doc_id",
+                        dup_ngram_ratio(F.col("text"), 2).alias("dup2"))
+            .orderBy("doc_id").limit(200))
+
+
 def _q_text_dup_lines(spark, sf_dir):
     """Repetition/boilerplate signal: fraction of repeated lines
     (words recast as lines to exercise it on the one-line corpus)."""
@@ -1661,6 +1672,7 @@ EXTENSION_QUERIES = {
     "text_stats": _q_text_stats,
     "text_scrub_pii": _q_text_scrub_pii,
     "text_dup_lines": _q_text_dup_lines,
+    "text_dup_ngrams": _q_text_dup_ngrams,
     "text_quality": _q_text_quality,
     "text_fingerprint": _q_text_fingerprint,
     "text_chunking": _q_text_chunking,
@@ -2672,6 +2684,16 @@ def _oracle_sql_raw() -> dict[str, str]:
             "round((len(ls) - len(list_distinct(list_transform(ls, "
             "x -> trim(x))))) / CAST(len(ls) AS DOUBLE), 6) END "
             "AS dup_ratio FROM l ORDER BY doc_id LIMIT 100",
+        "text_dup_ngrams":
+            # 2-grams via list comprehension over the token list; the
+            # Spark side builds the same windows with F.get lookups
+            "WITH t AS (SELECT doc_id, [x for x in string_split_regex("
+            "lower(text), '[^a-z0-9'']+') if x <> ''] AS w "
+            "FROM documents) "
+            "SELECT doc_id, CASE WHEN len(w) >= 2 THEN "
+            "round(1.0 - len(list_distinct([w[i] || ' ' || w[i+1] "
+            "for i in range(1, len(w))])) / CAST(len(w) - 1 AS DOUBLE), 6) "
+            "ELSE 0.0 END AS dup2 FROM t ORDER BY doc_id LIMIT 200",
         "text_stats":
             "SELECT doc_id, CAST(len(list_filter(string_split_regex("
             "lower(text), '[^a-z0-9'']+'), t -> t != '')) AS BIGINT) AS n_tokens, "

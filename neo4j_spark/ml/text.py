@@ -201,6 +201,28 @@ def dup_line_ratio(text: Column) -> Column:
         .otherwise(F.round((n - nd) / n.cast("double"), 6))
 
 
+def dup_ngram_ratio(text: Column, n: int = 2) -> Column:
+    """Fraction of word n-grams that repeat an earlier n-gram in the SAME
+    document — the Gopher repetition rules' "fraction of duplicate
+    n-grams" signal (Rae et al. 2021, §A1.1).  Pure array expressions
+    (tokens once, n-grams by F.get windows, distinct/size), zero Python
+    and zero shuffle: a quality column at scan cost.  0.0 for docs with
+    fewer than n tokens."""
+    from ..functions.let import let
+
+    def with_toks(w):
+        cnt = F.size(w) - (n - 1)
+        grams = F.transform(
+            F.sequence(F.lit(0), F.greatest(cnt - 1, F.lit(0))),
+            lambda i: F.concat_ws(" ", *[F.get(w, i + j)
+                                         for j in range(n)]))
+        return F.when(cnt <= 0, F.lit(0.0)).otherwise(
+            F.round((cnt - F.size(F.array_distinct(grams)))
+                    / cnt.cast("double"), 6))
+
+    return let(tokens(text), with_toks)
+
+
 def scrub_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return df.select(

@@ -567,3 +567,23 @@ def test_fulltext_wildcard_range_boost(spark):
         q("a[pple")
     with _pytest.raises(ProcedureError):
         q('"a b"~2')
+
+
+def test_dup_ngram_ratio_hand_computed(spark):
+    """Gopher duplicate-n-gram ratio on hand-computed docs."""
+    from neo4j_spark.ml.text import dup_ngram_ratio
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"),      # 2-grams: ab ba ab ba -> 2 dup of 4
+         (2, "x y z"),          # all distinct
+         (3, "w"),              # shorter than n
+         (4, "")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.d for r in df.select(
+        "doc_id", dup_ngram_ratio(F.col("text"), 2).alias("d")).collect()}
+    assert got == {1: 0.5, 2: 0.0, 3: 0.0, 4: 0.0}
+    got3 = {r.doc_id: r.d for r in df.select(
+        "doc_id", dup_ngram_ratio(F.col("text"), 3).alias("d")).collect()}
+    # 3-grams of doc 1: aba bab aba -> 1 dup of 3
+    assert abs(got3[1] - 1 / 3) < 1e-6 and got3[2] == 0.0
