@@ -290,6 +290,32 @@ def compile_function(cc, e: A.Func) -> Column:
             return F.size(col).cast("long")
         if isinstance(t, T.MapType):
             return F.size(col).cast("long")
+        from ..cypher import anyvalue as AV
+
+        if AV.is_any_type(t):
+            # dynamic (tagged) value: size dispatches on the runtime
+            # class — string length / list size; anything else raises
+            # per row (CypherFunctions.size accepts String or List)
+            g_ = col.getField("__vg")
+            ok = [AV.RANK_STRING, AV.RANK_NULL]
+            out = F.when(g_ == AV.RANK_STRING,
+                         F.length(col.getField("__vs")).cast("long"))
+            if AV.is_deep_any_type(t):
+                ok.append(AV.RANK_LIST)
+                out = out.when(g_ == AV.RANK_LIST,
+                               F.size(col.getField("__vl")).cast("long"))
+            return _checked(g_.isin(*ok), out,
+                            "Invalid input for function 'size()': "
+                            "Expected a String or List")
+        if isinstance(t, T.StructType):
+            # size(MAP/entity/temporal) is a type error in the reference
+            # (CypherFunctions.size accepts String or List only) — raise
+            # the Cypher error, not a Spark analysis error
+            from ..cypher.exprs import CypherTypeError
+
+            raise CypherTypeError(
+                "Invalid input for function 'size()': Expected a String "
+                "or List, got a Map")
         return F.length(col).cast("long")
 
     # ---- conditionals ----------------------------------------------------

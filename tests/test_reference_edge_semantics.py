@@ -382,3 +382,24 @@ def test_date_map_component_ranges_raise(spark, chain_graph, bad):
     # mirroring the string-parse validation
     with pytest.raises(Exception, match="Invalid value"):
         cypher(spark, f"RETURN {bad} AS v", chain_graph).collect()
+
+
+class TestSizeArgumentClasses:
+    """CypherFunctions.size accepts String or List only."""
+
+    def test_size_of_map_raises(self, spark, chain_graph):
+        from neo4j_spark.cypher.exprs import CypherTypeError
+        with pytest.raises(CypherTypeError, match="size"):
+            cypher(spark, "RETURN size({a: 1}) AS s", chain_graph)
+
+    def test_size_dispatches_on_tagged_class(self, spark, chain_graph):
+        assert rows(cypher(
+            spark, "UNWIND [[1, 2], 'abc'] AS x RETURN size(x) AS s",
+            chain_graph)) == [(2,), (3,)]
+        with pytest.raises(Exception, match="String or List"):
+            cypher(spark, "UNWIND [[1], 5] AS x RETURN size(x) AS s",
+                   chain_graph).collect()
+
+    def test_size_null_is_null(self, spark, chain_graph):
+        assert rows(cypher(spark, "RETURN size(null) AS s",
+                           chain_graph)) == [(None,)]
