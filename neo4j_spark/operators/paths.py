@@ -924,13 +924,19 @@ def nfa_shortest_tracked(tr, df: Optional[DataFrame], part: A.PatternPart,
     and ``y`` the destination list — no per-level list columns beyond the
     three arrays.
 
-    Exactness: the same structural guard as the counting BFS (every
-    transition directed, type sets pairwise disjoint, no mandatory
-    unrolls — translate._nfa_eligible) means NO walk can repeat a
-    relationship, so walks are trails and every representative path per
-    (start, node, state) extends exactly like any other: the visited-set
-    pruning loses no reachable product state, and for the ANY selector
-    the deterministic min-path-id representative is a true shortest path.
+    Exactness: at k == 1 the structural guard (every transition
+    directed, type sets pairwise disjoint, no mandatory unrolls —
+    translate._nfa_eligible) plus visited-once pruning means NO admitted
+    walk can repeat a relationship (reusing an edge would re-enter its
+    source product state), so walks are trails, the pruning loses no
+    reachable product state, and for the ANY selector the deterministic
+    min-path-id representative is a true shortest path.  At k > 1
+    per-state pruning is unsound under relationship-uniqueness (a suffix
+    can conflict with some admitted prefixes but not others), so the
+    search ENUMERATES trails — the step join filters relationships
+    already on the path — and ranks the k winners per (start, end) at
+    the end, with a configurable frontier budget that raises on
+    combinatorial path sets.
 
     Scale: each level is one hash join per transition partitioned on the
     node id, plus one map-side-combinable min_by (ANY) or a distinct
@@ -945,17 +951,29 @@ def nfa_shortest_tracked(tr, df: Optional[DataFrame], part: A.PatternPart,
     max_depth = int(tr.spark.conf.get("neo4j_spark.nfa.maxDepth", "32"))
     sel = part.selector
     k = part.selector_k or 1
-    # groups_mode: admit up to k distinct DEPTHS per product state and
-    # every distinct path at an admitted depth (ALL SHORTEST = 1 group);
-    # otherwise admit up to k distinct PATHS per product state in
-    # (depth, path-id) order (ANY/SHORTEST = 1 path, SHORTEST k /
-    # ANY k = k).  The k-budget relaxation is exact by prefix
-    # replacement: a path whose prefix to state v is not among v's k
-    # admitted (depths | paths) is dominated by k extensions of better
-    # prefixes — same suffix, valid because product-graph extension is
-    # state-local and the structural guard makes every walk a trail.
+    # k == 1 (ANY / SHORTEST / ALL SHORTEST): visited-once pruning per
+    # product state is exact — the structural guard makes every admitted
+    # walk a trail (reusing an edge would mean re-entering its source
+    # product state, which the visited set forbids), and min-depth
+    # representatives extend like any other path.
+    #
+    # k > 1 (SHORTEST k / ANY k / SHORTEST k GROUPS): per-state pruning
+    # is UNSOUND under Cypher relationship-uniqueness — a suffix that is
+    # valid for one admitted prefix may share an edge with another, so
+    # a budget of k prefixes per state can starve a real k-th trail
+    # (and without an explicit trail filter the search admits walks like
+    # [e1, e2, e1] on a 2-cycle).  We therefore ENUMERATE: the step join
+    # rejects any relationship already on the path, every distinct trail
+    # per product state survives, and the k winners per (start, end) are
+    # ranked at the end.  Termination is inherent (trails cannot repeat
+    # an edge); a configurable frontier budget fails loudly on
+    # combinatorial path sets instead of OOMing (also guards the
+    # ALL SHORTEST keep_all enumeration).
     groups_mode = sel in ("allShortest", "shortestGroups")
     keep_all = groups_mode and k == 1
+    enumerate_mode = keep_all or k > 1
+    max_paths = int(tr.spark.conf.get(
+        "neo4j_spark.nfa.maxFrontierPaths", "1000000"))
     path_cols = ["__rels", "__ns", "__trs", "__pid"]
 
     def apply_state_sets(rows: DataFrame) -> DataFrame:
@@ -986,9 +1004,9 @@ def nfa_shortest_tracked(tr, df: Optional[DataFrame], part: A.PatternPart,
         return out
 
     def reduce_paths(rows: DataFrame) -> DataFrame:
-        if keep_all:
-            # ALL SHORTEST: every distinct path survives (path id = the
-            # rel-id sequence); eps copies of the same path dedup here
+        if enumerate_mode:
+            # every distinct trail survives (path id = the rel-id
+            # sequence); eps copies of the same path dedup here
             return rows.dropDuplicates(["__s", "__n", "__st", "__pid"])
         # ANY: ONE deterministic representative per product state — the
         # lexicographically-least path id.  min_by is a plain aggregate:
@@ -1018,12 +1036,8 @@ def nfa_shortest_tracked(tr, df: Optional[DataFrame], part: A.PatternPart,
                 .withColumn("__pid", F.lit("")))
     frontier = reduce_paths(apply_state_sets(eps_close(frontier))) \
         .localCheckpoint(eager=True)
-    visited = frontier.select("__s", "__n", "__st").dropDuplicates()
-    if k > 1:
-        # k-budgeted visited set: __cnt = admitted depths (groups_mode)
-        # or admitted paths per product state; depth 0 consumed one
-        visited = visited.withColumn("__cnt", F.lit(1))
-    visited = visited.localCheckpoint(eager=True)
+    visited = frontier.select("__s", "__n", "__st").dropDuplicates() \
+        .localCheckpoint(eager=True)
 
     end_set = _nfa_node_set(tr, b_pat)
     if end_set is not None:
@@ -1044,8 +1058,17 @@ def nfa_shortest_tracked(tr, df: Optional[DataFrame], part: A.PatternPart,
             part_f = frontier.filter(F.col("__st") == t["frm"]) \
                              .select("__s", "__n", *path_cols)
             e = t["edges"]
+            cond = part_f["__n"] == e["__from"]
+            if k > 1:
+                # Cypher relationship-uniqueness: a trail never reuses
+                # a relationship (at k == 1 the visited set already
+                # forbids re-entering an edge's source product state)
+                cond = cond & ~F.array_contains(
+                    F.transform(part_f["__rels"],
+                                lambda r: r.getField("_id")),
+                    e["__r"].getField("_id"))
             steps.append(
-                part_f.join(e, part_f["__n"] == e["__from"])
+                part_f.join(e, cond)
                 .select(
                     "__s", F.col("__to").alias("__n"),
                     F.lit(t["to"]).alias("__st"),
@@ -1069,22 +1092,24 @@ def nfa_shortest_tracked(tr, df: Optional[DataFrame], part: A.PatternPart,
             nxt = nxt.join(visited, ["__s", "__n", "__st"], "left_anti")
             nxt = reduce_paths(nxt)
         else:
-            # budgeted admission: spend remaining per-state budget on
-            # this level's distinct paths (path-id order for kpaths;
-            # whole level counts as one depth for groups_mode)
+            # trail enumeration: the step join already rejected reused
+            # relationships; every distinct trail per state survives
             nxt = nxt.dropDuplicates(["__s", "__n", "__st", "__pid"])
-            j = (nxt.join(visited, ["__s", "__n", "__st"], "left")
-                 .withColumn("__c0", F.coalesce(F.col("__cnt"), F.lit(0)))
-                 .drop("__cnt"))
-            if groups_mode:
-                nxt = j.filter(F.col("__c0") < k).drop("__c0")
-            else:
-                wk = W.partitionBy("__s", "__n", "__st").orderBy("__pid")
-                nxt = (j.withColumn("__rk", F.row_number().over(wk))
-                        .filter(F.col("__c0") + F.col("__rk") <= k)
-                        .drop("__c0", "__rk"))
         nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
+        if enumerate_mode:
+            n_live = nxt.count()
+            if n_live == 0:
+                break
+            if n_live > max_paths:
+                from ..cypher.translate import TranslateError
+
+                raise TranslateError(
+                    f"path enumeration admitted {n_live} live paths at "
+                    f"depth {depth} (> neo4j_spark.nfa.maxFrontierPaths="
+                    f"{max_paths}); the selector requires enumerating "
+                    f"a combinatorial path set — raise the budget or "
+                    f"bound the pattern (refusing to risk OOM)")
+        elif nxt.isEmpty():
             break
         if depth == max_depth:
             from ..cypher.translate import TranslateError
@@ -1097,26 +1122,20 @@ def nfa_shortest_tracked(tr, df: Optional[DataFrame], part: A.PatternPart,
         if k == 1:
             visited = visited.unionByName(
                 nxt.select("__s", "__n", "__st")).localCheckpoint(eager=False)
-        else:
-            if groups_mode:
-                delta = (nxt.select("__s", "__n", "__st").dropDuplicates()
-                         .withColumn("__cnt", F.lit(1)))
-            else:
-                delta = nxt.groupBy("__s", "__n", "__st").agg(
-                    F.count(F.lit(1)).cast("int").alias("__cnt"))
-            visited = (visited.unionByName(delta)
-                       .groupBy("__s", "__n", "__st")
-                       .agg(F.sum("__cnt").cast("int").alias("__cnt"))
-                       .localCheckpoint(eager=False))
         frontier = nxt
 
     res = results[0]
     for r in results[1:]:
         res = res.unionByName(r)
-    if groups_mode:
-        # (k=1: visited-once pruning already kept only min-depth paths;
-        #  k>1: the final state's depth budget admitted exactly the k
-        #  shortest length-groups per (start, end))
+    if groups_mode and k > 1:
+        # SHORTEST k GROUPS: every path in the k shortest length-groups
+        # per (start, end) — dense_rank over the enumerated trail set
+        wg = W.partitionBy("__s", "__e").orderBy("__len")
+        res = (res.withColumn("__rk", F.dense_rank().over(wg))
+               .filter(F.col("__rk") <= k).drop("__rk"))
+    elif groups_mode:
+        # ALL SHORTEST (k=1): visited-once pruning already kept only
+        # min-depth paths per product state
         pass
     elif k == 1:
         # ONE row per (start, end) pair — deterministic representative
@@ -1126,9 +1145,8 @@ def nfa_shortest_tracked(tr, df: Optional[DataFrame], part: A.PatternPart,
                .select("__s", "__e", F.col("__p.__len").alias("__len"),
                        *[F.col(f"__p.{c}").alias(c) for c in path_cols]))
     else:
-        # SHORTEST k / ANY k: the final-state budget already admitted at
-        # most k paths per (start, end) in (len, pid) order; re-rank as
-        # belt-and-braces over the (small) result set
+        # SHORTEST k / ANY k: the k shortest trails per (start, end)
+        # from the enumerated set, deterministic by (len, pid)
         wk = W.partitionBy("__s", "__e").orderBy("__len", "__pid")
         res = (res.withColumn("__rk", F.row_number().over(wk))
                .filter(F.col("__rk") <= k).drop("__rk"))

@@ -423,9 +423,9 @@ class TestShortestPathInWhere:
 
 class TestNFAKBudgeted:
     """SHORTEST k / SHORTEST k GROUPS / ANY k over UNBOUNDED quantifiers
-    route to the k-budgeted path-propagating NFA (nfa_shortest_tracked):
-    up to k paths (or k distinct depths for GROUPS) admitted per product
-    state — exact by prefix replacement.  Oracle: the exact Trail
+    route to the path-propagating NFA (nfa_shortest_tracked), which for
+    k > 1 enumerates trails (step join filters reused relationships) and
+    ranks the k winners per (start, end).  Oracle: the exact Trail
     enumeration of the same pattern with a bound beyond the graph's
     reach."""
 
@@ -497,3 +497,101 @@ class TestNFAKBudgeted:
             multilen_graph).collect())
         assert got[0] == (1, [1, 4])
         assert got[1][0] == 2 and got[1][1][0] == 1 and got[1][1][2] == 4
+
+class TestNFATrailUniqueness:
+    """Cypher relationship-uniqueness under k>1 selectors on CYCLIC
+    graphs: a walk may never reuse a relationship (reference:
+    TraversalMatching / relationship uniqueness in
+    community/cypher/.../SemanticChecker; the enumerating Trail path
+    enforces it per-path).  Regression: the k-budgeted NFA admitted
+    walks like [e1, e2, e1] on a 2-cycle."""
+
+    import pytest as _pytest
+
+    @_pytest.fixture(scope="class")
+    def two_cycle(self, spark):
+        """e1: 1->2, e2: 2->1 — the ADVICE repro graph."""
+        from neo4j_spark.graph import PropertyGraph
+
+        nodes = {"N": spark.createDataFrame(
+            [(i, ["N"], i) for i in (1, 2)],
+            "id long, labels array<string>, x long")}
+        rels = {"R": spark.createDataFrame(
+            [(1, 1, 2, "R"), (2, 2, 1, "R")],
+            "id long, src long, dst long, type string")}
+        return PropertyGraph(nodes, rels)
+
+    @_pytest.fixture(scope="class")
+    def cycle_with_parallel(self, spark):
+        """Triangle 1->2->3->1 plus a parallel 1->2: trails 1~>2 are
+        [e1], [e4], [e1,e2,e3,e4], [e4,e2,e3,e1] — lengths 1,1,4,4."""
+        from neo4j_spark.graph import PropertyGraph
+
+        nodes = {"N": spark.createDataFrame(
+            [(i, ["N"], i) for i in (1, 2, 3)],
+            "id long, labels array<string>, x long")}
+        rels = {"R": spark.createDataFrame(
+            [(1, 1, 2, "R"), (2, 2, 3, "R"), (3, 3, 1, "R"),
+             (4, 1, 2, "R")],
+            "id long, src long, dst long, type string")}
+        return PropertyGraph(nodes, rels)
+
+    def test_shortest_2_no_rel_reuse_on_two_cycle(self, spark, two_cycle):
+        # only ONE trail 1~>2 exists ([e1]); [e1,e2,e1] reuses e1
+        got = sorted(r[0] for r in cypher(
+            spark,
+            "MATCH p = SHORTEST 2 (a {x: 1})((u)-[:R]->(v))+(b {x: 2}) "
+            "RETURN length(p) AS len", two_cycle).collect())
+        assert got == [1]
+
+    def test_any_2_no_rel_reuse_on_two_cycle(self, spark, two_cycle):
+        got = sorted(r[0] for r in cypher(
+            spark,
+            "MATCH p = ANY 2 (a {x: 1})((u)-[:R]->(v))+(b {x: 2}) "
+            "RETURN length(p) AS len", two_cycle).collect())
+        assert got == [1]
+
+    def test_groups_2_no_rel_reuse_on_two_cycle(self, spark, two_cycle):
+        got = sorted(r[0] for r in cypher(
+            spark,
+            "MATCH p = SHORTEST 2 GROUPS (a {x: 1})((u)-[:R]->(v))+"
+            "(b {x: 2}) RETURN length(p) AS len", two_cycle).collect())
+        assert got == [1]
+
+    def test_shortest_3_finds_real_second_trails(self, spark,
+                                                 cycle_with_parallel):
+        got = sorted(r[0] for r in cypher(
+            spark,
+            "MATCH p = SHORTEST 3 (a {x: 1})((u)-[:R]->(v))+(b {x: 2}) "
+            "RETURN length(p) AS len", cycle_with_parallel).collect())
+        assert got == [1, 1, 4]
+
+    def test_groups_2_finds_real_second_group(self, spark,
+                                              cycle_with_parallel):
+        got = sorted(r[0] for r in cypher(
+            spark,
+            "MATCH p = SHORTEST 2 GROUPS (a {x: 1})((u)-[:R]->(v))+"
+            "(b {x: 2}) RETURN length(p) AS len",
+            cycle_with_parallel).collect())
+        assert got == [1, 1, 4, 4]
+
+    def test_all_shortest_cyclic_graph(self, spark, cycle_with_parallel):
+        got = sorted(r[0] for r in cypher(
+            spark,
+            "MATCH p = ALL SHORTEST (a {x: 1})((u)-[:R]->(v))+"
+            "(b {x: 2}) RETURN length(p) AS len",
+            cycle_with_parallel).collect())
+        assert got == [1, 1]
+
+    def test_frontier_budget_raises(self, spark, cycle_with_parallel):
+        spark.conf.set("neo4j_spark.nfa.maxFrontierPaths", "1")
+        try:
+            with self._pytest.raises(Exception,
+                                     match="maxFrontierPaths"):
+                cypher(
+                    spark,
+                    "MATCH p = SHORTEST 3 (a {x: 1})((u)-[:R]->(v))+"
+                    "(b {x: 2}) RETURN length(p) AS len",
+                    cycle_with_parallel).collect()
+        finally:
+            spark.conf.unset("neo4j_spark.nfa.maxFrontierPaths")
