@@ -255,20 +255,46 @@ def _num_eq(l: Column, r: Column) -> Column:
     return (F.when(li.isNotNull() & ri.isNotNull(), li == ri)
              .when(F.isnan(ln) | F.isnan(rn), F.lit(False))
              .when(li.isNotNull() | ri.isNotNull(),
-                   (ln == rn)
-                   & (F.when(li.isNotNull(), rn).otherwise(ln)
-                      .try_cast("long") == F.coalesce(li, ri)))
+                   # exact mixed check (cast double->long SATURATES in
+                   # Spark, so Long.MAX would spuriously equal 2^63)
+                   _long_vs_double_sign(
+                       F.coalesce(li, ri),
+                       F.when(li.isNotNull(), rn).otherwise(ln)) == 0)
              .otherwise(ln == rn))
+
+
+_LONG_RANGE_D = float(2 ** 63)  # first double past Long.MAX_VALUE
+
+
+def _long_vs_double_sign(lv: Column, d: Column) -> Column:
+    """Exact three-way comparison of a long against a double as real
+    numbers (NumberValues.compareDoubleAgainstLong — the double payload
+    alone collapses longs above 2^53): branch doubles outside long
+    range, then compare against floor(d) with a fraction tiebreak.
+    floor(d) is exact because integral doubles >= 2^53 have no fraction
+    and floors below 2^53 round-trip through double exactly."""
+    fd = F.floor(d)
+    return (F.when(d >= F.lit(_LONG_RANGE_D), F.lit(-1))
+             .when(d < F.lit(-_LONG_RANGE_D), F.lit(1))
+             .when(lv < fd, F.lit(-1))
+             .when(lv > fd, F.lit(1))
+             .when(d > fd.cast("double"), F.lit(-1))
+             .otherwise(F.lit(0)))
 
 
 def _num_cmp(l: Column, r: Column, cmp) -> Column:
     """NUMBER/temporal-group payload comparison: two longs compare
-    exactly (NumberValues.compareLongs); long vs double falls back to
-    the double payload (exact within 1 ulp); NaN is undefined."""
+    exactly (NumberValues.compareLongs); long vs double compares
+    EXACTLY via the floor-and-fraction path
+    (NumberValues.compareDoubleAgainstLong — e.g. 9007199254740993 >
+    9007199254740992.0 must hold); NaN is undefined."""
     ln, rn = l.getField("__vn"), r.getField("__vn")
     li, ri = l.getField("__vi"), r.getField("__vi")
+    mixed = F.when(li.isNotNull(), _long_vs_double_sign(li, rn)) \
+             .otherwise(-_long_vs_double_sign(ri, ln))
     return (F.when(li.isNotNull() & ri.isNotNull(), cmp(li, ri))
              .when(F.isnan(ln) | F.isnan(rn), F.lit(None).cast("boolean"))
+             .when(li.isNotNull() | ri.isNotNull(), cmp(mixed, F.lit(0)))
              .otherwise(cmp(ln, rn)))
 
 

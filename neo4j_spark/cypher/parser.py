@@ -1039,6 +1039,17 @@ class Parser:
         # unary minus binds LOOSER than ^ (Cypher: -2^2 = -(2^2) = -4)
         if self.at_op("-"):
             self.take()
+            t = self.peek()
+            if t.kind == "INT" and not self.at_op("^", ahead=1):
+                # fold the sign into the literal so Long.MIN parses
+                # (SignedDecimalIntegerLiteral, CypherParser.g4 admits
+                # -9223372036854775808; ^ keeps NEG looser than power)
+                self.take()
+                v = -int(t.value)
+                if v < -(2 ** 63):
+                    raise ParseError(
+                        f"integer, -{t.value}, is too large")
+                return A.Lit(v)
             return A.UnaryOp("NEG", self.parse_unary())
         if self.at_op("+"):
             self.take()
@@ -1130,7 +1141,10 @@ class Parser:
         t = self.peek()
         if t.kind == "INT":
             self.take()
-            return A.Lit(int(t.value))
+            v = int(t.value)
+            if v > 2 ** 63 - 1:
+                raise ParseError(f"integer, {t.value}, is too large")
+            return A.Lit(v)
         if t.kind == "FLOAT":
             self.take()
             return A.Lit(float(t.value))

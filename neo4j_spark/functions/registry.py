@@ -289,7 +289,13 @@ def compile_function(cc, e: A.Func) -> Column:
         if isinstance(t, T.ArrayType):
             return F.size(col).cast("long")
         if isinstance(t, T.MapType):
-            return F.size(col).cast("long")
+            # size(MAP) is a type error (CypherFunctions.size accepts
+            # String or List only), same as the StructType map case below
+            from ..cypher.exprs import CypherTypeError
+
+            raise CypherTypeError(
+                "Invalid input for function 'size()': Expected a String "
+                "or List, got a Map")
         from ..cypher import anyvalue as AV
 
         if AV.is_any_type(t):
@@ -308,14 +314,26 @@ def compile_function(cc, e: A.Func) -> Column:
                             "Invalid input for function 'size()': "
                             "Expected a String or List")
         if isinstance(t, T.StructType):
-            # size(MAP/entity/temporal) is a type error in the reference
-            # (CypherFunctions.size accepts String or List only) — raise
-            # the Cypher error, not a Spark analysis error
+            # size(MAP/entity/temporal/point) is a type error in the
+            # reference (CypherFunctions.size accepts String or List
+            # only) — raise the Cypher error naming the actual argument
+            # class, not a Spark analysis error
             from ..cypher.exprs import CypherTypeError
 
+            names = set(t.fieldNames())
+            if {"months", "days", "seconds", "nanos"} <= names:
+                kind = "Duration"
+            elif {"crs", "x", "y"} <= names:
+                kind = "Point"
+            elif {"nodes", "rels"} <= names:
+                kind = "Path"
+            elif "_id" in names:
+                kind = "Relationship" if "_type" in names else "Node"
+            else:
+                kind = "Map"
             raise CypherTypeError(
                 "Invalid input for function 'size()': Expected a String "
-                "or List, got a Map")
+                f"or List, got a {kind}")
         return F.length(col).cast("long")
 
     # ---- conditionals ----------------------------------------------------

@@ -488,6 +488,7 @@ def k_shortest_paths(rels: DataFrame, source_id: int, target_id: int,
     frontier = spark.createDataFrame(
         [([int(source_id)], [], 0.0)], cols).localCheckpoint(eager=True)
     done = frontier.filter(F.lit(int(source_id)) == F.lit(int(target_id)))
+    exhausted = True
     for _ in range(max_depth):
         live = frontier.filter(
             F.element_at("nodeIds", -1) != F.lit(int(target_id)))
@@ -510,10 +511,29 @@ def k_shortest_paths(rels: DataFrame, source_id: int, target_id: int,
                     .drop("__kth", "__ndone")
                     .localCheckpoint(eager=True))
         if frontier.isEmpty():
+            exhausted = False
             break
         done = done.unionByName(frontier.filter(
             F.element_at("nodeIds", -1) == F.lit(int(target_id)))) \
             .localCheckpoint(eager=False)
+    if exhausted:
+        # the search ran out of depth with live partials: the answer is
+        # only confirmed-optimal if k complete paths exist and the k-th
+        # best costs no more than the cheapest live partial (non-negative
+        # weights: extensions cannot reduce cost).  Otherwise refuse to
+        # silently truncate, matching the NFA search's maxDepth contract.
+        probe = (frontier.agg(F.min("cost").alias("__minlive"))
+                 .crossJoin(done.orderBy("cost").limit(k)
+                            .agg(F.max("cost").alias("__kth"),
+                                 F.count(F.lit(1)).alias("__n")))
+                 .head())
+        if probe["__minlive"] is not None and (
+                probe["__n"] < k or probe["__kth"] > probe["__minlive"]):
+            raise ValueError(
+                f"k_shortest_paths still has live partial paths at "
+                f"max_depth={max_depth} and only {probe['__n']} of "
+                f"{k} requested paths are confirmed optimal; raise "
+                f"max_depth (refusing to silently truncate)")
     return (done
             .withColumn("__tie", F.concat_ws(
                 ",", F.transform("relIds",

@@ -195,17 +195,20 @@ def algo_all_simple_paths(spark, graph, args):
 
 @procedure("algo.kshortestpaths")
 def algo_k_shortest_paths(spark, graph, args):
-    """(sourceId, targetId, k, weightProp?, directed?) -> (nodeIds,
-    relIds, cost): the k cheapest simple paths (Dijkstra with
+    """(sourceId, targetId, k, weightProp?, directed?, maxDepth?) ->
+    (nodeIds, relIds, cost): the k cheapest simple paths (Dijkstra with
     PathInterestFactory.numberOfShortest(k), drained via
-    TopFetchingWeightedPathIterator — graph-algo/.../Dijkstra.java)."""
+    TopFetchingWeightedPathIterator — graph-algo/.../Dijkstra.java).
+    Raises instead of truncating when maxDepth is reached with the k-th
+    path unconfirmed."""
     from ..operators.algorithms import k_shortest_paths
 
     weight = str(args[3]) if len(args) > 3 and args[3] is not None else None
     directed = bool(args[4]) if len(args) > 4 else True
+    max_depth = int(args[5]) if len(args) > 5 else 15
     return k_shortest_paths(graph.rels, int(args[0]), int(args[1]),
                             int(args[2]), weight_col=weight,
-                            directed=directed)
+                            directed=directed, max_depth=max_depth)
 
 
 @procedure("algo.exactdepthpaths")

@@ -226,6 +226,49 @@ class TestKShortestPaths:
         assert out == [([1], 0.0)]
 
 
+    def test_depth_exhaustion_raises(self, spark):
+        # 19-hop cheapest path > default max_depth=15: must raise, not
+        # silently return nothing
+        from neo4j_spark.graph import PropertyGraph
+        from neo4j_spark.procedures.registry import run_procedure
+        import pytest
+
+        nodes = {"N": spark.createDataFrame(
+            [(i, ["N"]) for i in range(1, 21)],
+            "id long, labels array<string>")}
+        rels = {"R": spark.createDataFrame(
+            [(100 + i, i, i + 1, "R", 0.1) for i in range(1, 20)],
+            "id long, src long, dst long, type string, w double")}
+        g = PropertyGraph(nodes, rels)
+        with pytest.raises(ValueError, match="max_depth"):
+            run_procedure(spark, g, "algo.kshortestpaths",
+                          [1, 20, 1, "w"]).collect()
+        # the procedure exposes maxDepth: 25 is enough
+        out = [(len(r.relIds), round(r.cost, 3)) for r in run_procedure(
+            spark, g, "algo.kshortestpaths",
+            [1, 20, 1, "w", True, 25]).collect()]
+        assert out == [(19, 1.9)]
+
+    def test_depth_exhaustion_confirmed_no_raise(self, spark):
+        # live zero-cost partials at max_depth, but the k-th best done
+        # cost already ties the cheapest live partial: confirmed optimal
+        from neo4j_spark.graph import PropertyGraph
+        from neo4j_spark.procedures.registry import run_procedure
+
+        nodes = {"N": spark.createDataFrame(
+            [(i, ["N"]) for i in list(range(1, 31)) + [99]],
+            "id long, labels array<string>")}
+        edges = [(200, 1, 99, 0.0)] + [
+            (100 + i, i, i + 1, 0.0) for i in range(1, 30)]
+        rels = {"R": spark.createDataFrame(
+            [(e, s, d, "R", w) for e, s, d, w in edges],
+            "id long, src long, dst long, type string, w double")}
+        g = PropertyGraph(nodes, rels)
+        out = [(r.nodeIds, r.cost) for r in run_procedure(
+            spark, g, "algo.kshortestpaths", [1, 99, 1, "w"]).collect()]
+        assert out == [([1, 99], 0.0)]
+
+
 def test_astar_geo_heuristic(spark):
     """GeoEstimateEvaluator parity: (lat, lon) chord-distance heuristic;
     the estimate is admissible for metric road weights, so the geo A*

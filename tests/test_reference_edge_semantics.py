@@ -364,6 +364,40 @@ class TestRound4AdviceFixes:
             chain_graph)) == [(True, False)]
 
 
+def test_tagged_mixed_long_double_exact(spark, chain_graph):
+    # NumberValues.compareDoubleAgainstLong: mixed long/double compares
+    # exactly above 2^53 (the double payload alone collapses 2^53+1
+    # onto 2^53)
+    assert rows(cypher(
+        spark,
+        "WITH [9007199254740993, 'a'] AS l "
+        "RETURN l[0] > 9007199254740992.0 AS a, "
+        "l[0] = 9007199254740992.0 AS b, "
+        "l[0] < 9007199254740994.0 AS c",
+        chain_graph)) == [(True, False, True)]
+
+
+def test_tagged_mixed_double_overflows_long(spark, chain_graph):
+    # a double past Long.MAX compares false (not null) against any long
+    assert rows(cypher(
+        spark,
+        "WITH [9223372036854775807, 'a'] AS l "
+        "RETURN l[0] = 9223372036854775808.0 AS a, "
+        "l[0] < 9223372036854775808.0 AS b, "
+        "l[0] > -9223372036854775809.0 AS c",
+        chain_graph)) == [(False, True, True)]
+
+
+def test_tagged_mixed_long_min_exact(spark, chain_graph):
+    # -2^63 is exactly representable as a double: equality holds
+    assert rows(cypher(
+        spark,
+        "WITH [-9223372036854775808, 'a'] AS l "
+        "RETURN l[0] = -9223372036854775808.0 AS a, "
+        "l[0] < -9200000000000000000.0 AS b",
+        chain_graph)) == [(True, True)]
+
+
 def test_sum_of_void_is_long_zero(spark, chain_graph):
     # SumFunction starts from Values.ZERO_INT: sum(null) is the long 0
     [(s, a)] = rows(cypher(spark, "RETURN sum(null) AS s, avg(null) AS a",
@@ -398,6 +432,25 @@ class TestSizeArgumentClasses:
             chain_graph)) == [(2,), (3,)]
         with pytest.raises(Exception, match="String or List"):
             cypher(spark, "UNWIND [[1], 5] AS x RETURN size(x) AS s",
+                   chain_graph).collect()
+
+    def test_size_of_map_type_raises(self, spark, chain_graph):
+        # a MapType-typed value (parameter map) raises like struct maps
+        from neo4j_spark.api import cypher as cy
+
+        with pytest.raises(Exception, match="String or List, got a Map"):
+            cy(spark, "RETURN size($m) AS s", chain_graph,
+               params={"m": {"a": 1}}).collect()
+
+    def test_size_error_names_argument_class(self, spark, chain_graph):
+        with pytest.raises(Exception, match="got a Duration"):
+            cypher(spark, "RETURN size(duration('P1D')) AS s",
+                   chain_graph).collect()
+        with pytest.raises(Exception, match="got a Point"):
+            cypher(spark, "RETURN size(point({x: 1, y: 2})) AS s",
+                   chain_graph).collect()
+        with pytest.raises(Exception, match="got a Node"):
+            cypher(spark, "MATCH (n) RETURN size(n) AS s",
                    chain_graph).collect()
 
     def test_size_null_is_null(self, spark, chain_graph):
