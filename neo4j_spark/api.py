@@ -75,6 +75,8 @@ def cypher(
         # SchemaLogicalPlan / ShowCommandLogicalPlan path (SURVEY §2.10)
         return run_schema_command(spark, graph, body)
     ast = parse(body)
+    if graph is not None:
+        graph.begin_scan_tracking()  # statement-scoped shared-base fusion
     df = Translator(spark, graph, params or {}, catalog=catalog) \
         .translate(ast)
     if mode == "EXPLAIN":
@@ -110,4 +112,5 @@ class CypherSession:
         if ast is None:
             ast = parse(query)
             self._ast_cache[query] = ast
+        self.graph.begin_scan_tracking()
         return Translator(self.spark, self.graph, params or {}).translate(ast)

@@ -857,6 +857,17 @@ class Translator:
         if rp.neg_types:  # [:!TYPE] — complement of the listed types
             base = self.graph.rels.filter(
                 ~F.col("type").isin(list(rp.neg_types)))
+        # shared-base fusion: count which declared-base shards this scan
+        # touches; a second touch within the statement persists the base
+        # so every shard reads ONE FileScan (graph.note_rel_scan)
+        if rp.types:
+            touched = list(rp.types)
+        elif rp.neg_types:
+            touched = [t for t in self.graph.rel_frames
+                       if t not in rp.neg_types]
+        else:
+            touched = list(self.graph.rel_frames)
+        self.graph.note_rel_scan(touched)
         props = [c for c in base.columns if c not in REL_META]
         if slim:
             struct = F.struct(F.col("id").alias("_id"))

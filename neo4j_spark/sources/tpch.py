@@ -149,7 +149,19 @@ def tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
     _ow = _W.partitionBy("l_orderkey").orderBy(
         "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice",
         "l_quantity", "l_shipdate")
-    li = lineitem.withColumn("__ord", F.row_number().over(_ow))
+    # ONE windowed base frame feeds both lineitem-derived rel shards,
+    # pruned to the union of columns either shard consumes.  With
+    # neo4j_spark.scan.fuseSharedBases=true, a statement using both
+    # CONTAINS and SUPPLIED_BY (or one twice) persists this frame so
+    # both shards read ONE FileScan + ONE rel-id window shuffle; by
+    # default each shard keeps its own pruned, filter-pushed scan —
+    # measured faster when rel ids (and hence the window) prune away
+    # (graph.PropertyGraph.note_rel_scan has the numbers).
+    li = lineitem.select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    ).withColumn("__ord", F.row_number().over(_ow))
     li_key = F.col("l_orderkey") * 64 + F.col("__ord")
     rel_frames = {
         "IN_REGION": rel(nation, 11, F.col("n_nationkey"), 2, "n_nationkey", 1,
@@ -194,4 +206,7 @@ def tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
         "CONTAINS": ("Order", "Part"),
         "SUPPLIED_BY": ("Order", "Supplier"),
     }
-    return PropertyGraph(node_frames, rel_frames, endpoint_labels)
+    return PropertyGraph(node_frames, rel_frames, endpoint_labels,
+                         rel_shared_bases={
+                             "lineitem": (li, ("CONTAINS", "SUPPLIED_BY")),
+                         })

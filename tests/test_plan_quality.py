@@ -167,3 +167,56 @@ def test_translate_has_no_driver_collect():
     assert len(hits) == 1, [lines[i] for i in hits]
     ctx = "\n".join(lines[hits[0] - 2:hits[0] + 1])
     assert "dropDuplicates().limit(cap + 1)" in ctx, ctx
+
+
+class TestSharedBaseFusion:
+    """CONTAINS and SUPPLIED_BY are row images of one lineitem table
+    (FIXTURES.md): with neo4j_spark.scan.fuseSharedBases=true a
+    statement touching both persists the shared base so every shard is
+    served from ONE FileScan; by default each shard keeps its own
+    pruned, filter-pushed scan (measured faster when Catalyst prunes
+    the rel-id window away — see PropertyGraph.note_rel_scan)."""
+
+    Q = ("MATCH (s:Supplier)<-[sb:SUPPLIED_BY]-(o:Order)"
+         "-[l:CONTAINS]->(:Part) WHERE sb.linenumber = l.linenumber "
+         "RETURN s.suppkey AS sk, sum(l.quantity) AS q ORDER BY q DESC "
+         "LIMIT 5")
+
+    def test_default_keeps_pruned_direct_scans(self, spark, tpch_graph):
+        df = cypher(spark, self.Q, tpch_graph)
+        rows_default = [tuple(r) for r in df.collect()]
+        plan = plan_of(df)
+        assert "InMemoryTableScan" not in plan
+        # the rel-id disambiguation window must prune away when ids are
+        # unused — it would force a full lineitem shuffle per scan
+        assert "Window" not in plan
+        assert rows_default  # non-empty at sf0.001+
+
+    def test_fusion_conf_serves_shards_from_cache(self, spark, tpch_graph):
+        spark.conf.set("neo4j_spark.scan.fuseSharedBases", "true")
+        try:
+            df = cypher(spark, self.Q, tpch_graph)
+            rows_fused = [tuple(r) for r in df.collect()]
+            assert "InMemoryTableScan" in plan_of(df)
+            assert "lineitem" in tpch_graph._persisted_bases
+            # same answer either way
+            df2 = cypher(spark, self.Q, tpch_graph)
+            assert rows_fused == [tuple(r) for r in df2.collect()]
+        finally:
+            spark.conf.unset("neo4j_spark.scan.fuseSharedBases")
+            base, _ = tpch_graph.rel_shared_bases["lineitem"]
+            base.unpersist()
+            tpch_graph._persisted_bases.discard("lineitem")
+
+    def test_single_shard_statement_never_persists(self, spark,
+                                                   tpch_graph):
+        spark.conf.set("neo4j_spark.scan.fuseSharedBases", "true")
+        try:
+            df = cypher(spark,
+                        "MATCH (o:Order)-[l:CONTAINS]->(:Part) "
+                        "RETURN sum(l.quantity) AS q", tpch_graph)
+            df.collect()
+            assert "lineitem" not in tpch_graph._persisted_bases
+            assert "InMemoryTableScan" not in plan_of(df)
+        finally:
+            spark.conf.unset("neo4j_spark.scan.fuseSharedBases")
