@@ -357,6 +357,17 @@ CYPHER_QUERIES = {
         "toString(dt + duration('P1D')) AS s",
     # container groups in the tagged encoding (anyvalue.py round 3:
     # MAP(1) < LIST(4) < POINT(6) < scalars; lists element-wise)
+    # PATH's dedicated slot in the global order (ValueGroup.java:32:
+    # MAP < NODE < RELATIONSHIP < LIST < PATH < POINT < ... < NULL;
+    # AnyValues.java:69-72), plus path-to-path order inside a mixed key
+    # (PathValue.unsafeCompareTo: first node, rel ids, rel count)
+    "mixed_path_order":
+        "MATCH p = (n:Nation {name: 'NATION_0'})-[r:IN_REGION]->(:Region) "
+        "WITH p, n, r LIMIT 1 "
+        "UNWIND [p, 'a', n, [1], 3.5, r, {k: 1}, "
+        "point({x: 1, y: 2}), true, null] AS v "
+        "WITH v ORDER BY v "
+        "RETURN toString(collect(coalesce(valueType(v), 'NULL'))) AS ord",
     "mixed_container_order":
         "UNWIND [[1, 2], 'a', {k: 1}, [1], 7, [1, 'x'], null, true] AS x "
         "WITH x ORDER BY x LIMIT 5 "
@@ -2093,6 +2104,11 @@ def _oracle_sql_raw() -> dict[str, str]:
             "CAST(epoch_ms(timezone('Europe/Paris', "
             "TIMESTAMP '2024-02-29 12:00:00')) AS BIGINT) AS back_ms, "
             "'2024-03-31T12:00+02:00[Europe/Paris]' AS s",
+        "mixed_path_order":
+            "SELECT '[MAP NOT NULL, NODE NOT NULL, RELATIONSHIP NOT NULL, "
+            "LIST<ANY> NOT NULL, PATH NOT NULL, POINT NOT NULL, "
+            "STRING NOT NULL, BOOLEAN NOT NULL, FLOAT NOT NULL, NULL]' "
+            "AS ord",
         "mixed_container_order":
             "SELECT unnest(['{k: 1}', '[1]', '[1, x]', '[1, 2]', 'a']) "
             "AS s",

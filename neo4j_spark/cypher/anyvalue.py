@@ -408,6 +408,8 @@ def container_depth(t) -> int:
         names = set(t.fieldNames())
         if {"crs", "x", "y"} <= names or "_id" in names:
             return 1  # POINT / NODE / RELATIONSHIP
+        if {"nodes", "rels"} <= names:
+            return 1  # PATH encodes as a flat id list
         return 1 + max((container_depth(f.dataType) for f in t.fields),
                        default=0)
     from .exprs import CypherTypeError
@@ -507,6 +509,22 @@ def to_any_deep(c: Column, t: Optional[T.DataType],
         g = F.when(c.isNull(), RANK_NULL).otherwise(rank)
         return _pack_deep(g, nn, ns, nb, c.getField("_id").cast("long"),
                           nl, nm, np_)
+    if isinstance(t, T.StructType) and {"nodes", "rels"} <= set(
+            t.fieldNames()):
+        # PATH: its own group rank (ValueGroup.java:32 slots PATH(5)
+        # between LIST and POINT; AnyValues.java:69-72).  Payload is the
+        # id sequence [first node, rel ids...] so the element-wise array
+        # order reproduces PathValue.unsafeCompareTo (PathValue.java:113
+        # — first node, then rel ids, then rel count via the
+        # prefix-shorter-first rule).
+        ids = F.concat(
+            F.array(F.element_at(c.getField("nodes"), 1)
+                     .getField("_id").cast("long")),
+            F.transform(c.getField("rels"),
+                        lambda r_: r_.getField("_id").cast("long")))
+        enc = F.transform(ids, lambda v: enc_inner(v, T.LongType()))
+        g = F.when(c.isNull(), RANK_NULL).otherwise(RANK_PATH)
+        return _pack_deep(g, nn, ns, nb, ni, enc, nm, np_)
     if isinstance(t, T.StructType):  # map literal (static keys)
         items = sorted(
             [(f.name, f.dataType) for f in t.fields], key=lambda kv: kv[0])
@@ -598,7 +616,7 @@ def any_eq_deep(l: Column, r: Column, depth: int = 1) -> Column:
                                           b.getField("__mv"))))))
     pt_eq = (l.getField("__vp") == r.getField("__vp"))
     id_eq = (l.getField("__vi") == r.getField("__vi"))
-    same = (F.when(lg == RANK_LIST, list_eq)
+    same = (F.when(lg.isin(RANK_LIST, RANK_PATH), list_eq)
              .when(lg == RANK_MAP, map_eq)
              .when(lg == RANK_POINT, pt_eq)
              .when(lg.isin(RANK_NODE, RANK_REL), id_eq)
@@ -687,7 +705,7 @@ def any_cmp_deep(l: Column, r: Column, op: str, depth: int = 1) -> Column:
              .when(lg == RANK_BOOLEAN,
                    cmp(l.getField("__vb"), r.getField("__vb")))
              .when(lg.isin(RANK_NUMBER, *TEMPORAL_RANKS), num_cmp)
-             .when(lg == RANK_LIST,
+             .when(lg.isin(RANK_LIST, RANK_PATH),
                    _ternary_list_cmp(l.getField("__vl"),
                                      r.getField("__vl"), op, depth)))
     return (F.when((lg == RANK_NULL) | (rg == RANK_NULL)
@@ -808,6 +826,7 @@ def any_value_type_deep(c: Column) -> Column:
              .when(g == RANK_POINT, F.lit("POINT NOT NULL"))
              .when(g == RANK_NODE, F.lit("NODE NOT NULL"))
              .when(g == RANK_REL, F.lit("RELATIONSHIP NOT NULL"))
+             .when(g == RANK_PATH, F.lit("PATH NOT NULL"))
              .otherwise(any_value_type(c)))
 
 

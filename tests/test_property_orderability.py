@@ -308,3 +308,48 @@ def test_list_comparison_deterministic_cases(spark, chain_graph):
     [row] = cypher(spark, f"RETURN {cols}", chain_graph).collect()
     for i, (q, want) in enumerate(cases):
         assert row[i] == want, f"{q}: got {row[i]}, want {want}"
+
+
+class TestPathOrderability:
+    """PATH's dedicated group rank in the global order
+    (ValueGroup.java:32 slots PATH between LIST and POINT;
+    PathValue.unsafeCompareTo: first node, then rel ids, then rel
+    count)."""
+
+    def test_path_group_slot_in_mixed_key(self, spark, tpch_graph):
+        from neo4j_spark.api import cypher
+
+        out = cypher(spark, """
+            MATCH p = (n:Nation {name: 'NATION_0'})-[r:IN_REGION]->(:Region)
+            WITH p, n, r LIMIT 1
+            UNWIND [p, [1], point({x: 1, y: 2}), n, r] AS v
+            WITH v ORDER BY v
+            RETURN collect(valueType(v)) AS vts
+        """, tpch_graph).collect()
+        assert out[0]["vts"] == [
+            "NODE NOT NULL", "RELATIONSHIP NOT NULL", "LIST<ANY> NOT NULL",
+            "PATH NOT NULL", "POINT NOT NULL"]
+
+    def test_paths_order_by_first_node_then_rels(self, spark, tpch_graph):
+        from neo4j_spark.api import cypher
+
+        # two paths in one mixed key: first-node id decides
+        out = cypher(spark, """
+            MATCH p = (n:Nation)-[:IN_REGION]->(:Region)
+            WITH p, n.name AS nm WHERE nm IN ['NATION_0', 'NATION_3']
+            UNWIND [p, 'tail'] AS v
+            WITH nm, v ORDER BY v, nm
+            RETURN collect(nm)[0..2] AS first_two
+        """, tpch_graph).collect()
+        assert out[0]["first_two"] == ["NATION_0", "NATION_3"]
+
+    def test_path_equality_in_mixed_list(self, spark, tpch_graph):
+        from neo4j_spark.api import cypher
+
+        out = cypher(spark, """
+            MATCH p = (n:Nation {name: 'NATION_0'})-[:IN_REGION]->(:Region)
+            WITH p LIMIT 1
+            RETURN [p, 'a'][0] = p AS eq, p IN [p, 1] AS inn,
+                   ([p, 'a'][0] < 'z') IS NULL AS cross_undef
+        """, tpch_graph).collect()
+        assert [tuple(r) for r in out] == [(True, True, True)]
