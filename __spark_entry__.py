@@ -1087,6 +1087,24 @@ def _q_call_fulltext_indexed(spark, sf_dir):
                   "RETURN count(*) AS n, round(sum(score), 1) AS s", g)
 
 
+def _q_call_fulltext_slop(spark, sf_dir):
+    """Sloppy phrase "data table"~N (QueryParser slop ->
+    SloppyPhraseMatcher: one occurrence per word, adjusted-position
+    range max(p_i - i) - min(p_i - i) <= N).  Slop 1 over a two-word
+    phrase = forward match with at most one intervening token; the
+    DuckDB oracle states exactly that as a regex over the tokenized
+    text."""
+    from neo4j_spark.api import cypher
+
+    g = _graph(spark, sf_dir).copy()
+    cypher(spark, "CALL db.index.fulltext.createNodeIndex("
+           "'ft_slop', ['Document'], ['text']) YIELD name RETURN name",
+           g).collect()
+    return cypher(spark, "CALL db.index.fulltext.queryNodes("
+                  "'ft_slop', '\"data table\"~1') YIELD node "
+                  "RETURN count(*) AS n", g)
+
+
 def _q_call_fulltext_analyzer(spark, sf_dir):
     """Configurable analyzer ('english': stop words + S-stemming): the
     query term 'tables' stems to 'table' and matches unstemmed docs."""
@@ -1722,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["call_vector_query"] = _q_call_vector
     out["call_fulltext_indexed"] = _q_call_fulltext_indexed
     out["call_fulltext_analyzer"] = _q_call_fulltext_analyzer
+    out["call_fulltext_slop"] = _q_call_fulltext_slop
     out["call_fulltext_stopwords"] = _q_call_fulltext_stopwords
     out["ddl_index_catalog"] = _q_ddl_index_catalog
     out["input_rows"] = _q_input_rows
@@ -2480,6 +2499,12 @@ def _oracle_sql_raw() -> dict[str, str]:
         "call_fulltext_phrase":
             "SELECT count(*) AS n FROM part "
             "WHERE p_name LIKE '%red widget%'",
+        "call_fulltext_slop":
+            # slop-1 two-word phrase == forward order, <= 1 intervening
+            # token (adjusted-position window, see the query docstring)
+            "SELECT count(*) AS n FROM documents WHERE "
+            "regexp_matches(lower(text), "
+            "'\\bdata( [a-z0-9]+)? table\\b')",
         "call_fulltext_analyzer":
             "SELECT count(*) AS n FROM documents "
             "WHERE regexp_matches(lower(text), '\\btables?\\b')",

@@ -458,12 +458,15 @@ def _bm25_scan(frame, id_col: str, prop: str, terms, out_name: str,
 # parentheses, field prefixes (must name the indexed property),
 # fuzzy term~N (Levenshtein, default 2), wildcards te?t / te*t,
 # term ranges [a TO b] / {a TO b} (mixed brackets, * endpoints), and
-# boosts term^2 / "phrase"^2.  Phrase slop raises a clear
-# ProcedureError.  Scoring: BM25 x boost summed over the matching
+# boosts term^2 / "phrase"^2, and sloppy phrases "..."~N
+# (SloppyPhraseMatcher window semantics: one occurrence per word with
+# max(pos_i - i) - min(pos_i - i) <= N; repeated terms in a sloppy
+# phrase raise).  Scoring: BM25 x boost summed over the matching
 # POSITIVE clauses (must_not never scores); wildcard and range clauses
 # are CONSTANT-score (= boost), matching Lucene's MultiTermQuery
 # constant-score rewrite; phrase tf = exact consecutive-token
-# occurrences, fuzzy tf = tokens within edit distance.
+# occurrences (slop > 0: anchored sloppy-window count), fuzzy tf =
+# tokens within edit distance.
 
 
 def _lucene_lex(q: str):
@@ -479,18 +482,24 @@ def _lucene_lex(q: str):
             j = q.find('"', i + 1)
             if j < 0:
                 raise ProcedureError("unterminated phrase in Lucene query")
-            if j + 1 < n and q[j + 1] == "~":
-                raise ProcedureError(
-                    "phrase slop (\"...\"~N) is not supported")
-            boost = 1.0
+            slop = 0
             i2 = j + 1
+            if i2 < n and q[i2] == "~":
+                # sloppy phrase "..."~N (QueryParser: slop before boost);
+                # Lucene truncates a fractional slop to int
+                m = re.match(r"~(\d+)", q[i2:])
+                if not m:
+                    raise ProcedureError("bad phrase slop in Lucene query")
+                slop = int(m.group(1))
+                i2 += m.end()
+            boost = 1.0
             if i2 < n and q[i2] == "^":
                 m = re.match(r"\^(\d+(?:\.\d+)?)", q[i2:])
                 if not m:
                     raise ProcedureError("bad boost in Lucene query")
                 boost = float(m.group(1))
                 i2 += m.end()
-            toks.append(("phrase", q[i + 1:j], boost))
+            toks.append(("phrase", q[i + 1:j], boost, slop))
             i = i2
         elif c == "(":
             toks.append(("lp",)); i += 1; _clause_start = True
@@ -583,7 +592,7 @@ def _lucene_lex(q: str):
 def _lucene_parse(q: str, prop: str):
     """Parse a Lucene query into ('bool', musts, nots, shoulds) /
     ('and', kids) / ('not', kid) / leaf nodes; leaves carry a trailing
-    boost: ('term', w, b) / ('fuzzy', w, n, b) / ('phrase', [w...], b) /
+    boost: ('term', w, b) / ('fuzzy', w, n, b) / ('phrase', [w...], slop, b) /
     ('wild', pat, b) / ('range', lo, hi, inc_lo, inc_hi, b)."""
     tokens = _lucene_lex(q)
     pos = [0]
@@ -615,12 +624,12 @@ def _lucene_parse(q: str, prop: str):
 
         if t[0] == "phrase":
             take()
-            _, body, boost = t
+            _, body, boost, slop = t
             words = [w for w in re.split(r"\W+", body.lower()) if w]
             if not words:
                 raise ProcedureError("empty phrase in Lucene query")
             return ("term", words[0], boost) if len(words) == 1 \
-                else ("phrase", words, boost)
+                else ("phrase", words, slop, boost)
         if t[0] == "term":
             take()
             _, w, field, fuzz, boost = t
@@ -709,8 +718,8 @@ def _analyze_lucene_tree(nd, analyzer: str):
                              for x in nd[1]) if w is not None]
         if not words:
             return None
-        return ("term", words[0], nd[2]) if len(words) == 1 \
-            else ("phrase", words, nd[2])
+        return ("term", words[0], nd[3]) if len(words) == 1 \
+            else ("phrase", words, nd[2], nd[3])
     if kind == "not":
         ch = _analyze_lucene_tree(nd[1], analyzer)
         return None if ch is None else ("not", ch)
@@ -806,6 +815,52 @@ def _lucene_scan(frame, id_col: str, prop: str, node, out_name: str,
             return F.size(F.filter(F.col("__toks"), in_range))
         words = nd[1]
         k = len(words)
+        slop = nd[2] if len(nd) > 3 else 0
+        if slop > 0:
+            # sloppy phrase (SloppyPhraseMatcher): with adjusted
+            # positions q_i = p_i - i, the phrase matches iff some
+            # selection of one occurrence per word has
+            # max(q) - min(q) <= slop.  Equivalently: exists a base b
+            # with every word's q in [b, b + slop]; it suffices to try
+            # b in [q1 - slop, q1] for each anchor occurrence q1 of the
+            # first word (any valid selection's min serves as b).
+            # tf = anchored match count (drives BM25; match = tf > 0).
+            if len(set(words)) != len(words):
+                raise ProcedureError(
+                    "sloppy phrases with repeated terms are not "
+                    "supported (distinct-position matching)")
+            idxs = F.when(F.col("__dl") == 0,
+                          F.array().cast("array<int>")) \
+                .otherwise(F.sequence(F.lit(0), F.col("__dl") - 1))
+
+            def qpos(i):
+                # adjusted positions of word i
+                return F.transform(
+                    F.filter(idxs, lambda j: F.element_at(
+                        F.col("__toks"), j + 1) == F.lit(words[i])),
+                    lambda j: j - F.lit(i))
+
+            from ..functions.let import let
+
+            def with_qs(qs_flat):
+                # qs_flat: array of k structs is awkward — bind each
+                def q_of(i):
+                    return F.element_at(qs_flat, i + 1)
+
+                def ok_base(b):
+                    cond = F.lit(True)
+                    for i in range(1, k):
+                        cond = cond & F.exists(
+                            q_of(i), lambda q: (q >= b) & (q <= b + slop))
+                    return cond
+
+                return F.size(F.filter(
+                    q_of(0),
+                    lambda q1: F.exists(
+                        F.sequence(q1 - slop, q1), ok_base)))
+
+            return let(F.array(*[qpos(i) for i in range(k)]), with_qs)
+
         starts = F.when(F.col("__dl") < k, F.array().cast("array<int>")) \
             .otherwise(F.sequence(F.lit(0), F.col("__dl") - k))
 

@@ -565,8 +565,8 @@ def test_fulltext_wildcard_range_boost(spark):
     import pytest as _pytest
     with _pytest.raises(ProcedureError):
         q("a[pple")
-    with _pytest.raises(ProcedureError):
-        q('"a b"~2')
+    # slop is now supported
+    assert [n for n, _ in q('"apple banana"~2')] == [1]
 
 
 def test_dup_ngram_ratio_hand_computed(spark):
@@ -587,3 +587,73 @@ def test_dup_ngram_ratio_hand_computed(spark):
         "doc_id", dup_ngram_ratio(F.col("text"), 3).alias("d")).collect()}
     # 3-grams of doc 1: aba bab aba -> 1 dup of 3
     assert abs(got3[1] - 1 / 3) < 1e-6 and got3[2] == 0.0
+
+
+def test_fulltext_sloppy_phrase(spark):
+    """Sloppy phrases "..."~N (QueryParser slop -> SloppyPhraseMatcher):
+    one occurrence per word with max(pos_i - i) - min(pos_i - i) <= N.
+    Hand-computed oracle: reversed adjacent terms need slop 2; one
+    intervening word needs slop 1."""
+    from neo4j_spark.graph import PropertyGraph
+    from neo4j_spark.procedures.registry import (ProcedureError,
+                                                 run_procedure)
+    import pytest
+
+    docs = [(1, ["D"], "big data systems"),          # exact
+            (2, ["D"], "big fast data"),             # 1 gap
+            (3, ["D"], "data big"),                  # reversed adjacent
+            (4, ["D"], "big really very fast data"), # 3 gaps
+            (5, ["D"], "big apples")]                # no match ever
+    g = PropertyGraph(
+        {"D": spark.createDataFrame(
+            docs, "id long, labels array<string>, body string")}, {})
+
+    def q(s):
+        return sorted(r["node"] for r in run_procedure(
+            spark, g, "db.index.fulltext.querynodes", ["body", s])
+            .collect())
+
+    assert q('"big data"') == [1]
+    assert q('"big data"~1') == [1, 2]
+    assert q('"big data"~2') == [1, 2, 3]
+    assert q('"big data"~3') == [1, 2, 3, 4]
+    # slop composes with booleans and boost ordering stays sane
+    assert q('"big data"~1 AND systems') == [1]
+    out = {r["node"]: r["score"] for r in run_procedure(
+        spark, g, "db.index.fulltext.querynodes",
+        ["body", '"big data"~1^2']).collect()}
+    base = {r["node"]: r["score"] for r in run_procedure(
+        spark, g, "db.index.fulltext.querynodes",
+        ["body", '"big data"~1']).collect()}
+    assert all(abs(out[k] - 2 * base[k]) < 1e-9 for k in base)
+    # three-word sloppy phrase: doc 4 "big really very fast data":
+    # q(big)=0, q(fast)=2, q(data)=2 -> range 2
+    docs3 = q('"big fast data"~2')
+    assert 4 in docs3 and 2 in docs3  # doc2 "big fast data" exact
+    assert q('"big fast data"~1') == [2]
+    with pytest.raises(ProcedureError, match="repeated terms"):
+        q('"big big data"~2')
+    with pytest.raises(ProcedureError, match="slop"):
+        q('"big data"~x')
+
+
+def test_fulltext_sloppy_phrase_analyzer_interaction(spark):
+    """Slop composes with the analyzer: under 'english', the query word
+    'tables' S-stems to 'table' and sloppy-matches an unstemmed doc with
+    one intervening token."""
+    from neo4j_spark.graph import PropertyGraph
+    from neo4j_spark.procedures.registry import run_procedure
+
+    docs = [(1, ["D"], "data big table here"),
+            (2, ["D"], "table data"),
+            (3, ["D"], "data far away table")]
+    g = PropertyGraph(
+        {"D": spark.createDataFrame(
+            docs, "id long, labels array<string>, body string")}, {})
+    run_procedure(spark, g, "db.index.fulltext.createnodeindex",
+                  ["ft_sl_en", ["D"], ["body"],
+                   {"analyzer": "english"}]).collect()
+    out = sorted(r["node"] for r in run_procedure(
+        spark, g, "db.index.fulltext.querynodes",
+        ["ft_sl_en", '"data tables"~1']).collect())
+    assert out == [1]
