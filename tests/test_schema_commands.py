@@ -193,8 +193,11 @@ class TestLuceneQuerySyntax:
             == ("range", "a", "b", True, False, 1.0)
         with pytest.raises(ProcedureError, match="field"):
             _lucene_parse("other:widget", "name")
-        with pytest.raises(ProcedureError, match="slop"):
-            _lucene_parse('"a b"~2', "name")
+        # sloppy phrases parse since round 6 (slop before boost)
+        assert _lucene_parse('"a b"~2', "name") \
+            == ("phrase", ["a", "b"], 2, 1.0)
+        assert _lucene_parse('"a b"~2^3', "name") \
+            == ("phrase", ["a", "b"], 2, 3.0)
         with pytest.raises(ProcedureError, match="unsupported"):
             _lucene_parse("a[b", "name")
 
