@@ -181,15 +181,44 @@ def embedding_cosine_pairs(df: DataFrame, threshold: float = 0.9,
 
 
 def ivf_assign(df: DataFrame, centroids: List[Sequence[float]],
-               vec_col: str = "embedding") -> DataFrame:
+               vec_col: str = "embedding",
+               matrix_threshold: int = 64) -> DataFrame:
     """Assign every vector to its nearest coarse centroid (IVF list id).
 
     Centroids are a small broadcast list; assignment is one scan with an
-    argmax over per-centroid dot products — no shuffle.  The score array
-    is ``let``-bound so each cosine is evaluated once (a when-chain argmax
-    re-nests the running best twice per centroid — exponential subtree
-    duplication).  At scale, write the output partitioned by
-    ``_ivf_list`` so probes become partition-pruned reads."""
+    argmax over per-centroid dot products — no shuffle.  Two renderings
+    by centroid count:
+
+    - below ``matrix_threshold``: a pure column expression — an array of
+      per-centroid cosines, ``let``-bound so each is evaluated once (a
+      when-chain argmax re-nests the running best twice per centroid —
+      exponential subtree duplication).  Whole-stage-codegen friendly.
+    - at/above: one Arrow-batched pandas UDF holding the centroid MATRIX
+      closed over (broadcast with the task), computing a (batch x dim) @
+      (dim x n_centroids) matmul argmax per batch.  The inline form at
+      thousands of centroids (what a 100 TB index wants) would inflate
+      the plan by one cosine subtree per centroid.
+
+    Ties break to the lowest list id in both paths (array_position of
+    the max / np.argmax both take the first).  At scale, write the
+    output partitioned by ``_ivf_list`` so probes become
+    partition-pruned reads."""
+    if len(centroids) >= matrix_threshold:
+        from pyspark.sql.functions import pandas_udf
+
+        C = np.array([[float(x) for x in c] for c in centroids],
+                     dtype="float64")
+        Cn = (C / np.maximum(
+            np.linalg.norm(C, axis=1, keepdims=True), 1e-30)).T
+
+        @pandas_udf("int")
+        def _nearest(v: pd.Series) -> pd.Series:
+            M = np.stack(v.to_numpy()).astype("float64")
+            Mn = M / np.maximum(
+                np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+            return pd.Series(np.argmax(Mn @ Cn, axis=1).astype("int32"))
+
+        return df.withColumn("_ivf_list", _nearest(F.col(vec_col)))
     from ..functions.let import let
 
     v = F.col(vec_col)
@@ -208,23 +237,28 @@ def ivf_centroids(df: DataFrame, n_centroids: int = 16,
     Collected to the driver (n_centroids * dim floats — tiny) so they can
     be broadcast into the assignment scan."""
     # hash-threshold sampling: keep rows whose id hash falls under a
-    # threshold sized to yield ~8x n_centroids survivors, then TAKE the
-    # n smallest hashes.  The take is a TakeOrderedAndProject over the
-    # tiny survivor set — no global sort of the corpus (the round-2
-    # orderBy(_h).limit(k) shape sorted every row at 100 TB).
-    n = max(df.count(), 1)
+    # fixed threshold, then TAKE the n smallest hashes — a
+    # TakeOrderedAndProject over the tiny survivor set, no global sort
+    # and (round-6) no opening df.count() pass over the corpus.  The
+    # threshold starts at a 2^-16 keep fraction (plenty at the corpus
+    # sizes an IVF index targets) and widens 64x per empty-ish probe, so
+    # a 100 TB corpus samples in ONE scan while a tiny test corpus just
+    # escalates a few cheap scans to fraction 1.
     hashed = df.select(F.col(vec_col).alias("_v"),
                        F.abs(F.xxhash64(F.col(id_col))).alias("_h"))
     top = 1 << 62
-    factor = 8
-    seeds = []
-    while len(seeds) < min(n_centroids, n):
-        thr = min(int(top * min(factor * n_centroids / n, 1.0)), top)
+    frac = 1.0 / (1 << 16)
+    while True:
+        thr = min(int(top * frac), top)
         seeds = (hashed.filter(F.col("_h") % top < thr)
                  .orderBy("_h").limit(n_centroids)
                  .select("_v").collect())
-        factor *= 8
+        if len(seeds) >= n_centroids or thr >= top:
+            break
+        frac *= 64
     cents = [[float(x) for x in r[0]] for r in seeds]
+    if not cents:
+        return []  # empty corpus
     for _ in range(iterations):
         assigned = ivf_assign(df, cents, vec_col)
         means = (assigned.groupBy("_ivf_list")

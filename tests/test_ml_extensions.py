@@ -89,6 +89,48 @@ class TestSimilarity:
         counts = Counter(r["query_id"] for r in out)
         assert all(v == 5 for v in counts.values())
 
+    def test_ivf_assign_matrix_path_parity(self, spark):
+        """At >= matrix_threshold centroids, ivf_assign switches from one
+        inline cosine subtree per centroid to a broadcast centroid-matrix
+        pandas UDF; assignments must agree and the plan must stay small
+        at 1,024 centroids."""
+        import random
+
+        from neo4j_spark.ml.similarity import ivf_assign
+
+        rnd = random.Random(7)
+        dim = 16
+        cents = [[rnd.uniform(-1, 1) for _ in range(dim)]
+                 for _ in range(1024)]
+        vecs = [(i, [rnd.uniform(-1, 1) for _ in range(dim)])
+                for i in range(200)]
+        df = spark.createDataFrame(
+            vecs, "vec_id long, embedding array<double>")
+        inline = {r["vec_id"]: r["_ivf_list"] for r in ivf_assign(
+            df, cents, matrix_threshold=10_000).collect()}
+        matrix_df = ivf_assign(df, cents)  # 1024 >= default threshold 64
+        matrix = {r["vec_id"]: r["_ivf_list"]
+                  for r in matrix_df.collect()}
+        assert matrix == inline
+        # plan size: the matrix path must NOT inline 1,024 cosines
+        plan = matrix_df._jdf.queryExecution().optimizedPlan().toString()
+        assert "ArrowEvalPython" in plan or "pythonUDF" in plan.lower()
+        assert len(plan) < 20_000
+
+    def test_ivf_centroids_no_full_count(self, spark):
+        """ivf_centroids must not open with a full corpus count; the
+        hash-threshold probe escalates to fraction 1 on tiny corpora and
+        still returns deterministic seeds."""
+        from neo4j_spark.ml.similarity import ivf_centroids
+
+        df = spark.createDataFrame(
+            [(i, [float(i % 5) + 1.0, float(i % 3) + 1.0]) for i in range(40)],
+            "vec_id long, embedding array<double>")
+        c1 = ivf_centroids(df, n_centroids=4, iterations=1)
+        c2 = ivf_centroids(df, n_centroids=4, iterations=1)
+        assert len(c1) == 4 and c1 == c2
+        assert ivf_centroids(df.limit(0), n_centroids=4) == []
+
     def test_ivf_index_partition_pruned_probe(self, spark, emb, tmp_path):
         """save_ivf_index + knn_ivf_probe: the probe's scan must prune to
         the probed list partitions (PartitionFilters in the plan), and
