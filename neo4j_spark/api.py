@@ -91,9 +91,58 @@ def cypher(
             [(line,) for line in text.splitlines() if line.strip()],
             "plan string")
     if mode == "PROFILE":
-        df.count()  # execute eagerly; runtime metrics land in the Spark UI
-        return df
+        # execute eagerly, then surface per-operator runtime metrics
+        # inline (the reference's ProfilerStatistics rows/dbHits — at the
+        # granularity Spark exposes: numOutputRows + the operator's other
+        # SQLMetrics), instead of deferring to the Spark UI.  collect()
+        # runs THIS Dataset's QueryExecution so its executedPlan carries
+        # the metrics (count() would re-plan a different execution).
+        df.collect()
+        return _profile_frame(spark, df)
     return df
+
+
+def _profile_frame(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Walk the EXECUTED physical plan after an eager run and emit one
+    row per operator: (step, operator, rows, metrics).  ``rows`` is the
+    operator's numOutputRows SQLMetric (the reference's PROFILE `rows`
+    column); other metrics are rendered name=value.  AQE wrappers are
+    unwrapped to the final adaptively-executed plan."""
+    root = df._jdf.queryExecution().executedPlan()
+    out = []
+
+    def walk(node, depth):
+        name = str(node.nodeName())
+        if name == "AdaptiveSparkPlan":
+            try:
+                walk(node.executedPlan(), depth)
+                return
+            except Exception:
+                pass
+        mets = {}
+        try:
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                try:
+                    mets[str(kv._1())] = int(kv._2().value())
+                except Exception:
+                    pass
+        except Exception:
+            pass
+        rows = mets.pop("numOutputRows", None)
+        detail = ", ".join(f"{k}={v}" for k, v in sorted(mets.items()))
+        out.append((len(out), ("  " * depth) + name, rows, detail[:500]))
+        try:
+            cit = node.children().iterator()
+            while cit.hasNext():
+                walk(cit.next(), depth + 1)
+        except Exception:
+            pass
+
+    walk(root, 0)
+    return spark.createDataFrame(
+        out, "step int, operator string, rows bigint, metrics string")
 
 
 class CypherSession:

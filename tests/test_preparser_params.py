@@ -24,10 +24,21 @@ class TestPreparse:
         text = "\n".join(r["plan"] for r in df.collect())
         assert "Physical Plan" in text
 
-    def test_profile_returns_rows(self, spark, chain_graph):
-        df = cypher(spark, "PROFILE MATCH (n:A) RETURN count(*) AS c",
-                    chain_graph)
-        assert df.collect()[0]["c"] == 1
+    def test_profile_returns_operator_stats(self, spark, chain_graph):
+        # PROFILE executes the query and returns one row per physical
+        # operator with its runtime numOutputRows (ProfilerStatistics
+        # parity at the granularity Spark exposes)
+        # avoid the count-store shortcut so a real scan executes
+        df = cypher(spark,
+                    "PROFILE MATCH (n) WHERE n.x >= 1 "
+                    "RETURN n.x AS x", chain_graph)
+        rows_ = df.collect()
+        assert [f.name for f in df.schema.fields] == [
+            "step", "operator", "rows", "metrics"]
+        assert len(rows_) >= 2
+        # a scan operator appears and reports its runtime row count
+        scans = [r for r in rows_ if "Scan" in r["operator"]]
+        assert scans and any((r["rows"] or 0) > 0 for r in scans)
 
 
 class TestStructuredParams:
