@@ -94,6 +94,34 @@ def probabilistic_gates(spark, sf_dir: str) -> dict:
            .filter(F.col("nf") > 1).count())
     gates["fingerprint_consistency"] = 1.0 if bad == 0 else 0.0
     grams.unpersist(); sh.unpersist(); emb.unpersist()
+
+    # streaming near-dup vs batch: the stream-static LSH probe must
+    # emit EXACTLY the batch path's verified pairs on the same inputs
+    # (the fifth rows-only entry, previously gated only in pytest)
+    import tempfile
+
+    from neo4j_spark.streaming.neardup import (build_near_dup_index,
+                                               stream_near_dup)
+
+    with tempfile.TemporaryDirectory() as d:
+        probe = docs.select("doc_id", "text").limit(120)
+        probe.write.mode("overwrite").parquet(d + "/docs")
+        stored = spark.read.parquet(d + "/docs")
+        build_near_dup_index(stored, d + "/idx")
+        want = {(r.doc_id, r.corpus_id, r.jaccard) for r in
+                stream_near_dup(stored, spark, d + "/idx",
+                                threshold=0.7).collect()}
+        stream = (spark.readStream.schema(stored.schema)
+                  .option("maxFilesPerTrigger", 8).parquet(d + "/docs"))
+        q = (stream_near_dup(stream, spark, d + "/idx", threshold=0.7)
+             .writeStream.format("memory").queryName("__bench_neardup")
+             .outputMode("append")
+             .option("checkpointLocation", d + "/ck")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = {(r.doc_id, r.corpus_id, r.jaccard) for r in
+               spark.sql("SELECT * FROM __bench_neardup").collect()}
+        gates["stream_near_dup_equality"] = 1.0 if got == want else 0.0
     return gates
 
 
