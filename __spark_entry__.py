@@ -2150,8 +2150,10 @@ def _oracle_sql_raw() -> dict[str, str]:
             "mod_sign, CAST('nan' AS DOUBLE) AS nan_mod, "
             "CAST('inf' AS DOUBLE) AS cot0, CAST(8 AS DOUBLE) AS pow_v",
         "edge_nan_semantics":
-            "SELECT FALSE AS eq, TRUE AS ne, CAST(NULL AS BOOLEAN) AS lt, "
-            "FALSE AS eqn, CAST(NULL AS BOOLEAN) AS gi",
+            # NaN comparisons are FALSE (NaNAcceptance.feature:
+            # NOT(0.0 < 0.0/0.0) = true), not undefined
+            "SELECT FALSE AS eq, TRUE AS ne, FALSE AS lt, "
+            "FALSE AS eqn, FALSE AS gi",
         "edge_coercions":
             "SELECT CAST(42 AS BIGINT) AS a, CAST(1 AS BIGINT) AS b, "
             "CAST(-3 AS BIGINT) AS c, CAST(NULL AS BIGINT) AS d, "

@@ -287,13 +287,14 @@ def _num_cmp(l: Column, r: Column, cmp) -> Column:
     exactly (NumberValues.compareLongs); long vs double compares
     EXACTLY via the floor-and-fraction path
     (NumberValues.compareDoubleAgainstLong — e.g. 9007199254740993 >
-    9007199254740992.0 must hold); NaN is undefined."""
+    9007199254740992.0 must hold); a NaN operand decides FALSE
+    (NaNAcceptance.feature: NOT(0.0 < 0.0/0.0) = true)."""
     ln, rn = l.getField("__vn"), r.getField("__vn")
     li, ri = l.getField("__vi"), r.getField("__vi")
     mixed = F.when(li.isNotNull(), _long_vs_double_sign(li, rn)) \
              .otherwise(-_long_vs_double_sign(ri, ln))
     return (F.when(li.isNotNull() & ri.isNotNull(), cmp(li, ri))
-             .when(F.isnan(ln) | F.isnan(rn), F.lit(None).cast("boolean"))
+             .when(F.isnan(ln) | F.isnan(rn), F.lit(False))
              .when(li.isNotNull() | ri.isNotNull(), cmp(mixed, F.lit(0)))
              .otherwise(cmp(ln, rn)))
 

@@ -765,19 +765,19 @@ class ExprCompiler:
             cmp = {"<": l < r, "<=": l <= r, ">": l > r, ">=": l >= r}[op]
             nan = self._nan_any(l, lt0, r, rt0)
             if nan is not None:
-                # a NaN operand makes the comparison UNDEFINED
-                # (FloatingPointValue.ternaryUndefined -> Comparison
-                # .UNDEFINED); Spark orders NaN greatest instead.  In the
-                # null-is-false filter context emit pushable conjuncts —
-                # the comparison atom reaches PushedFilters, the isnan
-                # residual evaluates in the Filter node
+                # a NaN operand makes the comparison FALSE — the runtime
+                # behavior pinned by the reference's NaNAcceptance
+                # .feature (NOT(0.0 < 0.0/0.0) = true), Cypher 5's
+                # false-for-NaN rule; Spark orders NaN greatest instead.
+                # In the null-is-false filter context emit pushable
+                # conjuncts — the comparison atom reaches PushedFilters,
+                # the isnan residual evaluates in the Filter node
                 if nif:
                     for c_, t_ in ((l, lt0), (r, rt0)):
                         if isinstance(t_, (T.FloatType, T.DoubleType)):
                             cmp = cmp & ~F.isnan(c_)
                     return cmp
-                return F.when(nan, F.lit(None).cast("boolean")) \
-                        .otherwise(cmp)
+                return F.when(nan, F.lit(False)).otherwise(cmp)
             return cmp
         if op == "IN":
             # Ternary IN (AnyValue.ternaryEquals, AnyValue.java:62):
@@ -900,6 +900,36 @@ class ExprCompiler:
         lc, lt = self.compile_typed(e.left)
         rc, rt = self.compile_typed(e.right)
         if op == "+":
+            return self._plus(lc, lt, rc, rt)
+        if op == "||":
+            # concatenation NEVER coerces (ConcatenationAcceptance
+            # .feature: 1 || [3], 'a' || 3, date() || date() are all
+            # type errors) — both operands must be STRINGs or both
+            # LISTs; null passes through; a tagged (runtime-typed)
+            # operand defers to + semantics
+            from . import anyvalue as AV
+
+            def kind(t):
+                if t is None or isinstance(t, T.NullType):
+                    return None
+                if AV.is_any_type(t):
+                    return "any"
+                if isinstance(t, T.ArrayType):
+                    return "list"
+                if isinstance(t, T.StringType):
+                    return "string"
+                return "bad"
+
+            lk, rk = kind(lt), kind(rt)
+            ok = {None, "any", "list", "string"}
+            if lk == "bad" or rk == "bad" or (
+                    lk in ("list", "string") and rk in ("list", "string")
+                    and lk != rk):
+                raise CypherTypeError(
+                    "concatenation (||) requires two STRING or two LIST "
+                    f"operands, got {lt.simpleString() if lt else 'null'}"
+                    f" || {rt.simpleString() if rt else 'null'}")
+            assert lk in ok and rk in ok
             return self._plus(lc, lt, rc, rt)
         if op == "-":
             if _is_duration(lt) and _is_duration(rt):
@@ -1391,6 +1421,9 @@ class ExprCompiler:
 
     def _c_ListComp(self, e: A.ListComp) -> Column:
         src = self.compile(e.source)
+        if isinstance(self.dtype_of(src), T.NullType):
+            # [x IN null ...] -> null (ListComprehension over NO_VALUE)
+            return F.lit(None).cast("array<long>")
         et = self._elem_type(e.source)
         out = src
         if e.where is not None:

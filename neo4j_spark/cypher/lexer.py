@@ -126,7 +126,14 @@ def tokenize(text: str) -> List[Token]:
                     j = k
                     while j < n and text[j].isdigit():
                         j += 1
-            toks.append(Token("FLOAT" if is_float else "INT", text[i:j], i))
+            lit = text[i:j]
+            if is_float and j < n and text[j] in "fF" \
+                    and not (j + 1 < n and (text[j + 1].isalnum()
+                                            or text[j + 1] == "_")):
+                # float suffix 1.0f (CypherParser.g4 DECIMAL_DOUBLE;
+                # NaNAcceptance.feature uses it) — value is unchanged
+                j += 1
+            toks.append(Token("FLOAT" if is_float else "INT", lit, i))
             i = j
             continue
         # identifiers / keywords

@@ -1022,9 +1022,9 @@ class Parser:
     def parse_additive(self) -> A.Expr:
         e = self.parse_multiplicative()
         while self.at_op("+", "-", "||"):
+            # || keeps its own op: concatenation never coerces (the
+            # compiler type-checks it), unlike the lenient +
             op = self.take().value
-            if op == "||":
-                op = "+"
             e = A.BinOp(op, e, self.parse_multiplicative())
         return e
 

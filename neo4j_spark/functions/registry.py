@@ -362,10 +362,35 @@ def compile_function(cc, e: A.Func) -> Column:
                              .otherwise(F.log10(x))),
         "sin": F.sin, "cos": F.cos, "tan": F.tan, "asin": F.asin,
         "acos": F.acos, "atan": F.atan, "degrees": F.degrees,
-        "radians": F.radians, "isnan": F.isnan,
+        "radians": F.radians,
     }
     if name in simple:
         return simple[name](c(0))
+    if name == "isnan":
+        # isNaN over a statically non-numeric argument is a type error
+        # (NaNAcceptance.feature: isNaN('foo') -> InvalidArgumentType),
+        # not a cast failure
+        col, t = ctyped(0)
+        from ..cypher import anyvalue as AV
+
+        if AV.is_any_type(t):
+            g_ = col.getField("__vg")
+            return _checked(
+                g_.isin(AV.RANK_NUMBER, AV.RANK_NULL),
+                F.when(g_ == AV.RANK_NULL, F.lit(None).cast("boolean"))
+                 .otherwise(F.isnan(col.getField("__vn"))),
+                "Invalid input for function 'isNaN()': Expected a Number")
+        if t is not None and not isinstance(
+                t, (T.NullType, T.ByteType, T.ShortType, T.IntegerType,
+                    T.LongType, T.FloatType, T.DoubleType, T.DecimalType)):
+            from ..cypher.exprs import CypherTypeError
+
+            raise CypherTypeError(
+                "Invalid input for function 'isNaN()': Expected a Number, "
+                f"got {t.simpleString()}")
+        # isNaN(null) -> null (Spark's isnan(null) is false)
+        return F.when(col.isNull(), F.lit(None).cast("boolean")) \
+                .otherwise(F.isnan(col.cast("double")))
     if name == "round":
         # CypherFunctions.java:253-303.  round(x) and round(x, 0) use
         # Math.round: ties toward +INFINITY (round(-2.5) = -2.0), NaN and
@@ -990,18 +1015,27 @@ def compile_function(cc, e: A.Func) -> Column:
                 and "T" in args[0].value):
             # explicit offset in the literal ('...T12:50+02:00' / 'Z'):
             # keep it as the value's zone so .offset/.timezone/toString
-            # round-trip (DateTimeValue.parse keeps the offset)
+            # round-trip (DateTimeValue.parse keeps the offset).
+            # DateTimeValue also accepts minute-precision times
+            # ('...T00:00Z'); Spark's to_timestamp needs seconds — pad.
             import re as _re
 
-            m = _re.search(r"(Z|[+-]\d{2}:\d{2}|[+-]\d{4})$",
-                           args[0].value)
+            lit = _re.sub(r"(T\d{2}:\d{2})(?=$|Z|[+-]\d{2})", r"\1:00",
+                          args[0].value)
+            m = _re.search(r"(Z|[+-]\d{2}:\d{2}|[+-]\d{4})$", lit)
             if m:
                 off = m.group(1)
                 if off != "Z" and ":" not in off:
                     off = off[:3] + ":" + off[3:]
                 return F.struct(
-                    F.to_timestamp(col).alias("instant"),
+                    F.to_timestamp(F.lit(lit)).alias("instant"),
                     F.lit(off).alias("tz"))
+            return F.to_timestamp(F.lit(lit))
+        if name == "localdatetime":
+            # LOCAL datetime strings parse zone-free (LocalDateTimeValue)
+            # — NTZ keeps the LOCAL_DT orderability group and offset-free
+            # toString
+            return col.cast("timestamp_ntz")
         return F.to_timestamp(col)
     if name in ("time", "localtime"):
         # TimeValue/LocalTimeValue: no Spark TIME type — a components

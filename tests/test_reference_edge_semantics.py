@@ -86,10 +86,13 @@ class TestNaNSemantics:
             "RETURN 0.0/0.0 = 0.0/0.0 AS a, 0.0/0.0 <> 0.0/0.0 AS b, "
             "0.0/0.0 = 1.0 AS c", chain_graph)) == [(False, True, False)]
 
-    def test_nan_comparison_is_null_in_return(self, spark, chain_graph):
+    def test_nan_comparison_is_false_in_return(self, spark, chain_graph):
+        # NaNAcceptance.feature: NOT(0.0 < (0.0/0.0)) = true, so the
+        # comparison itself is FALSE (not undefined/null)
         assert rows(cypher(
-            spark, "RETURN (0.0/0.0) < 1.0 AS a, (0.0/0.0) >= 1.0 AS b",
-            chain_graph)) == [(None, None)]
+            spark, "RETURN (0.0/0.0) < 1.0 AS a, (0.0/0.0) >= 1.0 AS b, "
+            "NOT (0.0 < (0.0/0.0)) AS c, NOT (NOT (0.0 < (0.0/0.0))) AS d",
+            chain_graph)) == [(False, False, True, False)]
 
     def test_nan_filter_drops_rows_and_pushes_down(self, spark, tpch_graph):
         # WHERE compiles the pushable conjunct form: the comparison atom

@@ -1,0 +1,486 @@
+"""TCK-style acceptance tranche 2 (round 6): orderability, ternary
+equality/comparison, NaN, concatenation, list comprehension, trim,
+literal, and temporal scenarios — behavior-ported from the reference's
+acceptance corpus (community/cypher/spec-suite-tools/src/test/resources/
+acceptance/features/{OrderByAcceptance,TernaryEqualityAcceptance,
+TernaryComparisonAcceptance,NaNAcceptance,ConcatenationAcceptance,
+ListComprehensionAcceptance,TrimFunctionsAcceptance,LiteralAcceptance}
+.feature) with fresh fixtures and wording.  These areas are where every
+oracle-caught bug has lived (VERDICT r5 Next #4)."""
+
+import math
+
+import pytest
+
+from neo4j_spark.api import cypher
+from neo4j_spark.graph import PropertyGraph
+
+
+@pytest.fixture()
+def g(spark):
+    return PropertyGraph({}, {})
+
+
+def run(spark, g, q, **params):
+    return cypher(spark, q, g, params=params or None)
+
+
+def rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def one(spark, g, q, **params):
+    [(v,)] = rows(run(spark, g, q, **params))
+    return v
+
+
+class TestOrderByAcceptanceR6:
+    def test_cross_type_ascending_full_order(self, spark, g):
+        # OrderByAcceptance "Ordering is well defined across all types":
+        # MAP < NODE < REL < LIST < PATH < STRING < BOOLEAN < NUMBER < null
+        run(spark, g, "CREATE (:A {t: 'node'})-[:T {t: 'rel'}]->()") \
+            .collect()
+        out = run(spark, g, """
+            MATCH p = (n:A)-[r]->()
+            WITH [n, r, p, '', 1, 3.14, true, null, [], {}] AS types
+            UNWIND types AS t
+            WITH t ORDER BY t ASC
+            RETURN collect(coalesce(valueType(t), 'NULL')) AS o
+        """).collect()
+        assert out[0]["o"] == [
+            "MAP NOT NULL", "NODE NOT NULL", "RELATIONSHIP NOT NULL",
+            "LIST<ANY> NOT NULL", "PATH NOT NULL", "STRING NOT NULL",
+            "BOOLEAN NOT NULL", "INTEGER NOT NULL", "FLOAT NOT NULL",
+            "NULL"]
+
+    def test_cross_type_descending_reverses(self, spark, g):
+        run(spark, g, "CREATE (:A)-[:T]->()").collect()
+        asc = run(spark, g, """
+            MATCH p = (n:A)-[r]->()
+            UNWIND [n, r, p, '', 1, 3.14, true, null, [], {}] AS t
+            WITH t ORDER BY t ASC
+            RETURN collect(coalesce(valueType(t), 'NULL')) AS o
+        """).collect()[0]["o"]
+        desc = run(spark, g, """
+            MATCH p = (n:A)-[r]->()
+            UNWIND [n, r, p, '', 1, 3.14, true, null, [], {}] AS t
+            WITH t ORDER BY t DESC
+            RETURN collect(coalesce(valueType(t), 'NULL')) AS o
+        """).collect()[0]["o"]
+        assert desc == list(reversed(asc))
+
+    def test_list_ordering_ascending(self, spark, g):
+        # OrderByAcceptance "Ordering for lists, ascending" shape:
+        # element-wise with the global order, prefix-shorter-first
+        got = run(spark, g, """
+            UNWIND [[1], [1, 2], [1, 3, -1], [], [null, 1],
+                    ['string', 1], [true, null], [[''], false],
+                    [[0], 4], [[{}]], ['foo'], [true]] AS l
+            WITH l ORDER BY l ASC
+            RETURN collect(toString(l)) AS o
+        """).collect()[0]["o"]
+        assert got == [
+            "[]", "[[{}]]", "[[], false]", "[[0], 4]", "[foo]",
+            "[string, 1]", "[true]", "[true, null]", "[1]", "[1, 2]",
+            "[1, 3, -1]", "[null, 1]"]
+
+    def test_missing_property_sorts_null_last_asc(self, spark, g):
+        run(spark, g,
+            "CREATE (:M {v: 3}), (:M {v: 1}), (:M)").collect()
+        got = [r["v"] for r in run(
+            spark, g,
+            "MATCH (m:M) RETURN m.v AS v ORDER BY m.v ASC").collect()]
+        assert got == [1, 3, None]
+
+    def test_order_by_nodes_nulls_last(self, spark, g):
+        run(spark, g, "CREATE (:N {v: 1}), (:N {v: 2})").collect()
+        got = [r["v"] for r in run(spark, g, """
+            MATCH (n:N)
+            OPTIONAL MATCH (n)-[:NOPE]->(m)
+            RETURN n.v AS v ORDER BY m ASC, n.v ASC
+        """).collect()]
+        assert got == [1, 2]  # m is null for both: stable on n.v
+
+    def test_order_by_maps_size_then_entries(self, spark, g):
+        got = run(spark, g, """
+            UNWIND [{b: 1}, {a: 1, b: 1}, {a: 1}, {}] AS m
+            WITH m ORDER BY m ASC
+            RETURN collect(toString(m)) AS o
+        """).collect()[0]["o"]
+        # map order: size first, then key-sorted entries
+        assert got == ["{}", "{a: 1}", "{b: 1}", "{a: 1, b: 1}"]
+
+    def test_order_by_expression_in_with_and_return(self, spark, g):
+        run(spark, g,
+            "UNWIND [3, 1, 2] AS x CREATE (:E {v: x})").collect()
+        a = [r["w"] for r in run(spark, g, """
+            MATCH (e:E) WITH e.v * -1 AS w ORDER BY e.v * -1 RETURN w
+        """).collect()]
+        b = [r["w"] for r in run(spark, g, """
+            MATCH (e:E) RETURN e.v * -1 AS w ORDER BY w
+        """).collect()]
+        assert a == b == [-3, -2, -1]
+
+    def test_order_by_aggregate_expression(self, spark, g):
+        run(spark, g, "UNWIND [1, 1, 2, 3, 3, 3] AS x "
+                      "CREATE (:C {v: x})").collect()
+        got = rows(run(spark, g, """
+            MATCH (c:C) RETURN c.v AS v, count(*) AS n
+            ORDER BY count(*) DESC, v ASC
+        """))
+        assert got == [(3, 3), (1, 2), (2, 1)]
+
+    def test_order_by_two_properties_with_limit(self, spark, g):
+        run(spark, g, "CREATE (:T2 {x: 1, y: 'b'}), (:T2 {x: 1, y: 'a'}),"
+                      " (:T2 {x: 2, y: 'a'})").collect()
+        got = rows(run(spark, g, """
+            MATCH (t:T2) RETURN t.x AS x, t.y AS y
+            ORDER BY t.x ASC, t.y DESC LIMIT 2
+        """))
+        assert got == [(1, "b"), (1, "a")]
+
+
+class TestTernaryEqualityAcceptanceR6:
+    def test_list_with_null_element(self, spark, g):
+        # [1,2,3] vs [1,null,3]: null element -> undefined
+        assert rows(run(spark, g,
+                        "RETURN [1, 2, 3] = [1, null, 3] AS eq, "
+                        "[1, 2, 3] <> [1, null, 3] AS neq")) \
+            == [(None, None)]
+
+    def test_list_with_null_but_definite_diff(self, spark, g):
+        # the definite 3 vs 4 mismatch decides FALSE despite the null
+        assert rows(run(spark, g,
+                        "RETURN [1, 2, 3] = [1, null, 4] AS eq, "
+                        "[1, 2, 3] <> [1, null, 4] AS neq")) \
+            == [(False, True)]
+
+    def test_list_cross_type_element_is_false(self, spark, g):
+        assert rows(run(spark, g,
+                        "RETURN [1, 2, 3] = [1, 'two', 3] AS eq")) \
+            == [(False,)]
+
+    def test_map_value_null_is_undefined(self, spark, g):
+        assert rows(run(spark, g,
+                        "RETURN {k: 42} = {k: null} AS eq, "
+                        "{k: 42} <> {k: null} AS neq")) == [(None, None)]
+
+    def test_map_different_keys_is_false(self, spark, g):
+        assert rows(run(spark, g,
+                        "RETURN {k1: 42} = {k2: null} AS eq, "
+                        "{k1: 42} <> {k2: null} AS neq")) \
+            == [(False, True)]
+
+    def test_map_mixed_null_and_definite_diff(self, spark, g):
+        # k3: 44 vs 'fortyfour' is a definite FALSE; the k2 null cannot
+        # rescue it
+        assert rows(run(spark, g,
+                        "RETURN {k1: 42, k2: 43, k3: 44} = "
+                        "{k1: 42, k2: null, k3: 'fortyfour'} AS eq")) \
+            == [(False,)]
+
+    def test_duration_normalized_equality(self, spark, g):
+        assert rows(run(spark, g,
+                        "RETURN duration('P1Y') = duration('P12M') AS a, "
+                        "duration('PT1H') = duration('PT60M') AS b, "
+                        "duration('P1D') = duration('PT24H') AS c")) \
+            == [(True, True, False)]  # days vs hours differ
+
+    def test_nested_list_null_propagation(self, spark, g):
+        assert rows(run(spark, g,
+                        "RETURN [[1, null]] = [[1, null]] AS eq")) \
+            == [(None,)]
+
+
+class TestTernaryComparisonAcceptanceR6:
+    def test_chained_comparisons(self, spark, g):
+        # OperatorChaining: a < b < c is (a < b) AND (b < c)
+        assert rows(run(spark, g,
+                        "RETURN 1 < 2 < 3 AS a, 1 < 2 > 3 AS b, "
+                        "1 <= 1 <= 1 AS c")) == [(True, False, True)]
+
+    def test_chained_with_null_operand(self, spark, g):
+        assert rows(run(spark, g,
+                        "RETURN 1 < 2 > null AS a, "
+                        "null < 2 < 3 AS b")) == [(None, None)]
+
+    def test_incomparable_types_yield_null(self, spark, g):
+        assert rows(run(spark, g,
+                        "RETURN 1 < 'a' AS a, true < 1 AS b, "
+                        "'a' < [1] AS c")) == [(None, None, None)]
+
+    def test_duration_comparison_undefined(self, spark, g):
+        assert rows(run(spark, g,
+                        "RETURN duration('P1M') < duration('P30D') AS a")) \
+            == [(None,)]
+
+    def test_numeric_cross_kind_comparable(self, spark, g):
+        assert rows(run(spark, g,
+                        "RETURN 1 < 1.5 AS a, 2.0 <= 2 AS b, "
+                        "3 > 2.99 AS c")) == [(True, True, True)]
+
+
+class TestNaNAcceptanceR6:
+    def test_isnan_basics(self, spark, g):
+        assert rows(run(spark, g,
+                        "RETURN isNaN(1) AS a, isNaN(1.0) AS b, "
+                        "isNaN(0x0ad) AS c, isNaN(0o1) AS d, "
+                        "isNaN(1.0f) AS e")) \
+            == [(False, False, False, False, False)]
+
+    def test_isnan_nan_inf_null(self, spark, g):
+        assert rows(run(spark, g,
+                        "RETURN isNaN(0/0.0) AS a, isNaN(1/0.0) AS b, "
+                        "isNaN(-1/0.0) AS c, isNaN(null) AS d")) \
+            == [(True, False, False, None)]
+
+    def test_isnan_non_number_raises(self, spark, g):
+        with pytest.raises(Exception, match="isNaN"):
+            run(spark, g, "RETURN isNaN('foo') AS x").collect()
+
+    def test_isnan_chained_function(self, spark, g):
+        assert one(spark, g, "RETURN isNaN(abs(0/0.0)) AS v") is True
+
+    def test_not_of_nan_inequalities(self, spark, g):
+        # NaN comparisons are FALSE, so NOT(...) is TRUE
+        assert rows(run(spark, g,
+                        "RETURN NOT(0.0 < (0.0/0.0)) AS a, "
+                        "NOT(0.0 > (0.0/0.0)) AS b, "
+                        "NOT(0.0 <= (0.0/0.0)) AS c, "
+                        "NOT(0.0 >= (0.0/0.0)) AS d")) \
+            == [(True, True, True, True)]
+
+    def test_not_not_of_nan_inequality(self, spark, g):
+        assert one(spark, g,
+                   "RETURN NOT (NOT (0.0 < (0.0/0.0))) AS v") is False
+
+    def test_not_of_nan_equality_both_sides(self, spark, g):
+        assert rows(run(spark, g,
+                        "RETURN NOT (0.0 = (0.0/0.0)) AS a, "
+                        "NOT ((0.0/0.0) = (0.0/0.0)) AS b, "
+                        "NOT (0.0 <> (0.0/0.0)) AS c, "
+                        "NOT ((0.0/0.0) <> (0.0/0.0)) AS d")) \
+            == [(True, True, False, False)]
+
+    def test_nan_in_variable_and_property(self, spark, g):
+        assert one(spark, g,
+                   "WITH (0.0/0.0) AS nan RETURN NOT (nan < 0.0) AS v") \
+            is True
+        run(spark, g, "CREATE (:NA {nan: (0.0/0.0)})").collect()
+        assert one(spark, g,
+                   "MATCH (n:NA) RETURN NOT (n.nan < 0.0) AS v") is True
+
+    def test_nan_param_inequality(self, spark, g):
+        assert one(spark, g,
+                   "RETURN NOT(0.0 <= (0.0/$zero)) AS v", zero=0.0) is True
+
+
+class TestConcatenationAcceptanceR6:
+    def test_simple_string_and_list(self, spark, g):
+        assert rows(run(spark, g,
+                        "RETURN 'a' || 'b' AS s, [1, 2] || [3] AS l")) \
+            == [("ab", [1, 2, 3])]
+
+    def test_concat_with_casting_expressions(self, spark, g):
+        assert one(spark, g, "RETURN [1] || (2 + []) AS l") == [1, 2]
+        assert one(spark, g,
+                   "RETURN toString(1) || 'a' || toString(1.0) AS s") \
+            == "1a1.0"
+
+    def test_null_concatenation(self, spark, g):
+        assert rows(run(spark, g,
+                        "RETURN null || null AS a, [1] || null AS b, "
+                        "'a' || null AS c, null || 'x' AS d")) \
+            == [(None, None, None, None)]
+
+    def test_complex_mixing_plus_and_concat(self, spark, g):
+        # + list-appends scalars; || only joins same-kind operands.
+        # The heterogeneous result list comes back in the engine's
+        # Cypher-text rendering (tagged values cannot round-trip as a
+        # Spark struct column)
+        assert one(spark, g,
+                   "RETURN 1 + [] || [2] || [4] + 'a' + 'b' || [1] AS r") \
+            == "[1, 2, 4, a, b, 1]"
+        assert one(spark, g,
+                   "RETURN 'a' + 'b' || 'c' + 'd' + 1 + 'e' + 1 || 'f' "
+                   "AS r") == "abcd1e1f"
+        assert one(spark, g,
+                   "RETURN [12] || [11] || [10] || [9, 8] || ['7'] AS r") \
+            == "[12, 11, 10, 9, 8, 7]"  # rendered heterogeneous list
+
+    @pytest.mark.parametrize("q", [
+        "RETURN 1 || [3]", "RETURN [3] || 2", "RETURN 'a' || 3",
+        "RETURN 1 || 'a'", "RETURN [1] || 'a'", "RETURN 'a' || [2]",
+        "RETURN date() || date()", "RETURN 1 || 2",
+    ])
+    def test_concat_never_coerces(self, spark, g, q):
+        with pytest.raises(Exception):
+            run(spark, g, q).collect()
+
+    def test_concat_from_node_properties(self, spark, g):
+        run(spark, g,
+            "CREATE (:CP {s1: 'he', s2: 'llo', l1: [1], l2: [2]})") \
+            .collect()
+        assert rows(run(spark, g,
+                        "MATCH (n:CP) RETURN n.s1 || n.s2 AS s, "
+                        "n.l1 || n.l2 AS l")) == [("hello", [1, 2])]
+
+
+class TestListComprehensionAcceptanceR6:
+    def test_filter_and_map(self, spark, g):
+        assert one(spark, g,
+                   "RETURN [x IN range(1, 10) WHERE x % 2 = 0 | x * 10] "
+                   "AS l") == [20, 40, 60, 80, 100]
+
+    def test_filter_only_and_map_only(self, spark, g):
+        assert rows(run(spark, g,
+                        "RETURN [x IN [1, 2, 3] WHERE x <> 2] AS a, "
+                        "[x IN [1, 2, 3] | x + 1] AS b")) \
+            == [([1, 3], [2, 3, 4])]
+
+    def test_on_null_list_is_null(self, spark, g):
+        assert one(spark, g, "RETURN [x IN null | x] AS l") is None
+
+    def test_nested_comprehension(self, spark, g):
+        assert one(spark, g,
+                   "RETURN [x IN [[1, 2], [3, 4]] | [y IN x | y * 2]] "
+                   "AS l") == [[2, 4], [6, 8]]
+
+    def test_comprehension_over_node_collection(self, spark, g):
+        run(spark, g, "UNWIND [1, 2, 3] AS v CREATE (:LC {v: v})") \
+            .collect()
+        assert sorted(one(spark, g,
+                          "MATCH (n:LC) WITH collect(n) AS ns "
+                          "RETURN [x IN ns WHERE x.v > 1 | x.v] AS l")) \
+            == [2, 3]
+
+    def test_shadowing_scope(self, spark, g):
+        assert one(spark, g,
+                   "WITH 10 AS x RETURN [x IN [1, 2] | x] AS l") == [1, 2]
+
+
+class TestTrimFunctionsAcceptanceR6:
+    def test_whitespace_defaults(self, spark, g):
+        assert rows(run(spark, g,
+                        "RETURN trim('  a  ') AS t, ltrim('  a') AS l, "
+                        "rtrim('a  ') AS r")) == [("a", "a", "a")]
+
+    def test_trim_specifications(self, spark, g):
+        assert rows(run(spark, g,
+                        "RETURN trim(BOTH 'x' FROM 'xxaxx') AS b, "
+                        "trim(LEADING 'x' FROM 'xxax') AS l, "
+                        "trim(TRAILING 'x' FROM 'xaxx') AS t, "
+                        "trim(FROM '  a ') AS d")) \
+            == [("a", "ax", "xa", "a")]
+
+    def test_char_set_trims(self, spark, g):
+        assert rows(run(spark, g,
+                        "RETURN ltrim('xyax', 'xy') AS l, "
+                        "rtrim('xayx', 'xy') AS r, "
+                        "btrim('yxaxy', 'xy') AS b")) \
+            == [("ax", "xa", "a")]
+
+    def test_null_handling(self, spark, g):
+        assert rows(run(spark, g,
+                        "RETURN trim(null) AS a, ltrim(null, 'x') AS b, "
+                        "rtrim('a', null) AS c, "
+                        "trim(BOTH null FROM 'a') AS d")) \
+            == [(None, None, None, None)]
+
+    def test_trim_source_expressions(self, spark, g):
+        run(spark, g, "CREATE (:TR {s: '  pad  '})").collect()
+        assert one(spark, g, "MATCH (n:TR) RETURN trim(n.s) AS t") == "pad"
+        assert one(spark, g,
+                   "RETURN trim(BOTH 'x' FROM 'x' || 'ax') AS t") == "a"
+
+
+class TestLiteralAcceptanceR6:
+    def test_integer_radix_forms(self, spark, g):
+        assert rows(run(spark, g,
+                        "RETURN 0x1F AS h, 0o17 AS o, 10 AS d, "
+                        "-0x1 AS nh")) == [(31, 15, 10, -1)]
+
+    def test_float_forms(self, spark, g):
+        assert rows(run(spark, g,
+                        "RETURN 1e2 AS a, 1.5e-1 AS b, 1.0f AS c")) \
+            == [(100.0, 0.15, 1.0)]
+
+    def test_long_min_and_max_literals(self, spark, g):
+        assert rows(run(spark, g,
+                        "RETURN 9223372036854775807 AS mx, "
+                        "-9223372036854775808 AS mn")) \
+            == [(9223372036854775807, -9223372036854775808)]
+
+    def test_too_large_integer_literal_raises(self, spark, g):
+        with pytest.raises(Exception, match="too large"):
+            run(spark, g, "RETURN 9223372036854775808 AS v").collect()
+
+    def test_string_escapes(self, spark, g):
+        assert one(spark, g, r"RETURN 'a\'b' AS s") == "a'b"
+        assert one(spark, g, 'RETURN "a\\"b" AS s') == 'a"b'
+
+    def test_inf_nan_literals(self, spark, g):
+        a, b = rows(run(spark, g, "RETURN Inf AS a, -Inf AS b"))[0]
+        assert a == float("inf") and b == float("-inf")
+        assert math.isnan(one(spark, g, "RETURN NaN AS v"))
+
+    def test_boolean_case_insensitive(self, spark, g):
+        assert rows(run(spark, g, "RETURN TRUE AS a, False AS b")) \
+            == [(True, False)]
+
+
+class TestTemporalAcceptanceR6:
+    def test_date_accessors(self, spark, g):
+        assert rows(run(spark, g, """
+            WITH date('2024-02-29') AS d
+            RETURN d.year AS y, d.month AS m, d.day AS dd,
+                   d.dayOfWeek AS dw, d.quarter AS q, d.week AS w
+        """)) == [(2024, 2, 29, 4, 1, 9)]  # Thursday, ISO week 9
+
+    def test_date_plus_duration_month_clamp(self, spark, g):
+        # adding months clamps to the last valid day
+        assert str(one(spark, g,
+                       "RETURN date('2024-01-31') + duration('P1M') "
+                       "AS d")) == "2024-02-29"
+        assert str(one(spark, g,
+                       "RETURN date('2023-01-31') + duration('P1M') "
+                       "AS d")) == "2023-02-28"
+
+    def test_duration_between_components(self, spark, g):
+        assert rows(run(spark, g, """
+            WITH duration.between(date('2024-01-01'),
+                                  date('2024-03-15')) AS d
+            RETURN d.months AS m, d.days AS dd
+        """)) == [(2, 14)]
+
+    def test_datetime_truncate_week_crosses_year(self, spark, g):
+        # 2021-01-01 is in ISO week 53 of 2020: week truncation lands on
+        # Monday 2020-12-28
+        assert str(one(spark, g,
+                       "RETURN date.truncate('week', date('2021-01-01')) "
+                       "AS d")) == "2020-12-28"
+
+    def test_duration_arithmetic_and_negation(self, spark, g):
+        assert one(spark, g,
+                   "RETURN (duration('P1D') + duration('PT12H'))"
+                   ".seconds AS s") is not None
+        assert str(one(spark, g,
+                       "RETURN date('2024-03-01') - duration('P1D') "
+                       "AS d")) == "2024-02-29"
+
+    def test_localdatetime_vs_datetime_epoch(self, spark, g):
+        assert one(spark, g, """
+            RETURN datetime('2024-01-01T00:00:00Z').epochSeconds AS e
+        """) == 1704067200
+
+    def test_temporal_ordering_groups(self, spark, g):
+        # ZONED_DT < LOCAL_DT < DATE in the global order
+        got = run(spark, g, """
+            UNWIND [date('2020-01-01'),
+                    localdatetime('2030-01-01T00:00'),
+                    datetime('2010-01-01T00:00Z')] AS t
+            WITH t ORDER BY t ASC
+            RETURN collect(valueType(t)) AS o
+        """).collect()[0]["o"]
+        assert got == ["ZONED DATETIME NOT NULL",
+                       "LOCAL DATETIME NOT NULL", "DATE NOT NULL"]
