@@ -1480,6 +1480,20 @@ def _q_sample_weighted(spark, sf_dir):
         .select("doc_id").orderBy("doc_id")
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """Concat-and-split sequence packing (ml/sampling.pack_sequences):
+    deterministic md5 global order, two-phase distributed prefix sum,
+    floor(global_token_pos / max_tokens) window ids.  The oracle states
+    the same packing as ONE global SQL window — the Spark side must
+    reproduce it exactly despite never building a global window."""
+    from neo4j_spark.ml.sampling import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (pack_sequences(docs, 2048, hash_fn="md5")
+            .select("doc_id", "n_tokens", "pack_id", "pack_offset")
+            .orderBy("doc_id"))
+
+
 def _q_sample_kfold(spark, sf_dir):
     from neo4j_spark.ml.sampling import kfold_split
 
@@ -1731,6 +1745,7 @@ EXTENSION_QUERIES = {
     "sample_topk": _q_sample_topk,
     "sample_weighted": _q_sample_weighted,
     "sample_kfold": _q_sample_kfold,
+    "pack_sequences": _q_pack_sequences,
     "sample_dataset_mix": _q_sample_dataset_mix,
 }
 
@@ -2763,6 +2778,19 @@ def _oracle_sql_raw() -> dict[str, str]:
             "WHERE CAST(n_chars AS DOUBLE) > 0 "
             f"ORDER BY pow({_md5_u('doc_id', 11)}, "
             "1.0 / CAST(n_chars AS DOUBLE)) DESC LIMIT 30) ORDER BY doc_id",
+        "pack_sequences":
+            "WITH t AS (SELECT doc_id, "
+            "CAST(len(list_filter(string_split_regex(lower(text), "
+            "'[^a-z0-9'']+'), x -> x != '')) AS BIGINT) AS n_tokens, "
+            "substring(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 13) "
+            "AS pk FROM documents), "
+            "c AS (SELECT doc_id, n_tokens, COALESCE(SUM(n_tokens) OVER "
+            "(ORDER BY pk, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING), 0) AS gpos FROM t) "
+            "SELECT doc_id, n_tokens, "
+            "CAST(floor(gpos / 2048) AS BIGINT) AS pack_id, "
+            "CAST(gpos % 2048 AS BIGINT) AS pack_offset FROM c "
+            "ORDER BY doc_id",
         "sample_kfold":
             f"SELECT CAST(LEAST(floor({_md5_u('doc_id', 1)} * 5), 4) "
             "AS INTEGER) AS fold, count(*) AS n FROM documents "

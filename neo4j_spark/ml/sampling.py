@@ -225,3 +225,73 @@ def md5_split_sql(key_sql: str, weights: Mapping[str, float],
         parts.append(f"WHEN {u} < {acc!r} THEN '{name}'")
     parts.append(f"ELSE '{names[-1]}' END")
     return " ".join(parts)
+
+
+def pack_sequences(df: DataFrame, max_tokens: int,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   n_buckets: int = 256,  # fixed at 256 range buckets
+                   hash_fn: str = "xxhash64") -> DataFrame:
+    """Concat-and-split sequence packing: assign every document a
+    (pack_id, pack_offset) so that documents concatenated in a
+    deterministic global order fill fixed ``max_tokens`` context windows
+    — the standard LLM-pretraining packing step (documents are laid
+    end-to-end; a window boundary may split a document, which the
+    consumer handles with position offsets / attention resets).
+
+    Deterministic global order: ``xxhash64(id)`` (a seeded shuffle and a
+    stable order in one key).  Scale: the global running token count is
+    a two-phase distributed prefix sum — per-bucket window cumsum (the
+    shuffle is on the hash bucket, uniform by construction) plus a
+    driver-side cumsum over the ``n_buckets`` per-bucket totals
+    broadcast back — never a single-partition global window.
+
+    Returns the input columns plus ``n_tokens``, ``pack_id`` (the window
+    this document STARTS in) and ``pack_offset`` (token offset within
+    that window)."""
+    from pyspark.sql import Window as SW
+
+    from .text import token_count
+
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    # The bucket must be a PREFIX of the order key (range bucketing by
+    # the leading byte, uniform because the key is a hash): only then is
+    # bucket-major concatenation identical to the global key order, so
+    # per-bucket cumsums + bucket offsets == one global prefix sum.
+    if hash_fn == "md5":
+        # engine-portable order key: fixed-width lowercase hex orders
+        # lexicographically == numerically, and DuckDB's md5 reproduces
+        # it bit-for-bit (the uniform_hash md5 contract)
+        key = F.substring(
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                              F.lit("0"))), 1, 13)
+        bk = F.conv(F.substring(key, 1, 2), 16, 10).cast("int")
+    else:
+        key = F.xxhash64(F.col(id_col).cast("string"))
+        bk = (F.shiftright(key, 56) + F.lit(128)).cast("int")
+    base = (df.withColumn("_pk", key)
+              .withColumn("_bk", bk)
+              .withColumn("n_tokens", token_count(F.col(text_col))))
+    w = SW.partitionBy("_bk").orderBy("_pk", id_col)
+    base = base.withColumn(
+        "_cum", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    totals = (base.groupBy("_bk")
+              .agg(F.sum("n_tokens").alias("_tot"))
+              .orderBy("_bk").collect())  # n_buckets rows — tiny
+    offsets, acc = {}, 0
+    for r in totals:
+        offsets[r["_bk"]] = acc
+        acc += r["_tot"] or 0
+    spark = df.sparkSession
+    off = spark.createDataFrame(
+        [(int(b), int(o)) for b, o in offsets.items()],
+        "_bk int, _off long")
+    out = (base.join(F.broadcast(off), "_bk")
+           .withColumn("_gpos", F.col("_cum") + F.col("_off"))
+           .withColumn("pack_id",
+                       F.floor(F.col("_gpos") / F.lit(max_tokens))
+                       .cast("long"))
+           .withColumn("pack_offset",
+                       F.pmod(F.col("_gpos"), F.lit(max_tokens))
+                       .cast("long")))
+    return out.drop("_pk", "_bk", "_cum", "_off", "_gpos")

@@ -162,3 +162,63 @@ class TestUniformHash:
             .agg(F.min("u"), F.max("u"), F.avg("u")).collect()[0]
         assert 0.0 <= stats[0] and stats[1] < 1.0
         assert abs(stats[2] - 0.5) < 0.1
+
+
+class TestPackSequences:
+    """Concat-and-split sequence packing (pack_sequences): the two-phase
+    distributed prefix sum must reproduce one global ordered cumsum."""
+
+    def _docs(self, spark, n=60):
+        return spark.createDataFrame(
+            [(i, " ".join(f"w{j}" for j in range(1 + i % 17)))
+             for i in range(n)],
+            "doc_id long, text string")
+
+    def test_matches_local_global_cumsum(self, spark):
+        import hashlib
+
+        from neo4j_spark.ml.sampling import pack_sequences
+
+        docs = self._docs(spark)
+        out = {r["doc_id"]: (r["n_tokens"], r["pack_id"], r["pack_offset"])
+               for r in pack_sequences(docs, 16, hash_fn="md5").collect()}
+        # local oracle: md5 order, running token position
+        rows = [(i, 1 + i % 17,
+                 hashlib.md5(f"{i}:0".encode()).hexdigest()[:13])
+                for i in range(60)]
+        rows.sort(key=lambda t: (t[2], t[0]))
+        pos = 0
+        for i, nt, _ in rows:
+            assert out[i] == (nt, pos // 16, pos % 16), i
+            pos += nt
+
+    def test_xxhash_path_invariants(self, spark):
+        from neo4j_spark.ml.sampling import pack_sequences
+
+        docs = self._docs(spark, 80)
+        got = pack_sequences(docs, 32).collect()
+        assert len(got) == 80
+        total = sum(r["n_tokens"] for r in got)
+        assert all(0 <= r["pack_offset"] < 32 for r in got)
+        # global positions reconstruct a gapless concatenation
+        positions = sorted(r["pack_id"] * 32 + r["pack_offset"]
+                           for r in got)
+        acc = 0
+        lens = {r["pack_id"] * 32 + r["pack_offset"]: r["n_tokens"]
+                for r in got}
+        for p in positions:
+            assert p == acc
+            acc += lens[p]
+        assert acc == total
+
+    def test_deterministic_and_validates(self, spark):
+        import pytest
+
+        from neo4j_spark.ml.sampling import pack_sequences
+
+        docs = self._docs(spark, 20)
+        a = sorted(map(tuple, pack_sequences(docs, 8).collect()))
+        b = sorted(map(tuple, pack_sequences(docs, 8).collect()))
+        assert a == b
+        with pytest.raises(ValueError, match="max_tokens"):
+            pack_sequences(docs, 0)
