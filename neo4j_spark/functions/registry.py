@@ -575,6 +575,17 @@ def compile_function(cc, e: A.Func) -> Column:
         if isinstance(t, T.StringType):
             return F.length(col) == 0
         if isinstance(t, T.StructType):
+            names_ = set(t.fieldNames())
+            if "_id" in names_ or {"nodes", "rels"} <= names_:
+                # isEmpty(NODE/RELATIONSHIP/PATH) is a type error
+                # (IsEmptyFunctionAcceptance: "should not work for ...")
+                from ..cypher.exprs import CypherTypeError
+
+                kind_ = ("Path" if "nodes" in names_ else
+                         "Relationship" if "_type" in names_ else "Node")
+                raise CypherTypeError(
+                    "Invalid input for function 'isEmpty()': Expected a "
+                    f"String, List or Map, got a {kind_}")
             # map literals compile to structs; field count is static
             return F.when(col.isNull(), F.lit(None).cast("boolean")) \
                 .otherwise(F.lit(len(t.fields) == 0))

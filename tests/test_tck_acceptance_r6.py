@@ -484,3 +484,224 @@ class TestTemporalAcceptanceR6:
         """).collect()[0]["o"]
         assert got == ["ZONED DATETIME NOT NULL",
                        "LOCAL DATETIME NOT NULL", "DATE NOT NULL"]
+
+
+class TestCaseExpressionAcceptanceR6:
+    def test_simple_case_null_subject_never_matches_null(self, spark, g):
+        # CASE null WHEN null: simple CASE uses equality, null = null is
+        # undefined -> ELSE
+        assert one(spark, g, "RETURN CASE null WHEN null THEN true "
+                             "ELSE false END AS r") is False
+        assert one(spark, g, "RETURN CASE null WHEN null THEN true "
+                             "END AS r") is None
+
+    def test_searched_case_null_comparisons(self, spark, g):
+        assert one(spark, g, "RETURN CASE WHEN null = null THEN true "
+                             "ELSE false END AS r") is False
+        assert one(spark, g, "RETURN CASE WHEN null IS NULL THEN true "
+                             "ELSE false END AS r") is True
+
+    def test_comma_separated_when_lists(self, spark, g):
+        got = [r[0] for r in rows(run(spark, g, """
+            UNWIND [1000, 1500, 2000, 2500, 3000, 3500] AS s
+            RETURN CASE s WHEN 1000, 1500 THEN 'low'
+                          WHEN 2000, 2500 THEN 'med'
+                          WHEN 3000, 3500 THEN 'high' END AS r
+        """))]
+        assert got == ["low", "low", "med", "med", "high", "high"]
+
+    def test_extended_simple_case_operators(self, spark, g):
+        got = [r[0] for r in rows(run(spark, g, """
+            UNWIND [null, 1000, 2000, 2500, 3500] AS s
+            RETURN CASE s WHEN < 1500, IS NULL THEN 'low'
+                          WHEN <= 2500 THEN 'med'
+                          ELSE 'high' END AS r
+        """))]
+        assert got == ["low", "low", "med", "med", "high"]
+
+    def test_extended_simple_case_predicates(self, spark, g):
+        got = [r[0] for r in rows(run(spark, g, """
+            UNWIND ['Alice', 'Erik', 'Cat', 'Bob'] AS nm
+            RETURN CASE nm WHEN STARTS WITH 'A' THEN 7
+                           WHEN ENDS WITH 'k' THEN 8
+                           WHEN =~ 'C.*t' THEN 9
+                           WHEN IS NOT NULL THEN 10
+                           ELSE 13 END AS r
+        """))]
+        assert got == [7, 8, 9, 10]
+
+    def test_case_in_where_and_with(self, spark, g):
+        run(spark, g, "UNWIND [1, 2, 3] AS v CREATE (:CW {v: v})") \
+            .collect()
+        got = sorted(r[0] for r in rows(run(spark, g, """
+            MATCH (n:CW)
+            WHERE CASE WHEN n.v > 1 THEN true ELSE false END
+            RETURN n.v AS v
+        """)))
+        assert got == [2, 3]
+
+
+class TestMapProjectionAcceptanceR6:
+    def test_custom_keys_and_missing_property(self, spark, g):
+        run(spark, g, "CREATE (:MPX {prop1: 'hello', prop2: 'hi', "
+                      "prop3: 'hej'})").collect()
+        [(m,)] = rows(run(spark, g, """
+            MATCH (n:MPX)
+            RETURN n {customKey1: n.prop2, customKey2: n.prop3,
+                      customKey3: n.notThere, .prop1} AS result
+        """))
+        assert m.asDict() == {"customKey1": "hi", "customKey2": "hej",
+                              "customKey3": None, "prop1": "hello"}
+
+    def test_relationship_map_projection(self, spark, g):
+        run(spark, g, "CREATE (:A)-[:LIKES {prop1: 'hello', "
+                      "prop2: 'hi'}]->(:B)").collect()
+        [(m,)] = rows(run(spark, g, """
+            MATCH ()-[r:LIKES]->()
+            RETURN r {custom: r.prop2, .prop1} AS result
+        """))
+        assert m.asDict() == {"custom": "hi", "prop1": "hello"}
+
+    def test_all_properties_star(self, spark, g):
+        run(spark, g, "CREATE (:ST {a: 1, b: 'x'})").collect()
+        [(m,)] = rows(run(spark, g,
+                          "MATCH (n:ST) RETURN n {.*} AS result"))
+        assert m.asDict() == {"a": 1, "b": "x"}
+
+
+class TestNullIfIsEmptyValueTypeR6:
+    def test_nullif_matrix(self, spark, g):
+        assert rows(run(spark, g,
+                        "RETURN nullIf(1, 1) AS a, nullIf(1, 2) AS b, "
+                        "nullIf(null, 2) AS c, nullIf(1, null) AS d, "
+                        "nullIf('a', 'a') AS e")) \
+            == [(None, 1, None, 1, None)]
+
+    def test_nullif_nested_and_filter(self, spark, g):
+        assert one(spark, g,
+                   "RETURN coalesce(nullIf(1, 1), 9) AS r") == 9
+        got = sorted(r[0] for r in rows(run(spark, g, """
+            UNWIND ['keep', 'drop', 'keep'] AS v
+            WITH v WHERE nullIf(v, 'drop') IS NOT NULL
+            RETURN v
+        """)))
+        assert got == ["keep", "keep"]
+
+    def test_isempty_matrix(self, spark, g):
+        assert rows(run(spark, g,
+                        "RETURN isEmpty([]) AS a, isEmpty([null]) AS b, "
+                        "isEmpty({}) AS c, isEmpty({k: null}) AS d, "
+                        "isEmpty('') AS e, isEmpty(' ') AS f, "
+                        "isEmpty(null) AS n")) \
+            == [(True, False, True, False, True, False, None)]
+
+    def test_isempty_rejects_entities(self, spark, g):
+        run(spark, g, "CREATE (:IE)-[:R]->(:IE)").collect()
+        with pytest.raises(Exception, match="isEmpty"):
+            run(spark, g, "MATCH (n:IE) RETURN isEmpty(n) AS r").collect()
+        with pytest.raises(Exception, match="isEmpty"):
+            run(spark, g,
+                "MATCH ()-[r:R]->() RETURN isEmpty(r) AS x").collect()
+        with pytest.raises(Exception, match="isEmpty"):
+            run(spark, g,
+                "MATCH p = (:IE)-[:R]->() RETURN isEmpty(p) AS x") \
+                .collect()
+
+    def test_isempty_on_properties_map(self, spark, g):
+        run(spark, g, "CREATE (:PR {a: 1}), (:PR2)").collect()
+        assert one(spark, g,
+                   "MATCH (n:PR) RETURN isEmpty(properties(n)) AS r") \
+            is False
+        assert one(spark, g,
+                   "MATCH (n:PR2) RETURN isEmpty(properties(n)) AS r") \
+            is True
+
+    def test_valuetype_literals(self, spark, g):
+        assert rows(run(spark, g, """
+            RETURN valueType(1) AS a, valueType(1.0) AS b,
+                   valueType('x') AS c, valueType(true) AS d,
+                   valueType(null) AS e, valueType([1]) AS f,
+                   valueType(date('2024-01-01')) AS g,
+                   valueType(duration('P1D')) AS h,
+                   valueType(point({x: 1, y: 2})) AS i
+        """)) == [("INTEGER NOT NULL", "FLOAT NOT NULL",
+                   "STRING NOT NULL", "BOOLEAN NOT NULL", "NULL",
+                   "LIST<INTEGER NOT NULL> NOT NULL", "DATE NOT NULL",
+                   "DURATION NOT NULL", "POINT NOT NULL")]
+
+
+class TestOptionalMatchAcceptanceR6:
+    def test_optional_match_keeps_row_on_miss(self, spark, g):
+        run(spark, g, "CREATE (:OM {v: 1})-[:R]->(:OM {v: 2}), "
+                      "(:OM {v: 3})").collect()
+        got = sorted(rows(run(spark, g, """
+            MATCH (a:OM) OPTIONAL MATCH (a)-[:R]->(b)
+            RETURN a.v AS a, b.v AS b
+        """)), key=lambda t: t[0])
+        assert got == [(1, 2), (2, None), (3, None)]
+
+    def test_optional_match_null_property_access(self, spark, g):
+        run(spark, g, "CREATE (:ON {v: 1})").collect()
+        assert rows(run(spark, g, """
+            MATCH (a:ON) OPTIONAL MATCH (a)-[:R]->(b)
+            RETURN b.missing AS m, labels(b) AS l, id(b) AS i
+        """)) == [(None, None, None)]
+
+    def test_optional_match_with_where(self, spark, g):
+        run(spark, g, "CREATE (:OW {v: 1})-[:R]->(:OW {v: 2})").collect()
+        got = sorted(rows(run(spark, g, """
+            MATCH (a:OW) OPTIONAL MATCH (a)-[:R]->(b) WHERE b.v > 5
+            RETURN a.v AS a, b.v AS b
+        """)), key=lambda t: t[0])
+        assert got == [(1, None), (2, None)]
+
+    def test_optional_chain_propagates_null(self, spark, g):
+        run(spark, g, "CREATE (:OC {v: 1})").collect()
+        assert rows(run(spark, g, """
+            MATCH (a:OC) OPTIONAL MATCH (a)-[:R]->(b)-[:R]->(c)
+            RETURN a.v AS a, b.v AS b, c.v AS c
+        """)) == [(1, None, None)]
+
+
+class TestVarLengthAcceptanceR6:
+    @pytest.fixture()
+    def chain5(self, spark):
+        nodes = {"V": spark.createDataFrame(
+            [(i, ["V"], i) for i in range(1, 6)],
+            "id long, labels array<string>, v long")}
+        rels = {"R": spark.createDataFrame(
+            [(10 + i, i, i + 1, "R") for i in range(1, 5)],
+            "id long, src long, dst long, type string")}
+        return PropertyGraph(nodes, rels)
+
+    def test_exact_and_range_lengths(self, spark, chain5):
+        n2 = one(spark, chain5,
+                 "MATCH (a {v: 1})-[:R*2]->(b) RETURN b.v AS v")
+        assert n2 == 3
+        got = sorted(r[0] for r in rows(run(spark, chain5,
+                     "MATCH (a {v: 1})-[:R*1..3]->(b) RETURN b.v AS v")))
+        assert got == [2, 3, 4]
+
+    def test_zero_length_includes_self(self, spark, chain5):
+        got = sorted(r[0] for r in rows(run(spark, chain5,
+                     "MATCH (a {v: 1})-[:R*0..1]->(b) RETURN b.v AS v")))
+        assert got == [1, 2]
+
+    def test_unbounded_from_min(self, spark, chain5):
+        got = sorted(r[0] for r in rows(run(spark, chain5,
+                     "MATCH (a {v: 1})-[:R*2..]->(b) RETURN b.v AS v")))
+        assert got == [3, 4, 5]
+
+    def test_var_length_rel_list_binding(self, spark, chain5):
+        [(ln, ids)] = rows(run(spark, chain5, """
+            MATCH (a {v: 1})-[rs:R*3]->(b)
+            RETURN size(rs) AS n, [r IN rs | id(r)] AS ids
+        """))
+        assert ln == 3 and ids == [11, 12, 13]
+
+    def test_var_length_undirected_no_rel_reuse(self, spark, chain5):
+        # *2 undirected from node 2: 1-2 then 2-3 both ways, never the
+        # same rel twice (so no bouncing back on one edge)
+        got = sorted(r[0] for r in rows(run(spark, chain5,
+                     "MATCH (a {v: 2})-[:R*2]-(b) RETURN b.v AS v")))
+        assert got == [4]  # 2->3->4; 2->1 dead-ends; no 2->3->2/2->1->2
