@@ -2436,8 +2436,11 @@ def _oracle_sql_raw() -> dict[str, str]:
             "SELECT count(*) AS n FROM customer WHERE "
             "(c_acctbal > 5000) <> (c_mktsegment = 'BUILDING')",
         "vector_similarity_fn":
-            "SELECT round(list_cosine_similarity([1.0, 2.0, 3.0]::DOUBLE[], "
-            "[3.0, 2.0, 1.0]::DOUBLE[]), 6) AS s",
+            # Lucene-normalized cosine score (1 + cos)/2 in [0, 1]
+            # (VectorIndexProcedures.java:142)
+            "SELECT round((1 + list_cosine_similarity("
+            "[1.0, 2.0, 3.0]::DOUBLE[], [3.0, 2.0, 1.0]::DOUBLE[])) / 2, "
+            "6) AS s",
         "vector_euclidean_fn":
             "SELECT CAST(1.0 AS DOUBLE) AS a, CAST(0.038462 AS DOUBLE) AS b",
         "point_distance_fn":
@@ -2637,8 +2640,9 @@ def _oracle_sql_raw() -> dict[str, str]:
             "WHERE l_orderkey = 1 GROUP BY l_partkey)",
         "call_vector_query":
             "SELECT CAST(8000000000000 + vec_id AS BIGINT) AS node, "
-            "round(list_cosine_similarity(embedding::DOUBLE[], "
-            "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) "
+            "round((1 + list_cosine_similarity(embedding::DOUBLE[], "
+            "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)"
+            ")) / 2, 6) "
             "AS score FROM embeddings "
             "ORDER BY list_cosine_similarity(embedding::DOUBLE[], "
             "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) "

@@ -1395,16 +1395,25 @@ def compile_function(cc, e: A.Func) -> Column:
             & (p.getField("y") >= lo.getField("y")) & (p.getField("y") <= hi.getField("y"))
         )
 
-    # ---- vector similarity (CypherFunctions / VectorSimilarityFunctions) -
+    # ---- vector similarity (VectorSimilarityFunctions; scores live in
+    # [0, 1] per VectorIndexProcedures.java:142 — cosine is the Lucene
+    # normalization (1 + cos)/2, euclidean 1/(1 + d^2); a NULL vector
+    # yields null, not an error (SimilarityFunctionAcceptance.feature)
     if name == "vector.similarity.cosine":
-        a, b = c(0), c(1)
+        a, b = ctyped(0), ctyped(1)
+        if any(isinstance(t, T.NullType) or t is None for _, t in (a, b)):
+            return F.lit(None).cast("double")
+        a, b = a[0], b[0]
         dot = F.aggregate(
             F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
         na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
         nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
-        return dot / (na * nb)
+        return (F.lit(1.0) + dot / (na * nb)) / F.lit(2.0)
     if name == "vector.similarity.euclidean":
-        a, b = c(0), c(1)
+        a, b = ctyped(0), ctyped(1)
+        if any(isinstance(t, T.NullType) or t is None for _, t in (a, b)):
+            return F.lit(None).cast("double")
+        a, b = a[0], b[0]
         d2 = F.aggregate(
             F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0), lambda acc, x: acc + x)

@@ -270,8 +270,9 @@ def vector_query_nodes(spark, graph, args):
                       lambda acc, x: acc + x)
     na = F.sqrt(F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x * x))
     nb = F.sqrt(F.aggregate(q, F.lit(0.0), lambda acc, x: acc + x * x))
+    score = (F.lit(1.0) + dot / (na * nb)) / F.lit(2.0)
     scored = nodes.filter(emb.isNotNull()).select(
-        F.col("id").alias("node"), (dot / (na * nb)).alias("score"))
+        F.col("id").alias("node"), score.alias("score"))
     return scored.orderBy(F.col("score").desc(), F.col("node")).limit(k)
 
 
@@ -1067,7 +1068,8 @@ def vector_query_relationships(spark, graph, args):
     na = F.sqrt(F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x * x))
     nb = F.sqrt(F.aggregate(q, F.lit(0.0), lambda acc, x: acc + x * x))
     scored = rels.filter(emb.isNotNull()).select(
-        F.col("id").alias("relationship"), (dot / (na * nb)).alias("score"))
+        F.col("id").alias("relationship"),
+        ((F.lit(1.0) + dot / (na * nb)) / F.lit(2.0)).alias("score"))
     return scored.orderBy(F.col("score").desc(),
                           F.col("relationship")).limit(k)
 

@@ -705,3 +705,162 @@ class TestVarLengthAcceptanceR6:
         got = sorted(r[0] for r in rows(run(spark, chain5,
                      "MATCH (a {v: 2})-[:R*2]-(b) RETURN b.v AS v")))
         assert got == [4]  # 2->3->4; 2->1 dead-ends; no 2->3->2/2->1->2
+
+
+class TestSimilarityFunctionAcceptanceR6:
+    def test_cosine_known_values_and_nulls(self, spark, g):
+        # scores live in [0, 1]: Lucene normalization (1 + cos)/2
+        # (VectorIndexProcedures.java:142)
+        assert rows(run(spark, g, """
+            RETURN vector.similarity.cosine([1.0, 0.0], [0.0, 1.0]) AS f,
+                   vector.similarity.cosine([1, 0], [0, 1]) AS i,
+                   vector.similarity.cosine([1.0, 0], [0, 1.0]) AS m,
+                   vector.similarity.cosine(null, [0, 1.0]) AS ln,
+                   vector.similarity.cosine([1.0, 0], null) AS rn
+        """)) == [(0.5, 0.5, 0.5, None, None)]
+
+    def test_cosine_identical_vectors_score_one(self, spark, g):
+        assert one(spark, g,
+                   "RETURN round(vector.similarity.cosine([1.0, 2.0], "
+                   "[1.0, 2.0]), 6) AS s") == 1.0
+
+    def test_euclidean_known_values_and_nulls(self, spark, g):
+        assert rows(run(spark, g, """
+            RETURN vector.similarity.euclidean([0.0, 2.0], [1.0, 2.0]) AS f,
+                   vector.similarity.euclidean([2, 4], [3, 4]) AS i,
+                   vector.similarity.euclidean([2.5, 1], [1.5, 1.0]) AS m,
+                   vector.similarity.euclidean(null, [1.0]) AS ln
+        """)) == [(0.5, 0.5, 0.5, None)]
+
+    def test_cosine_nearest_neighbour_ranking(self, spark, g):
+        run(spark, g, """
+            CREATE (:VN {name: 'same', v: [1.0, 0.0]}),
+                   (:VN {name: 'close', v: [1.0, 0.2]}),
+                   (:VN {name: 'orth', v: [0.0, 1.0]})
+        """).collect()
+        got = [r[0] for r in rows(run(spark, g, """
+            MATCH (n:VN)
+            RETURN n.name AS nm
+            ORDER BY vector.similarity.cosine(n.v, [1.0, 0.0]) DESC
+        """))]
+        assert got == ["same", "close", "orth"]
+
+
+class TestBooleanExpressionAcceptanceR6:
+    def test_null_or_exists(self, spark, g):
+        run(spark, g, "CREATE (:A)").collect()
+        assert rows(run(spark, g, """
+            RETURN NULL OR false AS n1,
+                   NULL OR EXISTS { (:XYZ) } AS n2,
+                   NULL OR NOT EXISTS { (:A) } AS n3,
+                   NULL OR true AS t1,
+                   NULL OR EXISTS { (:A) } AS t2,
+                   NULL OR NOT EXISTS { (:XYZ) } AS t3
+        """)) == [(None, None, None, True, True, True)]
+
+    def test_null_xor_always_null(self, spark, g):
+        run(spark, g, "CREATE (:A)").collect()
+        assert rows(run(spark, g, """
+            RETURN NULL XOR false AS a, NULL XOR true AS b,
+                   NULL XOR EXISTS { (:A) } AS c,
+                   NULL XOR NOT EXISTS { (:A) } AS d
+        """)) == [(None, None, None, None)]
+
+    def test_in_predicates_combined(self, spark, g):
+        got = sorted(r[0] for r in rows(run(spark, g, """
+            UNWIND [1, 2, 3, 4, 5] AS x
+            WITH x WHERE x IN [1, 2, 3] AND x IN [2, 3, 4]
+            RETURN x
+        """)))
+        assert got == [2, 3]
+        got = sorted(r[0] for r in rows(run(spark, g, """
+            UNWIND [1, 2, 3, 4, 5] AS x
+            WITH x WHERE x IN [1, 2] OR x IN [4, 5]
+            RETURN x
+        """)))
+        assert got == [1, 2, 4, 5]
+
+
+class TestSkipLimitAcceptanceR6:
+    def test_negative_limit_raises(self, spark, g):
+        with pytest.raises(Exception):
+            run(spark, g, "RETURN 1 AS x LIMIT -1").collect()
+        with pytest.raises(Exception):
+            run(spark, g, "UNWIND [1, 2] AS x RETURN x "
+                          "ORDER BY x LIMIT -1").collect()
+
+    def test_float_skip_limit_raise(self, spark, g):
+        with pytest.raises(Exception):
+            run(spark, g, "RETURN 1 AS x LIMIT 1.5").collect()
+        with pytest.raises(Exception):
+            run(spark, g, "RETURN 1 AS x SKIP 1.5").collect()
+
+    def test_graph_touching_limit_raises(self, spark, g):
+        run(spark, g, "CREATE (:GL {v: 2})").collect()
+        with pytest.raises(Exception):
+            run(spark, g,
+                "MATCH (n:GL) RETURN n.v AS v LIMIT n.v").collect()
+
+    def test_skip_limit_expressions_of_params(self, spark, g):
+        got = [r[0] for r in rows(run(spark, g,
+                                      "UNWIND [1, 2, 3, 4] AS x "
+                                      "RETURN x ORDER BY x "
+                                      "SKIP $s LIMIT $l", s=1, l=2))]
+        assert got == [2, 3]
+
+
+class TestNormalizeFunctionAcceptanceR6:
+    def test_normalize_forms(self, spark, g):
+        # U+212B (angstrom sign) NFC-normalizes to U+00C5
+        assert one(spark, g,
+                   "RETURN normalize('Å') = 'Å' AS r") is True
+        # NFD keeps the decomposed pair
+        assert one(spark, g,
+                   "RETURN normalize('Å', NFD) = 'Å' AS r") \
+            is True
+        assert one(spark, g,
+                   "RETURN normalize('Å', NFC) = 'Å' AS r") \
+            is True
+
+    def test_is_normalized_predicate(self, spark, g):
+        assert rows(run(spark, g,
+                        "RETURN 'Å' IS NORMALIZED AS a, "
+                        "'Å' IS NORMALIZED AS b, "
+                        "'Å' IS NFD NORMALIZED AS c")) \
+            == [(True, False, True)]
+
+    def test_normalize_inside_exists_and_case(self, spark, g):
+        assert one(spark, g,
+                   "RETURN EXISTS { RETURN normalize('hello') AS n } "
+                   "AS r") is True
+        assert one(spark, g,
+                   "RETURN CASE WHEN normalize('Å') = 'Å' "
+                   "THEN 'y' ELSE 'n' END AS r") == "y"
+
+
+class TestUnwindAcceptanceR6:
+    def test_nested_unwind_preserves_order_per_row(self, spark, g):
+        got = rows(run(spark, g, """
+            UNWIND [[1, 2], [3]] AS outer
+            UNWIND outer AS x
+            RETURN x ORDER BY x
+        """))
+        assert got == [(1,), (2,), (3,)]
+
+    def test_unwind_on_array_property(self, spark, g):
+        run(spark, g, "CREATE (:UP {xs: [7, 8, 9]})").collect()
+        got = sorted(r[0] for r in rows(run(spark, g,
+                     "MATCH (n:UP) UNWIND n.xs AS x RETURN x")))
+        assert got == [7, 8, 9]
+
+    def test_unwind_null_and_empty_produce_no_rows(self, spark, g):
+        assert rows(run(spark, g, "UNWIND null AS x RETURN x")) == []
+        assert rows(run(spark, g, "UNWIND [] AS x RETURN x")) == []
+
+    def test_unwind_nodes_from_collect(self, spark, g):
+        run(spark, g, "UNWIND [1, 2] AS v CREATE (:UN {v: v})").collect()
+        got = sorted(r[0] for r in rows(run(spark, g, """
+            MATCH (n:UN) WITH collect(n) AS ns
+            UNWIND ns AS m RETURN m.v AS v
+        """)))
+        assert got == [1, 2]
