@@ -368,6 +368,19 @@ CYPHER_QUERIES = {
         "point({x: 1, y: 2}), true, null] AS v "
         "WITH v ORDER BY v "
         "RETURN toString(collect(coalesce(valueType(v), 'NULL'))) AS ord",
+    # extended simple CASE (CypherParser.g4 extendedWhen: comma lists,
+    # comparison/predicate operands)
+    "case_extended":
+        "MATCH (o:Order) RETURN CASE o.orderpriority "
+        "WHEN '1-URGENT', '2-HIGH' THEN 'hot' "
+        "WHEN STARTS WITH '3' THEN 'mid' "
+        "ELSE 'cold' END AS bucket, count(*) AS n "
+        "ORDER BY bucket",
+    # strict concatenation (ConcatenationAcceptance: || never coerces)
+    "concat_ops":
+        "MATCH (c:Customer) WHERE c.custkey <= 10 "
+        "RETURN c.custkey AS k, c.name || '-' || c.mktsegment AS tag, "
+        "size([c.custkey] || [c.custkey + 1]) AS n ORDER BY k",
     "mixed_container_order":
         "UNWIND [[1, 2], 'a', {k: 1}, [1], 7, [1, 'x'], null, true] AS x "
         "WITH x ORDER BY x LIMIT 5 "
@@ -2138,6 +2151,15 @@ def _oracle_sql_raw() -> dict[str, str]:
             "CAST(epoch_ms(timezone('Europe/Paris', "
             "TIMESTAMP '2024-02-29 12:00:00')) AS BIGINT) AS back_ms, "
             "'2024-03-31T12:00+02:00[Europe/Paris]' AS s",
+        "case_extended":
+            "SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 'hot' WHEN o_orderpriority LIKE '3%' THEN 'mid' "
+            "ELSE 'cold' END AS bucket, count(*) AS n FROM orders "
+            "GROUP BY bucket ORDER BY bucket",
+        "concat_ops":
+            "SELECT c_custkey AS k, c_name || '-' || c_mktsegment AS tag, "
+            "CAST(2 AS INTEGER) AS n FROM customer WHERE c_custkey <= 10 "
+            "ORDER BY k",
         "mixed_path_order":
             "SELECT '[MAP NOT NULL, NODE NOT NULL, RELATIONSHIP NOT NULL, "
             "LIST<ANY> NOT NULL, PATH NOT NULL, POINT NOT NULL, "
