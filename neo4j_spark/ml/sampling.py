@@ -229,7 +229,7 @@ def md5_split_sql(key_sql: str, weights: Mapping[str, float],
 
 def pack_sequences(df: DataFrame, max_tokens: int,
                    id_col: str = "doc_id", text_col: str = "text",
-                   n_buckets: int = 256,  # fixed at 256 range buckets
+                   prefix_bytes: int = 2,
                    hash_fn: str = "xxhash64") -> DataFrame:
     """Concat-and-split sequence packing: assign every document a
     (pack_id, pack_offset) so that documents concatenated in a
@@ -242,8 +242,12 @@ def pack_sequences(df: DataFrame, max_tokens: int,
     stable order in one key).  Scale: the global running token count is
     a two-phase distributed prefix sum — per-bucket window cumsum (the
     shuffle is on the hash bucket, uniform by construction) plus a
-    driver-side cumsum over the ``n_buckets`` per-bucket totals
-    broadcast back — never a single-partition global window.
+    driver-side cumsum over the per-bucket totals broadcast back —
+    never a single-partition global window.  Each window task sorts one
+    bucket, so size the bucket count to the corpus via ``prefix_bytes``
+    (leading bytes of the order key): 1 -> 256 buckets, 2 -> 65,536
+    (default; ~1.5 GB per bucket at 100 TB), 3 -> 16.7M.  The
+    driver-side totals list is one row per NON-EMPTY bucket.
 
     Returns the input columns plus ``n_tokens``, ``pack_id`` (the window
     this document STARTS in) and ``pack_offset`` (token offset within
@@ -258,6 +262,9 @@ def pack_sequences(df: DataFrame, max_tokens: int,
     # the leading byte, uniform because the key is a hash): only then is
     # bucket-major concatenation identical to the global key order, so
     # per-bucket cumsums + bucket offsets == one global prefix sum.
+    if not 1 <= int(prefix_bytes) <= 3:
+        raise ValueError("prefix_bytes must be 1..3")
+    pb = int(prefix_bytes)
     if hash_fn == "md5":
         # engine-portable order key: fixed-width lowercase hex orders
         # lexicographically == numerically, and DuckDB's md5 reproduces
@@ -265,10 +272,11 @@ def pack_sequences(df: DataFrame, max_tokens: int,
         key = F.substring(
             F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
                               F.lit("0"))), 1, 13)
-        bk = F.conv(F.substring(key, 1, 2), 16, 10).cast("int")
+        bk = F.conv(F.substring(key, 1, 2 * pb), 16, 10).cast("int")
     else:
         key = F.xxhash64(F.col(id_col).cast("string"))
-        bk = (F.shiftright(key, 56) + F.lit(128)).cast("int")
+        bk = (F.shiftright(key, 64 - 8 * pb)
+              + F.lit(1 << (8 * pb - 1))).cast("int")
     base = (df.withColumn("_pk", key)
               .withColumn("_bk", bk)
               .withColumn("n_tokens", token_count(F.col(text_col))))
@@ -277,7 +285,7 @@ def pack_sequences(df: DataFrame, max_tokens: int,
         "_cum", F.sum("n_tokens").over(w) - F.col("n_tokens"))
     totals = (base.groupBy("_bk")
               .agg(F.sum("n_tokens").alias("_tot"))
-              .orderBy("_bk").collect())  # n_buckets rows — tiny
+              .orderBy("_bk").collect())  # one row per non-empty bucket
     offsets, acc = {}, 0
     for r in totals:
         offsets[r["_bk"]] = acc
