@@ -864,3 +864,52 @@ class TestUnwindAcceptanceR6:
             UNWIND ns AS m RETURN m.v AS v
         """)))
         assert got == [1, 2]
+
+
+class TestPatternPredicatesAcceptanceR6:
+    @pytest.fixture()
+    def wg(self, spark):
+        nodes = {"P": spark.createDataFrame(
+            [(i, ["P"], i) for i in (1, 2, 3)],
+            "id long, labels array<string>, v long")}
+        rels = {"R": spark.createDataFrame(
+            [(10, 1, 2, "R", 5.0), (11, 2, 3, "R", 1.0)],
+            "id long, src long, dst long, type string, w double")}
+        return PropertyGraph(nodes, rels)
+
+    def test_node_pattern_where(self, spark, wg):
+        got = sorted(r[0] for r in rows(run(spark, wg,
+                     "MATCH (a WHERE a.v > 1) RETURN a.v AS v")))
+        assert got == [2, 3]
+
+    def test_relationship_pattern_where(self, spark, wg):
+        assert rows(run(spark, wg,
+                        "MATCH ()-[r:R WHERE r.w > 2]->() "
+                        "RETURN r.w AS w")) == [(5.0,)]
+
+    def test_rel_pattern_where_sees_no_endpoints_filtering(self, spark,
+                                                           wg):
+        # predicate inside the rel pattern constrains BEFORE projection
+        assert rows(run(spark, wg,
+                        "MATCH (a)-[r:R WHERE r.w < 2]->(b) "
+                        "RETURN a.v AS a, b.v AS b")) == [(2, 3)]
+
+    def test_quantified_relationship_shorthand(self, spark, wg):
+        assert rows(run(spark, wg,
+                        "MATCH (a)-->{2}(b) RETURN a.v AS a, b.v AS b")) \
+            == [(1, 3)]
+
+    def test_pattern_where_in_exists_subquery(self, spark, wg):
+        got = sorted(r[0] for r in rows(run(spark, wg, """
+            MATCH (a) WHERE EXISTS { (a)-[:R WHERE r.w IS NOT NULL]->() }
+            RETURN a.v AS v
+        """.replace("r.w", "rr.w").replace("[:R WHERE", "[rr:R WHERE"))))
+        assert got == [1, 2]
+
+    def test_count_and_collect_subqueries(self, spark, wg):
+        assert one(spark, wg,
+                   "MATCH (a) WHERE COUNT { (a)--() } > 1 "
+                   "RETURN a.v AS v") == 2
+        assert one(spark, wg,
+                   "RETURN COLLECT { UNWIND [3, 1, 2] AS x "
+                   "RETURN x ORDER BY x } AS xs") == [1, 2, 3]
