@@ -930,7 +930,28 @@ class ExprCompiler:
                     f"operands, got {lt.simpleString() if lt else 'null'}"
                     f" || {rt.simpleString() if rt else 'null'}")
             assert lk in ok and rk in ok
-            return self._plus(lc, lt, rc, rt)
+            out = self._plus(lc, lt, rc, rt)
+            if "any" in (lk, rk):
+                # runtime-typed operand: enforce the same no-coercion
+                # rule per row (a tagged number || string must raise,
+                # not fall back to +'s lenient mixing)
+                from ..functions.registry import _checked
+
+                checks = []
+                for cc, kk in ((lc, lk), (rc, rk)):
+                    if kk == "any":
+                        g_ = cc.getField("__vg")
+                        ranks = [AV.RANK_STRING, AV.RANK_NULL]
+                        if AV.is_deep_any_type(self.dtype_of(cc)):
+                            ranks.append(AV.RANK_LIST)
+                        checks.append(g_.isin(*ranks))
+                cond = checks[0] if len(checks) == 1 \
+                    else checks[0] & checks[1]
+                return _checked(
+                    cond, out,
+                    "concatenation (||) requires two STRING or two "
+                    "LIST operands")
+            return out
         if op == "-":
             if _is_duration(lt) and _is_duration(rt):
                 return _dur_map2(lc, rc, lambda a, b: a - b)

@@ -913,3 +913,13 @@ class TestPatternPredicatesAcceptanceR6:
         assert one(spark, wg,
                    "RETURN COLLECT { UNWIND [3, 1, 2] AS x "
                    "RETURN x ORDER BY x } AS xs") == [1, 2, 3]
+
+
+class TestConcatRuntimeTypedR6:
+    def test_tagged_string_concat_works(self, spark, g):
+        assert one(spark, g,
+                   "WITH ['a', 'b'][0] AS t RETURN t || 'x' AS s") == "ax"
+
+    def test_tagged_number_concat_raises_at_runtime(self, spark, g):
+        with pytest.raises(Exception, match="concatenation"):
+            run(spark, g, "RETURN [1, 'a'][0] || 'x' AS s").collect()
