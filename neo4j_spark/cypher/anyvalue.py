@@ -282,19 +282,25 @@ def _long_vs_double_sign(lv: Column, d: Column) -> Column:
              .otherwise(F.lit(0)))
 
 
-def _num_cmp(l: Column, r: Column, cmp) -> Column:
+def _num_cmp(l: Column, r: Column, cmp,
+             nan_undefined: bool = False) -> Column:
     """NUMBER/temporal-group payload comparison: two longs compare
     exactly (NumberValues.compareLongs); long vs double compares
     EXACTLY via the floor-and-fraction path
     (NumberValues.compareDoubleAgainstLong — e.g. 9007199254740993 >
-    9007199254740992.0 must hold); a NaN operand decides FALSE
-    (NaNAcceptance.feature: NOT(0.0 < 0.0/0.0) = true)."""
+    9007199254740992.0 must hold).  A NaN operand decides FALSE in the
+    runtime expression semantics (NaNAcceptance.feature: NOT(0.0 <
+    0.0/0.0) = true) but is UNDEFINED inside sequence comparisons
+    (``nan_undefined=True`` — FloatingPointValue.ternaryUndefined ->
+    Comparison.UNDEFINED, so [NaN] < [NaN] is null)."""
     ln, rn = l.getField("__vn"), r.getField("__vn")
     li, ri = l.getField("__vi"), r.getField("__vi")
     mixed = F.when(li.isNotNull(), _long_vs_double_sign(li, rn)) \
              .otherwise(-_long_vs_double_sign(ri, ln))
+    nan_res = (F.lit(None).cast("boolean") if nan_undefined
+               else F.lit(False))
     return (F.when(li.isNotNull() & ri.isNotNull(), cmp(li, ri))
-             .when(F.isnan(ln) | F.isnan(rn), F.lit(False))
+             .when(F.isnan(ln) | F.isnan(rn), nan_res)
              .when(li.isNotNull() | ri.isNotNull(), cmp(mixed, F.lit(0)))
              .otherwise(cmp(ln, rn)))
 
@@ -315,7 +321,8 @@ def any_eq(l: Column, r: Column) -> Column:
              .otherwise(same))
 
 
-def any_cmp(l: Column, r: Column, op: str) -> Column:
+def any_cmp(l: Column, r: Column, op: str,
+            nan_undefined: bool = False) -> Column:
     """Ternary comparison predicate (AnyValues TERNARY_COMPARATOR):
     null operand or incomparable classes -> null; else payload compare.
     NOTE: this is the *predicate* semantics — ORDER BY uses the struct's
@@ -325,7 +332,7 @@ def any_cmp(l: Column, r: Column, op: str) -> Column:
     def cmp(a, b):
         return {"<": a < b, "<=": a <= b, ">": a > b, ">=": a >= b}[op]
 
-    num_cmp = _num_cmp(l, r, cmp)
+    num_cmp = _num_cmp(l, r, cmp, nan_undefined)
     same = (F.when(lg == RANK_STRING,
                    cmp(l.getField("__vs"), r.getField("__vs")))
              .when(lg == RANK_BOOLEAN,
@@ -641,8 +648,11 @@ def _ternary_list_cmp(lv: Column, rv: Column, op: str,
                 else any_eq_deep(a, b, depth - 1))
 
     def inner_cmp(a, b):
-        return (any_cmp(a, b, op) if depth - 1 == 0
-                else any_cmp_deep(a, b, op, depth - 1))
+        # element comparisons follow Comparability (ternary) semantics:
+        # a NaN element is UNDEFINED, not runtime-FALSE
+        return (any_cmp(a, b, op, nan_undefined=True) if depth - 1 == 0
+                else any_cmp_deep(a, b, op, depth - 1,
+                                  nan_undefined=True))
 
     # every intermediate is let-bound: each (recursive) subtree appears
     # exactly once, keeping expression size LINEAR in nesting depth —
@@ -690,17 +700,18 @@ def _ternary_list_cmp(lv: Column, rv: Column, op: str,
                 with_sliced)
 
 
-def any_cmp_deep(l: Column, r: Column, op: str, depth: int = 1) -> Column:
+def any_cmp_deep(l: Column, r: Column, op: str, depth: int = 1,
+                 nan_undefined: bool = False) -> Column:
     """Ternary comparison over extended tagged values at layout ``depth``:
-    scalars as in any_cmp (NaN undefined); LIST compares elementwise with
-    ternary semantics; other container classes and cross-class pairs
-    yield null."""
+    scalars as in any_cmp (NaN FALSE at top level, UNDEFINED inside
+    sequences); LIST compares elementwise with ternary semantics; other
+    container classes and cross-class pairs yield null."""
     lg, rg = l.getField("__vg"), r.getField("__vg")
 
     def cmp(a, b):
         return {"<": a < b, "<=": a <= b, ">": a > b, ">=": a >= b}[op]
 
-    num_cmp = _num_cmp(l, r, cmp)
+    num_cmp = _num_cmp(l, r, cmp, nan_undefined)
     same = (F.when(lg == RANK_STRING,
                    cmp(l.getField("__vs"), r.getField("__vs")))
              .when(lg == RANK_BOOLEAN,

@@ -356,6 +356,25 @@ class ExprCompiler:
                 return T.StringType()
             if v is None:
                 return T.NullType()
+        # structural inference that stays valid inside lambda scopes,
+        # where dtype_of cannot resolve (a group array indexed by a
+        # comprehension variable still has a statically known element
+        # type: ``all(i IN ... WHERE a[i].h > u.h)``)
+        if (isinstance(e, A.Var) and e.name not in self.locals
+                and self.df is not None and e.name in self.df.columns):
+            return self.df.schema[e.name].dataType
+        if isinstance(e, A.Index):
+            ts = self.static_type(e.subject)
+            if isinstance(ts, T.ArrayType):
+                ti = self.static_type(e.index)
+                if not isinstance(ti, T.StringType):
+                    return ts.elementType
+            if isinstance(ts, T.MapType):
+                return ts.valueType
+        if isinstance(e, A.Prop):
+            ts = self.static_type(e.subject)
+            if isinstance(ts, T.StructType) and e.key in ts.fieldNames():
+                return ts[e.key].dataType
         return None
 
     # ---- entry -----------------------------------------------------------
@@ -419,6 +438,8 @@ class ExprCompiler:
             name = e.subject.name
             if name in self._local_types:
                 t = self._local_types[name]
+        if t is None:
+            t = self.static_type(e.subject)
         if t is None:
             t = self.dtype_of(subj)
         key = e.key

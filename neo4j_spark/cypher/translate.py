@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F, types a
 from . import ast as A
 from .exprs import (AGG_FNS, ExprCompiler, contains_aggregate, expr_children,
                     is_agg_fn)
-from ..graph import PropertyGraph
+from ..graph import PropertyGraph, unesc_prop as _unesc_prop
 
 NODE_META = ("id", "labels")
 REL_META = ("id", "src", "dst", "type")
@@ -239,6 +239,7 @@ class Translator:
     def _single(self, q: A.SingleQuery) -> DataFrame:
         q = self._inline_param_props(q)
         self.query_ast = q  # whole-statement view for usage-based rewrites
+        self._validate_patterns(q)
         fast = self._count_store_plan(q)
         if fast is not None:
             return fast
@@ -262,6 +263,86 @@ class Translator:
         return df
 
     # -------------------------------------------------------------- helpers
+
+    def _validate_patterns(self, q: A.SingleQuery) -> None:
+        """Static pattern rules the reference enforces at compile time
+        (QuantifiedPathPatternAcceptance.feature guard scenarios;
+        semantics in SemanticPatternCheck): quantifier bounds must be
+        sane, a single node pattern cannot be quantified, QPPs cannot be
+        nested, a top-level path pattern must be able to bind at least
+        one node (minimum length > 0 when the whole pattern is
+        quantified), and a group variable belongs to exactly ONE QPP —
+        it cannot rebind as a pattern variable elsewhere in the
+        statement."""
+        owner: Dict[str, int] = {}
+        outside: List[str] = []
+        counter = [0]
+
+        def visit_qpp(el: A.QPP) -> None:
+            idx = counter[0]
+            counter[0] += 1
+            if not any(isinstance(i, A.RelPat) for i in el.elements):
+                raise TranslateError(
+                    "a quantifier cannot be applied to a single node "
+                    "pattern — quantify a path containing at least one "
+                    "relationship")
+            mn = el.min_reps or 0
+            mx = el.max_reps
+            if mn < 0 or (mx is not None and (mx < 1 or mn > mx)):
+                raise TranslateError(
+                    f"invalid path-pattern quantifier {{{el.min_reps}, "
+                    f"{el.max_reps}}}: the upper bound must be at least 1 "
+                    "and not less than the lower bound")
+            for iel in el.elements:
+                if isinstance(iel, A.QPP):
+                    raise TranslateError(
+                        "quantified path patterns cannot be nested")
+                v = getattr(iel, "var", None)
+                if v:
+                    if v in owner and owner[v] != idx:
+                        raise TranslateError(
+                            f"the variable `{v}` occurs in multiple "
+                            "quantified path patterns and needs to be "
+                            "renamed")
+                    owner[v] = idx
+
+        def visit_part(part: A.PatternPart) -> None:
+            can_be_empty = True
+            for el in part.elements:
+                if isinstance(el, A.QPP):
+                    visit_qpp(el)
+                    if (el.min_reps or 0) >= 1:
+                        can_be_empty = False
+                elif isinstance(el, A.NodePat):
+                    can_be_empty = False
+                    if el.var:
+                        outside.append(el.var)
+                elif isinstance(el, A.RelPat):
+                    if not (el.var_length and (el.min_len or 0) == 0):
+                        can_be_empty = False
+                    if el.var:
+                        outside.append(el.var)
+            if can_be_empty and part.elements:
+                raise TranslateError(
+                    "a top-level path pattern must have a minimum length "
+                    "of at least one node — every quantified factor here "
+                    "admits zero repetitions")
+
+        for clause in q.clauses:
+            if isinstance(clause, A.Match):
+                for part in clause.parts:
+                    visit_part(part)
+            elif isinstance(clause, A.Create):
+                for part in clause.parts:
+                    visit_part(part)
+            elif isinstance(clause, A.Merge):
+                visit_part(clause.part)
+        for v in outside:
+            if v in owner:
+                raise TranslateError(
+                    f"the variable `{v}` is a group variable of a "
+                    "quantified path pattern and cannot rebind as a "
+                    "pattern variable elsewhere in the statement")
 
     def _count_store_plan(self, q: A.SingleQuery) -> Optional[DataFrame]:
         """NodeCountFromCountStore (LP:2748) / RelationshipCountFromCountStore
@@ -840,7 +921,7 @@ class Translator:
         props = [c for c in base.columns if c not in NODE_META]
         struct = F.struct(
             F.col("id").alias("_id"), F.col("labels").alias("_labels"),
-            *[F.col(p).alias(p) for p in props])
+            *[F.col(p).alias(_unesc_prop(p)) for p in props])
         return base.select(struct.alias(var))
 
     def _rel_scan(self, rp: A.RelPat, var: str,
@@ -875,7 +956,7 @@ class Translator:
             struct = F.struct(
                 F.col("id").alias("_id"), F.col("src").alias("_src"),
                 F.col("dst").alias("_dst"), F.col("type").alias("_type"),
-                *[F.col(p).alias(p) for p in props])
+                *[F.col(p).alias(_unesc_prop(p)) for p in props])
         if rp.direction == "out":
             return base.select(F.col("src").alias("__from"),
                                F.col("dst").alias("__to"), struct.alias(var))
@@ -976,10 +1057,22 @@ class Translator:
                       rel_bindings: List[Tuple[str, str, frozenset]]) -> DataFrame:
         sel = part.selector
         pre = list(part.elements)
-        if pre and isinstance(pre[0], A.QPP):
-            # implicit start endpoint for a leading quantified path pattern
-            pre = [A.NodePat(None)] + pre
         pre = self._qpp_collapse(pre)
+        # Juxtaposed path-pattern factors share an implicit anonymous
+        # boundary node (GQL concatenation): a pattern may start with a
+        # QPP, end with one, or chain two QPPs directly — normalize the
+        # element list to strict node/rel alternation so the walk below
+        # never indexes past the end.  (The collapse above can also leave
+        # a var-length RelPat leading/trailing.)
+        norm: list = []
+        for el in pre:
+            if not isinstance(el, A.NodePat) and (
+                    not norm or not isinstance(norm[-1], A.NodePat)):
+                norm.append(A.NodePat(None))
+            norm.append(el)
+        if norm and isinstance(norm[-1], A.RelPat):
+            norm.append(A.NodePat(None))
+        pre = norm
         if sel in ("shortest", "allShortest"):
             if (len(pre) == 3 and isinstance(pre[1], A.RelPat)
                     and pre[1].var_length):
@@ -1412,6 +1505,53 @@ class Translator:
             out.append(el)
         return out
 
+    @staticmethod
+    def _merge_layout(fields: Dict[str, T.DataType],
+                      st: T.StructType) -> None:
+        """Merge a struct's fields into a name->type layout: first-seen
+        type wins; differing numeric types widen to double."""
+        numeric = (T.LongType, T.IntegerType, T.DoubleType, T.FloatType,
+                   T.ShortType, T.ByteType)
+        for f in st.fields:
+            old = fields.get(f.name)
+            if old is None:
+                fields[f.name] = f.dataType
+            elif old != f.dataType:
+                if isinstance(old, numeric) and isinstance(
+                        f.dataType, numeric):
+                    fields[f.name] = T.DoubleType()
+
+    @staticmethod
+    def _conform_struct(get, st: T.StructType,
+                        fields: Dict[str, T.DataType]) -> Column:
+        """Build a struct with the ``fields`` layout from an accessor
+        ``get(name) -> Column`` over a value of schema ``st``: missing
+        fields become typed nulls, mismatched types cast."""
+        have = {f.name: f.dataType for f in st.fields}
+        cols = []
+        for fn, ft in fields.items():
+            if fn in have:
+                c = get(fn)
+                if have[fn] != ft:
+                    c = c.cast(ft)
+            else:
+                c = F.lit(None).cast(ft)
+            cols.append(c.alias(fn))
+        return F.struct(*cols)
+
+    def _union_structs(self, sub: DataFrame,
+                       names: List[str]) -> List[Column]:
+        """Rebuild the struct columns ``names`` over the union of their
+        field sets so ``F.array`` accepts them as one element type: a
+        property missing from a copy becomes a typed null (each copy's
+        scan is label-pruned, so schemas legitimately differ)."""
+        fields: Dict[str, T.DataType] = {}
+        for nm in names:
+            self._merge_layout(fields, sub.schema[nm].dataType)
+        return [self._conform_struct(F.col(nm).getField,
+                                     sub.schema[nm].dataType, fields)
+                for nm in names]
+
     def _qpp_expand(self, df: DataFrame, prev: str, qpp: A.QPP,
                     next_np: A.NodePat, pending: List[A.Expr],
                     rel_bindings: List[Tuple[str, str, frozenset]]
@@ -1433,15 +1573,95 @@ class Translator:
         returned wrong answers on graphs with longer reach)."""
         from ..operators.paths import _pin
 
+        import dataclasses as _dc
+
         min_r = qpp.min_reps
         unbounded = qpp.max_reps is None
         max_r = (int(self.spark.conf.get("neo4j_spark.qpp.maxUnroll", "32"))
                  if unbounded else qpp.max_reps)
         inner = qpp.elements
-        node_group = [el.var for el in inner
-                      if isinstance(el, A.NodePat) and el.var]
-        rel_group = [el.var for el in inner
-                     if isinstance(el, A.RelPat) and el.var]
+        qpp_where = qpp.where
+        defer_where = None
+        if qpp_where is not None:
+            # A per-repetition WHERE may reference singletons bound only
+            # LATER in the same pattern (``(x)-->(y)((a)-[e]->(b) WHERE
+            # a.h > u.h)*(s)-->(u)`` — legal per GQL: the predicate holds
+            # for every repetition once the whole pattern binds).  Such
+            # predicates cannot prune during expansion; they are deferred
+            # and re-applied as an ``all()`` over the group arrays.
+            inner_vars = {el.var for el in inner
+                          if getattr(el, "var", None)}
+            free: set = set()
+
+            def scan(node, shadow):
+                if isinstance(node, (list, tuple)):
+                    for x in node:
+                        scan(x, shadow)
+                    return
+                if isinstance(node, A.Var):
+                    if node.name not in shadow:
+                        free.add(node.name)
+                    return
+                if isinstance(node, (A.ListComp, A.Quantifier)):
+                    scan(node.source, shadow)
+                    inner_sh = shadow | {node.var}
+                    for f in _dc.fields(node):
+                        if f.name not in ("var", "source"):
+                            scan(getattr(node, f.name), inner_sh)
+                    return
+                if isinstance(node, A.Reduce):
+                    scan(node.init, shadow)
+                    scan(node.source, shadow)
+                    scan(node.expr, shadow | {node.var, node.acc})
+                    return
+                if _dc.is_dataclass(node):
+                    for f in _dc.fields(node):
+                        scan(getattr(node, f.name), shadow)
+
+            scan(qpp_where, set())
+            avail = inner_vars | set(df.columns) | set(self.params or {})
+            unbound = free - avail
+            if unbound:
+                has_subq = [False]
+
+                def probe(node):
+                    if isinstance(node, (list, tuple)):
+                        for x in node:
+                            probe(x)
+                        return
+                    if isinstance(node, (A.ExistsSub, A.CountSub,
+                                         A.CollectSub, A.PatternPred,
+                                         A.PatternComp,
+                                         A.ShortestPathExpr)):
+                        has_subq[0] = True
+                        return
+                    if _dc.is_dataclass(node):
+                        for f in _dc.fields(node):
+                            probe(getattr(node, f.name))
+
+                probe(qpp_where)
+                if has_subq[0]:
+                    raise TranslateError(
+                        "a QPP WHERE that combines a subquery expression "
+                        "with references to variables bound later in the "
+                        "pattern is unsupported")
+                defer_where = qpp_where
+                qpp_where = None
+                if not inner_vars:
+                    # name one group variable so the deferred predicate
+                    # can count repetitions
+                    for iel in inner:
+                        if isinstance(iel, A.RelPat):
+                            iel.var = self._anon_var("qg")
+                            break
+        # dict.fromkeys: a variable may repeat inside the unit
+        # (``((a)-[e]->(b)-[f]->(a))+``) — one group column, every copy
+        node_group = list(dict.fromkeys(
+            el.var for el in inner
+            if isinstance(el, A.NodePat) and el.var))
+        rel_group = list(dict.fromkeys(
+            el.var for el in inner
+            if isinstance(el, A.RelPat) and el.var))
         rel_types: frozenset = frozenset().union(
             *[frozenset(el.types) for el in inner if isinstance(el, A.RelPat)])
         end_name = next_np.var or self._anon_var("qe")
@@ -1450,17 +1670,26 @@ class Translator:
         keep = (list(df.columns) + node_group + rel_group
                 + ([] if end_bound else [end_name]))
         uniq = "__qpp_uids"
-        copies_n: Dict[str, List[Column]] = {v: [] for v in node_group}
-        copies_r: Dict[str, List[Column]] = {v: [] for v in rel_group}
+        # group-variable copies are tracked by COLUMN NAME so finalize can
+        # inspect each copy's struct schema (copies of the unit's first
+        # node may carry a different property set than the per-rep scans)
+        copies_n: Dict[str, List[str]] = {v: [] for v in node_group}
+        copies_r: Dict[str, List[str]] = {v: [] for v in rel_group}
 
         def extend(sub: DataFrame, end: str) -> Tuple[DataFrame, str]:
             """Chain ONE more copy of the inner pattern onto ``sub``;
             appends this copy's bindings to copies_n/copies_r and keeps
             the accumulated rel-id column ``uniq`` trail-unique."""
             first: A.NodePat = inner[0]
+            # a variable may occur several times within ONE repetition
+            # (``((a)-[e]->(b)-[f]->(a))+``): the later occurrences
+            # constrain equality and do NOT add a group entry (the
+            # reference's Trail binds one value per rep)
+            rep_seen: Dict[str, str] = {}
             sub = self._filter_node_bound(sub, first, end)
             if first.var:
-                copies_n[first.var].append(F.col(end))
+                rep_seen[first.var] = end
+                copies_n[first.var].append(end)
             j = 1
             while j < len(inner):
                 rp: A.RelPat = inner[j]
@@ -1487,7 +1716,13 @@ class Translator:
                         slim=False, start_labels=None)
                     sub = self._filter_node_bound(sub, np, nv)
                     if np.var:
-                        copies_n[np.var].append(F.col(nv))
+                        if np.var in rep_seen:
+                            sub = sub.filter(
+                                F.col(nv).getField("_id")
+                                == F.col(rep_seen[np.var]).getField("_id"))
+                        else:
+                            rep_seen[np.var] = nv
+                            copies_n[np.var].append(nv)
                     ids = F.transform(F.col(rv), lambda x: x.getField("_id"))
                     sub = sub.filter(
                         F.size(F.array_intersect(F.col(uniq), ids)) == 0)
@@ -1513,34 +1748,52 @@ class Translator:
                     sub, A.NodePat(np.var, [], False, np.props, np.where),
                     nv)
                 if rp.var:
-                    copies_r[rp.var].append(F.col(rv))
+                    if rp.var in rep_seen:
+                        sub = sub.filter(
+                            F.col(rv).getField("_id")
+                            == F.col(rep_seen[rp.var]).getField("_id"))
+                    else:
+                        rep_seen[rp.var] = rv
+                        copies_r[rp.var].append(rv)
                 if np.var:
-                    copies_n[np.var].append(F.col(nv))
+                    if np.var in rep_seen:
+                        sub = sub.filter(
+                            F.col(nv).getField("_id")
+                            == F.col(rep_seen[np.var]).getField("_id"))
+                    else:
+                        rep_seen[np.var] = nv
+                        copies_n[np.var].append(nv)
                 rid = F.col(rv).getField("_id")
                 sub = sub.filter(~F.array_contains(F.col(uniq), rid))
                 sub = sub.withColumn(uniq, F.array_append(F.col(uniq), rid))
                 end = nv
                 j += 2
-            if qpp.where is not None:
+            if qpp_where is not None:
                 # per-repetition WHERE: bind this copy's inner vars
-                # under their user names, filter, unbind
+                # under their user names, filter, unbind.  Subquery
+                # expressions (EXISTS/COUNT/pattern predicates) are legal
+                # here — lower them against the rep-bound rowstream the
+                # same way a clause-level WHERE would.
                 bound = []
                 old_kinds = {}
                 for v in node_group:
                     if copies_n[v]:
-                        sub = sub.withColumn(v, copies_n[v][-1])
+                        sub = sub.withColumn(v, F.col(copies_n[v][-1]))
                         bound.append(v)
                         old_kinds[v] = self.kinds.get(v)
                         self.kinds[v] = "node"
                         self.var_labels.pop(v, None)
                 for v in rel_group:
                     if copies_r[v]:
-                        sub = sub.withColumn(v, copies_r[v][-1])
+                        sub = sub.withColumn(v, F.col(copies_r[v][-1]))
                         bound.append(v)
                         old_kinds[v] = self.kinds.get(v)
                         self.kinds[v] = "rel"
+                before = set(sub.columns)
+                sub, w2 = self._lower_all(sub, qpp_where)
+                helper = [c for c in sub.columns if c not in before]
                 sub = sub.filter(
-                    self._compiler(sub).compile(qpp.where)).drop(*bound)
+                    self._compiler(sub).compile(w2)).drop(*bound, *helper)
                 for v, k_old in old_kinds.items():
                     if k_old is None:
                         self.kinds.pop(v, None)
@@ -1556,15 +1809,16 @@ class Translator:
                 sub = sub.withColumn(end_name, F.col(end))
                 sub = self._filter_node_bound(sub, next_np, end_name)
             for v in node_group:
-                # normalize to the core node struct — copies may come from
-                # scans with different property schemas (group elements keep
-                # identity + labels, like path nodes)
-                sub = sub.withColumn(v, F.array(*[
-                    F.struct(c.getField("_id").alias("_id"),
-                             c.getField("_labels").alias("_labels"))
-                    for c in copies_n[v]]))
+                # normalize the copies to ONE struct layout: the union of
+                # their property fields (each copy's scan is label-pruned,
+                # and the unit's first node inherits the juxtaposed
+                # neighbor's schema) — missing fields become typed nulls so
+                # group elements keep their properties, not just identity
+                sub = sub.withColumn(
+                    v, F.array(*self._union_structs(sub, copies_n[v])))
             for v in rel_group:
-                sub = sub.withColumn(v, F.array(*copies_r[v]))
+                sub = sub.withColumn(
+                    v, F.array(*self._union_structs(sub, copies_r[v])))
             return sub.select(*keep)
 
         branches: List[DataFrame] = []
@@ -1587,6 +1841,35 @@ class Translator:
             if k >= max(min_r, 1):
                 branches.append(finalize(sub, end))
 
+        group_vars = node_group + rel_group
+        if len(branches) > 1 and group_vars:
+            # align the group-array ELEMENT layouts across branches: each
+            # branch unions its own copies' fields, and a later branch can
+            # see fields an earlier one lacks (the first copy inherits the
+            # juxtaposed neighbor's schema) — the branch union needs ONE
+            # element type per group column
+            layouts: Dict[str, Dict[str, T.DataType]] = {}
+            for v in group_vars:
+                tgt = layouts.setdefault(v, {})
+                for b in branches:
+                    self._merge_layout(tgt, b.schema[v].dataType.elementType)
+            def _conformer(et, tgt):
+                # no default-arg lambda: F.transform reads lambda arity
+                return lambda x: self._conform_struct(x.getField, et, tgt)
+
+            aligned = []
+            for b in branches:
+                for v in group_vars:
+                    et = b.schema[v].dataType.elementType
+                    tgt = layouts[v]
+                    if ([f.name for f in et.fields] == list(tgt)
+                            and all(et[k].dataType == t
+                                    for k, t in tgt.items())):
+                        continue
+                    b = b.withColumn(v, F.transform(
+                        F.col(v), _conformer(et, tgt)))
+                aligned.append(b)
+            branches = aligned
         out = branches[0]
         for b in branches[1:]:
             out = out.unionByName(b)
@@ -1620,6 +1903,40 @@ class Translator:
         for v in rel_group:
             self.kinds[v] = "rellist"
             rel_bindings.append((v, "rellist", rel_types))
+        if defer_where is not None:
+            # re-apply the deferred per-repetition predicate once the
+            # whole pattern is bound: all(i IN range(0, size(grp)-1) |
+            # <where with each inner var v -> v[i]>)
+            grp_vars = set(node_group) | set(rel_group)
+            counter_src = (node_group + rel_group)[0]
+            idx = self._anon_var("qi")
+
+            def subst(e):
+                if isinstance(e, A.Var) and e.name in grp_vars:
+                    return A.Index(A.Var(e.name), A.Var(idx))
+                if not _dc.is_dataclass(e) or not isinstance(e, A.Expr):
+                    return e
+                changes = {}
+                for f in _dc.fields(e):
+                    v0 = getattr(e, f.name)
+                    if isinstance(v0, A.Expr):
+                        nv = subst(v0)
+                        if nv is not v0:
+                            changes[f.name] = nv
+                    elif isinstance(v0, list) and v0:
+                        nl = [subst(x) if isinstance(x, A.Expr) else x
+                              for x in v0]
+                        if any(a is not b for a, b in zip(nl, v0)):
+                            changes[f.name] = nl
+                return _dc.replace(e, **changes) if changes else e
+
+            pending.append(A.Quantifier(
+                "all", idx,
+                A.Func("range", [
+                    A.Lit(0),
+                    A.BinOp("-", A.Func("size", [A.Var(counter_src)]),
+                            A.Lit(1))]),
+                subst(defer_where)))
         return out, end_name, rel_group
 
     def _build_path(self, df: DataFrame, pvar: str, node_vars: List[str],

@@ -26,6 +26,31 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 NODE_META = ("id", "labels")
 REL_META = ("id", "src", "dst", "type")
 
+# User properties may legally carry the same names as the shard meta
+# columns (the reference allows any property key — e.g. ``[:R {id: 1}]``,
+# CREATE (:A {labels: 'x'})).  Such properties are stored ESCAPED with a
+# ``__p_`` prefix so the shard schema stays unambiguous; scans alias them
+# back to the user-visible name when building entity structs (the struct
+# layer uses ``_id``/``_labels``/... for meta, so no collision there).
+# A property that itself starts with ``__p_`` is escaped once more, making
+# the mapping invertible.
+_PROP_ESC = "__p_"
+
+
+def esc_prop(name: str, meta: Sequence[str]) -> str:
+    """Storage column name for property ``name`` on a shard with ``meta``
+    columns."""
+    if name in meta or name.startswith(_PROP_ESC):
+        return _PROP_ESC + name
+    return name
+
+
+def unesc_prop(col: str) -> str:
+    """User-visible property name for stored column ``col``."""
+    if col.startswith(_PROP_ESC):
+        return col[len(_PROP_ESC):]
+    return col
+
 
 EMPTY_NODE_SCHEMA = "id long, labels array<string>"
 EMPTY_REL_SCHEMA = "id long, src long, dst long, type string"
@@ -257,7 +282,8 @@ class PropertyGraph:
     def node_property_keys(self) -> List[str]:
         keys: set = set()
         for df in self.node_frames.values():
-            keys.update(c for c in df.columns if c not in NODE_META)
+            keys.update(unesc_prop(c) for c in df.columns
+                        if c not in NODE_META)
         keys.update(self._token_props)
         return sorted(keys)
 

@@ -31,6 +31,7 @@ from typing import Dict, List, Optional, Tuple
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..cypher import ast as A
+from ..graph import NODE_META, REL_META, esc_prop
 
 WRITE_BASE = 900 * 10**12
 EPOCH_SPAN = 10**9
@@ -191,7 +192,8 @@ def _create_or_ref_node(tr, df: DataFrame, np: A.NodePat) -> Tuple[DataFrame, st
     delta = df.select(
         F.col(var).getField("_id").alias("id"),
         F.col(var).getField("_labels").alias("labels"),
-        *[F.col(var).getField(k).alias(k) for k, _ in prop_cols])
+        *[F.col(var).getField(k).alias(esc_prop(k, NODE_META))
+          for k, _ in prop_cols])
     if dynamic:
         delta = delta.localCheckpoint(eager=True)
         firsts = _collect_capped(
@@ -248,7 +250,8 @@ def _create_rel(tr, df: DataFrame, rp: A.RelPat, prev: str, nvar: str) -> DataFr
         F.col(rvar).getField("_src").alias("src"),
         F.col(rvar).getField("_dst").alias("dst"),
         F.col(rvar).getField("_type").alias("type"),
-        *[F.col(rvar).getField(k).alias(k) for k, _ in prop_cols])
+        *[F.col(rvar).getField(k).alias(esc_prop(k, REL_META))
+          for k, _ in prop_cols])
     old = tr.graph.rel_frames.get(rtype)
     tr.graph.rel_frames[rtype] = (
         delta if old is None
@@ -320,12 +323,13 @@ def _set_item(tr, df: DataFrame, it: A.SetItem) -> DataFrame:
                         F.col("__setval")).dropDuplicates(["__tid"]) \
                 .localCheckpoint(eager=True)
     frames = tr.graph.rel_frames if kind == "rel" else tr.graph.node_frames
+    skey = esc_prop(key, REL_META if kind == "rel" else NODE_META)
     for name, frame in list(frames.items()):
         joined = frame.join(mapping, frame["id"] == mapping["__tid"], "left")
-        old = F.col(key) if key in frame.columns else F.lit(None)
+        old = F.col(skey) if skey in frame.columns else F.lit(None)
         frames[name] = joined.withColumn(
-            key, F.when(F.col("__tid").isNotNull(), F.col("__setval"))
-                  .otherwise(old)).drop("__tid", "__setval")
+            skey, F.when(F.col("__tid").isNotNull(), F.col("__setval"))
+                   .otherwise(old)).drop("__tid", "__setval")
     tr.effects["props_set"] += mapping.count()
     # the bound struct sees the new value for the rest of the statement
     df = df.withColumn(var, F.col(var).withField(key, F.col("__setval")))
