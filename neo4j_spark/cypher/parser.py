@@ -106,6 +106,30 @@ class Parser:
             raise ParseError(f"unexpected trailing input at {self.peek().pos}")
         return A.UnionQuery(queries, all=bool(is_all))
 
+    def _parse_union_body(self):
+        """Full subquery-expression body: a single query, or a UNION
+        [ALL|DISTINCT] chain of them (EXISTS/COUNT/COLLECT {...} all
+        accept the same body grammar)."""
+        first = self.parse_single_query()
+        if not self.at_kw("UNION"):
+            return first
+        queries = [first]
+        is_all: Optional[bool] = None
+        while self.at_kw("UNION"):
+            self.take()
+            this_all = False
+            if self.at_kw("ALL"):
+                self.take()
+                this_all = True
+            elif self.at_kw("DISTINCT"):
+                self.take()
+            if is_all is None:
+                is_all = this_all
+            elif is_all != this_all:
+                raise ParseError("cannot mix UNION and UNION ALL")
+            queries.append(self.parse_single_query())
+        return A.UnionQuery(queries, all=bool(is_all))
+
     def parse_single_query(self) -> A.SingleQuery:
         clauses: List[A.Clause] = []
         while True:
@@ -1197,7 +1221,7 @@ class Parser:
             if kw == "COLLECT" and self.at_op("{", ahead=1):
                 self.take()
                 self.expect_op("{")
-                sub = self.parse_single_query()
+                sub = self._parse_union_body()
                 self.expect_op("}")
                 return A.CollectSub(sub)
             if kw in ("EXISTS", "COUNT") and self.at_op("{", ahead=1):
@@ -1221,26 +1245,7 @@ class Parser:
                 except ParseError:
                     self.i = save
                 # full-query body (multiple clauses, UNION, WITH, ...)
-                first = self.parse_single_query()
-                if self.at_kw("UNION"):
-                    queries = [first]
-                    is_all: Optional[bool] = None
-                    while self.at_kw("UNION"):
-                        self.take()
-                        this_all = False
-                        if self.at_kw("ALL"):
-                            self.take()
-                            this_all = True
-                        elif self.at_kw("DISTINCT"):
-                            self.take()
-                        if is_all is None:
-                            is_all = this_all
-                        elif is_all != this_all:
-                            raise ParseError("cannot mix UNION and UNION ALL")
-                        queries.append(self.parse_single_query())
-                    body = A.UnionQuery(queries, all=bool(is_all))
-                else:
-                    body = first
+                body = self._parse_union_body()
                 self.expect_op("}")
                 return (A.ExistsSub([], None, body) if kw == "EXISTS"
                         else A.CountSub([], None, body))

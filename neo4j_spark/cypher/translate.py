@@ -2217,6 +2217,33 @@ class Translator:
 
         return walk(df, expr)
 
+    def _check_subquery_body(self, body, outer_cols) -> None:
+        """Subquery expressions (EXISTS/COUNT/COLLECT {...}) are
+        READ-ONLY, and a WITH alias inside one may not shadow a variable
+        bound in the outer scope (the reference's semantic checks —
+        ExistsExpressionAcceptance 'shadowing of an outer variable should
+        result in error' / CountExpressionAcceptance 'Inner query with
+        create should fail')."""
+        queries = (body.queries if isinstance(body, A.UnionQuery)
+                   else [body])
+        for q in queries:
+            for c in q.clauses:
+                if isinstance(c, (A.Create, A.Merge, A.SetClause,
+                                  A.RemoveClause, A.Delete, A.Foreach)):
+                    raise TranslateError(
+                        "a subquery expression (EXISTS/COUNT/COLLECT "
+                        "{...}) must be read-only — updating clauses are "
+                        "not allowed")
+                if isinstance(c, A.Projection) and not c.is_return:
+                    for it in c.items:
+                        if (it.alias and it.alias in outer_cols
+                                and not (isinstance(it.expr, A.Var)
+                                         and it.expr.name == it.alias)):
+                            raise TranslateError(
+                                f"the variable `{it.alias}` is already "
+                                "defined in the outer scope and cannot be "
+                                "shadowed inside a subquery expression")
+
     def _lower_query_sub(self, df: DataFrame, body,
                          mode: str) -> Tuple[DataFrame, A.Expr]:
         """EXISTS/COUNT whose body is a full query (possibly a UNION):
@@ -2226,6 +2253,7 @@ class Translator:
         join (SemiApply / decorrelated count, LP:3659)."""
         import dataclasses
 
+        self._check_subquery_body(body, list(df.columns))
         names = _collect_var_names(body)
         shared = [c for c in df.columns if c in names]
         queries = body.queries if isinstance(body, A.UnionQuery) else [body]
@@ -2324,6 +2352,24 @@ class Translator:
         them (struct ordering is field-order lexicographic) — no per-group
         sort pass."""
         import dataclasses
+
+        self._check_subquery_body(e.query, list(df.columns))
+        if isinstance(e.query, A.UnionQuery):
+            # COLLECT over a UNION body: collect each branch, then merge
+            # the arrays (array_distinct for distinct union — it dedupes
+            # across AND within branches, exactly the UNION row semantics)
+            vals = []
+            for q_ in e.query.queries:
+                df, v = self._lower_collect_sub(df, A.CollectSub(q_))
+                vals.append(v)
+            cc = self._compiler(df)
+            combined = F.concat(*[cc.compile(v) for v in vals])
+            if not e.query.all:
+                combined = F.array_distinct(combined)
+            col = self._anon_var("cu")
+            df = df.withColumn(col, combined)
+            self.kinds[col] = "scalar"
+            return df, A.Var(col)
 
         q = e.query
         last = q.clauses[-1] if q.clauses else None
