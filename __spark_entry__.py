@@ -606,6 +606,37 @@ CYPHER_QUERIES = {
     "qpp_rel_shorthand":
         # GQL quantified-relationship sugar -[:T]->+ (desugars to Trail)
         "MATCH (n:Nation)-[:IN_REGION]->+(x) RETURN count(*) AS n",
+    "qpp_multi_rel_unit":
+        # unit with TWO relationship positions + path projection: the
+        # path's rel sequence interleaves the per-position group arrays
+        # (round-6 fix — concatenation reordered the path)
+        "MATCH p = (c:Customer WHERE c.custkey <= 5)"
+        "((x)-[:FROM_NATION]->(y)-[:IN_REGION]->(z)){1}(r:Region) "
+        "RETURN c.custkey AS ck, [q IN nodes(p) | "
+        "coalesce(q.custkey, q.nationkey, q.regionkey)] AS seq ORDER BY ck",
+    "qpp_where_suffix_ref":
+        # per-repetition WHERE referencing a singleton bound RIGHT of the
+        # QPP (GQL: the predicate holds once the whole pattern binds) —
+        # deferred as all() over the group arrays
+        "MATCH (c:Customer WHERE c.custkey <= 20)"
+        "((a)-[:FROM_NATION]->(b) WHERE a.custkey <= r.regionkey * 5)+"
+        "(n)-[:IN_REGION]->(r:Region) RETURN count(*) AS n",
+    "sel_pattern_where":
+        # parenthesised pattern-level WHERE applies BEFORE the selector
+        "MATCH SHORTEST 1 ((n:Nation)-[e:IN_REGION]->+(r:Region) "
+        "WHERE n.nationkey < 3) RETURN count(*) AS n",
+    "sel_paren_path_var":
+        # parenthesised path-variable declaration under a selector
+        "MATCH ANY SHORTEST (p = (n:Nation {nationkey: 0})"
+        "-[:IN_REGION]->+(r:Region)) "
+        "RETURN [q IN nodes(p) | coalesce(q.nationkey, q.regionkey + 100)]"
+        " AS seq",
+    "collect_union_subquery":
+        # COLLECT {} over a UNION body (distinct union dedupes across
+        # branches)
+        "RETURN size(COLLECT { MATCH (r:Region) RETURN r.name AS v "
+        "UNION MATCH (n:Nation WHERE n.nationkey < 2) RETURN n.name AS v })"
+        " AS n",
     "qpp_path_length":
         # named path whose only var-length content is a QPP segment
         "MATCH p = (s:Supplier)-[:FROM_NATION]->+(x) "
@@ -2418,6 +2449,27 @@ def _oracle_sql_raw() -> dict[str, str]:
             "ON s_nationkey = n_nationkey WHERE s_suppkey = 1) "
             "THEN CAST(2 AS BIGINT) ELSE NULL END AS l "
             "FROM region ORDER BY name",
+        "qpp_multi_rel_unit":
+            "SELECT c_custkey AS ck, [c_custkey, CAST(n_nationkey AS "
+            "BIGINT), CAST(r_regionkey AS BIGINT)] AS seq FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE c_custkey <= 5 ORDER BY ck",
+        "qpp_where_suffix_ref":
+            "SELECT count(*) AS n FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE c_custkey <= 20 AND c_custkey <= r_regionkey * 5",
+        "sel_pattern_where":
+            "SELECT count(*) AS n FROM nation WHERE n_nationkey < 3",
+        "sel_paren_path_var":
+            "SELECT [CAST(0 AS BIGINT), CAST(n_regionkey + 100 AS BIGINT)]"
+            " AS seq FROM nation WHERE n_nationkey = 0",
+        "collect_union_subquery":
+            "SELECT CAST((SELECT count(*) FROM region) + "
+            "(SELECT count(DISTINCT n_name) FROM nation WHERE "
+            "n_nationkey < 2 AND n_name NOT IN (SELECT r_name FROM region))"
+            " AS BIGINT) AS n",
         "qpp_rel_shorthand":
             "SELECT count(*) AS n FROM nation",
         "qpp_path_length":

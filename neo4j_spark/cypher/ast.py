@@ -253,6 +253,10 @@ class RelPat:
     var_length: bool = False
     where: Optional[Expr] = None
     neg_types: List[str] = field(default_factory=list)  # [:!TYPE] terms
+    # full type-expression algebra tree (same shape as NodePat.label_tree)
+    # for parenthesised boolean forms like [:((!A&B)&(C|D))]; ``types``
+    # then holds a shard-pruning cover (empty = all shards)
+    type_tree: object = None
 
 
 @dataclass
@@ -275,6 +279,12 @@ class PatternPart:
     # LP:2290; shortestPath()/allShortestPaths() normalize to the first two)
     selector: Optional[str] = None
     selector_k: Optional[int] = None
+    # pattern-level predicate from a parenthesised path pattern
+    # ``(<pattern> WHERE pred)`` — constrains the path SEARCH, i.e. it
+    # applies BEFORE a selector picks winners (PathSelectorAcceptance
+    # "Path pattern predicates are applied before path selector"); a
+    # graph-pattern WHERE outside the parentheses applies after.
+    where: Optional[Expr] = None
 
 
 # --------------------------------------------------------------------------

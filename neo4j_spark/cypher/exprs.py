@@ -798,7 +798,11 @@ class ExprCompiler:
                         if isinstance(t_, (T.FloatType, T.DoubleType)):
                             cmp = cmp & ~F.isnan(c_)
                     return cmp
-                return F.when(nan, F.lit(False)).otherwise(cmp)
+                # null checks precede the NaN rule (NO_VALUE first in
+                # Value.ternaryEquals): null < NaN is null, not false
+                return (F.when(l.isNull() | r.isNull(),
+                               F.lit(None).cast("boolean"))
+                         .when(nan, F.lit(False)).otherwise(cmp))
             return cmp
         if op == "IN":
             # Ternary IN (AnyValue.ternaryEquals, AnyValue.java:62):
@@ -1235,6 +1239,14 @@ class ExprCompiler:
     def _c_HasLabels(self, e: A.HasLabels) -> Column:
         subj = self.compile(e.subject)
         kind = self.kinds.get(e.subject.name) if isinstance(e.subject, A.Var) else None
+        if kind is None:
+            # lambda-scoped subjects (``none(rel IN r WHERE rel:X)``)
+            # aren't in the kinds map — classify by struct shape
+            st = self.static_type(e.subject)
+            if isinstance(st, T.StructType):
+                names = st.fieldNames()
+                if "_type" in names and "_labels" not in names:
+                    kind = "rel"
         tree = getattr(e, "label_tree", None)
         if tree is not None:
             if kind == "rel":

@@ -266,6 +266,13 @@ class Parser:
             self.take()
             self.expect_kw("DELETE")
             return A.Delete(self.parse_expr_list(), detach=True)
+        if self.at_kw("NODETACH"):
+            # explicit plain-delete keyword (Cypher 5 NODETACH DELETE):
+            # same constraint check as bare DELETE — a still-connected
+            # node raises
+            self.take()
+            self.expect_kw("DELETE")
+            return A.Delete(self.parse_expr_list(), detach=False)
         if self.at_kw("DELETE"):
             self.take()
             return A.Delete(self.parse_expr_list(), detach=False)
@@ -307,9 +314,13 @@ class Parser:
             self.take()
             e = A.Prop(e, self.expect_ident())
             return e
-        if self.at_op(":"):
+        if self.at_op(":") or self.at_kw("IS"):
             labels = []
-            while self.at_op(":"):
+            first = True
+            while self.at_op(":") or (first and self.at_kw("IS")):
+                # GQL `SET n IS Label` / `REMOVE n IS Label` — the IS
+                # introducer reads exactly like a leading ':'
+                first = False
                 self.take()
                 if self.at_op("$"):
                     # SET/REMOVE n:$(expr) dynamic label
@@ -565,7 +576,9 @@ class Parser:
             return part
         sel, sel_k = self.parse_path_selector()
         part = self.parse_element_chain()
-        part.path_var = path_var
+        # an inner parenthesised `(p = ...)` declaration survives unless
+        # the outer position also declared one
+        part.path_var = path_var or part.path_var
         part.selector = sel
         part.selector_k = sel_k
         return part
@@ -584,13 +597,20 @@ class Parser:
                 return int(self.take().value)
             return None
 
+        def _positive(k):
+            if k is not None and k < 1:
+                raise ParseError(
+                    "the number of paths or groups in a path selector "
+                    "must be a positive integer")
+            return k
+
         if self.at_kw("ANY"):
             self.take()
             if self.at_kw("SHORTEST"):
                 self.take()
                 _noise()
                 return "shortest", 1
-            k = _int_opt()
+            k = _positive(_int_opt())
             _noise()
             return "anyK", (k or 1)
         if self.at_kw("ALL"):
@@ -603,7 +623,7 @@ class Parser:
             return None, None  # ALL = default match semantics
         if self.at_kw("SHORTEST"):
             self.take()
-            k = _int_opt()
+            k = _positive(_int_opt())
             _noise()
             if self.at_kw("GROUP", "GROUPS"):
                 self.take()
@@ -614,8 +634,36 @@ class Parser:
             return ("shortest", 1) if k == 1 else ("shortestK", k)
         return None, None
 
+    def _at_paren_path(self) -> bool:
+        """``((`` (a quantified or plain parenthesised path) or
+        ``(ident =`` (a parenthesised path with a path-variable
+        declaration, ``(p = (a)-->(b))``)."""
+        if not self.at_op("("):
+            return False
+        if self.at_op("(", ahead=1):
+            return True
+        return (self.peek(1).kind == "IDENT"
+                and self.at_op("=", ahead=2))
+
     def parse_element_chain(self) -> A.PatternPart:
-        elements: List[object] = [self.parse_chain_element()]
+        elements: List[object] = []
+        wheres: List[A.Expr] = []
+        pv: List[Optional[str]] = [None]
+
+        def absorb(x) -> None:
+            if isinstance(x, A.PatternPart):
+                # parenthesised (unquantified) path pattern: splice its
+                # elements into this chain; its WHERE joins the
+                # pattern-level (pre-selector) predicate
+                elements.extend(x.elements)
+                if x.where is not None:
+                    wheres.append(x.where)
+                if x.path_var:
+                    pv[0] = x.path_var
+            else:
+                elements.append(x)
+
+        absorb(self.parse_chain_element())
         while True:
             if self.at_op("-", "<-"):
                 rel = self.parse_rel_pat()
@@ -627,27 +675,38 @@ class Parser:
                     # same desugaring)
                     elements.append(A.QPP(
                         [A.NodePat(None), rel, A.NodePat(None)], q[0], q[1]))
-                    elements.append(self.parse_chain_element())
+                    absorb(self.parse_chain_element())
                 else:
-                    elements.extend([rel, self.parse_chain_element()])
-            elif self.at_op("(") and self.at_op("(", ahead=1):
+                    elements.append(rel)
+                    absorb(self.parse_chain_element())
+            elif self._at_paren_path():
                 # juxtaposed quantified path pattern: (a) ((x)-[r]->(y)){1,3}
-                elements.append(self.parse_qpp())
+                absorb(self.parse_qpp())
             elif elements and isinstance(elements[-1], A.QPP) and self.at_op("("):
                 # juxtaposed end node after a QPP: ...){1,3} (end:Label)
                 elements.append(self.parse_node_pat())
             else:
                 break
-        return A.PatternPart(elements)
+        where = None
+        for w in wheres:
+            where = w if where is None else A.BinOp("AND", where, w)
+        return A.PatternPart(elements, path_var=pv[0], where=where)
 
     def parse_chain_element(self):
-        if self.at_op("(") and self.at_op("(", ahead=1):
+        if self._at_paren_path():
             return self.parse_qpp()
         return self.parse_node_pat()
 
-    def parse_qpp(self) -> A.QPP:
-        """Quantified path pattern ``((a)-[r:T]->(b)){m,n}`` / ``*`` / ``+``."""
+    def parse_qpp(self):
+        """Quantified path pattern ``((a)-[r:T]->(b)){m,n}`` / ``*`` /
+        ``+`` — or, when NO quantifier follows, a parenthesised path
+        pattern ``( [p =] <pattern> [WHERE pred] )`` returned as a
+        PatternPart for the caller to splice inline."""
         self.expect_op("(")
+        pv = None
+        if self.peek().kind == "IDENT" and self.at_op("=", ahead=1):
+            pv = self.take().value
+            self.take()  # '='
         inner = self.parse_element_chain()
         where = None
         if self.at_kw("WHERE"):
@@ -655,8 +714,24 @@ class Parser:
             where = self.parse_expr()
         self.expect_op(")")
         q = self.parse_quantifier_opt()
-        min_r, max_r = q if q is not None else (1, 1)
-        return A.QPP(inner.elements, min_r, max_r, where)
+        if q is None:
+            combined = where
+            if inner.where is not None:
+                combined = (inner.where if combined is None
+                            else A.BinOp("AND", combined, inner.where))
+            return A.PatternPart(inner.elements,
+                                 path_var=pv or inner.path_var,
+                                 where=combined)
+        if pv is not None or inner.path_var:
+            raise ParseError(
+                "assigning a sub-path variable inside a quantified path "
+                "pattern is not supported")
+        if inner.where is not None:
+            # hoist a nested parenthesised predicate into the QPP's own
+            # per-repetition WHERE
+            where = (inner.where if where is None
+                     else A.BinOp("AND", where, inner.where))
+        return A.QPP(inner.elements, q[0], q[1], where)
 
     def parse_quantifier_opt(self):
         """``{m,n}`` / ``{n}`` / ``*`` / ``+`` / ``?`` quantifier, or None."""
@@ -793,7 +868,8 @@ class Parser:
         any_labels = False
         req_any = req_no = False
         ltree = None
-        if self.at_op(":"):
+        if self.at_op(":") or self.at_kw("IS"):
+            # GQL `(n IS Label)` introducer == `(n:Label)`
             self.take()
             labels, any_labels, neg_labels, req_any, req_no, ltree = \
                 self.parse_label_expr()
@@ -824,46 +900,50 @@ class Parser:
         where = None
         min_len = max_len = None
         var_length = False
+        ttree = None
         if self.at_op("["):
             self.take()
             if self.peek().kind == "IDENT" and not self.at_kw("WHERE"):
                 var = self.expect_ident()
-            if self.at_op(":"):
+            ttree = None
+            if self.at_op(":") or self.at_kw("IS"):
                 self.take()
-                rwrapped = False  # [:(A|B)] parenthesized type expression
                 if self.at_op("("):
-                    self.take()
-                    rwrapped = True
-                while True:
-                    neg = False
-                    while self.at_op("!"):
-                        self.take()
-                        neg = not neg
-                    if self.at_op("%"):  # any-type wildcard: no filter
-                        self.take()
-                        if neg:
-                            raise ParseError(":!% matches no relationship")
-                    elif self.at_op("$"):
-                        # dynamic type $(expr): resolved by the translator
-                        self.take()
-                        self.expect_op("(")
-                        e = self.parse_expr()
-                        self.expect_op(")")
-                        (neg_types if neg else types).append(e)
-                    else:
-                        (neg_types if neg else types).append(
-                            self.expect_ident())
-                    if self.at_op("|", "&"):
-                        self.take()
-                        if self.at_op(":"):
+                    # full type-expression algebra — ((!A&B)&(C|D)),
+                    # nested parens, negated groups: reuse the label
+                    # algebra parser; ``types`` keeps the pruning cover
+                    (types, _any, neg_types, _ra, _rn,
+                     ttree) = self.parse_label_expr()
+                else:
+                    while True:
+                        neg = False
+                        while self.at_op("!"):
                             self.take()
-                        continue
-                    break
-                if rwrapped:
-                    self.expect_op(")")
-                if types and neg_types:
-                    raise ParseError(
-                        "mixed positive/negated relationship types")
+                            neg = not neg
+                        if self.at_op("%"):  # any-type wildcard: no filter
+                            self.take()
+                            if neg:
+                                raise ParseError(
+                                    ":!% matches no relationship")
+                        elif self.at_op("$"):
+                            # dynamic type $(expr): translator-resolved
+                            self.take()
+                            self.expect_op("(")
+                            e = self.parse_expr()
+                            self.expect_op(")")
+                            (neg_types if neg else types).append(e)
+                        else:
+                            (neg_types if neg else types).append(
+                                self.expect_ident())
+                        if self.at_op("|", "&"):
+                            self.take()
+                            if self.at_op(":"):
+                                self.take()
+                            continue
+                        break
+                    if types and neg_types:
+                        raise ParseError(
+                            "mixed positive/negated relationship types")
             if self.at_op("*"):
                 self.take()
                 var_length = True
@@ -896,7 +976,7 @@ class Parser:
             self.expect_op("-")
             # direction stays 'in' or 'both'
         return A.RelPat(var, types, direction, props, min_len, max_len,
-                        var_length, where, neg_types)
+                        var_length, where, neg_types, ttree)
 
     def parse_map_literal(self) -> A.MapLit:
         self.expect_op("{")

@@ -739,6 +739,15 @@ class Translator:
                 # an empty match still emits one null-padded row (LP:3095)
                 df = self.spark.range(1).select(F.lit(1).alias("__one"))
             return self._optional_match(df, m)
+        if (len(m.parts) > 1
+                and any(p.selector is not None for p in m.parts)):
+            # CIP-60: a selective path pattern must be the ONLY path
+            # pattern of its graph pattern (separate MATCH clauses
+            # compose fine)
+            raise TranslateError(
+                "a selective path selector (SHORTEST/ANY/ALL SHORTEST/"
+                "GROUPS) cannot be combined with other path patterns in "
+                "the same MATCH — split them into separate MATCH clauses")
         pending: List[A.Expr] = []
         rel_bindings: List[Tuple[str, str, frozenset]] = []
         for part in m.parts:
@@ -844,6 +853,9 @@ class Translator:
         if shared:
             base = df.select(*shared).dropDuplicates()
             sub = Translator(self.spark, self.graph, self.params, catalog=self.catalog)
+            # usage analysis (scan elision, length-only shortest paths)
+            # reads the WHOLE statement — share it with the subtree
+            sub.query_ast = getattr(self, "query_ast", None)
             sub.kinds.update({v: self.kinds[v] for v in shared if v in self.kinds})
             sub.var_labels.update(
                 {v: self.var_labels[v] for v in shared
@@ -938,6 +950,16 @@ class Translator:
         if rp.neg_types:  # [:!TYPE] — complement of the listed types
             base = self.graph.rels.filter(
                 ~F.col("type").isin(list(rp.neg_types)))
+        if getattr(rp, "type_tree", None) is not None:
+            # full boolean type algebra ([:((!A&B)&(C|D))]): ``types``
+            # above pruned the shard cover (empty cover = all shards);
+            # the tree is the exact per-row predicate on the single type
+            from .exprs import compile_label_tree
+
+            if not rp.types:
+                base = self.graph.rels
+            base = base.filter(
+                compile_label_tree(rp.type_tree, None, F.col("type")))
         # shared-base fusion: count which declared-base shards this scan
         # touches; a second touch within the statement persists the base
         # so every shard reads ONE FileScan (graph.note_rel_scan)
@@ -1073,9 +1095,13 @@ class Translator:
         if norm and isinstance(norm[-1], A.RelPat):
             norm.append(A.NodePat(None))
         pre = norm
-        if sel in ("shortest", "allShortest"):
+        if sel in ("shortest", "allShortest") and part.where is None:
+            # the bidirectional-BFS fast path carries lengths/ids only —
+            # a consumed relationship variable needs the enumerate path
             if (len(pre) == 3 and isinstance(pre[1], A.RelPat)
-                    and pre[1].var_length):
+                    and pre[1].var_length
+                    and (pre[1].var is None
+                         or self._var_single_use(pre[1].var))):
                 import dataclasses
 
                 part2 = dataclasses.replace(part, elements=pre)
@@ -1288,16 +1314,29 @@ class Translator:
             prev = nvar
             i += 2
 
+        if part.where is not None:
+            # parenthesised pattern-level predicate: constrains the path
+            # search, so under a selector it joins the pre-selector
+            # pending set below (a clause-level WHERE instead applies
+            # after the selector, in _match)
+            pending.append(part.where)
         if needs_enum:
             # pattern-internal predicates + rel-uniqueness constrain the path
-            # SEARCH, so they must hold before the selector picks winners
+            # SEARCH, so they must hold before the selector picks winners;
+            # the path variable is built FIRST so a parenthesised
+            # whole-path predicate (``(p = ... WHERE length(p) > 3)``)
+            # can reference it pre-selector
+            if part.path_var:
+                df = self._build_path(df, part.path_var, path_nodes,
+                                      path_rels)
             part_pend = pending[pend_start:]
             del pending[pend_start:]
             for p in part_pend:
                 df, expr = self._lower_predicates(df, p)
                 df = df.filter(self._bool_pred(self._compiler(df), expr))
             df = self._uniqueness_filters(df, rel_bindings[rb_start:])
-            df = self._apply_path_selector(df, part, path_nodes, path_rels)
+            return self._apply_path_selector(df, part, path_nodes,
+                                             path_rels)
         if part.path_var:
             df = self._build_path(df, part.path_var, path_nodes, path_rels)
         return df
@@ -1329,6 +1368,11 @@ class Translator:
         if sel not in ("shortest", "allShortest", "shortestGroups",
                        "shortestK", "anyK"):
             return None
+        if part.where is not None:
+            # a pattern-level WHERE constrains the search with an
+            # arbitrary whole-path predicate — only the enumerating
+            # Trail path can rank under it
+            return None
         has_unbounded = False
         # k > 1 needs path identity to tell the k winners apart (the
         # counting BFS collapses paths per product state); ANY k is
@@ -1345,7 +1389,8 @@ class Translator:
                 needs_track = True
 
         def admit_rel(rp) -> bool:
-            if rp.direction == "both" or rp.neg_types or not rp.types:
+            if rp.direction == "both" or rp.neg_types or not rp.types \
+                    or getattr(rp, "type_tree", None) is not None:
                 return False
             type_sets.append(frozenset(rp.types))
             return True
@@ -1426,8 +1471,21 @@ class Translator:
             rank = F.row_number().over(w.orderBy(tie.asc()))
         else:  # shortestK
             rank = F.row_number().over(w.orderBy(length.asc(), tie.asc()))
-        return (df.withColumn("__psel_rank", rank)
-                  .filter(F.col("__psel_rank") <= k).drop("__psel_rank"))
+        out = (df.withColumn("__psel_rank", rank)
+                 .filter(F.col("__psel_rank") <= k).drop("__psel_rank"))
+        # the selected set is small by construction (<= k paths, or k
+        # length-groups, per endpoint pair) while the ENUMERATION plan
+        # behind it can be arbitrarily deep (chained unrolled QPPs,
+        # per-repetition subquery lowerings).  Truncate the lineage here
+        # (lazy localCheckpoint) so downstream operators — joins with
+        # other selective MATCHes, path-node resolution — compose against
+        # a flat scan instead of compounding the enumeration plan (a
+        # second selective MATCH otherwise squares the plan tree and OOMs
+        # the driver before execution starts).  Coalesce first: the
+        # enumeration's unioned levels accumulate partitions that a
+        # bounded result set doesn't need.
+        par = max(2, self.spark.sparkContext.defaultParallelism)
+        return out.coalesce(par).localCheckpoint(eager=False)
 
     def _filter_node_bound(self, sub: DataFrame, np: A.NodePat, var: str
                            ) -> DataFrame:
@@ -1593,10 +1651,20 @@ class Translator:
                           if getattr(el, "var", None)}
             free: set = set()
 
+            has_subq = [False]
+
             def scan(node, shadow):
                 if isinstance(node, (list, tuple)):
                     for x in node:
                         scan(x, shadow)
+                    return
+                if isinstance(node, (A.ExistsSub, A.CountSub,
+                                     A.CollectSub, A.PatternPred,
+                                     A.PatternComp, A.ShortestPathExpr)):
+                    # opaque here: these bind their own variables (path
+                    # vars, pattern vars) and correlate by name when the
+                    # per-repetition lowering runs
+                    has_subq[0] = True
                     return
                 if isinstance(node, A.Var):
                     if node.name not in shadow:
@@ -1622,24 +1690,6 @@ class Translator:
             avail = inner_vars | set(df.columns) | set(self.params or {})
             unbound = free - avail
             if unbound:
-                has_subq = [False]
-
-                def probe(node):
-                    if isinstance(node, (list, tuple)):
-                        for x in node:
-                            probe(x)
-                        return
-                    if isinstance(node, (A.ExistsSub, A.CountSub,
-                                         A.CollectSub, A.PatternPred,
-                                         A.PatternComp,
-                                         A.ShortestPathExpr)):
-                        has_subq[0] = True
-                        return
-                    if _dc.is_dataclass(node):
-                        for f in _dc.fields(node):
-                            probe(getattr(node, f.name))
-
-                probe(qpp_where)
                 if has_subq[0]:
                     raise TranslateError(
                         "a QPP WHERE that combines a subquery expression "
@@ -1739,6 +1789,25 @@ class Translator:
                     for pk, pv in rp.props.items:
                         sub = sub.filter(
                             F.col(rv).getField(pk) == cc.compile(pv))
+                if rp.where is not None:
+                    # element-level rel predicate: bind this copy's rel
+                    # under the user's name, filter per repetition, unbind
+                    uname = rp.var
+                    tmp = bool(uname and uname != rv
+                               and uname not in sub.columns)
+                    old_kind = None
+                    if tmp:
+                        sub = sub.withColumn(uname, F.col(rv))
+                        old_kind = self.kinds.get(uname)
+                        self.kinds[uname] = "rel"
+                    sub = sub.filter(
+                        self._compiler(sub).compile(rp.where))
+                    if tmp:
+                        sub = sub.drop(uname)
+                        if old_kind is None:
+                            self.kinds.pop(uname, None)
+                        else:
+                            self.kinds[uname] = old_kind
                 nv = self._anon_var("qn")
                 nscan = self._node_scan(np, nv)
                 sub = sub.join(
@@ -1794,6 +1863,12 @@ class Translator:
                 helper = [c for c in sub.columns if c not in before]
                 sub = sub.filter(
                     self._compiler(sub).compile(w2)).drop(*bound, *helper)
+                if helper:
+                    # a subquery expression was lowered into this rep:
+                    # truncate the lineage, or the correlated subplan
+                    # re-embeds into every deeper repetition and the plan
+                    # tree grows geometrically
+                    sub = sub.localCheckpoint(eager=False)
                 for v, k_old in old_kinds.items():
                     if k_old is None:
                         self.kinds.pop(v, None)
@@ -1903,6 +1978,32 @@ class Translator:
         for v in rel_group:
             self.kinds[v] = "rellist"
             rel_bindings.append((v, "rellist", rel_types))
+        path_rvars = list(rel_group)
+        if len(rel_group) > 1:
+            # a unit with SEVERAL relationship positions: the path's rel
+            # sequence interleaves the group arrays by repetition
+            # (rep1-pos1, rep1-pos2, rep2-pos1, ...) — concatenating the
+            # per-position arrays would reorder the path.  Build one
+            # hidden interleaved column for path construction; the
+            # per-position group columns stay user-visible.
+            layout: Dict[str, T.DataType] = {}
+            ets = {}
+            for v in rel_group:
+                ets[v] = out.schema[v].dataType.elementType
+                self._merge_layout(layout, ets[v])
+            pvn = self._anon_var("qpr")
+
+            def _interleave(e):
+                return F.array(*[
+                    self._conform_struct(e.getField(v).getField,
+                                         ets[v], layout)
+                    for v in rel_group])
+
+            out = out.withColumn(pvn, F.flatten(F.transform(
+                F.arrays_zip(*[F.col(v) for v in rel_group]),
+                _interleave)))
+            self.kinds[pvn] = "rellist"
+            path_rvars = [pvn]
         if defer_where is not None:
             # re-apply the deferred per-repetition predicate once the
             # whole pattern is bound: all(i IN range(0, size(grp)-1) |
@@ -1937,7 +2038,7 @@ class Translator:
                     A.BinOp("-", A.Func("size", [A.Var(counter_src)]),
                             A.Lit(1))]),
                 subst(defer_where)))
-        return out, end_name, rel_group
+        return out, end_name, path_rvars
 
     def _build_path(self, df: DataFrame, pvar: str, node_vars: List[str],
                     rel_vars: List[Tuple[str, str]]) -> DataFrame:
