@@ -1609,6 +1609,58 @@ def _q_write_merge(spark, sf_dir):
         "MATCH (n:Nation) RETURN count(*) AS n")
 
 
+def _q_ddl_user_admin(spark, sf_dir):
+    """Community user administration round-trip (SURVEY §2.10 admin
+    commands; CommunityAdministrationCommandRuntime.scala): CREATE USER
+    (with and without CHANGE NOT REQUIRED), ALTER CURRENT USER SET
+    PASSWORD (clears the change-required flag,
+    SetOwnPasswordExecutionPlanner.scala:71), SHOW USERS."""
+    from neo4j_spark.api import cypher
+
+    g = _graph(spark, sf_dir).copy()
+    cypher(spark, "CREATE USER alice SET PASSWORD 'sekrit-123'",
+           g).collect()
+    cypher(spark, "CREATE USER bob SET PASSWORD 'hunter2-00' "
+           "CHANGE NOT REQUIRED", g).collect()
+    cypher(spark, "ALTER CURRENT USER SET PASSWORD "
+           "FROM 'neo4j' TO 'fresh-pw-1'", g).collect()
+    return (cypher(spark, "SHOW USERS", g)
+            .select(F.col("user").alias("username"),
+                    F.col("passwordChangeRequired").alias(
+                        "change_required"))
+            .orderBy("username"))
+
+
+def _q_call_in_tx_on_error(spark, sf_dir):
+    """CALL {} IN TRANSACTIONS ON ERROR CONTINUE with a failing batch:
+    batches of 2 over [1,2,3,0,4] — the [3,0] batch divides by zero
+    (i=0, j=0), rolls back, and reports committed=false/errorMessage;
+    the other batches commit, so 6 TmpTx nodes remain
+    (CallInTransactionsErrorHandling.feature, TransactionApply LP:4039)."""
+    return _write(
+        spark, sf_dir,
+        "UNWIND [1, 2, 3, 0, 4] AS i "
+        "CALL { WITH i UNWIND [1, 0] AS j CREATE (n:TmpTx {p: 1/(i + j)}) } "
+        "IN TRANSACTIONS OF 2 ROWS ON ERROR CONTINUE REPORT STATUS AS s "
+        "CALL { MATCH (n:TmpTx) RETURN count(*) AS n_comm } "
+        "RETURN i, s.started AS started, s.committed AS committed, "
+        "s.errorMessage IS NOT NULL AS has_err, n_comm ORDER BY i")
+
+
+def _q_call_in_tx_break(spark, sf_dir):
+    """ON ERROR BREAK: the failing [3,0] batch rolls back and stops the
+    loop — the [4] batch is never started (started=false, no txId), and
+    only 4 TmpTx nodes remain."""
+    return _write(
+        spark, sf_dir,
+        "UNWIND [1, 2, 3, 0, 4] AS i "
+        "CALL { WITH i UNWIND [1, 0] AS j CREATE (n:TmpTx {p: 1/(i + j)}) } "
+        "IN TRANSACTIONS OF 2 ROWS ON ERROR BREAK REPORT STATUS AS s "
+        "CALL { MATCH (n:TmpTx) RETURN count(*) AS n_comm } "
+        "RETURN i, s.started AS started, s.committed AS committed, "
+        "s.transactionId IS NOT NULL AS has_tx, n_comm ORDER BY i")
+
+
 def _q_write_remove(spark, sf_dir):
     return _write(
         spark, sf_dir,
@@ -1746,6 +1798,9 @@ WRITE_QUERIES = {
     "write_detach_delete": _q_write_detach_delete,
     "write_merge": _q_write_merge,
     "write_remove": _q_write_remove,
+    "call_in_tx_on_error": _q_call_in_tx_on_error,
+    "call_in_tx_break": _q_call_in_tx_break,
+    "ddl_user_admin": _q_ddl_user_admin,
 }
 
 
@@ -2775,6 +2830,26 @@ def _oracle_sql_raw() -> dict[str, str]:
             " AS BIGINT) AS n",
         "write_merge":
             "SELECT count(*) AS n FROM nation",
+        "ddl_user_admin":
+            "SELECT * FROM (VALUES ('alice', TRUE), ('bob', FALSE), "
+            "('neo4j', FALSE)) AS t(username, change_required) "
+            "ORDER BY username",
+        "call_in_tx_on_error":
+            "SELECT * FROM (VALUES "
+            "(CAST(0 AS BIGINT), TRUE, FALSE, TRUE,  CAST(6 AS BIGINT)), "
+            "(CAST(1 AS BIGINT), TRUE, TRUE,  FALSE, CAST(6 AS BIGINT)), "
+            "(CAST(2 AS BIGINT), TRUE, TRUE,  FALSE, CAST(6 AS BIGINT)), "
+            "(CAST(3 AS BIGINT), TRUE, FALSE, TRUE,  CAST(6 AS BIGINT)), "
+            "(CAST(4 AS BIGINT), TRUE, TRUE,  FALSE, CAST(6 AS BIGINT))"
+            ") AS t(i, started, committed, has_err, n_comm) ORDER BY i",
+        "call_in_tx_break":
+            "SELECT * FROM (VALUES "
+            "(CAST(0 AS BIGINT), TRUE,  FALSE, TRUE,  CAST(4 AS BIGINT)), "
+            "(CAST(1 AS BIGINT), TRUE,  TRUE,  TRUE,  CAST(4 AS BIGINT)), "
+            "(CAST(2 AS BIGINT), TRUE,  TRUE,  TRUE,  CAST(4 AS BIGINT)), "
+            "(CAST(3 AS BIGINT), TRUE,  FALSE, TRUE,  CAST(4 AS BIGINT)), "
+            "(CAST(4 AS BIGINT), FALSE, FALSE, FALSE, CAST(4 AS BIGINT))"
+            ") AS t(i, started, committed, has_tx, n_comm) ORDER BY i",
         "write_merge_chain":
             "SELECT CAST(3 AS BIGINT) AS hubs, CAST(2 AS BIGINT) AS wires",
         "write_remove":

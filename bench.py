@@ -185,6 +185,7 @@ def main() -> None:
         warm_dir = sf_dir
 
     timings = {}
+    noise = {}
     for name in headline:
         fn = qs[name]
         # warm THIS query's generated classes right before timing it — the
@@ -196,25 +197,29 @@ def main() -> None:
             fn(spark, warm_dir).count()
         except Exception as e:  # pragma: no cover
             print(f"warm error {name}: {e}", file=sys.stderr)
-        # time up to three runs, report the min: host scheduling adds up to
+        # time repeated runs, report the min: host scheduling adds up to
         # 6x noise on identical plans (measured 1.7-10.6s for the same
         # minhash job); the min is the steady-state cost of the plan
-        # itself.  Early-stop once a sub-second run is observed — that IS
-        # the steady state.
-        best = -1.0
-        for attempt in range(3):
+        # itself.  Sub-second queries swing the most between rounds, so
+        # they get 5 samples (>= 1s queries get 3); the per-query
+        # max/min ratio is reported as `noise` so a regression can be
+        # adjudicated from the artifact alone.
+        best, worst = -1.0, -1.0
+        for attempt in range(5):
             spark.catalog.clearCache()
             t0 = time.time()
             try:
                 fn(spark, sf_dir).count()
                 el = round(time.time() - t0, 3)
                 best = el if best < 0 else min(best, el)
+                worst = max(worst, el)
             except Exception as e:  # pragma: no cover
                 print(f"bench error {name}: {e}", file=sys.stderr)
                 break
-            if best <= 1.0 and attempt >= 1:
+            if attempt >= 2 and best > 1.0:
                 break
         timings[name] = best
+        noise[name] = round(worst / best, 2) if best > 0 else -1.0
         # free persisted blocks between queries: operators that persist
         # intermediates (minhash, var-expand) would otherwise pile cached
         # partitions into the shared local-JVM heap and GC-stall later
@@ -238,6 +243,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "noise": noise,
         "gates": gates,
         "sf": float(sf),
     }))

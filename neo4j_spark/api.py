@@ -77,19 +77,26 @@ def cypher(
     ast = parse(body)
     if graph is not None:
         graph.begin_scan_tracking()  # statement-scoped shared-base fusion
+    if mode == "EXPLAIN":
+        # EXPLAIN returns the query's result COLUMNS with zero rows and
+        # performs NO side effects (ExplainAcceptance.feature) — writes
+        # are translate-time eager here, so translate under a state
+        # snapshot and roll back.  The humane plan text is available via
+        # :func:`explain_plan`.
+        graphs = [graph] if graph is not None else []
+        if catalog is not None:
+            graphs = list({id(gr): gr for gr in
+                           [*graphs, *catalog.graphs.values()]}.values())
+        snaps = [(gr, gr.state_snapshot()) for gr in graphs]
+        try:
+            df = Translator(spark, graph, params or {},
+                            catalog=catalog).translate(ast)
+        finally:
+            for gr, snap in snaps:
+                gr.restore_state(snap)
+        return df.limit(0)
     df = Translator(spark, graph, params or {}, catalog=catalog) \
         .translate(ast)
-    if mode == "EXPLAIN":
-        # plan description only, no execution (reference: EXPLAIN returns
-        # an empty result annotated with the plan)
-        jqe = df._jdf.queryExecution()
-        jvm = spark._jvm
-        text = jqe.explainString(
-            jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                "formatted"))
-        return spark.createDataFrame(
-            [(line,) for line in text.splitlines() if line.strip()],
-            "plan string")
     if mode == "PROFILE":
         # execute eagerly, then surface per-operator runtime metrics
         # inline (the reference's ProfilerStatistics rows/dbHits — at the
@@ -100,6 +107,23 @@ def cypher(
         df.collect()
         return _profile_frame(spark, df)
     return df
+
+
+def explain_plan(spark: SparkSession, query: str, graph,
+                 params: Optional[Dict[str, Any]] = None) -> str:
+    """Human-readable physical plan for a (read) query — the Spark
+    rendering of the reference's plan description that EXPLAIN attaches
+    as result metadata.  The query is planned, not executed."""
+    body = query
+    mode, _opts, stripped = preparse(query)
+    if mode:
+        body = stripped
+    df = cypher(spark, "EXPLAIN " + body, graph, params=params)
+    jqe = df._jdf.queryExecution()
+    jvm = spark._jvm
+    return jqe.explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
 
 
 def _profile_frame(spark: SparkSession, df: DataFrame) -> DataFrame:

@@ -108,6 +108,11 @@ class HasLabels(Expr):
     req_any_label: bool = False       # :%
     req_no_label: bool = False        # :!%
     label_tree: object = None         # full algebra tree when not flat
+    # syntax-flavor flags for GPM mixing validation
+    # (GpmSyntaxMixingAcceptance): legacy = ':' conjunction between
+    # labels; gpm = IS introducer or any of & | ! % ( )
+    lx_legacy: bool = False
+    lx_gpm: bool = False
 
 
 @dataclass
@@ -240,6 +245,9 @@ class NodePat:
     # / ("label", name) / ("any",)) when the expression doesn't fit the
     # flat fields; ``labels`` then holds a shard-pruning cover
     label_tree: object = None
+    # syntax-flavor flags for GPM mixing validation (see HasLabels)
+    lx_legacy: bool = False
+    lx_gpm: bool = False
 
 
 @dataclass
@@ -257,6 +265,9 @@ class RelPat:
     # for parenthesised boolean forms like [:((!A&B)&(C|D))]; ``types``
     # then holds a shard-pruning cover (empty = all shards)
     type_tree: object = None
+    # gpm flavor flag (IS introducer / !,&,%,parens); rel-type '|'
+    # disjunctions are flavor-neutral (LabelExpression.scala neutrality)
+    lx_gpm: bool = False
 
 
 @dataclass
@@ -279,6 +290,10 @@ class PatternPart:
     # LP:2290; shortestPath()/allShortestPaths() normalize to the first two)
     selector: Optional[str] = None
     selector_k: Optional[int] = None
+    # True when the selector came from legacy shortestPath()/
+    # allShortestPaths() syntax rather than a GQL path selector — the two
+    # families may not mix within one statement (GpmSyntaxMixing)
+    legacy_shortest: bool = False
     # pattern-level predicate from a parenthesised path pattern
     # ``(<pattern> WHERE pred)`` — constrains the path SEARCH, i.e. it
     # applies BEFORE a selector picks winners (PathSelectorAcceptance
@@ -371,11 +386,12 @@ class CallProc(Clause):
 class CallSub(Clause):
     query: "SingleQuery"
     imports: List[str] = field(default_factory=list)  # WITH a, b import header
-    # CALL {} IN TRANSACTIONS (TransactionApply LP:4039) modifiers; in a
-    # batch engine one statement = one snapshot commit, so these are
-    # surface-compatibility metadata (batch size is an execution hint)
+    # CALL {} IN TRANSACTIONS (TransactionApply LP:4039) modifiers.
+    # batch_rows is a constant Expr (literal / $param / foldable),
+    # evaluated at translate time; ON ERROR and REPORT STATUS are
+    # honored by the sequential batch loop (translate._call_in_tx)
     in_transactions: bool = False
-    batch_rows: Optional[int] = None
+    batch_rows: Optional["Expr"] = None
     concurrency: Optional[int] = None
     on_error: Optional[str] = None  # CONTINUE | BREAK | FAIL
     report_var: Optional[str] = None  # REPORT STATUS AS var

@@ -317,9 +317,11 @@ class Parser:
         if self.at_op(":") or self.at_kw("IS"):
             labels = []
             first = True
+            used_is = False
             while self.at_op(":") or (first and self.at_kw("IS")):
                 # GQL `SET n IS Label` / `REMOVE n IS Label` — the IS
                 # introducer reads exactly like a leading ':'
+                used_is = used_is or self.at_kw("IS")
                 first = False
                 self.take()
                 if self.at_op("$"):
@@ -331,7 +333,8 @@ class Parser:
                     labels.append(ex)
                 else:
                     labels.append(self.expect_ident())
-            return A.HasLabels(e, labels)
+            return A.HasLabels(e, labels, lx_gpm=used_is,
+                               lx_legacy=len(labels) > 1)
         return e
 
     def parse_match(self, optional: bool) -> A.Match:
@@ -435,7 +438,11 @@ class Parser:
                 self.expect_kw("TRANSACTIONS")
                 if self.at_kw("OF"):
                     self.take()
-                    call.batch_rows = int(self.take().value)
+                    # any constant expression (literal, $param, reduce of
+                    # literals, …); graph-touching expressions are
+                    # rejected at translate time (NonConstantExpression,
+                    # CypherTransactionsAcceptance)
+                    call.batch_rows = self.parse_expr()
                     if self.at_kw("ROWS", "ROW"):
                         self.take()
                 if self.at_kw("ON"):
@@ -573,6 +580,7 @@ class Parser:
             self.expect_op(")")
             part.path_var = path_var
             part.selector = selector
+            part.legacy_shortest = True
             return part
         sel, sel_k = self.parse_path_selector()
         part = self.parse_element_chain()
@@ -769,6 +777,10 @@ class Parser:
         the tree and exposes a shard-pruning COVER in ``labels`` — a set
         of positive labels such that every matching node carries at least
         one of them (None cover => all-shards scan + tree filter)."""
+        self._lx_legacy = False   # ':' conjunction between labels
+        self._lx_gpm = False      # any of & ! % ( )
+        self._lx_or = False       # '|' disjunction (GPM for nodes,
+        #                           flavor-neutral for rel types)
         tree = self._parse_label_or()
         return self._lower_label_tree(tree)
 
@@ -776,6 +788,7 @@ class Parser:
         l = self._parse_label_and()
         while self.at_op("|"):
             self.take()
+            self._lx_or = True
             if self.at_op(":"):  # "|:" form
                 self.take()
             l = ("or", l, self._parse_label_and())
@@ -784,21 +797,28 @@ class Parser:
     def _parse_label_and(self):
         l = self._parse_label_factor()
         while self.at_op("&", ":"):
-            self.take()
+            t = self.take()
+            if t.value == ":":
+                self._lx_legacy = True
+            else:
+                self._lx_gpm = True
             l = ("and", l, self._parse_label_factor())
         return l
 
     def _parse_label_factor(self):
         if self.at_op("!"):
             self.take()
+            self._lx_gpm = True
             return ("not", self._parse_label_factor())
         if self.at_op("("):
             self.take()
+            self._lx_gpm = True
             t = self._parse_label_or()
             self.expect_op(")")
             return t
         if self.at_op("%"):
             self.take()
+            self._lx_gpm = True
             return ("any",)
         if self.at_op("$"):
             # dynamic label $(expr) (Cypher25Parser.g4 dynamicLabelType)
@@ -861,18 +881,26 @@ class Parser:
     def parse_node_pat(self) -> A.NodePat:
         self.expect_op("(")
         var = None
-        if self.peek().kind == "IDENT" and not self.at_kw("WHERE"):
+        if self.peek().kind == "IDENT" and not self.at_kw("WHERE") \
+                and not (self.at_kw("IS")
+                         and self.peek(1).kind == "IDENT"):
+            # `(IS A)` is an anonymous node with an IS label introducer,
+            # not a variable named IS (Cypher25Parser.g4 nodePattern)
             var = self.expect_ident()
         labels: List[str] = []
         neg_labels: List[str] = []
         any_labels = False
         req_any = req_no = False
         ltree = None
+        lx_legacy = lx_gpm = False
         if self.at_op(":") or self.at_kw("IS"):
             # GQL `(n IS Label)` introducer == `(n:Label)`
+            used_is = self.at_kw("IS")
             self.take()
             labels, any_labels, neg_labels, req_any, req_no, ltree = \
                 self.parse_label_expr()
+            lx_legacy = self._lx_legacy
+            lx_gpm = self._lx_gpm or self._lx_or or used_is
         props = None
         if self.at_op("{"):
             props = self.parse_map_literal()
@@ -884,7 +912,8 @@ class Parser:
             where = self.parse_expr()
         self.expect_op(")")
         return A.NodePat(var, labels, any_labels, props, where,
-                         neg_labels, req_any, req_no, label_tree=ltree)
+                         neg_labels, req_any, req_no, label_tree=ltree,
+                         lx_legacy=lx_legacy, lx_gpm=lx_gpm)
 
     def parse_rel_pat(self) -> A.RelPat:
         direction = "both"
@@ -900,13 +929,18 @@ class Parser:
         where = None
         min_len = max_len = None
         var_length = False
+        lx_gpm = False
         ttree = None
         if self.at_op("["):
             self.take()
-            if self.peek().kind == "IDENT" and not self.at_kw("WHERE"):
+            if self.peek().kind == "IDENT" and not self.at_kw("WHERE") \
+                    and not (self.at_kw("IS")
+                             and self.peek(1).kind == "IDENT"):
+                # `[IS R]` = anonymous rel with IS type introducer
                 var = self.expect_ident()
             ttree = None
             if self.at_op(":") or self.at_kw("IS"):
+                lx_gpm = lx_gpm or self.at_kw("IS")
                 self.take()
                 if self.at_op("("):
                     # full type-expression algebra — ((!A&B)&(C|D)),
@@ -914,11 +948,13 @@ class Parser:
                     # algebra parser; ``types`` keeps the pruning cover
                     (types, _any, neg_types, _ra, _rn,
                      ttree) = self.parse_label_expr()
+                    lx_gpm = True
                 else:
                     while True:
                         neg = False
                         while self.at_op("!"):
                             self.take()
+                            lx_gpm = True
                             neg = not neg
                         if self.at_op("%"):  # any-type wildcard: no filter
                             self.take()
@@ -976,7 +1012,8 @@ class Parser:
             self.expect_op("-")
             # direction stays 'in' or 'both'
         return A.RelPat(var, types, direction, props, min_len, max_len,
-                        var_length, where, neg_types, ttree)
+                        var_length, where, neg_types, ttree,
+                        lx_gpm=lx_gpm)
 
     def parse_map_literal(self) -> A.MapLit:
         self.expect_op("{")
@@ -1196,7 +1233,9 @@ class Parser:
                 labels, any_l, neg_l, req_any, req_no, ltree = \
                     self.parse_label_expr()
                 e = A.HasLabels(e, labels, any_l, neg_l, req_any, req_no,
-                                label_tree=ltree)
+                                label_tree=ltree,
+                                lx_legacy=self._lx_legacy,
+                                lx_gpm=self._lx_gpm or self._lx_or)
             elif self.at_op("{") and isinstance(e, A.Var):
                 e = self.parse_map_projection(e.name)
             else:
@@ -1293,6 +1332,7 @@ class Parser:
                 self.expect_op(")")
                 part.selector = ("shortest" if kw == "SHORTESTPATH"
                                  else "allShortest")
+                part.legacy_shortest = True
                 return A.ShortestPathExpr(part)
             if kw == "COUNT" and self.at_op("(", ahead=1) and self.at_op("*", ahead=2):
                 self.take(); self.take(); self.take()

@@ -106,6 +106,109 @@ def _walk_expr_list(walk, df, v):
     return df, nl, changed
 
 
+def check_clause_syntax_mixing(clause) -> None:
+    """Per-clause GPM syntax-mixing validation (the reference's
+    Clause.semanticCheck chain — Clause.scala:133-136,
+    GpmSyntaxMixingAcceptance.feature):
+
+    - legacy ``:`` label conjunction may not mix with GPM label syntax
+      (``IS`` introducer or ``| & ! %`` / parenthesised expressions)
+      within one clause, partitioned into READ vs WRITE usages (MERGE
+      counts as both) — mixing across the partitions is fine;
+    - legacy var-length relationships (``[*1..5]``) may not mix with
+      quantified path patterns in one clause;
+    - legacy ``shortestPath()/allShortestPaths()`` may not mix with GQL
+      path selectors in one clause, nor apply to a QPP.
+
+    The fold covers the clause's whole subtree, so subquery expressions
+    (EXISTS/COUNT/COLLECT) and CALL {} bodies conflict within their
+    enclosing clause while separate top-level clauses never do.
+    """
+    import dataclasses
+
+    flags = {"read_legacy": False, "read_gpm": False,
+             "write_legacy": False, "write_gpm": False,
+             "vlr": False, "qpp": False,
+             "legacy_sp": False, "selector": False}
+
+    def mark_lx(node, write_ctx, is_rel=False):
+        legacy = getattr(node, "lx_legacy", False)
+        gpm = getattr(node, "lx_gpm", False)
+        buckets = (("write",) if write_ctx is True else
+                   ("read",) if write_ctx is False else ("read", "write"))
+        for b in buckets:
+            if legacy and not is_rel:
+                flags[b + "_legacy"] = True
+            if gpm:
+                flags[b + "_gpm"] = True
+
+    def walk(node, write_ctx, in_qpp=False):
+        if isinstance(node, (list, tuple)):
+            for x in node:
+                walk(x, write_ctx, in_qpp)
+            return
+        if isinstance(node, A.Create) or isinstance(
+                node, (A.SetClause, A.RemoveClause, A.Delete)):
+            write_ctx = True
+        elif isinstance(node, A.Merge):
+            write_ctx = "both"
+        elif isinstance(node, (A.Match, A.Projection, A.Unwind)):
+            write_ctx = False
+        if isinstance(node, A.NodePat):
+            mark_lx(node, write_ctx)
+        elif isinstance(node, A.RelPat):
+            mark_lx(node, write_ctx, is_rel=True)
+            if node.var_length and not in_qpp:
+                # a var-length rel NESTED INSIDE a QPP unit is this
+                # engine's documented extension (qpp_nested_var entry) —
+                # only SIBLING mixing is the reference's syntax error
+                flags["vlr"] = True
+        elif isinstance(node, A.HasLabels):
+            mark_lx(node, write_ctx)
+        elif isinstance(node, A.QPP):
+            flags["qpp"] = True
+            in_qpp = True
+        elif isinstance(node, A.PatternPart):
+            if node.legacy_shortest:
+                flags["legacy_sp"] = True
+                if any(isinstance(e, A.QPP) for e in node.elements):
+                    raise TranslateError(
+                        "shortestPath()/allShortestPaths() cannot be "
+                        "applied to a quantified path pattern — use a "
+                        "GQL path selector instead")
+            elif node.selector is not None:
+                flags["selector"] = True
+        if dataclasses.is_dataclass(node) and not isinstance(node, type):
+            for f in dataclasses.fields(node):
+                walk(getattr(node, f.name), write_ctx, in_qpp)
+
+    walk(clause, False)
+    for b in ("read", "write"):
+        if flags[b + "_legacy"] and flags[b + "_gpm"]:
+            raise TranslateError(
+                "Mixing label expression symbols ('|', '&', '!', '%') or "
+                "the IS keyword with colon (':') conjunction between "
+                "labels is not allowed in the same statement — use one "
+                "set of symbols")
+    if flags["vlr"] and flags["qpp"]:
+        raise TranslateError(
+            "Mixing variable-length relationships ('[*]') with quantified "
+            "path patterns is not allowed in the same statement")
+    if flags["legacy_sp"] and flags["selector"]:
+        raise TranslateError(
+            "Mixing shortestPath()/allShortestPaths() with GQL path "
+            "selectors (SHORTEST k / ANY / ALL SHORTEST) is not allowed "
+            "in the same statement")
+
+
+def _short_err(e: Exception) -> str:
+    """One-line error message for REPORT STATUS errorMessage — the
+    reference surfaces e.g. ``/ by zero``, not a stack trace.  Spark
+    exceptions carry the class-tagged message on the first line."""
+    msg = str(e).splitlines()[0] if str(e) else type(e).__name__
+    return msg[:500]
+
+
 class Translator:
     def __init__(self, spark: SparkSession, graph: PropertyGraph,
                  params: Dict[str, Any], catalog=None) -> None:
@@ -656,6 +759,7 @@ class Translator:
         return clause
 
     def _apply(self, df: Optional[DataFrame], clause: A.Clause) -> DataFrame:
+        check_clause_syntax_mixing(clause)
         clause = self._resolve_dyn_clause(clause)
         if isinstance(clause, A.Use):
             # USE <graph> (useClause): with a GraphCatalog bound, re-target
@@ -721,7 +825,7 @@ class Translator:
         if isinstance(clause, A.Create):
             return W.apply_create(self, df, clause)
         if isinstance(clause, A.Merge):
-            return W.apply_merge(self, df, clause)
+            return self._merge_with_path(df, clause, W)
         if isinstance(clause, A.SetClause):
             return W.apply_set(self, df, clause.items)
         if isinstance(clause, A.RemoveClause):
@@ -729,6 +833,31 @@ class Translator:
         if isinstance(clause, A.Delete):
             return W.apply_delete(self, df, clause)
         raise TranslateError(f"unsupported clause {type(clause).__name__}")
+
+    def _merge_with_path(self, df: Optional[DataFrame], clause: A.Merge,
+                         W) -> DataFrame:
+        """MERGE p = (...)-[...]->(...): run the merge with every element
+        named, then build the PathValue from the bound elements
+        (MergeLegacyAcceptance 'Introduce named paths')."""
+        import dataclasses
+
+        part = clause.part
+        if part.path_var is None:
+            return W.apply_merge(self, df, clause)
+        els = []
+        for el in part.elements:
+            if getattr(el, "var", None) is None:
+                prefix = "mp" if isinstance(el, A.NodePat) else "mr"
+                el = dataclasses.replace(el, var=self._anon_var(prefix))
+            els.append(el)
+        clause = dataclasses.replace(
+            clause, part=dataclasses.replace(part, elements=els))
+        out = W.apply_merge(self, df, clause)
+        node_vars = [e.var for e in els if isinstance(e, A.NodePat)]
+        rel_vars = [(e.var, "rel") for e in els if isinstance(e, A.RelPat)]
+        out = self._build_path(out, part.path_var, node_vars, rel_vars)
+        self.kinds[part.path_var] = "path"
+        return out
 
     # ---- MATCH -----------------------------------------------------------
 
@@ -2831,20 +2960,401 @@ class Translator:
 
     # ---- CALL {} subquery (LP:3897 SubqueryForeach / CallSubquery) -------
 
+    # clauses whose batch (all-rows-at-once) rendering is equivalent to
+    # the reference's sequential per-row execution: CREATE only makes NEW
+    # entities (its inputs are frozen import values, which no prior
+    # execution can have changed), UNWIND/WITH are pure projections
+    _BATCH_SAFE_CLAUSES = (A.Create, A.Unwind, A.Projection)
+
+    def _body_update_info(self, clause: A.CallSub) -> tuple:
+        """(updates, mutates, needs_seq) for a CALL {} body.
+
+        - updates: contains any updating clause
+        - mutates: can change EXISTING entities (SET/REMOVE/DELETE/
+          MERGE/FOREACH) — reads after the CALL must be refreshed
+        - needs_seq: an updating body whose executions can observe each
+          other (it reads the graph — MATCH, MERGE, SET-from-property,
+          …) — must run once per input row, in order, like the
+          reference's CallSubqueryPipe, not as one batch
+        """
+        branches = (clause.query.queries
+                    if isinstance(clause.query, A.UnionQuery)
+                    else [clause.query])
+        updates = mutates = non_safe = False
+        for b in branches:
+            for c in b.clauses:
+                if isinstance(c, (A.Create, A.Merge, A.SetClause,
+                                  A.RemoveClause, A.Delete, A.Foreach)):
+                    updates = True
+                    if not isinstance(c, A.Create):
+                        mutates = True
+                if not isinstance(c, self._BATCH_SAFE_CLAUSES):
+                    non_safe = True
+        return updates, mutates, updates and non_safe
+
     def _call_sub(self, df: Optional[DataFrame], clause: A.CallSub) -> DataFrame:
+        updates, mutates, needs_seq = self._body_update_info(clause)
+        if clause.in_transactions:
+            # validate OF <expr> ROWS up front — also on the single-shot
+            # fast path, where the value is otherwise unused
+            self._eval_batch_size(clause.batch_rows)
+        if clause.in_transactions and (
+                clause.report_var
+                or clause.on_error in ("CONTINUE", "BREAK")):
+            # honored ON ERROR / REPORT STATUS semantics need real batch
+            # boundaries — route to the sequential TransactionApply loop.
+            return self._call_in_tx(df, clause)
+        if df is not None and needs_seq:
+            # read-write body: executions observe one another, so the
+            # batch rendering diverges (CypherTransactionsAcceptance
+            # 'subquery executions should observe writes done in previous
+            # executions') — run the same loop.  Plain `IN TRANSACTIONS
+            # [ON ERROR FAIL]` without a report also lands here when its
+            # body needs sequencing; a write-only body keeps the
+            # single-shot batch plan (identical semantics, one
+            # distributed job).
+            return self._call_in_tx(df, clause)
         out = self._call_sub_body(df, clause)
-        if clause.in_transactions and clause.report_var:
-            # TransactionApply (LP:4039) REPORT STATUS: in a batch engine
-            # the whole statement is one snapshot commit, so every row's
-            # batch committed (ON ERROR CONTINUE cannot observe a partial
-            # failure — an error fails the Spark job before any write lands)
-            out = out.withColumn(clause.report_var, F.struct(
-                F.lit(True).alias("started"),
-                F.lit(True).alias("committed"),
-                F.lit(None).cast("string").alias("transactionId"),
-                F.lit(None).cast("string").alias("errorMessage")))
-            self.kinds[clause.report_var] = "scalar"
+        if df is not None and mutates:
+            out = self._refresh_entities(out)
         return out
+
+    def _fresh_entity_scan(self, kind: str, h: str) -> DataFrame:
+        if kind == "node":
+            return self._node_scan(A.NodePat(None), h)
+        base = self.graph.rels
+        props = [c for c in base.columns if c not in REL_META]
+        struct = F.struct(
+            F.col("id").alias("_id"), F.col("src").alias("_src"),
+            F.col("dst").alias("_dst"), F.col("type").alias("_type"),
+            *[F.col(p).alias(_unesc_prop(p)) for p in props])
+        return base.select(struct.alias(h))
+
+    def _refresh_entities(self, df: DataFrame,
+                          only: Optional[set] = None) -> DataFrame:
+        """Re-resolve bound node/rel structs from the CURRENT graph
+        frames — reads after a mutating CALL {} body must observe the
+        subquery's writes instead of the struct captured at MATCH time
+        (CypherTransactionsAcceptance 'not use stale property caches').
+        Entities deleted by the body resolve to NULL."""
+        from pyspark.sql import types as T
+
+        for var in list(df.columns):
+            kind = self.kinds.get(var)
+            if kind not in ("node", "rel"):
+                continue
+            if only is not None and var not in only:
+                continue
+            if not isinstance(df.schema[var].dataType, T.StructType):
+                continue
+            h = self._anon_var("rf")
+            scan = self._fresh_entity_scan(kind, h)
+            df = df.join(
+                scan,
+                df[var].getField("_id") == scan[h].getField("_id"),
+                "left").withColumn(var, F.col(h)).drop(h)
+            # labels may have changed — drop pruning knowledge
+            self.var_labels.pop(var, None)
+        return df
+
+    def _stub_entities(self, df: DataFrame) -> DataFrame:
+        """Collapse bound node/rel structs to ``{_id}`` stubs (schema-
+        stable across executions whose writes evolve shard schemas);
+        :meth:`_refresh_entities` re-resolves them afterwards."""
+        from pyspark.sql import types as T
+
+        for var in list(df.columns):
+            if self.kinds.get(var) not in ("node", "rel"):
+                continue
+            if not isinstance(df.schema[var].dataType, T.StructType):
+                continue
+            df = df.withColumn(var, F.struct(
+                F.col(var).getField("_id").alias("_id")))
+        return df
+
+    def _call_in_tx(self, df: Optional[DataFrame],
+                    clause: A.CallSub) -> DataFrame:
+        """TransactionApply (LP:4039) with honored ON ERROR modes.
+
+        The reference pulls the outer rowstream through one thread,
+        slices it into batches of ``OF n ROWS``, and commits each batch
+        in its own transaction (``CallInTransactionsErrorHandling
+        .feature``, ``...WithReturn.feature``).  The Spark rendering:
+        sequence the input once, then drive a driver-side loop — one
+        materialized sub-plan per batch — with try/except around each.
+        IN TRANSACTIONS is inherently this serialized loop in the
+        reference too; it exists for periodic commit, not parallelism.
+
+        Rollback: writes replace entries in the graph's shard-frame
+        dicts (frames are immutable values), so restoring the dict
+        snapshot taken before the batch IS the transaction rollback.
+
+        - ON ERROR CONTINUE: failed batch rolls back, its input rows
+          pass through once each with null subquery columns and
+          ``committed=false, errorMessage`` in REPORT STATUS; later
+          batches still run.
+        - ON ERROR BREAK: like CONTINUE for the failing batch, but
+          later batches are not started (``started=false``, null
+          transactionId); their rows pass through with nulls.
+        - ON ERROR FAIL (default): re-raise after rolling back the
+          failing batch — prior batches stay committed.
+        """
+        from pyspark.sql import Window as SW
+
+        updates, mutates, needs_seq = self._body_update_info(clause)
+        on_error = (clause.on_error or "FAIL").upper()
+        if clause.in_transactions:
+            batch = self._eval_batch_size(clause.batch_rows) or 1000
+        else:
+            # plain CALL routed here for sequential execution: one
+            # implicit transaction — an error fails (and undoes) the
+            # whole statement
+            batch = 1 << 40
+        if df is None:
+            df = self.spark.range(1).select(F.lit(True).alias("__tx_unit"))
+        in_cols = [c for c in df.columns if c != "__tx_unit"]
+        seq = df.withColumn("__tx_mid", F.monotonically_increasing_id())
+        # a global row_number serializes the stream — exactly the
+        # reference's single-threaded transaction feed; batch identity is
+        # meaningless under a partition-parallel numbering
+        seq = seq.withColumn("__tx_rn", F.row_number().over(
+            SW.orderBy(F.col("__tx_mid")))).drop("__tx_mid")
+        seq = seq.withColumn(
+            "__tx_bid",
+            ((F.col("__tx_rn") - F.lit(1)) / F.lit(batch)).cast("long"))
+        seq = self._stats_safe_ckpt(seq)
+        last_rn, last_bid = seq.agg(
+            F.max("__tx_rn"), F.max("__tx_bid")).first()
+        n_batches = int(last_bid) + 1 if last_bid is not None else 0
+        max_b = int(self.spark.conf.get("neo4j_spark.tx.maxBatches",
+                                        "100000"))
+        if n_batches > max_b:
+            raise TranslateError(
+                f"CALL {{}} IN TRANSACTIONS would run {n_batches} "
+                f"sequential batches (> neo4j_spark.tx.maxBatches="
+                f"{max_b}); raise the conf or the batch size")
+        if needs_seq:
+            max_seq = int(self.spark.conf.get(
+                "neo4j_spark.call.maxSequentialRows", "10000"))
+            if (last_rn or 0) > max_seq:
+                raise TranslateError(
+                    f"this CALL {{}} body both reads and writes the "
+                    f"graph, so its executions observe one another and "
+                    f"must run once per input row ({last_rn} rows > "
+                    f"neo4j_spark.call.maxSequentialRows={max_seq}); "
+                    "restructure the body to be write-only (CREATE) or "
+                    "raise the conf")
+        # schema probe: translate the body over an empty slice to learn
+        # the output columns without committing anything (compile-time
+        # errors propagate — ON ERROR governs runtime errors only)
+        snap = self.graph.state_snapshot()
+        eff0 = dict(self.effects) if hasattr(self, "effects") else None
+        try:
+            probe = self._call_sub_body(seq.limit(0), clause)
+        finally:
+            self.graph.restore_state(snap)
+            self._reset_effects(eff0)
+        ret_cols = [c for c in probe.columns if c not in seq.columns]
+        ret_types = {c: probe.schema[c].dataType for c in ret_cols}
+        if needs_seq:
+            # entity results travel as {_id} stubs through the loop
+            # (see _stub_entities); null fills must match that shape
+            from pyspark.sql import types as T
+
+            stub_t = T.StructType([T.StructField("_id", T.LongType())])
+            for c in ret_cols:
+                if (self.kinds.get(c) in ("node", "rel")
+                        and isinstance(ret_types[c], T.StructType)):
+                    ret_types[c] = stub_t
+
+        def status_col(started, committed, txid, err):
+            return F.struct(
+                F.lit(started).alias("started"),
+                F.lit(committed).alias("committed"),
+                (F.lit(txid) if txid is not None else F.lit(None))
+                .cast("string").alias("transactionId"),
+                (F.lit(err) if err is not None else F.lit(None))
+                .cast("string").alias("errorMessage"))
+
+        def passthrough(bdf, status):
+            out = bdf.select(
+                "__tx_rn", *in_cols,
+                *[F.lit(None).cast(ret_types[c]).alias(c)
+                  for c in ret_cols])
+            if needs_seq:
+                out = self._stub_entities(out)
+            if clause.report_var:
+                out = out.withColumn(clause.report_var, status)
+            return out
+
+        out_frames: List[DataFrame] = []
+        stopped = False
+        for k in range(n_batches):
+            bdf = seq.filter(F.col("__tx_bid") == k)
+            txid = f"spark-tx-{k}"
+            if stopped:
+                out_frames.append(passthrough(
+                    bdf, status_col(False, False, None, None)))
+                continue
+            snap = self.graph.state_snapshot()
+            eff0 = dict(self.effects) if hasattr(self, "effects") else None
+            try:
+                if needs_seq:
+                    # per-row execution in row order: each run observes
+                    # the previous runs' writes (CallSubqueryPipe); the
+                    # whole batch still commits/rolls back as one tx
+                    lo, hi = k * batch + 1, min((k + 1) * batch,
+                                                int(last_rn))
+                    out = None
+                    for rn in range(lo, hi + 1):
+                        one = seq.filter(F.col("__tx_rn") == rn)
+                        if mutates:
+                            # imported entity structs must see the
+                            # PREVIOUS execution's writes (stale-cache
+                            # scenarios) — re-resolve before running
+                            one = self._refresh_entities(one)
+                        r = self._call_sub_body(one, clause)
+                        # normalize entity columns to {_id} stubs: writes
+                        # change shard schemas between executions, so the
+                        # full structs would not union; the stubs are
+                        # re-resolved once from the final graph state
+                        # after the loop
+                        r = self._stub_entities(r)
+                        r = self._stats_safe_ckpt(r)
+                        out = r if out is None else out.unionByName(
+                            r, allowMissingColumns=True)
+                else:
+                    out = self._call_sub_body(bdf, clause)
+                # force the batch NOW — reads, the join-back, and any
+                # expression errors; writes were already forced eagerly
+                # inside the body translation
+                out = self._stats_safe_ckpt(out)
+            except Exception as e:  # noqa: BLE001 — tx isolation boundary
+                self.graph.restore_state(snap)
+                self._reset_effects(eff0)
+                if on_error == "FAIL":
+                    raise
+                out_frames.append(passthrough(
+                    bdf, status_col(True, False, txid, _short_err(e))))
+                if on_error == "BREAK":
+                    stopped = True
+                continue
+            out = out.select("__tx_rn", *in_cols, *ret_cols)
+            if clause.report_var:
+                out = out.withColumn(
+                    clause.report_var, status_col(True, True, txid, None))
+            out_frames.append(out)
+            if needs_seq and mutates:
+                # sequential SET/REMOVE/DELETE bodies stack a join overlay
+                # on every shard frame per execution — freeze the changed
+                # frames at the batch commit so plan depth stays constant
+                # across the loop (each batch re-reads current state
+                # anyway, so the materialization is the read it already
+                # pays; without this, planning time grows quadratically)
+                for frames, snap_frames in ((self.graph.node_frames,
+                                             snap[0]),
+                                            (self.graph.rel_frames,
+                                             snap[1])):
+                    for name, frame in list(frames.items()):
+                        if snap_frames.get(name) is not frame:
+                            frames[name] = self._stats_safe_ckpt(frame)
+        if not out_frames:
+            final = passthrough(seq.limit(0),
+                                status_col(False, False, None, None))
+        else:
+            final = out_frames[0]
+            for f in out_frames[1:]:
+                final = final.unionByName(f)
+        final = final.orderBy("__tx_rn").drop("__tx_rn")
+        if needs_seq:
+            # re-resolve the {_id} stubs against the FINAL graph state:
+            # reads after the CALL observe the writes of every committed
+            # execution (stale-property-cache scenarios)
+            final = self._refresh_entities(final)
+        if clause.report_var:
+            self.kinds[clause.report_var] = "scalar"
+        return final
+
+    def _eval_batch_size(self, e) -> Optional[int]:
+        """Evaluate ``OF <expr> ROWS``: must be a CONSTANT positive
+        integer (literal, $param, or a foldable expression) — graph-
+        touching or unbound expressions are a compile error, non-integer
+        or non-positive values an argument error
+        (CypherTransactionsAcceptance batchSize scenarios)."""
+        if e is None:
+            return None
+        if isinstance(e, int):  # programmatic ASTs
+            v = e
+        else:
+            one = self.spark.range(1)
+            try:
+                col = self._compiler(one).compile(e)
+                v = one.select(col.alias("__bs")).first()["__bs"]
+            except Exception as ex:
+                raise TranslateError(
+                    "the batch size of CALL {} IN TRANSACTIONS must be a "
+                    "constant expression — it cannot touch the graph or "
+                    f"reference variables ({_short_err(ex)})") from ex
+        if v is None or isinstance(v, bool) or not isinstance(v, int):
+            raise TranslateError(
+                f"invalid argument: batch size must be an integer, got "
+                f"{v!r}")
+        if v <= 0:
+            raise TranslateError(
+                f"invalid argument: batch size must be positive, got {v}")
+        return int(v)
+
+    def _stats_safe_ckpt(self, df: DataFrame) -> DataFrame:
+        """Eager localCheckpoint that also BOUNDS Catalyst's size
+        estimate.  ``localCheckpoint`` preserves the pre-checkpoint
+        stats, and ``SizeInBytesOnlyStatsPlanVisitor.visitJoin``
+        MULTIPLIES child sizes — so a loop of join-then-checkpoint
+        (the sequential CALL {} IN TRANSACTIONS path) compounds the
+        products across generations until the BigInteger bit-length
+        doubles per batch and the driver spends minutes in
+        ``BigInteger.multiplyToomCook3`` (measured: flat 1 s/batch for
+        ten batches, then 8 s, then 60+ s with flat plans and flat row
+        counts).  When the checkpointed frame's estimate exceeds 512
+        bits — far beyond any physical size, so only pathological
+        products qualify — rebuild the frame over the SAME materialized
+        RDD via ``internalCreateDataFrame``, which drops the inherited
+        stats (the frame then defaults to spark.sql.defaultSizeInBytes,
+        i.e. it is conservatively never broadcast).  Sanely-sized
+        frames pass through untouched, keeping their broadcast
+        decisions."""
+        out = df.localCheckpoint(eager=True)
+        try:
+            # py4j renders the scala BigInt as a python int
+            bits = int(out._jdf.queryExecution().optimizedPlan()
+                       .stats().sizeInBytes()).bit_length()
+        except Exception:  # pragma: no cover — stats API drift
+            return out
+        if bits <= 512:
+            return out
+        jdf = out._jdf
+        njdf = self.spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False)
+        return DataFrame(njdf, out.sparkSession)
+
+    def _reset_effects(self, eff0) -> None:
+        """Restore the outer effect counters to a pre-batch snapshot."""
+        if eff0 is None:
+            if hasattr(self, "effects"):
+                del self.effects
+        else:
+            self.effects.clear()
+            self.effects.update(eff0)
+
+    def _adopt_effects(self, sub: "Translator") -> None:
+        """Fold a subquery translator's write-effect counters into this
+        scope, so CALL {} writes surface in the statement summary."""
+        eff = getattr(sub, "effects", None)
+        if eff:
+            from ..operators.writes import _ensure_effects
+
+            mine = _ensure_effects(self)
+            for k, v in eff.items():
+                mine[k] = mine.get(k, 0) + v
 
     def _hoist_use(self, branch: A.SingleQuery):
         """Split a leading USE off a subquery branch.  The reference
@@ -2897,16 +3407,24 @@ class Translator:
             body, use_g = self._hoist_use(branches[0])
             sub = Translator(self.spark, use_g or self.graph, self.params,
                              catalog=self.catalog)
-            if df is not None and clause.imports:
+            if df is not None:
+                # the body runs once per incoming row (CallSubqueryPipe
+                # semantics) — a zero-column select keeps the cardinality
+                # when nothing is imported
                 shared = [v for v in clause.imports if v in df.columns]
                 sub.kinds.update(
                     {v: self.kinds[v] for v in shared if v in self.kinds})
                 sub._single_over(df.select(*shared), body)
             else:
                 sub._single(body)
+            self._adopt_effects(sub)
             return df if df is not None else self.spark.range(1).select(
                 F.lit(1).alias("__unit"))
-        if df is None or not clause.imports:
+        body_updates = any(
+            isinstance(c, (A.Create, A.Merge, A.SetClause, A.RemoveClause,
+                           A.Delete, A.Foreach))
+            for b in branches for c in b.clauses)
+        if df is None or (not clause.imports and not body_updates):
             inner = None
             branch_subs = []
             for b in branches:
@@ -2915,6 +3433,7 @@ class Translator:
                                  self.params, catalog=self.catalog)
                 frame = sub._single(b)
                 branch_subs.append(sub)
+                self._adopt_effects(sub)
                 inner = frame if inner is None else inner.unionByName(frame)
             self._merge_branch_scopes(branch_subs)
             if not union_all:
@@ -2929,6 +3448,15 @@ class Translator:
         import dataclasses
 
         shared = [v for v in clause.imports if v in df.columns]
+        uid = None
+        if body_updates:
+            # an updating body executes once per INPUT ROW, not per
+            # distinct import tuple (CallSubqueryPipe) — a frozen unique
+            # row id defeats the dropDuplicates and keys the join-back
+            uid = "__corr_uid"
+            df = self._stats_safe_ckpt(
+                df.withColumn(uid, F.monotonically_increasing_id()))
+            shared = shared + [uid]
         base = df.select(*shared).dropDuplicates()
         # correlation columns must survive the subquery's own projections:
         # thread hidden copies through every WITH/RETURN (they become extra
@@ -2963,6 +3491,7 @@ class Translator:
                 sub.kinds.pop(h, None)
                 sub.var_labels.pop(h, None)
             branch_subs.append(sub)
+            self._adopt_effects(sub)
             matched = frame if matched is None else matched.unionByName(frame)
         self._merge_branch_scopes(branch_subs)
         if not union_all:
@@ -2994,6 +3523,8 @@ class Translator:
                 c = l.eqNullSafe(r)
             cond = c if cond is None else cond & c
         out = df.join(matched, cond, how).drop(*hid.values())
+        if uid is not None:
+            out = out.drop(uid)
         for name, d in defaults.items():
             out = out.withColumn(name, F.coalesce(F.col(name), d))
         return out
@@ -3023,6 +3554,14 @@ class Translator:
             self.kinds.pop(clause.var, None)
         else:
             self.kinds[clause.var] = old_kind
+        if any(isinstance(c, (A.Merge, A.SetClause, A.RemoveClause,
+                              A.Delete, A.Foreach))
+               for c in clause.updates):
+            # reads after FOREACH observe its writes on existing
+            # entities (CypherTransactionsAcceptance stale-cache
+            # scenarios) — re-resolve the outer structs; CREATE-only
+            # bodies change nothing already bound, so skip the join
+            df = self._refresh_entities(df)
         return df
 
     # ---- UNWIND ----------------------------------------------------------

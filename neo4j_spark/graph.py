@@ -194,6 +194,31 @@ class PropertyGraph:
         g._tx_metadata = dict(self._tx_metadata)
         return g
 
+    def state_snapshot(self) -> tuple:
+        """Capture the mutable write state.  Shard frames are immutable
+        values — a write replaces dict entries, never mutates a frame —
+        so a shallow dict/set copy is a complete transactional snapshot.
+        Used by CALL {} IN TRANSACTIONS to roll a failed batch back
+        (TransactionApply LP:4039 ON ERROR semantics,
+        CallInTransactionsErrorHandling.feature)."""
+        return (dict(self.node_frames), dict(self.rel_frames),
+                dict(self.rel_endpoint_labels), set(self._extra_labels),
+                self._write_epoch, dict(self._count_memo),
+                set(self._token_labels), set(self._token_rel_types),
+                set(self._token_props), dict(self.fulltext_indexes),
+                dict(self._tx_metadata))
+
+    def restore_state(self, snap: tuple) -> None:
+        """Roll back to a :meth:`state_snapshot` (same graph object, so
+        every holder of the reference sees the rollback)."""
+        (self.node_frames, self.rel_frames, self.rel_endpoint_labels,
+         self._extra_labels, self._write_epoch, self._count_memo,
+         self._token_labels, self._token_rel_types, self._token_props,
+         self.fulltext_indexes, self._tx_metadata) = (
+            dict(snap[0]), dict(snap[1]), dict(snap[2]), set(snap[3]),
+            snap[4], dict(snap[5]), set(snap[6]), set(snap[7]),
+            set(snap[8]), dict(snap[9]), dict(snap[10]))
+
     # ---- scans (leaf operators, SURVEY §2.1) ----------------------------
 
     @property

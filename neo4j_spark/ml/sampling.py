@@ -241,13 +241,15 @@ def pack_sequences(df: DataFrame, max_tokens: int,
     Deterministic global order: ``xxhash64(id)`` (a seeded shuffle and a
     stable order in one key).  Scale: the global running token count is
     a two-phase distributed prefix sum — per-bucket window cumsum (the
-    shuffle is on the hash bucket, uniform by construction) plus a
-    driver-side cumsum over the per-bucket totals broadcast back —
-    never a single-partition global window.  Each window task sorts one
-    bucket, so size the bucket count to the corpus via ``prefix_bytes``
-    (leading bytes of the order key): 1 -> 256 buckets, 2 -> 65,536
-    (default; ~1.5 GB per bucket at 100 TB), 3 -> 16.7M.  The
-    driver-side totals list is one row per NON-EMPTY bucket.
+    shuffle is on the hash bucket, uniform by construction) plus an
+    exclusive-prefix-sum window over the tiny per-bucket-totals frame
+    (one two-long row per NON-EMPTY bucket), broadcast back — never a
+    single-partition window over the data, and never a driver-side
+    collect.  Each window task sorts one bucket, so size the bucket
+    count to the corpus via ``prefix_bytes`` (leading bytes of the
+    order key): 1 -> 256 buckets, 2 -> 65,536 (default; ~1.5 GB per
+    bucket at 100 TB), 3 -> 16.7M (totals stay executor-side, so this
+    setting is safe too).
 
     Returns the input columns plus ``n_tokens``, ``pack_id`` (the window
     this document STARTS in) and ``pack_offset`` (token offset within
@@ -283,17 +285,17 @@ def pack_sequences(df: DataFrame, max_tokens: int,
     w = SW.partitionBy("_bk").orderBy("_pk", id_col)
     base = base.withColumn(
         "_cum", F.sum("n_tokens").over(w) - F.col("n_tokens"))
-    totals = (base.groupBy("_bk")
-              .agg(F.sum("n_tokens").alias("_tot"))
-              .orderBy("_bk").collect())  # one row per non-empty bucket
-    offsets, acc = {}, 0
-    for r in totals:
-        offsets[r["_bk"]] = acc
-        acc += r["_tot"] or 0
-    spark = df.sparkSession
-    off = spark.createDataFrame(
-        [(int(b), int(o)) for b, o in offsets.items()],
-        "_bk int, _off long")
+    # bucket offsets = exclusive prefix sum over the per-bucket totals —
+    # one row per non-empty bucket.  Computed as a window over that tiny
+    # totals frame, NEVER collected to the driver: at prefix_bytes=3 the
+    # totals can reach 16.7M rows (a driver-side dict would stall), while
+    # the single-task window over two-long rows is cheap at every
+    # prefix_bytes setting.
+    totals = base.groupBy("_bk").agg(F.sum("n_tokens").alias("_tot"))
+    w_off = SW.orderBy("_bk").rowsBetween(SW.unboundedPreceding, -1)
+    off = totals.withColumn(
+        "_off", F.coalesce(F.sum("_tot").over(w_off),
+                           F.lit(0)).cast("long")).drop("_tot")
     out = (base.join(F.broadcast(off), "_bk")
            .withColumn("_gpos", F.col("_cum") + F.col("_off"))
            .withColumn("pack_id",

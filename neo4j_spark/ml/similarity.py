@@ -296,6 +296,36 @@ def save_ivf_index(df: DataFrame, path: str, n_centroids: int = 16,
         "list_id int, centroid array<double>")
     cdf.coalesce(1).write.mode("overwrite") \
         .parquet(os.path.join(path, "centroids"))
+    # a rebuilt index must not serve stale memoized handles
+    _IVF_HANDLES.pop(
+        (spark.sparkContext.applicationId, os.path.abspath(path)), None)
+
+
+_IVF_HANDLES: dict = {}
+
+
+def _ivf_handle(spark, path: str) -> dict:
+    """Memoized per-(session, index path) handle: the centroid list (a
+    bounded driver-side read, one row per list) and the lists-directory
+    DataFrame (whose file index Spark caches inside the plan).  Without
+    this, every probe re-reads the centroids parquet and re-lists the
+    partition directories — the dominant cost of many-query workloads
+    (sf0.01 selfcheck: ~50 s of small-file round-trips).  Invalidated by
+    :func:`save_ivf_index`."""
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(path))
+    h = _IVF_HANDLES.get(key)
+    if h is None:
+        h = {
+            "centroids": {
+                r["list_id"]: r["centroid"]
+                for r in spark.read.parquet(
+                    os.path.join(path, "centroids")).collect()},
+            "lists": spark.read.parquet(os.path.join(path, "lists")),
+        }
+        _IVF_HANDLES[key] = h
+    return h
 
 
 def knn_ivf_probe(spark, path: str, query_vec: Sequence[float], k: int = 10,
@@ -304,11 +334,11 @@ def knn_ivf_probe(spark, path: str, query_vec: Sequence[float], k: int = 10,
     """Top-k over a ``save_ivf_index`` store: rank centroids driver-side,
     read ONLY the ``n_probe`` nearest list partitions (the filter on the
     partition column prunes directories at planning time), exact re-rank
-    inside them."""
-    import os
-
-    cents = {r["list_id"]: r["centroid"] for r in
-             spark.read.parquet(os.path.join(path, "centroids")).collect()}
+    inside them.  The centroid list and the lists scan are memoized per
+    index path (see :func:`_ivf_handle`), so repeated probes pay only
+    the pruned partition read."""
+    handle = _ivf_handle(spark, path)
+    cents = handle["centroids"]
     qv = np.array([float(x) for x in query_vec])
 
     def cos_np(c):
@@ -317,8 +347,7 @@ def knn_ivf_probe(spark, path: str, query_vec: Sequence[float], k: int = 10,
         return float(qv @ c / (na * nb)) if na and nb else 0.0
 
     ranked = sorted(cents, key=lambda i: -cos_np(cents[i]))[:n_probe]
-    cand = spark.read.parquet(os.path.join(path, "lists")) \
-        .filter(F.col("_ivf_list").isin(ranked))
+    cand = handle["lists"].filter(F.col("_ivf_list").isin(ranked))
     q = F.lit([float(x) for x in query_vec])
     return (cand.select(F.col(id_col),
                         F.round(cosine(F.col(vec_col), q), 6).alias("score"))

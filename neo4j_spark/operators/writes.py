@@ -62,11 +62,55 @@ def effects_frame(tr) -> DataFrame:
 # ---- CREATE ---------------------------------------------------------------
 
 
+def _check_rebind(tr, df: Optional[DataFrame], part: A.PatternPart) -> None:
+    """A CREATE/MERGE pattern may reference an already-bound variable but
+    cannot impose NEW labels or properties on it (the reference's
+    VariableAlreadyBound error, MergeLegacyAcceptance)."""
+    seen = set(df.columns) if df is not None else set()
+    for el in part.elements:
+        v = getattr(el, "var", None)
+        if v is None:
+            continue
+        labeled = bool(getattr(el, "labels", None)) \
+            or getattr(el, "props", None) is not None
+        if v in seen and labeled and isinstance(el, A.NodePat):
+            raise ValueError(
+                f"the variable `{v}` is already bound — a CREATE/MERGE "
+                "pattern cannot impose new labels or properties on it "
+                "(VariableAlreadyBound)")
+        seen.add(v)
+
+
+def _lower_part_props(tr, df: DataFrame, part: A.PatternPart):
+    """Lower pattern comprehensions / subquery expressions inside CREATE
+    and MERGE property maps (the expression compiler requires them
+    pre-lowered; MergeLegacyAcceptance 'pattern comprehension in MERGE')."""
+    import dataclasses
+
+    new_els, changed = [], False
+    for el in part.elements:
+        props = getattr(el, "props", None)
+        if props is not None:
+            items = []
+            for k, v in props.items:
+                df, nv = tr._lower_all(df, v)
+                changed = changed or (nv is not v)
+                items.append((k, nv))
+            if changed:
+                el = dataclasses.replace(el, props=A.MapLit(items))
+        new_els.append(el)
+    if changed:
+        part = dataclasses.replace(part, elements=new_els)
+    return df, part
+
+
 def apply_create(tr, df: Optional[DataFrame], clause: A.Create) -> DataFrame:
     _ensure_effects(tr)
     if df is None:
         df = tr.spark.range(1).select(F.lit(1).alias("__one"))
     for part in clause.parts:
+        _check_rebind(tr, df, part)
+        df, part = _lower_part_props(tr, df, part)
         df = _create_part(tr, df, part)
     return df
 
@@ -164,6 +208,48 @@ def _collect_capped(df: DataFrame, col: Column, what: str) -> List[str]:
     return [r["__v"] for r in rows if r["__v"] is not None]
 
 
+def _enforce_node_uniqueness(tr, delta: DataFrame) -> None:
+    """UNIQUE / NODE KEY enforcement at write time (the reference's
+    ConstraintValidationFailed: CreateBlockedByConstraint,
+    ConstraintAcceptance.feature): a created node whose key collides
+    with an existing node — or with another node created in the same
+    delta — raises before the delta is committed to the shard.  Runs
+    only when a matching constraint is registered, so unconstrained
+    graphs pay nothing; rows with a null key are exempt (uniqueness
+    ignores null, IndexEntryConflictException semantics)."""
+    cons = getattr(tr.graph, "schema_constraints", None)
+    if not cons:
+        return
+    for c in cons.values():
+        if c.get("entityType") != "NODE" or c.get("type") not in (
+                "UNIQUE", "NODE KEY", "KEY"):
+            continue
+        label = c["labelsOrTypes"][0]
+        props = [esc_prop(p, NODE_META) for p in c["properties"]]
+        if any(p not in delta.columns for p in props):
+            continue  # created without the key property: nothing to clash
+        cand = delta.filter(F.array_contains(F.col("labels"), label))
+        for p in props:
+            cand = cand.filter(F.col(p).isNotNull())
+        desc = (f":{label}(" + ", ".join(c["properties"]) + ")")
+        if cand.groupBy(*props).agg(F.count(F.lit(1)).alias("__c")) \
+               .filter(F.col("__c") > 1).limit(1).count():
+            raise ValueError(
+                f"ConstraintValidationFailed: cannot create nodes — two "
+                f"created nodes share a {c['type']} key on {desc} "
+                "(CreateBlockedByConstraint)")
+        existing = tr.graph.nodes_for_labels([label])
+        if any(p not in existing.columns for p in props):
+            continue
+        clash = existing.select(*props).dropna().join(
+            cand.select(*props).dropDuplicates(), props).limit(1).count()
+        if clash:
+            raise ValueError(
+                f"ConstraintValidationFailed: cannot create node — a node "
+                f"with the same {c['type']} key already exists on {desc} "
+                "(CreateBlockedByConstraint)")
+
+
 def _create_or_ref_node(tr, df: DataFrame, np: A.NodePat) -> Tuple[DataFrame, str]:
     var = np.var or tr._anon_var("cn")
     if var in df.columns:
@@ -196,6 +282,7 @@ def _create_or_ref_node(tr, df: DataFrame, np: A.NodePat) -> Tuple[DataFrame, st
           for k, _ in prop_cols])
     if dynamic:
         delta = delta.localCheckpoint(eager=True)
+        _enforce_node_uniqueness(tr, delta)
         firsts = _collect_capped(
             delta, F.element_at("labels", 1), "first labels")
         for shard in firsts:
@@ -215,6 +302,13 @@ def _create_or_ref_node(tr, df: DataFrame, np: A.NodePat) -> Tuple[DataFrame, st
         return df, var
     labels = list(np.labels) or ["_none"]
     shard = labels[0]
+    # freeze the delta: evaluates every property expression NOW, so (a)
+    # runtime errors surface inside the writing statement — the batch
+    # isolation point for CALL {} IN TRANSACTIONS ON ERROR — instead of
+    # at a later read (delta.count() alone would column-prune them away),
+    # and (b) nondeterministic props (randomUUID) are computed once
+    delta = delta.localCheckpoint(eager=True)
+    _enforce_node_uniqueness(tr, delta)
     old = tr.graph.node_frames.get(shard)
     tr.graph.node_frames[shard] = (
         delta if old is None
@@ -252,6 +346,9 @@ def _create_rel(tr, df: DataFrame, rp: A.RelPat, prev: str, nvar: str) -> DataFr
         F.col(rvar).getField("_type").alias("type"),
         *[F.col(rvar).getField(k).alias(esc_prop(k, REL_META))
           for k, _ in prop_cols])
+    # freeze the delta (see _create_or_ref_node: surfaces property-expr
+    # errors at write time, computes nondeterministic props once)
+    delta = delta.localCheckpoint(eager=True)
     old = tr.graph.rel_frames.get(rtype)
     tr.graph.rel_frames[rtype] = (
         delta if old is None
@@ -459,9 +556,15 @@ def _merge_key(col: Column) -> Column:
 
 
 def apply_merge(tr, df: Optional[DataFrame], clause: A.Merge) -> DataFrame:
+    import dataclasses
+
     _ensure_effects(tr)
     if df is None:
         df = tr.spark.range(1).select(F.lit(1).alias("__one"))
+    _check_rebind(tr, df, clause.part)
+    df, part = _lower_part_props(tr, df, clause.part)
+    if part is not clause.part:
+        clause = dataclasses.replace(clause, part=part)
     els = clause.part.elements
     if len(els) == 1:
         return _merge_node(tr, df, clause)

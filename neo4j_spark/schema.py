@@ -25,10 +25,11 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 _HEAD_RE = re.compile(
-    r"^\s*(CREATE|DROP|SHOW|TERMINATE)\s+"
-    r"(?:(RANGE|TEXT|POINT|FULLTEXT|VECTOR|LOOKUP)\s+)?"
+    r"^\s*(CREATE|DROP|SHOW|TERMINATE|ALTER)\s+"
+    r"(?:OR\s+REPLACE\s+)?"
+    r"(?:(RANGE|TEXT|POINT|FULLTEXT|VECTOR|LOOKUP|CURRENT)\s+)?"
     r"(INDEX|INDEXES|CONSTRAINT|CONSTRAINTS|PROCEDURES?|FUNCTIONS?|"
-    r"DATABASES?|TRANSACTIONS?|SETTINGS?)\b",
+    r"DATABASES?|TRANSACTIONS?|SETTINGS?|USERS?)\b",
     re.I)
 
 _LOOKUP_IDX_RE = re.compile(
@@ -71,6 +72,31 @@ _SHOW_RE = re.compile(
     re.I | re.S)
 
 
+_CREATE_USER_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?USER\s+(`[^`]+`|\w+)\s*"
+    r"(IF\s+NOT\s+EXISTS\s+)?"
+    r"SET\s+(?:PLAINTEXT\s+|ENCRYPTED\s+)?PASSWORD\s+'([^']*)'"
+    r"(?:\s+CHANGE\s+(NOT\s+)?REQUIRED)?\s*$", re.I | re.S)
+
+_DROP_USER_RE = re.compile(
+    r"^\s*DROP\s+USER\s+(`[^`]+`|\w+)(\s+IF\s+EXISTS)?\s*$", re.I)
+
+_ALTER_USER_RE = re.compile(
+    r"^\s*ALTER\s+USER\s+(`[^`]+`|\w+)(\s+IF\s+EXISTS)?\s+"
+    r"SET\s+(?:PLAINTEXT\s+|ENCRYPTED\s+)?PASSWORD\s+"
+    r"(?:'([^']*)')?\s*(?:CHANGE\s+(NOT\s+)?REQUIRED)?\s*$", re.I | re.S)
+
+_ALTER_CURRENT_RE = re.compile(
+    r"^\s*ALTER\s+CURRENT\s+USER\s+SET\s+PASSWORD\s+"
+    r"FROM\s+'([^']*)'\s+TO\s+'([^']*)'\s*$", re.I | re.S)
+
+_SHOW_USERS_RE = re.compile(
+    r"^\s*SHOW\s+USERS?\s*(?:WITH\s+AUTH)?\s*$", re.I)
+
+_SHOW_CURRENT_USER_RE = re.compile(
+    r"^\s*SHOW\s+CURRENT\s+USER\s*$", re.I)
+
+
 def is_schema_command(body: str) -> bool:
     return bool(_HEAD_RE.match(body))
 
@@ -92,9 +118,115 @@ def _registries(graph):
     return graph.schema_indexes, graph.schema_constraints
 
 
+def _users(graph) -> dict:
+    """User catalog (community scope: no roles/suspension/home db —
+    CommunityAdministrationCommandRuntime.scala).  Ships with the
+    default ``neo4j`` user, password-change-required, like a fresh
+    reference install.  Passwords are stored salted-and-hashed."""
+    if not hasattr(graph, "schema_users"):
+        graph.schema_users = {
+            "neo4j": {"pwd": _pwd_hash("neo4j"), "change_required": True}}
+        graph._current_user = "neo4j"
+    return graph.schema_users
+
+
+def _pwd_hash(pw: str) -> str:
+    import hashlib
+
+    return hashlib.sha256(("neo4j_spark$" + pw).encode()).hexdigest()
+
+
+def _user_command(spark: SparkSession, graph,
+                  body: str) -> Optional[DataFrame]:
+    users = _users(graph)
+    ok = spark.createDataFrame([(True,)], "ok boolean")
+
+    m = _CREATE_USER_RE.match(body)
+    if m:
+        replace, name, if_not_exists, pw, change_not = m.groups()
+        name = name.strip("`")
+        if name in users and not (replace or if_not_exists):
+            raise SchemaError(
+                f"Failed to create the specified user '{name}': User "
+                "already exists.")
+        if name in users and if_not_exists:
+            return ok
+        if len(pw) < 8 and name not in users:
+            # reference minimum_password_length default is 8
+            raise SchemaError(
+                "A password must be at least 8 characters.")
+        users[name] = {"pwd": _pwd_hash(pw),
+                       "change_required": change_not is None}
+        return ok
+    m = _DROP_USER_RE.match(body)
+    if m:
+        name, if_exists = m.group(1).strip("`"), m.group(2)
+        if name == getattr(graph, "_current_user", "neo4j"):
+            raise SchemaError(
+                f"Failed to delete the specified user '{name}': Deleting "
+                "yourself is not allowed.")
+        if name not in users:
+            if if_exists:
+                return ok
+            raise SchemaError(
+                f"Failed to delete the specified user '{name}': User does "
+                "not exist.")
+        del users[name]
+        return ok
+    m = _ALTER_CURRENT_RE.match(body)
+    if m:
+        old, new = m.groups()
+        me = users[getattr(graph, "_current_user", "neo4j")]
+        if me["pwd"] != _pwd_hash(old):
+            raise SchemaError(
+                "User failed to alter their own password: Invalid "
+                "principal or credentials.")
+        if old == new:
+            raise SchemaError(
+                "User failed to alter their own password: Old password "
+                "and new password cannot be the same.")
+        me["pwd"] = _pwd_hash(new)
+        me["change_required"] = False  # SetOwnPasswordExecutionPlanner:71
+        return ok
+    m = _ALTER_USER_RE.match(body)
+    if m:
+        name, if_exists, pw, change_not = m.groups()
+        name = name.strip("`")
+        if name not in users:
+            if if_exists:
+                return ok
+            raise SchemaError(
+                f"Failed to alter the specified user '{name}': User does "
+                "not exist.")
+        if pw is not None:
+            users[name]["pwd"] = _pwd_hash(pw)
+            users[name]["change_required"] = True
+        if change_not is not None:
+            users[name]["change_required"] = False
+        elif pw is None and "CHANGE" in body.upper():
+            users[name]["change_required"] = True
+        return ok
+    schema = ("user string, roles array<string>, "
+              "passwordChangeRequired boolean, suspended boolean, "
+              "home string")
+    if _SHOW_CURRENT_USER_RE.match(body):
+        me = getattr(graph, "_current_user", "neo4j")
+        return spark.createDataFrame(
+            [(me, None, users[me]["change_required"], None, None)], schema)
+    if _SHOW_USERS_RE.match(body):
+        rows = [(n, None, u["change_required"], None, None)
+                for n, u in sorted(users.items())]
+        return spark.createDataFrame(rows, schema)
+    return None
+
+
 def run_schema_command(spark: SparkSession, graph,
                        body: str) -> Optional[DataFrame]:
     indexes, constraints = _registries(graph)
+
+    user_df = _user_command(spark, graph, body)
+    if user_df is not None:
+        return user_df
 
     m = _LOOKUP_IDX_RE.match(body)
     if m:

@@ -152,6 +152,33 @@ class TestSimilarity:
         narrow = knn_ivf_probe(spark, path, q, k=5, n_probe=1)
         assert narrow.count() == 5
 
+    def test_ivf_probe_memoizes_index_handle(self, spark, emb, tmp_path):
+        """Repeated probes must not re-read the centroids parquet or
+        re-list the lists directory: after the first probe, deleting the
+        centroids files on disk must not affect the second probe (proof
+        the handle is served from the memo), and rebuilding the index
+        must invalidate it."""
+        import shutil
+
+        from neo4j_spark.ml.similarity import (
+            ivf_centroids, knn_ivf_probe, save_ivf_index)
+
+        path = str(tmp_path / "ivf_memo")
+        cents = ivf_centroids(emb, n_centroids=4)
+        save_ivf_index(emb, path, centroids=cents)
+        q = emb.filter(F.col("vec_id") == 1).head()["embedding"]
+        first = [tuple(r) for r in
+                 knn_ivf_probe(spark, path, q, k=5, n_probe=4).collect()]
+        shutil.rmtree(str(tmp_path / "ivf_memo" / "centroids"))
+        second = [tuple(r) for r in
+                  knn_ivf_probe(spark, path, q, k=5, n_probe=4).collect()]
+        assert second == first
+        # rebuild -> stale handle dropped -> fresh read (dir restored)
+        save_ivf_index(emb, path, centroids=cents)
+        third = [tuple(r) for r in
+                 knn_ivf_probe(spark, path, q, k=5, n_probe=4).collect()]
+        assert third == first
+
     def test_lsh_recall_vs_bruteforce(self, spark, emb):
         """Recall gate: multi-table multi-probe LSH (7 planes, 8 tables,
         radius-2 probing) recovers >= 0.9 of the true top-10 averaged over

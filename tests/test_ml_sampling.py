@@ -222,3 +222,25 @@ class TestPackSequences:
         assert a == b
         with pytest.raises(ValueError, match="max_tokens"):
             pack_sequences(docs, 0)
+
+    def test_prefix_bytes_invariant_and_no_driver_collect(self, spark):
+        """Bucket granularity must not change the packing (the bucket is
+        a prefix of the order key, so bucket-major == global order at
+        every prefix_bytes), and the offsets must be computed without a
+        driver-side collect — at prefix_bytes=3 the totals can reach
+        16.7M rows."""
+        import inspect
+
+        from neo4j_spark.ml import sampling
+        from neo4j_spark.ml.sampling import pack_sequences
+
+        docs = self._docs(spark, 50)
+        base = sorted(map(tuple, pack_sequences(docs, 16).collect()))
+        for pb in (1, 3):
+            got = sorted(map(tuple,
+                             pack_sequences(docs, 16,
+                                            prefix_bytes=pb).collect()))
+            assert got == base, pb
+        src = inspect.getsource(sampling.pack_sequences)
+        assert ".collect()" not in src and ".head(" not in src
+        assert "createDataFrame" not in src

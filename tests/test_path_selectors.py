@@ -595,3 +595,65 @@ class TestNFATrailUniqueness:
                     cycle_with_parallel).collect()
         finally:
             spark.conf.unset("neo4j_spark.nfa.maxFrontierPaths")
+
+
+class TestDiamondLatticeExplosion:
+    """Adversarial scale fixture: a chain of D stacked diamonds admits
+    2^D distinct shortest trails between the endpoints.  k>1 selectors
+    must ENUMERATE trails (reference Trail semantics) and therefore hit
+    the configurable frontier budget with a loud raise instead of an
+    OOM; k=1 / ANY SHORTEST routes to the pruned (per-node-state) BFS
+    and answers on the SAME graph under the SAME budget."""
+
+    import pytest as _pytest
+
+    D = 10  # 2^10 = 1024 shortest trails end-to-end
+
+    @_pytest.fixture(scope="class")
+    def lattice(self, spark):
+        from neo4j_spark.graph import PropertyGraph
+
+        # nodes: hub_0 .. hub_D, plus top_i / bot_i per diamond
+        nodes, rels, rid = [], [], 0
+        for i in range(self.D + 1):
+            nodes.append((i, ["N"], i))  # hubs 0..D
+        top0, bot0 = 100, 200
+        for i in range(self.D):
+            nodes.append((top0 + i, ["N"], top0 + i))
+            nodes.append((bot0 + i, ["N"], bot0 + i))
+            for mid in (top0 + i, bot0 + i):
+                rid += 1
+                rels.append((rid, i, mid, "R"))
+                rid += 1
+                rels.append((rid, mid, i + 1, "R"))
+        return PropertyGraph(
+            {"N": spark.createDataFrame(
+                nodes, "id long, labels array<string>, x long")},
+            {"R": spark.createDataFrame(
+                rels, "id long, src long, dst long, type string")})
+
+    def test_k2_enumeration_raises_loudly(self, spark, lattice):
+        spark.conf.set("neo4j_spark.nfa.maxFrontierPaths", "200")
+        try:
+            with self._pytest.raises(Exception) as ei:
+                cypher(
+                    spark,
+                    f"MATCH p = SHORTEST 2 (a {{x: 0}})"
+                    f"((u)-[:R]->(v))+(b {{x: {self.D}}}) "
+                    "RETURN length(p) AS len", lattice).collect()
+            msg = str(ei.value)
+            assert "maxFrontierPaths" in msg and "budget" in msg
+        finally:
+            spark.conf.unset("neo4j_spark.nfa.maxFrontierPaths")
+
+    def test_k1_pruned_path_succeeds_same_budget(self, spark, lattice):
+        spark.conf.set("neo4j_spark.nfa.maxFrontierPaths", "200")
+        try:
+            got = [r[0] for r in cypher(
+                spark,
+                f"MATCH p = ANY SHORTEST (a {{x: 0}})"
+                f"((u)-[:R]->(v))+(b {{x: {self.D}}}) "
+                "RETURN length(p) AS len", lattice).collect()]
+            assert got == [2 * self.D]
+        finally:
+            spark.conf.unset("neo4j_spark.nfa.maxFrontierPaths")

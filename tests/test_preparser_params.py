@@ -18,10 +18,30 @@ class TestPreparse:
         assert opts == {"planner": "cost", "runtime": "slotted"}
         assert body.startswith("MATCH")
 
-    def test_explain_returns_plan(self, spark, chain_graph):
+    def test_explain_returns_columns_no_rows(self, spark, chain_graph):
+        # ExplainAcceptance: EXPLAIN returns the query's result columns
+        # with zero rows (the plan is metadata, not rows)
         df = cypher(spark, "EXPLAIN MATCH (n:A) RETURN count(*) AS c",
                     chain_graph)
-        text = "\n".join(r["plan"] for r in df.collect())
+        assert df.columns == ["c"]
+        assert df.collect() == []
+
+    def test_explain_has_no_side_effects(self, spark):
+        from neo4j_spark.graph import PropertyGraph
+
+        g = PropertyGraph({}, {})
+        cypher(spark, "EXPLAIN CREATE (a)", g).collect()
+        assert sum(v.count() for v in g.node_frames.values()) == 0
+        # ... including a trailing unit subquery (ExplainAcceptance)
+        cypher(spark, "CREATE (:A)", g).collect()
+        cypher(spark, "EXPLAIN MATCH (n) CALL { CREATE (a) }", g).collect()
+        assert sum(v.count() for v in g.node_frames.values()) == 1
+
+    def test_explain_plan_text(self, spark, chain_graph):
+        from neo4j_spark.api import explain_plan
+
+        text = explain_plan(
+            spark, "MATCH (n:A) RETURN count(*) AS c", chain_graph)
         assert "Physical Plan" in text
 
     def test_profile_returns_operator_stats(self, spark, chain_graph):

@@ -361,3 +361,105 @@ class TestTokenAndAdminProcs:
         got = cypher(spark, f"MATCH ()-[r:IN_REGION]->() WHERE id(r) = {rid} "
                      "RETURN r.vec AS v", g).collect()[0].v
         assert got == [0.5, 0.5]
+
+
+class TestUserAdministration:
+    """Community user administration
+    (CommunityAdministrationCommandRuntime.scala): CREATE/DROP/SHOW USER,
+    ALTER USER, ALTER CURRENT USER SET PASSWORD, SHOW CURRENT USER.  No
+    roles / suspension / home database — those columns render null, as
+    community does."""
+
+    def _g(self, tpch_graph):
+        return tpch_graph.copy()
+
+    def test_default_user_and_show(self, spark, tpch_graph):
+        g = self._g(tpch_graph)
+        got = cypher(spark, "SHOW USERS", g).collect()
+        assert [(r["user"], r["roles"], r["passwordChangeRequired"],
+                 r["suspended"], r["home"]) for r in got] == [
+            ("neo4j", None, True, None, None)]
+
+    def test_create_show_drop_roundtrip(self, spark, tpch_graph):
+        g = self._g(tpch_graph)
+        cypher(spark, "CREATE USER alice SET PASSWORD 'sekrit-123'",
+               g).collect()
+        cypher(spark, "CREATE USER bob SET PASSWORD 'hunter2-00' "
+               "CHANGE NOT REQUIRED", g).collect()
+        got = {r["user"]: r["passwordChangeRequired"]
+               for r in cypher(spark, "SHOW USERS", g).collect()}
+        assert got == {"neo4j": True, "alice": True, "bob": False}
+        cypher(spark, "DROP USER alice", g).collect()
+        got = {r["user"] for r in cypher(spark, "SHOW USERS", g).collect()}
+        assert got == {"neo4j", "bob"}
+
+    def test_create_existing_raises_unless_guarded(self, spark,
+                                                   tpch_graph):
+        g = self._g(tpch_graph)
+        cypher(spark, "CREATE USER carol SET PASSWORD 'abcd1234'",
+               g).collect()
+        with pytest.raises(SchemaError, match="already exists"):
+            cypher(spark, "CREATE USER carol SET PASSWORD 'abcd1234'",
+                   g).collect()
+        cypher(spark, "CREATE USER carol IF NOT EXISTS "
+               "SET PASSWORD 'xyzt5678'", g).collect()
+        cypher(spark, "CREATE OR REPLACE USER carol "
+               "SET PASSWORD 'xyzt5678'", g).collect()
+
+    def test_short_password_rejected(self, spark, tpch_graph):
+        g = self._g(tpch_graph)
+        with pytest.raises(SchemaError, match="8 characters"):
+            cypher(spark, "CREATE USER dave SET PASSWORD 'short'",
+                   g).collect()
+
+    def test_drop_missing_raises_unless_if_exists(self, spark, tpch_graph):
+        g = self._g(tpch_graph)
+        with pytest.raises(SchemaError, match="does not exist"):
+            cypher(spark, "DROP USER ghost", g).collect()
+        cypher(spark, "DROP USER ghost IF EXISTS", g).collect()
+
+    def test_drop_self_forbidden(self, spark, tpch_graph):
+        g = self._g(tpch_graph)
+        with pytest.raises(SchemaError, match="yourself"):
+            cypher(spark, "DROP USER neo4j", g).collect()
+
+    def test_alter_user_password_and_mode(self, spark, tpch_graph):
+        g = self._g(tpch_graph)
+        cypher(spark, "CREATE USER erin SET PASSWORD 'firstpw-1' "
+               "CHANGE NOT REQUIRED", g).collect()
+        cypher(spark, "ALTER USER erin SET PASSWORD 'secondpw-2'",
+               g).collect()
+        got = {r["user"]: r["passwordChangeRequired"]
+               for r in cypher(spark, "SHOW USERS", g).collect()}
+        assert got["erin"] is True
+        cypher(spark, "ALTER USER erin SET PASSWORD CHANGE NOT REQUIRED",
+               g).collect()
+        got = {r["user"]: r["passwordChangeRequired"]
+               for r in cypher(spark, "SHOW USERS", g).collect()}
+        assert got["erin"] is False
+        with pytest.raises(SchemaError, match="does not exist"):
+            cypher(spark, "ALTER USER ghost SET PASSWORD 'whatever-9'",
+                   g).collect()
+        cypher(spark, "ALTER USER ghost IF EXISTS "
+               "SET PASSWORD 'whatever-9'", g).collect()
+
+    def test_alter_current_user_password(self, spark, tpch_graph):
+        g = self._g(tpch_graph)
+        cypher(spark, "ALTER CURRENT USER SET PASSWORD "
+               "FROM 'neo4j' TO 'brand-new-1'", g).collect()
+        # SetOwnPasswordExecutionPlanner:71 — clears change-required
+        got = cypher(spark, "SHOW CURRENT USER", g).collect()
+        assert [(r["user"], r["passwordChangeRequired"])
+                for r in got] == [("neo4j", False)]
+        with pytest.raises(SchemaError, match="Invalid principal"):
+            cypher(spark, "ALTER CURRENT USER SET PASSWORD "
+                   "FROM 'wrong' TO 'other-pass-2'", g).collect()
+        with pytest.raises(SchemaError, match="cannot be the same"):
+            cypher(spark, "ALTER CURRENT USER SET PASSWORD "
+                   "FROM 'brand-new-1' TO 'brand-new-1'", g).collect()
+
+    def test_show_user_defined_functions_still_works(self, spark,
+                                                     tpch_graph):
+        g = self._g(tpch_graph)
+        got = cypher(spark, "SHOW USER DEFINED FUNCTIONS", g).collect()
+        assert isinstance(got, list)
