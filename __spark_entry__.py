@@ -949,6 +949,33 @@ CYPHER_QUERIES = {
     "temporal_epoch_millis":
         "MATCH (o:Order) WHERE o.orderkey <= 10 "
         "RETURN o.orderkey AS ok, o.orderdate.epochMillis AS em ORDER BY ok",
+    # --- round 8: acceptance-mined semantics ---
+    # a CALL {} body whose mid-pipeline aggregation matches zero rows
+    # still yields one row per input (Apply + EagerAggregation;
+    # caught by the CallInTransactions happy-path port)
+    "call_agg_empty_group":
+        "MATCH (n:Nation) WHERE n.nationkey < 5 "
+        "CALL { WITH n MATCH (c:Customer)-[:FROM_NATION]->"
+        "(m:Nation WHERE m.nationkey = n.nationkey) "
+        "WHERE c.acctbal < -997 "
+        "WITH count(c) AS nc, round(coalesce(sum(c.acctbal), 0.0), 2) AS s "
+        "RETURN nc, s } "
+        "RETURN n.nationkey AS k, nc, s ORDER BY k",
+    # rel uniqueness counts occurrences (AddUniquenessPredicates.scala:66,
+    # GraphPatternAcceptance): same-MATCH reuse is always empty ...
+    "rel_reuse_same_match":
+        "MATCH (a)-[r:FROM_NATION]->(b), (x)-[r]->(z) "
+        "RETURN count(*) AS n",
+    # ... while cross-MATCH reuse is the ordinary ProjectEndpoints join
+    "rel_reuse_cross_match":
+        "MATCH (a)-[r:FROM_NATION]->(b) MATCH (x)-[r]->(z) "
+        "RETURN count(*) AS n",
+    # boolean-context list coercion (CoerceToPredicate, ReturnAcceptance
+    # 'RETURN true AND list'): [] -> false, non-empty -> true
+    "bool_list_coercion":
+        "WITH [x IN range(1, 0) | x] AS e, [1] AS f "
+        "RETURN (e OR true) AS a, (e AND true) AS b, NOT e AS c, "
+        "(f AND true) AS d",
 }
 
 
@@ -1661,6 +1688,38 @@ def _q_call_in_tx_break(spark, sf_dir):
         "s.transactionId IS NOT NULL AS has_tx, n_comm ORDER BY i")
 
 
+def _q_call_in_tx_concurrent(spark, sf_dir):
+    """IN n CONCURRENT TRANSACTIONS (CypherParser.g4:203): concurrency
+    is a permission, not a guarantee — and a write-only body's batches
+    cannot observe one another, so the engine runs them all as ONE
+    distributed Spark job (translate._call_in_tx fused path): every
+    partition writes in parallel, no driver-side batch loop at all.
+    Bodies needing per-batch commit identity (ON ERROR CONTINUE/BREAK,
+    REPORT STATUS) keep the serial loop, an equally legal schedule."""
+    return _write(
+        spark, sf_dir,
+        "UNWIND range(1, 40) AS i "
+        "CALL { WITH i CREATE (:TmpTx {v: i}) } "
+        "IN 4 CONCURRENT TRANSACTIONS OF 5 ROWS",
+        "MATCH (n:TmpTx) RETURN count(*) AS n, sum(n.v) AS s")
+
+
+def _q_shortest_path_pred_fallback(spark, sf_dir):
+    """FindShortestPaths withFallback (ShortestPathAcceptance): a WHERE
+    predicate over the path selects WHICH path is shortest — the 2-hop
+    A-X-D winner dies on the NONE(n:X) predicate and the search must
+    surface the 3-hop A-B-C-D instead of returning nothing."""
+    return _write(
+        spark, sf_dir,
+        "CREATE (a:TmpA {name: 'A'}), (b:TmpB {name: 'B'}), "
+        "(c:TmpC {name: 'C'}), (d:TmpD {name: 'D'}), (x:TmpX {name: 'X'}) "
+        "CREATE (a)-[:TREL]->(b), (b)-[:TREL]->(c), (c)-[:TREL]->(d), "
+        "(a)-[:TREL]->(x), (x)-[:TREL]->(d)",
+        "MATCH p = shortestPath((src:TmpA)-[:TREL*]->(dst:TmpD)) "
+        "WHERE NONE(n in nodes(p) WHERE n:TmpX) "
+        "UNWIND [n IN nodes(p) | n.name] AS node RETURN node")
+
+
 def _q_write_remove(spark, sf_dir):
     return _write(
         spark, sf_dir,
@@ -1800,6 +1859,8 @@ WRITE_QUERIES = {
     "write_remove": _q_write_remove,
     "call_in_tx_on_error": _q_call_in_tx_on_error,
     "call_in_tx_break": _q_call_in_tx_break,
+    "call_in_tx_concurrent": _q_call_in_tx_concurrent,
+    "shortest_path_pred_fallback": _q_shortest_path_pred_fallback,
     "ddl_user_admin": _q_ddl_user_admin,
 }
 
@@ -1851,6 +1912,21 @@ EXTENSION_QUERIES = {
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {name: _cy(text) for name, text in CYPHER_QUERIES.items()}
+
+    # qpp_nested_var exercises this engine's documented var-length-inside-
+    # QPP unrolling extension; default conformance mode follows the
+    # reference and raises, so the entry opts in via the conf.
+    _nested = out["qpp_nested_var"]
+
+    def _q_qpp_nested_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+        prev = spark.conf.get("neo4j_spark.cypher.extensions", "false")
+        spark.conf.set("neo4j_spark.cypher.extensions", "true")
+        try:
+            return _nested(spark, sf_dir)  # translation happens here
+        finally:
+            spark.conf.set("neo4j_spark.cypher.extensions", prev)
+
+    out["qpp_nested_var"] = _q_qpp_nested_var
     out["call_vector_query"] = _q_call_vector
     out["call_fulltext_indexed"] = _q_call_fulltext_indexed
     out["call_fulltext_analyzer"] = _q_call_fulltext_analyzer
@@ -2850,6 +2926,25 @@ def _oracle_sql_raw() -> dict[str, str]:
             "(CAST(3 AS BIGINT), TRUE,  FALSE, TRUE,  CAST(4 AS BIGINT)), "
             "(CAST(4 AS BIGINT), FALSE, FALSE, FALSE, CAST(4 AS BIGINT))"
             ") AS t(i, started, committed, has_tx, n_comm) ORDER BY i",
+        "call_in_tx_concurrent":
+            "SELECT CAST(40 AS BIGINT) AS n, CAST(820 AS BIGINT) AS s",
+        "call_agg_empty_group":
+            "SELECT n_nationkey AS k, "
+            "(SELECT count(*) FROM customer c WHERE c.c_nationkey = "
+            "n.n_nationkey AND c.c_acctbal < -997) AS nc, "
+            "(SELECT round(coalesce(sum(c.c_acctbal), 0.0), 2) "
+            "FROM customer c WHERE c.c_nationkey = n.n_nationkey "
+            "AND c.c_acctbal < -997) AS s "
+            "FROM nation n WHERE n_nationkey < 5 ORDER BY k",
+        "rel_reuse_same_match":
+            "SELECT CAST(0 AS BIGINT) AS n",
+        "rel_reuse_cross_match":
+            "SELECT CAST((SELECT count(*) FROM customer) + "
+            "(SELECT count(*) FROM supplier) AS BIGINT) AS n",
+        "bool_list_coercion":
+            "SELECT TRUE AS a, FALSE AS b, TRUE AS c, TRUE AS d",
+        "shortest_path_pred_fallback":
+            "SELECT * FROM (VALUES ('A'), ('B'), ('C'), ('D')) AS t(node)",
         "write_merge_chain":
             "SELECT CAST(3 AS BIGINT) AS hubs, CAST(2 AS BIGINT) AS wires",
         "write_remove":

@@ -392,7 +392,9 @@ class CallSub(Clause):
     # honored by the sequential batch loop (translate._call_in_tx)
     in_transactions: bool = False
     batch_rows: Optional["Expr"] = None
-    concurrency: Optional[int] = None
+    # IN <expr> CONCURRENT TRANSACTIONS: a constant Expr evaluated at
+    # translate time; 0 = bare CONCURRENT (runtime-chosen concurrency)
+    concurrency: Optional[object] = None
     on_error: Optional[str] = None  # CONTINUE | BREAK | FAIL
     report_var: Optional[str] = None  # REPORT STATUS AS var
     optional: bool = False  # OPTIONAL CALL {} — null-padded on empty

@@ -719,10 +719,22 @@ class ExprCompiler:
               if both_lists else enc(other, other_t))
         return ea, eo
 
+    def _coerce_predicate(self, c: Column) -> Column:
+        """Boolean-context coercion (the reference's CoerceToPredicate):
+        a LIST operand of AND/OR/XOR/NOT coerces to its non-emptiness —
+        empty -> false, non-empty -> true, null -> null
+        (ReturnAcceptance 'RETURN true AND list')."""
+        t = self.dtype_of(c)
+        if isinstance(t, T.ArrayType):
+            return F.when(c.isNull(), F.lit(None).cast("boolean")) \
+                    .otherwise(F.size(c) > 0)
+        return c
+
     def _c_BinOp(self, e: A.BinOp) -> Column:
         op = e.op
         if op in ("AND", "OR", "XOR"):
-            l, r = self.compile(e.left), self.compile(e.right)
+            l = self._coerce_predicate(self.compile(e.left))
+            r = self._coerce_predicate(self.compile(e.right))
             if op == "AND":
                 return l & r
             if op == "OR":
@@ -1163,7 +1175,7 @@ class ExprCompiler:
     def _c_UnaryOp(self, e: A.UnaryOp) -> Column:
         c, t = self.compile_typed(e.operand)
         if e.op == "NOT":
-            return ~c
+            return ~self._coerce_predicate(c)
         if e.op == "NEG":
             if _is_duration(t):
                 return _dur_map2(c, None, lambda a, _: -a)

@@ -431,10 +431,16 @@ class Parser:
             if self.at_kw("IN"):
                 self.take()
                 call.in_transactions = True
-                if self.peek().kind == "INT":
-                    call.concurrency = int(self.take().value)
+                # grammar: IN (expression? CONCURRENT)? TRANSACTIONS
+                # (CypherParser.g4:203).  Bare CONCURRENT = runtime-chosen
+                # concurrency (recorded as 0); with an expression, the
+                # constant is evaluated at translate time like batch_rows.
                 if self.at_kw("CONCURRENT"):
                     self.take()
+                    call.concurrency = 0
+                elif not self.at_kw("TRANSACTIONS"):
+                    call.concurrency = self.parse_expr()
+                    self.expect_kw("CONCURRENT")
                 self.expect_kw("TRANSACTIONS")
                 if self.at_kw("OF"):
                     self.take()

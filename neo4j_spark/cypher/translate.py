@@ -106,7 +106,7 @@ def _walk_expr_list(walk, df, v):
     return df, nl, changed
 
 
-def check_clause_syntax_mixing(clause) -> None:
+def check_clause_syntax_mixing(clause, extensions: bool = False) -> None:
     """Per-clause GPM syntax-mixing validation (the reference's
     Clause.semanticCheck chain — Clause.scala:133-136,
     GpmSyntaxMixingAcceptance.feature):
@@ -116,7 +116,14 @@ def check_clause_syntax_mixing(clause) -> None:
       within one clause, partitioned into READ vs WRITE usages (MERGE
       counts as both) — mixing across the partitions is fine;
     - legacy var-length relationships (``[*1..5]``) may not mix with
-      quantified path patterns in one clause;
+      quantified path patterns in one clause; a var-length rel NESTED
+      INSIDE a QPP unit is rejected by the reference outright
+      ("Variable length relationships cannot be part of a quantified
+      path pattern.", SemanticPatternCheck.scala /
+      QuantifiedPathPatternsSemanticAnalysisTest.scala:257) unless
+      ``extensions`` is set (conf ``neo4j_spark.cypher.extensions``),
+      which opts into this engine's documented unrolling extension
+      (the ``qpp_nested_var`` registry entry);
     - legacy ``shortestPath()/allShortestPaths()`` may not mix with GQL
       path selectors in one clause, nor apply to a QPP.
 
@@ -159,10 +166,17 @@ def check_clause_syntax_mixing(clause) -> None:
         elif isinstance(node, A.RelPat):
             mark_lx(node, write_ctx, is_rel=True)
             if node.var_length and not in_qpp:
-                # a var-length rel NESTED INSIDE a QPP unit is this
-                # engine's documented extension (qpp_nested_var entry) —
-                # only SIBLING mixing is the reference's syntax error
+                # sibling mixing with a QPP is the reference's
+                # "Mixing variable-length…" syntax error
                 flags["vlr"] = True
+            elif node.var_length and in_qpp and not extensions:
+                # default strict-conformance behavior: the reference
+                # rejects a var-length rel inside a QPP unit; the
+                # unrolling extension is opt-in via
+                # neo4j_spark.cypher.extensions=true
+                raise TranslateError(
+                    "Variable length relationships cannot be part of a "
+                    "quantified path pattern.")
         elif isinstance(node, A.HasLabels):
             mark_lx(node, write_ctx)
         elif isinstance(node, A.QPP):
@@ -759,7 +773,10 @@ class Translator:
         return clause
 
     def _apply(self, df: Optional[DataFrame], clause: A.Clause) -> DataFrame:
-        check_clause_syntax_mixing(clause)
+        check_clause_syntax_mixing(
+            clause,
+            extensions=str(self.spark.conf.get(
+                "neo4j_spark.cypher.extensions", "false")).lower() == "true")
         clause = self._resolve_dyn_clause(clause)
         if isinstance(clause, A.Use):
             # USE <graph> (useClause): with a GraphCatalog bound, re-target
@@ -877,8 +894,79 @@ class Translator:
                 "a selective path selector (SHORTEST/ANY/ALL SHORTEST/"
                 "GROUPS) cannot be combined with other path patterns in "
                 "the same MATCH — split them into separate MATCH clauses")
+        if (m.where is not None
+                and any(p.legacy_shortest for p in m.parts)):
+            # FindShortestPaths withFallback (ShortestPathAcceptance
+            # 'Find a shortest path among paths that fulfill a
+            # predicate'): WHERE conjuncts that depend on the path
+            # itself — the path variable or the var-length rel list —
+            # select WHICH path is shortest, so they must constrain the
+            # SEARCH, not filter its result.  Push them into the
+            # pattern-internal WHERE; translation then takes the
+            # enumerate+rank route, which applies pattern predicates
+            # before ranking (the reference plans the same fallback
+            # when the fast bidirectional search can't inline them).
+            import dataclasses as _dc
+
+            def conjuncts(e):
+                if isinstance(e, A.BinOp) and e.op == "AND":
+                    return conjuncts(e.left) + conjuncts(e.right)
+                return [e]
+
+            def fv(node, acc):
+                if isinstance(node, (list, tuple)):
+                    for x in node:
+                        fv(x, acc)
+                    return acc
+                if isinstance(node, A.Var):
+                    acc.add(node.name)
+                    return acc
+                if _dc.is_dataclass(node) and not isinstance(node, type):
+                    for f in _dc.fields(node):
+                        fv(getattr(node, f.name), acc)
+                return acc
+
+            conj = conjuncts(m.where)
+            new_parts, changed = [], False
+            for part in m.parts:
+                if not part.legacy_shortest:
+                    new_parts.append(part)
+                    continue
+                dep = {part.path_var} if part.path_var else set()
+                for el in part.elements:
+                    if (isinstance(el, A.RelPat) and el.var_length
+                            and el.var):
+                        dep.add(el.var)
+                push = [c for c in conj if fv(c, set()) & dep]
+                if push:
+                    ids = {id(c) for c in push}
+                    conj = [c for c in conj if id(c) not in ids]
+                    w = part.where
+                    for c in push:
+                        w = c if w is None else A.BinOp("AND", w, c)
+                    part = _dc.replace(part, where=w)
+                    changed = True
+                new_parts.append(part)
+            if changed:
+                rest = None
+                for c in conj:
+                    rest = c if rest is None else A.BinOp("AND", rest, c)
+                m = _dc.replace(m, parts=new_parts, where=rest)
         pending: List[A.Expr] = []
         rel_bindings: List[Tuple[str, str, frozenset]] = []
+        seen_pv: set = set()
+        for part in m.parts:
+            # a path variable can never rebind — neither a second path
+            # pattern in the same graph pattern nor a var bound earlier
+            # (SemanticState.scala:358, GraphPatternAcceptance 'The same
+            # path variable cannot be used for more than one path
+            # pattern')
+            pv = part.path_var
+            if pv is not None:
+                if pv in seen_pv or (df is not None and pv in df.columns):
+                    raise TranslateError(
+                        f"Variable `{pv}` already declared")
+                seen_pv.add(pv)
         for part in m.parts:
             df = self._pattern_part(df, part, pending, rel_bindings)
         df = self._uniqueness_filters(df, rel_bindings)
@@ -1006,6 +1094,11 @@ class Translator:
             out = df.join(right, cond, "left")
             return out.drop(*[f"__r_{v}" for v in shared])
         sub = Translator(self.spark, self.graph, self.params, catalog=self.catalog)
+        # usage analysis (scan elision, length-only shortest paths) reads
+        # the WHOLE statement — without it, an uncorrelated OPTIONAL
+        # MATCH shortestPath would emit a {len} stub even when a later
+        # clause consumes nodes(p)/relationships(p)
+        sub.query_ast = getattr(self, "query_ast", None)
         matched = sub._match(None, inner)
         self._merge_sub_scope(sub)
         return df.join(matched, F.lit(True), "left")
@@ -1386,6 +1479,16 @@ class Translator:
                 elif prev is not None:
                     df = df.filter(
                         F.col(prev).getField("_id") == F.col("__from"))
+                # rel-uniqueness counts OCCURRENCES, not variables
+                # (AddUniquenessPredicates.scala:66): this occurrence
+                # still pairs against the MATCH's other rels — and a
+                # var re-used WITHIN one MATCH pairs against its own
+                # first occurrence, which can never hold, so the match
+                # is empty (GraphPatternAcceptance 'Singleton element
+                # variable can be repeated…' expects no rows).  Cross-
+                # MATCH reuse adds only this one occurrence: a plain
+                # implicit join.
+                rel_bindings.append((rvar, "rel", frozenset(rp.types)))
             else:
                 scan = self._rel_scan(rp, rvar)
                 if thru:
@@ -2998,6 +3101,11 @@ class Translator:
             # validate OF <expr> ROWS up front — also on the single-shot
             # fast path, where the value is otherwise unused
             self._eval_batch_size(clause.batch_rows)
+            if clause.concurrency is not None and clause.concurrency != 0:
+                # IN <n> CONCURRENT TRANSACTIONS: n must be a constant
+                # positive integer like the batch size (bare CONCURRENT
+                # is recorded as 0 = runtime-chosen)
+                self._eval_batch_size(clause.concurrency, "concurrency")
         if clause.in_transactions and (
                 clause.report_var
                 or clause.on_error in ("CONTINUE", "BREAK")):
@@ -3103,8 +3211,33 @@ class Translator:
 
         updates, mutates, needs_seq = self._body_update_info(clause)
         on_error = (clause.on_error or "FAIL").upper()
+        concurrency = None
+        if clause.in_transactions and clause.concurrency is not None:
+            # IN <n> CONCURRENT TRANSACTIONS: n must be a constant
+            # positive integer like the batch size; 0 = bare CONCURRENT
+            # (runtime-chosen).  Concurrency is a PERMISSION, not a
+            # guarantee — any serial schedule of the batches is a legal
+            # concurrent execution (the reference promises no ordering
+            # or interleaving; CypherParser.g4:203).
+            concurrency = (0 if clause.concurrency == 0
+                           else self._eval_batch_size(clause.concurrency,
+                                                      "concurrency"))
         if clause.in_transactions:
             batch = self._eval_batch_size(clause.batch_rows) or 1000
+            if (concurrency is not None and not needs_seq
+                    and on_error == "FAIL" and not clause.report_var):
+                # Distributed concurrent execution: a write-only body's
+                # batch executions cannot observe one another, so running
+                # them all as ONE Spark job (every partition writing in
+                # parallel) is exactly the n-way-concurrent schedule the
+                # user asked for — and the scale path: no driver-side
+                # batch loop at all.  On error nothing commits, which is
+                # the legal concurrent schedule where the failure wins
+                # the race before any sibling commit.  ON ERROR
+                # CONTINUE/BREAK and REPORT STATUS need per-batch commit
+                # identity, so they keep the batch loop (a serial
+                # schedule — equally legal, concurrency 1 <= n).
+                batch = 1 << 40
         else:
             # plain CALL routed here for sequential execution: one
             # implicit transaction — an error fails (and undoes) the
@@ -3275,11 +3408,11 @@ class Translator:
             self.kinds[clause.report_var] = "scalar"
         return final
 
-    def _eval_batch_size(self, e) -> Optional[int]:
-        """Evaluate ``OF <expr> ROWS``: must be a CONSTANT positive
-        integer (literal, $param, or a foldable expression) — graph-
-        touching or unbound expressions are a compile error, non-integer
-        or non-positive values an argument error
+    def _eval_batch_size(self, e, what: str = "batch size") -> Optional[int]:
+        """Evaluate ``OF <expr> ROWS`` (or ``IN <expr> CONCURRENT``): must
+        be a CONSTANT positive integer (literal, $param, or a foldable
+        expression) — graph-touching or unbound expressions are a compile
+        error, non-integer or non-positive values an argument error
         (CypherTransactionsAcceptance batchSize scenarios)."""
         if e is None:
             return None
@@ -3292,16 +3425,16 @@ class Translator:
                 v = one.select(col.alias("__bs")).first()["__bs"]
             except Exception as ex:
                 raise TranslateError(
-                    "the batch size of CALL {} IN TRANSACTIONS must be a "
+                    f"the {what} of CALL {{}} IN TRANSACTIONS must be a "
                     "constant expression — it cannot touch the graph or "
                     f"reference variables ({_short_err(ex)})") from ex
         if v is None or isinstance(v, bool) or not isinstance(v, int):
             raise TranslateError(
-                f"invalid argument: batch size must be an integer, got "
+                f"invalid argument: {what} must be an integer, got "
                 f"{v!r}")
         if v <= 0:
             raise TranslateError(
-                f"invalid argument: batch size must be positive, got {v}")
+                f"invalid argument: {what} must be positive, got {v}")
         return int(v)
 
     def _stats_safe_ckpt(self, df: DataFrame) -> DataFrame:
@@ -3472,6 +3605,7 @@ class Translator:
             sub = Translator(self.spark, use_g or self.graph, self.params,
                              catalog=self.catalog)
             sub.partition_cols = list(hid.values())  # per-input-row paging
+            sub.partition_base = base  # empty-group recovery for body aggs
             sub.kinds.update(
                 {v: self.kinds[v] for v in shared if v in self.kinds})
             sub.var_labels.update(
@@ -3779,6 +3913,7 @@ class Translator:
         # extract aggregate subtrees
         agg_exprs: List[Column] = []
         agg_map: Dict[int, str] = {}
+        agg_srcs: List[Tuple[str, A.Expr]] = []  # (placeholder, source expr)
 
         def extract(e: A.Expr) -> A.Expr:
             import dataclasses
@@ -3788,6 +3923,7 @@ class Translator:
                 key = len(agg_exprs)
                 ph = f"__agg_{key}"
                 agg_exprs.append(self._compile_aggregate(cc, e).alias(ph))
+                agg_srcs.append((ph, e))
                 return A.Var(ph)
             # structural match against a grouping item -> reuse its column
             for gi in group_items:
@@ -3824,6 +3960,43 @@ class Translator:
 
         grouped = df.groupBy(*group_cols) if group_cols else df.groupBy()
         agged = grouped.agg(*agg_exprs)
+
+        pbase = getattr(self, "partition_base", None)
+        pcols = set(getattr(self, "partition_cols", None) or [])
+        if (pbase is not None and group_names and pcols
+                and set(group_names) <= pcols
+                and all(c in pbase.columns for c in group_names)):
+            # Body-global aggregation under Apply — the grouping keys are
+            # ONLY the hidden correlation columns threaded through the
+            # CALL {} body: an input row whose body matched zero rows must
+            # still yield one aggregate row (count/sum -> 0, collect ->
+            # [], null otherwise), exactly like a top-level global
+            # aggregation (the reference's Apply + EagerAggregation
+            # contract).  groupBy drops empty groups, so join the
+            # aggregate back onto the distinct correlation tuples.
+            keys = pbase.select(*group_names).dropDuplicates()
+            ren = {c: f"__gk_{c}" for c in group_names}
+            r2 = agged
+            for c, rc in ren.items():
+                r2 = r2.withColumnRenamed(c, rc)
+            cond = None
+            for c in group_names:
+                eq = F.col(c).eqNullSafe(F.col(ren[c]))
+                cond = eq if cond is None else cond & eq
+            agged = keys.join(r2, cond, "left").drop(*ren.values())
+            for ph, e in agg_srcs:
+                t = agged.schema[ph].dataType
+                if isinstance(e, A.CountStar) or (
+                        isinstance(e, A.Func) and e.name == "count"):
+                    d = F.lit(0).cast(t)
+                elif (isinstance(e, A.Func) and e.name == "sum"
+                        and isinstance(t, T.NumericType)):
+                    d = F.lit(0).cast(t)
+                elif isinstance(e, A.Func) and e.name == "collect":
+                    d = F.array().cast(t)
+                else:
+                    continue  # min/max/avg/stDev/percentile: null on empty
+                agged = agged.withColumn(ph, F.coalesce(F.col(ph), d))
 
         # final projection: group cols + post expressions over placeholders
         final_kinds = dict(self.kinds)

@@ -301,7 +301,11 @@ def save_ivf_index(df: DataFrame, path: str, n_centroids: int = 16,
         (spark.sparkContext.applicationId, os.path.abspath(path)), None)
 
 
-_IVF_HANDLES: dict = {}
+from collections import OrderedDict
+
+_IVF_HANDLES: "OrderedDict" = OrderedDict()
+_IVF_HANDLES_MAX = 64  # LRU bound: a long-lived many-index service must
+#                        not grow driver memory without limit
 
 
 def _ivf_handle(spark, path: str) -> dict:
@@ -311,20 +315,25 @@ def _ivf_handle(spark, path: str) -> dict:
     this, every probe re-reads the centroids parquet and re-lists the
     partition directories — the dominant cost of many-query workloads
     (sf0.01 selfcheck: ~50 s of small-file round-trips).  Invalidated by
-    :func:`save_ivf_index`."""
+    :func:`save_ivf_index`; bounded at ``_IVF_HANDLES_MAX`` live handles
+    with least-recently-used eviction."""
     import os
 
     key = (spark.sparkContext.applicationId, os.path.abspath(path))
     h = _IVF_HANDLES.get(key)
-    if h is None:
-        h = {
-            "centroids": {
-                r["list_id"]: r["centroid"]
-                for r in spark.read.parquet(
-                    os.path.join(path, "centroids")).collect()},
-            "lists": spark.read.parquet(os.path.join(path, "lists")),
-        }
-        _IVF_HANDLES[key] = h
+    if h is not None:
+        _IVF_HANDLES.move_to_end(key)  # refresh LRU position
+        return h
+    h = {
+        "centroids": {
+            r["list_id"]: r["centroid"]
+            for r in spark.read.parquet(
+                os.path.join(path, "centroids")).collect()},
+        "lists": spark.read.parquet(os.path.join(path, "lists")),
+    }
+    _IVF_HANDLES[key] = h
+    while len(_IVF_HANDLES) > _IVF_HANDLES_MAX:
+        _IVF_HANDLES.popitem(last=False)
     return h
 
 

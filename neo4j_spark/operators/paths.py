@@ -522,6 +522,15 @@ def shortest_path(tr, df: Optional[DataFrame], part: A.PatternPart,
             out = tr._resolve_path_rels(out, part.path_var)
         if node_rich:
             out = tr._resolve_path_nodes(out, part.path_var)
+    if max(fb, bb) > 3:
+        # deep search: the BFS already pinned each level eagerly, and the
+        # met-join result is the (small) answer set — checkpoint it so
+        # downstream self-referencing plans (pattern comprehensions,
+        # rollups) start from a materialized scan instead of re-printing
+        # the whole search tree per reference (a `*0..100` search feeding
+        # a pattern comprehension otherwise OOMs the driver in
+        # QueryExecution.explainString alone)
+        out = tr._stats_safe_ckpt(out)
     return out
 
 

@@ -326,3 +326,96 @@ class TestEdges:
             RETURN s.errorMessage AS em
         """))
         assert em is not None and "\n" not in em and len(em) <= 500
+
+
+class TestConcurrent:
+    """IN [n] CONCURRENT TRANSACTIONS (CypherParser.g4:203).
+
+    Concurrency is a permission, not a guarantee: any schedule of the
+    batch transactions is legal.  The engine's rendering:
+
+    - write-only body + ON ERROR FAIL (default) + no REPORT STATUS →
+      one fused distributed Spark job (all batches commit together; on
+      error nothing commits — the schedule where the failure wins the
+      race before any sibling commit);
+    - anything needing per-batch commit identity (CONTINUE/BREAK,
+      REPORT STATUS) → the serial batch loop (concurrency 1 <= n).
+    """
+
+    def test_concurrent_create_fused(self, spark, g):
+        run(spark, g, """
+            UNWIND range(1, 20) AS i
+            CALL { WITH i CREATE (n:N {v: i}) }
+            IN 4 CONCURRENT TRANSACTIONS OF 3 ROWS
+        """).collect()
+        assert nodes(g) == 20
+
+    def test_bare_concurrent(self, spark, g):
+        run(spark, g, """
+            UNWIND range(1, 6) AS i
+            CALL { WITH i CREATE (:N) }
+            IN CONCURRENT TRANSACTIONS OF 2 ROWS
+        """).collect()
+        assert nodes(g) == 6
+
+    def test_concurrent_expression(self, spark, g):
+        # grammar allows any constant expression before CONCURRENT
+        run(spark, g, """
+            UNWIND range(1, 4) AS i
+            CALL { WITH i CREATE (:N) }
+            IN 2 + 2 CONCURRENT TRANSACTIONS
+        """).collect()
+        assert nodes(g) == 4
+
+    def test_concurrent_non_positive_rejected(self, spark, g):
+        with pytest.raises(Exception, match="positive"):
+            run(spark, g, """
+                UNWIND [1] AS i
+                CALL { WITH i CREATE (:N) }
+                IN 0 CONCURRENT TRANSACTIONS
+            """).collect()
+
+    def test_concurrent_non_constant_rejected(self, spark, g):
+        with pytest.raises(Exception, match="constant"):
+            run(spark, g, """
+                UNWIND [1] AS i
+                CALL { WITH i CREATE (:N) }
+                IN i CONCURRENT TRANSACTIONS
+            """).collect()
+
+    def test_concurrent_fail_commits_nothing_on_error(self, spark, g):
+        # fused path: the legal schedule where the failing batch wins the
+        # race — no sibling commit survives
+        with pytest.raises(Exception):
+            run(spark, g, """
+                UNWIND [1, 2, 0, 3] AS i
+                CALL { WITH i CREATE (n:N {p: 1/i}) }
+                IN 2 CONCURRENT TRANSACTIONS OF 1 ROWS
+            """).collect()
+        assert nodes(g) == 0
+
+    def test_concurrent_with_report_status_serial_loop(self, spark, g):
+        # REPORT STATUS needs per-batch commit identity → the serial
+        # schedule; per-batch rollback semantics are fully preserved
+        got = rows(run(spark, g, """
+            UNWIND [1, 0, 2] AS i
+            CALL { WITH i CREATE (n:N {p: 1/i}) }
+            IN 3 CONCURRENT TRANSACTIONS OF 1 ROWS
+            ON ERROR CONTINUE REPORT STATUS AS s
+            RETURN i, s.committed AS cm ORDER BY i
+        """))
+        assert got == [(0, False), (1, True), (2, True)]
+        assert nodes(g) == 2
+
+    def test_concurrent_reading_body_serial_loop(self, spark, g):
+        # a body that reads the graph observes prior executions' writes —
+        # must take the sequential path even under CONCURRENT
+        got = rows(run(spark, g, """
+            UNWIND range(1, 3) AS i
+            CALL { WITH i MATCH (m:N) WITH count(m) AS before
+                   CREATE (:N) RETURN before }
+            IN 2 CONCURRENT TRANSACTIONS OF 1 ROWS
+            RETURN before ORDER BY before
+        """))
+        assert got == [(0,), (1,), (2,)]
+        assert nodes(g) == 3

@@ -179,6 +179,39 @@ class TestSimilarity:
                  knn_ivf_probe(spark, path, q, k=5, n_probe=4).collect()]
         assert third == first
 
+    def test_ivf_handle_memo_lru_eviction(self, spark, emb, tmp_path):
+        """The per-(session, path) IVF handle memo is LRU-bounded: a
+        many-index long-lived service must not grow driver memory without
+        bound, while live (recently-used) handles stay memoized (same
+        dict object back on a hit, and the hit refreshes LRU position)."""
+        import os
+
+        from neo4j_spark.ml import similarity as S
+
+        paths = []
+        for i in range(3):
+            p = str(tmp_path / f"ivf_lru_{i}")
+            cents = S.ivf_centroids(emb, n_centroids=2)
+            S.save_ivf_index(emb, p, centroids=cents)
+            paths.append(os.path.abspath(p))
+
+        saved, saved_max = dict(S._IVF_HANDLES), S._IVF_HANDLES_MAX
+        S._IVF_HANDLES.clear()
+        try:
+            S._IVF_HANDLES_MAX = 2
+            h0 = S._ivf_handle(spark, paths[0])
+            S._ivf_handle(spark, paths[1])
+            assert S._ivf_handle(spark, paths[0]) is h0  # live hit memoized
+            S._ivf_handle(spark, paths[2])  # evicts paths[1] (LRU), not [0]
+            assert len(S._IVF_HANDLES) == 2
+            app = spark.sparkContext.applicationId
+            assert (app, paths[1]) not in S._IVF_HANDLES
+            assert S._ivf_handle(spark, paths[0]) is h0  # survivor still hot
+        finally:
+            S._IVF_HANDLES_MAX = saved_max
+            S._IVF_HANDLES.clear()
+            S._IVF_HANDLES.update(saved)
+
     def test_lsh_recall_vs_bruteforce(self, spark, emb):
         """Recall gate: multi-table multi-probe LSH (7 planes, 8 tables,
         radius-2 probing) recovers >= 0.9 of the true top-10 averaged over

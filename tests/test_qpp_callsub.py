@@ -176,7 +176,18 @@ def test_call_union_mixed_label_knowledge(spark, chain_graph):
     assert rows(out) == [(2,)]
 
 
-def test_qpp_nested_var_length(spark, chain_graph):
+@pytest.fixture
+def qpp_ext(spark):
+    # var-length-inside-QPP is an opt-in engine extension
+    # (neo4j_spark.cypher.extensions); default mode follows the reference
+    # and raises — see test_qpp_nested_var_default_raises
+    prev = spark.conf.get("neo4j_spark.cypher.extensions", "false")
+    spark.conf.set("neo4j_spark.cypher.extensions", "true")
+    yield
+    spark.conf.set("neo4j_spark.cypher.extensions", prev)
+
+
+def test_qpp_nested_var_length(spark, chain_graph, qpp_ext):
     # var-length rel inside the repeated unit (TrailPipe.scala:65 arbitrary
     # RHS): {1,2} reps of an inner 1..2-hop expansion, rel-unique across
     # the whole trail
@@ -186,7 +197,7 @@ def test_qpp_nested_var_length(spark, chain_graph):
     assert rows(out) == [(3,)]
 
 
-def test_qpp_nested_var_length_rel_uniqueness(spark, chain_graph):
+def test_qpp_nested_var_length_rel_uniqueness(spark, chain_graph, qpp_ext):
     # 2 reps of *1..2 over a 2-edge chain can only be (1 hop, 1 hop);
     # reusing an edge across reps must be rejected
     out = cypher(spark,
@@ -195,12 +206,25 @@ def test_qpp_nested_var_length_rel_uniqueness(spark, chain_graph):
     assert rows(out) == [(1,)]
 
 
-def test_qpp_nested_mixed_unit(spark, chain_graph):
+def test_qpp_nested_mixed_unit(spark, chain_graph, qpp_ext):
     # repeated unit mixing a var-length and a fixed rel
     out = cypher(spark,
                  "MATCH (s:A)((a)-[:R*1..2]->(b)-[:R]->(c)){1,1}(e) "
                  "RETURN e.x AS x", chain_graph)
     assert rows(out) == [(3,)]
+
+
+def test_qpp_nested_var_default_raises(spark, chain_graph):
+    # strict-conformance default: the reference rejects a var-length rel
+    # inside a QPP unit (SemanticPatternCheck.scala,
+    # QuantifiedPathPatternsSemanticAnalysisTest.scala:257)
+    assert spark.conf.get("neo4j_spark.cypher.extensions",
+                          "false") == "false"
+    with pytest.raises(Exception,
+                       match="cannot be part of a quantified path"):
+        cypher(spark,
+               "MATCH (s:A)((a)-[*1..2]->(b)){1,2}(e) "
+               "RETURN count(*) AS n", chain_graph)
 
 
 def test_call_scope_clause_forms(spark, chain_graph):

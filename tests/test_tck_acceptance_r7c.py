@@ -171,11 +171,22 @@ class TestMixingRejected:
 
     def test_vlr_nested_inside_qpp_is_engine_extension(self, spark, g):
         # the reference rejects any VLR/QPP cohabitation; this engine
-        # documents nested VLR inside a QPP unit as an extension
-        # (qpp_nested_var) — sibling mixing still raises above
-        assert rows(run(spark, g,
-                        "MATCH (s)((a)-[*1..2]->(b)){2,2}(e) "
-                        "RETURN count(*) AS n")) == [(0,)]
+        # offers nested VLR inside a QPP unit as an OPT-IN extension
+        # (neo4j_spark.cypher.extensions, qpp_nested_var entry) —
+        # default mode raises the reference's error, sibling mixing
+        # still raises above
+        with pytest.raises(Exception,
+                           match="cannot be part of a quantified path"):
+            run(spark, g,
+                "MATCH (s)((a)-[*1..2]->(b)){2,2}(e) RETURN count(*) AS n")
+        prev = spark.conf.get("neo4j_spark.cypher.extensions", "false")
+        spark.conf.set("neo4j_spark.cypher.extensions", "true")
+        try:
+            assert rows(run(spark, g,
+                            "MATCH (s)((a)-[*1..2]->(b)){2,2}(e) "
+                            "RETURN count(*) AS n")) == [(0,)]
+        finally:
+            spark.conf.set("neo4j_spark.cypher.extensions", prev)
 
     def test_vlr_and_qpp_in_pattern_comprehensions(self, spark, g):
         raises_mixing(spark, g,
