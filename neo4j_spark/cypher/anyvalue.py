@@ -842,6 +842,82 @@ def any_value_type_deep(c: Column) -> Column:
              .otherwise(any_value_type(c)))
 
 
+# GQL type-description order (CypherTypeOrder.scala:22): the rank of the
+# OUTER type constructor orders union members in a rendered description
+_TYPE_DESC_RANK = {
+    "NOTHING": 0, "NULL": 1, "BOOLEAN": 2, "STRING": 3, "INTEGER": 4,
+    "FLOAT": 5, "DATE": 6, "LOCAL TIME": 7, "ZONED TIME": 8,
+    "LOCAL DATETIME": 9, "ZONED DATETIME": 10, "DURATION": 11,
+    "POINT": 12, "NODE": 13, "RELATIONSHIP": 14, "MAP": 15, "LIST": 16,
+    "PATH": 17}
+
+
+def _type_desc_rank(s: Column) -> Column:
+    """CypherTypeOrder rank of a rendered type description's head."""
+    out = F.lit(len(_TYPE_DESC_RANK) + 1)
+    # longer names first so 'LOCAL DATETIME' wins over 'LOCAL TIME' etc.
+    for name in sorted(_TYPE_DESC_RANK, key=len, reverse=True):
+        out = F.when(s.startswith(name), F.lit(_TYPE_DESC_RANK[name])) \
+               .otherwise(out)
+    return out
+
+
+def normalize_type_union(ts: Column) -> Column:
+    """Render a union of element type descriptions the way the
+    reference's CypherType normalization does
+    (ValueTypeFunctionAcceptance, TypeSpec/ClosedDynamicUnionType):
+
+    - distinct members, ordered by CypherTypeOrder then text;
+    - LIST<NOTHING> is a subtype of every LIST — absorbed by siblings;
+    - a NULL member makes the others nullable (drops their outer
+      'NOT NULL' suffix) instead of printing;
+    - empty union -> NOTHING, all-null -> NULL.
+
+    ``ts``: array<string> of member descriptions; returns one string."""
+    ts = F.array_distinct(ts)
+    has_null = F.array_contains(ts, "NULL")
+    ts2 = F.array_remove(ts, "NULL")
+    other_list = F.exists(
+        ts2, lambda s: s.startswith("LIST<")
+        & (s != "LIST<NOTHING> NOT NULL"))
+    ts2 = F.when(other_list,
+                 F.array_remove(ts2, "LIST<NOTHING> NOT NULL")) \
+           .otherwise(ts2)
+    ts2 = F.when(has_null,
+                 F.transform(ts2, lambda s: F.regexp_replace(
+                     s, " NOT NULL$", ""))).otherwise(ts2)
+
+    def cmp(x, y):
+        rx, ry = _type_desc_rank(x), _type_desc_rank(y)
+        return (F.when(rx < ry, F.lit(-1)).when(rx > ry, F.lit(1))
+                 .when(x < y, F.lit(-1)).when(x > y, F.lit(1))
+                 .otherwise(F.lit(0)))
+
+    ordered = F.array_sort(ts2, cmp)
+    return (F.when(F.size(ts) == 0, F.lit("NOTHING"))
+             .when(F.size(ts2) == 0, F.lit("NULL"))
+             .otherwise(F.array_join(ordered, " | ")))
+
+
+def any_value_type_precise(c: Column, d: int) -> Column:
+    """valueType() over extended tagged values with EXACT list element
+    types (CypherType.description): element descriptions are computed
+    per runtime element and normalized by :func:`normalize_type_union`."""
+    if d <= 0:
+        return any_value_type(c)
+    g = c.getField("__vg")
+    inner = normalize_type_union(F.transform(
+        c.getField("__vl"), lambda x: any_value_type_precise(x, d - 1)))
+    return (F.when(g == RANK_LIST,
+                   F.concat(F.lit("LIST<"), inner, F.lit("> NOT NULL")))
+             .when(g == RANK_MAP, F.lit("MAP NOT NULL"))
+             .when(g == RANK_POINT, F.lit("POINT NOT NULL"))
+             .when(g == RANK_NODE, F.lit("NODE NOT NULL"))
+             .when(g == RANK_REL, F.lit("RELATIONSHIP NOT NULL"))
+             .when(g == RANK_PATH, F.lit("PATH NOT NULL"))
+             .otherwise(any_value_type(c)))
+
+
 def type_contains_any(t) -> bool:
     """True when a Spark type has a tagged any-layout anywhere inside."""
     if t is None:

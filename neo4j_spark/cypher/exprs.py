@@ -936,6 +936,36 @@ class ExprCompiler:
         # arithmetic
         lc, lt = self.compile_typed(e.left)
         rc, rt = self.compile_typed(e.right)
+        if op in ("+", "-", "*", "/", "%", "^"):
+            # a runtime-tagged SCALAR operand (e.g. an element of a mixed
+            # int/float list) participates in arithmetic as its numeric
+            # value — non-numbers yield null (the reference raises; the
+            # engine's tagged path is null-propagating)
+            from . import anyvalue as AV
+
+            def _num(c, t):
+                num = F.when(
+                    c.getField("__vg") == AV.RANK_NUMBER,
+                    F.coalesce(c.getField("__vi").cast("double"),
+                               c.getField("__vn")))
+                return num, T.DoubleType()
+
+            l_tag = AV.is_any_type(lt) and not AV.is_deep_any_type(lt)
+            r_tag = AV.is_any_type(rt) and not AV.is_deep_any_type(rt)
+            num_t = (*INT_TYPES, T.FloatType, T.DoubleType, T.DecimalType,
+                     T.NullType)
+            # '+' doubles as string/list concat, so only untag when the
+            # other side is statically numeric (or tagged itself); the
+            # other five operators are numeric-only
+            if op == "+":
+                ok_l = r_tag or rt is None or isinstance(rt, num_t)
+                ok_r = l_tag or lt is None or isinstance(lt, num_t)
+            else:
+                ok_l = ok_r = True
+            if l_tag and ok_l:
+                lc, lt = _num(lc, lt)
+            if r_tag and ok_r:
+                rc, rt = _num(rc, rt)
         if op == "+":
             return self._plus(lc, lt, rc, rt)
         if op == "||":
@@ -1301,9 +1331,10 @@ class ExprCompiler:
             typed.append((c, t))
             if t is None or isinstance(t, T.NullType):
                 continue
-            if isinstance(t, (*INT_TYPES, T.FloatType, T.DoubleType,
-                              T.DecimalType)):
-                classes.add("number")
+            if isinstance(t, INT_TYPES):
+                classes.add("integer")
+            elif isinstance(t, (T.FloatType, T.DoubleType, T.DecimalType)):
+                classes.add("float")
             elif isinstance(t, T.StringType):
                 classes.add("string")
             elif isinstance(t, T.BooleanType):
@@ -1313,6 +1344,16 @@ class ExprCompiler:
                 classes.add(t.simpleString())
             else:
                 classes.add(t.simpleString())
+        if classes == {"integer", "float"}:
+            # DOCUMENTED DIVERGENCE: a flat int/float mix widens to
+            # double (Spark numeric widening) — [2.0, 2] is
+            # LIST<FLOAT NOT NULL> here where the reference's ListValue
+            # keeps per-element identity (LIST<INTEGER NOT NULL | FLOAT
+            # NOT NULL>).  The tagged encoding would preserve it but
+            # degrades arithmetic/aggregation/ordering over numeric
+            # lists (sum(x), x > 1.5, ORDER BY) — value-identical math
+            # wins over type-description fidelity.
+            classes = {"number"}
         if len(classes) > 1:
             # before falling back to the tagged encoding, try unifying the
             # static types (null-widening, numeric widening, field-wise on
@@ -1569,6 +1610,17 @@ class ExprCompiler:
             raise CypherTypeError(
                 f"aggregate {e.name}() outside aggregating projection")
         lname = e.name.lower()
+        if lname == "nullif" and len(e.args) == 2:
+            # nullIf(a, b) = CASE WHEN a = b THEN null ELSE a END with
+            # CYPHER equality (ternary, cross-type) — Spark's nullif
+            # requires same-typed operands, so a runtime-tagged mixed
+            # value vs a plain literal would type-error
+            # (NullIfFunctionAcceptance 'non matching cases')
+            eq = self.compile(A.BinOp("=", e.args[0], e.args[1]))
+            a = self.compile(e.args[0])
+            return F.when(eq.eqNullSafe(F.lit(True)),
+                          F.lit(None).cast(self.dtype_of(a) or "string")) \
+                    .otherwise(a)
         if lname in ("graph.names", "graph.propertiesbyname"):
             # composite-catalog functions (GraphFunctions in the
             # reference's fabric surface): plan-time constants from the

@@ -277,6 +277,12 @@ class Translator:
                 frames.append(sub._single(q))
             out = frames[0]
             for f in frames[1:]:
+                if set(f.columns) != set(out.columns):
+                    # Query.scala:760 / UnionDistinct.feature
+                    # 'Failing when UNION has different columns'
+                    raise TranslateError(
+                        "All sub queries in an UNION must have the same "
+                        "return column names")
                 out = out.unionByName(f)
             if not ast.all:
                 out = out.dropDuplicates()
@@ -2853,7 +2859,27 @@ class Translator:
             v = getattr(el, "var", None)
             if v:
                 pv.add(v)
-        shared = [v for v in df.columns if v in pv]
+        # outer variables referenced by the comprehension's predicates or
+        # projection correlate too — `[(a:A WHERE a.prop > x)-->(b) | …]`
+        # must see the enclosing row's `x`
+        # (NodePatternPredicatesAcceptance)
+        import dataclasses as _dc
+
+        def fv(node, acc):
+            if isinstance(node, (list, tuple)):
+                for x in node:
+                    fv(x, acc)
+                return acc
+            if isinstance(node, A.Var):
+                acc.add(node.name)
+                return acc
+            if _dc.is_dataclass(node) and not isinstance(node, type):
+                for f in _dc.fields(node):
+                    fv(getattr(node, f.name), acc)
+            return acc
+
+        referenced = fv((e.pattern, e.where, e.projection), set())
+        shared = [v for v in df.columns if v in pv or v in referenced]
         base = df.select(*shared).dropDuplicates() if shared else None
         sub = Translator(self.spark, self.graph, self.params, catalog=self.catalog)
         sub.kinds.update(self.kinds)
@@ -3716,9 +3742,15 @@ class Translator:
             return col
 
         if df is None:
+            # a LEADING UNWIND still needs pattern comprehensions /
+            # subquery expressions in its source lowered — run them over
+            # the unit row (NodePatternPredicatesAcceptance 'Pattern
+            # comprehension with predicates on multiple nodes' UNWINDs a
+            # comprehension as the first clause)
             df = self.spark.range(1).select(F.lit(1).alias("__one"))
-            cc = self._compiler(None)
-            col = fix(cc.compile(u.expr), cc)
+            df, expr = self._lower_all(df, u.expr)
+            cc = self._compiler(df)
+            col = fix(cc.compile(expr), cc)
             out = df.select(F.explode(col).alias(u.var))
         else:
             df, expr = self._lower_all(df, u.expr)
@@ -4104,6 +4136,18 @@ class Translator:
     def _call_proc(self, df: Optional[DataFrame], c: A.CallProc) -> DataFrame:
         from ..procedures.registry import run_procedure
 
+        from ..procedures.registry import procedure_is_void
+
+        if df is not None and not c.yields:
+            # in-query CALL of a result-producing procedure must name its
+            # results explicitly (ProcedureAcceptance 'Non-void-procedure
+            # call after a MATCH clause fails'); a VOID procedure is fine.
+            # Standalone CALL (df is None) names implicitly.
+            if not procedure_is_void(c.name):
+                raise TranslateError(
+                    "Procedure call inside a query does not support "
+                    "naming results implicitly (name explicitly using "
+                    "`YIELD` instead)")
         cc = self._compiler(df)
 
         def _static(a):
@@ -4219,6 +4263,13 @@ class Translator:
             if c.where is not None:
                 out = out.filter(self._compiler(out).compile(c.where).cast("boolean"))
             return out
+        if df is not None and not c.yields \
+                and procedure_is_void(c.name):
+            # VOID procedure mid-query: runs for its side effects, the
+            # rowstream passes through unchanged (a crossJoin with its
+            # empty result would wrongly drop every row)
+            result.collect()  # force the side effects now
+            return df
         if c.yields == [("*", None)]:  # YIELD *
             for col_name in result.columns:
                 self.kinds[col_name] = "scalar"

@@ -108,7 +108,10 @@ def _cypher_type_name(t) -> str:
             return "RELATIONSHIP"
         if {"_id", "_labels"} <= names:
             return "NODE"
-        if {"_nodes", "_rels"} <= names or {"__nodes", "__rels"} <= names:
+        if {"_nodes", "_rels"} <= names or {"__nodes", "__rels"} <= names \
+                or {"nodes", "rels"} <= names or names == {"len"}:
+            # incl. the engine's path structs: {nodes, rels} from
+            # _build_path / shortest_path, {len} length-only stubs
             return "PATH"
         return "MAP"
     if isinstance(t, T.MapType):
@@ -780,15 +783,22 @@ def compile_function(cc, e: A.Func) -> Column:
         from ..cypher import anyvalue as AV
         if AV.is_any_type(t):
             if AV.is_deep_any_type(t):
-                return AV.any_value_type_deep(col)
+                return AV.any_value_type_precise(
+                    col, AV.any_layout_depth(t))
             return AV.any_value_type(col)
         base = _cypher_type_name(t)
         if base == "NULL":
             return F.lit("NULL")
         if isinstance(t, T.ArrayType) and AV.is_any_type(t.elementType):
-            # heterogeneous list: element types are runtime-erased
+            # heterogeneous list: compute each element's description at
+            # runtime and normalize the union (ValueTypeFunctionAcceptance
+            # 'Testing LIST type values')
+            d = AV.any_layout_depth(t.elementType)
+            inner = AV.normalize_type_union(F.transform(
+                col, lambda x: AV.any_value_type_precise(x, d)))
             return F.when(col.isNull(), F.lit("NULL")) \
-                    .otherwise(F.lit("LIST<ANY> NOT NULL"))
+                    .otherwise(F.concat(F.lit("LIST<"), inner,
+                                        F.lit("> NOT NULL")))
         if isinstance(t, T.ArrayType):
             inner = _cypher_type_name(t.elementType)
             inner_col = F.when(

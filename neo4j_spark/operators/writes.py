@@ -71,6 +71,14 @@ def _check_rebind(tr, df: Optional[DataFrame], part: A.PatternPart) -> None:
         v = getattr(el, "var", None)
         if v is None:
             continue
+        if isinstance(el, A.RelPat) and v in seen:
+            # a CREATE/INSERT relationship is always NEW — its variable
+            # can never be one already bound (InsertAcceptance [23],
+            # 'Fail when inserting a relationship that is already bound')
+            raise ValueError(
+                f"Variable `{v}` already declared — a CREATE/INSERT "
+                "relationship variable must be new "
+                "(VariableAlreadyBound)")
         labeled = bool(getattr(el, "labels", None)) \
             or getattr(el, "props", None) is not None
         if v in seen and labeled and isinstance(el, A.NodePat):
@@ -79,6 +87,15 @@ def _check_rebind(tr, df: Optional[DataFrame], part: A.PatternPart) -> None:
                 "pattern cannot impose new labels or properties on it "
                 "(VariableAlreadyBound)")
         seen.add(v)
+    if (len(part.elements) == 1
+            and isinstance(part.elements[0], A.NodePat)):
+        v = part.elements[0].var
+        if v is not None and df is not None and v in df.columns:
+            # a STANDALONE node pattern re-using a bound variable would
+            # re-create an existing node (InsertAcceptance [21]); with
+            # relationships around it the bound endpoint is legal
+            raise ValueError(
+                f"Variable `{v}` already declared (VariableAlreadyBound)")
 
 
 def _lower_part_props(tr, df: DataFrame, part: A.PatternPart):

@@ -47,6 +47,27 @@ class ProcedureError(ValueError):
     pass
 
 
+# VOID procedures (no output columns): legal mid-query without YIELD —
+# everything else must name results explicitly there
+# (ProcedureAcceptance 'Non-void-procedure call after a MATCH clause
+# fails'; the reference's signatures mark these `:: VOID`)
+VOID_PROCEDURES = {
+    "db.awaitindex", "db.awaitindexes",
+    "db.index.fulltext.awaiteventuallyconsistentindexrefresh",
+    "db.resampleindex", "db.resampleoutdatedindexes",
+    "db.clearquerycaches", "db.prepareforreplanning",
+    "db.createlabel", "db.createproperty", "db.createrelationshiptype",
+    "db.create.setvectorproperty", "db.create.setnodevectorproperty",
+    "db.index.vector.setnodevectorproperty",
+    "db.create.setrelationshipvectorproperty",
+    "tx.setmetadata",
+}
+
+
+def procedure_is_void(name: str) -> bool:
+    return name.lower() in VOID_PROCEDURES
+
+
 def run_procedure(spark: SparkSession, graph: PropertyGraph, name: str,
                   args: List[Any]) -> DataFrame:
     fn = PROCEDURES.get(name.lower())

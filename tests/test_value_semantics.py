@@ -489,9 +489,12 @@ class TestContainerOrderability:
             chain_graph)) == [(None, False, True, True)]
 
     def test_heterogeneous_list_value_type(self, spark, chain_graph):
+        # round 8: exact element unions, rank-ordered per
+        # CypherTypeOrder.scala:22 (was the coarse LIST<ANY>)
         assert rows(cypher(
             spark, "RETURN valueType([[1], 'a']) AS t", chain_graph)) \
-            == [("LIST<ANY> NOT NULL",)]
+            == [("LIST<STRING NOT NULL | LIST<INTEGER NOT NULL> NOT NULL>"
+                 " NOT NULL",)]
 
 
 class TestNamedTimeZones:
