@@ -976,6 +976,34 @@ CYPHER_QUERIES = {
         "WITH [x IN range(1, 0) | x] AS e, [1] AS f "
         "RETURN (e OR true) AS a, (e AND true) AS b, NOT e AS c, "
         "(f AND true) AS d",
+    # valueType with exact list element unions (CypherTypeOrder-sorted,
+    # LIST<NOTHING>/NULL normalization; ValueTypeFunctionAcceptance)
+    "valuetype_list_unions":
+        "UNWIND [[1], ['3', true], [], [null], [1, null]] AS v "
+        "RETURN valueType(v) AS t",
+    # pattern comprehension WHERE referencing an OUTER variable
+    # (NodePatternPredicatesAcceptance)
+    "pattern_comp_outer_var":
+        "WITH 1000.0 AS x MATCH (n:Nation) WHERE n.nationkey < 3 "
+        "RETURN n.nationkey AS k, "
+        "size([p=(n)<-[:FROM_NATION]-(c:Customer WHERE c.acctbal > x) "
+        "| p]) AS d ORDER BY k",
+    # rel-type algebra with wildcards/negated groups in the scan
+    # (LabelExpressionAcceptance rel outlines)
+    "rel_type_algebra":
+        "MATCH ()-[r:!(FROM_NATION&%)&%]->() RETURN count(*) AS n",
+    # nested correlated CALL {} (hidden-correlation columns must be
+    # unique per nesting level; CallInTransactions happy-path port)
+    "nested_call_subquery":
+        "MATCH (n:Nation) WHERE n.nationkey < 3 "
+        "CALL { WITH n CALL { WITH n RETURN n.nationkey * 10 AS t } "
+        "RETURN t } RETURN n.nationkey AS k, t ORDER BY k",
+    # list comprehension whose lambda drives a correlated pattern
+    # comprehension (explode-lower-collect; PatternExpressionAcceptance)
+    "listcomp_correlated_subq":
+        "MATCH (r:Region) RETURN r.regionkey AS k, "
+        "[x IN [r] | size([p=(x)<-[:IN_REGION]-(n:Nation) | p])] AS d "
+        "ORDER BY k",
 }
 
 
@@ -2943,6 +2971,31 @@ def _oracle_sql_raw() -> dict[str, str]:
             "(SELECT count(*) FROM supplier) AS BIGINT) AS n",
         "bool_list_coercion":
             "SELECT TRUE AS a, FALSE AS b, TRUE AS c, TRUE AS d",
+        "valuetype_list_unions":
+            "SELECT * FROM (VALUES "
+            "('LIST<INTEGER NOT NULL> NOT NULL'), "
+            "('LIST<BOOLEAN NOT NULL | STRING NOT NULL> NOT NULL'), "
+            "('LIST<NOTHING> NOT NULL'), "
+            "('LIST<NULL> NOT NULL'), "
+            "('LIST<INTEGER> NOT NULL')) AS t(t)",
+        "pattern_comp_outer_var":
+            "SELECT n_nationkey AS k, "
+            "(SELECT count(*) FROM customer c WHERE c.c_nationkey = "
+            "n.n_nationkey AND c.c_acctbal > 1000.0) AS d "
+            "FROM nation n WHERE n_nationkey < 3 ORDER BY k",
+        "rel_type_algebra":
+            "SELECT CAST((SELECT count(*) FROM nation) + "
+            "(SELECT count(*) FROM orders) + "
+            "2 * (SELECT count(*) FROM lineitem) AS BIGINT) AS n",
+        "nested_call_subquery":
+            "SELECT n_nationkey AS k, "
+            "CAST(n_nationkey * 10 AS BIGINT) AS t "
+            "FROM nation WHERE n_nationkey < 3 ORDER BY k",
+        "listcomp_correlated_subq":
+            "SELECT r_regionkey AS k, "
+            "[(SELECT count(*) FROM nation n "
+            "WHERE n.n_regionkey = r.r_regionkey)] AS d "
+            "FROM region r ORDER BY k",
         "shortest_path_pred_fallback":
             "SELECT * FROM (VALUES ('A'), ('B'), ('C'), ('D')) AS t(node)",
         "write_merge_chain":

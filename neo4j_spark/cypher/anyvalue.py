@@ -513,9 +513,22 @@ def to_any_deep(c: Column, t: Optional[T.DataType],
         return _pack_deep(g, nn, ns, nb, ni, nl, nm,
                           F.when(c.isNull(), np_).otherwise(pp))
     if isinstance(t, T.StructType) and "_id" in t.fieldNames():
-        rank = RANK_REL if "_type" in t.fieldNames() else RANK_NODE
+        is_rel = "_type" in t.fieldNames()
+        rank = RANK_REL if is_rel else RANK_NODE
         g = F.when(c.isNull(), RANK_NULL).otherwise(rank)
-        return _pack_deep(g, nn, ns, nb, c.getField("_id").cast("long"),
+        # carry the rel type / sorted label set in the (otherwise unused)
+        # string slot so label predicates work on runtime-tagged entities
+        # (LabelExpressionAcceptance 'expression on unknown entity type');
+        # identity (eq/compare/render) still reads only __vi
+        if is_rel:
+            meta = c.getField("_type")
+        elif "_labels" in t.fieldNames():
+            meta = F.array_join(F.array_sort(F.array_remove(
+                c.getField("_labels"), "_none")), "\x1f")
+        else:
+            meta = F.lit(None).cast("string")
+        return _pack_deep(g, nn, F.when(c.isNull(), ns).otherwise(meta),
+                          nb, c.getField("_id").cast("long"),
                           nl, nm, np_)
     if isinstance(t, T.StructType) and {"nodes", "rels"} <= set(
             t.fieldNames()):

@@ -210,7 +210,8 @@ def compile_label_tree(tree, labels_col: Column, type_col: Column = None
     if k == "any":
         if type_col is not None:
             return type_col.isNotNull()
-        return F.size(labels_col) > 0
+        # '%': the internal '_none' no-label shard marker doesn't count
+        return F.size(F.array_remove(labels_col, "_none")) > 0
     if k == "not":
         return ~compile_label_tree(tree[1], labels_col, type_col)
     if k == "and":
@@ -1280,6 +1281,50 @@ class ExprCompiler:
 
     def _c_HasLabels(self, e: A.HasLabels) -> Column:
         subj = self.compile(e.subject)
+        st_any = self.static_type(e.subject)
+        from . import anyvalue as AV
+
+        if AV.is_any_type(st_any):
+            # runtime-tagged subject (e.g. UNWIND [node, rel, node]):
+            # branch on the runtime group; the encoding carries the rel
+            # type / label set in __vs.  Non-entities -> null (no match)
+            tree0 = getattr(e, "label_tree", None)
+            g = subj.getField("__vg")
+            vs = subj.getField("__vs")
+            labels_arr = F.when(
+                vs.isNull() | (vs == ""),
+                F.array().cast("array<string>")
+            ).otherwise(F.split(vs, "\x1f"))
+
+            def mk(kind2, labels_col, type_col):
+                if tree0 is not None:
+                    return compile_label_tree(tree0, labels_col, type_col)
+                out2 = None
+                if kind2 == "rel":
+                    conds2 = [type_col == F.lit(l) for l in e.labels]
+                else:
+                    conds2 = [F.array_contains(labels_col, l)
+                              for l in e.labels]
+                for c2 in conds2:
+                    out2 = c2 if out2 is None else (
+                        (out2 | c2) if getattr(e, "any_labels", False)
+                        else (out2 & c2))
+                for l in getattr(e, "neg_labels", ()) or ():
+                    c2 = (~(type_col == F.lit(l)) if kind2 == "rel"
+                          else ~F.array_contains(labels_col, l))
+                    out2 = c2 if out2 is None else out2 & c2
+                if getattr(e, "req_any_label", False):
+                    c2 = (type_col.isNotNull() if kind2 == "rel"
+                          else F.size(labels_col) > 0)
+                    out2 = c2 if out2 is None else out2 & c2
+                if getattr(e, "req_no_label", False):
+                    c2 = F.size(labels_col) == 0
+                    out2 = c2 if out2 is None else out2 & c2
+                return out2 if out2 is not None else F.lit(True)
+
+            return (F.when(g == AV.RANK_NODE, mk("node", labels_arr, None))
+                     .when(g == AV.RANK_REL, mk("rel", labels_arr, vs))
+                     .otherwise(F.lit(None).cast("boolean")))
         kind = self.kinds.get(e.subject.name) if isinstance(e.subject, A.Var) else None
         if kind is None:
             # lambda-scoped subjects (``none(rel IN r WHERE rel:X)``)
@@ -1308,10 +1353,16 @@ class ExprCompiler:
                  else ~F.array_contains(subj.getField("_labels"), l))
             out = c if out is None else out & c
         if getattr(e, "req_any_label", False):
-            c = F.size(subj.getField("_labels")) > 0
+            # '%': every rel has a type; for nodes the internal '_none'
+            # no-label shard marker doesn't count
+            c = (subj.getField("_type").isNotNull() if kind == "rel"
+                 else F.size(F.array_remove(subj.getField("_labels"),
+                                            "_none")) > 0)
             out = c if out is None else out & c
         if getattr(e, "req_no_label", False):
-            c = F.size(subj.getField("_labels")) == 0
+            c = (subj.getField("_type").isNull() if kind == "rel"
+                 else F.size(F.array_remove(subj.getField("_labels"),
+                                            "_none")) == 0)
             out = c if out is None else out & c
         return out if out is not None else F.lit(True)
 

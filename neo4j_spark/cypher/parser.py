@@ -836,6 +836,61 @@ class Parser:
         return ("label", self.expect_ident())
 
     @staticmethod
+    def _lower_rel_type_tree(tree):
+        """Lower a rel-type expression tree to (types, neg_types, ttree):
+        pure disjunctions of names/dynamics -> the flat union-scan list;
+        one positive name with negations/wildcards -> flat + neg list
+        ('%' filters nothing — every rel has a type); anything else keeps
+        the exact tree (with a positive-name cover in ``types`` for shard
+        pruning) and compiles to a per-row predicate on the single type
+        (LabelExpressionAcceptance rel-type outlines: A&!A, A|!A, !%,
+        %|!%, A|%, parenthesised groups)."""
+        def disj(t):
+            return disj(t[1]) + disj(t[2]) if t[0] == "or" else [t]
+
+        def conj(t):
+            return conj(t[1]) + conj(t[2]) if t[0] == "and" else [t]
+
+        ds = disj(tree)
+        if all(d[0] in ("label", "dyn") for d in ds):
+            return [d[1] for d in ds], [], None
+        if len(ds) == 1:
+            cs = conj(tree)
+            pos = [c for c in cs if c[0] in ("label", "dyn")]
+            negs = [c for c in cs if c[0] == "not"
+                    and c[1][0] in ("label", "dyn")]
+            anys = [c for c in cs if c[0] == "any"]
+            if (len(pos) + len(negs) + len(anys) == len(cs)
+                    and len(pos) <= 1):
+                return ([p[1] for p in pos], [n[1][1] for n in negs],
+                        None)
+
+        def has_dyn(t):
+            if t[0] == "dyn":
+                return True
+            return any(has_dyn(x) for x in t[1:]
+                       if isinstance(x, tuple))
+
+        if has_dyn(tree):
+            raise ParseError(
+                "dynamic relationship types $(expr) are only supported "
+                "in simple (disjunction / single-negation) form")
+
+        def cover(t):
+            if t[0] == "label":
+                return {t[1]}
+            if t[0] == "or":
+                a, b = cover(t[1]), cover(t[2])
+                return None if a is None or b is None else a | b
+            if t[0] == "and":
+                a, b = cover(t[1]), cover(t[2])
+                return a if a is not None else b
+            return None
+
+        cov = cover(tree)
+        return (sorted(cov) if cov else [], [], tree)
+
+    @staticmethod
     def _lower_label_tree(tree):
         def conjuncts(t):
             if t[0] == "and":
@@ -948,44 +1003,14 @@ class Parser:
             if self.at_op(":") or self.at_kw("IS"):
                 lx_gpm = lx_gpm or self.at_kw("IS")
                 self.take()
-                if self.at_op("("):
-                    # full type-expression algebra — ((!A&B)&(C|D)),
-                    # nested parens, negated groups: reuse the label
-                    # algebra parser; ``types`` keeps the pruning cover
-                    (types, _any, neg_types, _ra, _rn,
-                     ttree) = self.parse_label_expr()
-                    lx_gpm = True
-                else:
-                    while True:
-                        neg = False
-                        while self.at_op("!"):
-                            self.take()
-                            lx_gpm = True
-                            neg = not neg
-                        if self.at_op("%"):  # any-type wildcard: no filter
-                            self.take()
-                            if neg:
-                                raise ParseError(
-                                    ":!% matches no relationship")
-                        elif self.at_op("$"):
-                            # dynamic type $(expr): translator-resolved
-                            self.take()
-                            self.expect_op("(")
-                            e = self.parse_expr()
-                            self.expect_op(")")
-                            (neg_types if neg else types).append(e)
-                        else:
-                            (neg_types if neg else types).append(
-                                self.expect_ident())
-                        if self.at_op("|", "&"):
-                            self.take()
-                            if self.at_op(":"):
-                                self.take()
-                            continue
-                        break
-                    if types and neg_types:
-                        raise ParseError(
-                            "mixed positive/negated relationship types")
+                # full type-expression algebra via the shared label parser
+                # (CypherParser.g4: one relTypeExpression grammar) — then
+                # lowered to the rel-specific flat fields where possible;
+                # '|' between rel types is flavor-neutral
+                self._lx_legacy = self._lx_gpm = self._lx_or = False
+                tree = self._parse_label_or()
+                lx_gpm = lx_gpm or self._lx_gpm
+                types, neg_types, ttree = self._lower_rel_type_tree(tree)
             if self.at_op("*"):
                 self.take()
                 var_length = True

@@ -106,6 +106,52 @@ def _walk_expr_list(walk, df, v):
     return df, nl, changed
 
 
+def _listcomp_needs_rows(e) -> bool:
+    """True when a list comprehension's WHERE/projection contains a
+    pattern comprehension / subquery expression that references the
+    lambda variable — only then must the lambda become a rowstream
+    (translate._lower_listcomp_subq); otherwise the ordinary column
+    lowering is correct and cheaper."""
+    import dataclasses
+
+    def refs_var(node, name) -> bool:
+        if isinstance(node, (list, tuple)):
+            return any(refs_var(x, name) for x in node)
+        if isinstance(node, A.Var):
+            return node.name == name
+        if dataclasses.is_dataclass(node) and not isinstance(node, type):
+            if getattr(node, "var", None) == name:
+                return True
+            return any(refs_var(getattr(node, f.name), name)
+                       for f in dataclasses.fields(node))
+        return False
+
+    hit = [False]
+
+    def scan(node):
+        if hit[0]:
+            return
+        if isinstance(node, (list, tuple)):
+            for x in node:
+                scan(x)
+            return
+        if isinstance(node, (A.PatternComp, A.PatternPred, A.ExistsSub,
+                             A.CountSub, A.CollectSub,
+                             A.ShortestPathExpr)):
+            if refs_var(node, e.var):
+                hit[0] = True
+            return
+        if dataclasses.is_dataclass(node) and not isinstance(node, type):
+            for f in dataclasses.fields(node):
+                scan(getattr(node, f.name))
+
+    scan((e.where, e.projection))
+    return hit[0]
+
+
+_ANON_COUNTER = 0
+
+
 def check_clause_syntax_mixing(clause, extensions: bool = False) -> None:
     """Per-clause GPM syntax-mixing validation (the reference's
     Clause.semanticCheck chain — Clause.scala:133-136,
@@ -247,7 +293,9 @@ class Translator:
         # rebinding with unknown labels pops the entry, and _projection
         # keeps entries only for identity pass-throughs.
         self.var_labels: Dict[str, frozenset] = {}
-        self._anon = 0
+        self._anon = 0  # superseded by the module-global counter for
+        #                 hidden names (nested translators must not
+        #                 regenerate each other's names)
         self.max_var_length = 12
 
     # ------------------------------------------------------------------ API
@@ -526,7 +574,11 @@ class Translator:
             if (rp.props is not None or rp.where is not None
                     or rp.var_length or rp.min_len is not None
                     or rp.max_len is not None or rp.neg_types
-                    or len(rp.types) > 1):
+                    or len(rp.types) > 1
+                    # residual type_tree: ``types`` is only a pruning
+                    # cover (e.g. :!(A&%)&%), the tree is the real
+                    # predicate — needs a scan, not the store
+                    or getattr(rp, "type_tree", None) is not None):
                 return None
             if rp.direction == "both":
                 # undirected: each rel matches once per orientation EXCEPT
@@ -547,8 +599,13 @@ class Translator:
         return self.spark.createDataFrame([(int(n),)], schema)
 
     def _anon_var(self, prefix: str = "a") -> str:
-        self._anon += 1
-        return f"_{prefix}{self._anon}"
+        # GLOBAL counter: a nested sub-Translator starting its own count
+        # would mint the same hidden name as its parent (e.g. the
+        # correlation copies of a CALL {} inside a CALL {}) and its
+        # join-back drop would then delete the parent's column
+        global _ANON_COUNTER
+        _ANON_COUNTER += 1
+        return f"_{prefix}{_ANON_COUNTER}"
 
     def _var_single_use(self, name: str) -> bool:
         """True when ``name`` occurs exactly once in the whole statement
@@ -1148,9 +1205,13 @@ class Translator:
         for l in np.neg_labels:
             base = base.filter(~F.array_contains(F.col("labels"), l))
         if np.req_any_label:
-            base = base.filter(F.size(F.col("labels")) > 0)
+            # '%' = has at least one REAL label: unlabeled nodes live in
+            # the internal '_none' shard, whose marker doesn't count
+            base = base.filter(
+                F.size(F.array_remove(F.col("labels"), "_none")) > 0)
         if np.req_no_label:
-            base = base.filter(F.size(F.col("labels")) == 0)
+            base = base.filter(
+                F.size(F.array_remove(F.col("labels"), "_none")) == 0)
         if getattr(np, "label_tree", None) is not None:
             # full algebra (e.g. :(A|B)&!C): ``labels`` above pruned the
             # shard cover; the tree is the exact predicate
@@ -1175,8 +1236,8 @@ class Translator:
         property column (an untyped ``-[*2..2]->`` otherwise drags all
         lineitem props through every BFS level)."""
         base = self.graph.rels_for_types(rp.types)
-        if rp.neg_types:  # [:!TYPE] — complement of the listed types
-            base = self.graph.rels.filter(
+        if rp.neg_types:  # [:!TYPE] — subtract from the positive cover
+            base = base.filter(
                 ~F.col("type").isin(list(rp.neg_types)))
         if getattr(rp, "type_tree", None) is not None:
             # full boolean type algebra ([:((!A&B)&(C|D))]): ``types``
@@ -1877,6 +1938,37 @@ class Translator:
                  if unbounded else qpp.max_reps)
         inner = qpp.elements
         qpp_where = qpp.where
+        # a node/rel-INTERNAL WHERE inside the unit that references a
+        # SIBLING unit variable — ((a)-[r]->(b WHERE a.age < b.age))+ —
+        # cannot compile at that element's scan (only its own var is in
+        # scope there): hoist it to the unit-level WHERE, which binds
+        # every unit variable per repetition
+        # (QuantifiedPathPatternGpmTests scenario 30)
+        import dataclasses as _dc
+
+        def _fv(node, acc):
+            if isinstance(node, (list, tuple)):
+                for x in node:
+                    _fv(x, acc)
+                return acc
+            if isinstance(node, A.Var):
+                acc.add(node.name)
+                return acc
+            if _dc.is_dataclass(node) and not isinstance(node, type):
+                for f in _dc.fields(node):
+                    _fv(getattr(node, f.name), acc)
+            return acc
+
+        new_inner = []
+        for el in inner:
+            w = getattr(el, "where", None)
+            if (w is not None and getattr(el, "var", None)
+                    and not (_fv(w, set()) <= {el.var})):
+                qpp_where = (w if qpp_where is None
+                             else A.BinOp("AND", qpp_where, w))
+                el = _dc.replace(el, where=None)
+            new_inner.append(el)
+        inner = new_inner
         defer_where = None
         if qpp_where is not None:
             # A per-repetition WHERE may reference singletons bound only
@@ -2452,7 +2544,22 @@ class Translator:
                 # shortestPath() used as a value inside WHERE, e.g.
                 # WHERE shortestPath((a)-[*..3]->(b)) IS NOT NULL
                 return self._lower_shortest_expr(df, e)
+            if isinstance(e, A.ListComp) and _listcomp_needs_rows(e):
+                return self._lower_listcomp_subq(df, e)
             if isinstance(e, A.PatternPred):
+                # the bare-pattern shorthand may only REFERENCE existing
+                # variables — introducing a new named one is the
+                # reference's UndefinedVariable (PatternExpressionAcceptance
+                # 'Failing when introducing new node/relationship
+                # variable'); EXISTS {} subqueries and pattern
+                # comprehensions may still bind new names
+                for el in e.pattern.elements:
+                    v = getattr(el, "var", None)
+                    if v and v not in df.columns:
+                        raise TranslateError(
+                            f"Variable `{v}` not defined — a pattern "
+                            "expression cannot introduce new variables "
+                            "(UndefinedVariable)")
                 return lower_exists(df, A.ExistsSub([e.pattern], None))
             if isinstance(e, A.ExistsSub):
                 return lower_exists(df, e)
@@ -2614,7 +2721,7 @@ class Translator:
                 allf = allf.dropDuplicates()
             return df, A.Lit(int(allf.count()))
 
-        hid = {v: f"__corr_{v}" for v in shared}
+        hid = {v: "_" + self._anon_var(f"corr_{v}_") for v in shared}  # unique per nesting level, "__"-prefixed (scope-hidden)
         base = df.select(*shared).dropDuplicates()
         for v in shared:
             base = base.withColumn(hid[v], F.col(v))
@@ -2775,7 +2882,7 @@ class Translator:
             self.kinds[col] = "scalar"
             return out, A.Var(col)
 
-        hid = {v: f"__corr_{v}" for v in shared}
+        hid = {v: "_" + self._anon_var(f"corr_{v}_") for v in shared}  # unique per nesting level, "__"-prefixed (scope-hidden)
         base = df.select(*shared).dropDuplicates()
         sub.partition_cols = list(hid.values())  # per-input-row paging
         sub.kinds.update({v: self.kinds[v] for v in shared if v in self.kinds})
@@ -2850,6 +2957,63 @@ class Translator:
             agg = F.reverse(agg)
         return agg
 
+    def _lower_listcomp_subq(self, df: DataFrame, e: A.ListComp
+                             ) -> Tuple[DataFrame, A.Expr]:
+        """``[x IN src WHERE p | f]`` whose body contains a pattern
+        comprehension / subquery expression CORRELATED ON the lambda
+        variable (PatternExpressionAcceptance 'Pattern expression inside
+        list comprehension', 'Nested pattern comprehensions 2-4'): the
+        rollup machinery joins on COLUMNS, so the lambda must become a
+        rowstream — posexplode the source, lower the body per element
+        row, re-collect in element order, join back."""
+        uid, pos, val, res, srcc = (self._anon_var("lcu"),
+                                    self._anon_var("lcp"),
+                                    self._anon_var("lcv"),
+                                    self._anon_var("lcr"),
+                                    self._anon_var("lcs"))
+        df, src_e = self._lower_all(df, e.source)
+        df = df.withColumn(srcc, self._compiler(df).compile(src_e))
+        # monotonically_increasing_id must be IDENTICAL on both sides of
+        # the join-back — pin it
+        df = self._stats_safe_ckpt(
+            df.withColumn(uid, F.monotonically_increasing_id()))
+        exploded = df.select(
+            uid, F.posexplode(F.col(srcc)).alias(pos, e.var))
+        old_kind = self.kinds.get(e.var)
+        self.kinds[e.var] = "scalar"
+        try:
+            cur = exploded
+            if e.where is not None:
+                cur, w = self._lower_all(cur, e.where)
+                cur = cur.filter(F.coalesce(
+                    self._compiler(cur).compile(w).cast("boolean"),
+                    F.lit(False)))
+            proj_e = (e.projection if e.projection is not None
+                      else A.Var(e.var))
+            cur, p = self._lower_all(cur, proj_e)
+            vcol = self._compiler(cur).compile(p)
+        finally:
+            if old_kind is None:
+                self.kinds.pop(e.var, None)
+            else:
+                self.kinds[e.var] = old_kind
+        per = cur.select(F.col(uid), F.col(pos).alias(pos),
+                         vcol.alias(val))
+        grouped = per.groupBy(uid).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    F.col(pos).alias("__o"), F.col(val).alias("__v")))),
+                lambda s: s.getField("__v")).alias(res))
+        elem_t = grouped.schema[res].dataType.simpleString()
+        out = df.join(grouped, uid, "left")
+        out = out.withColumn(
+            res,
+            F.when(F.col(srcc).isNull(), F.lit(None).cast(elem_t))
+             .otherwise(F.coalesce(F.col(res), F.array().cast(elem_t)))
+        ).drop(uid, srcc)
+        self.kinds[res] = "scalar"
+        return out, A.Var(res)
+
     def _lower_pattern_comp(self, df: DataFrame, e: A.PatternComp
                             ) -> Tuple[DataFrame, A.Expr]:
         """Pattern comprehension -> RollUpApply (LP:3534): groupBy+collect_list."""
@@ -2884,7 +3048,12 @@ class Translator:
         sub = Translator(self.spark, self.graph, self.params, catalog=self.catalog)
         sub.kinds.update(self.kinds)
         matched = sub._match(base, A.Match(parts, where=e.where))
-        val = sub._compiler(matched).compile(e.projection)
+        # the projection may itself contain pattern comprehensions /
+        # subquery expressions (nested RollUpApply,
+        # PatternExpressionAcceptance 'Nested pattern comprehensions') —
+        # lower them over the matched frame before compiling
+        matched, proj = sub._lower_all(matched, e.projection)
+        val = sub._compiler(matched).compile(proj)
         col = self._anon_var("pc")
         if not shared:
             # uncorrelated: one-row aggregate + broadcast crossJoin, not a
@@ -3060,6 +3229,8 @@ class Translator:
         def walk(df, e):
             if isinstance(e, A.ShortestPathExpr):
                 return self._lower_shortest_expr(df, e)
+            if isinstance(e, A.ListComp) and _listcomp_needs_rows(e):
+                return self._lower_listcomp_subq(df, e)
             if isinstance(e, A.PatternComp):
                 return self._lower_pattern_comp(df, e)
             if isinstance(e, (A.PatternPred, A.ExistsSub, A.CountSub,
@@ -3621,7 +3792,7 @@ class Translator:
         # thread hidden copies through every WITH/RETURN (they become extra
         # grouping keys under aggregation — exactly the per-input-row
         # semantics of Apply, LP:855)
-        hid = {v: f"__corr_{v}" for v in shared}
+        hid = {v: "_" + self._anon_var(f"corr_{v}_") for v in shared}  # unique per nesting level, "__"-prefixed (scope-hidden)
         for v in shared:
             base = base.withColumn(hid[v], F.col(v))
         matched = None

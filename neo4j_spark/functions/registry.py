@@ -223,7 +223,10 @@ def compile_function(cc, e: A.Func) -> Column:
         out = col.getField("_id")
         return out.cast("string") if name == "elementid" else out
     if name == "labels":
-        return c(0).getField("_labels")
+        # the storage layer shards unlabeled nodes under the internal
+        # '_none' marker — labels() must render them as the empty list
+        # (TokenRead semantics: labels(()) = [])
+        return F.array_remove(c(0).getField("_labels"), "_none")
     if name == "type":
         return c(0).getField("_type")
     if name in ("startnode", "endnode"):

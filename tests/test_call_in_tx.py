@@ -419,3 +419,67 @@ class TestConcurrent:
         """))
         assert got == [(0,), (1,), (2,)]
         assert nodes(g) == 3
+
+
+class TestHappyPathWithReturn:
+    """CallInTransactions.feature (the non-error sibling of the two
+    error-handling files): batch alignment with RETURN bodies across
+    batch sizes, FAIL/default equivalence, row order preserved."""
+
+    @pytest.mark.parametrize("mode", ["", "ON ERROR FAIL"])
+    def test_create_and_return_default_batches(self, spark, g, mode):
+        got = rows(run(spark, g, f"""
+            UNWIND range(1, 5) AS i
+            CALL {{ WITH i UNWIND [1, 2] AS j
+                    CREATE (n:N {{i: i, j: j}}) RETURN j }}
+            IN TRANSACTIONS {mode}
+            RETURN i, j ORDER BY i, j
+        """))
+        assert got == [(i, j) for i in range(1, 6) for j in (1, 2)]
+        assert nodes(g) == 10
+
+    @pytest.mark.parametrize("batch", [1, 3, 5, 10, 77])
+    def test_create_and_return_sized_batches(self, spark, g, batch):
+        got = rows(run(spark, g, f"""
+            UNWIND range(0, 9) AS i
+            CALL {{ WITH i UNWIND [1, 2] AS j
+                    CREATE (n:N {{i: i, j: j}}) RETURN j }}
+            IN TRANSACTIONS OF {batch} ROWS ON ERROR FAIL
+            RETURN i, j ORDER BY i, j
+        """))
+        assert got == [(i, j) for i in range(10) for j in (1, 2)]
+        assert nodes(g) == 20
+
+    def test_nested_call_inside_tx_body(self, spark, g):
+        got = rows(run(spark, g, """
+            UNWIND range(1, 4) AS i
+            CALL { WITH i
+                   CALL { WITH i RETURN i * 10 AS ten }
+                   CREATE (:N {v: ten})
+                   RETURN ten }
+            IN TRANSACTIONS OF 2 ROWS
+            RETURN i, ten ORDER BY i
+        """))
+        assert got == [(1, 10), (2, 20), (3, 30), (4, 40)]
+        assert nodes(g) == 4
+
+    def test_status_interaction_with_unwind_inputs(self, spark, g):
+        # REPORT STATUS rows align with the UNWIND inputs and all commit
+        got = rows(run(spark, g, """
+            UNWIND [10, 20, 30] AS v
+            CALL { WITH v CREATE (:N {v: v}) }
+            IN TRANSACTIONS OF 2 ROWS REPORT STATUS AS s
+            RETURN v, s.committed AS cm, s.started AS st,
+                   s.transactionId IS NOT NULL AS tx
+            ORDER BY v
+        """))
+        assert got == [(10, True, True, True), (20, True, True, True),
+                       (30, True, True, True)]
+        # two batches: [10, 20] and [30] -> distinct transaction ids
+        got = rows(run(spark, g, """
+            UNWIND [1, 2, 3] AS v
+            CALL { WITH v CREATE (:M {v: v}) }
+            IN TRANSACTIONS OF 2 ROWS REPORT STATUS AS s
+            RETURN count(DISTINCT s.transactionId) AS ntx
+        """))
+        assert got == [(2,)]

@@ -1,0 +1,254 @@
+"""TCK-style acceptance tranche 8c — behavior-ported from
+PatternExpressionAcceptance.feature (spec-suite-tools acceptance corpus)
+with fresh wording.
+
+Semantics under test:
+- a bare pattern expression is a boolean shorthand that can only
+  REFERENCE existing variables (new names -> UndefinedVariable);
+- pattern comprehensions `[p=(n)-->() | …]` nest arbitrarily (inner
+  RollUpApply correlated on the outer's pattern variables), appear in
+  WITH/WHERE/RETURN/ORDER BY/aggregations, and correlate on LAMBDA
+  variables of an enclosing list comprehension via the explode-lower-
+  collect rendering (translate._lower_listcomp_subq);
+- size([p=… | p]) is the degree idiom; a null pattern-head variable
+  yields [] / 0.
+"""
+
+import pytest
+
+from neo4j_spark.api import cypher
+from neo4j_spark.graph import PropertyGraph
+
+
+@pytest.fixture()
+def g(spark):
+    return PropertyGraph({}, {})
+
+
+def run(spark, g, q, **params):
+    return cypher(spark, q, g, params=params or None)
+
+
+def rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+ABC = "CREATE (a:A), (a)-[:T]->(:B), (a)-[:T]->(:C)"
+
+
+class TestPatternComprehensionPositions:
+    def test_in_return_head_nodes(self, spark, g):
+        run(spark, g,
+            "CREATE (a:A {l: 1}), (a)-[:T]->(:B), (a)-[:T]->(:C)"
+            ).collect()
+        got = sorted(rows(run(spark, g,
+                              "MATCH (n) RETURN [x=(n)-->() | "
+                              "head(nodes(x)).l] AS p")), key=str)
+        assert got == [([1, 1],), ([],), ([],)]
+
+    def test_in_with_alongside_aggregation(self, spark, g):
+        run(spark, g, ABC).collect()
+        [(p, c)] = rows(run(spark, g,
+                            "MATCH (n:A) WITH [x=(n)-->() | "
+                            "labels(head(nodes(x)))[0]] AS p, count(n) AS c "
+                            "RETURN p, c"))
+        assert (sorted(p), c) == (["A", "A"], 1)
+
+    def test_in_where(self, spark, g):
+        run(spark, g, ABC).collect()
+        assert rows(run(spark, g,
+                        "MATCH (n) WHERE size([x=(n)-->() | x]) > 1 "
+                        "RETURN labels(n) AS l")) == [(["A"],)]
+
+    def test_with_case_in_where(self, spark, g):
+        run(spark, g,
+            "CREATE (a:A), (a)-[:T]->(:C), (a)-[:T]->(:C), "
+            "(:B)-[:T]->(:D), ()-[:T]->()").collect()
+        got = sorted(rows(run(spark, g, """
+            MATCH (n)
+            WHERE (n)-->() AND (CASE
+                                  WHEN n:A THEN size([p=(n)-->(:C) | p])
+                                  WHEN n:B THEN size([p=(n)-->(:D) | p])
+                                  ELSE 42
+                                END) > 1
+            RETURN labels(n) AS l
+        """)), key=str)
+        assert got == [(["A"],), ([],)]
+
+    def test_with_order_by(self, spark, g):
+        run(spark, g,
+            "CREATE (a {time: 10}), (b {time: 20}), (a)-[:T]->(b)"
+            ).collect()
+        assert rows(run(spark, g,
+                        "MATCH (liker) RETURN size([p=(liker)--() | p]) "
+                        "AS c, liker.time AS t ORDER BY liker.time")) \
+            == [(1, 10), (1, 20)]
+
+    def test_var_length_and_aggregating(self, spark, g):
+        run(spark, g, ABC).collect()
+        [(p,)] = rows(run(spark, g,
+                          "MATCH (n:A) WITH [x=(n)-[*1..2]->() | "
+                          "length(x)] AS p RETURN p"))
+        assert sorted(p) == [1, 1]
+        assert rows(run(spark, g,
+                        "MATCH (n:A) RETURN count([x=(n)-->() | x]) AS c")) \
+            == [(1,)]
+
+    def test_exists_and_degree_idioms(self, spark, g):
+        run(spark, g, ABC).collect()
+        assert rows(run(spark, g,
+                        "MATCH (n:A) RETURN exists((n)-->()) AS e, "
+                        "size([p=(n)-[:T]->() | p]) AS d, "
+                        "size([p=(n)-[:T|S]->() | p]) AS d2, "
+                        "size([p=(n)--() | p]) AS u")) \
+            == [(True, 2, 2, 2)]
+
+
+class TestPatternExpressionVariableRules:
+    def test_new_node_variable_rejected(self, spark, g):
+        run(spark, g, ABC).collect()
+        with pytest.raises(Exception, match="not defined"):
+            run(spark, g, "MATCH (n) RETURN (n)-[:T]->(b) AS x").collect()
+        with pytest.raises(Exception, match="not defined"):
+            run(spark, g, "MATCH (n) WHERE (n)-->(b) RETURN n").collect()
+
+    def test_new_rel_variable_rejected(self, spark, g):
+        run(spark, g, ABC).collect()
+        with pytest.raises(Exception, match="not defined"):
+            run(spark, g, "MATCH (n) RETURN (n)-[r:T]->() AS x").collect()
+
+    def test_bound_variables_allowed(self, spark, g):
+        run(spark, g, ABC).collect()
+        got = sorted(rows(run(spark, g,
+                              "MATCH (n), (b) WHERE (n)-->(b) "
+                              "RETURN labels(b)[0] AS l")))
+        assert got == [("B",), ("C",)]
+
+
+class TestNestedPatternComprehensions:
+    MET = ("CREATE (:Artist {name: 'Metallica'})"
+           "-[:HAS_ALBUM]->(r:Album {name: 'Reload'})"
+           "-[:RECORDED_AT]->(s:Studio {name: 'Plant'})")
+
+    def test_nested_in_return(self, spark, g):
+        run(spark, g, self.MET).collect()
+        [(res,)] = rows(run(spark, g, """
+            MATCH (a:Artist)
+            RETURN [ (a)-[r_h1:HAS_ALBUM]->(l1:Album) |
+              [ l1.name,
+                [ (l1)<-[r_h2:HAS_ALBUM]-(l2:Artist) | l2.name ],
+                [ (l1)<-[r_g2:GUEST_ALBUM]-(l2:Artist) | l2.name ],
+                [ (l1)-[r_r2:RECORDED_AT]->(s2:Studio) | s2.name ]
+              ] ] AS result
+        """))
+        assert str(res) == "[[Reload, [Metallica], [], [Plant]]]"
+
+    def test_nested_carried_through_with(self, spark, g):
+        run(spark, g, self.MET).collect()
+        [(res, sn)] = rows(run(spark, g, """
+            MATCH (a:Artist)
+            WITH [ (a)-[r_h1:HAS_ALBUM]->(l1:Album) |
+                   [ l1.name,
+                     [ (l1)-[r_r2:RECORDED_AT]->(s2:Studio) | s2.name ]
+                   ] ] AS result
+            MATCH (s:Studio)
+            RETURN result, s.name AS sn
+        """))
+        assert str(res) == "[[Reload, [Plant]]]" and sn == "Plant"
+
+    def test_nested_on_startnode_endnode(self, spark, g):
+        run(spark, g, self.MET).collect()
+        [(nn, p1, mn)] = rows(run(spark, g, """
+            MATCH ()-[r0:HAS_ALBUM]->()
+            WITH r0, STARTNODE(r0) AS n, ENDNODE(r0) AS m
+            RETURN n.name AS nn,
+                   [ [ (n)-[r_p1:HAS_ALBUM]-(i1:Album) |
+                       [ i1.name,
+                         [ [ (i1)-[r_p2:HAS_ALBUM]-(i2:Album) |
+                             i2.name ] ] ] ] ] AS p1,
+                   m.name AS mn
+        """))
+        assert (nn, str(p1), mn) == \
+            ("Metallica", "[[[Reload, [[]]]]]", "Reload")
+
+    def test_food_chain_unwind(self, spark, g):
+        run(spark, g,
+            "CREATE (:Chicken)-[:rel]->(:Carrot)-[:rel]->(:Ham)"
+            ).collect()
+        got = sorted(rows(run(spark, g, """
+            MATCH (chicken:Chicken)
+            WITH [ (chicken)--(i1) | [ (i1)--(i2) | labels(i2)[0] ] ] AS p
+            UNWIND p AS innerp
+            UNWIND innerp AS elem
+            RETURN elem
+        """)))
+        assert got == [("Chicken",), ("Ham",)]
+
+
+class TestComprehensionInsideListComprehension:
+    def test_lambda_correlated_pattern_comprehension(self, spark, g):
+        # the inner comprehension correlates on the LAMBDA variable of
+        # the enclosing list comprehension — per-element rowstream, not
+        # an uncorrelated (silently wrong) global count
+        run(spark, g,
+            "CREATE (n1:X {n: 1}), (m1:Y), (i1:Y), (i2:Y), "
+            "(n1)-[:T]->(m1), (m1)-[:T]->(i1), (m1)-[:T]->(i2), "
+            "(n2:X {n: 2}), (m2), (i3:L), (i4:Y), "
+            "(n2)-[:T]->(m2), (m2)-[:T]->(i3), (m2)-[:T]->(i4)"
+            ).collect()
+        got = sorted(rows(run(spark, g, """
+            MATCH p = (n:X)-->(b)
+            RETURN n.n AS k,
+                   [x IN nodes(p) | size([q=(x)-->(:Y) | q])] AS list
+        """)))
+        assert got == [(1, [1, 2]), (2, [0, 1])]
+
+    def test_lambda_var_in_comprehension_filter(self, spark, g):
+        run(spark, g, "CREATE (:X)").collect()
+        assert rows(run(spark, g,
+                        "MATCH (n:X) RETURN [x IN [n] WHERE "
+                        "size([q=(x)-->(:Z) | q]) > 0 | 1] AS r")) \
+            == [([],)]
+
+    def test_plain_list_comprehensions_unaffected(self, spark, g):
+        assert rows(run(spark, g,
+                        "RETURN [x IN [1,2,3] WHERE x > 1 | x * 10] AS r")) \
+            == [([20, 30],)]
+        assert rows(run(spark, g,
+                        "WITH null AS l RETURN [x IN l | x] AS r")) \
+            == [(None,)]
+
+
+class TestNullHandling:
+    def test_null_head_variable(self, spark, g):
+        run(spark, g, ABC).collect()
+        assert rows(run(spark, g, """
+            OPTIONAL MATCH (n:Missing) WITH n
+            RETURN [x=(n)-->() | x] AS r, size([x=(n)-->() | x]) AS s
+        """)) == [([], 0)]
+
+    def test_null_in_inner_predicate(self, spark, g):
+        run(spark, g, ABC).collect()
+        assert rows(run(spark, g,
+                        "MATCH (n:A) RETURN size([x=(n)-->"
+                        "(m WHERE m.missing > 1) | x]) AS s")) == [(0,)]
+
+    def test_size_comparisons_with_null_variable(self, spark, g):
+        run(spark, g, ABC).collect()
+        assert rows(run(spark, g, """
+            OPTIONAL MATCH (n:Missing) WITH n
+            RETURN size([x=(n)-->() | x]) < 1 AS lt,
+                   size([x=(n)-->() | x]) >= 1 AS ge,
+                   size([x=(n)-->() | x]) = 0 AS eq
+        """)) == [(True, False, True)]
+
+
+class TestUnlabeledNodeLabels:
+    def test_labels_of_unlabeled_node_is_empty_list(self, spark, g):
+        run(spark, g, "CREATE (), (:A)").collect()
+        got = sorted(rows(run(spark, g,
+                              "MATCH (n) RETURN labels(n) AS l")), key=str)
+        assert got == [(["A"],), ([],)]
+        assert rows(run(spark, g,
+                        "MATCH (n) WHERE size(labels(n)) = 0 "
+                        "RETURN labels(n) AS l")) == [([],)]
