@@ -1004,6 +1004,38 @@ CYPHER_QUERIES = {
         "MATCH (r:Region) RETURN r.regionkey AS k, "
         "[x IN [r] | size([p=(x)<-[:IN_REGION]-(n:Nation) | p])] AS d "
         "ORDER BY k",
+    # an aggregating EXISTS body always emits one row, so the EXISTS is
+    # true even for zero matches (ExistsExpressionAcceptance 'EXISTS
+    # subquery with aggregation inside')
+    "exists_agg_body":
+        "MATCH (c:Customer) WHERE c.custkey <= 20 "
+        "RETURN c.custkey AS k, "
+        "EXISTS { MATCH (c)-[:PLACED]->(o) RETURN count(o) } AS e "
+        "ORDER BY k",
+    # a NULL entity argument matches no pattern: COUNT 0 / EXISTS false
+    # (CountExpressionAcceptance 'COUNT should return zero for NULL nodes')
+    "subquery_null_entity":
+        "OPTIONAL MATCH (n:Region) WHERE n.regionkey > 100 "
+        "RETURN COUNT { (n) } AS c, COUNT { (n)-[:IN_REGION]-() } AS d, "
+        "EXISTS { (n) } AS e",
+    # underscore digit separators in every numeric literal form
+    # (LiteralAcceptance scenarios 1-24)
+    "literal_underscores":
+        "RETURN 1_000_000 AS a, 0xA_B AS b, 0o7_7 AS c, 1_0.2_5 AS d, "
+        "1e1_0 AS e",
+    # SKIP/LIMIT accept any graph-free statically-computable expression
+    # (SkipLimitAcceptance 'Reduce LIMIT should be allowed')
+    "limit_reduce_expr":
+        "MATCH (r:Region) RETURN r.name AS n ORDER BY n "
+        "LIMIT reduce(s = 0, x IN [1, 1] | s + x)",
+    # outer variables stay in scope across an inner aggregating WITH in
+    # a subquery expression (ExistsExpressionAcceptance 'Exists with
+    # inner aggregation and using outer variable')
+    "exists_leading_agg":
+        "MATCH (n:Nation) WHERE n.nationkey < 5 AND "
+        "EXISTS { WITH count(*) AS c "
+        "MATCH (n)-[:IN_REGION]->(r {regionkey: 1}) RETURN n } "
+        "RETURN n.nationkey AS k ORDER BY k",
 }
 
 
@@ -1628,6 +1660,18 @@ def _write(spark, sf_dir, *statements):
     return cypher(spark, statements[-1], g)
 
 
+def _q_union_unit_call(spark, sf_dir):
+    """A union UNIT subquery (no RETURN in any branch) runs every branch
+    per input row and preserves the outer cardinality (SubqueryAcceptance
+    'Ending union unit subquery call')."""
+    return _write(
+        spark, sf_dir,
+        "MATCH (r:Region) "
+        "CALL { WITH r CREATE (:TmpU1) UNION CREATE (:TmpU2) } "
+        "RETURN count(*) AS c0",
+        "MATCH (t) WHERE t:TmpU1 OR t:TmpU2 RETURN count(*) AS c")
+
+
 def _q_write_create(spark, sf_dir):
     return _write(
         spark, sf_dir,
@@ -1883,6 +1927,7 @@ WRITE_QUERIES = {
     "write_set_property": _q_write_set,
     "write_set_label": _q_write_set_label,
     "write_detach_delete": _q_write_detach_delete,
+    "union_unit_call": _q_union_unit_call,
     "write_merge": _q_write_merge,
     "write_remove": _q_write_remove,
     "call_in_tx_on_error": _q_call_in_tx_on_error,
@@ -2352,7 +2397,7 @@ def _oracle_sql_raw() -> dict[str, str]:
             "ORDER BY k",
         "mixed_path_order":
             "SELECT '[MAP NOT NULL, NODE NOT NULL, RELATIONSHIP NOT NULL, "
-            "LIST<ANY> NOT NULL, PATH NOT NULL, POINT NOT NULL, "
+            "LIST<INTEGER NOT NULL> NOT NULL, PATH NOT NULL, POINT NOT NULL, "
             "STRING NOT NULL, BOOLEAN NOT NULL, FLOAT NOT NULL, NULL]' "
             "AS ord",
         "mixed_container_order":
@@ -2996,6 +3041,23 @@ def _oracle_sql_raw() -> dict[str, str]:
             "[(SELECT count(*) FROM nation n "
             "WHERE n.n_regionkey = r.r_regionkey)] AS d "
             "FROM region r ORDER BY k",
+        "exists_agg_body":
+            "SELECT c_custkey AS k, TRUE AS e FROM customer "
+            "WHERE c_custkey <= 20 ORDER BY k",
+        "subquery_null_entity":
+            "SELECT CAST(0 AS BIGINT) AS c, CAST(0 AS BIGINT) AS d, "
+            "FALSE AS e",
+        "literal_underscores":
+            "SELECT CAST(1000000 AS BIGINT) AS a, "
+            "CAST(171 AS BIGINT) AS b, CAST(63 AS BIGINT) AS c, "
+            "CAST(10.25 AS DOUBLE) AS d, 1e10 AS e",
+        "limit_reduce_expr":
+            "SELECT r_name AS n FROM region ORDER BY n LIMIT 2",
+        "exists_leading_agg":
+            "SELECT n_nationkey AS k FROM nation "
+            "WHERE n_nationkey < 5 AND n_regionkey = 1 ORDER BY k",
+        "union_unit_call":
+            "SELECT CAST(2 * (SELECT count(*) FROM region) AS BIGINT) AS c",
         "shortest_path_pred_fallback":
             "SELECT * FROM (VALUES ('A'), ('B'), ('C'), ('D')) AS t(node)",
         "write_merge_chain":

@@ -1370,7 +1370,12 @@ class ExprCompiler:
 
     def _c_ListLit(self, e: A.ListLit) -> Column:
         if not e.items:
-            return F.array().cast("array<long>")
+            # keep the element type OPEN (array<void>): a concrete cast
+            # here poisons shard unions — CREATE (:P {l: []}) next to
+            # (:P {l: ['x']}) must resolve the column to array<string>,
+            # not runtime-cast 'x' to a numeric
+            # (CollectExpressionAcceptance Background's nicknames)
+            return F.array()
         # Spark arrays widen numerics but cannot hold mixed value classes;
         # a list mixing string/boolean/number/null compiles to an array of
         # tagged AnyValue structs instead (anyvalue.py) — the reference's

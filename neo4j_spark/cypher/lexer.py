@@ -90,43 +90,69 @@ def tokenize(text: str) -> List[Token]:
             toks.append(Token("IDENT", text[i + 1 : j], i))
             i = j + 1
             continue
-        # numbers
+        # numbers — underscores are digit separators (CypherParser.g4
+        # DECIMAL_DOUBLE/UNSIGNED_DECIMAL_INTEGER; LiteralAcceptance):
+        # allowed only BETWEEN digits of a run — never leading, trailing,
+        # doubled, or adjacent to the 0x/0o prefix
         if c.isdigit() or (c == "." and i + 1 < n and text[i + 1].isdigit()):
+
+            def digit_run(j: int, charset: str) -> int:
+                seen, last_us = False, False
+                while j < n and (text[j] in charset or text[j] == "_"):
+                    if text[j] == "_":
+                        if not seen or last_us:
+                            raise LexError(
+                                f"invalid underscore placement in "
+                                f"numeric literal at {j}")
+                        last_us = True
+                    else:
+                        seen, last_us = True, False
+                    j += 1
+                if last_us:
+                    raise LexError(
+                        f"numeric literal may not end with an "
+                        f"underscore at {j}")
+                return j
+
             j = i
             is_float = False
             if text.startswith("0x", i) or text.startswith("0X", i):
-                j = i + 2
-                while j < n and (text[j].isdigit() or text[j].lower() in "abcdef"):
-                    j += 1
-                toks.append(Token("INT", str(int(text[i:j], 16)), i))
+                j = digit_run(i + 2, "0123456789abcdefABCDEF")
+                if j == i + 2:
+                    raise LexError(f"invalid hexadecimal literal at {i}")
+                toks.append(Token(
+                    "INT", str(int(text[i:j].replace("_", ""), 16)), i))
                 i = j
                 continue
             if text.startswith("0o", i) or text.startswith("0O", i):
-                j = i + 2
-                while j < n and text[j] in "01234567":
-                    j += 1
-                toks.append(Token("INT", str(int(text[i + 2:j], 8)), i))
+                j = digit_run(i + 2, "01234567")
+                if j == i + 2:
+                    raise LexError(f"invalid octal literal at {i}")
+                toks.append(Token(
+                    "INT", str(int(text[i + 2:j].replace("_", ""), 8)), i))
                 i = j
                 continue
-            while j < n and text[j].isdigit():
-                j += 1
+            j = digit_run(j, "0123456789")
+            int_part = text[i:j]
             # ".." range operator must not be eaten as a float
             if j < n and text[j] == "." and not text.startswith("..", j):
                 if j + 1 < n and (text[j + 1].isdigit()):
                     is_float = True
-                    j += 1
-                    while j < n and text[j].isdigit():
-                        j += 1
+                    j = digit_run(j + 1, "0123456789")
             if j < n and text[j] in "eE":
                 k = j + 1
                 if k < n and text[k] in "+-":
                     k += 1
                 if k < n and text[k].isdigit():
                     is_float = True
-                    j = k
-                    while j < n and text[j].isdigit():
-                        j += 1
-            lit = text[i:j]
+                    j = digit_run(k, "0123456789")
+            if (int_part.startswith("0") and "_" in int_part
+                    and int_part.replace("_", "") != "0"):
+                # 0_7 / 01_2: deprecated leading-zero octal syntax may
+                # not carry separators (LiteralAcceptance scenario 25)
+                raise LexError(
+                    f"underscore in deprecated octal literal at {i}")
+            lit = text[i:j].replace("_", "")
             if is_float and j < n and text[j] in "fF" \
                     and not (j + 1 < n and (text[j + 1].isalnum()
                                             or text[j + 1] == "_")):

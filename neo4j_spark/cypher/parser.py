@@ -1387,9 +1387,18 @@ class Parser:
                     if self.at_kw("WHERE"):
                         self.take()
                         where = self.parse_expr()
-                    if self.at_kw("RETURN"):  # tolerated, ignored result
+                    if self.at_kw("RETURN"):
+                        # tolerated, ignored result — UNLESS it aggregates:
+                        # `RETURN count(…)` always emits one row, so the
+                        # body's cardinality is no longer the pattern's
+                        # (ExistsExpressionAcceptance 'EXISTS subquery with
+                        # aggregation inside') — route to the full-query path
                         self.take()
-                        self.parse_return_items()
+                        ritems = self.parse_return_items()
+                        from .exprs import contains_aggregate
+                        if any(contains_aggregate(it.expr)
+                               for it in ritems):
+                            raise ParseError("aggregating RETURN body")
                     self.expect_op("}")
                     return (A.ExistsSub(pattern, where) if kw == "EXISTS"
                             else A.CountSub(pattern, where))

@@ -362,7 +362,9 @@ class Translator:
 
         out_cols, changed = [], False
         for f in df.schema.fields:
-            c = df[f.name]  # not F.col: output names may contain dots
+            # backtick-quote: output names may contain dots (`n.prop`
+            # unaliased) which bare resolution reads as a struct path
+            c = F.col("`" + f.name.replace("`", "``") + "`")
             if AV.type_contains_any(f.dataType):
                 c = AV.render_containing(c, f.dataType)
                 changed = True
@@ -883,9 +885,13 @@ class Translator:
             return df
         if isinstance(clause, A.Finish):
             # FINISH (Clause.scala): effects (if any) happen, no rows out
+            # — and no COLUMNS either, so FINISH-terminated UNION
+            # operands with different bindings still align
+            # (Finish.feature 'FINISH in UNION reading operands')
             base = df if df is not None else self.spark.range(1)
             self._finished = True
-            return base.limit(0)
+            return base.limit(0).select(
+                F.lit(True).alias("__finished"))
         if isinstance(clause, A.Match):
             return self._match(df, clause)
         if isinstance(clause, A.Unwind):
@@ -2606,6 +2612,15 @@ class Translator:
         def build_matched(cur_df: DataFrame, parts, where) -> Tuple[DataFrame, List[str]]:
             shared = correlate(parts, where)
             base = cur_df.select(*shared).dropDuplicates() if shared else None
+            if base is not None:
+                # a NULL node/rel argument matches no pattern — COUNT of
+                # a null binding is 0, EXISTS false, COLLECT []
+                # (CountExpressionAcceptance 'COUNT should return zero
+                # for NULL nodes/relationships')
+                for v in shared:
+                    if self.kinds.get(v) in ("node", "rel"):
+                        base = base.filter(
+                            F.col(v).getField("_id").isNotNull())
             sub = Translator(self.spark, self.graph, self.params, catalog=self.catalog)
             sub.kinds.update(self.kinds)
             sub.var_labels.update(
@@ -2690,6 +2705,49 @@ class Translator:
                                 "defined in the outer scope and cannot be "
                                 "shadowed inside a subquery expression")
 
+    def _thread_corr_clauses(self, clauses, hid: Dict[str, str],
+                             shared: List[str]) -> list:
+        """Thread hidden correlation copies through every projection of a
+        correlated subquery-expression body, and keep the outer
+        (argument) variables themselves in scope across inner WITHs — the
+        reference scopes outer variables over the WHOLE body of an
+        EXISTS/COUNT/COLLECT expression, unlike CALL {} which imports
+        explicitly (ExistsExpressionAcceptance 'Exists with inner
+        aggregation and using outer variable').  A non-aggregating WITH
+        carries them as identity items; an aggregating WITH groups only
+        by the hidden copies (so a body-GLOBAL aggregation stays global —
+        its empty-group recovery runs via ``partition_base``) and a
+        synthetic follow-up WITH restores the visible names from the
+        hidden copies."""
+        import dataclasses
+
+        out = []
+        for c in clauses:
+            if not isinstance(c, A.Projection):
+                out.append(c)
+                continue
+            extra = [A.ReturnItem(A.Var(h), h, h) for h in hid.values()]
+            aliases = {it.alias or it.text for it in c.items}
+            has_agg = any(contains_aggregate(it.expr) for it in c.items)
+            if not c.is_return and not c.star and not has_agg:
+                extra += [A.ReturnItem(A.Var(v), v, v)
+                          for v in shared if v not in aliases]
+                out.append(dataclasses.replace(
+                    c, items=list(c.items) + extra))
+                continue
+            out.append(dataclasses.replace(c, items=list(c.items) + extra))
+            if c.is_return or c.star:
+                continue
+            dropped = [v for v in shared if v not in aliases]
+            if dropped:
+                keep = [A.ReturnItem(A.Var(a), a, a)
+                        for a in [*(it.alias or it.text
+                                    for it in c.items), *hid.values()]]
+                rest = [A.ReturnItem(A.Var(hid[v]), v, v)
+                        for v in dropped]
+                out.append(A.Projection(items=keep + rest))
+        return out
+
     def _lower_query_sub(self, df: DataFrame, body,
                          mode: str) -> Tuple[DataFrame, A.Expr]:
         """EXISTS/COUNT whose body is a full query (possibly a UNION):
@@ -2724,11 +2782,20 @@ class Translator:
         hid = {v: "_" + self._anon_var(f"corr_{v}_") for v in shared}  # unique per nesting level, "__"-prefixed (scope-hidden)
         base = df.select(*shared).dropDuplicates()
         for v in shared:
+            if self.kinds.get(v) in ("node", "rel"):
+                # a NULL entity argument matches no body pattern
+                base = base.filter(F.col(v).getField("_id").isNotNull())
+        for v in shared:
             base = base.withColumn(hid[v], F.col(v))
         frames = []
         for q in queries:
             sub = Translator(self.spark, self.graph, self.params, catalog=self.catalog)
             sub.partition_cols = list(hid.values())
+            sub.partition_base = base  # empty-group recovery: a body-
+            # global aggregation (RETURN count(…)) emits one row per
+            # argument even when the body matched nothing, so the EXISTS
+            # is true / the COUNT is 1 (ExistsExpressionAcceptance
+            # 'EXISTS subquery with aggregation inside should work')
             sub.kinds.update(
                 {v: self.kinds[v] for v in shared if v in self.kinds})
             sub.var_labels.update(
@@ -2736,13 +2803,7 @@ class Translator:
                  if v in self.var_labels})
             for v in shared:
                 sub.kinds[hid[v]] = self.kinds.get(v, "scalar")
-            threaded = []
-            for c in q.clauses:
-                if isinstance(c, A.Projection):
-                    extra = [A.ReturnItem(A.Var(h), h, h)
-                             for h in hid.values()]
-                    c = dataclasses.replace(c, items=list(c.items) + extra)
-                threaded.append(c)
+            threaded = self._thread_corr_clauses(q.clauses, hid, shared)
             frames.append(sub._single_over(base, A.SingleQuery(threaded)))
 
         # normalize branch outputs before the union: existence/count only
@@ -2884,6 +2945,10 @@ class Translator:
 
         hid = {v: "_" + self._anon_var(f"corr_{v}_") for v in shared}  # unique per nesting level, "__"-prefixed (scope-hidden)
         base = df.select(*shared).dropDuplicates()
+        for v in shared:
+            if self.kinds.get(v) in ("node", "rel"):
+                # a NULL entity argument matches no body pattern -> []
+                base = base.filter(F.col(v).getField("_id").isNotNull())
         sub.partition_cols = list(hid.values())  # per-input-row paging
         sub.kinds.update({v: self.kinds[v] for v in shared if v in self.kinds})
         sub.var_labels.update(
@@ -2892,12 +2957,8 @@ class Translator:
         for v in shared:
             base = base.withColumn(hid[v], F.col(v))
             sub.kinds[hid[v]] = self.kinds.get(v, "scalar")
-        threaded = []
-        for c in inner_q.clauses:
-            if isinstance(c, A.Projection):
-                extra = [A.ReturnItem(A.Var(h), h, h) for h in hid.values()]
-                c = dataclasses.replace(c, items=list(c.items) + extra)
-            threaded.append(c)
+        sub.partition_base = base  # empty-group recovery for body aggs
+        threaded = self._thread_corr_clauses(inner_q.clauses, hid, shared)
         matched = sub._single_over(base, A.SingleQuery(threaded))
 
         agg = self._ordered_collect_expr(matched, okeys)
@@ -3728,26 +3789,37 @@ class Translator:
                     else [clause.query])
         union_all = (clause.query.all
                      if isinstance(clause.query, A.UnionQuery) else True)
-        if len(branches) == 1 and not any(
-                isinstance(c, A.Projection) and c.is_return
-                for c in branches[0].clauses):
+        for b in branches:
+            last = b.clauses[-1] if b.clauses else None
+            if isinstance(last, A.Projection) and last.is_return:
+                for it in last.items:
+                    if it.alias is None and not isinstance(it.expr, A.Var):
+                        raise TranslateError(
+                            "Expression in a CALL {} subquery's RETURN "
+                            "must be aliased (NoExpressionAlias)")
+        if not any(isinstance(c, A.Projection) and c.is_return
+                   for b in branches for c in b.clauses):
             # unit subquery (SubqueryForeach LP:3897 / TransactionForeach
-            # LP:4100): run the body for its side effects only; the outer
-            # rowstream passes through unchanged
-            body, use_g = self._hoist_use(branches[0])
-            sub = Translator(self.spark, use_g or self.graph, self.params,
-                             catalog=self.catalog)
-            if df is not None:
-                # the body runs once per incoming row (CallSubqueryPipe
-                # semantics) — a zero-column select keeps the cardinality
-                # when nothing is imported
-                shared = [v for v in clause.imports if v in df.columns]
-                sub.kinds.update(
-                    {v: self.kinds[v] for v in shared if v in self.kinds})
-                sub._single_over(df.select(*shared), body)
-            else:
-                sub._single(body)
-            self._adopt_effects(sub)
+            # LP:4100): run the body — EVERY union branch
+            # (SubqueryAcceptance 'Ending union unit subquery call') —
+            # for its side effects only; the outer rowstream passes
+            # through unchanged
+            for branch in branches:
+                body, use_g = self._hoist_use(branch)
+                sub = Translator(self.spark, use_g or self.graph,
+                                 self.params, catalog=self.catalog)
+                if df is not None:
+                    # the body runs once per incoming row
+                    # (CallSubqueryPipe semantics) — a zero-column select
+                    # keeps the cardinality when nothing is imported
+                    shared = [v for v in clause.imports if v in df.columns]
+                    sub.kinds.update(
+                        {v: self.kinds[v]
+                         for v in shared if v in self.kinds})
+                    sub._single_over(df.select(*shared), body)
+                else:
+                    sub._single(body)
+                self._adopt_effects(sub)
             return df if df is not None else self.spark.range(1).select(
                 F.lit(1).alias("__unit"))
         body_updates = any(
@@ -4047,9 +4119,22 @@ class Translator:
             out = out.filter(cond).drop("__rn_apply")
         else:
             if p.skip is not None:
-                out = out.offset(self._int_value(p.skip))
+                lo = self._int_value(p.skip)
+                if lo > 2**31 - 1:
+                    # SKIP beyond Int.Max (SkipLimitAcceptance 'Skipping
+                    # more than Integer.Max rows'): Spark's Offset takes
+                    # an int; a single result stream past 2^31 rows is
+                    # not pageable here, so the result is empty
+                    # (documented bound)
+                    out = out.filter(F.lit(False))
+                else:
+                    out = out.offset(lo)
             if p.limit is not None:
-                out = out.limit(self._int_value(p.limit))
+                hi = self._int_value(p.limit)
+                if hi > 2**31 - 1:
+                    pass  # LIMIT beyond Int.Max: no effective bound
+                else:
+                    out = out.limit(hi)
         return out
 
     def _apply_partition_cols(self, out: DataFrame) -> List[str]:
@@ -4060,8 +4145,25 @@ class Translator:
 
     def _int_value(self, e: A.Expr) -> int:
         """SKIP/LIMIT accept any statically-evaluable integer expression
-        (reference: ast/Clause.scala skip/limit take full expressions)."""
+        (reference: ast/Clause.scala skip/limit take full expressions).
+        Expressions the simple folder can't handle (reduce over a literal
+        list, size of a literal, …) are evaluated on a one-row frame with
+        NO columns in scope — anything graph-touching (variables,
+        properties, pattern comprehensions) fails there, which is the
+        reference's NonConstantExpression (SkipLimitAcceptance 'Reduce
+        LIMIT should be allowed' / 'Graph touching LIMIT should fail')."""
         v = self._const_eval(e)
+        if v is None and not isinstance(e, A.Lit):
+            try:
+                cc = ExprCompiler(self.spark.range(1), {}, self.params,
+                                  self)
+                row = self.spark.range(1).select(
+                    cc.compile(e).alias("__v")).first()
+                v = row[0]
+            except Exception:
+                raise TranslateError(
+                    "SKIP/LIMIT expression must be statically computable "
+                    "without accessing the graph (NonConstantExpression)")
         if isinstance(v, bool) or not isinstance(v, int):
             raise TranslateError(
                 "SKIP/LIMIT must be integer literal or parameter")
@@ -4201,12 +4303,18 @@ class Translator:
                     continue  # min/max/avg/stDev/percentile: null on empty
                 agged = agged.withColumn(ph, F.coalesce(F.col(ph), d))
 
-        # final projection: group cols + post expressions over placeholders
-        final_kinds = dict(self.kinds)
+        # final projection in ITEM order (RETURN a, count(b), c must not
+        # come back group-cols-first): group cols by name, post
+        # expressions over placeholders
         post_cc = ExprCompiler(agged, {**self.kinds, **new_kinds}, self.params, self)
-        out_cols = [F.col(n) for n in group_names]
-        for name, e in post_items:
-            out_cols.append(post_cc.compile(e).alias(name))
+        post_map = dict(post_items)
+        out_cols = []
+        for it in items:
+            name = it.alias or it.text
+            if it in group_items:
+                out_cols.append(F.col(name))
+            else:
+                out_cols.append(post_cc.compile(post_map[name]).alias(name))
         return agged.select(*out_cols), new_kinds
 
     def _compile_aggregate(self, cc: ExprCompiler, e: A.Expr) -> Column:
@@ -4439,7 +4547,8 @@ class Translator:
             # VOID procedure mid-query: runs for its side effects, the
             # rowstream passes through unchanged (a crossJoin with its
             # empty result would wrongly drop every row)
-            result.collect()  # force the side effects now
+            result.count()  # force the side effects now (count, not
+            # collect: nothing may land on the driver)
             return df
         if c.yields == [("*", None)]:  # YIELD *
             for col_name in result.columns:

@@ -431,7 +431,11 @@ def _set_item(tr, df: DataFrame, it: A.SetItem) -> DataFrame:
     assert isinstance(it.target, A.Prop) and isinstance(it.target.subject, A.Var)
     var, key = it.target.subject.name, it.target.key
     kind = tr.kinds.get(var)
-    val = tr._compiler(df).compile(it.value)
+    # the value may contain subquery expressions — SET n.p = EXISTS {…}
+    # (ExistsExpressionAcceptance 'Can set a property to the value of an
+    # exists expression') — which must be lowered to columns first
+    df, value_e = tr._lower_all(df, it.value)
+    val = tr._compiler(df).compile(value_e)
     df = df.withColumn("__setval", val)
     mapping = df.select(F.col(var).getField("_id").alias("__tid"),
                         F.col("__setval")).dropDuplicates(["__tid"]) \

@@ -326,8 +326,12 @@ class TestPathOrderability:
             WITH v ORDER BY v
             RETURN collect(valueType(v)) AS vts
         """, tpch_graph).collect()
+        # valueType is VALUE-based even through the tagged mixed-type
+        # encoding: [1] reads as LIST<INTEGER NOT NULL>, not LIST<ANY>
+        # (ValueTypeFunctionAcceptance exact list element unions)
         assert out[0]["vts"] == [
-            "NODE NOT NULL", "RELATIONSHIP NOT NULL", "LIST<ANY> NOT NULL",
+            "NODE NOT NULL", "RELATIONSHIP NOT NULL",
+            "LIST<INTEGER NOT NULL> NOT NULL",
             "PATH NOT NULL", "POINT NOT NULL"]
 
     def test_paths_order_by_first_node_then_rels(self, spark, tpch_graph):

@@ -1,0 +1,663 @@
+"""TCK-style acceptance tranche 8g — deeper behavior port of
+CountExpressionAcceptance.feature and CollectExpressionAcceptance.feature
+(community/cypher/spec-suite-tools/src/test/resources/acceptance/
+features/), the scenarios rounds 4-7 left uncovered: COUNT/COLLECT as
+values (algebra, grouping keys, CASE, SET, subscript, IN), inner
+ORDER BY/SKIP/LIMIT/DISTINCT, union/CALL bodies, inlined-in-pattern
+forms, null argument entities, aggregation bodies, and the
+multiple-return-item / RETURN * rejections for COLLECT."""
+
+import pytest
+
+from neo4j_spark.api import cypher
+from neo4j_spark.graph import PropertyGraph
+
+
+def run(spark, g, q, **params):
+    return cypher(spark, q, g, params=params or None)
+
+
+def rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+@pytest.fixture()
+def gc(spark):
+    """CountExpressionAcceptance Background."""
+    g = PropertyGraph({}, {})
+    cypher(spark, """
+        CREATE (a:Person {name: "Ada", age: 100}),
+           (b:Person {name: "Bob", age: 50}),
+           (c:Person:Therianthrope {name: "Cat", age: 20}),
+           (d:Person {name: "Deb", age: 20}),
+           (e:Person {name: "Erika", age: 26}),
+           (f:OperatingSystem {name: "Deb"}),
+           (a)-[:FOLLOWS]->(b), (a)-[:FOLLOWS]->(c),
+           (b)-[:FOLLOWS]->(a),
+           (c)-[:FOLLOWS]->(a), (c)-[:FOLLOWS]->(b),
+           (e)-[:FOLLOWS]->(c),
+           (b)-[:LIKES]->(c), (b)-[:LIKES]->(a),
+           (d)-[:LIKES]->(a), (b)-[:LIKES]->(e)
+    """, g).collect()
+    return g
+
+
+@pytest.fixture()
+def gl(spark):
+    """CollectExpressionAcceptance Background."""
+    g = PropertyGraph({}, {})
+    cypher(spark, """
+        CREATE (a:Person {name: "Ada", nicknames: [], age: 27}),
+               (b:Person {name: "Bob", nicknames: ["Robert"], age: 33}),
+               (c:Person {name: "Carl",
+                          nicknames: ["Carlos", "Chaos Carl"], age: 22}),
+               (d:Person {name: "Danielle",
+                          nicknames: ["Dani", "Elle"], age: 38}),
+               (e:Person:Immortal {name: "Eve", nicknames: [],
+                                   age: 1000}),
+         (a)-[:FRIEND]->(b), (a)-[:FRIEND]->(c),
+         (b)-[:FRIEND]->(a), (b)-[:FRIEND]->(d),
+         (c)-[:FRIEND]->(d), (d)-[:FRIEND]->(c)
+    """, g).collect()
+    return g
+
+
+class TestCountAsValue:
+    def test_count_in_return_statement(self, spark, gc):
+        got = sorted(rows(run(spark, gc, """
+            MATCH (p:Person)
+            RETURN COUNT { (p)-[:FOLLOWS]->() } AS numFollowed,
+                   p.name AS name
+        """)), key=lambda r: r[1])
+        assert got == [(2, "Ada"), (1, "Bob"), (2, "Cat"), (0, "Deb"),
+                       (1, "Erika")]
+
+    def test_count_in_algebraic_expression(self, spark, gc):
+        got = sorted(rows(run(spark, gc, """
+            MATCH (p:Person)
+            RETURN COUNT { (p)-[:FOLLOWS]->() } * 2 + 1 AS result,
+                   p.name AS name
+        """)), key=lambda r: r[1])
+        assert got == [(5, "Ada"), (3, "Bob"), (5, "Cat"), (1, "Deb"),
+                       (3, "Erika")]
+
+    def test_count_as_grouping_key(self, spark, gc):
+        got = sorted(rows(run(spark, gc, """
+            MATCH (p:Person)
+            RETURN COUNT { (p)-[:FOLLOWS]->(f) } AS numFollowed,
+                   avg(p.age) AS averageAge
+        """)))
+        assert got == [(0, 20.0), (1, 38.0), (2, 60.0)]
+
+    def test_count_with_count_aggregation(self, spark, gc):
+        got = sorted(rows(run(spark, gc, """
+            MATCH (p:Person)
+            RETURN COUNT { (p)-[:FOLLOWS]->(f) } AS numFollowed,
+                   count(p) AS numPersons
+        """)))
+        assert got == [(0, 1), (1, 2), (2, 2)]
+
+    def test_count_of_single_bound_node(self, spark, gc):
+        assert rows(run(spark, gc, """
+            MATCH (p:Person)-[:FOLLOWS]->(f)
+            RETURN count(f) AS numFollowed1, COUNT {(f)} AS numFollowed2
+        """)) == [(6, 1)]
+
+    def test_count_in_case_when(self, spark, gc):
+        got = sorted((r[0] or "") for r in rows(run(spark, gc, """
+            MATCH (p:Person)
+            RETURN CASE WHEN COUNT {(p:Person)<-[:FOLLOWS]-(f)} > 0
+                        THEN p.name END AS result
+        """)))
+        assert got == ["", "", "Ada", "Bob", "Cat"]
+
+    def test_count_in_with_statement(self, spark, gc):
+        assert rows(run(spark, gc, """
+            WITH COUNT {(p:Person)<-[:FOLLOWS]-(f)} AS followers
+            RETURN followers
+        """)) == [(6,)]
+
+    def test_count_in_set_statement(self, spark, gc):
+        got = sorted(rows(run(spark, gc, """
+            MATCH (p:Person)
+            SET p.numFollowers = COUNT {(p:Person)<-[:FOLLOWS]-(f)}
+            RETURN p.name AS name, p.numFollowers AS numFollowers
+        """)))
+        assert got == [("Ada", 2), ("Bob", 2), ("Cat", 2), ("Deb", 0),
+                       ("Erika", 0)]
+
+    def test_count_zero_for_null_nodes(self, spark, gc):
+        assert rows(run(spark, gc, """
+            OPTIONAL MATCH (n:DoesNotExist)
+            RETURN [ COUNT { (n) }, COUNT { (n)-->() },
+                     COUNT { (n)-->({prop: 1}) } ] AS counts
+        """)) == [([0, 0, 0],)]
+
+    def test_count_zero_for_null_relationships(self, spark, gc):
+        assert rows(run(spark, gc, """
+            OPTIONAL MATCH ()-[r:DOES_NOT_EXIST]->()
+            RETURN [ COUNT { ()-[r]-() },
+                     COUNT { ()-[r]-({prop: 1}) } ] AS counts
+        """)) == [([0, 0],)]
+
+    def test_count_in_nested_plan(self, spark, gc):
+        got = sorted(r[0] for r in rows(run(spark, gc, """
+            MATCH (person:Person)
+            WITH [COUNT { MATCH (person)-[:FOLLOWS]->(:Person)
+                          RETURN person.foo }][0] AS foo
+            RETURN foo
+        """)))
+        assert got == [0, 1, 1, 2, 2]
+
+    def test_count_subquery_in_join_key(self, spark):
+        g = PropertyGraph({}, {})
+        cypher(spark, """
+            CREATE (:A {prop: 1}), (:A {prop: 2}), (:A {prop: 3}),
+                   (b1:B {name: 'one'})-[:REL]->(:X),
+                   (b3:B {name: 'three'})-[:REL]->(:X),
+                   (b4:B {name: 'four'})-[:REL]->(:X)
+            WITH b3, b4
+            CREATE (b3)-[:REL]->(:X), (b3)-[:REL]->(:X),
+                   (b4)-[:REL]->(:X), (b4)-[:REL]->(:X),
+                   (b4)-[:REL]->(:X)
+        """, g).collect()
+        got = sorted(rows(run(spark, g, """
+            MATCH (a:A), (b:B)
+            WHERE a.prop = COUNT { (b)-->(:X) }
+            RETURN a.prop AS p, b.name AS name
+        """)))
+        assert got == [(1, "one"), (3, "three")]
+
+    def test_count_of_empty_node_pattern(self, spark, gc):
+        assert rows(run(spark, gc, """
+            MATCH (x:OperatingSystem)
+            RETURN COUNT { () } AS result
+        """)) == [(6,)]
+
+
+class TestCountInnerTrailingClauses:
+    def test_where_order_by(self, spark, gc):
+        assert sorted(r[0] for r in rows(run(spark, gc, """
+            MATCH (n:Person)
+            WHERE COUNT { MATCH (n)-[:FOLLOWS]->(m)
+                          RETURN m ORDER BY m.name } = 1
+            RETURN n.name AS name
+        """))) == ["Bob", "Erika"]
+
+    def test_return_skip(self, spark, gc):
+        assert sorted(r[0] for r in rows(run(spark, gc, """
+            MATCH (n:Person)
+            RETURN COUNT { MATCH (n)-[:FOLLOWS]->(m)
+                           RETURN m SKIP 1 } AS nbr
+        """))) == [0, 0, 0, 1, 1]
+
+    def test_where_limit(self, spark, gc):
+        assert sorted(r[0] for r in rows(run(spark, gc, """
+            MATCH (n:Person)
+            WHERE COUNT { MATCH (n)-[:FOLLOWS]->(m)
+                          RETURN m LIMIT 1 } = 1
+            RETURN n.name AS name
+        """))) == ["Ada", "Bob", "Cat", "Erika"]
+
+    def test_where_order_skip_limit(self, spark, gc):
+        assert sorted(r[0] for r in rows(run(spark, gc, """
+            MATCH (n:Person)
+            WHERE COUNT { MATCH (n)-[]->(m)
+                          RETURN m ORDER BY m.name SKIP 1 LIMIT 2 } = 1
+            RETURN n.name AS name
+        """))) == ["Ada", "Cat"]
+
+    def test_return_distinct(self, spark, gc):
+        assert sorted(r[0] for r in rows(run(spark, gc, """
+            MATCH (n:Person)
+            RETURN COUNT { MATCH (n)-[:FOLLOWS]->(m)
+                           RETURN DISTINCT n } AS nbr
+        """))) == [0, 1, 1, 1, 1]
+
+
+class TestCountUnionAndCallBodies:
+    def test_union_distinct_uncorrelated(self, spark, gc):
+        assert rows(run(spark, gc, """
+            WITH COUNT {
+              MATCH (person:Person)-[:FOLLOWS]->(friend:Person)
+              RETURN friend AS human
+              UNION
+              MATCH (person:Person)-[:LIKES]->(otherPerson:Person)
+              RETURN otherPerson AS human
+            } AS foo RETURN foo
+        """)) == [(4,)]
+
+    def test_union_distinct_correlated(self, spark, gc):
+        assert sorted(r[0] for r in rows(run(spark, gc, """
+            MATCH (person)
+            WITH COUNT {
+              MATCH (person)-[:FOLLOWS]->(friend:Person)
+              RETURN friend.name AS name
+              UNION
+              MATCH (person)-[:LIKES]->(otherPerson:Person)
+              RETURN otherPerson.name AS name
+            } AS foo RETURN foo
+        """))) == [0, 1, 1, 2, 2, 3]
+
+    def test_union_all_correlated(self, spark, gc):
+        assert sorted(r[0] for r in rows(run(spark, gc, """
+            MATCH (person)
+            WITH COUNT {
+              MATCH (person)-[:FOLLOWS]->(friend:Person)
+              RETURN friend AS human
+              UNION ALL
+              MATCH (person)-[:LIKES]->(otherPerson:Person)
+              RETURN otherPerson AS human
+            } AS foo RETURN foo
+        """))) == [0, 1, 1, 2, 2, 4]
+
+    def test_union_all_no_returns(self, spark, gc):
+        assert sorted(r[0] for r in rows(run(spark, gc, """
+            MATCH (person)
+            WITH COUNT {
+              MATCH (person)-[:FOLLOWS]->(friend:Person)
+              UNION ALL
+              MATCH (person)-[:LIKES]->(otherPerson:Person)
+            } AS foo RETURN foo
+        """))) == [0, 1, 1, 2, 2, 4]
+
+    def test_count_plus_one_in_where(self, spark, gc):
+        assert sorted(r[0] for r in rows(run(spark, gc, """
+            MATCH (person)
+            WHERE COUNT {
+              MATCH (person)-[:FOLLOWS]->(friend:Person)
+              RETURN friend.name AS name
+              UNION
+              MATCH (person)-[:LIKES]->(otherPerson:Person)
+              RETURN otherPerson.name AS name
+            } + 1 = 3
+            RETURN person.name AS name
+        """))) == ["Ada", "Cat"]
+
+    def test_call_body(self, spark, gc):
+        assert sorted(r[0] for r in rows(run(spark, gc, """
+            MATCH (person:Person)
+            WITH COUNT {
+              MATCH (person)-[:FOLLOWS]->(friend:Person)
+              CALL {
+                WITH person
+                MATCH (person)-[:FOLLOWS]->(friend:Person)
+                RETURN friend.name AS name
+                UNION ALL
+                WITH person
+                MATCH (person)-[:LIKES]->(otherPerson:Person)
+                RETURN otherPerson.name AS name
+              }
+              RETURN friend AS notHumans
+            } AS foo RETURN foo
+        """))) == [0, 1, 4, 4, 4]
+
+
+class TestCountInlinedAndAggBodies:
+    def test_inlined_in_node_pattern(self, spark, gc):
+        assert sorted(r[0] for r in rows(run(spark, gc, """
+            MATCH (n:Person WHERE COUNT {
+                MATCH (n)-[]->(:Person) } > 1)
+            RETURN n.name AS name
+        """))) == ["Ada", "Bob", "Cat"]
+
+    def test_nested_inlined_in_node_pattern(self, spark, gc):
+        assert sorted(r[0] for r in rows(run(spark, gc, """
+            MATCH (a WHERE COUNT {
+                MATCH (n WHERE n.name = a.name)-[r]->() } > 2)
+            RETURN a.name AS name
+        """))) == ["Bob"]
+
+    def test_nested_inlined_xor_in_node_pattern(self, spark, gc):
+        assert sorted(r[0] for r in rows(run(spark, gc, """
+            MATCH (n:Person)
+            WHERE COUNT {
+              MATCH (n WHERE COUNT { MATCH (n)-[r]->() } > 2
+                     XOR true) } = 1
+            RETURN n.name AS name
+        """))) == ["Ada", "Cat", "Deb", "Erika"]
+
+    def test_inlined_in_rel_pattern(self, spark, gc):
+        assert sorted(r[0] for r in rows(run(spark, gc, """
+            MATCH (n:Person)-[r WHERE COUNT {
+                MATCH (n)-[]->(:Person) } > 1]->(m)
+            RETURN n.name AS name
+        """))) == ["Ada", "Ada", "Bob", "Bob", "Bob", "Bob",
+                   "Cat", "Cat"]
+
+    def test_nested_inlined_in_rel_pattern(self, spark, gc):
+        assert sorted(r[0] for r in rows(run(spark, gc, """
+            MATCH (a)-[WHERE COUNT {
+                MATCH (n)-[r WHERE n.name = a.name]->() } > 2]->()
+            RETURN a.name AS name
+        """))) == ["Bob", "Bob", "Bob", "Bob"]
+
+    def test_aggregation_before_and_after_subquery(self, spark):
+        g = PropertyGraph({}, {})
+        cypher(spark, """
+            CREATE (a:A {prop: 1})-[:R]->(b:B {prop: 1}),
+                   (a)-[:R]->(:C {prop: 2}),
+                   (a)-[:R]->(d:D {prop: 3}), (b)-[:R]->(d)
+        """, g).collect()
+        got = rows(run(spark, g, """
+            MATCH (n) WHERE COUNT {
+              WITH count(*) = 1 AS fakeCheck
+              MATCH (n)-->(m)
+              WITH n, count(*) = 3 AS hasThreeConns, fakeCheck
+              WHERE hasThreeConns AND fakeCheck
+              RETURN true } = 1
+            RETURN labels(n) AS l
+        """))
+        assert got == [(["A"],)]
+
+    def test_count_aggregation_body_always_one(self, spark, gc):
+        assert sorted(r[0] for r in rows(run(spark, gc, """
+            MATCH (a:OperatingSystem)
+            RETURN COUNT { MATCH (a)--(b) RETURN count(b.name) } AS c
+        """))) == [1]
+
+    def test_omission_of_return_nested(self, spark, gc):
+        assert sorted(r[0] for r in rows(run(spark, gc, """
+            MATCH (person:Person)
+            WHERE COUNT {
+              MATCH (person)-[:FOLLOWS]->(p:Person)
+              WHERE COUNT {
+                WITH "Ada" as x
+                MATCH (person)-[:FOLLOWS]->(person2:Person)
+                WHERE person2.name = x
+                WITH "Cat" as x
+                MATCH (person2)-[:LIKES]-(person3:Person)
+                WHERE person3.name = x
+              } = 1
+            } = 1
+            RETURN person.name AS name
+        """))) == ["Bob"]
+
+
+class TestCollectAsValue:
+    def test_collect_in_return_statement(self, spark, gl):
+        got = {r[1]: r[0] for r in rows(run(spark, gl, """
+            MATCH (p:Person)
+            RETURN COLLECT { MATCH (p)-[:FRIEND]->(q)
+                             RETURN q.name ORDER BY q.name } AS friends,
+                   p.name AS name
+        """))}
+        assert got == {"Ada": ["Bob", "Carl"],
+                       "Bob": ["Ada", "Danielle"],
+                       "Carl": ["Danielle"], "Danielle": ["Carl"],
+                       "Eve": []}
+
+    def test_collect_plus_list_concat(self, spark, gl):
+        got = {r[1]: r[0] for r in rows(run(spark, gl, """
+            MATCH (p:Person)
+            RETURN COLLECT { MATCH (p)-[:FRIEND]->(q)
+                             RETURN q.name ORDER BY q.name }
+                   + ['Fred'] AS friends,
+                   p.name AS name
+        """))}
+        assert got["Eve"] == ["Fred"]
+        assert got["Ada"] == ["Bob", "Carl", "Fred"]
+
+    def test_in_membership_on_collect(self, spark, gl):
+        got = {r[1]: r[0] for r in rows(run(spark, gl, """
+            MATCH (p:Person)
+            RETURN 'Danielle' IN COLLECT {
+                     MATCH (p)-[:FRIEND]->(q)
+                     RETURN q.name ORDER BY q.name
+                   } AS friendsWithDanielle,
+                   p.name AS name
+        """))}
+        assert got == {"Ada": False, "Bob": True, "Carl": True,
+                       "Danielle": False, "Eve": False}
+
+    def test_subscript_on_collect(self, spark, gl):
+        got = {r[1]: r[0] for r in rows(run(spark, gl, """
+            MATCH (p:Person) WHERE p.age < 50
+            RETURN COLLECT { MATCH (p)-[:FRIEND]->(q)
+                             RETURN q.name ORDER BY q.name }[0] AS friend,
+                   p.name AS name
+        """))}
+        assert got == {"Ada": "Bob", "Bob": "Ada", "Carl": "Danielle",
+                       "Danielle": "Carl"}
+
+    def test_collect_as_grouping_key(self, spark, gl):
+        got = sorted(rows(run(spark, gl, """
+            MATCH (p:Person)
+            RETURN COLLECT { MATCH (p)-[:FRIEND]->(f)
+                             WHERE f.age > p.age
+                             RETURN f.name } AS olderFriends,
+                   avg(p.age) AS averageAge
+        """)), key=lambda r: r[1])
+        assert got == [(["Bob"], 27.0), (["Danielle"], 27.5),
+                       ([], 519.0)]
+
+    def test_collect_in_when(self, spark, gl):
+        got = sorted((r[0] or "") for r in rows(run(spark, gl, """
+            MATCH (p:Person)
+            RETURN CASE WHEN COLLECT {
+                     MATCH (p:Person)-[:FRIEND]->(f)
+                     RETURN f.name } = ['Carl']
+                   THEN p.name END AS result
+        """)))
+        assert got == ["", "", "", "", "Danielle"]
+
+    def test_collect_distinct_global(self, spark, gl):
+        assert rows(run(spark, gl, """
+            RETURN COLLECT { MATCH (p:Person)-[:FRIEND]->(f)
+                             RETURN DISTINCT f.name ORDER BY f.name
+                           } AS friends
+        """)) == [(["Ada", "Bob", "Carl", "Danielle"],)]
+
+    def test_collect_in_set_statement(self, spark, gl):
+        got = {r[0]: r[1] for r in rows(run(spark, gl, """
+            MATCH (p:Person)
+            SET p.friends = COLLECT { MATCH (p)-[:FRIEND]->(f)
+                                      RETURN f.name ORDER BY f.name }
+            RETURN p.name AS name, p.friends AS friends
+        """))}
+        assert got == {"Ada": ["Bob", "Carl"],
+                       "Bob": ["Ada", "Danielle"],
+                       "Carl": ["Danielle"], "Danielle": ["Carl"],
+                       "Eve": []}
+
+    def test_collect_empty_for_null_nodes_sizes(self, spark, gl):
+        assert rows(run(spark, gl, """
+            OPTIONAL MATCH (n:DoesNotExist)
+            RETURN [ size(COLLECT { MATCH (n) RETURN n }),
+                     size(COLLECT { MATCH (n)-->() RETURN n }),
+                     size(COLLECT { MATCH (n)-->({prop: 1}) RETURN n })
+                   ] AS collects
+        """)) == [([0, 0, 0],)]
+
+    def test_collect_empty_for_null_rels_sizes(self, spark, gl):
+        assert rows(run(spark, gl, """
+            OPTIONAL MATCH ()-[r:DOES_NOT_EXIST]->()
+            RETURN [ size(COLLECT { MATCH ()-[r]-() RETURN r }),
+                     size(COLLECT { MATCH ()-[r]-({prop: 1}) RETURN r })
+                   ] AS collects
+        """)) == [([0, 0],)]
+
+
+class TestCollectBodies:
+    def test_multiple_inner_patterns(self, spark, gl):
+        got = {r[0]: r[1] for r in rows(run(spark, gl, """
+            MATCH (person:Person)
+            RETURN person.name AS name, COLLECT {
+              MATCH (person), (immortal:Immortal)
+              WHERE immortal.nicknames = person.nicknames
+              RETURN 1 } AS sameNumNicknames
+        """))}
+        assert got == {"Ada": [1], "Bob": [], "Carl": [],
+                       "Danielle": [], "Eve": [1]}
+
+    def test_multiple_inner_patterns_with_rels(self, spark, gl):
+        got = {r[0]: r[1] for r in rows(run(spark, gl, """
+            MATCH (person:Person)
+            RETURN person.name AS name, COLLECT {
+              MATCH (person)-[:FRIEND]->(other:Person),
+                    (other)-[:FRIEND]->(person)
+              RETURN true } AS mutualFriends
+        """))}
+        assert got == {"Ada": [True], "Bob": [True], "Carl": [True],
+                       "Danielle": [True], "Eve": []}
+
+    def test_union_distinct_uncorrelated(self, spark, gl):
+        got = rows(run(spark, gl, """
+            WITH COLLECT {
+              MATCH (person:Person)-[:FRIEND]->(friend:Person)
+              RETURN friend.name AS friended ORDER BY friended
+              UNION
+              MATCH (person:Person)-[:FRIEND]->(otherPerson:Person)
+              RETURN otherPerson.name AS friended ORDER BY friended
+            } AS foo RETURN foo
+        """))
+        assert sorted(got[0][0]) == ["Ada", "Bob", "Carl", "Danielle"]
+
+    def test_union_distinct_correlated(self, spark, gl):
+        got = sorted(tuple(sorted(r[0])) for r in rows(run(spark, gl, """
+            MATCH (person)
+            WITH COLLECT {
+              MATCH (person)-[:FRIEND]->(friend:Person)
+              RETURN friend.name AS name ORDER BY name
+              UNION
+              MATCH (person)-[:FRIEND]->(otherPerson:Person)
+              RETURN otherPerson.name AS name ORDER BY name
+            } AS foo RETURN foo
+        """)))
+        assert got == [(), ("Ada", "Danielle"), ("Bob", "Carl"),
+                       ("Carl",), ("Danielle",)]
+
+    def test_union_all_correlated(self, spark, gl):
+        got = sorted(tuple(sorted(r[0])) for r in rows(run(spark, gl, """
+            MATCH (person)
+            WITH COLLECT {
+              MATCH (person)-[:FRIEND]->(friend:Person)
+              RETURN friend.name AS friended ORDER BY friended
+              UNION ALL
+              MATCH (person)-[:FRIEND]->(otherPerson:Person)
+              RETURN otherPerson.name AS friended ORDER BY friended
+            } AS foo RETURN foo
+        """)))
+        assert got == [(), ("Ada", "Ada", "Danielle", "Danielle"),
+                       ("Bob", "Bob", "Carl", "Carl"),
+                       ("Carl", "Carl"), ("Danielle", "Danielle")]
+
+    def test_call_body_with_distinct_return(self, spark, gl):
+        got = sorted(tuple(r[0]) for r in rows(run(spark, gl, """
+            MATCH (person:Person)
+            WITH COLLECT {
+              MATCH (person)-[:FRIEND]->(friend:Person)
+              CALL {
+                WITH person
+                MATCH (person)-[:FRIEND]->(friend:Person)
+                RETURN friend.name AS name
+                UNION ALL
+                WITH person
+                MATCH (person)-[:FRIEND]->(otherPerson:Person)
+                RETURN otherPerson.name AS name
+              }
+              RETURN DISTINCT friend.name AS friendNames
+              ORDER BY friendNames
+            } AS foo RETURN foo
+        """)))
+        assert got == [(), ("Ada", "Danielle"), ("Bob", "Carl"),
+                       ("Carl",), ("Danielle",)]
+
+    def test_collect_in_nested_plan(self, spark, gl):
+        got = sorted(r[0] for r in rows(run(spark, gl, """
+            MATCH (person:Person) WHERE person.age < 50
+            WITH [COLLECT { MATCH (person)-[:FRIEND]->(:Person)
+                            RETURN person.name ORDER BY person.name
+                          }[0]][0] AS foo
+            RETURN foo
+        """)))
+        assert got == ["Ada", "Bob", "Carl", "Danielle"]
+
+    def test_collect_order_by_age(self, spark, gl):
+        got = sorted(tuple(r[0]) for r in rows(run(spark, gl, """
+            MATCH (n:Person)
+            RETURN COLLECT { MATCH (m)-[:FRIEND]->(n)
+                             RETURN m.name ORDER BY m.age } AS friends
+        """)))
+        assert got == [(), ("Ada",), ("Ada", "Danielle"),
+                       ("Bob",), ("Carl", "Bob")]
+
+    def test_collect_skip(self, spark, gl):
+        got = {r[0]: r[1] for r in rows(run(spark, gl, """
+            MATCH (n:Person)
+            WITH n, COLLECT { MATCH (m)-[:FRIEND]->(n)
+                              RETURN m.name SKIP 1 } AS allButOne
+            RETURN n.name AS name, size(allButOne) AS nbr
+        """))}
+        assert got == {"Ada": 0, "Bob": 0, "Carl": 1, "Danielle": 1,
+                       "Eve": 0}
+
+    def test_collect_limit(self, spark, gl):
+        got = {r[0]: r[1] for r in rows(run(spark, gl, """
+            MATCH (n:Person)
+            WITH n, COLLECT { MATCH (m)-[:FRIEND]->(n)
+                              RETURN m.name LIMIT 1 } AS maxOne
+            RETURN n.name AS name, size(maxOne) AS nbr
+        """))}
+        assert got == {"Ada": 1, "Bob": 1, "Carl": 1, "Danielle": 1,
+                       "Eve": 0}
+
+    def test_collect_order_skip_limit_membership(self, spark, gl):
+        assert sorted(r[0] for r in rows(run(spark, gl, """
+            MATCH (n:Person)
+            WHERE 'Bob' IN COLLECT {
+              MATCH (m)-[:FRIEND]->(n)
+              RETURN m.name ORDER BY m.age SKIP 1 LIMIT 1 }
+            RETURN n.name AS name
+        """))) == ["Danielle"]
+
+    def test_collect_distinct_correlated(self, spark, gl):
+        got = sorted(tuple(r[0]) for r in rows(run(spark, gl, """
+            MATCH (n:Person)
+            RETURN COLLECT { MATCH ()-[:FRIEND]->(n)
+                             RETURN DISTINCT n.name } AS nameIfFriend
+        """)))
+        assert got == [(), ("Ada",), ("Bob",), ("Carl",),
+                       ("Danielle",)]
+
+    def test_inlined_in_node_pattern_membership(self, spark, gl):
+        assert sorted(r[0] for r in rows(run(spark, gl, """
+            MATCH (n:Person WHERE 'Bob' IN COLLECT {
+                MATCH (n)-[]->(:Person) RETURN n.name })
+            RETURN n.name AS name
+        """))) == ["Bob"]
+
+    def test_inlined_in_node_pattern_equality(self, spark, gl):
+        assert sorted(r[0] for r in rows(run(spark, gl, """
+            MATCH (n:Person WHERE COLLECT {
+                MATCH (n)-[]->(m:Person)
+                RETURN m.name ORDER BY m.name } = ['Bob', 'Carl'])
+            RETURN n.name AS name
+        """))) == ["Ada"]
+
+    def test_inlined_in_rel_pattern(self, spark, gl):
+        assert sorted(r[0] for r in rows(run(spark, gl, """
+            MATCH (n:Person)-[r WHERE COLLECT {
+                MATCH (n)-[]->(:Person) RETURN true
+              } = [true, true]]->(m)
+            RETURN n.name AS name
+        """))) == ["Ada", "Ada", "Bob", "Bob"]
+
+    def test_collect_subquery_with_empty_node(self, spark, gl):
+        assert rows(run(spark, gl, """
+            MATCH (x:Immortal)
+            RETURN COLLECT { MATCH () RETURN 1 } AS result
+        """)) == [([1, 1, 1, 1, 1],)]
+
+
+class TestCollectRejections:
+    @pytest.mark.parametrize("q", [
+        "MATCH (n) WHERE COLLECT { MATCH (n)-->(m) SET m.prop = 'x' }"
+        " = [1] RETURN n",
+        "MATCH (n) WHERE COLLECT { MATCH (n)-[]->(p) RETURN * } = [1]"
+        " RETURN n",
+        "RETURN COLLECT { MATCH (n)-[]->(p) RETURN n, p } AS x",
+    ])
+    def test_invalid_collect_bodies(self, spark, gl, q):
+        with pytest.raises(Exception):
+            run(spark, gl, q).collect()

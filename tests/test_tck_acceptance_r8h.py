@@ -1,0 +1,243 @@
+"""TCK-style acceptance tranche 8h — behavior-ported from
+LiteralAcceptance.feature (underscore digit separators and their
+placement rules), NaNAcceptance.feature (isNaN + three-valued NOT over
+NaN comparisons), SkipLimitAcceptance.feature (const-evaluable vs
+graph-touching SKIP/LIMIT expressions, Long.Max SKIP, LIMIT 0 tops),
+and Finish.feature (FINISH produces zero rows while keeping side
+effects), from community/cypher/spec-suite-tools/src/test/resources/
+acceptance/features/."""
+
+import math
+
+import pytest
+
+from neo4j_spark.api import cypher
+from neo4j_spark.graph import PropertyGraph
+
+
+@pytest.fixture()
+def g(spark):
+    return PropertyGraph({}, {})
+
+
+def run(spark, g, q, **params):
+    return cypher(spark, q, g, params=params or None)
+
+
+def rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def one(spark, g, q, **params):
+    r = rows(run(spark, g, q, **params))
+    assert len(r) == 1 and len(r[0]) == 1
+    return r[0][0]
+
+
+class TestLiteralUnderscores:
+    @pytest.mark.parametrize("lit,val", [
+        ("1_000_000", 1000000),
+        ("-1_000", -1000),
+        ("1_2_3", 123),
+        ("0xA_B", 0xAB),
+        ("-0x2_9", -0x29),
+        ("0o7_7", 0o77),
+        ("-0o1_0", -0o10),
+    ])
+    def test_integer_underscores(self, spark, g, lit, val):
+        assert one(spark, g, f"RETURN {lit} AS x") == val
+
+    @pytest.mark.parametrize("lit,val", [
+        ("1_000.000_1", 1000.0001),
+        ("-6.2_5", -6.25),
+        ("1_0.2_5e1_0", 10.25e10),
+    ])
+    def test_float_underscores(self, spark, g, lit, val):
+        assert one(spark, g, f"RETURN {lit} AS x") == pytest.approx(val)
+
+    @pytest.mark.parametrize("lit", [
+        "1__0",          # consecutive
+        "1_",            # trailing
+        "0x_AB",         # underscore after hex prefix
+        "0xAB_",         # trailing in hex
+        "0x A__B",       # consecutive in hex (with junk)
+        "0o_77",         # underscore after octal prefix
+        "0o77_",         # trailing in octal
+        "0o7__7",        # consecutive in octal
+        "0_2",           # deprecated octal syntax with underscore
+    ])
+    def test_invalid_underscore_placement(self, spark, g, lit):
+        with pytest.raises(Exception):
+            run(spark, g, f"RETURN {lit} AS x").collect()
+
+    def test_leading_underscore_is_identifier(self, spark, g):
+        # _1000 lexes as a variable, which is undefined here
+        with pytest.raises(Exception):
+            run(spark, g, "RETURN _1000000 AS x").collect()
+
+
+class TestNaN:
+    @pytest.mark.parametrize("expr,val", [
+        ("isNaN(1)", False),
+        ("isNaN(1.0f)", False),
+        ("isNaN(0x0ad)", False),
+        ("isNaN(0o1)", False),
+        ("isNaN(1.0)", False),
+        ("isNaN(0/0.0)", True),
+        ("isNaN(1/0.0)", False),
+        ("isNaN(-1/0.0)", False),
+        ("isNaN(null)", None),
+        ("isNaN(abs(0/0.0))", True),
+    ])
+    def test_isnan(self, spark, g, expr, val):
+        assert one(spark, g, f"RETURN {expr} AS r") is val
+
+    def test_isnan_non_number_rejected(self, spark, g):
+        with pytest.raises(Exception):
+            run(spark, g, 'RETURN isNaN("foo") AS r').collect()
+
+    def test_not_of_ordering_inequalities(self, spark, g):
+        assert rows(run(spark, g, """
+            RETURN NOT(0.0 < (0.0/0.0)) AS r1, NOT(0.0 > (0.0/0.0)) AS r2
+        """)) == [(True, True)]
+
+    def test_not_of_nonstrict_with_params(self, spark, g):
+        assert rows(run(spark, g, """
+            RETURN NOT(0.0 <= (0.0/$zero)) AS r1,
+                   NOT(0.0 >= (0.0/$zero)) AS r2
+        """, zero=0.0)) == [(True, True)]
+
+    def test_not_of_function_compare(self, spark, g):
+        assert one(spark, g,
+                   "RETURN NOT (ceil(0.0/0.0) < 0.0) AS r") is True
+
+    def test_not_of_not(self, spark, g):
+        assert one(spark, g,
+                   "RETURN NOT (NOT (0.0 < (0.0/0.0))) AS r") is False
+
+    def test_not_of_equality(self, spark, g):
+        assert one(spark, g,
+                   "RETURN NOT (0.0 = (0.0/0.0)) AS r") is True
+        assert one(spark, g,
+                   "RETURN NOT ((0.0/0.0) = (0.0/0.0)) AS r") is True
+
+    def test_not_of_not_equals(self, spark, g):
+        assert one(spark, g,
+                   "RETURN NOT (0.0 <> (0.0/0.0)) AS r") is False
+        assert one(spark, g,
+                   "RETURN NOT ((0.0/0.0) <> (0.0/0.0)) AS r") is False
+
+    def test_nan_in_variable_and_property(self, spark, g):
+        assert one(spark, g, """
+            WITH (0.0/0.0) AS nan RETURN NOT (nan < 0.0) AS r
+        """) is True
+        run(spark, g, "CREATE ({nan: (0.0/0.0)})").collect()
+        assert one(spark, g,
+                   "MATCH (n) RETURN NOT (n.nan < 0.0) AS r") is True
+
+
+class TestSkipLimitExpressions:
+    @pytest.fixture()
+    def gp(self, spark):
+        g = PropertyGraph({}, {})
+        cypher(spark, """
+            CREATE (:Person {name: 'Steven'}), (:Person {name: 'Craig'})
+        """, g).collect()
+        return g
+
+    def test_reduce_limit_allowed(self, spark, gp):
+        assert sorted(r[0] for r in rows(run(spark, gp, """
+            MATCH (p:Person) RETURN p.name AS name
+            LIMIT reduce(sum=0, x IN [0, 2] | sum + x)
+        """))) == ["Craig", "Steven"]
+
+    def test_reduce_skip_allowed(self, spark, gp):
+        assert rows(run(spark, gp, """
+            MATCH (p:Person) RETURN p.name AS name
+            SKIP reduce(sum=0, x IN [0, 2] | sum + x)
+        """)) == []
+
+    @pytest.mark.parametrize("clause", [
+        "LIMIT reduce(sum=0, x IN [(a)-->(b) | b.age] | sum + x)",
+        "SKIP reduce(sum=0, x IN [(a)-->(b) | b.age] | sum + x)",
+        "LIMIT size([(a)-->(b) | b.age])",
+        "SKIP size([(a)-->(b) | b.age])",
+    ])
+    def test_graph_touching_rejected(self, spark, gp, clause):
+        with pytest.raises(Exception):
+            run(spark, gp,
+                f"MATCH (p:Person) RETURN p.name AS name {clause}"
+                ).collect()
+
+    def test_skip_long_max(self, spark, gp):
+        assert rows(run(spark, gp, """
+            MATCH (p:Person) RETURN p.name AS name
+            SKIP 9223372036854775807
+        """)) == []
+
+    def test_limit_zero_top(self, spark, gp):
+        assert rows(run(spark, gp, """
+            MATCH (p:Person) RETURN p.name AS name
+            ORDER BY name LIMIT 0
+        """)) == []
+
+    def test_limit_before_distinct(self, spark, gp):
+        got = rows(run(spark, gp, """
+            UNWIND [1, 1, 2, 2, 3] AS x
+            WITH x LIMIT 3
+            RETURN DISTINCT x
+        """))
+        assert sorted(r[0] for r in got) == [1, 2]
+
+
+class TestFinish:
+    def test_finish_alone(self, spark, g):
+        assert rows(run(spark, g, "FINISH")) == []
+
+    @pytest.mark.parametrize("q", [
+        "UNWIND [] AS x FINISH",
+        "UNWIND [] AS x UNWIND [1, 2, 3] AS y FINISH",
+        "UNWIND [1, 2, 3] AS x FINISH",
+        "UNWIND [1, 2, 3] AS x UNWIND [1, 2, 3] AS y FINISH",
+        "WITH 123 AS foo FINISH",
+    ])
+    def test_finish_emits_no_rows(self, spark, g, q):
+        assert rows(run(spark, g, q)) == []
+
+    def test_finish_after_reading(self, spark, g):
+        run(spark, g, "CREATE (:A), (:B), (:C)").collect()
+        assert rows(run(spark, g, "MATCH (n) FINISH")) == []
+        assert rows(run(spark, g, "MATCH (b), (c) FINISH")) == []
+
+    def test_finish_keeps_create_side_effects(self, spark, g):
+        assert rows(run(spark, g, "CREATE (:A), (:B), (:C) FINISH")) == []
+        assert one(spark, g, "MATCH (n) RETURN count(*) AS c") == 3
+
+    def test_finish_after_updating_and_reading(self, spark, g):
+        assert rows(run(spark, g, """
+            CREATE (a:A), (b:B), (c:C)
+            WITH COUNT(*) AS cnt
+            MATCH (n)
+            FINISH
+        """)) == []
+        assert one(spark, g, "MATCH (n) RETURN count(*) AS c") == 3
+
+    def test_finish_after_with_pipeline(self, spark, g):
+        assert rows(run(spark, g, """
+            CREATE (a:A), (b:B), (c:C)
+            WITH COUNT(*) AS cnt
+            MATCH (n)
+            WITH labels(n) AS l
+            FINISH
+        """)) == []
+
+    def test_finish_in_union_operands(self, spark, g):
+        assert rows(run(spark, g, "FINISH UNION FINISH")) == []
+
+    def test_finish_in_union_reading_operands(self, spark, g):
+        run(spark, g, "CREATE (:A), (:B), (:C)").collect()
+        assert rows(run(spark, g, """
+            MATCH (a) FINISH
+            UNION
+            MATCH (b), (c) FINISH
+        """)) == []
