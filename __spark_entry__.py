@@ -1004,6 +1004,11 @@ CYPHER_QUERIES = {
         "MATCH (r:Region) RETURN r.regionkey AS k, "
         "[x IN [r] | size([p=(x)<-[:IN_REGION]-(n:Nation) | p])] AS d "
         "ORDER BY k",
+    # a path whose relationship is ANONYMOUS still carries it in the
+    # PathValue (CypherTransactionsAcceptance path-import scenarios)
+    "path_anon_rel":
+        "MATCH p = (n:Nation {nationkey: 0})-[]->() "
+        "RETURN size(relationships(p)) AS s, size(nodes(p)) AS c",
     # an aggregating EXISTS body always emits one row, so the EXISTS is
     # true even for zero matches (ExistsExpressionAcceptance 'EXISTS
     # subquery with aggregation inside')
@@ -1660,6 +1665,21 @@ def _write(spark, sf_dir, *statements):
     return cypher(spark, statements[-1], g)
 
 
+def _q_create_named_path(spark, sf_dir):
+    """CREATE p = (...) binds the created elements as a PathValue, and a
+    path RETURNed from CALL {} IN TRANSACTIONS flows to the outer query
+    (CypherTransactionsAcceptance 'should support call in tx returning
+    paths'); SET through a variable UNWOUND from relationships(p)
+    writes to the REL frames."""
+    return _write(
+        spark, sf_dir,
+        "UNWIND range(1, 3) AS i "
+        "CALL { WITH i CREATE p = (:TA {v: i})-[:TR {w: i}]->(:TB) "
+        "RETURN p } IN TRANSACTIONS "
+        "UNWIND relationships(p) AS r SET r.w = r.w * 10",
+        "MATCH (:TA)-[r:TR]->(:TB) RETURN r.w AS w ORDER BY w")
+
+
 def _q_union_unit_call(spark, sf_dir):
     """A union UNIT subquery (no RETURN in any branch) runs every branch
     per input row and preserves the outer cardinality (SubqueryAcceptance
@@ -1928,6 +1948,7 @@ WRITE_QUERIES = {
     "write_set_label": _q_write_set_label,
     "write_detach_delete": _q_write_detach_delete,
     "union_unit_call": _q_union_unit_call,
+    "create_named_path": _q_create_named_path,
     "write_merge": _q_write_merge,
     "write_remove": _q_write_remove,
     "call_in_tx_on_error": _q_call_in_tx_on_error,
@@ -3041,6 +3062,8 @@ def _oracle_sql_raw() -> dict[str, str]:
             "[(SELECT count(*) FROM nation n "
             "WHERE n.n_regionkey = r.r_regionkey)] AS d "
             "FROM region r ORDER BY k",
+        "path_anon_rel":
+            "SELECT CAST(1 AS BIGINT) AS s, CAST(2 AS BIGINT) AS c",
         "exists_agg_body":
             "SELECT c_custkey AS k, TRUE AS e FROM customer "
             "WHERE c_custkey <= 20 ORDER BY k",
@@ -3056,6 +3079,9 @@ def _oracle_sql_raw() -> dict[str, str]:
         "exists_leading_agg":
             "SELECT n_nationkey AS k FROM nation "
             "WHERE n_nationkey < 5 AND n_regionkey = 1 ORDER BY k",
+        "create_named_path":
+            "SELECT * FROM (VALUES (CAST(10 AS BIGINT)), (20), (30)) "
+            "AS t(w)",
         "union_unit_call":
             "SELECT CAST(2 * (SELECT count(*) FROM region) AS BIGINT) AS c",
         "shortest_path_pred_fallback":

@@ -909,7 +909,7 @@ class Translator:
         from ..operators import writes as W
 
         if isinstance(clause, A.Create):
-            return W.apply_create(self, df, clause)
+            return self._create_with_paths(df, clause, W)
         if isinstance(clause, A.Merge):
             return self._merge_with_path(df, clause, W)
         if isinstance(clause, A.SetClause):
@@ -919,6 +919,40 @@ class Translator:
         if isinstance(clause, A.Delete):
             return W.apply_delete(self, df, clause)
         raise TranslateError(f"unsupported clause {type(clause).__name__}")
+
+    def _create_with_paths(self, df: Optional[DataFrame],
+                           clause: A.Create, W) -> DataFrame:
+        """CREATE p = (...)-[...]->(...): name every element, create,
+        then build the PathValue from the bound elements — same recipe
+        as :meth:`_merge_with_path` (CypherTransactionsAcceptance
+        'should support call in tx returning paths')."""
+        import dataclasses
+
+        if not any(p.path_var for p in clause.parts):
+            return W.apply_create(self, df, clause)
+        new_parts, built = [], []
+        for part in clause.parts:
+            if part.path_var is None:
+                new_parts.append(part)
+                continue
+            els = []
+            for el in part.elements:
+                if getattr(el, "var", None) is None:
+                    prefix = "cp" if isinstance(el, A.NodePat) else "cr"
+                    el = dataclasses.replace(el, var=self._anon_var(prefix))
+                els.append(el)
+            new_parts.append(dataclasses.replace(
+                part, elements=els, path_var=None))
+            built.append((part.path_var, els))
+        out = W.apply_create(
+            self, df, dataclasses.replace(clause, parts=new_parts))
+        for pvar, els in built:
+            node_vars = [e.var for e in els if isinstance(e, A.NodePat)]
+            rel_vars = [(e.var, "rel")
+                        for e in els if isinstance(e, A.RelPat)]
+            out = self._build_path(out, pvar, node_vars, rel_vars)
+            self.kinds[pvar] = "path"
+        return out
 
     def _merge_with_path(self, df: Optional[DataFrame], clause: A.Merge,
                          W) -> DataFrame:
@@ -1585,6 +1619,12 @@ class Translator:
                               or elidable(np, rp, end_of(rp, False))))
             if is_last and can_elide:
                 df = df.drop("__from", "__to")
+                if part.path_var:
+                    # the rel still belongs to the PathValue — elided
+                    # NODES are reconstructed from the rel endpoints, but
+                    # a missing rel entry would drop the step entirely
+                    # (CypherTransactionsAcceptance path-import scenarios)
+                    path_rels.append((rvar, "rel"))
                 prev = None
                 i += 2
                 continue
@@ -1596,6 +1636,8 @@ class Translator:
                 # middle endpoint elided: keep the traversal id so the next
                 # rel joins directly on it
                 df = df.drop("__from").withColumnRenamed("__to", "__thru")
+                if part.path_var:
+                    path_rels.append((rvar, "rel"))
                 prev = None
                 i += 2
                 continue
@@ -3407,9 +3449,24 @@ class Translator:
 
         for var in list(df.columns):
             kind = self.kinds.get(var)
-            if kind not in ("node", "rel"):
-                continue
             if only is not None and var not in only:
+                continue
+            if kind == "path" and isinstance(df.schema[var].dataType,
+                                            T.StructType):
+                # a RICH path (property-carrying element structs) must
+                # also observe the body's writes — re-resolve its arrays
+                # from the current frames by element id
+                # (CypherTransactionsAcceptance path-import scenarios)
+                t = df.schema[var].dataType
+                relt = t["rels"].dataType.elementType
+                nodet = t["nodes"].dataType.elementType
+                if set(relt.fieldNames()) - {"_id", "_src", "_dst",
+                                             "_type"}:
+                    df = self._resolve_path_rels(df, var)
+                if set(nodet.fieldNames()) - {"_id"}:
+                    df = self._resolve_path_nodes(df, var)
+                continue
+            if kind not in ("node", "rel"):
                 continue
             if not isinstance(df.schema[var].dataType, T.StructType):
                 continue
@@ -4000,7 +4057,22 @@ class Translator:
             cc = self._compiler(df)
             col = fix(cc.compile(expr), cc)
             out = df.withColumn(u.var, F.explode(col))
-        self.kinds[u.var] = "scalar"
+        # the unwound variable keeps its ENTITY kind when the list holds
+        # node/rel structs (UNWIND relationships(p) AS r SET r.prop = …
+        # must write to the REL frames — CypherTransactionsAcceptance
+        # path-import scenarios); anything else is a scalar
+        elem = out.schema[u.var].dataType
+        if isinstance(elem, T.StructType):
+            names = set(elem.fieldNames())
+            if "_id" in names and ("_type" in names or "_src" in names):
+                self.kinds[u.var] = "rel"
+            elif "_id" in names and ("_labels" in names
+                                     or names == {"_id"}):
+                self.kinds[u.var] = "node"
+            else:
+                self.kinds[u.var] = "scalar"
+        else:
+            self.kinds[u.var] = "scalar"
         return out
 
     # ---- WITH / RETURN ---------------------------------------------------

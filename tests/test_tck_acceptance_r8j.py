@@ -1,0 +1,121 @@
+"""TCK-style acceptance tranche 8j — the CypherTransactionsAcceptance
+tail rounds 7-8 hadn't pinned yet (community/cypher/spec-suite-tools/
+src/test/resources/acceptance/features/CypherTransactionsAcceptance
+.feature): importing/returning PATH values across IN TRANSACTIONS
+batches, const-expression and Long.Max batch sizes, LOAD CSV feeding
+the transactional loop, and empty map/list values flowing past it."""
+
+import os
+import tempfile
+
+import pytest
+
+from neo4j_spark.api import cypher
+from neo4j_spark.graph import PropertyGraph
+
+
+@pytest.fixture()
+def g(spark):
+    return PropertyGraph({}, {})
+
+
+def run(spark, g, q, **params):
+    return cypher(spark, q, g, params=params or None)
+
+
+def rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def one(spark, g, q, **params):
+    r = rows(run(spark, g, q, **params))
+    assert len(r) == 1 and len(r[0]) == 1
+    return r[0][0]
+
+
+class TestTransactionsPathValues:
+    def test_importing_paths(self, spark, g):
+        run(spark, g, """
+            UNWIND range(1, 5) AS i CREATE ()-[:R {prop: i}]->()
+        """).collect()
+        assert sorted(r[0] for r in rows(run(spark, g, """
+            MATCH p = ()-[]->()
+            CALL {
+              WITH p
+              UNWIND relationships(p) AS r
+              SET r.prop = 10 * r.prop
+            } IN TRANSACTIONS
+            UNWIND relationships(p) AS r
+            RETURN r.prop AS prop
+        """))) == [10, 20, 30, 40, 50]
+
+    def test_returning_paths(self, spark, g):
+        assert sorted(r[0] for r in rows(run(spark, g, """
+            UNWIND range(1, 5) AS i
+            CALL {
+              WITH i
+              CREATE p = ()-[r:R {prop: i}]->()
+              RETURN p
+            } IN TRANSACTIONS
+            UNWIND relationships(p) AS r
+            RETURN r.prop AS prop
+        """))) == [1, 2, 3, 4, 5]
+        assert one(spark, g, "MATCH (n) RETURN count(*) AS c") == 10
+
+
+class TestTransactionsBatchSizeTail:
+    def test_reduce_batch_size_allowed(self, spark, g):
+        run(spark, g, """
+            UNWIND range(1, 10) AS x
+            CALL { CREATE (:A) }
+            IN TRANSACTIONS OF reduce(sum=0, x IN [0, 2] | sum + x) ROWS
+        """).collect()
+        assert one(spark, g, "MATCH (a:A) RETURN count(*) AS c") == 10
+
+    def test_long_max_batch_size_allowed(self, spark, g):
+        run(spark, g, """
+            UNWIND range(1, 10) AS x
+            CALL { CREATE (:A) }
+            IN TRANSACTIONS OF 9223372036854775807 ROWS
+        """).collect()
+        assert one(spark, g, "MATCH (a:A) RETURN count(*) AS c") == 10
+
+    def test_graph_touching_batch_size_rejected(self, spark, g):
+        run(spark, g, "CREATE ({v: 2})").collect()
+        with pytest.raises(Exception):
+            run(spark, g, """
+                MATCH (n)
+                CALL { CREATE (:A) }
+                IN TRANSACTIONS OF size([(a)-->(b) | b]) ROWS
+            """).collect()
+
+
+class TestTransactionsDataFlow:
+    def test_load_csv_rows_into_transactions(self, spark, g):
+        with tempfile.NamedTemporaryFile(
+                "w", suffix=".csv", delete=False) as f:
+            f.write("name,age\nDavid,55\nTim,32\nGareth,39\n"
+                    "Dawn,35\nJennifer,45\n")
+            path = f.name
+        try:
+            got = rows(run(spark, g, """
+                LOAD CSV WITH HEADERS FROM $param AS row
+                CALL {
+                  WITH row
+                  CREATE (n {name: row.name, age: toInteger(row.age)})
+                  RETURN n
+                } IN TRANSACTIONS
+                RETURN n.name AS name, n.age AS age ORDER BY age ASC
+            """, param="file://" + path))
+            assert got == [("Tim", 32), ("Dawn", 35), ("Gareth", 39),
+                           ("Jennifer", 45), ("David", 55)]
+        finally:
+            os.unlink(path)
+
+    def test_empty_map_and_list_before_call_in_tx(self, spark, g):
+        assert rows(run(spark, g, """
+            WITH {} AS emptyMap, [] AS emptyList
+            CALL { WITH 42 AS theValue RETURN theValue }
+            IN TRANSACTIONS
+            RETURN theValue
+        """)) == [(42,)]
