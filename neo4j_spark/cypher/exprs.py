@@ -1647,6 +1647,36 @@ class ExprCompiler:
         if isinstance(acc_t, T.NullType):
             acc_t = None
 
+        def _has_nulltype(t) -> bool:
+            if t is None or isinstance(t, T.NullType):
+                return True
+            if isinstance(t, T.ArrayType):
+                return _has_nulltype(t.elementType)
+            if isinstance(t, T.MapType):
+                return _has_nulltype(t.keyType) or _has_nulltype(t.valueType)
+            if isinstance(t, T.StructType):
+                return any(_has_nulltype(f.dataType) for f in t.fields)
+            return False
+
+        if _has_nulltype(acc_t):
+            # placeholder-typed init (``[]`` types as array<void>, null as
+            # void): Spark's aggregate() requires the zero's type to equal
+            # the merge lambda's result type exactly — probe the merge as
+            # a plain expression (acc := init, x := first element) and
+            # cast the init to the concrete result type
+            try:
+                probe = self._with_local(
+                    e.acc, init, acc_t,
+                    lambda: self._with_local(
+                        e.var, F.get(src, F.lit(0)), et,
+                        lambda: self.compile(e.expr)))
+                rt = self.dtype_of(probe)
+                if rt is not None and not _has_nulltype(rt):
+                    init = init.cast(rt)
+                    acc_t = rt
+            except Exception:
+                pass  # keep the unprobed form; analysis decides
+
         def merge(acc, x):
             # the accumulator's type drives operator overloading inside the
             # lambda (e.g. + concatenates when acc is a string)
