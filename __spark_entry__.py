@@ -1273,12 +1273,17 @@ def _q_call_fulltext_stopwords(spark, sf_dir):
 
 
 def _q_dedup_exact(spark, sf_dir):
-    from neo4j_spark.ml.dedup import exact_dedup
+    # r8 optimization (guide §2.3/§8: shuffle a hash proxy, not the
+    # payload): the former exact_dedup(text) -> groupBy(lang) shape
+    # sort-aggregated and SHUFFLED the full document text; the distinct
+    # count per lang needs only (lang, xxhash64(text)) to cross the
+    # exchange.  Oracle-identical (count(DISTINCT text) GROUP BY lang)
+    # up to 64-bit collisions; verified on all SFs.
+    from neo4j_spark.ml.dedup import distinct_count_by
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return (exact_dedup(docs, ["text"])
-            .groupBy("lang").agg(F.count(F.lit(1)).alias("n_unique"))
-            .select(F.col("lang"), F.col("n_unique")))
+    return distinct_count_by(docs, ["lang"], "text", alias="n_unique") \
+        .select(F.col("lang"), F.col("n_unique"))
 
 
 def _q_dedup_minhash(spark, sf_dir):

@@ -1266,7 +1266,8 @@ class Translator:
         return base.select(struct.alias(var))
 
     def _rel_scan(self, rp: A.RelPat, var: str,
-                  slim: bool = False) -> DataFrame:
+                  slim: bool = False,
+                  left_labels=None, right_labels=None) -> DataFrame:
         """Returns frame [__from, __to, <var> struct] honoring direction.
 
         BOTH-direction = union of both orientations (Undirected* scans,
@@ -1274,21 +1275,37 @@ class Translator:
         the struct — for var-length expands whose rel list is consumed
         only by uniqueness bookkeeping, this lets parquet prune every
         property column (an untyped ``-[*2..2]->`` otherwise drags all
-        lineitem props through every BFS level)."""
-        base = self.graph.rels_for_types(rp.types)
-        if rp.neg_types:  # [:!TYPE] — subtract from the positive cover
-            base = base.filter(
-                ~F.col("type").isin(list(rp.neg_types)))
-        if getattr(rp, "type_tree", None) is not None:
-            # full boolean type algebra ([:((!A&B)&(C|D))]): ``types``
-            # above pruned the shard cover (empty cover = all shards);
-            # the tree is the exact per-row predicate on the single type
-            from .exprs import compile_label_tree
+        lineitem props through every BFS level).
 
-            if not rp.types:
-                base = self.graph.rels
-            base = base.filter(
-                compile_label_tree(rp.type_tree, None, F.col("type")))
+        ``left_labels`` / ``right_labels``: alternative-label knowledge
+        for the pattern-left / pattern-right endpoint node (None =
+        unknown) — lets multi-shard rel types (PropertyGraph.rel_shards)
+        prune to the shards whose endpoint label can match.  Direction
+        maps pattern sides to edge ends: 'out' left=src, 'in' left=dst,
+        both-direction prunes each orientation independently."""
+        def typed(src_labels=None, dst_labels=None):
+            b = self.graph.rels_for_types(
+                rp.types, src_labels=src_labels, dst_labels=dst_labels)
+            if rp.neg_types:  # [:!TYPE] — subtract from the positive cover
+                b = b.filter(~F.col("type").isin(list(rp.neg_types)))
+            if getattr(rp, "type_tree", None) is not None:
+                # full boolean type algebra ([:((!A&B)&(C|D))]): ``types``
+                # above pruned the shard cover (empty cover = all shards);
+                # the tree is the exact per-row predicate on the single type
+                from .exprs import compile_label_tree
+
+                if not rp.types:
+                    b = self.graph.rels
+                b = b.filter(
+                    compile_label_tree(rp.type_tree, None, F.col("type")))
+            return b
+
+        if rp.direction == "out":
+            base = typed(left_labels, right_labels)
+        elif rp.direction == "in":
+            base = typed(right_labels, left_labels)
+        else:
+            base = typed()
         # shared-base fusion: count which declared-base shards this scan
         # touches; a second touch within the statement persists the base
         # so every shard reads ONE FileScan (graph.note_rel_scan)
@@ -1314,11 +1331,17 @@ class Translator:
         if rp.direction == "in":
             return base.select(F.col("dst").alias("__from"),
                                F.col("src").alias("__to"), struct.alias(var))
-        fwd = base.select(F.col("src").alias("__from"), F.col("dst").alias("__to"),
-                          struct.alias(var))
-        rev = base.filter(F.col("src") != F.col("dst")).select(
-            F.col("dst").alias("__from"), F.col("src").alias("__to"),
+        # both-direction: each orientation prunes shards independently —
+        # ``(n:Nation)-[:FROM_NATION]-(x)`` keeps no shard for the
+        # forward leg (no FROM_NATION starts at a Nation) and both for
+        # the reverse leg
+        fwd = typed(left_labels, right_labels).select(
+            F.col("src").alias("__from"), F.col("dst").alias("__to"),
             struct.alias(var))
+        rev = typed(right_labels, left_labels) \
+            .filter(F.col("src") != F.col("dst")).select(
+                F.col("dst").alias("__from"), F.col("src").alias("__to"),
+                struct.alias(var))
         return fwd.unionByName(rev)
 
     def _bind_first_node(self, df: Optional[DataFrame], np: A.NodePat,
@@ -1597,7 +1620,20 @@ class Translator:
                 # implicit join.
                 rel_bindings.append((rvar, "rel", frozenset(rp.types)))
             else:
-                scan = self._rel_scan(rp, rvar)
+                # endpoint-label knowledge for shard pruning: the pattern
+                # node's label cover (always a sound disjunctive cover,
+                # parser._lower_label_tree) or the tracked labels of an
+                # already-bound var
+                lnp = els[i - 1]
+                left_lbls = (list(lnp.labels)
+                             if isinstance(lnp, A.NodePat) and lnp.labels
+                             else self.labels_of(prev))
+                right_lbls = (list(np.labels) if np.labels
+                              else self.labels_of(
+                                  np.var if df is not None and np.var
+                                  and np.var in df.columns else None))
+                scan = self._rel_scan(rp, rvar, left_labels=left_lbls,
+                                      right_labels=right_lbls)
                 if thru:
                     # previous endpoint elided: chain rel-to-rel on the
                     # retained traversal id (no node frame in between)
@@ -2677,8 +2713,17 @@ class Translator:
             for v in shared:
                 l, r = F.col(v), F.col(f"__r_{v}")
                 if self.kinds.get(v) in ("node", "rel"):
-                    c = l.getField("_id").eqNullSafe(r.getField("_id"))
+                    # plain equality, NOT eqNullSafe: build_matched filters
+                    # the right side to non-null _id (null bindings match
+                    # no pattern), and `null <=> non-null` ≡ `null =
+                    # non-null` under a left join.  A null-safe key plans
+                    # as hashpartitioning(coalesce(k,0), isnull(k)) — an
+                    # exchange no neighbouring operator can reuse, and at
+                    # scale every null left row lands in one partition
+                    c = l.getField("_id") == r.getField("_id")
                 else:
+                    # scalars CAN be null on both sides (the reference
+                    # pairs a null argument row with its subquery result)
                     c = l.eqNullSafe(r)
                 cond = c if cond is None else cond & c
             out = cur_df.join(right, cond if cond is not None else F.lit(True), how)

@@ -83,9 +83,28 @@ class PropertyGraph:
         rel_frames: Dict[str, DataFrame],
         rel_endpoint_labels: Optional[Dict[str, tuple]] = None,
         rel_shared_bases: Optional[Dict[str, tuple]] = None,
+        rel_shards: Optional[Dict[str, list]] = None,
     ) -> None:
         self.node_frames = dict(node_frames)
         self.rel_frames = dict(rel_frames)
+        # Shard decomposition of a multi-source rel frame:
+        #   type -> [(src_label, dst_label, frame), ...]
+        # declared by the source builder when rel_frames[type] is a union
+        # of per-endpoint-label shards AND every endpoint node carries
+        # EXACTLY its declared label (single-label world).  A typed scan
+        # whose pattern binds an endpoint label then reads only the
+        # matching shards (half the FROM_NATION bytes at any scale)
+        # instead of the whole union + an endpoint-node filter join.
+        # Soundness guards: pruning is skipped as soon as (a) any label
+        # mutation is recorded (_extra_labels — a node could then carry a
+        # label its shard does not declare) or (b) a write replaced the
+        # whole-type frame (identity check against _rel_shard_whole —
+        # the shard list would be stale).
+        self.rel_shards = dict(rel_shards or {})
+        self._rel_shard_whole = {
+            t: self.rel_frames[t] for t in self.rel_shards
+            if t in self.rel_frames
+        }
         # shared-base declaration: base name -> (base DataFrame, types)
         # for relationship shards that are row images of ONE physical
         # table (e.g. CONTAINS and SUPPLIED_BY <- lineitem).  When a
@@ -181,7 +200,8 @@ class PropertyGraph:
     def copy(self) -> "PropertyGraph":
         """Cheap snapshot: shares the (immutable) frames, isolates writes."""
         g = PropertyGraph(self.node_frames, self.rel_frames,
-                          self.rel_endpoint_labels, self.rel_shared_bases)
+                          self.rel_endpoint_labels, self.rel_shared_bases,
+                          self.rel_shards)
         g._persisted_bases = set(self._persisted_bases)
         g._extra_labels = set(self._extra_labels)
         g._write_epoch = self._write_epoch
@@ -268,14 +288,65 @@ class PropertyGraph:
         )
         return df.filter(cond).dropDuplicates(["id"])
 
-    def rels_for_types(self, types: Sequence[str]) -> DataFrame:
-        """DirectedRelationshipTypeScan (LP:1732) / Union variant (LP:1841)."""
+    def rels_for_types(self, types: Sequence[str],
+                       src_labels: Optional[Sequence[str]] = None,
+                       dst_labels: Optional[Sequence[str]] = None) -> DataFrame:
+        """DirectedRelationshipTypeScan (LP:1732) / Union variant (LP:1841).
+
+        ``src_labels`` / ``dst_labels``: alternative-label knowledge for the
+        edge endpoints (None = unknown).  Types declared in ``rel_shards``
+        prune to the shards whose endpoint label is among the
+        alternatives — the label predicate is enforced on the rowstream
+        independently, so pruning only removes rows that could never
+        survive it (see __init__ for the soundness guards)."""
         if not types:
             return self.rels
-        cands = [df for t, df in self.rel_frames.items() if t in types]
+        cands = [self._pruned_rel_frame(t, df, src_labels, dst_labels)
+                 for t, df in self.rel_frames.items() if t in types]
         if not cands:
             return self.rels.limit(0)
-        return _union_by_name(cands)
+        return _union_by_name(cands, EMPTY_REL_SCHEMA)
+
+    def _shard_pruning_ok(self, t: str) -> bool:
+        """True when shard-label pruning of type ``t`` is sound: shards
+        declared, no label mutations anywhere, and the whole-type frame
+        is still the declared union (writes replace dict entries, which
+        breaks the identity on purpose)."""
+        return (t in self.rel_shards and not self._extra_labels
+                and self.rel_frames.get(t) is self._rel_shard_whole.get(t))
+
+    def _pruned_rel_frame(self, t, df, src_labels, dst_labels):
+        """The scan frame for type ``t`` given endpoint-label knowledge;
+        ``df.limit(0)`` when no shard can match (keeps the type's exact
+        schema so downstream struct fields are unchanged)."""
+        if (src_labels is None and dst_labels is None) \
+                or not self._shard_pruning_ok(t):
+            return df
+        kept = [
+            f for (s, d, f) in self.rel_shards[t]
+            if (src_labels is None or s is None or s in src_labels)
+            and (dst_labels is None or d is None or d in dst_labels)
+        ]
+        if len(kept) == len(self.rel_shards[t]):
+            return df
+        if not kept:
+            return df.limit(0)
+        return _union_by_name(kept, EMPTY_REL_SCHEMA)
+
+    def shard_endpoint_guarantee(self, t: str, end_idx: int,
+                                 label: str) -> bool:
+        """True iff a scan of type ``t`` pruned on ``label`` at endpoint
+        ``end_idx`` (0 = src, 1 = dst) is guaranteed to contain ONLY
+        edges whose that endpoint carries exactly ``label`` — i.e. every
+        shard either declares that label there or is pruned away.  Lets
+        the translator elide the endpoint node-frame join for types whose
+        union-level declaration is a tuple of alternatives."""
+        if not self._shard_pruning_ok(t):
+            return False
+        # after pruning on {label}, a shard remains iff its declared end
+        # is ``label`` or None (unconstrained); only the latter can leak
+        # a different label
+        return all(sh[end_idx] is not None for sh in self.rel_shards[t])
 
     # ---- count store (LP:2748 / LP:3466) --------------------------------
 

@@ -98,28 +98,46 @@ def fingerprint(text: Column) -> Column:
 
 
 def document_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """All stats in one explode + codegen'd aggregate pass.
+    """All stats in one explode + codegen'd aggregate pass — ONE scan,
+    ONE (map-side-combined) shuffle, NO join.
 
     The per-row HOF form (filter/aggregate lambdas over a let-bound token
     array) is a CodegenFallback — ~0.26 ms/row interpreted, which is the
     difference between a day and a month at 100 TB.  Instead: explode the
-    token stream once, count tokens / stopword hits / token chars with
+    token stream once and count tokens / stopword hits / token chars with
     plain conditional aggregates (whole-stage codegen, map-side partial
-    agg), and join the per-doc scalars back on a synthetic row id.  Both
-    the aggregate and the join hash-partition on that id, so the whole
-    thing costs one shuffle of the corpus + one of the (tiny) aggregates.
+    agg).
 
-    Per-doc scalars that need no token loop (char count, punct ratio,
-    fingerprint) are computed directly on the base row: ``concat_ws``
-    drops empty strings, so the fingerprint doesn't need the token
-    filter."""
+    Everything per-doc that needs no token loop (the original columns,
+    char count, punct ratio, fingerprint — ``concat_ws`` drops empty
+    strings, so the fingerprint needs no token filter) is computed BEFORE
+    the explode and carried through the aggregate as ``first()`` — the
+    partial aggregate collapses the exploded rows per doc before the
+    exchange, so the shuffle moves one row of small scalars per document
+    and, unless the caller actually selects them, none of the original
+    payload columns (Catalyst prunes unused ``first()`` aggregates; the
+    former join-back shape re-shuffled the whole corpus, text included,
+    to meet the aggregated side).  The earlier join key
+    (``monotonically_increasing_id`` on a second scan of the same files)
+    is also gone — the row id is computed once, on the only scan."""
     t = F.col(text_col)
     split_pat = r"[^\p{L}\p{N}']+"
-    base = df.withColumn("__did", F.monotonically_increasing_id())
+    langs = list(STOPWORDS)
+    base = df.select(
+        "*",
+        F.monotonically_increasing_id().alias("__did"),
+        F.length(t).cast("long").alias("__n_chars"),
+        (F.length(F.regexp_replace(t, r"[\p{L}\p{N}\s]", ""))
+         / F.greatest(F.length(t), F.lit(1))).alias("__p_ratio"),
+        F.xxhash64(F.concat_ws("", F.split(F.lower(t), split_pat)))
+         .alias("__fp"))
+    carried = [c for c in base.columns if c != "__did"]
     toks = base.select(
-        "__did", F.explode_outer(F.split(F.lower(t), split_pat)).alias("_t"))
+        *carried, "__did",
+        F.explode_outer(F.split(F.lower(t), split_pat)).alias("_t"))
     valid = F.col("_t").isNotNull() & (F.col("_t") != "")
     aggs = toks.groupBy("__did").agg(
+        *[F.first(c).alias(c) for c in carried],
         F.sum(F.when(valid, 1).otherwise(0)).cast("long").alias("__n_tok"),
         F.sum(F.when(valid, F.length("_t")).otherwise(0)).alias("__tok_chars"),
         *[F.sum(F.when(valid & F.col("_t").isin(sw), 1).otherwise(0))
@@ -127,13 +145,11 @@ def document_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     n_tok = F.col("__n_tok")
     nz = F.greatest(n_tok, F.lit(1))
-    p_ratio = F.length(F.regexp_replace(t, r"[\p{L}\p{N}\s]", "")) \
-        / F.greatest(F.length(t), F.lit(1))
+    p_ratio = F.col("__p_ratio")
     sw_ratio = F.col("__h_en") / nz
     len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
     punct_score = F.lit(1.0) - F.least(p_ratio * 5, F.lit(1.0))
     sw_score = F.least(sw_ratio * 4, F.lit(1.0))
-    langs = list(STOPWORDS)
     hits = [F.col(f"__h_{l}") for l in langs]
     # argmax with earliest-language tie-break, 'und' when no hits at all
     def _max(cols):
@@ -148,21 +164,17 @@ def document_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         total_hits = total_hits + h
     lang_pred = F.when(total_hits == 0, F.lit("und")).otherwise(pick)
 
-    internal = ["__did", "__n_tok", "__tok_chars"] + \
-        [f"__h_{l}" for l in langs]
-    return (base.join(aggs, "__did")
-            .select("*",
+    return (aggs
+            .select(*[c for c in df.columns],
                     n_tok.alias("n_tokens"),
-                    F.length(t).cast("long").alias("n_chars_computed"),
+                    F.col("__n_chars").alias("n_chars_computed"),
                     F.round(p_ratio, 6).alias("punct_ratio"),
                     F.round(sw_ratio, 6).alias("stopword_ratio"),
                     F.round(F.col("__tok_chars") / nz, 6).alias("mean_word_len"),
                     F.round((len_score + punct_score + sw_score) / 3, 6)
                      .alias("quality"),
                     lang_pred.alias("lang_pred"),
-                    F.xxhash64(F.concat_ws("", F.split(F.lower(t), split_pat)))
-                     .alias("fingerprint"))
-            .drop(*internal))
+                    F.col("__fp").alias("fingerprint")))
 
 
 # ---- PII scrubbing + repetition quality signal ----------------------------

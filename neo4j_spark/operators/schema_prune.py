@@ -56,15 +56,35 @@ def level_type_sets(
     target_labels: Optional[Sequence[str]],
     max_len: int,
 ) -> Optional[List[FrozenSet[str]]]:
+    """Type sets only (see :func:`level_all_sets`)."""
+    all_ = level_all_sets(graph, rp, start_labels, target_labels, max_len)
+    return None if all_ is None else all_[0]
+
+
+def level_all_sets(
+    graph,
+    rp: "A.RelPat",
+    start_labels: Optional[Sequence[str]],
+    target_labels: Optional[Sequence[str]],
+    max_len: int,
+):
     """Per-level allowed relationship-type sets for a var-length BFS.
 
-    Returns ``sets[k-1]`` = the set of relationship types that can occur at
-    traversal level ``k`` (1-based) of a ``max_len``-level expansion in
-    ``rp.direction``, starting from a node whose label is among
-    ``start_labels`` (None = unknown) and — when ``target_labels`` is given
-    — ending, at *some* level ``<= max_len``, on a node labeled among
-    ``target_labels``.  Returns None when no pruning is possible (no
-    declared topology, mutated labels) or no level shrinks.
+    Returns ``(sets, lefts, rights)`` where ``sets[k-1]`` = the set of
+    relationship types that can occur at traversal level ``k`` (1-based)
+    of a ``max_len``-level expansion in ``rp.direction``, starting from a
+    node whose label is among ``start_labels`` (None = unknown) and —
+    when ``target_labels`` is given — ending, at *some* level
+    ``<= max_len``, on a node labeled among ``target_labels``.
+    ``lefts[k-1]`` / ``rights[k-1]`` are the admissible label
+    alternatives for the level's traversal-source / traversal-destination
+    node (None = unconstrained) — consumed by multi-shard rel types
+    (PropertyGraph.rel_shards) to prune the level's scan below type
+    granularity (e.g. the last backward level of
+    ``(c:Customer)-[*2..2]->(:Region)`` reads only FROM_NATION's
+    customer shard).  Returns None when no pruning is possible (no
+    declared topology, mutated labels) or no level shrinks at either
+    granularity.
 
     Two constraints compose per level:
     - forward closure: the type's travel-source labels intersect the labels
@@ -109,12 +129,16 @@ def level_type_sets(
     reach: FrozenSet[str] = (
         frozenset(start_labels) if start_labels else universe)
     full = set(considered)
+    sharded = any(t in getattr(graph, "rel_shards", {}) for t in considered)
     out: List[FrozenSet[str]] = []
+    lefts: List[Optional[List[str]]] = []
+    rights: List[Optional[List[str]]] = []
     pruned = False
     for k in range(1, max_len + 1):
         allowed = set()
         nxt: set = set()
         budget = max_len - k
+        lefts.append(sorted(reach) if reach != universe else None)
         for t, fs, ts in edges:
             if not (fs & reach):
                 continue
@@ -124,10 +148,24 @@ def level_type_sets(
             allowed.add(t)
             nxt |= ts
         out.append(frozenset(allowed))
+        # a destination label is admissible at level k iff it can still
+        # reach a target label within the remaining budget (same argument
+        # as the per-type dist filter, at label granularity)
+        if dist is not None:
+            adm = frozenset(l for l in nxt if dist.get(l, _INF) <= budget)
+        else:
+            adm = frozenset(nxt)
+        rights.append(sorted(adm) if adm != universe else None)
         reach = frozenset(nxt)
         if allowed != full:
             pruned = True
-    return out if pruned else None
+    if not pruned and sharded:
+        # type sets never shrank, but shard-level label pruning may still
+        # bite (a sharded type allowed at every level with a constrained
+        # endpoint)
+        pruned = any(l is not None for l in lefts) \
+            or any(r is not None for r in rights)
+    return (out, lefts, rights) if pruned else None
 
 
 def maybe_shared(sets):
@@ -135,6 +173,19 @@ def maybe_shared(sets):
     if os.environ.get("NEO4J_SPARK_PRUNE_SHARED", "0") == "1":
         return shared_sets(sets)
     return sets
+
+
+def maybe_shared_all(all_sets):
+    """(sets, lefts, rights) variant of :func:`maybe_shared`.  Under the
+    shared-scan A/B flag the per-level label constraints are dropped —
+    sharing wants ONE scan reused by every level, which per-level shard
+    pruning would defeat."""
+    if all_sets is None:
+        return None, None, None
+    sets, lefts, rights = all_sets
+    if os.environ.get("NEO4J_SPARK_PRUNE_SHARED", "0") == "1":
+        return shared_sets(sets), None, None
+    return sets, lefts, rights
 
 
 def shared_sets(sets: Optional[List[FrozenSet[str]]]
@@ -160,7 +211,9 @@ def flipped(rp: "A.RelPat") -> "A.RelPat":
 
 def restricted_scans(tr, rp: "A.RelPat", sets: Optional[List[FrozenSet[str]]],
                      var: str, slim: bool, depth: int,
-                     reverse: bool = False) -> Optional[List]:
+                     reverse: bool = False,
+                     lefts: Optional[List] = None,
+                     rights: Optional[List] = None) -> Optional[List]:
     """Materialize per-level rel scans for ``sets`` (None -> no pruning).
 
     A level whose allowed set is empty gets a ``limit(0)`` scan — the
@@ -168,7 +221,13 @@ def restricted_scans(tr, rp: "A.RelPat", sets: Optional[List[FrozenSet[str]]],
     joins away; correctness needs no special-casing.  Each scan's rel
     struct is aligned to the *unrestricted* scan's schema (missing property
     fields null-padded) so accumulated rel arrays type-check across
-    levels."""
+    levels.
+
+    ``lefts`` / ``rights``: per-level traversal-source / -destination
+    label alternatives (level_all_sets) for shard pruning.  With
+    ``reverse=True`` the scan is built in ``rp``'s original orientation
+    and column-swapped afterwards, so the traversal-left node is the
+    original pattern-RIGHT side — the label sets swap accordingly."""
     if sets is None:
         return None
     import dataclasses
@@ -182,10 +241,15 @@ def restricted_scans(tr, rp: "A.RelPat", sets: Optional[List[FrozenSet[str]]],
     cache: dict = {}
     for k in range(depth):
         key = sets[k] if k < len(sets) else frozenset()
-        if key not in cache:
+        lv = lefts[k] if lefts is not None and k < len(lefts) else None
+        rv = rights[k] if rights is not None and k < len(rights) else None
+        ckey = (key, tuple(lv) if lv else None, tuple(rv) if rv else None)
+        if ckey not in cache:
             sub = dataclasses.replace(
                 rp, types=sorted(key), neg_types=[])
-            scan = tr._rel_scan(sub, var, slim=slim)
+            ll, rr = (rv, lv) if reverse else (lv, rv)
+            scan = tr._rel_scan(sub, var, slim=slim,
+                                left_labels=ll, right_labels=rr)
             if not key:
                 scan = scan.limit(0)
             if scan.schema[var].dataType != full_dt:
@@ -199,6 +263,6 @@ def restricted_scans(tr, rp: "A.RelPat", sets: Optional[List[FrozenSet[str]]],
                                    F.struct(*fields).alias(var))
             if reverse:
                 scan = _reverse_scan(scan)
-            cache[key] = scan
-        scans.append(cache[key])
+            cache[ckey] = scan
+        scans.append(cache[ckey])
     return scans

@@ -163,14 +163,19 @@ def tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
         "l_returnflag", "l_linestatus", "l_shipdate",
     ).withColumn("__ord", F.row_number().over(_ow))
     li_key = F.col("l_orderkey") * 64 + F.col("__ord")
+    # FROM_NATION is a union of two per-source-label shards; keep the
+    # shards as first-class frames so a typed scan with a bound endpoint
+    # label reads ONLY the matching shard (PropertyGraph.rel_shards) —
+    # at 100 TB that halves the FROM_NATION scan and drops the irrelevant
+    # half from every downstream join build
+    _fn_cust = rel(customer, 12, F.col("c_custkey"), 3, "c_custkey", 2,
+                   "c_nationkey", "FROM_NATION")
+    _fn_supp = rel(supplier, 13, F.col("s_suppkey"), 4, "s_suppkey", 2,
+                   "s_nationkey", "FROM_NATION")
     rel_frames = {
         "IN_REGION": rel(nation, 11, F.col("n_nationkey"), 2, "n_nationkey", 1,
                          "n_regionkey", "IN_REGION"),
-        "FROM_NATION": rel(customer, 12, F.col("c_custkey"), 3, "c_custkey", 2,
-                           "c_nationkey", "FROM_NATION").unionByName(
-            rel(supplier, 13, F.col("s_suppkey"), 4, "s_suppkey", 2, "s_nationkey",
-                "FROM_NATION")
-        ),
+        "FROM_NATION": _fn_cust.unionByName(_fn_supp),
         "PLACED": rel(orders, 14, F.col("o_orderkey"), 3, "o_custkey", 6, "o_orderkey",
                       "PLACED"),
         "CONTAINS": rel(
@@ -209,4 +214,14 @@ def tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
     return PropertyGraph(node_frames, rel_frames, endpoint_labels,
                          rel_shared_bases={
                              "lineitem": (li, ("CONTAINS", "SUPPLIED_BY")),
+                         },
+                         rel_shards={
+                             # every endpoint of these shards is a
+                             # single-label node (tpch nodes carry exactly
+                             # one label), the declaration soundness
+                             # condition of PropertyGraph.rel_shards
+                             "FROM_NATION": [
+                                 ("Customer", "Nation", _fn_cust),
+                                 ("Supplier", "Nation", _fn_supp),
+                             ],
                          })
