@@ -2140,6 +2140,41 @@ class Translator:
         copies_n: Dict[str, List[str]] = {v: [] for v in node_group}
         copies_r: Dict[str, List[str]] = {v: [] for v in rel_group}
 
+        # schema-reachability across the unroll (the Trail analog of
+        # schema_prune.level_all_sets, driven by the same declarations and
+        # soundness guards): track the admissible label alternatives of
+        # the chain position as the copies extend, prune each rel
+        # position's TYPE cover to the types that can leave the tracked
+        # labels, and hand the label set to the scan for shard pruning —
+        # a ((x)-[:FROM_NATION|IN_REGION]->(y)){2,2} from a Customer then
+        # scans only FROM_NATION's customer shard at copy 1 and only
+        # IN_REGION at copy 2 instead of both types at both copies
+        _qmeta = getattr(self.graph, "rel_endpoint_labels", {})
+        _quniv = frozenset(self.graph.node_frames)
+        _qprune = bool(_qmeta) \
+            and not getattr(self.graph, "_extra_labels", set())
+        _init = (list(inner[0].labels)
+                 if isinstance(inner[0], A.NodePat) and inner[0].labels
+                 else self.labels_of(prev))
+        reach_cell: List[Optional[frozenset]] = [
+            frozenset(_init) if _init else None]
+
+        def _qnorm(spec) -> frozenset:
+            if spec is None:
+                return _quniv
+            if isinstance(spec, str):
+                return frozenset([spec])
+            return frozenset(spec)
+
+        def _qtravel(rp: A.RelPat, t: str):
+            s, d = _qmeta.get(t) or (None, None)
+            ss, dd = _qnorm(s), _qnorm(d)
+            if rp.direction == "out":
+                return ss, dd
+            if rp.direction == "in":
+                return dd, ss
+            return ss | dd, ss | dd
+
         def extend(sub: DataFrame, end: str) -> Tuple[DataFrame, str]:
             """Chain ONE more copy of the inner pattern onto ``sub``;
             appends this copy's bindings to copies_n/copies_r and keeps
@@ -2175,6 +2210,7 @@ class Translator:
 
                     rv = self._anon_var("qr")
                     nv = self._anon_var("qn")
+                    reach_cell[0] = None  # label tracking stops here
                     sub = var_expand(
                         self, sub, end, rp, A.NodePat(None), rv, nv,
                         slim=False, start_labels=None)
@@ -2195,7 +2231,31 @@ class Translator:
                     j += 2
                     continue
                 rv = self._anon_var("qr")
-                scan = self._rel_scan(rp, rv)
+                reach = reach_cell[0]
+                rp_eff = rp
+                dead = False
+                if _qprune and reach is not None and rp.types \
+                        and not rp.neg_types \
+                        and getattr(rp, "type_tree", None) is None:
+                    allowed = [t for t in rp.types
+                               if _qtravel(rp, t)[0] & reach]
+                    if not allowed:
+                        dead = True  # schema-dead copy: empty scan
+                    elif set(allowed) != set(rp.types):
+                        import dataclasses as _dcx
+
+                        rp_eff = _dcx.replace(rp, types=allowed)
+                    reach_cell[0] = (frozenset().union(
+                        *[_qtravel(rp, t)[1] for t in allowed])
+                        if allowed else frozenset())
+                else:
+                    reach_cell[0] = None
+                scan = self._rel_scan(
+                    rp_eff, rv,
+                    left_labels=sorted(reach) if reach else None,
+                    right_labels=list(np.labels) if np.labels else None)
+                if dead:
+                    scan = scan.limit(0)
                 sub = sub.join(
                     scan, F.col(end).getField("_id") == F.col("__from"))
                 if rp.props is not None:
