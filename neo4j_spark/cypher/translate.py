@@ -1554,7 +1554,9 @@ class Translator:
                 skip_next = isinstance(nxt, A.NodePat)
                 df, prev, rvars = self._qpp_expand(
                     df, prev, els[i], nxt if skip_next else A.NodePat(None),
-                    pending, rel_bindings)
+                    pending, rel_bindings,
+                    elide_nodes=(part.path_var is None
+                                 and part.selector is None))
                 path_rels.extend((rv, "rellist") for rv in rvars)
                 path_nodes.append(prev)
                 i += 2 if skip_next else 1
@@ -1995,7 +1997,8 @@ class Translator:
 
     def _qpp_expand(self, df: DataFrame, prev: str, qpp: A.QPP,
                     next_np: A.NodePat, pending: List[A.Expr],
-                    rel_bindings: List[Tuple[str, str, frozenset]]
+                    rel_bindings: List[Tuple[str, str, frozenset]],
+                    elide_nodes: bool = False
                     ) -> Tuple[DataFrame, str, List[str]]:
         """Trail (LP:3977, pipes/TrailPipe.scala:65): quantified path pattern
         ``((a)-[r:T]->(b)){m,n}`` unrolled as m..n chained copies of the
@@ -2175,10 +2178,13 @@ class Translator:
                 return dd, ss
             return ss | dd, ss | dd
 
-        def extend(sub: DataFrame, end: str) -> Tuple[DataFrame, str]:
+        def extend(sub: DataFrame, end: str,
+                   elide_last: bool = False) -> Tuple[DataFrame, str]:
             """Chain ONE more copy of the inner pattern onto ``sub``;
             appends this copy's bindings to copies_n/copies_r and keeps
-            the accumulated rel-id column ``uniq`` trail-unique."""
+            the accumulated rel-id column ``uniq`` trail-unique.
+            ``elide_last``: the copy's unit-final node may be id-only
+            (it is never a labeled boundary for any branch)."""
             first: A.NodePat = inner[0]
             # a variable may occur several times within ONE repetition
             # (``((a)-[e]->(b)-[f]->(a))+``): the later occurrences
@@ -2283,13 +2289,32 @@ class Translator:
                         else:
                             self.kinds[uname] = old_kind
                 nv = self._anon_var("qn")
-                nscan = self._node_scan(np, nv)
-                sub = sub.join(
-                    nscan, F.col("__to") == F.col(nv).getField("_id")
-                ).drop("__from", "__to")
-                sub = self._filter_node_bound(
-                    sub, A.NodePat(np.var, [], False, np.props, np.where),
-                    nv)
+                unit_final = (j + 1 == len(inner) - 1)
+                if (elide_nodes and (not unit_final or elide_last)
+                        and not np.labels and np.props is None
+                        and np.where is None
+                        and getattr(np, "label_tree", None) is None
+                        and not getattr(np, "req_any", False)
+                        and not getattr(np, "req_no", False)
+                        and not getattr(np, "neg_labels", None)
+                        and (np.var is None
+                             or self._var_single_use(np.var))):
+                    # unconstrained, unreferenced interior node: bind the
+                    # traversal id as an id-only struct instead of joining
+                    # the ALL-NODES union (8 shard scans per copy for a
+                    # `(y)` nobody reads); edges reference existing nodes
+                    # by construction, same contract as chain-scan elision
+                    sub = sub.withColumn(
+                        nv, F.struct(F.col("__to").alias("_id"))
+                    ).drop("__from", "__to")
+                else:
+                    nscan = self._node_scan(np, nv)
+                    sub = sub.join(
+                        nscan, F.col("__to") == F.col(nv).getField("_id")
+                    ).drop("__from", "__to")
+                    sub = self._filter_node_bound(
+                        sub, A.NodePat(np.var, [], False, np.props,
+                                       np.where), nv)
                 if rp.var:
                     if rp.var in rep_seen:
                         sub = sub.filter(
@@ -2373,8 +2398,28 @@ class Translator:
         branches: List[DataFrame] = []
         sub = df.withColumn(uniq, F.array().cast("array<bigint>"))
         end = prev
+        # a copy's unit-final node may be elided to an id-only struct when
+        # no branch boundary consumes it as a full node: the next copy's
+        # entry filter must be unconstrained, and either this copy never
+        # finalizes (k < min repetitions) or the juxtaposed node is
+        # already bound (the boundary check then compares _id only)
+        first_np = inner[0]
+        first_unconstrained = (isinstance(first_np, A.NodePat)
+                               and not first_np.labels
+                               and first_np.props is None
+                               and first_np.where is None
+                               and getattr(first_np, "label_tree", None)
+                               is None
+                               # the elided end seeds the NEXT copy's
+                               # entry binding: its group column must not
+                               # be consumed either
+                               and (first_np.var is None
+                                    or self._var_single_use(first_np.var)))
         for k in range(1, max_r + 1):
-            sub, end = extend(sub, end)
+            sub, end = extend(
+                sub, end,
+                elide_last=(first_unconstrained
+                            and (k < max(min_r, 1) or end_bound)))
             if unbounded:
                 sub = _pin(sub)
                 if sub.isEmpty():

@@ -1,0 +1,160 @@
+"""Round-8 optimization pins: plan shapes and semantics for rel-shard
+endpoint pruning, the single-pass document_stats, the hash-proxy distinct
+count, the QPP-unroll schema pruning, and the unpersisted minhash
+pipeline.  Each test guards an optimization that would silently regress
+(the plan would stay correct but re-grow the pruned scans/shuffles)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_spark.api import cypher
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestRelShardPruning:
+    def test_bound_endpoint_label_prunes_union_shard(self, spark,
+                                                     tpch_graph):
+        """(n:Nation)<-[:FROM_NATION]-(s:Supplier): the FROM_NATION scan
+        must read only the supplier shard — no customer.parquet."""
+        df = cypher(spark,
+                    "MATCH (n:Nation)<-[:FROM_NATION]-(s:Supplier) "
+                    "RETURN count(*) AS n", tpch_graph)
+        plan = plan_of(df)
+        assert "customer.parquet" not in plan
+        assert "supplier.parquet" in plan
+
+    def test_undirected_scan_prunes_per_orientation(self, spark,
+                                                    tpch_graph):
+        """(n:Nation)-[:FROM_NATION]-(x): no FROM_NATION edge STARTS at a
+        Nation, so the forward orientation prunes to nothing and each
+        shard is scanned once (reverse orientation only)."""
+        df = cypher(spark,
+                    "MATCH (n:Nation)-[:FROM_NATION]-(x) "
+                    "RETURN count(*) AS n", tpch_graph)
+        plan = plan_of(df)
+        assert plan.count("customer.parquet") == 1
+        assert plan.count("supplier.parquet") == 1
+
+    def test_pruned_results_match_unpruned(self, spark, tpch_graph):
+        n = cypher(spark,
+                   "MATCH (:Customer)-[:FROM_NATION]->(n:Nation) "
+                   "RETURN count(*) AS n", tpch_graph).collect()[0][0]
+        # label via WHERE on the full scan (no pattern label => no prune)
+        m = cypher(spark,
+                   "MATCH (c)-[:FROM_NATION]->(n:Nation) "
+                   "WHERE c:Customer RETURN count(*) AS n",
+                   tpch_graph).collect()[0][0]
+        assert n == m
+
+    def test_mutated_labels_disable_pruning(self, spark, tpch_graph):
+        """After a label mutation the shard guarantee is void: pruning
+        must fall back to the full union (correctness over speed)."""
+        g = tpch_graph.copy()
+        g.note_extra_label("Supplier")
+        df = cypher(spark,
+                    "MATCH (n:Nation)<-[:FROM_NATION]-(s:Supplier) "
+                    "RETURN count(*) AS n", g)
+        assert "customer.parquet" in plan_of(df)
+
+    def test_write_replacing_rel_frame_disables_pruning(self, spark,
+                                                        tpch_graph):
+        """A write that replaces the FROM_NATION frame breaks the shard
+        identity; scans must use the replaced frame unpruned."""
+        g = tpch_graph.copy()
+        base = g.rel_frames["FROM_NATION"]
+        g.rel_frames["FROM_NATION"] = base.filter(F.lit(True))
+        assert not g._shard_pruning_ok("FROM_NATION")
+        df = g.rels_for_types(["FROM_NATION"], src_labels=["Supplier"])
+        # unpruned: still the full union row count
+        assert df.count() == base.count()
+
+
+class TestQppUnrollPruning:
+    def test_unit_scans_prune_by_reach(self, spark, tpch_graph):
+        """((x)-[:FROM_NATION|IN_REGION]->(y)){2,2} from a Customer: copy
+        1 can only be FROM_NATION (customer shard), copy 2 only
+        IN_REGION — the supplier shard and per-copy dead types are
+        never scanned."""
+        df = cypher(spark,
+                    "MATCH (c:Customer) ((x)-[:FROM_NATION|IN_REGION]->(y))"
+                    "{2,2} (r:Region) RETURN count(*) AS n", tpch_graph)
+        plan = plan_of(df)
+        assert "supplier.parquet" not in plan
+        n = df.collect()[0][0]
+        assert n == cypher(
+            spark,
+            "MATCH (c:Customer)-[:FROM_NATION]->(:Nation)"
+            "-[:IN_REGION]->(r:Region) RETURN count(*) AS n",
+            tpch_graph).collect()[0][0]
+
+
+class TestSinglePassDocumentStats:
+    def test_one_scan_no_join(self, spark, docs):
+        from neo4j_spark.ml.text import document_stats
+
+        out = document_stats(docs).select("doc_id", "n_tokens", "quality")
+        plan = plan_of(out)
+        assert plan.count("Scan parquet") <= 1
+        assert "Join" not in plan
+        # unused payload column pruned out of the aggregate entirely
+        read = [l for l in plan.splitlines() if "ReadSchema" in l]
+        assert read
+
+    def test_values_unchanged(self, spark, docs):
+        from neo4j_spark.ml.text import document_stats
+
+        rows = (document_stats(docs.limit(30))
+                .select("doc_id", "n_tokens", "n_chars_computed",
+                        "punct_ratio", "stopword_ratio", "mean_word_len",
+                        "quality", "lang_pred", "fingerprint")
+                .orderBy("doc_id").collect())
+        assert len(rows) == 30
+        for r in rows:
+            assert r.n_tokens >= 0 and 0 <= r.quality <= 1
+            # fingerprint must equal the direct per-row expression
+        direct = (docs.limit(30).select(
+            "doc_id",
+            F.xxhash64(F.concat_ws("", F.split(
+                F.lower("text"), r"[^\p{L}\p{N}']+"))).alias("fp"))
+            .orderBy("doc_id").collect())
+        assert [r.fingerprint for r in rows] == [r.fp for r in direct]
+
+
+class TestHashProxyDistinctCount:
+    def test_matches_exact_distinct(self, spark, docs):
+        from neo4j_spark.ml.dedup import distinct_count_by
+
+        got = {(r[0], r[1]) for r in
+               distinct_count_by(docs, ["lang"], "text",
+                                 alias="n").collect()}
+        want = {(r[0], r[1]) for r in
+                docs.groupBy("lang")
+                .agg(F.count_distinct("text").alias("n")).collect()}
+        assert got == want
+
+    def test_null_values_excluded(self, spark):
+        from neo4j_spark.ml.dedup import distinct_count_by
+
+        df = spark.createDataFrame(
+            [("a", "x"), ("a", None), ("a", "x"), ("b", None)],
+            "g string, v string")
+        rows = {(r[0], r[1]) for r in
+                distinct_count_by(df, ["g"], "v").collect()}
+        assert rows == {("a", 1), ("b", 0)}
+
+    def test_no_payload_in_exchange(self, spark, docs):
+        from neo4j_spark.ml.dedup import distinct_count_by
+
+        plan = plan_of(distinct_count_by(docs, ["lang"], "text"))
+        # the exchange carries the hash, not the text column
+        ex = plan[plan.index("Exchange"):]
+        assert "xxhash64" in plan
+        assert "SortAggregate" not in plan
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
