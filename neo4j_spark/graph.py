@@ -202,6 +202,10 @@ class PropertyGraph:
         g = PropertyGraph(self.node_frames, self.rel_frames,
                           self.rel_endpoint_labels, self.rel_shared_bases,
                           self.rel_shards)
+        # preserve the ORIGINAL shard-union identities: recomputing them
+        # from rel_frames would re-bless a write-replaced frame as "the
+        # declared union" and re-enable pruning against stale shards
+        g._rel_shard_whole = dict(self._rel_shard_whole)
         g._persisted_bases = set(self._persisted_bases)
         g._extra_labels = set(self._extra_labels)
         g._write_epoch = self._write_epoch

@@ -59,6 +59,17 @@ class TestRelShardPruning:
                     "RETURN count(*) AS n", g)
         assert "customer.parquet" in plan_of(df)
 
+    def test_copy_after_write_keeps_pruning_disabled(self, spark,
+                                                     tpch_graph):
+        """copy() must carry the ORIGINAL shard-union identities: a copy
+        taken after a write replaced the frame must not re-bless the
+        replaced frame and prune against stale shards."""
+        g = tpch_graph.copy()
+        base = g.rel_frames["FROM_NATION"]
+        g.rel_frames["FROM_NATION"] = base.filter(F.lit(True))
+        g2 = g.copy()
+        assert not g2._shard_pruning_ok("FROM_NATION")
+
     def test_write_replacing_rel_frame_disables_pruning(self, spark,
                                                         tpch_graph):
         """A write that replaces the FROM_NATION frame breaks the shard
