@@ -417,8 +417,26 @@ class Translator:
         if fast is not None:
             return fast
         df: Optional[DataFrame] = None
-        for clause in q.clauses:
+        i = 0
+        while i < len(q.clauses):
+            clause = q.clauses[i]
+            if isinstance(clause, A.Match) and i + 1 < len(q.clauses):
+                # count pre-aggregation rewrites (guide §2.3): aggregate
+                # the counted rel scan BEFORE the join instead of
+                # joining the whole rel rowstream into a groupBy
+                if clause.optional:
+                    hit = self._preagg_optional_count(
+                        df, clause, q.clauses[i + 1])
+                else:
+                    hit = self._preagg_trailing_count(
+                        df, clause, q.clauses[i + 1])
+                if hit is not None:
+                    df, new_proj = hit
+                    df = self._apply(df, new_proj)
+                    i += 2
+                    continue
             df = self._apply(df, clause)
+            i += 1
         if df is None:
             raise TranslateError("query produced no rowstream")
         has_return = any(
@@ -1206,6 +1224,378 @@ class Translator:
         self._merge_sub_scope(sub)
         return df.join(matched, F.lit(True), "left")
 
+    def _preagg_optional_count(self, df: Optional[DataFrame], m: A.Match,
+                               nxt) -> Optional[Tuple[DataFrame, A.Projection]]:
+        """OPTIONAL MATCH (a)-[r:T]->(b) immediately followed by an
+        aggregating WITH/RETURN whose ONLY use of the optional variables
+        is ``count(r)`` / ``count(b)``: skip the outer join of the whole
+        relationship rowstream and aggregate the rel scan FIRST.
+
+        The left outer join + groupBy shape shuffles the full relationship
+        side (one row per matched rel) into the aggregation; the rewrite
+        groups the typed rel scan by the bound endpoint's edge end —
+        partial (map-side) aggregation collapses it to (id, count) rows
+        before the exchange — and left-joins that small frame instead
+        (guide §2.3 "aggregate before you shuffle").  ``count(b)`` over
+        the outer join equals the per-source edge count summed over the
+        group because every matched rel binds a non-null ``b`` and an
+        unmatched source contributes 0; Cypher ``sum`` of no rows is 0,
+        matching ``count`` on an empty global group.
+
+        Fires only when the shape is provably equivalent:
+        - single-part optional pattern (a)-[r]->(b), no clause WHERE, no
+          path var/selector, single-hop rel with no props/WHERE;
+        - exactly one endpoint already bound (bare var: no labels/props);
+        - the other endpoint fresh, unlabelled OR its single label implied
+          by the rel type's declared endpoint labels (same contract as
+          scan elision);
+        - the next clause aggregates, and ``r``/``b`` appear ONLY as
+          non-distinct ``count()`` arguments — any other aggregate
+          (count(*), sum over outer vars, collect) observes the row
+          multiplicity the join created, so the rewrite bails.
+        Returns (df_with_count_column, rewritten_projection) or None."""
+        import dataclasses as _dc
+
+        if df is None or m.where is not None or len(m.parts) != 1:
+            return None
+        if not isinstance(nxt, A.Projection) or nxt.star:
+            return None
+        part = m.parts[0]
+        if part.path_var or part.selector \
+                or getattr(part, "legacy_shortest", False):
+            return None
+        els = part.elements
+        if len(els) != 3:
+            return None
+        a_pat, rp, b_pat = els
+        if not (isinstance(a_pat, A.NodePat) and isinstance(rp, A.RelPat)
+                and isinstance(b_pat, A.NodePat)):
+            return None
+        if rp.var_length or rp.props is not None or rp.where is not None:
+            return None
+        if rp.var is not None and rp.var in df.columns:
+            return None  # re-bound rel var: ProjectEndpoints semantics
+
+        def bare(np: A.NodePat) -> bool:
+            return (not np.labels and np.label_tree is None
+                    and not np.neg_labels and not np.any_labels
+                    and not np.req_any_label and not np.req_no_label
+                    and np.props is None and np.where is None)
+
+        def single_label(np: A.NodePat) -> bool:
+            return (len(np.labels) == 1 and np.label_tree is None
+                    and not np.neg_labels and not np.any_labels
+                    and not np.req_any_label and not np.req_no_label
+                    and np.props is None and np.where is None)
+
+        bound_l = a_pat.var is not None and a_pat.var in df.columns
+        bound_r = b_pat.var is not None and b_pat.var in df.columns
+        if bound_l == bound_r:
+            return None
+        bnd, fresh = (a_pat, b_pat) if bound_l else (b_pat, a_pat)
+        if self.kinds.get(bnd.var) != "node" or not bare(bnd):
+            return None
+        if not (bare(fresh) or single_label(fresh)):
+            return None
+        if fresh.labels:
+            # the label must be implied by the rel type's declared
+            # endpoint labels (PropertyGraph.rel_endpoint_labels) — the
+            # same guarantee scan elision relies on
+            if rp.direction == "both" or not rp.types or rp.neg_types \
+                    or rp.type_tree is not None:
+                return None
+            fresh_is_left = fresh is a_pat
+            if rp.direction == "out":
+                end_idx = 0 if fresh_is_left else 1
+            else:
+                end_idx = 1 if fresh_is_left else 0
+            meta = getattr(self.graph, "rel_endpoint_labels", {}) or {}
+            for t in rp.types:
+                g = meta.get(t)
+                if g is None or g[end_idx] is None \
+                        or set(fresh.labels) != {g[end_idx]}:
+                    return None
+        cnt_vars = {v for v in (rp.var, fresh.var) if v is not None}
+        if not cnt_vars or any(v in df.columns for v in cnt_vars):
+            return None
+
+        cnt_col = self._anon_var("pacnt")
+        new_proj = self._preagg_rewrite_counts(nxt, cnt_vars, cnt_col,
+                                               allow_count_star=False)
+        if new_proj is None:
+            return None
+
+        # per-source counts over the (shard-pruned) rel scan; groupBy on
+        # the edge end does partial map-side aggregation, so the exchange
+        # carries (id, count) only
+        left_lbls = (list(a_pat.labels) if a_pat.labels
+                     else self.labels_of(a_pat.var if bound_l else None))
+        right_lbls = (list(b_pat.labels) if b_pat.labels
+                      else self.labels_of(b_pat.var if bound_r else None))
+        scan = self._rel_scan(rp, "__pa_r", slim=True,
+                              left_labels=left_lbls, right_labels=right_lbls)
+        key = "__from" if bound_l else "__to"
+        per = scan.groupBy(F.col(key).alias("__pa_k")).agg(
+            F.count(F.lit(1)).alias(cnt_col))
+        out = (df.join(per,
+                       F.col(bnd.var).getField("_id") == F.col("__pa_k"),
+                       "left")
+                 .drop("__pa_k")
+                 .withColumn(cnt_col, F.coalesce(F.col(cnt_col),
+                                                 F.lit(0).cast("long"))))
+        self.kinds[cnt_col] = "scalar"
+        return out, new_proj
+
+    def _preagg_rewrite_counts(self, nxt, cnt_vars, cnt_col: str,
+                               allow_count_star: bool):
+        """Rewrite a Projection for count pre-aggregation: every
+        ``count(v)`` (non-distinct, v in ``cnt_vars``) — and, when
+        ``allow_count_star`` (inner-join variant, where each source row's
+        multiplicity IS its per-source count), ``count(*)`` — becomes
+        ``sum(cnt_col)``.  Returns the rewritten Projection, or None when
+        the rewrite is unsound: no rewritable count at all, any OTHER
+        aggregate (it would observe the join's row multiplicity), or any
+        use of a ``cnt_vars`` variable outside a rewritable count
+        (including nested patterns naming it, which would correlate)."""
+        import dataclasses as _dc
+
+        state = {"ok": True, "n": 0}
+
+        def rewrite(node):
+            if not state["ok"]:
+                return node
+            if isinstance(node, A.Func):
+                if (node.name == "count" and not node.distinct
+                        and len(node.args) == 1
+                        and isinstance(node.args[0], A.Var)
+                        and node.args[0].name in cnt_vars):
+                    state["n"] += 1
+                    # Cypher sum of no rows is 0 (_compile_aggregate
+                    # wraps coalesce), so the empty-group case matches
+                    # count()'s 0
+                    return A.Func("sum", [A.Var(cnt_col)])
+                if is_agg_fn(node.name):
+                    # any other aggregate observes the join's multiplicity
+                    state["ok"] = False
+                    return node
+            if isinstance(node, A.CountStar):
+                if allow_count_star:
+                    state["n"] += 1
+                    return A.Func("sum", [A.Var(cnt_col)])
+                state["ok"] = False
+                return node
+            if isinstance(node, A.Var) and node.name in cnt_vars:
+                state["ok"] = False
+                return node
+            if isinstance(node, A.MapProjection) and node.var in cnt_vars:
+                state["ok"] = False
+                return node
+            if isinstance(node, (A.NodePat, A.RelPat)) \
+                    and getattr(node, "var", None) in cnt_vars:
+                # a nested pattern naming the var would correlate to it
+                state["ok"] = False
+                return node
+            if _dc.is_dataclass(node):
+                changes = {}
+                for f in _dc.fields(node):
+                    v = getattr(node, f.name)
+                    nv = rewrite_val(v)
+                    if nv is not v:
+                        changes[f.name] = nv
+                return _dc.replace(node, **changes) if changes else node
+            return node
+
+        def rewrite_val(v):
+            if _dc.is_dataclass(v) and not isinstance(v, type):
+                return rewrite(v)
+            if isinstance(v, list):
+                nl = [rewrite_val(x) for x in v]
+                return nl if any(a is not b for a, b in zip(nl, v)) else v
+            if isinstance(v, tuple):
+                nt = tuple(rewrite_val(x) for x in v)
+                return nt if any(a is not b for a, b in zip(nt, v)) else v
+            return v
+
+        new_proj = rewrite(nxt)
+        if not state["ok"] or state["n"] == 0:
+            return None
+        return new_proj
+
+    def _preagg_trailing_count(self, df: Optional[DataFrame], m: A.Match,
+                               nxt) -> Optional[Tuple[DataFrame, A.Projection]]:
+        """Inner-join sibling of :meth:`_preagg_optional_count`:
+        ``MATCH ...chain...-[r:T]->(b)`` followed by an aggregating
+        WITH/RETURN whose only use of the TRAILING hop is ``count(*)`` /
+        ``count(r)`` / ``count(b)``.  The trailing rel scan — often the
+        biggest table in the pattern (Order->CONTAINS->Part is
+        lineitem-scale) — is aggregated per source edge end FIRST
+        (map-side partial combine, the exchange carries (id, count)
+        rows), then inner-joined to the prefix chain (guide §2.3).
+
+        Under the inner join each prefix row's multiplicity equals its
+        per-source edge count and rows with zero trailing matches are
+        dropped on both shapes, so ``count(*)`` rewrites to
+        ``sum(cnt)`` as well.
+
+        Extra soundness conditions beyond the optional variant:
+        - the whole part is a plain NodePat/RelPat chain (no QPP);
+        - every NON-trailing rel has declared types disjoint from the
+          trailing rel's (otherwise the lowering must emit a real
+          rel-uniqueness predicate between them, which needs the
+          trailing rel ids);
+        - the clause WHERE must not reference the trailing vars
+          (filters on prefix vars commute with the inner join)."""
+        import dataclasses as _dc
+
+        if not isinstance(nxt, A.Projection) or nxt.star:
+            return None
+        if len(m.parts) != 1:
+            return None
+        part = m.parts[0]
+        if part.path_var or part.selector \
+                or getattr(part, "legacy_shortest", False):
+            return None
+        els = part.elements
+        # >= 5 elements: with a single hop the original lowering is
+        # already one rel scan with both endpoints elided — strictly
+        # better than node-scan + join
+        if len(els) < 5 or len(els) % 2 == 0:
+            return None
+        if not all(isinstance(e, (A.NodePat, A.RelPat)) for e in els):
+            return None
+        conn, rp, b_pat = els[-3], els[-2], els[-1]
+        if not (isinstance(conn, A.NodePat) and isinstance(rp, A.RelPat)
+                and isinstance(b_pat, A.NodePat)):
+            return None
+        if rp.var_length or rp.props is not None or rp.where is not None \
+                or rp.type_tree is not None or rp.neg_types:
+            return None
+        if not rp.types:
+            return None  # untyped trailing rel: uniqueness vs others is real
+        if df is not None and rp.var is not None and rp.var in df.columns:
+            return None
+        if rp.var is not None and any(
+                rp.var == getattr(e, "var", None) for e in els[:-2]):
+            return None  # same-MATCH rel-var reuse has its own semantics
+
+        def bare(np: A.NodePat) -> bool:
+            return (not np.labels and np.label_tree is None
+                    and not np.neg_labels and not np.any_labels
+                    and not np.req_any_label and not np.req_no_label
+                    and np.props is None and np.where is None)
+
+        def single_label(np: A.NodePat) -> bool:
+            return (len(np.labels) == 1 and np.label_tree is None
+                    and not np.neg_labels and not np.any_labels
+                    and not np.req_any_label and not np.req_no_label
+                    and np.props is None and np.where is None)
+
+        # trailing node must be fresh and either unconstrained or
+        # implied by the declared endpoint label
+        if b_pat.var is not None and df is not None \
+                and b_pat.var in df.columns:
+            return None
+        if b_pat.var is not None \
+                and any(b_pat.var == getattr(e, "var", None)
+                        for e in els[:-1]):
+            return None  # closes a cycle within the pattern
+        if not (bare(b_pat) or single_label(b_pat)):
+            return None
+        if b_pat.labels:
+            if rp.direction == "both":
+                return None
+            end_idx = 1 if rp.direction == "out" else 0
+            meta = getattr(self.graph, "rel_endpoint_labels", {}) or {}
+            for t in rp.types:
+                g = meta.get(t)
+                if g is None or g[end_idx] is None \
+                        or set(b_pat.labels) != {g[end_idx]}:
+                    return None
+        # rel-uniqueness: the trailing rel must be type-disjoint from
+        # every other rel in the part (typed, no overlap) so the
+        # lowering never needs its ids
+        t_types = set(rp.types)
+        for e in els[:-2]:
+            if isinstance(e, A.RelPat):
+                if not e.types or (set(e.types) & t_types) \
+                        or e.neg_types or e.type_tree is not None:
+                    return None
+        cnt_vars = {v for v in (rp.var, b_pat.var) if v is not None}
+        if df is not None and any(v in df.columns for v in cnt_vars):
+            return None
+        # the trailing vars must not leak into the clause WHERE
+        if m.where is not None:
+            leak = {"hit": False}
+
+            def scan_w(node):
+                if leak["hit"]:
+                    return
+                if isinstance(node, A.Var) and node.name in cnt_vars:
+                    leak["hit"] = True
+                    return
+                if isinstance(node, A.MapProjection) \
+                        and node.var in cnt_vars:
+                    leak["hit"] = True
+                    return
+                if isinstance(node, (A.NodePat, A.RelPat)) \
+                        and getattr(node, "var", None) in cnt_vars:
+                    leak["hit"] = True
+                    return
+                if _dc.is_dataclass(node):
+                    for f in _dc.fields(node):
+                        v = getattr(node, f.name)
+                        for x in (v if isinstance(v, (list, tuple))
+                                  else [v]):
+                            if _dc.is_dataclass(x):
+                                scan_w(x)
+
+            scan_w(m.where)
+            if leak["hit"]:
+                return None
+
+        cnt_col = self._anon_var("pacnt")
+        new_proj = self._preagg_rewrite_counts(nxt, cnt_vars, cnt_col,
+                                               allow_count_star=True)
+        if new_proj is None:
+            return None
+
+        # lower the prefix chain; the connection node keeps its edge-end
+        # id even when elided (consume-once flag read by _match_part).
+        # An anonymous connection node gets a name so a non-elided
+        # binding is still addressable.
+        els2 = list(els[:-2])
+        conn_var = conn.var
+        if conn_var is None:
+            conn_var = self._anon_var("pan")
+            els2[-1] = _dc.replace(conn, var=conn_var)
+        prefix = _dc.replace(part, elements=els2)
+        self._preagg_keep_final = True
+        try:
+            pre = self._match(df, A.Match([prefix], optional=False,
+                                          where=m.where))
+        finally:
+            self._preagg_keep_final = False
+        if conn_var in pre.columns:
+            key = F.col(conn_var).getField("_id")
+        elif "__preagg_key" in pre.columns:
+            key = F.col("__preagg_key")
+        else:
+            return None  # prefix lowering took an unexpected shape
+
+        left_lbls = (list(conn.labels) if conn.labels
+                     else self.labels_of(
+                         conn_var if conn_var in pre.columns else None))
+        right_lbls = list(b_pat.labels) if b_pat.labels else None
+        scan = self._rel_scan(rp, "__pa_r", slim=True,
+                              left_labels=left_lbls,
+                              right_labels=right_lbls)
+        per = scan.groupBy(F.col("__from").alias("__pa_k")).agg(
+            F.count(F.lit(1)).alias(cnt_col))
+        out = (pre.join(per, key == F.col("__pa_k"))
+                  .drop("__pa_k", "__preagg_key"))
+        self.kinds[cnt_col] = "scalar"
+        return out, new_proj
+
     def _uniqueness_filters(self, df: DataFrame,
                             rel_bindings: List[Tuple[str, str, frozenset]]) -> DataFrame:
         """Relationship-uniqueness within one MATCH (reference:
@@ -1656,7 +2046,14 @@ class Translator:
                          and (unconstrained(np)
                               or elidable(np, rp, end_of(rp, False))))
             if is_last and can_elide:
-                df = df.drop("__from", "__to")
+                if getattr(self, "_preagg_keep_final", False):
+                    # count pre-aggregation (consume-once): the caller
+                    # joins per-source counts on this elided endpoint
+                    self._preagg_keep_final = False
+                    df = df.drop("__from") \
+                           .withColumnRenamed("__to", "__preagg_key")
+                else:
+                    df = df.drop("__from", "__to")
                 if part.path_var:
                     # the rel still belongs to the PathValue — elided
                     # NODES are reconstructed from the rel endpoints, but

@@ -166,6 +166,152 @@ class TestHashProxyDistinctCount:
         assert "SortAggregate" not in plan
 
 
+class TestPreaggOptionalCount:
+    """OPTIONAL MATCH (a)-[r:T]->(b) + aggregating count(b)/count(r):
+    the rel scan is pre-aggregated per source and left-joined instead of
+    outer-joining the whole relationship rowstream (guide §2.3)."""
+
+    def test_plan_preaggregates_before_join(self, spark, tpch_graph):
+        df = cypher(spark,
+                    "MATCH (c:Customer) OPTIONAL MATCH "
+                    "(c)-[:PLACED]->(o:Order) "
+                    "RETURN c.custkey AS ck, count(o) AS n", tpch_graph)
+        plan = plan_of(df)
+        # one orders scan (the rel side), no Order node-frame join, and
+        # column pruning reaches it (only the FK column is read)
+        assert plan.count("orders.parquet") == 1
+        assert "struct<o_custkey:bigint>" in plan
+        # the rel side is aggregated BELOW the outer join (per-source
+        # partial_count collapses the scan before its exchange)
+        join_pos = plan.index("LeftOuter")
+        assert "partial_count" in plan[join_pos:], \
+            "per-source count aggregate must sit under the left join"
+
+    def test_results_match_unrewritten(self, spark, tpch_graph):
+        from neo4j_spark.cypher import translate as TR
+
+        q = ("MATCH (c:Customer) OPTIONAL MATCH (c)-[:PLACED]->(o:Order) "
+             "RETURN c.custkey AS ck, count(o) AS n")
+        on = sorted(map(tuple, cypher(spark, q, tpch_graph).collect()))
+        orig = TR.Translator._preagg_optional_count
+        try:
+            TR.Translator._preagg_optional_count = \
+                lambda self, df, m, nxt: None
+            off = sorted(map(tuple, cypher(spark, q, tpch_graph).collect()))
+        finally:
+            TR.Translator._preagg_optional_count = orig
+        assert on == off
+
+    def test_global_count_zero_rows(self, spark, tpch_graph):
+        # empty source: global count over the rewrite must still be 0
+        rows = cypher(spark,
+                      "MATCH (c:Customer) WHERE c.custkey < 0 "
+                      "OPTIONAL MATCH (c)-[:PLACED]->(o:Order) "
+                      "RETURN count(o) AS n", tpch_graph).collect()
+        assert [tuple(r) for r in rows] == [(0,)]
+
+    def test_bails_on_where_and_multiplicity(self, spark, tpch_graph):
+        from neo4j_spark.cypher import translate as TR
+
+        hits = []
+        orig = TR.Translator._preagg_optional_count
+
+        def spy(self, df, m, nxt):
+            r = orig(self, df, m, nxt)
+            hits.append(r is not None)
+            return r
+
+        TR.Translator._preagg_optional_count = spy
+        try:
+            # optional WHERE must keep the outer-join lowering
+            cypher(spark,
+                   "MATCH (c:Customer) OPTIONAL MATCH "
+                   "(c)-[:PLACED]->(o:Order) WHERE o.totalprice > 0 "
+                   "RETURN c.custkey AS ck, count(o) AS n", tpch_graph)
+            # count(*) observes join multiplicity
+            cypher(spark,
+                   "MATCH (c:Customer) OPTIONAL MATCH "
+                   "(c)-[:PLACED]->(o:Order) "
+                   "RETURN c.custkey AS ck, count(*) AS n", tpch_graph)
+            # a second aggregate over an optional var's property
+            cypher(spark,
+                   "MATCH (c:Customer) OPTIONAL MATCH "
+                   "(c)-[:PLACED]->(o:Order) "
+                   "RETURN c.custkey AS ck, count(o) AS n, "
+                   "min(o.totalprice) AS m", tpch_graph)
+        finally:
+            TR.Translator._preagg_optional_count = orig
+        assert hits == [False, False, False]
+
+
+class TestPreaggTrailingCount:
+    """Inner-chain sibling: MATCH ...-[l:CONTAINS]->(p) + count(*)
+    pre-aggregates the trailing (lineitem-scale) rel scan per source
+    before the join instead of multiplying the chain rowstream."""
+
+    def test_plan_preaggregates_trailing_hop(self, spark, tpch_graph):
+        df = cypher(spark,
+                    "MATCH (c:Customer)-[:PLACED]->(o:Order)"
+                    "-[l:CONTAINS]->(p:Part) "
+                    "WHERE c.mktsegment = 'AUTOMOBILE' "
+                    "RETURN count(*) AS n", tpch_graph)
+        plan = plan_of(df)
+        # the Part node frame is gone and lineitem is read once, one
+        # column, aggregated below the join
+        assert "part.parquet" not in plan
+        assert plan.count("lineitem.parquet") == 1
+        assert "struct<l_orderkey:bigint>" in plan
+        join_pos = plan.index("Inner")
+        assert "partial_count" in plan[join_pos:]
+
+    def test_results_match_unrewritten(self, spark, tpch_graph):
+        from neo4j_spark.cypher import translate as TR
+
+        q = ("MATCH (c:Customer)-[:PLACED]->(o:Order)-[:CONTAINS]->(p) "
+             "RETURN c.custkey AS ck, count(*) AS n ORDER BY ck")
+        on = sorted(map(tuple, cypher(spark, q, tpch_graph).collect()))
+        orig = TR.Translator._preagg_trailing_count
+        try:
+            TR.Translator._preagg_trailing_count = \
+                lambda self, df, m, nxt: None
+            off = sorted(map(tuple, cypher(spark, q, tpch_graph).collect()))
+        finally:
+            TR.Translator._preagg_trailing_count = orig
+        assert on == off
+
+    def test_bails_on_multiplicity_and_uniqueness(self, spark, tpch_graph):
+        from neo4j_spark.cypher import translate as TR
+
+        hits = []
+        orig = TR.Translator._preagg_trailing_count
+
+        def spy(self, df, m, nxt):
+            r = orig(self, df, m, nxt)
+            hits.append(r is not None)
+            return r
+
+        TR.Translator._preagg_trailing_count = spy
+        try:
+            # WHERE touching the trailing node
+            cypher(spark,
+                   "MATCH (c:Customer)-[:PLACED]->(o:Order)"
+                   "-[:CONTAINS]->(p:Part) WHERE p.retailprice > 0 "
+                   "RETURN count(*) AS n", tpch_graph)
+            # another aggregate observes the multiplicity
+            cypher(spark,
+                   "MATCH (c:Customer)-[:PLACED]->(o:Order)"
+                   "-[:CONTAINS]->(p) "
+                   "RETURN count(*) AS n, sum(o.totalprice) AS s",
+                   tpch_graph)
+            # untyped trailing rel: uniqueness vs PLACED is real
+            cypher(spark,
+                   "MATCH (c:Customer)-[:PLACED]->(o:Order)-[]->(p) "
+                   "RETURN count(*) AS n", tpch_graph)
+        finally:
+            TR.Translator._preagg_trailing_count = orig
+        assert hits == [False, False, False]
+
+
 @pytest.fixture(scope="module")
 def docs(spark):
     return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
