@@ -195,14 +195,22 @@ def minhash_dedup_pairs(
     # duplicate build-side keys, and the dedup would cost an extra shuffle
     cand_ids = (cands.select(F.col("id_a").alias("_vid"))
                 .union(cands.select("id_b")))
+    # the semi-join sits BELOW the verify explode: Catalyst does not push
+    # a join under a Generate, so probing the exploded stream would
+    # re-tokenize and re-hash the WHOLE corpus just to discard the
+    # non-candidate rows after generation.  Filtering the docs first
+    # commutes with the per-row explode (keyed by id), so the verify pass
+    # tokenizes only candidate documents — proportional to the candidate
+    # set, not the corpus.
+    docs_c = df.join(cand_ids, df[id_col] == cand_ids["_vid"], "left_semi")
     # candidate ids/sets are usually tiny relative to the corpus, but can
     # be corpus-sized in a heavily-duplicated crawl — no forced broadcast;
     # both inputs are persisted, so AQE picks broadcast vs shuffle from
     # their REAL sizes at runtime.  persisted: the id_a and id_b joins
     # each build from this table, and an unpersisted lineage would re-run
-    # the semi-join + collect_set (and the candidate self-join underneath)
-    # once per consumer.
-    sh = (ex.join(cand_ids, ex["_id"] == cand_ids["_vid"], "left_semi")
+    # the collect_set (and the candidate semi-join underneath) once per
+    # consumer.
+    sh = (exploded_shingles(docs_c, id_col, text_col, shingle_k)
             .groupBy("_id").agg(F.collect_set("_s").alias("_sh"))
             .withColumnRenamed("_id", "_vid").persist())
     out = (cands
