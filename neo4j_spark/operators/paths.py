@@ -255,7 +255,13 @@ def _bfs_levels(roots: DataFrame, scan: DataFrame, depth: int,
     # prefix is cheaper than the InMemoryRelation materialization barriers.
     # Deep searches persist each level and stop early on a dead frontier.
     frontier = roots.select(*cols)
-    visited = frontier.select("__root", "__node")
+    # level-0 pairs are exactly (root, root): their anti-join contribution
+    # is the predicate __node != __root, so `visited` starts EMPTY (None)
+    # and level k only anti-joins the level 1..k-1 pair sets — one fewer
+    # join per level, and level 1 needs no join at all.  On the lazy
+    # (shallow) path each avoided anti-join also avoids replaying the
+    # frontier lineage it would reference.
+    visited: Optional[DataFrame] = None
     levels: List[DataFrame] = [frontier]
     eager = depth > 3
     for k in range(1, depth + 1):
@@ -277,8 +283,12 @@ def _bfs_levels(roots: DataFrame, scan: DataFrame, depth: int,
                 F.col("__rels"),
                 F.col("__r").getField("_id")).alias("__rels")]
         step = step.select(*out_cols)
-        # prune: drop (root, node) already reached at a shorter depth
-        step = step.join(visited, ["__root", "__node"], "left_anti")
+        # prune: drop (root, node) already reached at a shorter depth —
+        # depth 0 via the root-equality predicate, deeper levels via the
+        # accumulated pair set
+        step = step.filter(F.col("__node") != F.col("__root"))
+        if visited is not None:
+            step = step.join(visited, ["__root", "__node"], "left_anti")
         if not track_path:
             step = step.dropDuplicates(["__root", "__node"])
         if eager:
@@ -287,8 +297,9 @@ def _bfs_levels(roots: DataFrame, scan: DataFrame, depth: int,
                 step.unpersist()
                 break
         levels.append(step)
-        visited = visited.unionByName(
-            step.select("__root", "__node").dropDuplicates())
+        reached = step.select("__root", "__node").dropDuplicates()
+        visited = (reached if visited is None
+                   else visited.unionByName(reached))
         frontier = step
     return levels
 
