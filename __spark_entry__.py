@@ -2049,7 +2049,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-side analysis that repeated runs need not pay).  Streaming,
     # multimodal and write entries stay uncached.
     cacheable = ("dedup_", "knn_", "text_", "embedding_", "ngram_",
-                 "sample_", "top1_")
+                 "sample_", "top1_",
+                 # events_* are pure BATCH plan builders (load_events is
+                 # spark.read.parquet + a ts cast; the window aggregates
+                 # are lazy) — each uncached build pays ~0.15s of parquet
+                 # schema-inference alone.  stream_* / multimodal_* stay
+                 # uncached: they materialize temp files/indexes at build.
+                 "events_")
 
     def _memo(name, fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
