@@ -664,6 +664,94 @@ class Translator:
         walk(root)
         return count == 1 and not star
 
+    def _stmt_has_writes(self) -> bool:
+        """True when the statement contains any updating clause (anywhere,
+        including nested CALL {} bodies / FOREACH).  Gate for rewrites
+        that rely on source-declared invariants holding for every row the
+        statement can observe: a write inside the SAME statement could
+        create entities the declaration does not cover."""
+        import dataclasses
+
+        root = getattr(self, "query_ast", None)
+        if root is None:
+            return True  # unknown scope: be conservative
+        memo = getattr(self, "_stmt_writes_memo", None)
+        if memo is not None and memo[0] is root:
+            return memo[1]
+        hit = False
+
+        def walk(node) -> None:
+            nonlocal hit
+            if hit:
+                return
+            if isinstance(node, (A.Create, A.Merge, A.SetClause,
+                                 A.RemoveClause, A.Delete, A.Foreach)):
+                hit = True
+                return
+            if isinstance(node, (list, tuple)):
+                for x in node:
+                    walk(x)
+                return
+            if dataclasses.is_dataclass(node) and not isinstance(node, type):
+                for f in dataclasses.fields(node):
+                    walk(getattr(node, f.name))
+
+        walk(root)
+        self._stmt_writes_memo = (root, hit)
+        return hit
+
+    def _var_key_prop_only(self, name: str, prop: str) -> bool:
+        """True when every use of ``name`` outside its single defining
+        pattern position is a ``name.prop`` property access and no
+        projection ``*`` could observe the full entity — the node-frame
+        join can then be replaced by deriving ``prop`` from the edge-end
+        id (usage test behind key-property elision)."""
+        import dataclasses
+
+        root = getattr(self, "query_ast", None)
+        if root is None:
+            return False
+        ok = True
+        uses = 0
+        binds = 0
+        star = False
+
+        def walk(node) -> None:
+            nonlocal ok, uses, binds, star
+            if not ok:
+                return
+            if isinstance(node, A.Prop) and isinstance(node.subject, A.Var) \
+                    and node.subject.name == name:
+                if node.key == prop:
+                    uses += 1
+                    return  # the Var inside is the sanctioned access
+                ok = False
+                return
+            if isinstance(node, A.Var):
+                if node.name == name:
+                    ok = False  # any non-key-prop use needs the binding
+                return
+            if isinstance(node, (list, tuple)):
+                for x in node:
+                    walk(x)
+                return
+            if not dataclasses.is_dataclass(node) or isinstance(node, type):
+                return
+            if getattr(node, "star", False):
+                star = True
+            if isinstance(node, A.MapProjection) and node.var == name:
+                ok = False
+                return
+            for f in dataclasses.fields(node):
+                v = getattr(node, f.name)
+                if f.name in ("var", "path_var") and v == name:
+                    binds += 1
+                elif dataclasses.is_dataclass(v) or isinstance(v, (list, tuple)):
+                    walk(v)
+
+        walk(root)
+        return ok and not star and binds <= 1 and uses >= 1
+
     def _rel_endpoints_needed(self, rvar: Optional[str]) -> bool:
         """True when startNode()/endNode() is called on ``rvar`` anywhere
         in the statement — its endpoint node bindings must then stay."""
@@ -1596,6 +1684,93 @@ class Translator:
         self.kinds[cnt_col] = "scalar"
         return out, new_proj
 
+    def _preagg_pattern_sub(self, cur_df: DataFrame, parts, where):
+        """Shared fast-path gate for EXISTS{}/COUNT{} pattern subqueries
+        whose pattern is a single rel hop anchored ONLY at one
+        outer-bound bare node: return (slim rel scan, edge-end key
+        column, bound var name), or None when the generic
+        build-from-outer-rows lowering must run.
+
+        The generic lowering runs the pattern match FROM the distinct
+        outer rows (broadcast of every outer id, one join row per rel)
+        before aggregating; for this shape the subquery's value per
+        outer row is a pure function of the rel scan — per-source count
+        (COUNT) or source-id membership (EXISTS) — so the scan can be
+        aggregated/deduplicated FIRST and the small (id[, count]) frame
+        joined back (guide §2.3: the exchange carries ids, never rel
+        rows; and the outer id set is never broadcast, which at scale it
+        could not be).  Soundness gates mirror
+        :meth:`_preagg_optional_count` exactly (probe-verified there,
+        incl. the undirected bare-fresh case)."""
+        if where is not None or len(parts) != 1:
+            return None
+        part = parts[0]
+        if part.path_var or part.selector \
+                or getattr(part, "legacy_shortest", False):
+            return None
+        els = part.elements
+        if len(els) != 3:
+            return None
+        a_pat, rp, b_pat = els
+        if not (isinstance(a_pat, A.NodePat) and isinstance(rp, A.RelPat)
+                and isinstance(b_pat, A.NodePat)):
+            return None
+        if rp.var_length or rp.props is not None or rp.where is not None:
+            return None
+        if rp.var is not None and rp.var in cur_df.columns:
+            return None  # re-bound rel var: ProjectEndpoints semantics
+
+        def bare(np: A.NodePat) -> bool:
+            return (not np.labels and np.label_tree is None
+                    and not np.neg_labels and not np.any_labels
+                    and not np.req_any_label and not np.req_no_label
+                    and np.props is None and np.where is None)
+
+        def single_label(np: A.NodePat) -> bool:
+            return (len(np.labels) == 1 and np.label_tree is None
+                    and not np.neg_labels and not np.any_labels
+                    and not np.req_any_label and not np.req_no_label
+                    and np.props is None and np.where is None)
+
+        bound_l = a_pat.var is not None and a_pat.var in cur_df.columns
+        bound_r = b_pat.var is not None and b_pat.var in cur_df.columns
+        if bound_l == bound_r:
+            return None
+        bnd, fresh = (a_pat, b_pat) if bound_l else (b_pat, a_pat)
+        if self.kinds.get(bnd.var) != "node" or not bare(bnd):
+            return None
+        if fresh.var is not None and fresh.var == bnd.var:
+            return None  # cycle back to the anchor
+        if not (bare(fresh) or single_label(fresh)):
+            return None
+        if fresh.labels:
+            # label must be implied by the rel type's declared endpoint
+            # labels (the scan-elision contract)
+            if rp.direction == "both" or not rp.types or rp.neg_types \
+                    or rp.type_tree is not None:
+                return None
+            fresh_is_left = fresh is a_pat
+            if rp.direction == "out":
+                end_idx = 0 if fresh_is_left else 1
+            else:
+                end_idx = 1 if fresh_is_left else 0
+            meta = getattr(self.graph, "rel_endpoint_labels", {}) or {}
+            for t in rp.types:
+                g = meta.get(t)
+                if g is None or g[end_idx] is None \
+                        or set(fresh.labels) != {g[end_idx]}:
+                    return None
+
+        left_lbls = (list(a_pat.labels) if a_pat.labels
+                     else self.labels_of(a_pat.var if bound_l else None))
+        right_lbls = (list(b_pat.labels) if b_pat.labels
+                      else self.labels_of(b_pat.var if bound_r else None))
+        scan = self._rel_scan(rp, "__pa_r", slim=True,
+                              left_labels=left_lbls,
+                              right_labels=right_lbls)
+        key = "__from" if bound_l else "__to"
+        return scan, key, bnd.var
+
     def _uniqueness_filters(self, df: DataFrame,
                             rel_bindings: List[Tuple[str, str, frozenset]]) -> DataFrame:
         """Relationship-uniqueness within one MATCH (reference:
@@ -1917,20 +2092,78 @@ class Translator:
                 return 1 if first else 0
             return None
 
+        def key_elidable(np, rp, end_idx):
+            """(var, prop, offset, label) when the node-frame join for
+            ``np`` can be replaced by an id-only struct carrying the
+            source-declared key property derived from the edge-end id
+            (PropertyGraph.key_prop_of).  Requires: the endpoint's label
+            is pinned by the rel type declaration, the var is used ONLY
+            as ``var.keyprop``, and the statement performs no writes."""
+            if part.path_var is not None or part.selector is not None:
+                return None
+            if not isinstance(np, A.NodePat) or np.var is None \
+                    or np.props is not None or np.where is not None:
+                return None
+            if np.label_tree is not None or np.neg_labels or np.any_labels \
+                    or np.req_any_label or np.req_no_label:
+                return None
+            if rp.var_length or end_idx is None or not rp.types \
+                    or rp.neg_types or rp.type_tree is not None:
+                return None
+            if self._rel_endpoints_needed(rp.var):
+                return None
+            meta = getattr(self.graph, "rel_endpoint_labels", {}) or {}
+            lbl = None
+            for t in rp.types:
+                g = meta.get(t)
+                if g is None or not isinstance(g[end_idx], str):
+                    return None
+                if lbl is None:
+                    lbl = g[end_idx]
+                elif g[end_idx] != lbl:
+                    return None
+            if np.labels and set(np.labels) != {lbl}:
+                return None
+            kp = getattr(self.graph, "key_prop_of", lambda _l: None)(lbl)
+            if kp is None:
+                return None
+            prop, off = kp
+            if self._stmt_has_writes():
+                return None
+            if not self._var_key_prop_only(np.var, prop):
+                return None
+            return np.var, prop, off, lbl
+
+        def bind_key_struct(df, end_col, kb):
+            v, prop, off, lbl = kb
+            df = df.withColumn(v, F.struct(
+                F.col(end_col).alias("_id"),
+                (F.col(end_col) - F.lit(off)).alias(prop)))
+            self.kinds[v] = "node"
+            self._note_labels(v, [lbl])
+            return df
+
         # Scan elision: an endpoint node needs no node-frame join when the
         # rel scan alone carries the semantics (anonymous/unreferenced var,
         # labels implied by declared endpoint labels).  Matters at scale: a
         # Q1-style ``MATCH ()-[l:CONTAINS]->()`` is then ONE parquet scan,
         # not three, and ``(c:Customer)-[:PLACED]->(o:Order)`` skips the
         # orders table when ``o`` is never read.
+        first_fresh = (len(els) > 1 and isinstance(els[1], A.RelPat)
+                       and not els[1].var_length
+                       and (els[0].var is None
+                            or df is None or els[0].var not in df.columns))
         skip_first = (part.path_var is None and part.selector is None
-                      and len(els) > 1
-                      and isinstance(els[1], A.RelPat)
-                      and not els[1].var_length
-                      and (els[0].var is None
-                           or df is None or els[0].var not in df.columns)
+                      and first_fresh
                       and (unconstrained(els[0])
                            or elidable(els[0], els[1], end_of(els[1], True))))
+        # key-property elision for the FIRST endpoint: no node join, the
+        # var binds as an id struct carrying the derived key prop off the
+        # first rel scan's __from
+        first_kb = None
+        if not skip_first and first_fresh:
+            first_kb = key_elidable(els[0], els[1], end_of(els[1], True))
+            skip_first = first_kb is not None
         if skip_first:
             prev = None
         else:
@@ -2034,6 +2267,11 @@ class Translator:
                 elif prev is None:
                     # first endpoint elided: the rel scan IS the rowstream
                     df = scan if df is None else df.crossJoin(scan)
+                    if i == 1 and first_kb is not None:
+                        # key-property elision: bind the first endpoint as
+                        # an id struct with the key prop derived from the
+                        # edge end (no node frame touched)
+                        df = bind_key_struct(df, "__from", first_kb)
                 else:
                     # Expand (LP:2012): join rels on the bound endpoint
                     df = df.join(scan,
@@ -2076,6 +2314,21 @@ class Translator:
                 prev = None
                 i += 2
                 continue
+            if not can_elide and nvar not in df.columns:
+                # key-property elision (any position): the endpoint binds
+                # as an id struct carrying the derived key prop; the next
+                # hop (if any) joins on its _id like a full binding
+                kb = key_elidable(np, rp, end_of(rp, False))
+                if kb is not None:
+                    df = bind_key_struct(df, "__to", kb)
+                    df = df.drop("__from", "__to")
+                    if rp.direction == "out":
+                        self.rel_endpoints[rvar] = (prev, nvar)
+                    elif rp.direction == "in":
+                        self.rel_endpoints[rvar] = (nvar, prev)
+                    prev = nvar
+                    i += 2
+                    continue
             if nvar in df.columns:
                 # ExpandInto: endpoint already bound
                 df = df.filter(F.col("__to") == F.col(nvar).getField("_id"))
@@ -3235,6 +3488,27 @@ class Translator:
                          ) -> Tuple[DataFrame, A.Expr]:
             if e.query is not None:  # EXISTS { <full query> }
                 return self._lower_query_sub(cur_df, e.query, "exists")
+            hit = self._preagg_pattern_sub(cur_df, e.pattern, e.where)
+            if hit is not None:
+                # anchored single-hop: EXISTS per outer row is membership
+                # of the node id in the scan's edge-end set — dedup the
+                # scan (map-side partial, the exchange carries ids only)
+                # and left-join the flag; no outer-id broadcast, no
+                # per-rel join rows (guide §2.3/§2.4)
+                scan, key, bvar = hit
+                flag = self._anon_var("exists")
+                right = (scan.select(F.col(key).alias("__pa_k"))
+                         .dropDuplicates()
+                         .withColumn(flag, F.lit(True)))
+                out = (cur_df.join(
+                        right,
+                        F.col(bvar).getField("_id") == F.col("__pa_k"),
+                        "left")
+                       .drop("__pa_k")
+                       .withColumn(flag, F.coalesce(F.col(flag),
+                                                    F.lit(False))))
+                self.kinds[flag] = "scalar"
+                return out, A.Var(flag)
             matched, shared = build_matched(cur_df, e.pattern, e.where)
             flag = self._anon_var("exists")
             if not shared:
@@ -3252,6 +3526,26 @@ class Translator:
                         ) -> Tuple[DataFrame, A.Expr]:
             if e.query is not None:  # COUNT { <full query> }
                 return self._lower_query_sub(cur_df, e.query, "count")
+            hit = self._preagg_pattern_sub(cur_df, e.pattern, e.where)
+            if hit is not None:
+                # anchored single-hop: COUNT per outer row is the scan's
+                # per-edge-end count — aggregate the scan FIRST (map-side
+                # partial combine, the exchange carries (id, count)) and
+                # left-join the small frame; coalesce covers zero-match
+                # and null-anchor rows (a null binding matches nothing)
+                scan, key, bvar = hit
+                cnt = self._anon_var("count")
+                per = scan.groupBy(F.col(key).alias("__pa_k")).agg(
+                    F.count(F.lit(1)).alias(cnt))
+                out = (cur_df.join(
+                        per,
+                        F.col(bvar).getField("_id") == F.col("__pa_k"),
+                        "left")
+                       .drop("__pa_k")
+                       .withColumn(cnt, F.coalesce(F.col(cnt),
+                                                   F.lit(0).cast("long"))))
+                self.kinds[cnt] = "scalar"
+                return out, A.Var(cnt)
             matched, shared = build_matched(cur_df, e.pattern, e.where)
             cnt = self._anon_var("count")
             if not shared:

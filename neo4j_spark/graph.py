@@ -84,6 +84,7 @@ class PropertyGraph:
         rel_endpoint_labels: Optional[Dict[str, tuple]] = None,
         rel_shared_bases: Optional[Dict[str, tuple]] = None,
         rel_shards: Optional[Dict[str, list]] = None,
+        node_key_props: Optional[Dict[str, tuple]] = None,
     ) -> None:
         self.node_frames = dict(node_frames)
         self.rel_frames = dict(rel_frames)
@@ -128,6 +129,22 @@ class PropertyGraph:
         # planner.  At 100 TB this turns a 3-table hop into a single rel
         # scan when the node frames aren't otherwise referenced.
         self.rel_endpoint_labels = dict(rel_endpoint_labels or {})
+        # optional key-property declaration: label -> (prop, id_offset)
+        # guaranteeing node[prop] == id - id_offset (BIGINT) for every
+        # node of that label in the DECLARED frame.  The translator uses
+        # it to derive key-property reads on elided endpoints from the
+        # edge-end id instead of joining the node frame — at 100 TB a
+        # ``count(DISTINCT o.orderkey)`` over a rel scan then never
+        # touches the orders table.  Declared by the source builder
+        # (which mints the ids), never inferred.  Validity is checked
+        # through :meth:`key_prop_of`: voided per label by any label
+        # mutation or by a write replacing the declared frame (the same
+        # object-identity guard as rel_shards — created nodes get
+        # engine-minted ids for which the bijection does not hold).
+        self.node_key_props = dict(node_key_props or {})
+        self._node_key_whole = {
+            l: self.node_frames[l] for l in self.node_key_props
+            if l in self.node_frames}
         # labels added by SET/CREATE that are not shard keys: scans for them
         # must fall back to a full union filter instead of shard pruning
         self._extra_labels: set = set()
@@ -190,6 +207,20 @@ class PropertyGraph:
                     base.persist()
                     self._persisted_bases.add(bname)
 
+    def key_prop_of(self, label: str):
+        """(prop, id_offset) when ``node[prop] == id - id_offset`` still
+        holds for every node carrying ``label``; None otherwise.  The
+        declaration is voided per label by a recorded label mutation
+        (a foreign node could now carry the label) or by a write that
+        replaced the declared frame (created/updated nodes do not mint
+        ids through the source's bijection)."""
+        kp = self.node_key_props.get(label)
+        if kp is None or label in self._extra_labels:
+            return None
+        if self.node_frames.get(label) is not self._node_key_whole.get(label):
+            return None
+        return kp
+
     def note_extra_label(self, label: str) -> None:
         """Mark ``label`` as stored outside its own shard (secondary label
         of a CREATE, or added by SET).  Scans for it must fall back to the
@@ -201,11 +232,14 @@ class PropertyGraph:
         """Cheap snapshot: shares the (immutable) frames, isolates writes."""
         g = PropertyGraph(self.node_frames, self.rel_frames,
                           self.rel_endpoint_labels, self.rel_shared_bases,
-                          self.rel_shards)
-        # preserve the ORIGINAL shard-union identities: recomputing them
-        # from rel_frames would re-bless a write-replaced frame as "the
-        # declared union" and re-enable pruning against stale shards
+                          self.rel_shards,
+                          node_key_props=self.node_key_props)
+        # preserve the ORIGINAL shard-union/key-frame identities:
+        # recomputing them from the current frames would re-bless a
+        # write-replaced frame as "the declared one" and re-enable
+        # pruning/derivation against stale data
         g._rel_shard_whole = dict(self._rel_shard_whole)
+        g._node_key_whole = dict(self._node_key_whole)
         g._persisted_bases = set(self._persisted_bases)
         g._extra_labels = set(self._extra_labels)
         g._write_epoch = self._write_epoch

@@ -212,6 +212,18 @@ def tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
         "SUPPLIED_BY": ("Order", "Supplier"),
     }
     return PropertyGraph(node_frames, rel_frames, endpoint_labels,
+                         # id = tag*TAG + key (see _node_id): every key
+                         # property is recoverable from the id by
+                         # subtraction, so key-only endpoint reads can
+                         # skip the node frame entirely
+                         node_key_props={
+                             "Region": ("regionkey", 1 * TAG),
+                             "Nation": ("nationkey", 2 * TAG),
+                             "Customer": ("custkey", 3 * TAG),
+                             "Supplier": ("suppkey", 4 * TAG),
+                             "Part": ("partkey", 5 * TAG),
+                             "Order": ("orderkey", 6 * TAG),
+                         },
                          rel_shared_bases={
                              "lineitem": (li, ("CONTAINS", "SUPPLIED_BY")),
                          },

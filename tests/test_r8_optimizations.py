@@ -312,6 +312,207 @@ class TestPreaggTrailingCount:
         assert hits == [False, False, False]
 
 
+class TestPreaggPatternSub:
+    """EXISTS{}/COUNT{} pattern subqueries anchored at one bound bare
+    node: the rel scan is aggregated/deduplicated per edge end FIRST and
+    the small (id[, count]) frame left-joined back, instead of running
+    the pattern match from a broadcast of every distinct outer id
+    (guide §2.3/§2.4)."""
+
+    def test_count_plan_preaggregates_scan(self, spark, tpch_graph):
+        df = cypher(spark,
+                    "MATCH (c:Customer) RETURN c.custkey AS ck, "
+                    "COUNT { (c)-[:PLACED]->() } AS n", tpch_graph)
+        plan = plan_of(df)
+        # one single-column orders scan, ONE customer scan (the generic
+        # lowering scans customer twice: outer + distinct build side)
+        assert plan.count("orders.parquet") == 1
+        assert plan.count("customer.parquet") == 1
+        assert "struct<o_custkey:bigint>" in plan
+        # per-source partial count sits below the left join
+        join_pos = plan.index("LeftOuter")
+        assert "partial_count" in plan[join_pos:]
+
+    def test_exists_plan_dedups_scan(self, spark, tpch_graph):
+        df = cypher(spark,
+                    "MATCH (c:Customer) "
+                    "WHERE EXISTS { (c)-[:PLACED]->(:Order) } "
+                    "RETURN count(*) AS n", tpch_graph)
+        plan = plan_of(df)
+        assert plan.count("orders.parquet") == 1
+        assert plan.count("customer.parquet") == 1
+
+    def test_results_match_unrewritten(self, spark, tpch_graph):
+        from neo4j_spark.cypher import translate as TR
+
+        queries = [
+            "MATCH (c:Customer) RETURN c.custkey AS ck, "
+            "COUNT { (c)-[:PLACED]->() } AS n",
+            "MATCH (o:Order) RETURN o.orderkey AS ok, "
+            "COUNT { ()-[:PLACED]->(o) } AS n",
+            "MATCH (n:Nation) RETURN n.name AS nm, "
+            "COUNT { (n)-[:FROM_NATION]-() } AS n",
+            "MATCH (c:Customer) WHERE EXISTS { (c)-[:PLACED]->() } "
+            "RETURN count(*) AS n",
+            "MATCH (c:Customer) WHERE NOT (c)-[:PLACED]->(:Order) "
+            "RETURN count(*) AS n",
+        ]
+        orig = TR.Translator._preagg_pattern_sub
+        for q in queries:
+            on = sorted(map(tuple, cypher(spark, q, tpch_graph).collect()))
+            try:
+                TR.Translator._preagg_pattern_sub = \
+                    lambda self, cur_df, parts, where: None
+                off = sorted(map(tuple,
+                                 cypher(spark, q, tpch_graph).collect()))
+            finally:
+                TR.Translator._preagg_pattern_sub = orig
+            assert on == off, q
+
+    def test_null_anchor_counts_zero(self, spark, tpch_graph):
+        # a null binding matches no pattern: COUNT 0, EXISTS false
+        rows = cypher(spark,
+                      "MATCH (c:Customer) OPTIONAL MATCH "
+                      "(c)-[:NOPE]->(q) WITH q LIMIT 5 "
+                      "RETURN COUNT { (q)-[:PLACED]->() } AS n, "
+                      "EXISTS { (q)-[:PLACED]->() } AS e",
+                      tpch_graph).collect()
+        assert all(tuple(r) == (0, False) for r in rows)
+
+    def test_bails_on_unsupported_shapes(self, spark, tpch_graph):
+        from neo4j_spark.cypher import translate as TR
+
+        hits = []
+        orig = TR.Translator._preagg_pattern_sub
+
+        def spy(self, cur_df, parts, where):
+            r = orig(self, cur_df, parts, where)
+            hits.append(r is not None)
+            return r
+
+        TR.Translator._preagg_pattern_sub = spy
+        try:
+            # inner WHERE correlates beyond the anchor id
+            cypher(spark,
+                   "MATCH (c:Customer) RETURN COUNT { "
+                   "(c)-[:PLACED]->(o) WHERE o.orderkey > 0 } AS n",
+                   tpch_graph)
+            # two-hop pattern
+            cypher(spark,
+                   "MATCH (c:Customer) RETURN COUNT { "
+                   "(c)-[:PLACED]->()-[:CONTAINS]->() } AS n", tpch_graph)
+            # label on the anchor is a re-check the scan cannot see
+            cypher(spark,
+                   "MATCH (c:Customer) RETURN COUNT { "
+                   "(c:Customer)-[:PLACED]->() } AS n", tpch_graph)
+            # fresh label not implied by the rel's endpoint declaration
+            cypher(spark,
+                   "MATCH (n:Nation) RETURN COUNT { "
+                   "(n)<-[:FROM_NATION]-(c:Customer) } AS n", tpch_graph)
+        finally:
+            TR.Translator._preagg_pattern_sub = orig
+        assert hits == [False, False, False, False]
+
+
+class TestKeyPropElision:
+    """Key-property elision: when an endpoint's label is pinned by the
+    rel type declaration and the var is used ONLY as ``var.keyprop``,
+    the node-frame join is replaced by deriving the key from the
+    edge-end id (PropertyGraph.node_key_props: id = offset + key)."""
+
+    def test_both_endpoints_elide_to_one_scan(self, spark, tpch_graph):
+        df = cypher(spark,
+                    "MATCH (o:Order)-[:SUPPLIED_BY]->(s:Supplier) "
+                    "RETURN s.suppkey AS suppkey, "
+                    "count(DISTINCT o.orderkey) AS n", tpch_graph)
+        plan = plan_of(df)
+        # the whole query is ONE lineitem scan: no orders/supplier frame
+        assert "orders.parquet" not in plan
+        assert "supplier.parquet" not in plan
+        assert plan.count("lineitem.parquet") == 1
+        assert "Join" not in plan
+
+    def test_results_match_unrewritten(self, spark, tpch_graph):
+        from neo4j_spark.cypher import translate as TR
+
+        queries = [
+            "MATCH (o:Order)-[:SUPPLIED_BY]->(s:Supplier) "
+            "RETURN s.suppkey AS suppkey, count(DISTINCT o.orderkey) AS n",
+            "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+            "WHERE o.orderkey % 7 = 0 RETURN count(*) AS n",
+            "MATCH (c:Customer)-[:PLACED]->(o:Order)-[:CONTAINS]->(p:Part)"
+            " RETURN c.custkey AS ck, count(o.orderkey) AS n",
+        ]
+        orig = TR.Translator._var_key_prop_only
+        for q in queries:
+            on = sorted(map(tuple, cypher(spark, q, tpch_graph).collect()))
+            try:
+                TR.Translator._var_key_prop_only = lambda self, n, p: False
+                off = sorted(map(tuple,
+                                 cypher(spark, q, tpch_graph).collect()))
+            finally:
+                TR.Translator._var_key_prop_only = orig
+            assert on == off, q
+
+    def test_bails_on_full_entity_use(self, spark, tpch_graph):
+        # any non-key-prop use keeps the node join
+        for q in [
+            "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+            "RETURN o.orderkey AS k, o.orderstatus AS st",
+            "MATCH (c:Customer)-[:PLACED]->(o:Order) WITH o "
+            "RETURN o.orderkey AS k",
+            "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+            "RETURN labels(o) AS l, o.orderkey AS k",
+        ]:
+            assert "orders.parquet" in plan_of(
+                cypher(spark, q + " LIMIT 1", tpch_graph))
+
+    def test_write_in_statement_disables(self, spark, tpch_graph):
+        # the write gate sits BEFORE the usage analysis in key_elidable:
+        # in a writing statement _var_key_prop_only must never be
+        # consulted, even when every use is the key prop
+        from neo4j_spark.cypher import translate as TR
+
+        g = tpch_graph.copy()
+        calls = []
+        orig = TR.Translator._var_key_prop_only
+
+        def spy(self, name, prop):
+            calls.append((name, prop))
+            return orig(self, name, prop)
+
+        TR.Translator._var_key_prop_only = spy
+        try:
+            cypher(spark,
+                   "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+                   "CREATE (:Marker {k: o.orderkey})", g)
+        finally:
+            TR.Translator._var_key_prop_only = orig
+        assert calls == []
+
+    def test_frame_replacement_voids_declaration(self, spark, tpch_graph):
+        g = tpch_graph.copy()
+        # simulate a write replacing the Order frame (ids minted outside
+        # the source bijection): key_prop_of must return None
+        g.node_frames["Order"] = g.node_frames["Order"].limit(10)
+        assert g.key_prop_of("Order") is None
+        assert g.key_prop_of("Customer") is not None
+        df = cypher(spark,
+                    "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+                    "RETURN count(o.orderkey) AS n", g)
+        assert "orders.parquet" in plan_of(df)
+
+    def test_extra_label_voids_declaration(self, spark, tpch_graph):
+        g = tpch_graph.copy()
+        g.note_extra_label("Order")
+        assert g.key_prop_of("Order") is None
+
+    def test_copy_preserves_declared_identity(self, spark, tpch_graph):
+        g = tpch_graph.copy()
+        assert g.key_prop_of("Order") == (
+            "orderkey", 6 * 10 ** 12)
+
+
 @pytest.fixture(scope="module")
 def docs(spark):
     return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
