@@ -27,20 +27,23 @@ def exact_dedup(df: DataFrame, cols: List[str]) -> DataFrame:
 
 def distinct_count_by(df: DataFrame, group_cols: List[str], col: str,
                       alias: str = "n_distinct") -> DataFrame:
-    """count(DISTINCT ``col``) per group over a 64-bit hash proxy.
+    """count(DISTINCT ``col``) per group over a 128-bit hash proxy.
 
-    The exchange carries (group, xxhash64(col)) — 8 bytes per row instead
-    of the payload column (a document-scale ``col`` never crosses the
-    network; the map-side partial distinct collapses duplicates before
-    the shuffle).  Exact up to 64-bit collisions between DISTINCT values
-    within one group (~n²/2⁶⁴ — for a billion distinct documents per
-    group the collision odds are ~3%·10⁻⁷; the same equivalence the
-    MinHash path already relies on).  Nulls are excluded, matching
-    count(DISTINCT) semantics — xxhash64 of a NULL input would otherwise
-    hash the seed and count one phantom value."""
+    The exchange carries (group, struct of two independently-seeded
+    xxhash64 values) — 16 bytes per row instead of the payload column
+    (a document-scale ``col`` never crosses the network; the map-side
+    partial distinct collapses duplicates before the shuffle).  Exact up
+    to simultaneous collision of BOTH 64-bit halves between DISTINCT
+    values within one group: expected collisions ~n²/2·2⁻¹²⁸ — for a
+    billion distinct documents per group that is ~1.5·10⁻²¹, negligible
+    at any realizable corpus size.  (A single 64-bit half would NOT be:
+    n²/2·2⁻⁶⁴ ≈ 2.7% undercount odds at n = 10⁹ per group.)  Nulls are
+    excluded, matching count(DISTINCT) semantics — xxhash64 of a NULL
+    input would otherwise hash the seed and count one phantom value."""
     c = F.col(col)
+    proxy = F.struct(F.xxhash64(c, F.lit(42)), F.xxhash64(c, F.lit(43)))
     return df.groupBy(*group_cols).agg(
-        F.count_distinct(F.when(c.isNotNull(), F.xxhash64(c)))
+        F.count_distinct(F.when(c.isNotNull(), proxy))
          .alias(alias))
 
 

@@ -160,10 +160,25 @@ class TestHashProxyDistinctCount:
         from neo4j_spark.ml.dedup import distinct_count_by
 
         plan = plan_of(distinct_count_by(docs, ["lang"], "text"))
-        # the exchange carries the hash, not the text column
-        ex = plan[plan.index("Exchange"):]
-        assert "xxhash64" in plan
+        # the exchange carries the 128-bit proxy (struct of two seeded
+        # xxhash64 halves), not the text column; the partial distinct
+        # stays a codegen'd HashAggregate (map-side combine below the
+        # exchange)
+        import re
+        assert re.search(r"xxhash64\(text#\d+, 42", plan)  # seed 42 half
+        assert re.search(r"xxhash64\(text#\d+, 43", plan)  # seed 43 half
         assert "SortAggregate" not in plan
+        # every exchange is narrow: (lang, proxy) / (lang, count) — two
+        # columns, never the payload as its own attribute
+        for m in re.finditer(r"\(\d+\) Exchange\n(Input \[\d+\]): \[(.*)\]",
+                             plan):
+            assert m.group(1) == "Input [2]", plan
+            # a raw payload attribute would appear as a bare `text#N`
+            # list element; inside the proxy it is always wrapped in
+            # xxhash64(...)/isnotnull(...)
+            assert not any(re.fullmatch(r"text#\d+", part.strip())
+                           for part in m.group(2).split(", ")
+                           if "(" not in part), plan
 
 
 class TestPreaggOptionalCount:
