@@ -1276,9 +1276,11 @@ def _q_dedup_exact(spark, sf_dir):
     # r8 optimization (guide §2.3/§8: shuffle a hash proxy, not the
     # payload): the former exact_dedup(text) -> groupBy(lang) shape
     # sort-aggregated and SHUFFLED the full document text; the distinct
-    # count per lang needs only (lang, xxhash64(text)) to cross the
+    # count per lang needs only (lang, 128-bit hash proxy) to cross the
     # exchange.  Oracle-identical (count(DISTINCT text) GROUP BY lang)
-    # up to 64-bit collisions; verified on all SFs.
+    # up to simultaneous collision of two seeded xxhash64 halves
+    # (~n²·2⁻¹²⁹ expected — ~1.5e-21 at 1e9 distinct docs per group);
+    # verified on all SFs.
     from neo4j_spark.ml.dedup import distinct_count_by
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

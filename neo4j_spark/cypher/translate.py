@@ -1408,23 +1408,29 @@ class Translator:
             return None
 
         cnt_col = self._anon_var("pacnt")
+        extras: dict = {}
         new_proj = self._preagg_rewrite_counts(nxt, cnt_vars, cnt_col,
-                                               allow_count_star=False)
+                                               allow_count_star=False,
+                                               rel_var=rp.var, extras=extras)
         if new_proj is None:
             return None
 
-        # per-source counts over the (shard-pruned) rel scan; groupBy on
-        # the edge end does partial map-side aggregation, so the exchange
-        # carries (id, count) only
+        # per-source counts (and min/max over the rel's own props) over
+        # the (shard-pruned) rel scan; groupBy on the edge end does
+        # partial map-side aggregation, so the exchange carries
+        # (id, count[, min/max scalars]) only
         left_lbls = (list(a_pat.labels) if a_pat.labels
                      else self.labels_of(a_pat.var if bound_l else None))
         right_lbls = (list(b_pat.labels) if b_pat.labels
                       else self.labels_of(b_pat.var if bound_r else None))
-        scan = self._rel_scan(rp, "__pa_r", slim=True,
+        scan = self._rel_scan(rp, "__pa_r", slim=not extras,
                               left_labels=left_lbls, right_labels=right_lbls)
+        extra_aggs = self._preagg_extra_aggs(scan, "__pa_r", extras)
+        if extra_aggs is None:
+            return None
         key = "__from" if bound_l else "__to"
         per = scan.groupBy(F.col(key).alias("__pa_k")).agg(
-            F.count(F.lit(1)).alias(cnt_col))
+            F.count(F.lit(1)).alias(cnt_col), *extra_aggs)
         out = (df.join(per,
                        F.col(bnd.var).getField("_id") == F.col("__pa_k"),
                        "left")
@@ -1432,15 +1438,32 @@ class Translator:
                  .withColumn(cnt_col, F.coalesce(F.col(cnt_col),
                                                  F.lit(0).cast("long"))))
         self.kinds[cnt_col] = "scalar"
+        for c in extras.values():
+            self.kinds[c] = "scalar"
         return out, new_proj
 
     def _preagg_rewrite_counts(self, nxt, cnt_vars, cnt_col: str,
-                               allow_count_star: bool):
+                               allow_count_star: bool,
+                               rel_var: Optional[str] = None,
+                               extras: Optional[dict] = None):
         """Rewrite a Projection for count pre-aggregation: every
         ``count(v)`` (non-distinct, v in ``cnt_vars``) — and, when
         ``allow_count_star`` (inner-join variant, where each source row's
         multiplicity IS its per-source count), ``count(*)`` — becomes
-        ``sum(cnt_col)``.  Returns the rewritten Projection, or None when
+        ``sum(cnt_col)``.
+
+        When ``rel_var``/``extras`` are given, duplicate-insensitive
+        ``min(r.p)`` / ``max(r.p)`` over the pre-aggregated rel's OWN
+        properties also rewrite: the per-source min/max is computed on
+        the rel scan (``extras`` maps (fn, prop) -> generated column) and
+        the outer aggregate folds it — min/max are associative under any
+        total order, so min-of-per-source-mins equals the global min
+        regardless of outer-row multiplicity, and an unmatched outer row
+        contributes a null the outer min/max skips (Cypher min over no
+        rows is null, matching).  DISTINCT min/max are value-identical to
+        their plain forms, so both are admitted.
+
+        Returns the rewritten Projection, or None when
         the rewrite is unsound: no rewritable count at all, any OTHER
         aggregate (it would observe the join's row multiplicity), or any
         use of a ``cnt_vars`` variable outside a rewritable count
@@ -1462,6 +1485,16 @@ class Translator:
                     # wraps coalesce), so the empty-group case matches
                     # count()'s 0
                     return A.Func("sum", [A.Var(cnt_col)])
+                if (node.name in ("min", "max") and len(node.args) == 1
+                        and extras is not None and rel_var is not None
+                        and isinstance(node.args[0], A.Prop)
+                        and isinstance(node.args[0].subject, A.Var)
+                        and node.args[0].subject.name == rel_var):
+                    key = (node.name, node.args[0].key)
+                    col = extras.setdefault(
+                        key, f"{cnt_col}_{node.name}{len(extras)}")
+                    state["n"] += 1
+                    return A.Func(node.name, [A.Var(col)])
                 if is_agg_fn(node.name):
                     # any other aggregate observes the join's multiplicity
                     state["ok"] = False
@@ -1642,8 +1675,10 @@ class Translator:
                 return None
 
         cnt_col = self._anon_var("pacnt")
+        extras: dict = {}
         new_proj = self._preagg_rewrite_counts(nxt, cnt_vars, cnt_col,
-                                               allow_count_star=True)
+                                               allow_count_star=True,
+                                               rel_var=rp.var, extras=extras)
         if new_proj is None:
             return None
 
@@ -1674,15 +1709,48 @@ class Translator:
                      else self.labels_of(
                          conn_var if conn_var in pre.columns else None))
         right_lbls = list(b_pat.labels) if b_pat.labels else None
-        scan = self._rel_scan(rp, "__pa_r", slim=True,
+        scan = self._rel_scan(rp, "__pa_r", slim=not extras,
                               left_labels=left_lbls,
                               right_labels=right_lbls)
+        extra_aggs = self._preagg_extra_aggs(scan, "__pa_r", extras)
+        if extra_aggs is None:
+            return None
         per = scan.groupBy(F.col("__from").alias("__pa_k")).agg(
-            F.count(F.lit(1)).alias(cnt_col))
+            F.count(F.lit(1)).alias(cnt_col), *extra_aggs)
         out = (pre.join(per, key == F.col("__pa_k"))
                   .drop("__pa_k", "__preagg_key"))
         self.kinds[cnt_col] = "scalar"
+        for c in extras.values():
+            self.kinds[c] = "scalar"
         return out, new_proj
+
+    def _preagg_extra_aggs(self, scan: DataFrame, struct_col: str,
+                           extras: dict) -> Optional[list]:
+        """Per-source min/max aggregate columns for the pre-agg rewrites.
+
+        ``extras`` maps (fn, prop) -> output column.  Bails (None) when a
+        requested property is not a field of the rel struct (the generic
+        lowering's missing-property null semantics must win) or its type
+        is an AnyValue-tagged union (plain F.min/F.max would order tagged
+        nulls instead of skipping them; _compile_aggregate nullifies them
+        first, so the per-source fold would diverge)."""
+        if not extras:
+            return []
+        from . import anyvalue as AV
+        from pyspark.sql import types as T
+
+        st = scan.schema[struct_col].dataType
+        assert isinstance(st, T.StructType)
+        fields = {f.name: f.dataType for f in st.fields}
+        out = []
+        for (fn, prop), col in extras.items():
+            t = fields.get(prop)
+            if t is None or AV.is_any_type(t):
+                return None
+            src = F.col(struct_col).getField(prop)
+            out.append((F.min(src) if fn == "min" else F.max(src))
+                       .alias(col))
+        return out
 
     def _preagg_pattern_sub(self, cur_df: DataFrame, parts, where):
         """Shared fast-path gate for EXISTS{}/COUNT{} pattern subqueries

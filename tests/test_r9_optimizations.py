@@ -1,0 +1,133 @@
+"""Round-9 optimization pins: min/max pre-aggregation through the
+OPTIONAL/trailing count rewrites, the EXISTS/COUNT subquery rel-prop
+WHERE pushdown, and key-prop elision over sharded endpoints.  Each test
+guards a rewrite that would silently regress (results would stay correct
+but the pruned scans/shuffles would re-grow)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_spark.api import cypher
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestPreaggMinMax:
+    """min/max over the pre-aggregated rel's OWN properties fold through
+    the count pre-agg rewrites: per-source F.min/F.max on the rel scan,
+    outer min/max of the per-source values (associative under any total
+    order, so outer-row multiplicity cannot change the result)."""
+
+    @staticmethod
+    def _fired(spark, tpch_graph, q):
+        """Translate q with a spy on the extras hook; returns whether the
+        min/max pre-agg path fired."""
+        from neo4j_spark.cypher import translate as TR
+
+        orig = TR.Translator._preagg_extra_aggs
+        hit = {"v": False}
+
+        def spy(self, scan, sc, extras):
+            r = orig(self, scan, sc, extras)
+            if extras and r is not None:
+                hit["v"] = True
+            return r
+
+        TR.Translator._preagg_extra_aggs = spy
+        try:
+            df = cypher(spark, q, tpch_graph)
+        finally:
+            TR.Translator._preagg_extra_aggs = orig
+        return hit["v"], df
+
+    def test_optional_plan_preaggregates_min(self, spark, tpch_graph):
+        fired, df = self._fired(
+            spark, tpch_graph,
+            "MATCH (o:Order) OPTIONAL MATCH (o)-[l:CONTAINS]->(p:Part) "
+            "RETURN o.orderkey AS ok, min(l.quantity) AS mn, "
+            "count(l) AS n")
+        assert fired
+        plan = plan_of(df)
+        # the fresh endpoint/part frame is elided and the lineitem scan
+        # reads exactly the join key + the min/max prop
+        assert "part.parquet" not in plan
+        read = [l for l in plan.splitlines()
+                if "lineitem" in l and "FileScan" in l]
+        assert read and "l_quantity" in read[0]
+        # no full-width lineitem columns cross
+        assert "l_extendedprice" not in read[0]
+
+    def test_trailing_plan_preaggregates_max(self, spark, tpch_graph):
+        fired, df = self._fired(
+            spark, tpch_graph,
+            "MATCH (c:Customer)-[:PLACED]->(o:Order)"
+            "-[l:CONTAINS]->(p) "
+            "RETURN c.custkey AS ck, count(*) AS n, "
+            "max(l.quantity) AS mx")
+        assert fired
+        plan = plan_of(df)
+        read = [l for l in plan.splitlines()
+                if "lineitem" in l and "FileScan" in l]
+        assert read and "l_quantity" in read[0]
+        assert "l_extendedprice" not in read[0]
+
+    def test_results_match_unrewritten(self, spark, tpch_graph):
+        from neo4j_spark.cypher import translate as TR
+
+        queries = [
+            "MATCH (o:Order) OPTIONAL MATCH (o)-[l:CONTAINS]->(p:Part) "
+            "RETURN o.orderkey AS ok, min(l.quantity) AS mn, count(l) AS n "
+            "ORDER BY ok LIMIT 25",
+            "MATCH (p:Part) OPTIONAL MATCH (p)<-[l:CONTAINS]-(o:Order) "
+            "RETURN p.partkey AS pk, max(l.extendedprice) AS mx "
+            "ORDER BY pk LIMIT 25",
+            "MATCH (c:Customer)-[:PLACED]->(o:Order)-[l:CONTAINS]->(p) "
+            "RETURN c.custkey AS ck, min(l.shipdate) AS d, count(*) AS n "
+            "ORDER BY ck LIMIT 25",
+            # min over empty optional group must stay null
+            "MATCH (r:Region) OPTIONAL MATCH (r)-[l:CONTAINS]->(q) "
+            "RETURN r.name AS nm, min(l.quantity) AS mn ORDER BY nm",
+        ]
+        orig_o = TR.Translator._preagg_optional_count
+        orig_t = TR.Translator._preagg_trailing_count
+        try:
+            for q in queries:
+                on = sorted(map(tuple, cypher(spark, q, tpch_graph).collect()))
+                TR.Translator._preagg_optional_count = \
+                    lambda self, df, m, nxt: None
+                TR.Translator._preagg_trailing_count = \
+                    lambda self, df, m, nxt: None
+                off = sorted(map(tuple, cypher(spark, q, tpch_graph).collect()))
+                TR.Translator._preagg_optional_count = orig_o
+                TR.Translator._preagg_trailing_count = orig_t
+                assert on == off, q
+        finally:
+            TR.Translator._preagg_optional_count = orig_o
+            TR.Translator._preagg_trailing_count = orig_t
+
+    def test_bails_on_non_rel_or_expr_args(self, spark, tpch_graph):
+        """Node-prop / expression / missing-prop min args must leave the
+        generic lowering in place (the plan keeps the part scan join)."""
+        for q in [
+            # node prop: needs the part frame, not pre-aggregable
+            "MATCH (o:Order) OPTIONAL MATCH (o)-[l:CONTAINS]->(p:Part) "
+            "RETURN o.orderkey AS ok, min(p.retailprice) AS mn",
+            # expression arg
+            "MATCH (o:Order) OPTIONAL MATCH (o)-[l:CONTAINS]->(p:Part) "
+            "RETURN o.orderkey AS ok, min(l.quantity + 1) AS mn",
+            # missing prop: generic null semantics must win
+            "MATCH (o:Order) OPTIONAL MATCH (o)-[l:CONTAINS]->(p:Part) "
+            "RETURN o.orderkey AS ok, min(l.nosuchprop) AS mn",
+        ]:
+            fired, _ = self._fired(spark, tpch_graph, q)
+            assert not fired, q
+
+    def test_min_distinct_fires(self, spark, tpch_graph):
+        # min(DISTINCT x) is value-identical to min(x): both admitted
+        fired, _ = self._fired(
+            spark, tpch_graph,
+            "MATCH (o:Order) OPTIONAL MATCH (o)-[l:CONTAINS]->(p:Part) "
+            "RETURN o.orderkey AS ok, min(DISTINCT l.quantity) AS mn")
+        assert fired

@@ -77,6 +77,46 @@ QUERIES = [
      "MATCH (c:Customer)-[:PLACED]->(o:Order)-[:CONTAINS]->(p) "
      "WHERE o.totalprice > 100000 AND c.acctbal > 0 "
      "RETURN count(*) AS n"),
+    # --- min/max over the rel's own props: should fire (r9) ---
+    ("minmax_optional_rel_prop",
+     "MATCH (o:Order) OPTIONAL MATCH (o)-[l:CONTAINS]->(p:Part) "
+     "RETURN o.orderkey AS ok, min(l.quantity) AS mn, count(l) AS n "
+     "ORDER BY ok LIMIT 20"),
+    ("minmax_optional_alone",
+     "MATCH (o:Order) OPTIONAL MATCH (o)-[l:CONTAINS]->(p:Part) "
+     "RETURN o.orderkey AS ok, max(l.extendedprice) AS mx "
+     "ORDER BY ok LIMIT 20"),
+    ("minmax_optional_unmatched",
+     "MATCH (p:Part) OPTIONAL MATCH (p)<-[l:CONTAINS]-(o:Order) "
+     "RETURN p.partkey AS pk, min(l.quantity) AS mn "
+     "ORDER BY pk LIMIT 20"),
+    ("minmax_optional_global",
+     "MATCH (o:Order) OPTIONAL MATCH (o)-[l:CONTAINS]->(p) "
+     "RETURN min(l.quantity) AS mn, max(l.tax) AS mx, count(l) AS n"),
+    ("minmax_trailing_with_count",
+     "MATCH (c:Customer)-[:PLACED]->(o:Order)-[l:CONTAINS]->(p) "
+     "RETURN c.custkey AS ck, count(*) AS n, max(l.quantity) AS mx "
+     "ORDER BY ck LIMIT 20"),
+    ("minmax_trailing_date",
+     "MATCH (c:Customer)-[:PLACED]->(o:Order)-[l:CONTAINS]->(p) "
+     "RETURN c.custkey AS ck, min(l.shipdate) AS d ORDER BY ck LIMIT 20"),
+    ("minmax_distinct",
+     "MATCH (o:Order) OPTIONAL MATCH (o)-[l:CONTAINS]->(p:Part) "
+     "RETURN o.orderkey AS ok, min(DISTINCT l.quantity) AS mn "
+     "ORDER BY ok LIMIT 20"),
+    # --- min/max shapes that must bail (still equal) ---
+    ("bail_minmax_node_prop",
+     "MATCH (o:Order) OPTIONAL MATCH (o)-[l:CONTAINS]->(p:Part) "
+     "RETURN o.orderkey AS ok, min(p.retailprice) AS mn "
+     "ORDER BY ok LIMIT 20"),
+    ("bail_minmax_expr_arg",
+     "MATCH (o:Order) OPTIONAL MATCH (o)-[l:CONTAINS]->(p:Part) "
+     "RETURN o.orderkey AS ok, min(l.quantity + 1) AS mn "
+     "ORDER BY ok LIMIT 20"),
+    ("bail_minmax_missing_prop",
+     "MATCH (o:Order) OPTIONAL MATCH (o)-[l:CONTAINS]->(p:Part) "
+     "RETURN o.orderkey AS ok, min(l.nosuchprop) AS mn "
+     "ORDER BY ok LIMIT 20"),
     # --- inner trailing-count: must bail ---
     ("bail_trailing_where_on_p",
      "MATCH (c:Customer)-[:PLACED]->(o:Order)-[:CONTAINS]->(p:Part) "
