@@ -1769,8 +1769,15 @@ class Translator:
         rows; and the outer id set is never broadcast, which at scale it
         could not be).  Soundness gates mirror
         :meth:`_preagg_optional_count` exactly (probe-verified there,
-        incl. the undirected bare-fresh case)."""
-        if where is not None or len(parts) != 1:
+        incl. the undirected bare-fresh case).
+
+        An inner WHERE (clause-level or ``[r:T WHERE ...]``) is admitted
+        when it references ONLY the rel variable itself: the predicate
+        compiles against the scan's full rel struct — the same struct
+        the generic lowering would bind — and filters the scan before
+        the aggregate, so it pushes into the parquet read instead of
+        forcing the build-from-outer-rows join."""
+        if len(parts) != 1:
             return None
         part = parts[0]
         if part.path_var or part.selector \
@@ -1783,7 +1790,10 @@ class Translator:
         if not (isinstance(a_pat, A.NodePat) and isinstance(rp, A.RelPat)
                 and isinstance(b_pat, A.NodePat)):
             return None
-        if rp.var_length or rp.props is not None or rp.where is not None:
+        if rp.var_length or rp.props is not None:
+            return None
+        preds = [p for p in (where, rp.where) if p is not None]
+        if preds and not all(self._rel_only_pred(p, rp.var) for p in preds):
             return None
         if rp.var is not None and rp.var in cur_df.columns:
             return None  # re-bound rel var: ProjectEndpoints semantics
@@ -1833,11 +1843,87 @@ class Translator:
                      else self.labels_of(a_pat.var if bound_l else None))
         right_lbls = (list(b_pat.labels) if b_pat.labels
                       else self.labels_of(b_pat.var if bound_r else None))
-        scan = self._rel_scan(rp, "__pa_r", slim=True,
+        scan = self._rel_scan(rp, "__pa_r", slim=not preds,
                               left_labels=left_lbls,
                               right_labels=right_lbls)
+        if preds:
+            scan = self._filter_rel_scan(scan, rp.var, preds)
+            if scan is None:
+                return None
         key = "__from" if bound_l else "__to"
         return scan, key, bnd.var
+
+    def _rel_only_pred(self, e, rv: Optional[str]) -> bool:
+        """True when expression ``e`` references no variable other than
+        the rel var ``rv`` and contains no construct whose compilation
+        could reach beyond the rel struct (nested patterns, subqueries,
+        local-binder comprehensions, aggregates)."""
+        import dataclasses as _dc
+
+        ok = {"v": True}
+
+        def walk(node):
+            if not ok["v"]:
+                return
+            if isinstance(node, A.Var):
+                if rv is None or node.name != rv:
+                    ok["v"] = False
+                return
+            if isinstance(node, A.MapProjection):
+                if rv is None or node.var != rv:
+                    ok["v"] = False
+                    return
+            if isinstance(node, (A.NodePat, A.RelPat, A.PatternPred,
+                                 A.ExistsSub, A.CollectSub, A.CountSub,
+                                 A.ShortestPathExpr, A.PatternComp,
+                                 A.ListComp, A.Quantifier, A.Reduce,
+                                 A.CountStar)):
+                ok["v"] = False
+                return
+            if isinstance(node, A.Func) and is_agg_fn(node.name):
+                ok["v"] = False
+                return
+            if _dc.is_dataclass(node) and not isinstance(node, type):
+                for f in _dc.fields(node):
+                    v = getattr(node, f.name)
+                    for x in (v if isinstance(v, (list, tuple)) else [v]):
+                        if isinstance(x, tuple):
+                            for y in x:
+                                if _dc.is_dataclass(y):
+                                    walk(y)
+                        elif _dc.is_dataclass(x):
+                            walk(x)
+
+        walk(e)
+        return ok["v"]
+
+    def _filter_rel_scan(self, scan: DataFrame, rv: Optional[str],
+                         preds) -> Optional[DataFrame]:
+        """Compile rel-only predicates against the scan's full struct
+        (bound under the rel var's name, kind 'rel' — the same binding
+        the generic lowering gives it) and filter.  Returns None when
+        compilation falls outside the supported surface, sending the
+        caller back to the generic lowering."""
+        tmp = scan.withColumnRenamed("__pa_r", rv) if rv else scan
+        saved = self.kinds.get(rv) if rv else None
+        if rv:
+            self.kinds[rv] = "rel"
+        try:
+            cc = self._compiler(tmp)
+            cond = None
+            for p in preds:
+                c = cc.compile(p)
+                cond = c if cond is None else cond & c
+            tmp = tmp.filter(cond)
+        except TranslateError:
+            return None
+        finally:
+            if rv:
+                if saved is None:
+                    self.kinds.pop(rv, None)
+                else:
+                    self.kinds[rv] = saved
+        return tmp.withColumnRenamed(rv, "__pa_r") if rv else tmp
 
     def _uniqueness_filters(self, df: DataFrame,
                             rel_bindings: List[Tuple[str, str, frozenset]]) -> DataFrame:

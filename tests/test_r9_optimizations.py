@@ -131,3 +131,95 @@ class TestPreaggMinMax:
             "MATCH (o:Order) OPTIONAL MATCH (o)-[l:CONTAINS]->(p:Part) "
             "RETURN o.orderkey AS ok, min(DISTINCT l.quantity) AS mn")
         assert fired
+
+
+class TestPatternSubRelPropWhere:
+    """EXISTS{}/COUNT{} subqueries whose inner WHERE references only the
+    rel's own properties keep the pre-aggregated fast path: the predicate
+    compiles against the scan's rel struct and pushes into the parquet
+    read instead of forcing the build-from-outer-rows lowering."""
+
+    @staticmethod
+    def _fired(spark, tpch_graph, q):
+        from neo4j_spark.cypher.translate import Translator
+
+        orig = Translator._preagg_pattern_sub
+        hit = {"v": False}
+
+        def spy(self, cur_df, parts, where):
+            r = orig(self, cur_df, parts, where)
+            if r is not None:
+                hit["v"] = True
+            return r
+
+        Translator._preagg_pattern_sub = spy
+        try:
+            df = cypher(spark, q, tpch_graph)
+        finally:
+            Translator._preagg_pattern_sub = orig
+        return hit["v"], df
+
+    def test_rel_prop_where_fires_and_pushes(self, spark, tpch_graph):
+        fired, df = self._fired(
+            spark, tpch_graph,
+            "MATCH (o:Order) RETURN o.orderkey AS k, "
+            "COUNT { (o)-[l:CONTAINS]->() WHERE l.quantity > 25 } AS n")
+        assert fired
+        plan = plan_of(df)
+        scans = [l for l in plan.splitlines()
+                 if "lineitem" in l and "FileScan" in l]
+        assert scans and "l_quantity" in scans[0]
+        # the predicate reaches the scan's data filters
+        assert "DataFilters: [" in scans[0]
+        assert "l_quantity" in scans[0].split("DataFilters:")[1].split(
+            "Format:")[0]
+
+    def test_relpat_where_form_fires(self, spark, tpch_graph):
+        fired, _ = self._fired(
+            spark, tpch_graph,
+            "MATCH (o:Order) RETURN o.orderkey AS k, "
+            "COUNT { (o)-[l:CONTAINS WHERE l.quantity > 25]->() } AS n")
+        assert fired
+
+    def test_results_match_unrewritten(self, spark, tpch_graph):
+        from neo4j_spark.cypher.translate import Translator
+
+        queries = [
+            "MATCH (o:Order) RETURN o.orderkey AS k, "
+            "COUNT { (o)-[l:CONTAINS]->() WHERE l.quantity > 25 } AS n "
+            "ORDER BY k LIMIT 25",
+            "MATCH (o:Order) WHERE EXISTS { (o)-[l:CONTAINS]->(:Part) "
+            "WHERE l.tax > 0.05 } RETURN count(*) AS n",
+            # missing prop: predicate is null, matches nothing
+            "MATCH (o:Order) RETURN o.orderkey AS k, "
+            "COUNT { (o)-[l:CONTAINS]->() WHERE l.nosuch > 1 } AS n "
+            "ORDER BY k LIMIT 25",
+        ]
+        orig = Translator._preagg_pattern_sub
+        try:
+            for q in queries:
+                on = sorted(map(tuple, cypher(spark, q, tpch_graph).collect()))
+                Translator._preagg_pattern_sub = \
+                    lambda self, cur_df, parts, where: None
+                off = sorted(map(tuple,
+                                 cypher(spark, q, tpch_graph).collect()))
+                Translator._preagg_pattern_sub = orig
+                assert on == off, q
+        finally:
+            Translator._preagg_pattern_sub = orig
+
+    def test_bails_on_foreign_refs(self, spark, tpch_graph):
+        for q in [
+            # fresh node prop
+            "MATCH (c:Customer) RETURN c.custkey AS k, "
+            "COUNT { (c)-[:PLACED]->(o) WHERE o.orderkey > 100 } AS n",
+            # outer var reference
+            "MATCH (o:Order) RETURN o.orderkey AS k, "
+            "COUNT { (o)-[l:CONTAINS]->() WHERE l.quantity > o.orderkey } "
+            "AS n",
+            # anonymous rel with a node-prop predicate
+            "MATCH (o:Order) RETURN o.orderkey AS k, "
+            "COUNT { (o)-[:CONTAINS]->(p) WHERE p.partkey > 1 } AS n",
+        ]:
+            fired, _ = self._fired(spark, tpch_graph, q)
+            assert not fired, q

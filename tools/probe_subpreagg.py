@@ -1,5 +1,5 @@
 """Equivalence probe for the EXISTS{}/COUNT{} pattern-subquery
-pre-aggregation (_preagg_pattern_sub): 22 shapes (14 firing, 8 bail),
+pre-aggregation (_preagg_pattern_sub): 29 shapes (19 firing, 10 bail),
 each compared against the generic lowering with the rewrite
 monkeypatched off.  Usage: python tools/probe_subpreagg.py [sf_dir]"""
 import sys
@@ -48,10 +48,33 @@ QUERIES = [
   "RETURN count(*) AS n"),
  ("exists_fire_return_pos",
   "MATCH (n:Nation) RETURN n.name AS k, EXISTS { (n)-[:FROM_NATION]-() } AS e"),
+ # --- should fire: inner WHERE on the rel's own props (r9) ---
+ ("count_fire_where_rel_prop",
+  "MATCH (o:Order) RETURN o.orderkey AS k, "
+  "COUNT { (o)-[l:CONTAINS]->() WHERE l.quantity > 25 } AS n"),
+ ("count_fire_where_in_relpat",
+  "MATCH (o:Order) RETURN o.orderkey AS k, "
+  "COUNT { (o)-[l:CONTAINS WHERE l.quantity > 25]->() } AS n"),
+ ("exists_fire_where_rel_prop",
+  "MATCH (o:Order) WHERE EXISTS { (o)-[l:CONTAINS]->(:Part) "
+  "WHERE l.tax > 0.05 } RETURN count(*) AS n"),
+ ("count_fire_where_rel_fn",
+  "MATCH (o:Order) RETURN o.orderkey AS k, "
+  "COUNT { (o)-[l:CONTAINS]->() WHERE l.shipdate IS NOT NULL "
+  "AND type(l) = 'CONTAINS' } AS n"),
+ ("count_fire_where_missing_prop",
+  "MATCH (o:Order) RETURN o.orderkey AS k, "
+  "COUNT { (o)-[l:CONTAINS]->() WHERE l.nosuch > 1 } AS n"),
  # --- must bail (inner WHERE / props / two-hop / both-bound / var-length / wrong label) ---
- ("bail_inner_where",
+ ("bail_inner_where_node_prop",
   "MATCH (c:Customer) RETURN c.custkey AS k, "
   "COUNT { (c)-[:PLACED]->(o) WHERE o.orderkey > 100 } AS n"),
+ ("bail_inner_where_outer_ref",
+  "MATCH (o:Order) RETURN o.orderkey AS k, "
+  "COUNT { (o)-[l:CONTAINS]->() WHERE l.quantity > o.orderkey } AS n"),
+ ("bail_inner_where_anon_rel",
+  "MATCH (o:Order) RETURN o.orderkey AS k, "
+  "COUNT { (o)-[:CONTAINS]->(p) WHERE p.partkey > 1 } AS n"),
  ("bail_props",
   "MATCH (c:Customer) RETURN c.custkey AS k, "
   "COUNT { (c)-[:PLACED]->(o:Order {orderpriority: '1-URGENT'}) } AS n"),
