@@ -1397,11 +1397,9 @@ class Translator:
                 end_idx = 0 if fresh_is_left else 1
             else:
                 end_idx = 1 if fresh_is_left else 0
-            meta = getattr(self.graph, "rel_endpoint_labels", {}) or {}
             for t in rp.types:
-                g = meta.get(t)
-                if g is None or g[end_idx] is None \
-                        or set(fresh.labels) != {g[end_idx]}:
+                if self._implied_end_label(t, end_idx,
+                                           fresh.labels) is None:
                     return None
         cnt_vars = {v for v in (rp.var, fresh.var) if v is not None}
         if not cnt_vars or any(v in df.columns for v in cnt_vars):
@@ -1626,11 +1624,9 @@ class Translator:
             if rp.direction == "both":
                 return None
             end_idx = 1 if rp.direction == "out" else 0
-            meta = getattr(self.graph, "rel_endpoint_labels", {}) or {}
             for t in rp.types:
-                g = meta.get(t)
-                if g is None or g[end_idx] is None \
-                        or set(b_pat.labels) != {g[end_idx]}:
+                if self._implied_end_label(t, end_idx,
+                                           b_pat.labels) is None:
                     return None
         # rel-uniqueness: the trailing rel must be type-disjoint from
         # every other rel in the part (typed, no overlap) so the
@@ -1832,11 +1828,9 @@ class Translator:
                 end_idx = 0 if fresh_is_left else 1
             else:
                 end_idx = 1 if fresh_is_left else 0
-            meta = getattr(self.graph, "rel_endpoint_labels", {}) or {}
             for t in rp.types:
-                g = meta.get(t)
-                if g is None or g[end_idx] is None \
-                        or set(fresh.labels) != {g[end_idx]}:
+                if self._implied_end_label(t, end_idx,
+                                           fresh.labels) is None:
                     return None
 
         left_lbls = (list(a_pat.labels) if a_pat.labels
@@ -1924,6 +1918,40 @@ class Translator:
                 else:
                     self.kinds[rv] = saved
         return tmp.withColumnRenamed(rv, "__pa_r") if rv else tmp
+
+    def _implied_end_label(self, t: str, end_idx: int,
+                           pat_labels) -> Optional[str]:
+        """The single label GUARANTEED for endpoint ``end_idx`` of every
+        row a scan of rel type ``t`` (built with ``pat_labels`` endpoint
+        knowledge) will produce, or None when no such guarantee exists.
+
+        - declaration is a single label: guaranteed by the type itself;
+          the pattern's labels (if any) must name exactly that label,
+          otherwise eliding the node join would drop a real filter;
+        - declaration is a tuple of alternatives (sharded type, e.g.
+          FROM_NATION src = Customer|Supplier): guaranteed only when the
+          pattern pins ONE alternative — the scan is then pruned to that
+          label's shards — and :meth:`PropertyGraph.
+          shard_endpoint_guarantee` holds (shards declared, pruning not
+          voided by writes, and no unconstrained shard that could leak
+          another label)."""
+        meta = getattr(self.graph, "rel_endpoint_labels", {}) or {}
+        g = meta.get(t)
+        if g is None:
+            return None
+        end = g[end_idx]
+        if isinstance(end, str):
+            if pat_labels and set(pat_labels) != {end}:
+                return None
+            return end
+        if isinstance(end, (tuple, list)):
+            if len(pat_labels or ()) != 1 or pat_labels[0] not in end:
+                return None
+            guard = getattr(self.graph, "shard_endpoint_guarantee", None)
+            if guard is None or not guard(t, end_idx, pat_labels[0]):
+                return None
+            return pat_labels[0]
+        return None
 
     def _uniqueness_filters(self, df: DataFrame,
                             rel_bindings: List[Tuple[str, str, frozenset]]) -> DataFrame:
@@ -2230,11 +2258,8 @@ class Translator:
                 return True
             if end_idx is None or not rp.types or rp.neg_types:
                 return False
-            meta = getattr(self.graph, "rel_endpoint_labels", {})
             for t in rp.types:
-                g = meta.get(t)
-                if g is None or g[end_idx] is None \
-                        or set(np.labels) != {g[end_idx]}:
+                if self._implied_end_label(t, end_idx, np.labels) is None:
                     return False
             return True
 
@@ -2266,15 +2291,14 @@ class Translator:
                 return None
             if self._rel_endpoints_needed(rp.var):
                 return None
-            meta = getattr(self.graph, "rel_endpoint_labels", {}) or {}
             lbl = None
             for t in rp.types:
-                g = meta.get(t)
-                if g is None or not isinstance(g[end_idx], str):
+                cand = self._implied_end_label(t, end_idx, np.labels)
+                if cand is None:
                     return None
                 if lbl is None:
-                    lbl = g[end_idx]
-                elif g[end_idx] != lbl:
+                    lbl = cand
+                elif cand != lbl:
                     return None
             if np.labels and set(np.labels) != {lbl}:
                 return None

@@ -114,6 +114,27 @@ class TestSinglePassDocumentStats:
         read = [l for l in plan.splitlines() if "ReadSchema" in l]
         assert read
 
+    def test_payload_never_crosses_the_exchange(self, spark, docs):
+        """The bench path selects only derived scalars, so Catalyst must
+        prune every payload-carrying first() aggregate: a future change
+        that defeats that pruning would silently re-shuffle the corpus
+        (text) through the stats exchange."""
+        from neo4j_spark.ml.text import document_stats
+
+        out = document_stats(docs).select(
+            "doc_id", "n_tokens", "quality", "lang_pred")
+        plan = plan_of(out)
+        # no first(text) buffer in any aggregate (partial or final): the
+        # only string crossing the exchange is the exploded token column
+        import re
+        assert not re.search(r"first\(text#\d+", plan)
+        # and the raw text column is consumed by the Generate, never
+        # carried alongside the exploded tokens into the aggregate
+        gen_out = re.search(r"Generate explode\([^\n]*\[(_t#\d+)\]", plan)
+        assert gen_out, plan
+        above_gen = plan[:plan.index("Generate explode")]
+        assert not re.search(r"HashAggregate[^\n]*text#\d+", above_gen)
+
     def test_values_unchanged(self, spark, docs):
         from neo4j_spark.ml.text import document_stats
 
@@ -421,12 +442,21 @@ class TestPreaggPatternSub:
                    "MATCH (c:Customer) RETURN COUNT { "
                    "(c:Customer)-[:PLACED]->() } AS n", tpch_graph)
             # fresh label not implied by the rel's endpoint declaration
+            # (PLACED src is declared Customer; Supplier never matches)
+            cypher(spark,
+                   "MATCH (o:Order) RETURN COUNT { "
+                   "(o)<-[:PLACED]-(s:Supplier) } AS n", tpch_graph)
+            # sharded endpoint WITHOUT a pinning label: the union scan
+            # could carry either alternative, so no guarantee (the
+            # pinned-label case fires as of r9 — see
+            # test_r9_optimizations.TestPatternSubRelPropWhere)
             cypher(spark,
                    "MATCH (n:Nation) RETURN COUNT { "
-                   "(n)<-[:FROM_NATION]-(c:Customer) } AS n", tpch_graph)
+                   "(n)<-[:FROM_NATION]-(c:Customer:Supplier) } AS n",
+                   tpch_graph)
         finally:
             TR.Translator._preagg_pattern_sub = orig
-        assert hits == [False, False, False, False]
+        assert hits == [False, False, False, False, False]
 
 
 class TestKeyPropElision:

@@ -208,6 +208,20 @@ class TestPatternSubRelPropWhere:
         finally:
             Translator._preagg_pattern_sub = orig
 
+    def test_sharded_endpoint_label_fires(self, spark, tpch_graph):
+        """A COUNT{} whose fresh endpoint pins ONE alternative of a
+        sharded rel type's declared endpoint labels keeps the fast path:
+        shard pruning guarantees the scan contains only that label."""
+        fired, df = self._fired(
+            spark, tpch_graph,
+            "MATCH (n:Nation) RETURN n.name AS k, "
+            "COUNT { (n)<-[:FROM_NATION]-(c:Customer) } AS n")
+        assert fired
+        plan = plan_of(df)
+        # only the customer shard of FROM_NATION is read
+        assert "customer.parquet" in plan
+        assert "supplier.parquet" not in plan
+
     def test_bails_on_foreign_refs(self, spark, tpch_graph):
         for q in [
             # fresh node prop
@@ -223,3 +237,84 @@ class TestPatternSubRelPropWhere:
         ]:
             fired, _ = self._fired(spark, tpch_graph, q)
             assert not fired, q
+
+
+class TestShardedEndpointElision:
+    """An unused/key-prop-only labelled endpoint of a SHARDED rel type
+    (declared endpoint label is a tuple of alternatives, FROM_NATION src
+    = Customer|Supplier) elides its node-frame join when the pattern
+    pins one alternative: shard pruning guarantees the scan keeps only
+    that label's shards (PropertyGraph.shard_endpoint_guarantee)."""
+
+    def test_unused_endpoint_drops_node_join(self, spark, tpch_graph):
+        df = cypher(spark,
+                    "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
+                    "RETURN n.name AS nm, count(*) AS n", tpch_graph)
+        plan = plan_of(df)
+        import re
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+        # 2 scans: the customer rel shard + nation; no supplier shard,
+        # no customer NODE-frame join (which would read more columns)
+        assert len(scans) == 2, scans
+        assert "supplier.parquet" not in plan
+        assert plan.count("Join") <= 2  # one join (+AQE mention slack)
+
+    def test_key_prop_elision_on_sharded_endpoint(self, spark, tpch_graph):
+        df = cypher(spark,
+                    "MATCH (x:Customer)-[:FROM_NATION]->(n:Nation) "
+                    "RETURN n.name AS nm, count(DISTINCT x.custkey) AS n",
+                    tpch_graph)
+        plan = plan_of(df)
+        import re
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+        assert len(scans) == 2, scans  # rel shard + nation only
+        assert "supplier.parquet" not in plan
+
+    def test_results_match_unextended(self, spark, tpch_graph):
+        from neo4j_spark.cypher import translate as TR
+
+        orig = TR.Translator._implied_end_label
+
+        def off(self, t, end_idx, pat_labels):
+            meta = getattr(self.graph, "rel_endpoint_labels", {}) or {}
+            g = meta.get(t)
+            if g is not None and isinstance(g[end_idx], (tuple, list)):
+                return None  # pre-r9 behavior: sharded ends never imply
+            return orig(self, t, end_idx, pat_labels)
+
+        queries = [
+            "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
+            "RETURN n.name AS nm, count(*) AS n ORDER BY nm",
+            "MATCH (x:Customer)-[:FROM_NATION]->(n:Nation) "
+            "RETURN n.name AS nm, count(DISTINCT x.custkey) AS n "
+            "ORDER BY nm",
+            "MATCH (s:Supplier)-[:FROM_NATION]->(n:Nation) "
+            "RETURN n.name AS nm, max(s.suppkey) AS mx ORDER BY nm",
+        ]
+        try:
+            for q in queries:
+                on = sorted(map(tuple, cypher(spark, q, tpch_graph).collect()))
+                TR.Translator._implied_end_label = off
+                noff = sorted(map(tuple,
+                                  cypher(spark, q, tpch_graph).collect()))
+                TR.Translator._implied_end_label = orig
+                assert on == noff, q
+        finally:
+            TR.Translator._implied_end_label = orig
+
+    def test_mutation_voids_the_guarantee(self, spark, tpch_graph):
+        """A write replacing the shard-union frame must void the
+        guarantee: the same pattern keeps its node-frame join."""
+        g2 = tpch_graph.copy()
+        # simulate a write replacing the whole-type frame (the identity
+        # guard _shard_pruning_ok keys on)
+        g2.rel_frames["FROM_NATION"] = \
+            g2.rel_frames["FROM_NATION"].filter("1=1")
+        assert not g2.shard_endpoint_guarantee("FROM_NATION", 0, "Customer")
+        df = cypher(spark,
+                    "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
+                    "RETURN n.name AS nm, count(*) AS n", g2)
+        plan = plan_of(df)
+        import re
+        scans = re.findall(r"FileScan parquet", plan)
+        assert len(scans) >= 3, plan  # node-frame join is back

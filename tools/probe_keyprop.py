@@ -1,5 +1,5 @@
 """Equivalence probe for key-property elision (node_key_props /
-key_elidable): 20 shapes incl. first/middle/last endpoint positions,
+key_elidable): 22 shapes incl. first/middle/last endpoint positions,
 bail shapes, a writing statement, and OPTIONAL/COUNT{} interplay, each
 compared with the usage analysis forced off.  Usage:
 python tools/probe_keyprop.py [sf_dir]"""
@@ -41,6 +41,15 @@ QUERIES = [
  ("fire_incoming_dir",
   "MATCH (o:Order)<-[:PLACED]-(c:Customer) "
   "RETURN c.custkey AS ck, count(o.orderkey) AS n"),
+ # --- sharded multi-label endpoint pinned to one alternative (r9):
+ # shard pruning guarantees the scan keeps only that label's shards,
+ # so per-shard key derivation is sound ---
+ ("fire_sharded_src_customer",
+  "MATCH (x:Customer)-[:FROM_NATION]->(n:Nation) "
+  "RETURN n.name AS nm, count(DISTINCT x.custkey) AS n"),
+ ("fire_sharded_src_supplier",
+  "MATCH (s:Supplier)-[:FROM_NATION]->(n:Nation) "
+  "RETURN n.name AS nm, max(s.suppkey) AS mx"),
  # --- must bail ---
  ("bail_whole_var",
   "MATCH (c:Customer)-[:PLACED]->(o:Order) RETURN o LIMIT 0"),

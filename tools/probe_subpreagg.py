@@ -1,5 +1,5 @@
 """Equivalence probe for the EXISTS{}/COUNT{} pattern-subquery
-pre-aggregation (_preagg_pattern_sub): 29 shapes (19 firing, 10 bail),
+pre-aggregation (_preagg_pattern_sub): 29 shapes (20 firing, 9 bail),
 each compared against the generic lowering with the rewrite
 monkeypatched off.  Usage: python tools/probe_subpreagg.py [sf_dir]"""
 import sys
@@ -88,7 +88,9 @@ QUERIES = [
   "MATCH (n:Nation) RETURN n.name AS k, COUNT { (n)-[:IN_REGION*1..2]->() } AS n"),
  ("bail_anchor_label",
   "MATCH (c:Customer) RETURN c.custkey AS k, COUNT { (c:Customer)-[:PLACED]->() } AS n"),
- ("bail_nonimplied_label",
+ # sharded endpoint pinned to one alternative: fires as of r9
+ # (shard pruning guarantees the scan keeps only Customer-src shards)
+ ("count_fire_sharded_label",
   "MATCH (n:Nation) RETURN n.name AS k, COUNT { (n)<-[:FROM_NATION]-(c:Customer) } AS n"),
  ("bail_cycle",
   "MATCH (c:Customer) RETURN c.custkey AS k, COUNT { (c)-[:PLACED]->(c) } AS n"),
