@@ -1847,6 +1847,20 @@ class Translator:
         key = "__from" if bound_l else "__to"
         return scan, key, bnd.var
 
+    @staticmethod
+    def _proj_error_free(e) -> bool:
+        """True when a comprehension projection can never raise at
+        evaluation time, so dropping its evaluation (counting matches
+        instead of materializing the list) is semantics-preserving:
+        variables, property accesses on variables, and literals.
+        Anything computed (arithmetic can overflow/divide-by-zero under
+        ANSI mode, functions can throw) keeps the materializing path."""
+        if isinstance(e, (A.Var, A.Lit, A.Param)):
+            return True
+        if isinstance(e, A.Prop):
+            return isinstance(e.subject, A.Var)
+        return False
+
     def _rel_only_pred(self, e, rv: Optional[str]) -> bool:
         """True when expression ``e`` references no variable other than
         the rel var ``rv`` and contains no construct whose compilation
@@ -3584,6 +3598,25 @@ class Translator:
                 return lower_count(df, e)
             if isinstance(e, A.CollectSub):
                 return self._lower_collect_sub(df, e)
+            if (isinstance(e, A.Func) and e.name == "size"
+                    and not e.distinct and len(e.args) == 1
+                    and isinstance(e.args[0], A.PatternComp)):
+                # size([anchored single hop | proj]) counts matches —
+                # identical to COUNT{} of the same pattern whenever the
+                # projection cannot raise (one list element per match,
+                # null projections included).  Route through the COUNT
+                # pre-aggregation when its gate fires: the rollup
+                # (distinct outer rows -> correlated match -> groupBy
+                # collect_list -> join back) collapses to one
+                # pre-aggregated (id, count) join, and no list is ever
+                # materialized (guide §2.3).  Bailing shapes keep the
+                # RollUpApply lowering below.
+                pc = e.args[0]
+                if self._proj_error_free(pc.projection) \
+                        and self._preagg_pattern_sub(
+                            df, [pc.pattern], pc.where) is not None:
+                    return lower_count(
+                        df, A.CountSub([pc.pattern], pc.where))
             if isinstance(e, A.PatternComp):
                 # pattern comprehension in predicate position, e.g.
                 # WHERE size([(n)-->(m) | m]) > 2 — RollUpApply (LP:3534)
@@ -4353,6 +4386,20 @@ class Translator:
                 return self._lower_shortest_expr(df, e)
             if isinstance(e, A.ListComp) and _listcomp_needs_rows(e):
                 return self._lower_listcomp_subq(df, e)
+            if (isinstance(e, A.Func) and e.name == "size"
+                    and not e.distinct and len(e.args) == 1
+                    and isinstance(e.args[0], A.PatternComp)):
+                # size([anchored single hop | error-free proj]) counts
+                # matches — route through the COUNT{} pre-aggregation
+                # when its gate fires instead of materializing the list
+                # via RollUpApply (see _lower_predicates for the
+                # rationale); bailing shapes fall through
+                pc = e.args[0]
+                if self._proj_error_free(pc.projection) \
+                        and self._preagg_pattern_sub(
+                            df, [pc.pattern], pc.where) is not None:
+                    return self._lower_predicates(
+                        df, A.CountSub([pc.pattern], pc.where))
             if isinstance(e, A.PatternComp):
                 return self._lower_pattern_comp(df, e)
             if isinstance(e, (A.PatternPred, A.ExistsSub, A.CountSub,

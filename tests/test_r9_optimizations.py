@@ -239,6 +239,55 @@ class TestPatternSubRelPropWhere:
             assert not fired, q
 
 
+class TestSizePatternCompPreagg:
+    """size([anchored single hop | error-free proj]) counts matches, so
+    it routes through the COUNT{} pre-aggregation instead of the
+    RollUpApply (distinct outer rows -> correlated match -> collect_list
+    -> null-safe join back) — no list materialization, the exchange
+    carries (id, count)."""
+
+    def test_fires_and_drops_collect_list(self, spark, tpch_graph):
+        df = cypher(spark,
+                    "MATCH (r:Region) RETURN r.name AS region, "
+                    "size([(n:Nation)-[:IN_REGION]->(r) | n.name]) AS n "
+                    "ORDER BY region", tpch_graph)
+        plan = plan_of(df)
+        assert "collect_list" not in plan
+        assert "SortMergeJoin" not in plan  # the eqNullSafe join-back
+
+    def test_results_match_rollup(self, spark, tpch_graph):
+        from neo4j_spark.cypher.translate import Translator
+
+        q = ("MATCH (o:Order) RETURN o.orderkey AS k, "
+             "size([(o)-[l:CONTAINS]->() WHERE l.quantity > 25 "
+             "| l.linenumber]) AS n ORDER BY k LIMIT 25")
+        orig = Translator._preagg_pattern_sub
+        try:
+            on = sorted(map(tuple, cypher(spark, q, tpch_graph).collect()))
+            Translator._preagg_pattern_sub = \
+                lambda self, cur_df, parts, where: None
+            off = sorted(map(tuple, cypher(spark, q, tpch_graph).collect()))
+        finally:
+            Translator._preagg_pattern_sub = orig
+        assert on == off
+
+    def test_computed_projection_keeps_rollup(self, spark, tpch_graph):
+        # arithmetic can raise under ANSI mode: the list must be
+        # materialized so the error surfaces
+        df = cypher(spark,
+                    "MATCH (r:Region) RETURN r.name AS region, "
+                    "size([(n:Nation)-[:IN_REGION]->(r) | n.nationkey + 1]) "
+                    "AS n ORDER BY region", tpch_graph)
+        assert "collect_list" in plan_of(df)
+
+    def test_raw_list_keeps_rollup(self, spark, tpch_graph):
+        df = cypher(spark,
+                    "MATCH (r:Region) RETURN r.name AS region, "
+                    "[(n:Nation)-[:IN_REGION]->(r) | n.name] AS names "
+                    "ORDER BY region", tpch_graph)
+        assert "collect_list" in plan_of(df)
+
+
 class TestShardedEndpointElision:
     """An unused/key-prop-only labelled endpoint of a SHARDED rel type
     (declared endpoint label is a tuple of alternatives, FROM_NATION src
