@@ -4702,6 +4702,73 @@ class Translator:
             return out
 
         out_frames: List[DataFrame] = []
+        if (not updates and not needs_seq and on_error != "BREAK"
+                and n_batches > 1):
+            # Read-only body: batches commit nothing and cannot observe
+            # one another, so any schedule is legal — translate each
+            # batch serially (driver-side, lazy, shared translator state
+            # untouched by reads), then MATERIALIZE them concurrently
+            # from a small thread pool (guide §2.6): each batch's
+            # localCheckpoint is an independent Spark job, and FIFO
+            # scheduling back-fills executors freed by another batch's
+            # straggler tail.  Statuses/errors are then assembled in
+            # batch order, so REPORT STATUS rows and the ON ERROR FAIL
+            # first-failure choice are byte-identical to the serial
+            # loop.  ON ERROR BREAK keeps the loop: "later batches not
+            # started" is inherently ordered.  Write bodies keep the
+            # loop too — their writes force eagerly inside translation
+            # against the shared frame dicts, which is exactly the
+            # snapshot/rollback machinery (the write-only
+            # n-CONCURRENT/FAIL case is already ONE distributed job via
+            # the fused path above).
+            from concurrent.futures import ThreadPoolExecutor
+
+            staged: List = []
+            for k in range(n_batches):
+                bdf = seq.filter(F.col("__tx_bid") == k)
+                try:
+                    staged.append((bdf, self._call_sub_body(bdf, clause),
+                                   None))
+                except Exception as e:  # noqa: BLE001 — tx boundary
+                    staged.append((bdf, None, e))
+
+            def run(k: int):
+                bdf, out, err = staged[k]
+                if err is not None:
+                    return k, None, err
+                try:
+                    return k, self._stats_safe_ckpt(out), None
+                except Exception as e:  # noqa: BLE001 — tx boundary
+                    return k, None, e
+
+            workers = (concurrency if (concurrency or 0) > 0
+                       else min(n_batches, 4))
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                results = dict((k, (out, err)) for k, out, err
+                               in pool.map(run, range(n_batches)))
+            for k in range(n_batches):
+                bdf = staged[k][0]
+                out, err = results[k]
+                txid = f"spark-tx-{k}"
+                if err is not None:
+                    if on_error == "FAIL":
+                        raise err
+                    out_frames.append(passthrough(
+                        bdf, status_col(True, False, txid, _short_err(err))))
+                    continue
+                out = out.select("__tx_rn", *in_cols, *ret_cols)
+                if clause.report_var:
+                    out = out.withColumn(
+                        clause.report_var,
+                        status_col(True, True, txid, None))
+                out_frames.append(out)
+            final = out_frames[0]
+            for f in out_frames[1:]:
+                final = final.unionByName(f)
+            final = final.orderBy("__tx_rn").drop("__tx_rn")
+            if clause.report_var:
+                self.kinds[clause.report_var] = "scalar"
+            return final
         stopped = False
         for k in range(n_batches):
             bdf = seq.filter(F.col("__tx_bid") == k)

@@ -288,6 +288,80 @@ class TestSizePatternCompPreagg:
         assert "collect_list" in plan_of(df)
 
 
+class TestReadOnlyTxOverlap:
+    """Read-only CALL {} IN TRANSACTIONS batches materialize from a
+    thread pool (guide §2.6) — any schedule is legal because they commit
+    nothing and cannot observe one another; statuses assemble in batch
+    order so REPORT STATUS rows are byte-identical to the serial loop."""
+
+    def test_rows_match_serial_loop(self, spark, tpch_graph):
+        import concurrent.futures as cf
+
+        q = ("UNWIND range(1, 4) AS b "
+             "CALL { WITH b MATCH (c:Customer) "
+             "WHERE c.custkey % 4 = b - 1 RETURN count(*) AS n } "
+             "IN TRANSACTIONS OF 1 ROWS ON ERROR CONTINUE "
+             "REPORT STATUS AS st "
+             "RETURN b, n, st.committed AS ok ORDER BY b")
+        real = cf.ThreadPoolExecutor
+
+        class Serial(real):
+            def __init__(self, max_workers=None, **kw):
+                super().__init__(max_workers=1, **kw)
+
+        over = [tuple(r) for r in
+                cypher(spark, q, tpch_graph.copy()).collect()]
+        cf.ThreadPoolExecutor = Serial
+        try:
+            ser = [tuple(r) for r in
+                   cypher(spark, q, tpch_graph.copy()).collect()]
+        finally:
+            cf.ThreadPoolExecutor = real
+        assert over == ser
+        assert len(over) == 4 and all(r[2] for r in over)
+
+    def test_failing_batch_reports_in_order(self, spark, tpch_graph):
+        # batch 2 divides by zero; CONTINUE surfaces it as
+        # committed=false in ITS row, the others commit — identical to
+        # the serial loop's per-batch status assembly
+        q = ("UNWIND [1, 0, 3] AS b "
+             "CALL { WITH b RETURN 1 / b AS n } "
+             "IN TRANSACTIONS OF 1 ROWS ON ERROR CONTINUE "
+             "REPORT STATUS AS st "
+             "RETURN b, n, st.committed AS ok, "
+             "st.errorMessage IS NOT NULL AS has_err ORDER BY b")
+        rows = sorted(tuple(r) for r in
+                      cypher(spark, q, tpch_graph.copy()).collect())
+        assert rows == [(0, None, False, True), (1, 1, True, False),
+                        (3, 0, True, False)]
+
+    def test_write_bodies_keep_the_serial_loop(self, spark, tpch_graph):
+        # a write body must not take the overlap path (its writes force
+        # eagerly against the shared frame dicts under snapshot/rollback)
+        import concurrent.futures as cf
+
+        calls = {"n": 0}
+        real = cf.ThreadPoolExecutor
+
+        class Spy(real):
+            def __init__(self, *a, **kw):
+                calls["n"] += 1
+                super().__init__(*a, **kw)
+
+        cf.ThreadPoolExecutor = Spy
+        try:
+            g2 = tpch_graph.copy()
+            cypher(spark,
+                   "UNWIND range(1, 4) AS i "
+                   "CALL { WITH i CREATE (:TmpR9 {v: i}) } "
+                   "IN TRANSACTIONS OF 2 ROWS ON ERROR CONTINUE "
+                   "REPORT STATUS AS st RETURN i, st.committed AS ok",
+                   g2).collect()
+        finally:
+            cf.ThreadPoolExecutor = real
+        assert calls["n"] == 0
+
+
 class TestShardedEndpointElision:
     """An unused/key-prop-only labelled endpoint of a SHARDED rel type
     (declared endpoint label is a tuple of alternatives, FROM_NATION src
