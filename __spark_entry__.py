@@ -30,7 +30,21 @@ def _graph(spark: SparkSession, sf_dir: str):
     return _GRAPH_CACHE[key]
 
 
-_PLAN_CACHE: dict = {}
+from collections import OrderedDict as _OrderedDict
+
+# Bounded LRU (same pattern as ml.similarity._IVF_HANDLES): a long-lived
+# driver cycling many sf_dirs/sessions must not grow the plan cache
+# without bound.  Entries are lazy DataFrames — dropping one only costs
+# a re-translate on the next use.
+_PLAN_CACHE: "_OrderedDict" = _OrderedDict()
+_PLAN_CACHE_MAX = 512
+
+
+def _plan_cache_put(key, df):
+    _PLAN_CACHE[key] = df
+    _PLAN_CACHE.move_to_end(key)
+    while len(_PLAN_CACHE) > _PLAN_CACHE_MAX:
+        _PLAN_CACHE.popitem(last=False)
 
 
 def _cy(text: str) -> Callable[[SparkSession, str], DataFrame]:
@@ -46,6 +60,7 @@ def _cy(text: str) -> Callable[[SparkSession, str], DataFrame]:
         # detection tokenizes on whitespace so "\nSET" is caught too.
         key = (spark.sparkContext.applicationId, sf_dir, text)
         if key in _PLAN_CACHE:
+            _PLAN_CACHE.move_to_end(key)
             return _PLAN_CACHE[key]
         df = cypher(spark, text, _graph(spark, sf_dir))
         toks = set(text.upper().replace("{", " { ").split())
@@ -53,7 +68,7 @@ def _cy(text: str) -> Callable[[SparkSession, str], DataFrame]:
                     "REMOVE", "FOREACH"}
         call_subquery = "CALL" in toks and "{" in toks
         if not (toks & writeish) and not call_subquery:
-            _PLAN_CACHE[key] = df
+            _plan_cache_put(key, df)
         return df
 
     return run
@@ -2061,9 +2076,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _memo(name, fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-            key = (id(spark), sf_dir, name)
+            # keyed on applicationId (session lifetime) like _cy — an
+            # id() of a garbage-collected session could alias a stopped
+            # context
+            key = (spark.sparkContext.applicationId, sf_dir, name)
             if key not in _PLAN_CACHE:
-                _PLAN_CACHE[key] = fn(spark, sf_dir)
+                _plan_cache_put(key, fn(spark, sf_dir))
+            else:
+                _PLAN_CACHE.move_to_end(key)
             return _PLAN_CACHE[key]
 
         return run
