@@ -752,6 +752,81 @@ class Translator:
         walk(root)
         return ok and not star and binds <= 1 and uses >= 1
 
+    def _var_endpoints_only(self, name: str, defining) -> bool:
+        """True when every use of ``name`` in the statement is a BARE
+        pattern-endpoint reference (joined on ``_id``): no expression or
+        map-projection use, no ``RETURN *``, no label/prop/WHERE
+        re-check at a non-defining position, never bound by a
+        non-pattern binder (UNWIND/alias/rel var), and never inside a
+        path-building, selector, QPP or var-length part (those read the
+        full node struct).  The node-frame join can then be replaced by
+        an id-only struct (usage test behind id-only endpoint elision).
+        ``defining`` is the NodePat being elided (exempt — its own
+        label-implication gates already ran)."""
+        import dataclasses
+
+        root = getattr(self, "query_ast", None)
+        if root is None:
+            return False
+        ok = True
+
+        def bare(np) -> bool:
+            return (not np.labels and np.label_tree is None
+                    and not np.neg_labels and not np.any_labels
+                    and not np.req_any_label and not np.req_no_label
+                    and np.props is None and np.where is None)
+
+        def walk(node, in_rich: bool) -> None:
+            nonlocal ok
+            if not ok:
+                return
+            if isinstance(node, A.Var):
+                if node.name == name:
+                    ok = False
+                return
+            if isinstance(node, A.MapProjection):
+                if node.var == name:
+                    ok = False
+                    return
+            if isinstance(node, A.NodePat):
+                if node is defining:
+                    return
+                if node.var == name:
+                    if in_rich or not bare(node):
+                        ok = False
+                    return
+                # fall through: a node pat's props/where may hold exprs
+            if isinstance(node, A.PatternPart):
+                rich = (node.path_var is not None
+                        or node.selector is not None
+                        or getattr(node, "legacy_shortest", False)
+                        or any(isinstance(el, A.QPP)
+                               or (isinstance(el, A.RelPat)
+                                   and el.var_length)
+                               for el in node.elements))
+                for el in node.elements:
+                    walk(el, in_rich or rich)
+                return
+            if isinstance(node, (list, tuple)):
+                for x in node:
+                    walk(x, in_rich)
+                return
+            if not dataclasses.is_dataclass(node) or isinstance(node, type):
+                return
+            if getattr(node, "star", False):
+                ok = False  # RETURN/WITH * observes the full entity
+                return
+            for f in dataclasses.fields(node):
+                v = getattr(node, f.name)
+                if f.name in ("var", "path_var") and v == name \
+                        and not isinstance(node, A.NodePat):
+                    ok = False  # rebound by UNWIND/rel var/report etc.
+                    return
+                walk(v, in_rich)
+
+        walk(root, False)
+        return ok
+
     def _rel_endpoints_needed(self, rvar: Optional[str]) -> bool:
         """True when startNode()/endNode() is called on ``rvar`` anywhere
         in the statement — its endpoint node bindings must then stay."""
@@ -2316,21 +2391,27 @@ class Translator:
                     return None
             if np.labels and set(np.labels) != {lbl}:
                 return None
-            kp = getattr(self.graph, "key_prop_of", lambda _l: None)(lbl)
-            if kp is None:
-                return None
-            prop, off = kp
             if self._stmt_has_writes():
                 return None
-            if not self._var_key_prop_only(np.var, prop):
-                return None
-            return np.var, prop, off, lbl
+            kp = getattr(self.graph, "key_prop_of", lambda _l: None)(lbl)
+            if kp is not None and self._var_key_prop_only(np.var, kp[0]):
+                return np.var, kp[0], kp[1], lbl
+            # id-only variant (r9): a var used ONLY as a bare pattern
+            # endpoint — possibly in several parts (a connector like
+            # q5's (c:Customer)-[:PLACED]->(o), (c)-[:FROM_NATION]->(n))
+            # — needs nothing but its _id: later positions ExpandInto on
+            # it, so a {_id} struct replaces the node-frame join with no
+            # key-prop declaration required
+            if self._var_endpoints_only(np.var, np):
+                return np.var, None, None, lbl
+            return None
 
         def bind_key_struct(df, end_col, kb):
             v, prop, off, lbl = kb
-            df = df.withColumn(v, F.struct(
-                F.col(end_col).alias("_id"),
-                (F.col(end_col) - F.lit(off)).alias(prop)))
+            fields = [F.col(end_col).alias("_id")]
+            if prop is not None:
+                fields.append((F.col(end_col) - F.lit(off)).alias(prop))
+            df = df.withColumn(v, F.struct(*fields))
             self.kinds[v] = "node"
             self._note_labels(v, [lbl])
             return df

@@ -425,6 +425,36 @@ class TestShardedEndpointElision:
         finally:
             TR.Translator._implied_end_label = orig
 
+    def test_idonly_connector_elides_node_frame(self, spark, tpch_graph):
+        """A var used ONLY as a bare pattern endpoint across parts
+        (q5's customer connector) binds as a {_id} struct from the rel
+        scan's edge end — no node-frame join, later positions ExpandInto
+        on the id."""
+        df = cypher(spark,
+                    "MATCH (c:Customer)-[:PLACED]->(o:Order), "
+                    "(c)-[:FROM_NATION]->(n:Nation) "
+                    "RETURN n.name AS nm, count(*) AS cnt ORDER BY nm",
+                    tpch_graph)
+        plan = plan_of(df)
+        # customer appears once: the FROM_NATION rel shard; the PLACED
+        # scan is orders-derived, the customer NODE frame is gone
+        assert plan.count("customer.parquet") == 1
+
+    def test_idonly_bails_on_prop_use_and_path(self, spark, tpch_graph):
+        for q, n_customer in [
+            # c.acctbal needs the node frame back
+            ("MATCH (c:Customer)-[:PLACED]->(o:Order), "
+             "(c)-[:FROM_NATION]->(n:Nation) "
+             "RETURN n.name AS nm, count(c.acctbal) AS cnt", 2),
+            # a path containing c needs the full struct
+            ("MATCH (c:Customer)-[:PLACED]->(o:Order), "
+             "p = (c)-[:FROM_NATION]->(n:Nation) "
+             "RETURN n.name AS nm, count([x IN nodes(p) | x.name][0]) "
+             "AS cnt", 2),
+        ]:
+            plan = plan_of(cypher(spark, q, tpch_graph))
+            assert plan.count("customer.parquet") >= n_customer, q
+
     def test_mutation_voids_the_guarantee(self, spark, tpch_graph):
         """A write replacing the shard-union frame must void the
         guarantee: the same pattern keeps its node-frame join."""

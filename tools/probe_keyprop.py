@@ -1,5 +1,5 @@
 """Equivalence probe for key-property elision (node_key_props /
-key_elidable): 22 shapes incl. first/middle/last endpoint positions,
+key_elidable + id-only endpoint elision): 28 shapes incl. first/middle/last endpoint positions,
 bail shapes, a writing statement, and OPTIONAL/COUNT{} interplay, each
 compared with the usage analysis forced off.  Usage:
 python tools/probe_keyprop.py [sf_dir]"""
@@ -50,6 +50,29 @@ QUERIES = [
  ("fire_sharded_src_supplier",
   "MATCH (s:Supplier)-[:FROM_NATION]->(n:Nation) "
   "RETURN n.name AS nm, max(s.suppkey) AS mx"),
+ # --- id-only endpoint elision (r9): a var used ONLY as a bare
+ # pattern endpoint (possibly across parts) binds as a {_id} struct ---
+ ("fire_idonly_connector",
+  "MATCH (c:Customer)-[:PLACED]->(o:Order), (c)-[:FROM_NATION]->(n:Nation) "
+  "RETURN n.name AS nm, count(*) AS cnt ORDER BY nm"),
+ ("fire_idonly_single_part",
+  "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+  "RETURN o.orderstatus AS st, count(*) AS cnt ORDER BY st"),
+ ("fire_idonly_optional_anchor",
+  "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
+  "OPTIONAL MATCH (c)-[:PLACED]->(o:Order) "
+  "RETURN n.name AS nm, count(o) AS cnt ORDER BY nm"),
+ # --- id-only must bail ---
+ ("bail_idonly_prop_use",
+  "MATCH (c:Customer)-[:PLACED]->(o:Order), (c)-[:FROM_NATION]->(n:Nation) "
+  "RETURN n.name AS nm, count(c.acctbal) AS cnt ORDER BY nm"),
+ ("bail_idonly_relabeled_pos",
+  "MATCH (c:Customer)-[:PLACED]->(o:Order), (c:Customer)-[:FROM_NATION]->"
+  "(n:Nation) RETURN n.name AS nm, count(*) AS cnt ORDER BY nm"),
+ ("bail_idonly_in_path",
+  "MATCH (c:Customer)-[:PLACED]->(o:Order), p = (c)-[:FROM_NATION]->"
+  "(n:Nation) RETURN n.name AS nm, count([x IN nodes(p) | x.name][0]) "
+  "AS cnt ORDER BY nm"),
  # --- must bail ---
  ("bail_whole_var",
   "MATCH (c:Customer)-[:PLACED]->(o:Order) RETURN o LIMIT 0"),
@@ -93,16 +116,19 @@ def rows(q, graph):
     return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
 
 orig = Translator._var_key_prop_only
+orig_eo = Translator._var_endpoints_only
 fail = 0
 for name, q in QUERIES:
     want_fire = name.startswith("fire")
     try:
         Translator._var_key_prop_only = orig
+        Translator._var_endpoints_only = orig_eo
         g1 = g.copy()  # isolate any write
         df_on = cypher(spark, q, g1)
         plan_on = df_on._jdf.queryExecution().executedPlan().toString()
         on = rows(q, g.copy())
         Translator._var_key_prop_only = lambda self, n, p: False
+        Translator._var_endpoints_only = lambda self, n, d: False
         off = rows(q, g.copy())
     except Exception as e:
         print(f"FAIL {name}: {type(e).__name__} {e}", flush=True)
@@ -110,6 +136,7 @@ for name, q in QUERIES:
         continue
     finally:
         Translator._var_key_prop_only = orig
+        Translator._var_endpoints_only = orig_eo
     ok_eq = on == off
     # crude fire detection: orders.parquet absent from plan when o elided
     print(f"{'OK' if ok_eq else 'FAIL'} {name}: rows_equal={ok_eq} "
