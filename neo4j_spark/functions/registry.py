@@ -124,13 +124,23 @@ def _cypher_type_name(t) -> str:
 def _norm_udf():
     import unicodedata
 
-    @F.udf(T.StringType())
-    def _normalize(s, form):
-        if s is None:
-            return None
-        return unicodedata.normalize(form or "NFC", s)
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
-    return _normalize
+    def _normalize(s, form):
+        # unicodedata has no Spark builtin; the Arrow batch boundary keeps
+        # the per-row cost to the normalize call itself (no per-row
+        # serialization the old row-at-a-time udf paid)
+        return pd.Series(
+            [None if x is None else unicodedata.normalize(f or "NFC", x)
+             for x, f in zip(s, form)], dtype=object)
+
+    # real class objects (the module-level `from __future__ import
+    # annotations` would stringify inline hints, which pandas_udf's
+    # eval-type inference rejects)
+    _normalize.__annotations__ = {
+        "s": pd.Series, "form": pd.Series, "return": pd.Series}
+    return pandas_udf(_normalize, T.StringType())
 
 
 def _duration_to_string(col: Column) -> Column:
@@ -561,17 +571,29 @@ def compile_function(cc, e: A.Func) -> Column:
             return F.split(c(0), pat)
         return F.split(c(0), c(1))
     if name == "normalize":
-        udf = _norm_udf()
-        form = F.lit("NFC")
+        form_name = "NFC"
+        form_col = None
         if n == 2:
             a = args[1]
             # the normal form is a keyword (NFC/NFD/NFKC/NFKD), not a string
             if isinstance(a, A.Var) and a.name.upper() in (
                     "NFC", "NFD", "NFKC", "NFKD"):
-                form = F.lit(a.name.upper())
+                form_name = a.name.upper()
             else:
-                form = c(1)
-        return udf(c(0), form)
+                form_name = None
+                form_col = c(1)
+        if form_name is not None and isinstance(args[0], A.Lit) and (
+                args[0].value is None or isinstance(args[0].value, str)):
+            # deterministic over a known form and a literal input:
+            # normalize at translate time so the plan carries a plain
+            # string literal and no Python worker stage at all
+            import unicodedata
+            v = args[0].value
+            folded = None if v is None else unicodedata.normalize(
+                form_name, v)
+            return F.lit(folded).cast("string")
+        form = F.lit(form_name) if form_name is not None else form_col
+        return _norm_udf()(c(0), form)
     if name == "linenumber":  # valid during LOAD CSV (LoadCSVPipe.scala)
         return F.col("__csv_line").cast("long")
     if name == "file":

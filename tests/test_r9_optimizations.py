@@ -471,3 +471,37 @@ class TestShardedEndpointElision:
         import re
         scans = re.findall(r"FileScan parquet", plan)
         assert len(scans) >= 3, plan  # node-frame join is back
+
+
+class TestNormalizeBoundary:
+    """normalize() is the engine's last Python UDF: literal shapes must
+    constant-fold (no Python stage at all), and the column-arg fallback
+    must cross the JVM boundary Arrow-batched, never row-at-a-time."""
+
+    COMPOSED = "\u00c5"        # U+00C5 LATIN CAPITAL LETTER A WITH RING
+    DECOMPOSED = "A\u030a"     # A + U+030A COMBINING RING ABOVE
+
+    def test_literal_folds_to_no_python_stage(self, spark):
+        from neo4j_spark.graph import PropertyGraph
+        g = PropertyGraph({}, {})
+        df = cypher(spark,
+                    "RETURN normalize('" + self.DECOMPOSED + "') AS a, "
+                    "normalize('" + self.COMPOSED + "', NFD) AS b, "
+                    "normalize(null) AS c", g)
+        plan = plan_of(df)
+        assert "EvalPython" not in plan, plan
+        r = df.collect()[0]
+        assert r.a == self.COMPOSED and r.b == self.DECOMPOSED \
+            and r.c is None
+
+    def test_column_arg_is_arrow_batched(self, spark):
+        from neo4j_spark.graph import PropertyGraph
+        g = PropertyGraph({}, {})
+        df = cypher(spark,
+                    "UNWIND ['" + self.DECOMPOSED + "', 'x', null] AS s "
+                    "RETURN normalize(s) AS n, s IS NORMALIZED AS p", g)
+        plan = plan_of(df)
+        assert "ArrowEvalPython" in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+        got = [(r.n, r.p) for r in df.collect()]
+        assert got == [(self.COMPOSED, False), ("x", True), (None, None)]
