@@ -313,7 +313,18 @@ class PropertyGraph:
         return df.filter(cond)
 
     def nodes_for_any_labels(self, labels: Sequence[str]) -> DataFrame:
-        """UnionNodeByLabelsScan (LP:4748): nodes having ANY of ``labels``."""
+        """UnionNodeByLabelsScan (LP:4748): nodes having ANY of ``labels``.
+
+        No per-id dedup: the storage invariant is that every node lives in
+        exactly ONE shard (its first-label frame; secondary labels are
+        recorded in ``_extra_labels`` and force the full-union fallback
+        here), so the selected frames are disjoint by construction — the
+        same invariant AllNodesScan (``nodes``) and ``nodes_for_labels``
+        already rely on for correct cardinality.  The old
+        ``dropDuplicates(["id"])`` compiled to a sort-based aggregate
+        (``first()`` over the array-typed labels column cannot hash-agg)
+        costing a full exchange of the scan for rows that were already
+        unique."""
         if any(l in self._extra_labels for l in labels):
             cands = [self.nodes]
         else:
@@ -324,7 +335,7 @@ class PropertyGraph:
         cond = reduce(
             lambda a, b: a | b, [F.array_contains(F.col("labels"), l) for l in labels]
         )
-        return df.filter(cond).dropDuplicates(["id"])
+        return df.filter(cond)
 
     def rels_for_types(self, types: Sequence[str],
                        src_labels: Optional[Sequence[str]] = None,
@@ -483,7 +494,14 @@ def graph_from_frames(
                     keys.append(k)
         norm = [{k: r.get(k) for k in keys} for r in rows]
         rel_frames[t] = spark.createDataFrame(pd.DataFrame(norm))
-    return PropertyGraph(node_frames, rel_frames)
+    g = PropertyGraph(node_frames, rel_frames)
+    # a multi-label node is sharded under its FIRST label only — register
+    # the rest as extra labels so label scans for them fall back to the
+    # full-union filter instead of (wrongly) trusting a same-named shard
+    for r in node_rows:
+        for extra in (r.get("labels") or [])[1:]:
+            g.note_extra_label(extra)
+    return g
 
 
 class GraphCatalog:
