@@ -434,15 +434,15 @@ def _analyze_query_py(query: str, analyzer: str):
 
 def _bm25_scan(frame, id_col: str, prop: str, terms, out_name: str,
                analyzer: str = "standard-no-stop-words"):
-    """BM25 over a tokenized property scan: one stats aggregate (N,
-    avgdl), one per-term document-frequency aggregate, both 1-row frames
-    broadcast-crossJoined into the scoring scan — no driver collects."""
+    """BM25 over a tokenized property scan: ONE global aggregate (N,
+    avgdl, per-term document frequencies — all over the same rowstream,
+    so splitting them would tokenize the corpus an extra time), its
+    1-row frame broadcast-crossJoined into the scoring scan — no driver
+    collects."""
     toks = _analyze_col(F.col(prop), analyzer)
     docs = frame.filter(F.col(prop).isNotNull()).select(
         F.col(id_col).alias(out_name), toks.alias("__toks"))
     docs = docs.withColumn("__dl", F.size("__toks"))
-    stats = docs.agg(F.count(F.lit(1)).alias("__n"),
-                     F.avg("__dl").alias("__avgdl"))
     def _tf(term):
         # NB: a two-arg lambda would make F.filter pass (element, index)
         return F.size(F.filter(F.col("__toks"),
@@ -454,9 +454,9 @@ def _bm25_scan(frame, id_col: str, prop: str, terms, out_name: str,
         df_aggs.append(F.sum(F.when(F.col(f"__tf{i}") > 0, 1)
                              .otherwise(0)).alias(f"__df{i}"))
     scored = docs.select(out_name, "__dl", *tf_cols)
-    dfreq = scored.agg(*df_aggs)
-    scored = scored.crossJoin(F.broadcast(stats)) \
-                   .crossJoin(F.broadcast(dfreq))
+    glob = scored.agg(F.count(F.lit(1)).alias("__n"),
+                      F.avg("__dl").alias("__avgdl"), *df_aggs)
+    scored = scored.crossJoin(F.broadcast(glob))
     score = None
     for i in range(len(terms)):
         s = _bm25_score(F.col(f"__tf{i}"), F.col("__dl"),
@@ -805,8 +805,6 @@ def _lucene_scan(frame, id_col: str, prop: str, node, out_name: str,
     docs = frame.filter(F.col(prop).isNotNull()).select(
         F.col(id_col).alias(out_name), toks.alias("__toks"))
     docs = docs.withColumn("__dl", F.size("__toks"))
-    stats = docs.agg(F.count(F.lit(1)).alias("__n"),
-                     F.avg("__dl").alias("__avgdl"))
 
     def leaf_tf(nd):
         if nd[0] == "term":
@@ -902,9 +900,11 @@ def _lucene_scan(frame, id_col: str, prop: str, node, out_name: str,
     scored = docs.select(out_name, "__dl", *tf_cols)
     df_aggs = [F.sum(F.when(F.col(f"__tf{i}") > 0, 1).otherwise(0))
                .alias(f"__df{i}") for i in range(len(leaves))]
-    dfreq = scored.agg(*df_aggs)
-    scored = scored.crossJoin(F.broadcast(stats)) \
-                   .crossJoin(F.broadcast(dfreq))
+    # ONE global aggregate for N/avgdl/df — a separate stats pass over
+    # ``docs`` would re-tokenize the whole corpus a third time
+    glob = scored.agg(F.count(F.lit(1)).alias("__n"),
+                      F.avg("__dl").alias("__avgdl"), *df_aggs)
+    scored = scored.crossJoin(F.broadcast(glob))
 
     def hit(nd):
         for i, (l, _) in enumerate(leaves):

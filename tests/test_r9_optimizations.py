@@ -505,3 +505,53 @@ class TestNormalizeBoundary:
         assert "BatchEvalPython" not in plan, plan
         got = [(r.n, r.p) for r in df.collect()]
         assert got == [(self.COMPOSED, False), ("x", True), (None, None)]
+
+
+class TestAnyLabelScanNoDedup:
+    """MATCH (n:A|B) must not pay a per-id dedup: node shards are
+    disjoint by the storage invariant (one shard per node, secondary
+    labels force the full-union fallback via _extra_labels), so the
+    union scan is already duplicate-free.  The old dropDuplicates
+    compiled to two SortAggregates and an extra exchange of the scan."""
+
+    def test_plan_has_no_dedup_aggregate(self, spark, tpch_graph):
+        df = cypher(spark,
+                    "MATCH (n:Customer|Supplier) RETURN count(*) AS n",
+                    tpch_graph)
+        plan = plan_of(df)
+        assert "SortAggregate" not in plan, plan
+        assert plan.count("Exchange") == 1, plan  # the count's own
+
+    def test_multilabel_nodes_stay_unique(self, spark):
+        from neo4j_spark.graph import PropertyGraph
+        g = PropertyGraph({}, {})
+        cypher(spark, "CREATE (:A:B {x: 1}) CREATE (:B {x: 2})",
+               g).collect()
+        got = sorted(r.x for r in cypher(
+            spark, "MATCH (n:A|B) RETURN n.x AS x", g).collect())
+        assert got == [1, 2]  # the A:B node once, not per matching label
+
+    def test_fixture_builder_registers_secondary_labels(self, spark):
+        from neo4j_spark.graph import graph_from_frames
+        g = graph_from_frames(
+            spark, [{"id": 1, "labels": ["A", "B"]},
+                    {"id": 2, "labels": ["B"]}], [])
+        assert cypher(spark, "MATCH (n:B) RETURN count(*) AS c",
+                      g).collect()[0].c == 2
+        got = sorted(r.i for r in cypher(
+            spark, "MATCH (n:A|B) RETURN id(n) AS i", g).collect())
+        assert got == [1, 2]
+
+
+class TestFulltextSingleStatsPass:
+    """The fulltext scan computes N/avgdl/per-leaf-df in ONE global
+    aggregate: a separate stats pass would tokenize the whole corpus a
+    third time, and each global frame costs its own broadcast join."""
+
+    def test_one_broadcast_of_global_stats(self, spark, tpch_graph):
+        df = cypher(spark,
+                    "CALL db.index.fulltext.queryNodes('name', 'widget') "
+                    "YIELD node, score RETURN count(*) AS n", tpch_graph)
+        plan = plan_of(df)
+        # one 1-row global frame joined back, not stats + dfreq separately
+        assert plan.count("BroadcastNestedLoopJoin") == 1, plan
