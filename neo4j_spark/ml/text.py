@@ -287,21 +287,25 @@ def tf_idf_top_terms(df: DataFrame, k: int = 3, id_col: str = "doc_id",
     """Top-k terms per document by tf-idf (ln(N/df) idf, ties by term).
 
     Shuffle profile: one explode feeding a map-side-combined (doc, term)
-    count, a term-keyed doc-frequency aggregate joined back (term keys are
-    high-cardinality — no skew), and one window for the per-doc top-k.
+    count, the per-term document frequency as a COUNT WINDOW over the tf
+    rows (term keys are high-cardinality — no skew), and one window for
+    the per-doc top-k.  The window computes the same df as a separate
+    term-keyed aggregate joined back, but the tf lineage is traversed
+    ONCE — the join shape re-tokenized the whole corpus for each side.
     The corpus size N is a 1-row aggregate cross-joined in (broadcast),
     never a driver-side count."""
+    from pyspark.sql import Window as W
     terms = df.select(
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("term"))
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     total = df.select(F.count_distinct(F.col(id_col)).alias("__n_docs"))
-    scored = (tf.join(dfreq, "term").crossJoin(F.broadcast(total))
+    scored = (tf.withColumn("df", F.count(F.lit(1))
+                            .over(W.partitionBy("term")))
+                .crossJoin(F.broadcast(total))
                 .withColumn("tfidf",
                             F.round(F.col("tf")
                                     * F.log(F.col("__n_docs") / F.col("df")),
                                     6)))
-    from pyspark.sql import Window as W
     w = W.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k)

@@ -555,3 +555,24 @@ class TestFulltextSingleStatsPass:
         plan = plan_of(df)
         # one 1-row global frame joined back, not stats + dfreq separately
         assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+
+
+class TestTfIdfSingleTokenizePass:
+    """tf-idf derives per-term document frequency from a count window
+    over the tf rows instead of a separate term aggregate joined back —
+    the join shape re-tokenized the whole corpus for each side."""
+
+    def test_one_tokenizing_scan_no_term_join(self, spark):
+        import re
+        from neo4j_spark.ml.text import tf_idf_top_terms
+        df = spark.createDataFrame(
+            [(1, "a b a"), (2, "a c")], ["doc_id", "text"])
+        out = tf_idf_top_terms(df, k=2)
+        plan = plan_of(out)
+        assert "Join" not in plan.replace("BroadcastNestedLoopJoin", "", 1), plan
+        got = sorted(map(tuple, out.collect()))
+        # df(a)=2, df(b)=df(c)=1, N=2: a scores ln(1)=0, b/c ln(2)
+        import math
+        ln2 = round(math.log(2.0), 6)
+        assert got == [(1, "a", 0.0, 2), (1, "b", ln2, 1),
+                       (2, "a", 0.0, 2), (2, "c", ln2, 1)]
