@@ -135,9 +135,10 @@ def _norm_udf():
             [None if x is None else unicodedata.normalize(f or "NFC", x)
              for x, f in zip(s, form)], dtype=object)
 
-    # real class objects (the module-level `from __future__ import
-    # annotations` would stringify inline hints, which pandas_udf's
-    # eval-type inference rejects)
+    # real class objects: this module's `from __future__ import
+    # annotations` stringifies inline hints, and pandas_udf cannot
+    # resolve 'pd.Series' because pandas is imported HERE, not in the
+    # module globals the hint lookup uses
     _normalize.__annotations__ = {
         "s": pd.Series, "form": pd.Series, "return": pd.Series}
     return pandas_udf(_normalize, T.StringType())

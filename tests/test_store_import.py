@@ -56,6 +56,29 @@ class TestCsvImport:
                          "RETURN a.name AS a, k.w AS w, b.name AS b", g)
             assert [tuple(r) for r in out.collect()] == [("alice", 0.5, "bob")]
 
+    def test_secondary_labels_visible_after_import(self, spark):
+        """A ';'-separated :LABEL column stores the node in its import
+        group's shard; the importer must register the secondary labels
+        so scans for them fall back to the full-union filter instead of
+        trusting a missing/incomplete same-named shard."""
+        with tempfile.TemporaryDirectory() as d:
+            np = os.path.join(d, "people.csv")
+            with open(np, "w") as f:
+                f.write("id:ID,lbl:LABEL,name:string\n"
+                        "1,Person;Admin,alice\n"
+                        "2,Person,bob\n")
+            g = csv_import(spark, {"Person": np}, {})
+            got = [r.n for r in cypher(
+                spark, "MATCH (n:Admin) RETURN n.name AS n", g).collect()]
+            assert got == ["alice"]
+            # and a save/load round-trip re-derives the registration
+            out = os.path.join(d, "store")
+            save_graph(g, out)
+            g2 = load_graph(spark, out)
+            got2 = [r.n for r in cypher(
+                spark, "MATCH (n:Admin) RETURN n.name AS n", g2).collect()]
+            assert got2 == ["alice"]
+
     def test_typed_columns_and_arrays(self, spark):
         with tempfile.TemporaryDirectory() as d:
             np, rp = self._write(d)
