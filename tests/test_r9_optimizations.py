@@ -644,3 +644,19 @@ class TestWidenUnderSplit:
         # the widened pipeline really carries the redistribution
         plan = plan_of(minhash_dedup_pairs(docs, threshold=0.5))
         assert "REPARTITION_BY_NUM" in plan, plan
+
+    def test_cosine_pairs_widened_and_identical(self, spark, monkeypatch):
+        from neo4j_spark.ml.similarity import embedding_cosine_pairs
+        rows = [(i, [float(i % 4 == 0), 1.0, float(i % 3) / 3.0])
+                for i in range(40)]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"]) \
+                   .coalesce(1)
+        monkeypatch.setenv("NEO4J_SPARK_WIDEN_SPLITS", "0")
+        off = sorted(map(tuple,
+                         embedding_cosine_pairs(emb, 0.9).collect()))
+        monkeypatch.setenv("NEO4J_SPARK_WIDEN_SPLITS", "1")
+        on = sorted(map(tuple,
+                        embedding_cosine_pairs(emb, 0.9).collect()))
+        assert on == off and len(on) > 0
+        plan = plan_of(embedding_cosine_pairs(emb, 0.9))
+        assert "REPARTITION_BY_NUM" in plan, plan
