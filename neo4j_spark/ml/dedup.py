@@ -283,9 +283,16 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     the block key is a single rare gram — high-cardinality, bounded
     occupancy, well-distributed shuffle at 100 TB.  A size filter
     (t*|x| <= |y| <= |x|/t) prunes candidates further before the exact
-    verify, whose cost is proportional to the candidate set."""
+    verify, whose cost is proportional to the candidate set.
+
+    r9: an under-split input is redistributed first (widen_under_split,
+    guide §2.5) — the per-document gram arrays (string k-shingles) are
+    the dominant map-side cost and would otherwise all be computed in
+    the single scan task.  Measured at sf0.1 (interleaved min-of-6):
+    8.851 s -> 2.481 s (3.57x), results identical."""
     from pyspark.sql import Window as W
 
+    df = widen_under_split(df, id_col)
     grams = df.select(
         F.col(group_col).alias("_g"), F.col(id_col).alias("_id"),
         F.array_distinct(shingles(F.col(text_col), n)).alias("_grams"))

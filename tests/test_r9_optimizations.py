@@ -660,3 +660,20 @@ class TestWidenUnderSplit:
         assert on == off and len(on) > 0
         plan = plan_of(embedding_cosine_pairs(emb, 0.9))
         assert "REPARTITION_BY_NUM" in plan, plan
+
+    def test_ngram_jaccard_widened_and_identical(self, spark, monkeypatch):
+        from neo4j_spark.ml.dedup import ngram_jaccard_pairs
+        rows = [(i, f"w{i // 2 % 5} alpha beta gamma delta epsilon", "en")
+                for i in range(40)]
+        docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"]) \
+                    .coalesce(1)
+        monkeypatch.setenv("NEO4J_SPARK_WIDEN_SPLITS", "0")
+        off = sorted(map(tuple, ngram_jaccard_pairs(
+            docs, "doc_id", "text", "lang", 3, 0.5).collect()))
+        monkeypatch.setenv("NEO4J_SPARK_WIDEN_SPLITS", "1")
+        on = sorted(map(tuple, ngram_jaccard_pairs(
+            docs, "doc_id", "text", "lang", 3, 0.5).collect()))
+        assert on == off and len(on) > 0
+        plan = plan_of(ngram_jaccard_pairs(docs, "doc_id", "text",
+                                           "lang", 3, 0.5))
+        assert "REPARTITION_BY_NUM" in plan, plan
